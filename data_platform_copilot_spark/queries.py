@@ -1,0 +1,285 @@
+"""Query pack: every declared capability as (Spark callable, DuckDB oracle).
+
+Each entry in ``QUERIES`` is ``name -> fn(spark, sf_dir) -> DataFrame``;
+``ORACLE`` holds the equivalent ANSI SQL that DuckDB runs on the same
+parquet tables. The driver hash-compares the two at sf0.01
+(row-count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded on both sides (absorbs summation-order
+  ulp drift between engines);
+- timestamp-valued outputs are formatted to strings (engine-neutral);
+- no non-deterministic row *sets*: LIMIT only after a total order
+  with a unique tiebreak, or when it exceeds the row count;
+- integer sums in oracle SQL are cast back to BIGINT (DuckDB widens
+  sum(BIGINT) to HUGEINT, which pandas would mangle).
+
+Spark-first notes are on each query: what Catalyst should do with it
+(pushdown, broadcast, partial agg) and why the shape survives 100 TB.
+
+Reference parity targets are cited as reference-file:line per
+SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query callable and (optionally) its DuckDB oracle."""
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Group 1 — the reference's promised SQL surface (SURVEY.md §2.B)
+# ---------------------------------------------------------------------------
+
+@query("flagship_revenue_by_nation", oracle="""
+SELECT n_name AS nation,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY revenue DESC, nation
+LIMIT 5
+""")
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference few-shot revenue query (reference src/chain.py:20-25)
+    rewritten over testdata: revenue by nation for one year, top 5.
+
+    Plan shape at scale: orders filtered at the parquet scan (predicate
+    pushdown on o_orderdate), shuffle join orders<->customer on custkey,
+    broadcast join to the 25-row nation dim, partial agg before the
+    final 25-group exchange, TakeOrderedAndProject for the top-k.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey", "o_totalprice")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+        .limit(5)
+    )
+
+
+@query("projection_alias", oracle="""
+SELECT c_custkey AS customer_id,
+       c_name AS customer,
+       round(c_acctbal, 2) AS balance
+FROM customer
+""")
+def projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit column list + aliases (reference src/chain.py:12,20).
+    Column pruning: the scan must read 3 of 5 customer columns only."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer"),
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+
+
+@query("filter_conjunctive", oracle="""
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND value > 50
+  AND event_type = 'click'
+""")
+def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form conjunctive WHERE (reference src/dq.py:21-22,
+    query.http:118,128). All three predicates push to the scan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where((F.col("ts") >= "2024-01-03")
+               & (F.col("value") > 50)
+               & (F.col("event_type") == "click"))
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+
+
+@query("halfopen_ts_range", oracle="""
+SELECT count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+""")
+def halfopen_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open timestamp range with string-literal comparison
+    (reference src/chain.py:13,22; src/dbt_generator.py:36)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= "1996-01-01")
+               & (F.col("o_orderdate") < "1997-01-01"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query("join_using", oracle="""
+SELECT o_orderkey, c_name, round(o_totalprice, 2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 450000
+""")
+def join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join over one key — the reference's USING(customer_id)
+    join (reference src/chain.py:21, README.md:118). Selective filter
+    on the fact side first, so the join input is small."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query("multi_join_topk", oracle="""
+SELECT c_custkey AS customer_id,
+       c_name AS customer,
+       CAST(count(*) AS BIGINT) AS items_bought
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY items_bought DESC, customer_id
+LIMIT 15
+""")
+def multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Most frequently bought items ... top 15 customers'
+    (reference query.http:76): chained equi-joins + count + top-k.
+
+    Scale: pre-aggregate lineitem per order BEFORE joining to customer
+    — shrinks the big-side shuffle from |lineitem| to |orders|."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey").agg(F.count("*").alias("n_items")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey").agg(F.sum("n_items").alias("items_bought"))
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .select(F.col("c_custkey").alias("customer_id"),
+                F.col("c_name").alias("customer"),
+                F.col("items_bought").cast("long").alias("items_bought"))
+        .orderBy(F.desc("items_bought"), "customer_id")
+        .limit(15)
+    )
+
+
+@query("groupby_ordinal", oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1
+""")
+def groupby_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY <ordinal> (reference src/chain.py:23) through spark.sql —
+    Spark supports positional grouping natively (groupByOrdinal)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1")
+
+
+@query("topk_orderby_alias", oracle="""
+SELECT c_mktsegment AS segment,
+       round(sum(c_acctbal), 2) AS balance
+FROM customer
+GROUP BY 1
+ORDER BY balance DESC, segment
+LIMIT 3
+""")
+def topk_orderby_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY <alias> DESC + LIMIT k (reference src/chain.py:24-25):
+    Spark plans this as TakeOrderedAndProject — no global sort."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("balance"))
+        .orderBy(F.desc("balance"), "segment")
+        .limit(3)
+    )
+
+
+@query("limit_injection", oracle="""
+SELECT r_regionkey, r_name FROM region LIMIT 200
+""")
+def limit_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gateway row-cap semantics (reference src/sql_runner.py:29-30):
+    a bare SELECT gets capped at row_limit=200. region has 5 rows, so
+    the capped result is deterministic."""
+    from .gateway import validate_sql
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    sql = validate_sql("SELECT r_regionkey, r_name FROM region")
+    return spark.sql(sql).limit(200)
+
+
+@query("cohort_retention_weekly", oracle="""
+WITH firsts AS (
+    SELECT user_id, min(ts) AS first_ts
+    FROM events
+    GROUP BY user_id
+), flags AS (
+    SELECT f.user_id,
+           strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+           max(CASE WHEN e.ts >= f.first_ts + INTERVAL 7 DAY THEN 1 ELSE 0 END)
+               AS retained
+    FROM firsts f
+    JOIN events e ON e.user_id = f.user_id
+    GROUP BY 1, 2
+)
+SELECT cohort_week,
+       CAST(count(*) AS BIGINT) AS cohort_size,
+       CAST(sum(retained) AS BIGINT) AS retained_7d
+FROM flags
+GROUP BY cohort_week
+""")
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort 7-day retention (reference query.http:85).
+
+    Spark-first: one shuffle on user_id computes first_ts AND the
+    retained flag in a single groupBy (min + conditional max over a
+    window-free self-comparison), then a 2nd small agg by week.
+    At 100 TB the user_id agg is the only big shuffle; no self-join.
+    """
+    events = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id")
+    flags = (
+        events
+        .withColumn("first_ts", F.min("ts").over(w))
+        .groupBy("user_id", F.date_format(
+            F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias("cohort_week"))
+        .agg(F.max(
+            F.when(F.col("ts") >= F.col("first_ts") + F.expr("INTERVAL 7 DAYS"), 1)
+             .otherwise(0)).alias("retained"))
+    )
+    return flags.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size"),
+        F.sum("retained").cast("long").alias("retained_7d"),
+    )

@@ -1,0 +1,55 @@
+"""Source layer: parquet-backed warehouse tables as temp views.
+
+The reference's warehouse is a single DuckDB file whose tables are
+created by CSV ingestion (reference src/route/namespace_table.py:
+104-108). Our warehouse is a directory of parquet files (the driver
+testdata layout, TESTDATA.md) registered as session views — the
+Spark-native equivalent of "one file = the warehouse".
+
+Scale notes: parquet scans get predicate pushdown + column pruning
+from Catalyst for free once the query is declarative; at 100 TB the
+same views would point at partitioned parquet/Delta directories and
+nothing above this layer changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as a
+# long (spark.sql.legacy.parquet.nanosAsLong) — rebuilt to microsecond
+# timestamps here, matching DuckDB's nanos->micros truncation so the
+# correctness oracle sees identical instants.
+_NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table from ``{sf_dir}/{name}.parquet``."""
+    if name in _NANOS_TS_COLUMNS:
+        # Runtime-settable SQL conf; required even on sessions we did
+        # not build (e.g. the driver's own SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str,
+                      tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register every warehouse table as a temp view named after it.
+
+    Idempotent; re-registering against a different sf_dir repoints
+    the views (used by tests that move between scale factors).
+    """
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
