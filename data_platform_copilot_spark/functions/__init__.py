@@ -1,0 +1,23 @@
+from .text import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    lang_scores,
+    normalize_text,
+    punct_ratio,
+    stopword_ratio,
+    tokens,
+)
+from .vectors import cosine_similarity, dot, l2_norm
+
+__all__ = [
+    "LANG_STOPWORDS",
+    "cosine_similarity",
+    "doc_fingerprint",
+    "dot",
+    "l2_norm",
+    "lang_scores",
+    "normalize_text",
+    "punct_ratio",
+    "stopword_ratio",
+    "tokens",
+]

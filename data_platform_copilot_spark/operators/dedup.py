@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all pure DataFrame compositions (no Python UDFs):
+
+- exact:      md5(canonical text) -> groupBy fingerprint
+- n-gram Jaccard: shingle -> inverted-index self-join -> set overlap
+- MinHash+LSH: md5-string minhash signatures -> banding -> bucket join
+- SimHash:    per-token hash bits -> signed bit-sum -> fingerprint
+- embedding:  cosine over array<float> (brute-force verify path;
+              LSH bucketing for the candidate path at scale)
+
+Hashing uses md5 (identical across engines) rather than Spark's
+xxhash64 so every stage is DuckDB-oracle-comparable. A min over md5
+hex strings is a valid uniform minhash (lexicographic order over a
+uniform 128-bit space).
+
+Scale design (100 TB corpus):
+- The shingle inverted index is the only big shuffle; hot shingles
+  (appearing in >`max_shingle_freq` docs) are dropped before the
+  self-join — the standard stopword-shingle cut that prevents a
+  quadratic blowup on boilerplate.
+- MinHash/LSH replaces the all-pairs join with |bands| bucket joins;
+  candidate verification re-computes true Jaccard only on pairs that
+  collide in >=1 band.
+- Everything keys on (shingle) or (band, bucket) — uniform by
+  construction, AQE skew-join as the backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+from ..functions.vectors import cosine_similarity
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on canonical text: every row annotated with its
+    fingerprint, cluster representative (min id) and duplicate flag.
+
+    One shuffle on the fingerprint; the window avoids a second join.
+    """
+    from pyspark.sql import Window as W
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    w = W.partitionBy("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .withColumn("cluster_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("cluster_id"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str,
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built as sequence+transform over the token array, then explode —
+    stays in codegen until the explode."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
+                  max_shingle_freq: int | None = 1000) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via inverted-index
+    self-join on the shingle. Input: (id, shingle) distinct.
+
+    Output: (id_a, id_b, common, size_a, size_b, jaccard), id_a < id_b.
+    """
+    if max_shingle_freq is not None:
+        hot = (sh.groupBy("shingle").count()
+               .where(F.col("count") > max_shingle_freq).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnsRenamed({"id": "id_a", "size": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "size": "size_b"}), "id_b")
+        .withColumn("jaccard",
+                    F.col("common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature rows: (id, seed, mh) for seed in [0, k).
+
+    mh = min over shingles of md5(seed || ':' || shingle), compared as
+    a hex string — uniform, engine-portable. The seed fan-out happens
+    BEFORE the groupBy so one shuffle computes all k mins."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .groupBy("id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+             .alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """LSH banding: split the k signature rows into ``bands`` groups,
+    hash each band, join docs sharing any (band, bucket).
+
+    Output: distinct (id_a, id_b), id_a < id_b. At scale each bucket
+    join is tiny (docs per bucket ~ duplicates only); the distinct
+    collapses multi-band collisions."""
+    banded = (
+        signatures
+        .withColumn("band", F.col("seed") % bands)
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(
+            F.collect_list(F.concat_ws(":", F.col("seed"), F.col("mh"))))))
+            .alias("bucket"))
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint per document: (id, simhash).
+
+    Per token, bit j comes from hex digit j//4 of md5(token); the
+    signed per-bit sums over all tokens (frequency-weighted) give the
+    fingerprint. Pure arithmetic (position-in-hex-alphabet, divide,
+    mod) so the oracle can reproduce it without bit intrinsics.
+
+    One explode + one groupBy(id) shuffle; bits are accumulated as
+    ``bits`` conditional sums in a single aggregate."""
+    assert bits <= 32, "md5 prefix supplies 32 hex digits = 128 bits"
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    t = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+           .where(F.length("tok") > 0)
+           .withColumn("hex", F.md5(F.col("tok"))))
+    aggs = []
+    for j in range(bits):
+        nibble = (F.instr(F.lit("0123456789abcdef"),
+                          F.substring("hex", j // 4 + 1, 1)) - 1)
+        bit = F.floor(nibble / (2 ** (3 - j % 4))) % 2
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = t.groupBy("id").agg(*aggs)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0,
+                      F.lit(2 ** (bits - 1 - j))).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("id", fingerprint.cast("long").alias("simhash"))
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cosine >= threshold).
+
+    Brute-force all-pairs — correct but O(n^2): the verify path. At
+    corpus scale, generate candidates with SRP-LSH bucketing
+    (operators/similarity.py) and verify only collisions with this
+    formula."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

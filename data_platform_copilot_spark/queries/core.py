@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .sources import load_table
+from ..sources import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -234,7 +234,7 @@ def limit_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gateway row-cap semantics (reference src/sql_runner.py:29-30):
     a bare SELECT gets capped at row_limit=200. region has 5 rows, so
     the capped result is deterministic."""
-    from .gateway import validate_sql
+    from ..gateway import validate_sql
     _t(spark, sf_dir, "region").createOrReplaceTempView("region")
     sql = validate_sql("SELECT r_regionkey, r_name FROM region")
     return spark.sql(sql).limit(200)

@@ -1,0 +1,208 @@
+"""Dedup queries over the documents/embeddings tables.
+
+Every dedup family is value-verified against a DuckDB oracle that
+reproduces the same hashing (md5) and set arithmetic. The operators
+live in ``operators/dedup.py``; these entries bind them to testdata
+and pin their semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from .core import _t, query
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# DuckDB: distinct 3-gram shingles per doc (mirrors operators.dedup.shingles)
+_DUCK_SHINGLES = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id AS id,
+           concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    WHERE length(concat_ws(' ', t[i], t[i+1], t[i+2])) > 0
+)
+"""
+
+
+@query("dedup_exact", oracle=f"""
+SELECT doc_id,
+       md5({_NORM}) AS fingerprint,
+       min(doc_id) OVER (PARTITION BY md5({_NORM})) AS cluster_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5({_NORM}))
+           AS is_duplicate
+FROM documents
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the canonical-text fingerprint;
+    cluster representative = min doc_id."""
+    return exact_duplicates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("dedup_ngram_jaccard", oracle=_DUCK_SHINGLES + """
+, sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(common AS BIGINT) AS common,
+       CAST(sa.size AS BIGINT) AS size_a,
+       CAST(sb.size AS BIGINT) AS size_b,
+       round(CAST(common AS DOUBLE) / (sa.size + sb.size - common), 4)
+           AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.size + sb.size - common) >= 0.8
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (3-shingle) Jaccard near-dup pairs at threshold 0.8 —
+    inverted-index self-join, no all-pairs blowup."""
+    sh = shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_DUCK_SHINGLES + """
+, sig AS (
+    SELECT id, s.seed,
+           min(md5(concat_ws(':', s.seed, shingle))) AS mh
+    FROM sh, unnest(range(0, 16)) AS s(seed)
+    GROUP BY id, s.seed
+), banded AS (
+    SELECT id, seed % 4 AS band,
+           md5(string_agg(concat_ws(':', seed, mh), ','
+               ORDER BY concat_ws(':', seed, mh))) AS bucket
+    FROM sig
+    GROUP BY id, seed % 4
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+), sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, verified AS (
+    SELECT c.id_a, c.id_b, count(*) AS common
+    FROM cand c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT v.id_a, v.id_b,
+       round(CAST(common AS DOUBLE) / (sa.size + sb.size - common), 4)
+           AS jaccard
+FROM verified v
+JOIN sizes sa ON sa.id = v.id_a
+JOIN sizes sb ON sb.id = v.id_b
+WHERE CAST(common AS DOUBLE) / (sa.size + sb.size - common) >= 0.7
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH banding (4 bands x 4 rows) candidate
+    generation, verified with true Jaccard >= 0.7.
+
+    The scale path: banding turns all-pairs similarity into
+    equi-joins on (band, bucket); verification touches only
+    colliding pairs. md5-string minhash keeps it oracle-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    cand = lsh_candidate_pairs(sig, bands=4)
+    # Verify ONLY colliding pairs: join the shingle sets of the two
+    # sides of each candidate — never the all-pairs jaccard.
+    sha = sh.select(F.col("id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(sha, "id_a").join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
+    verified = (
+        common
+        .join(sizes.withColumnsRenamed({"id": "id_a", "size": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "size": "size_b"}), "id_b")
+        .withColumn("jaccard", F.col("common") /
+                    (F.col("size_a") + F.col("size_b") - F.col("common")))
+        .where(F.col("jaccard") >= 0.7)
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# SimHash oracle: reproduce the per-bit signed sums in SQL.
+def _duck_simhash(bits: int = 16) -> str:
+    nib = "strpos('0123456789abcdef', substr(hex, {pos}, 1)) - 1"
+    per_bit_sums = ",\n           ".join(
+        "sum((floor(({nib}) / {div}) % 2) * 2 - 1) AS s{j}".format(
+            nib=nib.format(pos=j // 4 + 1), div=2 ** (3 - j % 4), j=j)
+        for j in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** (bits - 1 - j)} ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), hashed AS (
+    SELECT doc_id, md5(tok) AS hex FROM toks WHERE length(tok) > 0
+), sums AS (
+    SELECT doc_id,
+           {per_bit_sums}
+    FROM hashed
+    GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@query("dedup_simhash", oracle=_duck_simhash(16))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (frequency-weighted token bits).
+    Near-dup candidates at scale = fingerprints within small Hamming
+    distance; here the full fingerprint column is value-verified."""
+    return (
+        simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+@query("dedup_embedding_cosine", oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+           AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) /
+      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+       sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45 — this corpus
+    has no planted vector dups; the threshold exercises the operator
+    on real pairs). Brute-force verify path; SRP-LSH candidates are
+    the scale path (operators/similarity.py)."""
+    pairs = embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.45)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

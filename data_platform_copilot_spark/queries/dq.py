@@ -1,0 +1,214 @@
+"""DQ subsystem as oracle-checked queries (SURVEY.md §2 A5-A13).
+
+Each of the reference's profiling statistics and five rule types is
+re-expressed as a deterministic aggregate query so the DuckDB oracle
+can hash-verify the exact semantics — including the reference quirks
+(NULL-counts-as-duplicate, ddof=0, violation-rate-over-total).
+
+The library implementation lives in ``data_platform_copilot_spark.dq``
+(same expressions, orchestrated); these entries pin its math.
+Freshness uses an injected fixed 'now' so the check is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import _t, query
+
+FIXED_NOW = "2024-02-01 00:00:00"  # just after events' max ts (2024-01-30)
+
+
+@query("dq_profile_events_value", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(value) AS BIGINT) AS nulls,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS mean_v,
+       round(stddev_pop(value), 4) AS std_v,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+""")
+def dq_profile_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 numeric profile: one aggregate pass computes every statistic
+    (count/nulls/distinct/min/max/mean/std_pop/p50/p95) — the pandas
+    reference needs a separate pass per stat family."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.col("value")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(c.isNull().cast("long")).alias("nulls"),
+        F.countDistinct(c).alias("n_distinct"),
+        F.round(F.min(c), 4).alias("min_v"),
+        F.round(F.max(c), 4).alias("max_v"),
+        F.round(F.mean(c), 4).alias("mean_v"),
+        F.round(F.stddev_pop(c), 4).alias("std_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@query("dq_profile_text_length", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(length(text)) AS BIGINT) AS len_min,
+       CAST(max(length(text)) AS BIGINT) AS len_max,
+       round(quantile_cont(length(text), 0.95), 4) AS len_p95
+FROM documents
+""")
+def dq_profile_text_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 text profile: string-length min/max/p95
+    (reference src/dq.py:65-73)."""
+    d = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ln).cast("long").alias("len_min"),
+        F.max(ln).cast("long").alias("len_max"),
+        F.round(F.expr("percentile(length(text), 0.95)"), 4).alias("len_p95"),
+    )
+
+
+@query("dq_top_values_event_type", oracle="""
+SELECT event_type AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY cnt DESC, value
+LIMIT 5
+""")
+def dq_top_values_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 top-5 value histogram (reference src/dq.py:75-77), with a
+    deterministic tie-break on the value."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("value"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "value")
+        .limit(5)
+    )
+
+
+@query("dq_rule_not_null_user_id", oracle="""
+SELECT CAST(count(*) - count(user_id) AS BIGINT) AS nulls,
+       CAST(count(*) AS BIGINT) AS total,
+       round(100.0 * (count(*) - count(user_id)) / count(*), 4)
+           AS null_rate_pct,
+       (count(*) - count(user_id)) = 0 AS passed
+FROM events
+""")
+def dq_rule_not_null_user_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 not_null rule as an aggregate (reference src/dq.py:94-98)."""
+    ev = _t(spark, sf_dir, "events")
+    nulls = F.sum(F.col("user_id").isNull().cast("long"))
+    total = F.count(F.lit(1))
+    return ev.agg(
+        nulls.alias("nulls"),
+        total.alias("total"),
+        F.round(100.0 * nulls / total, 4).alias("null_rate_pct"),
+        (nulls == 0).alias("passed"),
+    )
+
+
+@query("dq_rule_unique_event_id", oracle="""
+SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS duplicates,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       (count(*) - count(DISTINCT event_id)) = 0 AS passed
+FROM events
+""")
+def dq_rule_unique_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 unique rule incl. the reference quirk: COUNT(DISTINCT)
+    ignores NULLs while COUNT(*) doesn't, so NULLs count as
+    duplicates (reference src/dq.py:103-106)."""
+    ev = _t(spark, sf_dir, "events")
+    total = F.count(F.lit(1))
+    distinct = F.countDistinct("event_id")
+    return ev.agg(
+        (total - distinct).alias("duplicates"),
+        total.alias("total"),
+        distinct.alias("n_distinct"),
+        ((total - distinct) == 0).alias("passed"),
+    )
+
+
+@query("dq_rule_range_value", oracle="""
+SELECT CAST(sum(CASE WHEN value IS NOT NULL
+                      AND (value < 0 OR value > 400)
+                THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS total,
+       round(100.0 * sum(CASE WHEN value IS NOT NULL
+                               AND (value < 0 OR value > 400)
+                         THEN 1 ELSE 0 END) / count(*), 4)
+           AS violation_rate_pct,
+       sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
+           THEN 1 ELSE 0 END) = 0 AS passed
+FROM events
+""")
+def dq_rule_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 range rule [0, 400] on events.value — exercises the FAIL
+    path (max value ~490) and the rate-over-total quirk
+    (reference src/dq.py:115)."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.col("value")
+    viol = F.sum((c.isNotNull() & ((c < 0) | (c > 400))).cast("long"))
+    total = F.count(F.lit(1))
+    return ev.agg(
+        viol.alias("violations"),
+        total.alias("total"),
+        F.round(100.0 * viol / total, 4).alias("violation_rate_pct"),
+        (viol == 0).alias("passed"),
+    )
+
+
+@query("dq_rule_anomaly_zscore_value", oracle="""
+WITH stats AS (
+    SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS outliers,
+       round(any_value(mu), 4) AS mean_v,
+       round(any_value(sd), 4) AS std_v
+FROM events, stats
+WHERE abs((value - mu) / sd) > 3.0
+""")
+def dq_rule_anomaly_zscore_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 z-score anomaly rule, fully distributed: stats via a
+    broadcast single-row subquery (no driver round-trip), population
+    std ddof=0 (reference src/dq.py:139-148)."""
+    ev = _t(spark, sf_dir, "events").select("value")
+    stats = ev.agg(F.mean("value").alias("mu"),
+                   F.stddev_pop("value").alias("sd"))
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .where(F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3.0)
+        .agg(F.count("*").alias("outliers"),
+             F.round(F.first("mu"), 4).alias("mean_v"),
+             F.round(F.first("sd"), 4).alias("std_v"))
+    )
+
+
+@query("dq_rule_freshness_ts", oracle=f"""
+SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+       round(CAST(date_diff('millisecond', max(ts),
+                  TIMESTAMP '{FIXED_NOW}') AS DOUBLE) / 3600000.0, 4)
+           AS age_hours,
+       CAST(date_diff('millisecond', max(ts),
+            TIMESTAMP '{FIXED_NOW}') AS DOUBLE) / 3600000.0 <= 48.0
+           AS passed
+FROM events
+""")
+def dq_rule_freshness_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 freshness rule with an injected fixed 'now' (deterministic);
+    millisecond-resolution age (reference compares wall-clock age in
+    hours, src/dq.py:122-133)."""
+    ev = _t(spark, sf_dir, "events")
+    age_h = (F.unix_millis(F.lit(FIXED_NOW).cast("timestamp"))
+             - F.unix_millis(F.max("ts"))).cast("double") / 3600000.0
+    return ev.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.round(age_h, 4).alias("age_hours"),
+        (age_h <= 48.0).alias("passed"),
+    )

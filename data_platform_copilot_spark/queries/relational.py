@@ -1,0 +1,546 @@
+"""Relational constructs beyond the reference's generated surface.
+
+SURVEY.md §2.C: window functions, set ops, grouping sets / cube /
+rollup, semi/anti joins, distinct aggregation, pivot, subqueries —
+the reference's gateway would pass all of these through to DuckDB
+unimplemented; on Spark they're first-class Catalyst constructs, so
+our job is full test coverage with DuckDB oracles, plus TPC-H-style
+aggregation shapes as the scale benchmarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .core import _t, query
+
+
+@query("tpch_q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate after a scan filter.
+
+    Scale: partial aggregation (map-side combine) reduces the shuffle
+    to |groups| x |partitions| rows; the filter pushes to parquet.
+    All 8 aggregates compute in ONE pass — whole-stage codegen fuses
+    the projections and the hash-agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count("*").alias("count_order"))
+    )
+
+
+@query("window_rank_topk_per_group", oracle="""
+SELECT segment, customer_id, balance, rnk
+FROM (
+    SELECT c_mktsegment AS segment,
+           c_custkey AS customer_id,
+           round(c_acctbal, 2) AS balance,
+           CAST(row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+    FROM customer
+)
+WHERE rnk <= 3
+""")
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window — the canonical replacement
+    for a driver-side loop. One shuffle on the partition key; with AQE
+    skewed segments split automatically."""
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"),
+                F.col("c_custkey").alias("customer_id"),
+                F.round("c_acctbal", 2).alias("balance"),
+                F.row_number().over(w).cast("long").alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@query("window_running_sum", oracle="""
+SELECT month,
+       monthly_revenue,
+       round(sum(monthly_revenue) OVER (
+           ORDER BY month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_revenue
+FROM (
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           round(sum(o_totalprice), 2) AS monthly_revenue
+    FROM orders
+    GROUP BY 1
+)
+""")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total over an aggregate — analytic frame
+    ROWS UNBOUNDED PRECEDING. The unpartitioned window runs over
+    |months| rows (tiny) AFTER the big agg, so the single-partition
+    window stage is not a scale hazard."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                               "yyyy-MM-dd").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return monthly.withColumn(
+        "running_revenue", F.round(F.sum("monthly_revenue").over(w), 2))
+
+
+@query("window_lag_delta", oracle="""
+SELECT month, monthly_revenue,
+       round(monthly_revenue - lag(monthly_revenue) OVER (ORDER BY month), 2)
+           AS mom_delta
+FROM (
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           round(sum(o_totalprice), 2) AS monthly_revenue
+    FROM orders
+    GROUP BY 1
+)
+""")
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month delta via lag() — offset window function."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                               "yyyy-MM-dd").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
+    )
+    w = W.orderBy("month")
+    return monthly.withColumn(
+        "mom_delta",
+        F.round(F.col("monthly_revenue") - F.lag("monthly_revenue").over(w), 2))
+
+
+@query("set_ops_union_intersect_except", oracle="""
+SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+UNION ALL
+SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+UNION ALL
+SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+""")
+def set_ops_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) / INTERSECT / EXCEPT via the DataFrame set ops.
+    Spark plans INTERSECT/EXCEPT as left-semi/left-anti after dedup."""
+    building = (_t(spark, sf_dir, "customer")
+                .where(F.col("c_mktsegment") == "BUILDING")
+                .select(F.col("c_custkey").alias("k")))
+    big = (_t(spark, sf_dir, "orders")
+           .where(F.col("o_totalprice") > 400000)
+           .select(F.col("o_custkey").alias("k")))
+
+    def count_as(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("op"), "n")
+
+    return (
+        count_as(building.union(big).distinct(), "union")
+        .unionAll(count_as(building.intersect(big), "intersect"))
+        .unionAll(count_as(building.exceptAll(big).distinct(), "except"))
+    )
+
+
+@query("rollup_revenue_region_nation", oracle="""
+SELECT r_name AS region, n_name AS nation,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(grouping(r_name) AS BIGINT) AS g_region,
+       CAST(grouping(n_name) AS BIGINT) AS g_nation
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region->nation hierarchy with grouping() markers
+    (distinguishes 'NULL because subtotal' from a NULL key). Spark
+    expands rollup into a union of grouping sets before the agg —
+    still one shuffle."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.grouping("r_name").cast("long").alias("g_region"),
+             F.grouping("n_name").cast("long").alias("g_nation"))
+        .select(F.col("r_name").alias("region"),
+                F.col("n_name").alias("nation"),
+                "revenue", "g_region", "g_nation")
+    )
+
+
+@query("cube_status_priority", oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.grouping("o_orderstatus").cast("long").alias("g_status"),
+             F.grouping("o_orderpriority").cast("long").alias("g_priority"))
+        .select(F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+                "n", "g_status", "g_priority")
+    )
+
+
+@query("grouping_sets_explicit", oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""")
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (DataFrame API exposes only
+    rollup/cube; arbitrary sets go through the SQL parser)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+@query("semi_join_customers_with_orders", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_customers_with_orders
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""")
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / IN-subquery as a left-semi join: no row multiplication,
+    the build side is deduplicated implicitly."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey,
+                      "left_semi")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+@query("anti_join_customers_without_orders", oracle="""
+SELECT c_custkey AS customer_id, c_mktsegment AS segment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join. (o_custkey is never NULL here;
+    with nullable keys NOT IN needs the null-aware anti-join Spark
+    also provides.)"""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey,
+                      "left_anti")
+        .select(F.col("c_custkey").alias("customer_id"),
+                F.col("c_mktsegment").alias("segment"))
+    )
+
+
+@query("distinct_agg_per_group", oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def distinct_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one agg — Spark plans this with
+    expand + two-phase aggregation. At 100 TB prefer
+    approx_count_distinct (HLL, one pass, no expand); kept exact here
+    for oracle parity, approx variant in ``approx_distinct_counts``."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_suppliers"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+@query("approx_distinct_counts")  # engine-specific sketch: rows-only check
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counting: one pass, fixed memory, no expand. No oracle
+    (DuckDB's approx sketch differs); accuracy asserted in tests
+    against the exact count (rsd 5%)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+             F.countDistinct("l_partkey").alias("n_parts_exact"))
+    )
+
+
+@query("pivot_status_by_priority", oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O",
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""")
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (so Catalyst skips the extra
+    distinct-values job — required practice at scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query("unpivot_stack", oracle="""
+SELECT o_orderkey AS order_id, metric, round(val, 2) AS val
+FROM (
+    SELECT o_orderkey, 'price' AS metric, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'key_mod' AS metric,
+           CAST(o_orderkey % 100 AS DOUBLE) AS val FROM orders
+)
+WHERE o_orderkey <= 100
+""")
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via the native unpivot/melt (wide->long), the inverse
+    of pivot; stays in whole-stage codegen (an Expand node)."""
+    df = (_t(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") <= 100)
+          .select(F.col("o_orderkey").alias("order_id"),
+                  F.col("o_totalprice").alias("price"),
+                  (F.col("o_orderkey") % 100).cast("double").alias("key_mod")))
+    return (
+        df.unpivot("order_id", ["price", "key_mod"], "metric", "val")
+        .select("order_id", "metric", F.round("val", 2).alias("val"))
+    )
+
+
+@query("exists_correlated_subquery", oracle="""
+SELECT s_suppkey AS supplier_id, s_name AS supplier
+FROM supplier
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_suppkey = s_suppkey AND l_quantity > 49
+)
+""")
+def exists_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL parser — Catalyst decorrelates
+    it into a left-semi join."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT s_suppkey AS supplier_id, s_name AS supplier
+        FROM supplier
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_suppkey = s_suppkey AND l_quantity > 49
+        )
+    """)
+
+
+@query("scalar_subquery_cte", oracle="""
+WITH seg_avg AS (
+    SELECT avg(c_acctbal) AS avg_bal FROM customer
+)
+SELECT c_custkey AS customer_id, round(c_acctbal, 2) AS balance
+FROM customer, seg_avg
+WHERE c_acctbal > 2 * avg_bal
+""")
+def scalar_subquery_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + scalar subquery (customers with balance > 2x global avg).
+    Catalyst plans the scalar as a broadcast-able single-row subquery."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        WITH seg_avg AS (SELECT avg(c_acctbal) AS avg_bal FROM customer)
+        SELECT c_custkey AS customer_id, round(c_acctbal, 2) AS balance
+        FROM customer, seg_avg
+        WHERE c_acctbal > 2 * avg_bal
+    """)
+
+
+@query("case_when_bucketing", oracle="""
+SELECT CASE WHEN value < 10 THEN 'low'
+            WHEN value < 100 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""")
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = (F.when(F.col("value") < 10, "low")
+               .when(F.col("value") < 100, "mid")
+               .otherwise("high")).alias("bucket")
+    return ev.groupBy(bucket).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"))
+
+
+@query("null_handling_coalesce", oracle="""
+SELECT coalesce(nullif(event_type, 'error'), 'n/a') AS kind,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_props
+FROM events
+GROUP BY 1
+""")
+def null_handling_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / NULL-counting semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.coalesce(F.nullif("event_type", F.lit("error")),
+                              F.lit("n/a")).alias("kind"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("props").isNull().cast("long")).alias("null_props"))
+    )
+
+
+@query("string_functions", oracle="""
+SELECT p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN p_type LIKE '%BRASS%' THEN 1 END) AS BIGINT)
+           AS brass,
+       CAST(count(CASE WHEN regexp_matches(p_name, '^[a-m]') THEN 1 END)
+            AS BIGINT) AS first_half_alpha,
+       min(upper(substr(p_name, 1, 5))) AS sample_prefix
+FROM part
+GROUP BY p_brand
+""")
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / regexp / substr / upper — scalar string library parity."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n"),
+             F.count(F.when(F.col("p_type").like("%BRASS%"), 1)).alias("brass"),
+             F.count(F.when(F.col("p_name").rlike("^[a-m]"), 1))
+              .alias("first_half_alpha"),
+             F.min(F.upper(F.substring("p_name", 1, 5))).alias("sample_prefix"))
+    )
+
+
+@query("date_functions", oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                         o_orderdate)) AS BIGINT) AS max_days_since_epoch0
+FROM orders
+GROUP BY 1, 2
+""")
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year / quarter extraction + datediff."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"),
+                  F.quarter("o_orderdate").alias("qtr"))
+        .agg(F.count("*").alias("n"),
+             F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")))
+              .cast("long").alias("max_days_since_epoch0"))
+    )
+
+
+@query("having_filter", oracle="""
+SELECT o_custkey AS customer_id, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 20
+""")
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 20)
+    )
+
+
+@query("exact_percentiles", oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). At 100 TB swap to percentile_approx
+    (t-digest-style sketch, bounded memory) — see
+    ``approx_percentiles``."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"))
+    )
+
+
+@query("approx_percentiles")  # engine-specific sketch: rows-only check
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — bounded-memory quantile sketch; accuracy
+    vs exact asserted in tests."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+             F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"))
+    )

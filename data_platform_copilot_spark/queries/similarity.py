@@ -1,0 +1,56 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, srp_lsh_topk
+from .core import _t, query
+
+_COS = """list_dot_product(q.embedding, c.embedding) /
+      (sqrt(list_dot_product(q.embedding, q.embedding)) *
+       sqrt(list_dot_product(c.embedding, c.embedding)))"""
+
+
+@query("ann_bruteforce_topk", oracle=f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           {_COS} AS cos_raw
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           round(cos_raw, 4) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 10
+""")
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 5 vectors as queries —
+    the ANN baseline. Query set broadcasts; the corpus is scanned
+    once with no shuffle of the corpus itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
+@query("ann_srp_lsh_topk")  # approximate: rows-only check; recall pinned in tests
+def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-10 for the same 5 queries. Bucketed
+    candidate generation (4 tables x 8 hyperplanes) + exact re-rank;
+    recall vs brute force is asserted in tests (not SQL-expressible
+    deterministically, so no value oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = srp_lsh_topk(emb, queries, "vec_id", "embedding",
+                       k=10, n_planes=8, tables=4, dim=64, seed=42)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")

@@ -1,0 +1,137 @@
+"""Text-analysis queries over the documents table (north-star ops).
+
+All expressions come from ``functions/text.py`` (JVM-side built-ins,
+no UDFs); the oracles mirror the arithmetic exactly — md5 for
+fingerprints, distinct-stopword-overlap for language ID — so every
+operator is hash-verified, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    normalize_text,
+    predicted_lang,
+    punct_ratio,
+    stopword_ratio,
+    tokens,
+)
+from .core import _t, query
+
+# DuckDB fragment: the same canonical text form as normalize_text().
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _duck_lang_case() -> str:
+    """DuckDB CASE chain mirroring functions.text.predicted_lang."""
+    langs = sorted(LANG_STOPWORDS)
+    score = {
+        lang: ("len(list_intersect({toks}, ["
+               + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+               + "]))").format(toks=_TOKS)
+        for lang in langs
+    }
+    clauses = []
+    for i, lang in enumerate(langs):
+        rest = [score[x] for x in langs[i + 1:]]
+        cond = f"{score[lang]} > 0"
+        if rest:
+            cond += f" AND {score[lang]} >= greatest({', '.join(rest)})"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+@query("text_token_stats", oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length({_NORM}) AS BIGINT) AS n_chars_norm,
+       round(CAST(list_sum(list_transform({_TOKS}, x -> length(x)))
+                  AS DOUBLE) / len({_TOKS}), 4) AS avg_token_len
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + mean token length.
+    Zero shuffles — pure per-row expressions at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok_len_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(normalize_text(F.col("text"))).cast("long").alias("n_chars_norm"),
+        F.round(tok_len_sum.cast("double") / F.size(toks), 4).alias("avg_token_len"),
+    )
+
+
+_EN_SW = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@query("text_quality_score", oracle=f"""
+SELECT doc_id,
+       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  AS DOUBLE) / length(text), 4) AS punct_ratio,
+       round(CAST(len(list_filter({_TOKS},
+                  t -> list_contains([{_EN_SW}], t))) AS DOUBLE)
+             / len({_TOKS}), 4) AS stopword_ratio,
+       round(0.4 * least(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
+           + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]',
+                                       '', 'g')) AS DOUBLE) / length(text))
+           + 0.3 * (CAST(len(list_filter({_TOKS},
+                          t -> list_contains([{_EN_SW}], t))) AS DOUBLE)
+                    / len({_TOKS})), 4) AS quality
+FROM documents
+""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + punctuation + stopword-density mix
+    (the standard pretraining-filter recipe, deterministic weights)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    punct = punct_ratio(F.col("text"))
+    stop = stopword_ratio(F.col("text"), "en")
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.size(toks).cast("double") / 100.0)
+        + 0.3 * (1.0 - punct)
+        + 0.3 * stop
+    )
+    return d.select(
+        "doc_id",
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(stop, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@query("text_lang_id", oracle=f"""
+SELECT lang AS labeled_lang,
+       {_duck_lang_case()} AS predicted_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1, 2
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (stopword-overlap heuristic) cross-tabbed against
+    the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("labeled_lang"),
+                 predicted_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("text_fingerprint", oracle=f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the canonical text form —
+    engine-portable (unlike xxhash64), value-verified per doc."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))

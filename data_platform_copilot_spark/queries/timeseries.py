@@ -1,0 +1,137 @@
+"""Event-stream analytics: sessionization, tumbling windows, as-of join.
+
+The events table is the reference's only stream-ish table (SURVEY.md
+§1.1); these queries cover the time-series surface batch-side, and
+``streaming/events.py`` re-runs the tumbling window as a real
+Structured Streaming query (asserted equal to the batch answer in
+tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from .core import _t, query
+
+SESSION_GAP_MIN = 30
+
+
+@query("sessionization_gaps", oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM ordered
+), per_session AS (
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           date_diff('second', min(ts), max(ts)) AS dur_s
+    FROM sessions
+    GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       round(avg(CAST(dur_s AS DOUBLE)), 2) AS avg_session_dur_s
+FROM per_session
+GROUP BY user_id
+""")
+def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> new-session
+    flag -> running sum = session id. One shuffle on user_id; both
+    windows share the same partitioning so Catalyst plans a single
+    exchange."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = (
+        ev
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_session",
+                    (F.col("prev_ts").isNull()
+                     | (F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                        > SESSION_GAP_MIN * 60)).cast("int"))
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+    )
+    per_session = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             (F.max("ts").cast("long") - F.min("ts").cast("long"))
+             .alias("dur_s"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").cast("long").alias("max_session_events"),
+             F.round(F.avg(F.col("dur_s").cast("double")), 2)
+              .alias("avg_session_dur_s"))
+    )
+
+
+@query("tumbling_window_1h", oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — the batch twin of the
+    Structured Streaming query in streaming/events.py (same plan
+    shape: partial agg -> shuffle on (window, type))."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "event_type", "n", "total_value")
+    )
+
+
+@query("asof_join_purchase_click", oracle="""
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS last_click,
+       CAST(date_diff('second', c.click_ts, p.ts) AS BIGINT)
+           AS secs_since_click
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""")
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (union-tag-window operator; DuckDB oracle
+    uses its native ASOF JOIN — semantics must coincide)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts")))
+    joined = asof_join_backward(
+        purchases, clicks, by="user_id",
+        left_ts="ts", right_ts="click_ts", right_cols=["click_ts"])
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click"),
+        (F.col("ts").cast("long") - F.col("click_ts").cast("long"))
+        .alias("secs_since_click"),
+    )
