@@ -1,0 +1,56 @@
+"""A14 — schema introspection -> markdown docs (the RAG context).
+
+Reference: src/schema_docs.py:26-66 renders a markdown table per
+warehouse table (column / type / pk / not-null) plus hand-written
+descriptions for the events table. Spark equivalent:
+``spark.catalog.listTables`` + DataFrame schemas. Spark has no
+primary keys — the pk column renders blank, like the reference's
+non-events tables.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+EVENTS_DESCRIPTIONS = {
+    "event_id": "unique event identifier",
+    "ts": "event timestamp (UTC)",
+    "user_id": "acting user",
+    "event_type": "view / click / purchase / signup / error",
+    "value": "event value (>= 0)",
+    "props": "JSON properties payload",
+}
+
+
+def build_markdown(spark: SparkSession, database: str | None = None,
+                   include_temp_views: bool = True) -> str:
+    """Render `# Warehouse schema` markdown from the live catalog."""
+    lines = ["# Warehouse schema", ""]
+    tables = spark.catalog.listTables(database or
+                                      spark.catalog.currentDatabase())
+    for t in sorted(tables, key=lambda x: x.name):
+        if t.tableType == "TEMPORARY" and not include_temp_views:
+            continue
+        lines += [f"## {t.name}", "",
+                  "| column | type | nullable | description |",
+                  "|---|---|---|---|"]
+        schema = spark.table(t.name).schema
+        for f in schema.fields:
+            desc = (EVENTS_DESCRIPTIONS.get(f.name, "")
+                    if t.name == "events" else "")
+            lines.append(
+                f"| {f.name} | {f.dataType.simpleString()} | "
+                f"{'yes' if f.nullable else 'no'} | {desc} |")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def write_schema_docs(spark: SparkSession, path: str | Path,
+                      database: str | None = None) -> str:
+    md = build_markdown(spark, database)
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(md, encoding="utf-8")
+    return md

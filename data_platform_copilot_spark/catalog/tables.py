@@ -1,0 +1,107 @@
+"""A17/A18 — table registration + CSV ingestion.
+
+Reference behavior (src/route/namespace_table.py:72-114, src/utils.py:
+83-119): two-phase lifecycle — register metadata, then upload a CSV
+(<=50 MB, .csv extension, non-empty) which materializes the physical
+table and flips ``is_loaded``; re-upload is rejected. The reference's
+demo bulk ingest (A18) crashes on missing imports — we implement the
+*intended* behavior (SURVEY.md §7 risk register).
+
+Spark-first: ``spark.read.csv(header, inferSchema)`` -> managed
+parquet table via ``saveAsTable`` — at scale, the same two-phase flow
+pointed at object-store paths, with explicit schemas instead of
+inference.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .namespaces import NamespaceError, NamespaceManager
+from .naming import normalize_schema_name
+
+MAX_FILE_SIZE = 50 * 1024 * 1024  # reference src/utils.py:83
+
+
+class TableError(ValueError):
+    pass
+
+
+def validate_csv_upload(path: str | Path) -> int:
+    """Size/extension/emptiness gate (reference src/utils.py:83-119).
+    Returns the file size."""
+    p = Path(path)
+    if p.suffix.lower() != ".csv":
+        raise TableError(f"only .csv uploads are supported, got {p.suffix!r}")
+    if not p.exists():
+        raise TableError(f"file not found: {p}")
+    size = p.stat().st_size
+    if size == 0:
+        raise TableError("empty file")
+    if size > MAX_FILE_SIZE:
+        raise TableError(f"file exceeds {MAX_FILE_SIZE} bytes: {size}")
+    return size
+
+
+class TableManager:
+    def __init__(self, spark: SparkSession, namespaces: NamespaceManager) -> None:
+        self.spark = spark
+        self.ns = namespaces
+
+    def register(self, namespace_id: int, name: str) -> dict[str, Any]:
+        """Phase 1: metadata row, not yet loaded."""
+        self.ns.get(namespace_id)  # raises if missing
+        table_name = normalize_schema_name(name)
+        if self.ns.tables.filter(namespace_id=namespace_id,
+                                 table_name=table_name):
+            raise TableError(f"table exists: {table_name}")
+        return self.ns.tables.insert(
+            namespace_id=namespace_id, name=name, table_name=table_name,
+            file_name=None, file_size=None, is_loaded=False)
+
+    def upload_csv(self, table_id: int, csv_path: str | Path) -> dict[str, Any]:
+        """Phase 2: materialize the physical table from a CSV."""
+        meta = self.ns.tables.get(table_id)
+        if meta is None:
+            raise TableError(f"table not found: {table_id}")
+        if bool(meta["is_loaded"]):
+            raise TableError("table already loaded; re-upload rejected")
+        size = validate_csv_upload(csv_path)
+        ns = self.ns.get(int(meta["namespace_id"]))
+        fq = f"{ns['schema_name']}.{meta['table_name']}"
+        df = self.spark.read.csv(str(csv_path), header=True, inferSchema=True)
+        df.write.mode("overwrite").saveAsTable(fq)
+        return self.ns.tables.update(
+            table_id, file_name=Path(csv_path).name,
+            file_size=size, is_loaded=True)
+
+    def get(self, table_id: int) -> dict[str, Any]:
+        meta = self.ns.tables.get(table_id)
+        if meta is None:
+            raise TableError(f"table not found: {table_id}")
+        return meta
+
+    def list(self, namespace_id: int) -> list[dict[str, Any]]:
+        return self.ns.tables.filter(namespace_id=namespace_id)
+
+    def delete(self, table_id: int) -> None:
+        """Drop physical table + metadata (fixes the reference bug of
+        deleting by namespace id, SURVEY.md §7)."""
+        meta = self.get(table_id)
+        ns = self.ns.get(int(meta["namespace_id"]))
+        self.spark.sql(
+            f"DROP TABLE IF EXISTS {ns['schema_name']}.{meta['table_name']}")
+        self.ns.tables.delete(table_id)
+
+    def demo_bulk_ingest(self, namespace_id: int,
+                         directory: str | Path) -> list[dict[str, Any]]:
+        """A18 intended behavior: register + upload every *.csv in a
+        directory."""
+        out = []
+        for p in sorted(Path(directory).glob("*.csv")):
+            meta = self.register(namespace_id, p.stem)
+            out.append(self.upload_csv(int(meta["id"]), p))
+        return out

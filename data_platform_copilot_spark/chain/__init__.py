@@ -1,0 +1,15 @@
+from .agent import AgentResult, agent_answer
+from .chain import nl_to_sql, refine
+from .plan import make_plan, similar_fields
+from .provider import CompletionProvider, StubProvider
+
+__all__ = [
+    "AgentResult",
+    "CompletionProvider",
+    "StubProvider",
+    "agent_answer",
+    "make_plan",
+    "nl_to_sql",
+    "refine",
+    "similar_fields",
+]

@@ -96,8 +96,10 @@ def check_freshness(df: DataFrame, column: str,
 
     ``now`` is injectable for deterministic tests/oracles; defaults to
     wall-clock UTC like the reference (pd.Timestamp.utcnow)."""
+    # try_to_timestamp = pandas to_datetime(errors="coerce") parity:
+    # malformed strings become NULL instead of raising (ANSI mode).
     row = df.agg(
-        F.max(F.to_timestamp(F.col(column))).alias("max_ts")).collect()[0]
+        F.max(F.try_to_timestamp(F.col(column))).alias("max_ts")).collect()[0]
     max_ts = row["max_ts"]
     if max_ts is None:
         return RuleResult(rule=f"freshness({column})", passed=False,

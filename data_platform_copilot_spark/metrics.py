@@ -1,0 +1,58 @@
+"""A32 — in-process metrics registry (reference src/metrics.py:5-71).
+
+Labeled counters + millisecond histograms exported Prometheus-style
+with ``_sum`` / ``_count`` / ``_p95`` lines; p95 uses the reference's
+index formula ``sorted[int(0.95*n) - 1]``. Driver-side state only —
+not a Spark concern (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+
+
+class LocalRegistry:
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._counters: dict[str, float] = defaultdict(float)
+        self._hists: dict[str, list[float]] = defaultdict(list)
+
+    @staticmethod
+    def _key(name: str, labels: dict[str, str] | None) -> str:
+        if not labels:
+            return name
+        inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+        return f"{name}{{{inner}}}"
+
+    def inc(self, name: str, value: float = 1.0,
+            labels: dict[str, str] | None = None) -> None:
+        with self._lock:
+            self._counters[self._key(name, labels)] += value
+
+    def observe_ms(self, name: str, ms: float,
+                   labels: dict[str, str] | None = None) -> None:
+        with self._lock:
+            self._hists[self._key(name, labels)].append(ms)
+
+    def export(self) -> str:
+        lines = []
+        with self._lock:
+            for k, v in sorted(self._counters.items()):
+                lines.append(f"{k} {v}")
+            for k, samples in sorted(self._hists.items()):
+                n = len(samples)
+                lines.append(f"{k}_sum {sum(samples)}")
+                lines.append(f"{k}_count {n}")
+                if n:
+                    p95 = sorted(samples)[max(int(0.95 * n) - 1, 0)]
+                    lines.append(f"{k}_p95 {p95}")
+        return "\n".join(lines) + "\n"
+
+    def reset(self) -> None:
+        with self._lock:
+            self._counters.clear()
+            self._hists.clear()
+
+
+REGISTRY = LocalRegistry()

@@ -1,0 +1,11 @@
+from .events import (
+    run_streaming_sessionization,
+    run_streaming_tumbling_agg,
+    streaming_events_source,
+)
+
+__all__ = [
+    "run_streaming_sessionization",
+    "run_streaming_tumbling_agg",
+    "streaming_events_source",
+]

@@ -1,0 +1,109 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming at all (SURVEY.md §2.C) — its events
+table is batch-profiled only. This module provides the streaming
+twin of the batch time-series queries: the same tumbling-window
+aggregation expressed as ``readStream -> withWatermark -> groupBy
+(window) -> writeStream``, plus session windows.
+
+Local smoke strategy (per public Spark docs): a bounded parquet
+directory as the stream source, memory sink, processAllAvailable()
+— the streaming answer must equal the batch answer, asserted in
+tests/test_streaming.py.
+
+Scale notes: in production the source is Kafka/object-store
+autoloader; the watermark bounds state (late events beyond 1 hour
+are dropped), and the shuffle keys on (window, event_type) exactly
+like the batch plan. ``complete`` mode is used for the bounded smoke
+(append would hold back the final, still-open window); real
+deployments use append + downstream upsert.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming source (schema from a batch peek).
+
+    The nanos->micros repair from sources/registry.py is re-applied:
+    the stream reads the raw long nanos column.
+    """
+    from ..sources.registry import load_table
+    batch = load_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource requires a directory; testdata ships one file.
+    # Stage a symlink dir (no data copy) under /tmp.
+    stage = Path(tempfile.gettempdir()) / f"stream_events_{abs(hash(sf_dir))}"
+    stage.mkdir(exist_ok=True)
+    link = stage / "events.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(raw_schema)
+              .parquet(str(stage)))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    assert dict(stream.dtypes)["ts"] == dict(batch.dtypes)["ts"]
+    return stream
+
+
+def run_streaming_tumbling_agg(spark: SparkSession, sf_dir: str,
+                               window: str = "1 hour",
+                               watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event_type, run to completion on
+    the bounded source; returns the final result as a batch DataFrame
+    with the same shape as queries/timeseries.tumbling_window_1h."""
+    stream = streaming_events_source(spark, sf_dir)
+    agg = (
+        stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "event_type", "n", "total_value")
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_streaming_sessionization(spark: SparkSession, sf_dir: str,
+                                 gap: str = "30 minutes",
+                                 watermark: str = "1 hour") -> DataFrame:
+    """Session windows (native session_window — the streaming-stateful
+    equivalent of the batch gap-sessionization query): per (user,
+    session) event counts and duration."""
+    stream = streaming_events_source(spark, sf_dir)
+    agg = (
+        stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                "n_events")
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

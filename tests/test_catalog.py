@@ -1,0 +1,134 @@
+"""Catalog/metadata layer (SURVEY.md §2 A14-A19)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_platform_copilot_spark.catalog import (
+    NamespaceManager,
+    TableManager,
+    build_markdown,
+    normalize_schema_name,
+)
+from data_platform_copilot_spark.catalog.naming import normalize_question
+from data_platform_copilot_spark.catalog.namespaces import NamespaceError
+from data_platform_copilot_spark.catalog.tables import TableError
+
+
+class TestNaming:
+    @pytest.mark.parametrize("raw,expected", [
+        ("My Sales Data!", "my_sales_data"),
+        ("Продажи 2024", "prodazhi_2024"),
+        ("42 things", "n42_things"),
+        ("???", "schema_default"),
+        ("", "schema_default"),
+        ("Café-Orders", "cafe_orders"),
+        ("a" * 100, "a" * 63),
+        ("x__y___z", "x_y_z"),
+    ])
+    def test_normalize_schema_name(self, raw, expected):
+        assert normalize_schema_name(raw) == expected
+
+    def test_normalize_question(self):
+        assert normalize_question("  продажи   за 2024 года ") == \
+            "продажи за 2024 year"
+
+
+@pytest.fixture()
+def managers(spark, tmp_path):
+    ns = NamespaceManager(spark, str(tmp_path / "control"))
+    return ns, TableManager(spark, ns)
+
+
+class TestNamespaces:
+    def test_lifecycle(self, spark, managers):
+        ns, _ = managers
+        row = ns.create("Test NS Alpha")
+        assert row["schema_name"] == "test_ns_alpha"
+        assert any(d.name == "test_ns_alpha"
+                   for d in spark.catalog.listDatabases())
+        assert ns.get(row["id"])["name"] == "Test NS Alpha"
+
+        renamed = ns.rename(row["id"], "Renamed")
+        assert renamed["name"] == "Renamed"
+        assert renamed["schema_name"] == "test_ns_alpha"  # physical stable
+
+        ns.delete(row["id"])
+        assert not any(d.name == "test_ns_alpha"
+                       for d in spark.catalog.listDatabases())
+        with pytest.raises(NamespaceError):
+            ns.get(row["id"])
+
+    def test_duplicate_rejected(self, managers):
+        ns, _ = managers
+        row = ns.create("Dup Target")
+        try:
+            with pytest.raises(NamespaceError):
+                ns.create("dup target")  # same normalized name
+        finally:
+            ns.delete(row["id"])
+
+
+class TestTables:
+    def test_two_phase_csv_ingest(self, spark, managers, tmp_path):
+        ns, tm = managers
+        nsrow = ns.create("Ingest NS")
+        csv = tmp_path / "people.csv"
+        csv.write_text("id,name,score\n1,ann,9.5\n2,bo,7.25\n")
+        try:
+            meta = tm.register(nsrow["id"], "People")
+            assert bool(meta["is_loaded"]) is False
+
+            loaded = tm.upload_csv(meta["id"], csv)
+            assert bool(loaded["is_loaded"]) is True
+            df = spark.table("ingest_ns.people")
+            assert df.count() == 2
+            assert set(df.columns) == {"id", "name", "score"}
+
+            # re-upload rejected (reference namespace_table.py:96-97)
+            with pytest.raises(TableError):
+                tm.upload_csv(meta["id"], csv)
+
+            tm.delete(meta["id"])
+            assert not spark.catalog.tableExists("ingest_ns.people")
+        finally:
+            ns.delete(nsrow["id"])
+
+    @pytest.mark.parametrize("fname,content,msg", [
+        ("bad.txt", "x", "only .csv"),
+        ("empty.csv", "", "empty"),
+    ])
+    def test_upload_validation(self, managers, tmp_path, fname, content, msg):
+        ns, tm = managers
+        nsrow = ns.create("Val NS")
+        p = tmp_path / fname
+        p.write_text(content)
+        try:
+            meta = tm.register(nsrow["id"], "t1")
+            with pytest.raises(TableError, match=msg):
+                tm.upload_csv(meta["id"], p)
+        finally:
+            ns.delete(nsrow["id"])
+
+    def test_demo_bulk_ingest(self, spark, managers, tmp_path):
+        ns, tm = managers
+        nsrow = ns.create("Bulk NS")
+        (tmp_path / "a.csv").write_text("x\n1\n")
+        (tmp_path / "b.csv").write_text("y\n2\n")
+        try:
+            rows = tm.demo_bulk_ingest(nsrow["id"], tmp_path)
+            assert len(rows) == 2
+            assert all(bool(r["is_loaded"]) for r in rows)
+            assert spark.table("bulk_ns.a").count() == 1
+        finally:
+            ns.delete(nsrow["id"])
+
+
+class TestSchemaDocs:
+    def test_markdown_contains_tables_and_descriptions(self, spark, sf_dir):
+        from data_platform_copilot_spark.sources import register_testdata
+        register_testdata(spark, sf_dir)
+        md = build_markdown(spark)
+        assert "## events" in md and "## lineitem" in md
+        assert "| event_type | string |" in md
+        assert "view / click / purchase" in md  # events descriptions

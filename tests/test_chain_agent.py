@@ -1,0 +1,148 @@
+"""NL->SQL chain + agent loop with a stubbed provider (the LLM stays
+out of the test loop — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import asyncio
+
+import pytest
+
+from data_platform_copilot_spark.chain import (
+    StubProvider,
+    agent_answer,
+    make_plan,
+    nl_to_sql,
+    similar_fields,
+)
+from data_platform_copilot_spark.chain.dbt import (
+    ensure_model_name,
+    extract_blocks,
+    generate_dbt_model,
+    sanitize_model_name,
+    write_files_atomic,
+)
+from data_platform_copilot_spark.metrics import LocalRegistry
+
+DOCS = """| n_name | string |
+| o_totalprice | double |
+| c_acctbal | double |
+"""
+
+
+def run(coro):
+    return asyncio.get_event_loop().run_until_complete(coro)
+
+
+class TestRetrievalAndPlan:
+    def test_similar_fields_overlap_and_ties(self):
+        docs = "alpha beta\nbeta gamma\nalpha beta gamma\nzeta"
+        got = similar_fields("alpha beta gamma", docs, topk=2)
+        assert got[0] == "alpha beta gamma"
+        assert got[1] in ("alpha beta", "beta gamma")
+
+    def test_similar_fields_distributed_matches(self, spark):
+        docs = "alpha beta\nbeta gamma\nalpha beta gamma\nzeta"
+        from data_platform_copilot_spark.chain.plan import (
+            similar_fields_distributed,
+        )
+        local = similar_fields("alpha beta gamma", docs, topk=3)
+        dist = similar_fields_distributed(spark, "alpha beta gamma", docs,
+                                          topk=3)
+        assert set(local) == set(dist)
+
+    def test_make_plan_time_heuristic(self):
+        plan = make_plan("sum o_totalprice by n_name for 1997", DOCS)
+        assert "time filter" in plan.lower()
+        assert "n_name" in plan
+
+    def test_make_plan_no_fields_no_time(self):
+        plan = make_plan("list everything", "")
+        assert "time filter" not in plan.lower()
+
+
+class TestChain:
+    def test_nl_to_sql_uses_schema_docs(self):
+        stub = StubProvider()
+        run(nl_to_sql(stub, "any question", DOCS))
+        system, user = stub.calls[0]
+        assert "n_name" in system and "Spark SQL" in system
+        assert user.startswith("Q: any question")
+
+
+class TestAgent:
+    def test_happy_path(self, spark, sf_dir):
+        from data_platform_copilot_spark.sources import register_testdata
+        register_testdata(spark, sf_dir, ("region",))
+        stub = StubProvider(
+            fallback="```sql\nSELECT r_name FROM region\n```")
+        res = run(agent_answer(spark, stub, "list regions", DOCS))
+        assert res.chosen_sql == "SELECT r_name FROM region"
+        assert len(res.rows) == 5
+        assert res.telemetry["retries"] == 0
+
+    def test_unsafe_then_refined(self, spark, sf_dir):
+        from data_platform_copilot_spark.sources import register_testdata
+        register_testdata(spark, sf_dir, ("region",))
+        stub = StubProvider(
+            canned={"unsafe SQL": "```sql\nSELECT r_name FROM region\n```"},
+            fallback="```sql\nDROP TABLE region\n```")
+        res = run(agent_answer(spark, stub, "drop it", DOCS))
+        assert res.chosen_sql == "SELECT r_name FROM region"
+        assert res.telemetry["retries"] >= 1
+
+    def test_empty_result_refines_broader(self, spark, sf_dir):
+        from data_platform_copilot_spark.sources import register_testdata
+        register_testdata(spark, sf_dir, ("region",))
+        stub = StubProvider(
+            canned={"broader filters":
+                    "```sql\nSELECT r_name FROM region\n```"},
+            fallback="```sql\nSELECT r_name FROM region WHERE r_name = 'NOPE'\n```")
+        res = run(agent_answer(spark, stub, "find nothing", DOCS))
+        assert res.chosen_sql == "SELECT r_name FROM region"
+        assert len(res.rows) == 5
+
+
+class TestDbt:
+    def test_generate_and_write(self, tmp_path):
+        md = ("```sql\nSELECT 1 AS one\n```\n"
+              "```yaml\nversion: 2\nmodels:\n  - name: placeholder\n"
+              "    columns:\n      - name: one\n        tests:\n"
+              "          - not_null\n          - unique\n```")
+        stub = StubProvider(fallback=md)
+        name, sql, yml = run(generate_dbt_model(
+            stub, "how many?", "My Model 1"))
+        assert name == "my_model_1"
+        assert sql == "SELECT 1 AS one"
+        assert "- name: my_model_1" in yml
+
+        out = write_files_atomic(
+            tmp_path, {f"models/{name}.sql": sql,
+                       f"models/{name}.yml": yml})
+        assert (tmp_path / f"models/{name}.sql").read_text() == sql
+        assert len(out) == 2
+
+    def test_sanitize(self):
+        assert sanitize_model_name("9 Lives!") == "m_9_lives"
+        assert sanitize_model_name("") == "model"
+
+    def test_extract_blocks_requires_both(self):
+        with pytest.raises(ValueError):
+            extract_blocks("```sql\nSELECT 1\n```")
+
+    def test_ensure_model_name_injects(self):
+        yml = "version: 2\nmodels:\n  - name: wrong\n"
+        assert "- name: right" in ensure_model_name(yml, "right")
+
+
+class TestMetrics:
+    def test_counters_and_p95(self):
+        reg = LocalRegistry()
+        reg.inc("req", labels={"route": "chat"})
+        reg.inc("req", labels={"route": "chat"})
+        for v in [10.0, 20.0, 30.0, 40.0, 100.0]:
+            reg.observe_ms("lat_ms", v)
+        out = reg.export()
+        assert 'req{route="chat"} 2.0' in out
+        assert "lat_ms_sum 200.0" in out
+        assert "lat_ms_count 5" in out
+        assert "lat_ms_p95 40.0" in out  # sorted[int(0.95*5)-1] = idx 3

@@ -1,0 +1,129 @@
+"""Dedup / similarity / as-of operators beyond the oracle checks:
+recall, planted-duplicate recovery, merge_asof equivalence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_platform_copilot_spark.operators.asof import asof_join_backward
+from data_platform_copilot_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from data_platform_copilot_spark.operators.similarity import (
+    brute_force_topk,
+    srp_lsh_topk,
+)
+from data_platform_copilot_spark.sources import load_table
+
+
+class TestExactDedup:
+    def test_planted_exact_dupes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+            "doc_id long, text string")
+        out = exact_duplicates(df, "doc_id", "text").collect()
+        by_id = {r["doc_id"]: r for r in out}
+        # case/whitespace-insensitive: 1 and 2 cluster together
+        assert by_id[1]["cluster_id"] == 1 and not by_id[1]["is_duplicate"]
+        assert by_id[2]["cluster_id"] == 1 and by_id[2]["is_duplicate"]
+        assert by_id[3]["cluster_id"] == 3
+
+
+class TestMinHashLsh:
+    def test_lsh_finds_planted_near_dupes(self, spark, sf_dir):
+        """The testdata documents table has planted near-duplicate
+        pairs (jaccard ~0.99); LSH candidates must recover every pair
+        that exact jaccard >= 0.9 finds."""
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingles(docs, "doc_id", "text", n=3)
+        truth = {(r["id_a"], r["id_b"])
+                 for r in jaccard_pairs(sh, threshold=0.9).collect()}
+        assert truth, "testdata should contain planted near-dupes"
+        sig = minhash_signatures(sh, num_hashes=16)
+        cand = {(r["id_a"], r["id_b"])
+                for r in lsh_candidate_pairs(sig, bands=4).collect()}
+        missed = truth - cand
+        assert not missed, f"LSH missed near-dupes: {missed}"
+
+
+class TestSimhash:
+    def test_near_dupes_have_close_fingerprints(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingles(docs, "doc_id", "text", n=3)
+        pair = jaccard_pairs(sh, threshold=0.95).limit(1).collect()
+        if not pair:
+            pytest.skip("no >=0.95 pair at this sf")
+        a, b = pair[0]["id_a"], pair[0]["id_b"]
+        fp = {r["id"]: r["simhash"]
+              for r in simhash(docs.where(F.col("doc_id").isin(a, b)),
+                               "doc_id", "text").collect()}
+        hamming = bin(fp[a] ^ fp[b]).count("1")
+        assert hamming <= 4, f"near-dup pair far apart: {hamming} bits"
+
+
+class TestAnn:
+    def test_bruteforce_topk_is_exact(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") == 0)
+        got = brute_force_topk(emb, q, "vec_id", "embedding", k=3).collect()
+        assert [r["rank"] for r in got] == [1, 2, 3]
+        assert got[0]["cosine"] >= got[1]["cosine"] >= got[2]["cosine"]
+
+    def test_srp_lsh_recall(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 5)
+        truth = brute_force_topk(emb, queries, "vec_id", "embedding",
+                                 k=10).collect()
+        # This corpus has near-orthogonal embeddings (top-10 cosine
+        # ~0.3-0.5), the hard case for SRP-LSH: use shallow tables
+        # (fewer planes) and more of them.
+        approx = srp_lsh_topk(emb, queries, "vec_id", "embedding",
+                              k=10, n_planes=4, tables=10).collect()
+        t = {(r["query_id"], r["neighbor_id"]) for r in truth}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(t & a) / len(t)
+        assert recall >= 0.55, f"SRP-LSH recall too low: {recall:.2f}"
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, spark):
+        left = pd.DataFrame({
+            "k": [1, 1, 1, 2, 2],
+            "lts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                                   "2024-01-01 09:00", "2024-01-01 10:30",
+                                   "2024-01-01 08:00"]),
+            "lid": [10, 11, 12, 20, 21],
+        })
+        right = pd.DataFrame({
+            "k": [1, 1, 2],
+            "rts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 10:30",
+                                   "2024-01-01 10:30"]),
+        })
+        sl = spark.createDataFrame(left)
+        sr = spark.createDataFrame(right)
+        got = (asof_join_backward(sl, sr, by="k", left_ts="lts",
+                                  right_ts="rts", right_cols=["rts"])
+               .toPandas().sort_values("lid").reset_index(drop=True))
+        exp = pd.merge_asof(
+            left.sort_values("lts"), right.sort_values("rts"),
+            left_on="lts", right_on="rts", by="k", direction="backward",
+        ).sort_values("lid").reset_index(drop=True)
+        assert (got["rts"].fillna(pd.Timestamp(0)).tolist()
+                == exp["rts"].fillna(pd.Timestamp(0)).tolist())
+
+    def test_equal_timestamps_included(self, spark):
+        from datetime import datetime
+        ts = datetime(2024, 1, 1, 10, 0)
+        sl = spark.createDataFrame([(1, ts, 1)],
+                                   "k long, lts timestamp, lid long")
+        sr = spark.createDataFrame([(1, ts)], "k long, rts timestamp")
+        got = asof_join_backward(sl, sr, "k", "lts", "rts",
+                                 ["rts"]).collect()
+        assert got[0]["rts"] == pd.Timestamp("2024-01-01 10:00")
