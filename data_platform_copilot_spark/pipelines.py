@@ -1,0 +1,44 @@
+"""A31 — batch ETL pipeline (reference flows/daily_sales.py:6-30).
+
+The reference's Prefect flow extracts a day window of orders,
+applies a demo transform, and loads a table. Here the same
+extract -> transform -> load shape is a real Spark batch job:
+read orders for the window (partition-pruned / filter-pushed scan),
+aggregate revenue per day, write a parquet output table. A Prefect
+deployment would wrap ``daily_sales`` unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def extract_orders(spark: SparkSession, sf_dir: str,
+                   start: str, end: str) -> DataFrame:
+    """Half-open [start, end) window on o_orderdate; the predicate
+    reaches the parquet scan (at 100 TB: partition pruning on a
+    dt-partitioned table)."""
+    from .sources import load_table
+    return load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
+
+
+def transform_daily_revenue(orders: DataFrame) -> DataFrame:
+    return (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def load_output(df: DataFrame, out_path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").parquet(out_path)
+
+
+def daily_sales(spark: SparkSession, sf_dir: str, out_path: str,
+                start: str, end: str) -> DataFrame:
+    """The flow body: returns the written DataFrame for inspection."""
+    out = transform_daily_revenue(extract_orders(spark, sf_dir, start, end))
+    load_output(out, out_path)
+    return spark.read.parquet(out_path)
