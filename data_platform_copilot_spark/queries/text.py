@@ -20,6 +20,7 @@ from ..functions.text import (
     stopword_ratio,
     tokens,
 )
+from ..sources.registry import spread
 from .core import _t, query
 
 # DuckDB fragment: the same canonical text form as normalize_text().
@@ -57,7 +58,7 @@ FROM documents
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + mean token length.
     Zero shuffles — pure per-row expressions at any scale."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     tok_len_sum = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
@@ -90,7 +91,7 @@ FROM documents
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length + punctuation + stopword-density mix
     (the standard pretraining-filter recipe, deterministic weights)."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     punct = punct_ratio(F.col("text"))
     stop = stopword_ratio(F.col("text"), "en")
@@ -117,7 +118,7 @@ GROUP BY 1, 2
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (stopword-overlap heuristic) cross-tabbed against
     the labeled lang column."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return (
         d.select(F.col("lang").alias("labeled_lang"),
                  predicted_lang(F.col("text")).alias("predicted_lang"))
@@ -133,5 +134,5 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the canonical text form —
     engine-portable (unlike xxhash64), value-verified per doc."""
-    return _t(spark, sf_dir, "documents").select(
+    return spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))

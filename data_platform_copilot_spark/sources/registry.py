@@ -44,6 +44,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for CPU-parallel map work.
+
+    The driver testdata ships single-row-group parquet files, which
+    Spark cannot split — every downstream map stage would run on one
+    core. A round-robin repartition (cheap: one pass over the rows)
+    unlocks the full local[N] parallelism for expression-heavy
+    operators (shingling, simhash, regex scoring). On a real cluster
+    reading properly-sized files this is a no-op: we only repartition
+    when the source has fewer than half the target partitions.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def register_testdata(spark: SparkSession, sf_dir: str,
                       tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
     """Register every warehouse table as a temp view named after it.
