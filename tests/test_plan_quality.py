@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the optimizations we design for must
+actually appear in the plan (predicate pushdown, column pruning,
+broadcast joins, partial aggregation, TakeOrderedAndProject).
+These guard the 100 TB design properties at any scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_platform_copilot_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted")
+
+
+class TestPushdownAndPruning:
+    def test_filter_reaches_parquet_scan(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "filter_conjunctive")
+        assert "PushedFilters:" in plan
+        # value and event_type predicates push down to the scan
+        assert "GreaterThan(value,50.0)" in plan
+        assert "EqualTo(event_type,click)" in plan
+
+    def test_column_pruning_projection(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "projection_alias")
+        # ReadSchema must carry only the 3 selected customer columns
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "c_custkey" in read and "c_acctbal" in read
+        assert "c_mktsegment" not in read and "c_nationkey" not in read
+
+    def test_flagship_prunes_and_pushes_date_range(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "flagship_revenue_by_nation")
+        assert "PushedFilters:" in plan
+        assert "IsNotNull(o_custkey)" in plan or "GreaterThanOrEqual" in plan
+        read = [ln for ln in plan.splitlines()
+                if "ReadSchema" in ln and "orders" not in ln]
+        assert read  # scans exist with pruned schemas
+
+
+class TestJoinStrategies:
+    def test_flagship_broadcasts_nation(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "flagship_revenue_by_nation")
+        assert "BroadcastHashJoin" in plan
+
+    def test_semi_and_anti_join_operators(self, spark, sf_dir):
+        semi = plan_of(spark, sf_dir, "semi_join_customers_with_orders")
+        anti = plan_of(spark, sf_dir, "anti_join_customers_without_orders")
+        assert "LeftSemi" in semi
+        assert "LeftAnti" in anti
+
+
+class TestAggregationShapes:
+    def test_tpch_q1_partial_aggregation(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q1_pricing_summary")
+        # two HashAggregate nodes: partial (map-side) + final
+        assert plan.count("HashAggregate") >= 2
+        assert "partial_sum" in plan  # map-side combine before the exchange
+        # the shipdate filter pushes down AND is pruned out of the agg input
+        assert "LessThanOrEqual(l_shipdate" in plan
+
+    def test_topk_is_take_ordered(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "topk_orderby_alias")
+        assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+    def test_limit_capped_query_collectlimit(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "limit_injection")
+        assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
+class TestNoPythonInHotPath:
+    @pytest.mark.parametrize("name", [
+        "text_quality_score", "text_lang_id", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "tpch_q1_pricing_summary",
+        "sessionization_gaps",
+    ])
+    def test_no_python_udf_nodes(self, spark, sf_dir, name):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF
+        assert "PythonUDF" not in plan
+
+    def test_embedding_dedup_is_arrow_batched(self, spark, sf_dir):
+        # the one intentional Python stage must be Arrow (MapInPandas),
+        # never row-at-a-time
+        plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
