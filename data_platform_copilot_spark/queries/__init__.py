@@ -8,6 +8,7 @@ entries are documented in ``core.py``'s module docstring.
 from .core import ORACLE, QUERIES, query  # noqa: F401  (registry first)
 
 from . import relational  # noqa: E402,F401
+from . import scalar  # noqa: E402,F401
 from . import dq  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401

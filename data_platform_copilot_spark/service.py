@@ -1,0 +1,195 @@
+"""A27/A33-A35 — the HTTP-facing service layer.
+
+The reference exposes a FastAPI app (`/health`, `/description`,
+`/schema`, `/metrics`, chat/agent, dq, dbt, namespace/table routes —
+reference src/main.py, src/route/*). This module implements every
+handler framework-free (dict in, dict out) so the whole surface is
+testable in this container (no fastapi/httpx baked in), with
+``create_fastapi_app`` wiring them to real routes when FastAPI is
+available.
+
+A33 (connection management) degenerates to the one long-lived
+SparkSession + a ``SELECT 1`` ping; A34 (DDL bootstrap) initializes
+the control tables and warehouse views at startup.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .catalog import NamespaceManager, TableManager, build_markdown
+from .chain import CompletionProvider, agent_answer, nl_to_sql
+from .chain.dbt import generate_dbt_model, write_files_atomic
+from .dq import DQRule, profile_df, render_markdown_report, run_checks
+from .dq.sampler import fetch_table_sample
+from .gateway import (
+    IncorrectQuestionError,
+    extract_sql_from_markdown,
+    sql_run,
+)
+from .metrics import REGISTRY
+
+DESCRIPTION = ("PySpark-native data-platform copilot: validated NL->SQL "
+               "over a Spark SQL warehouse, data-quality checks, catalog "
+               "management, dbt generation.")
+
+
+class CopilotService:
+    def __init__(self, spark: SparkSession, provider: CompletionProvider,
+                 control_root: str) -> None:
+        self.spark = spark
+        self.provider = provider
+        self.ns = NamespaceManager(spark, control_root)
+        self.tables = TableManager(spark, self.ns)
+        self._schema_docs_cache: str | None = None
+
+    # -- lifecycle (A33/A34) ------------------------------------------------
+    def bootstrap(self) -> None:
+        """Startup ping + catalog warm-up (reference src/lifespan.py)."""
+        assert self.spark.sql("SELECT 1").collect()[0][0] == 1
+        self.ns.namespaces.all()  # materializes control tables
+        self.ns.tables.all()
+
+    # -- misc surface (A35) --------------------------------------------------
+    def health(self) -> dict[str, Any]:
+        return {"status": "ok",
+                "spark": self.spark.version,
+                "ts": datetime.utcnow().isoformat()}
+
+    def description(self) -> dict[str, Any]:
+        return {"description": DESCRIPTION}
+
+    def schema(self) -> dict[str, Any]:
+        return {"markdown": self.schema_docs()}
+
+    def metrics(self) -> str:
+        return REGISTRY.export()
+
+    def schema_docs(self, refresh: bool = False) -> str:
+        """lru-cached docs with explicit invalidation (reference
+        src/chain.py:29, src/route/chat.py:349-356)."""
+        if refresh or self._schema_docs_cache is None:
+            self._schema_docs_cache = build_markdown(self.spark)
+        return self._schema_docs_cache
+
+    # -- chat (A1-A4, A23-A25) ------------------------------------------------
+    async def chat(self, question: str) -> dict[str, Any]:
+        REGISTRY.inc("ai_chat_requests")
+        md = await nl_to_sql(self.provider, question, self.schema_docs())
+        sql = extract_sql_from_markdown(md)
+        try:
+            run = sql_run(self.spark, sql)
+        except IncorrectQuestionError as exc:
+            return {"error": str(exc), "sql": sql, "status": 400}
+        return {"sql": run.sql, "plan": run.plan, "rows": run.preview}
+
+    async def chat_agent(self, question: str,
+                         max_steps: int = 2) -> dict[str, Any]:
+        res = await agent_answer(self.spark, self.provider, question,
+                                 self.schema_docs(), max_steps=max_steps)
+        return {"plan": res.plan, "candidates": res.candidates,
+                "chosen_sql": res.chosen_sql, "rows": res.rows,
+                "explain": res.explain, "telemetry": res.telemetry}
+
+    # -- dq (A5-A13) ----------------------------------------------------------
+    def dq_profile(self, table: str, where: str | None = None,
+                   limit: int | None = None) -> dict[str, Any]:
+        REGISTRY.inc("dq_profile_requests")
+        sample = fetch_table_sample(self.spark, table, where, limit)
+        prof = profile_df(sample)
+        preview = sample.limit(20).toPandas().to_dict(orient="records")
+        return {"profile": prof, "rows": preview}
+
+    def dq_check(self, table: str, rules: list[dict[str, Any]],
+                 where: str | None = None,
+                 sample_limit: int | None = None) -> dict[str, Any]:
+        REGISTRY.inc("dq_check_requests")
+        typed = [DQRule(**r) for r in rules]
+        out = run_checks(self.spark, table, typed, where=where,
+                         sample_limit=sample_limit)
+        passed = all(r.passed for r in out["results"])
+        return {
+            "passed": passed,
+            "results": [{"rule": r.rule, "passed": r.passed,
+                         "details": r.details} for r in out["results"]],
+            "markdown_report": render_markdown_report(
+                table, out["profile"], out["results"]),
+            "sample_rows": out["sample_rows"],
+        }
+
+    # -- dbt (A26-A28) ----------------------------------------------------------
+    async def dbt_generate(self, question: str,
+                           model_name: str) -> dict[str, Any]:
+        name, sql, yml = await generate_dbt_model(
+            self.provider, question, model_name, self.schema_docs())
+        return {"model_name": name, "sql": sql, "schema_yml": yml}
+
+    def dbt_preview(self, sql: str,
+                    limit_override: int | None = None) -> dict[str, Any]:
+        """A27: validate + run with an optional LIMIT override
+        (reference src/route/chat.py:226-236 rewrites a trailing
+        LIMIT n; `.limit()` composes the same cap plan-side)."""
+        try:
+            run = sql_run(self.spark, sql,
+                          row_limit=limit_override or 200)
+        except IncorrectQuestionError as exc:
+            return {"error": str(exc), "status": 400}
+        return {"plan": run.plan, "rows": run.preview}
+
+    def dbt_write(self, root: str, model_name: str, sql: str,
+                  schema_yml: str) -> dict[str, str]:
+        return write_files_atomic(root, {
+            f"models/{model_name}.sql": sql,
+            f"models/{model_name}.yml": schema_yml,
+        })
+
+    # -- namespaces / tables (A16-A18) -----------------------------------------
+    def namespace_create(self, name: str) -> dict[str, Any]:
+        return _jsonable(self.ns.create(name))
+
+    def namespace_list(self) -> list[dict[str, Any]]:
+        return [_jsonable(r) for r in self.ns.list()]
+
+    def namespace_delete(self, id_: int) -> dict[str, Any]:
+        self.ns.delete(id_)
+        return {"deleted": id_}
+
+    def table_register(self, namespace_id: int, name: str) -> dict[str, Any]:
+        return _jsonable(self.tables.register(namespace_id, name))
+
+    def table_upload(self, table_id: int, csv_path: str) -> dict[str, Any]:
+        out = _jsonable(self.tables.upload_csv(table_id, csv_path))
+        self._schema_docs_cache = None  # new table -> docs stale
+        return out
+
+
+def _jsonable(row: dict[str, Any]) -> dict[str, Any]:
+    return {k: (v.isoformat() if hasattr(v, "isoformat") else
+                (int(v) if hasattr(v, "item") and "int" in type(v).__name__.lower()
+                 else v))
+            for k, v in row.items()}
+
+
+def create_fastapi_app(service: CopilotService):
+    """Wire the handlers to HTTP routes when FastAPI is installed."""
+    from fastapi import FastAPI  # import-gated
+
+    app = FastAPI(title="data_platform_copilot_spark")
+    app.get("/health")(service.health)
+    app.get("/description")(service.description)
+    app.get("/schema")(service.schema)
+    app.get("/metrics")(service.metrics)
+    app.post("/chat")(service.chat)
+    app.post("/chat/agent")(service.chat_agent)
+    app.post("/dq/profile")(service.dq_profile)
+    app.post("/dq/check")(service.dq_check)
+    app.post("/dbt/generate")(service.dbt_generate)
+    app.post("/dbt/preview")(service.dbt_preview)
+    app.post("/namespace")(service.namespace_create)
+    app.get("/namespace")(service.namespace_list)
+    app.delete("/namespace/{id_}")(service.namespace_delete)
+    app.post("/namespace/{namespace_id}/table")(service.table_register)
+    return app
