@@ -1,0 +1,119 @@
+"""Final coverage batch: RANGE window frames, ALL-variant set ops,
+array functions, NULL ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .core import _t, query
+
+
+@query("window_range_frame", oracle="""
+SELECT yr, mon, monthly,
+       round(sum(monthly) OVER (
+           ORDER BY yr * 12 + mon
+           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_3mo
+FROM (
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           round(sum(o_totalprice), 2) AS monthly
+    FROM orders
+    GROUP BY 1, 2
+)
+""")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): rolling 3-calendar-month
+    revenue — distinct from ROWS frames because missing months leave
+    real gaps in the range."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("yr"),
+                 F.month("o_orderdate").alias("mon"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly"))
+    )
+    w = (W.orderBy(F.col("yr") * 12 + F.col("mon"))
+         .rangeBetween(-2, W.currentRow))
+    return monthly.withColumn(
+        "rolling_3mo", F.round(F.sum("monthly").over(w), 2))
+
+
+@query("set_ops_all_variants", oracle="""
+SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+)
+UNION ALL
+SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+)
+""")
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (bag semantics — multiplicity
+    preserved, unlike the distinct variants)."""
+    orders = _t(spark, sf_dir, "orders")
+    f_side = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    big = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+
+    def count_as(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("op"), "n")
+
+    return (count_as(f_side.intersectAll(big), "intersect_all")
+            .unionAll(count_as(f_side.exceptAll(big), "except_all")))
+
+
+@query("array_functions", oracle="""
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+       round(sum(embedding[1]), 4) AS sum_first,
+       round(sum(list_sum(embedding[1:8])), 4) AS sum_head8,
+       round(sum(list_max(embedding)), 4) AS sum_max_elem
+FROM embeddings
+GROUP BY label
+""")
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array column surface: size, element_at, slice + fold, array_max
+    — all JVM-side higher-order functions over array<float>."""
+    emb = _t(spark, sf_dir, "embeddings")
+    head8_sum = F.aggregate(
+        F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 8),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n"),
+             F.min(F.size("embedding")).cast("long").alias("min_dim"),
+             F.round(F.sum(F.element_at("embedding", 1).cast("double")), 4)
+              .alias("sum_first"),
+             F.round(F.sum(head8_sum), 4).alias("sum_head8"),
+             F.round(F.sum(F.array_max("embedding").cast("double")), 4)
+              .alias("sum_max_elem"))
+    )
+
+
+@query("null_ordering", oracle="""
+SELECT kind, rnk
+FROM (
+    SELECT nullif(event_type, 'error') AS kind,
+           CAST(row_number() OVER (
+               ORDER BY nullif(event_type, 'error') ASC NULLS FIRST,
+                        event_id) AS BIGINT) AS rnk
+    FROM events
+)
+WHERE rnk <= 5
+""")
+def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering (engines disagree on the default:
+    Spark ASC = nulls first, DuckDB ASC = nulls last — the query pins
+    it explicitly on both sides)."""
+    ev = _t(spark, sf_dir, "events")
+    kind = F.nullif("event_type", F.lit("error"))
+    w = W.orderBy(kind.asc_nulls_first(), "event_id")
+    return (ev.select(kind.alias("kind"),
+                      F.row_number().over(w).cast("long").alias("rnk"))
+            .where(F.col("rnk") <= 5))
