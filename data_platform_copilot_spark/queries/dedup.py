@@ -20,7 +20,7 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
-from .core import _t, query
+from .core import _t, query, rnd
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
@@ -81,7 +81,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("common").cast("long").alias("common"),
         F.col("size_a").cast("long").alias("size_a"),
         F.col("size_b").cast("long").alias("size_b"),
-        F.round("jaccard", 4).alias("jaccard"),
+        rnd("jaccard", 4).alias("jaccard"),
     )
 
 
@@ -148,7 +148,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.7)
     )
     return verified.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        "id_a", "id_b", rnd("jaccard", 4).alias("jaccard"))
 
 
 # SimHash oracle: reproduce the per-bit signed sums in SQL.
@@ -207,4 +207,4 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.45)
-    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    return pairs.select("id_a", "id_b", rnd("cosine", 4).alias("cosine"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import _t, query
+from .core import _t, query, rnd
 
 FIXED_NOW = "2024-02-01 00:00:00"  # just after events' max ts (2024-01-30)
 
@@ -36,18 +36,19 @@ def dq_profile_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 numeric profile: one aggregate pass computes every statistic
     (count/nulls/distinct/min/max/mean/std_pop/p50/p95) — the pandas
     reference needs a separate pass per stat family."""
-    ev = _t(spark, sf_dir, "events")
+    from ..sources.registry import spread
+    ev = spread(_t(spark, sf_dir, "events"))  # single-row-group source
     c = F.col("value")
     return ev.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(c.isNull().cast("long")).alias("nulls"),
         F.countDistinct(c).alias("n_distinct"),
-        F.round(F.min(c), 4).alias("min_v"),
-        F.round(F.max(c), 4).alias("max_v"),
-        F.round(F.mean(c), 4).alias("mean_v"),
-        F.round(F.stddev_pop(c), 4).alias("std_v"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        rnd(F.min(c), 4).alias("min_v"),
+        rnd(F.max(c), 4).alias("max_v"),
+        rnd(F.mean(c), 4).alias("mean_v"),
+        rnd(F.stddev_pop(c), 4).alias("std_v"),
+        rnd(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        rnd(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
     )
 
 
@@ -67,7 +68,7 @@ def dq_profile_text_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min(ln).cast("long").alias("len_min"),
         F.max(ln).cast("long").alias("len_max"),
-        F.round(F.expr("percentile(length(text), 0.95)"), 4).alias("len_p95"),
+        rnd(F.expr("percentile(length(text), 0.95)"), 4).alias("len_p95"),
     )
 
 
@@ -108,7 +109,7 @@ def dq_rule_not_null_user_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         nulls.alias("nulls"),
         total.alias("total"),
-        F.round(100.0 * nulls / total, 4).alias("null_rate_pct"),
+        rnd(100.0 * nulls / total, 4).alias("null_rate_pct"),
         (nulls == 0).alias("passed"),
     )
 
@@ -159,7 +160,7 @@ def dq_rule_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         viol.alias("violations"),
         total.alias("total"),
-        F.round(100.0 * viol / total, 4).alias("violation_rate_pct"),
+        rnd(100.0 * viol / total, 4).alias("violation_rate_pct"),
         (viol == 0).alias("passed"),
     )
 
@@ -185,8 +186,8 @@ def dq_rule_anomaly_zscore_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(stats))
         .where(F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3.0)
         .agg(F.count("*").alias("outliers"),
-             F.round(F.first("mu"), 4).alias("mean_v"),
-             F.round(F.first("sd"), 4).alias("std_v"))
+             rnd(F.first("mu"), 4).alias("mean_v"),
+             rnd(F.first("sd"), 4).alias("std_v"))
     )
 
 
@@ -209,6 +210,6 @@ def dq_rule_freshness_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.unix_millis(F.max("ts"))).cast("double") / 3600000.0
     return ev.agg(
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
-        F.round(age_h, 4).alias("age_hours"),
+        rnd(age_h, 4).alias("age_hours"),
         (age_h <= 48.0).alias("passed"),
     )

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles
 from ..operators.rangejoin import range_join
-from .core import _t, query
+from .core import _t, query, rnd
 
 # Price bands as an inline interval dimension (deterministic).
 PRICE_BANDS = [
@@ -41,7 +41,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                         method="broadcast")
     return (joined.groupBy("band")
             .agg(F.count("*").alias("n_items"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("total_price")))
+                 rnd(F.sum("l_extendedprice"), 2).alias("total_price")))
 
 
 @query("text_ngram_frequency", oracle="""

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .core import _t, query
+from .core import _t, query, rnd
 
 
 @query("window_range_frame", oracle="""
@@ -31,12 +31,12 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy(F.year("o_orderdate").alias("yr"),
                  F.month("o_orderdate").alias("mon"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly"))
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("monthly"))
     )
     w = (W.orderBy(F.col("yr") * 12 + F.col("mon"))
          .rangeBetween(-2, W.currentRow))
     return monthly.withColumn(
-        "rolling_3mo", F.round(F.sum("monthly").over(w), 2))
+        "rolling_3mo", rnd(F.sum("monthly").over(w), 2))
 
 
 @query("set_ops_all_variants", oracle="""
@@ -88,10 +88,10 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.groupBy("label")
         .agg(F.count("*").alias("n"),
              F.min(F.size("embedding")).cast("long").alias("min_dim"),
-             F.round(F.sum(F.element_at("embedding", 1).cast("double")), 4)
+             rnd(F.sum(F.element_at("embedding", 1).cast("double")), 4)
               .alias("sum_first"),
-             F.round(F.sum(head8_sum), 4).alias("sum_head8"),
-             F.round(F.sum(F.array_max("embedding").cast("double")), 4)
+             rnd(F.sum(head8_sum), 4).alias("sum_head8"),
+             rnd(F.sum(F.array_max("embedding").cast("double")), 4)
               .alias("sum_max_elem"))
     )
 

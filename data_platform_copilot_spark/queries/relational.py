@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .core import _t, query
+from .core import _t, query, rnd
 
 
 @query("tpch_q1_pricing_summary", oracle="""
@@ -43,13 +43,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        .agg(rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+             rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+             rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+             rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             rnd(F.avg("l_discount"), 4).alias("avg_disc"),
              F.count("*").alias("count_order"))
     )
 
@@ -77,7 +77,7 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer")
         .select(F.col("c_mktsegment").alias("segment"),
                 F.col("c_custkey").alias("customer_id"),
-                F.round("c_acctbal", 2).alias("balance"),
+                rnd("c_acctbal", 2).alias("balance"),
                 F.row_number().over(w).cast("long").alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
@@ -106,11 +106,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
                                "yyyy-MM-dd").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
     )
     w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
     return monthly.withColumn(
-        "running_revenue", F.round(F.sum("monthly_revenue").over(w), 2))
+        "running_revenue", rnd(F.sum("monthly_revenue").over(w), 2))
 
 
 @query("window_lag_delta", oracle="""
@@ -130,12 +130,12 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
                                "yyyy-MM-dd").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
     )
     w = W.orderBy("month")
     return monthly.withColumn(
         "mom_delta",
-        F.round(F.col("monthly_revenue") - F.lag("monthly_revenue").over(w), 2))
+        rnd(F.col("monthly_revenue") - F.lag("monthly_revenue").over(w), 2))
 
 
 @query("set_ops_union_intersect_except", oracle="""
@@ -205,7 +205,7 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("revenue"),
              F.grouping("r_name").cast("long").alias("g_region"),
              F.grouping("n_name").cast("long").alias("g_nation"))
         .select(F.col("r_name").alias("region"),
@@ -366,7 +366,7 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("o_orderkey") % 100).cast("double").alias("key_mod")))
     return (
         df.unpivot("order_id", ["price", "key_mod"], "metric", "val")
-        .select("order_id", "metric", F.round("val", 2).alias("val"))
+        .select("order_id", "metric", rnd("val", 2).alias("val"))
     )
 
 
@@ -431,7 +431,7 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise("high")).alias("bucket")
     return ev.groupBy(bucket).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("total"))
+        rnd(F.sum("value"), 2).alias("total"))
 
 
 @query("null_handling_coalesce", oracle="""
@@ -529,8 +529,8 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-             F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"))
+        .agg(rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+             rnd(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"))
     )
 
 

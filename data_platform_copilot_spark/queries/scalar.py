@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import _t, query
+from .core import _t, query, rnd
 
 
 @query("json_extract_props", oracle="""
@@ -32,7 +32,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(k.isNotNull())
         .groupBy("event_type")
         .agg(F.count("*").alias("n"),
-             F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+             rnd(F.avg(k.cast("double")), 4).alias("avg_k"),
              F.min(k.cast("int")).alias("min_k"),
              F.max(k.cast("int")).alias("max_k"))
     )
@@ -68,14 +68,14 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.round(F.sum(F.abs(F.col("l_extendedprice") - 30000)), 2)
+        .agg(rnd(F.sum(F.abs(F.col("l_extendedprice") - 30000)), 2)
               .alias("sum_absdev"),
-             F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
-             F.round(F.sum(F.log("l_extendedprice")), 4).alias("sum_ln_price"),
-             F.round(F.sum(F.pow("l_discount", 2)), 6).alias("sum_disc_sq"),
-             F.round(F.sum(F.floor("l_quantity") % 7).cast("double"), 2)
+             rnd(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
+             rnd(F.sum(F.log("l_extendedprice")), 4).alias("sum_ln_price"),
+             rnd(F.sum(F.pow("l_discount", 2)), 6).alias("sum_disc_sq"),
+             rnd(F.sum(F.floor("l_quantity") % 7).cast("double"), 2)
               .alias("sum_qty_mod7"),
-             F.round(F.sum(F.ceil(F.col("l_tax") * 100)).cast("double"), 2)
+             rnd(F.sum(F.ceil(F.col("l_tax") * 100)).cast("double"), 2)
               .alias("sum_ceil_tax"))
     )
 
@@ -115,6 +115,6 @@ def sampler_where_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.where((F.col("event_type") == "click") & (F.col("value") > 400))
         .select("event_id", "user_id", "event_type",
-                F.round("value", 2).alias("value"))
+                rnd("value", 2).alias("value"))
         .limit(clamp_limit(10000))
     )

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import brute_force_topk, srp_lsh_topk
-from .core import _t, query
+from .core import _t, query, rnd
 
 _COS = """list_dot_product(q.embedding, c.embedding) /
       (sqrt(list_dot_product(q.embedding, q.embedding)) *
@@ -39,7 +39,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     out = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
     return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 4).alias("cosine"), "rank")
+                      rnd("cosine", 4).alias("cosine"), "rank")
 
 
 @query("ann_srp_lsh_topk")  # approximate: rows-only check; recall pinned in tests
@@ -53,4 +53,4 @@ def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = srp_lsh_topk(emb, queries, "vec_id", "embedding",
                        k=10, n_planes=8, tables=4, dim=64, seed=42)
     return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 4).alias("cosine"), "rank")
+                      rnd("cosine", 4).alias("cosine"), "rank")

@@ -21,7 +21,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.registry import spread
-from .core import _t, query
+from .core import _t, query, rnd
 
 # DuckDB fragment: the same canonical text form as normalize_text().
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -66,7 +66,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.length(normalize_text(F.col("text"))).cast("long").alias("n_chars_norm"),
-        F.round(tok_len_sum.cast("double") / F.size(toks), 4).alias("avg_token_len"),
+        rnd(tok_len_sum.cast("double") / F.size(toks), 4).alias("avg_token_len"),
     )
 
 
@@ -102,9 +102,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.round(punct, 4).alias("punct_ratio"),
-        F.round(stop, 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality"),
+        rnd(punct, 4).alias("punct_ratio"),
+        rnd(stop, 4).alias("stopword_ratio"),
+        rnd(quality, 4).alias("quality"),
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
-from .core import _t, query
+from .core import _t, query, rnd
 
 SESSION_GAP_MIN = 30
 
@@ -74,7 +74,7 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_session.groupBy("user_id")
         .agg(F.count("*").alias("n_sessions"),
              F.max("n_events").cast("long").alias("max_session_events"),
-             F.round(F.avg(F.col("dur_s").cast("double")), 2)
+             rnd(F.avg(F.col("dur_s").cast("double")), 2)
               .alias("avg_session_dur_s"))
     )
 
@@ -96,7 +96,7 @@ def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             rnd(F.sum("value"), 2).alias("total_value"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                 .alias("window_start"),
                 "event_type", "n", "total_value")
