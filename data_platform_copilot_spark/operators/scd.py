@@ -1,0 +1,63 @@
+"""SCD Type 2 merge — CDC upserts without Delta/Iceberg.
+
+MERGE INTO needs a transactional table format (not in this image);
+the same semantics compose from plain DataFrame ops:
+
+  expired  = current rows whose key receives an update
+             -> closed with valid_to = update ts
+  carried  = current rows untouched by this batch
+  inserted = the update rows, opened at their ts
+
+One shuffle on the business key. Idempotent for a given batch
+(re-running with the same updates yields the same table). At scale
+the current table is partitioned by is_current so the rewrite
+touches only the open partition — with Delta the same plan becomes
+a MERGE with file-level pruning, nothing above this API changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_TS = "9999-12-31 23:59:59"
+
+
+def scd2_init(snapshot: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Bootstrap the history table from an initial snapshot."""
+    return (snapshot
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lit(OPEN_TS).cast("timestamp"))
+            .withColumn("is_current", F.lit(True)))
+
+
+def scd2_merge(current: DataFrame, updates: DataFrame,
+               key: str, ts_col: str) -> DataFrame:
+    """Apply an update batch to an SCD2 history table.
+
+    ``updates`` carries one row per changed key (latest state). Rows
+    for keys already at the same or newer valid_from are still closed
+    by the update's timestamp — callers ensure batch ts monotonicity.
+    """
+    upd_keys = updates.select(F.col(key)).distinct()
+
+    open_rows = current.where(F.col("is_current"))
+    closed_rows = current.where(~F.col("is_current"))
+
+    affected = open_rows.join(upd_keys, key, "left_semi")
+    untouched = open_rows.join(upd_keys, key, "left_anti")
+
+    upd_ts = updates.select(F.col(key).alias("__k"),
+                            F.col(ts_col).alias("__new_ts"))
+    expired = (affected.join(upd_ts, affected[key] == F.col("__k"))
+               .withColumn("valid_to", F.col("__new_ts"))
+               .withColumn("is_current", F.lit(False))
+               .drop("__k", "__new_ts"))
+
+    inserted = scd2_init(updates, key, ts_col)
+
+    cols = [key, *[c for c in inserted.columns if c != key]]
+    return (closed_rows.select(*cols)
+            .unionByName(untouched.select(*cols))
+            .unionByName(expired.select(*cols))
+            .unionByName(inserted.select(*cols)))

@@ -1,0 +1,71 @@
+"""Write-side: format sinks with scale-aware layout controls.
+
+The reference only ever ingests CSV into DuckDB; a standalone engine
+needs the full write surface. Thin, explicit wrappers over the
+DataFrameWriter so layout decisions (partitioning, bucketing, target
+file count) are part of the operator contract rather than scattered
+call sites.
+
+Scale notes:
+- ``partition_by`` => directory partitioning => partition pruning for
+  readers (the 100 TB equivalent of an index).
+- ``bucket_by`` => co-located joins/aggs on the bucket key with no
+  exchange (see tests/test_scale_patterns.py).
+- ``target_files`` coalesces ONLY when reducing partition count —
+  never a full shuffle on the write path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                mode: str = "overwrite",
+                partition_by: list[str] | None = None,
+                target_files: int | None = None,
+                **options: str) -> None:
+    """Write ``df`` to ``path`` in ``fmt`` with optional dir-partitioning."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format: {fmt}; one of {FORMATS}")
+    if target_files is not None:
+        df = df.coalesce(target_files)
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if options:
+        writer = writer.options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_bucketed_table(df: DataFrame, table: str, buckets: int,
+                         bucket_cols: list[str],
+                         sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Save as a bucketed managed table (bucketing requires the table
+    catalog — plain paths can't carry bucket metadata)."""
+    writer = (df.write.mode(mode)
+              .bucketBy(buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema: str | None = None, **options: str) -> DataFrame:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format: {fmt}; one of {FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    return reader.load(path)

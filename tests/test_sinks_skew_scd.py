@@ -1,0 +1,107 @@
+"""Write sinks (format roundtrips + partition pruning), salted join
+equivalence, SCD2 merge semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_platform_copilot_spark.operators.scd import scd2_init, scd2_merge
+from data_platform_copilot_spark.operators.skew import salted_join
+from data_platform_copilot_spark.sources import load_table
+from data_platform_copilot_spark.sources.sinks import (
+    read_table,
+    write_table,
+)
+
+
+class TestSinks:
+    @pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+    def test_roundtrip(self, spark, sf_dir, tmp_path, fmt):
+        src = load_table(spark, sf_dir, "nation")
+        out = str(tmp_path / fmt)
+        write_table(src, out, fmt=fmt, target_files=1)
+        back = read_table(spark, out, fmt=fmt)
+        assert back.count() == 25
+        got = {r["n_name"]: r["n_regionkey"] for r in back.collect()}
+        exp = {r["n_name"]: r["n_regionkey"] for r in src.collect()}
+        assert {k: int(v) for k, v in got.items()} == exp
+
+    def test_partitioned_write_prunes(self, spark, sf_dir, tmp_path):
+        src = load_table(spark, sf_dir, "orders").withColumn(
+            "yr", F.year("o_orderdate"))
+        out = str(tmp_path / "orders_part")
+        write_table(src, out, partition_by=["yr"])
+        back = read_table(spark, out).where(F.col("yr") == 1997)
+        plan = back._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            back._jdf.queryExecution(), "formatted")
+        # partition filter must prune at planning time, not post-scan
+        assert "PartitionFilters" in plan and "yr" in plan
+        assert back.count() == src.where(F.col("yr") == 1997).count()
+
+    def test_unknown_format_rejected(self, spark, sf_dir, tmp_path):
+        src = load_table(spark, sf_dir, "nation")
+        with pytest.raises(ValueError, match="unsupported format"):
+            write_table(src, str(tmp_path / "x"), fmt="avro")
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        customer = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+        plain = orders.join(customer, "o_custkey")
+        salted = salted_join(orders, customer, "o_custkey", salts=8)
+        assert salted.count() == plain.count()
+        p = {(r["o_orderkey"], r["c_name"]) for r in plain.collect()}
+        s = {(r["o_orderkey"], r["c_name"]) for r in salted.collect()}
+        assert p == s
+
+    def test_left_join_preserves_unmatched(self, spark):
+        left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        right = spark.createDataFrame([(1, "x")], "k long, w string")
+        out = salted_join(left, right, "k", salts=4, how="left").collect()
+        assert len(out) == 2
+        assert {r["k"]: r["w"] for r in out} == {1: "x", 2: None}
+
+
+class TestScd2:
+    def _snap(self, spark, rows):
+        return spark.createDataFrame(
+            [(k, v, datetime.fromisoformat(ts)) for k, v, ts in rows],
+            "id long, val string, ts timestamp")
+
+    def test_init_all_current(self, spark):
+        hist = scd2_init(self._snap(spark, [(1, "a", "2024-01-01"),
+                                            (2, "b", "2024-01-01")]),
+                         "id", "ts")
+        assert hist.where("is_current").count() == 2
+        assert hist.where("valid_to < '9999-01-01'").count() == 0
+
+    def test_merge_closes_and_opens(self, spark):
+        hist = scd2_init(self._snap(spark, [(1, "a", "2024-01-01"),
+                                            (2, "b", "2024-01-01")]),
+                         "id", "ts")
+        upd = self._snap(spark, [(1, "a2", "2024-02-01"),
+                                 (3, "c", "2024-02-01")])
+        merged = scd2_merge(hist, upd, "id", "ts")
+
+        cur = {r["id"]: r["val"]
+               for r in merged.where("is_current").collect()}
+        assert cur == {1: "a2", 2: "b", 3: "c"}
+
+        old1 = merged.where("id = 1 AND NOT is_current").collect()
+        assert len(old1) == 1
+        assert str(old1[0]["valid_to"]).startswith("2024-02-01")
+
+    def test_merge_is_stable_on_reapply(self, spark):
+        hist = scd2_init(self._snap(spark, [(1, "a", "2024-01-01")]),
+                         "id", "ts")
+        upd = self._snap(spark, [(1, "a2", "2024-02-01")])
+        once = scd2_merge(hist, upd, "id", "ts")
+        # history grows by exactly one closed + one open row
+        assert once.count() == 2
+        assert once.where("is_current").count() == 1
