@@ -29,3 +29,27 @@ def test_streaming_sessionization_consistent(spark, sf_dir):
     s_counts = stream.groupby("user_id").size().sort_index()
     b_counts = batch.set_index("user_id")["n_sessions"].sort_index()
     assert (s_counts == b_counts).all()
+
+
+def test_stateful_user_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState accumulator must agree with the batch
+    groupBy over the same bounded source."""
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.sources import load_table
+    from data_platform_copilot_spark.streaming.stateful import (
+        run_stateful_user_totals,
+    )
+
+    got = run_stateful_user_totals(spark, sf_dir).toPandas()
+    exp = (load_table(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.max("ts").alias("last_ts"))
+           .toPandas())
+    g = got.set_index("user_id").sort_index()
+    e = exp.set_index("user_id").sort_index()
+    assert (g["n_events"] == e["n_events"]).all()
+    assert (abs(g["total_value"] - e["total_value"]) < 0.02).all()
+    assert (g["last_ts"] == e["last_ts"]).all()
