@@ -1,0 +1,61 @@
+"""Sampling and skew-diagnosis operators.
+
+- ``stratified_sample``: per-stratum Bernoulli sampling (sampleBy) —
+  the standard class-balancing step for training-data curation.
+  Seeded, so repeatable under a fixed partitioning; still not
+  oracle-comparable across engines (rows-only / statistical tests).
+- ``deterministic_sample``: hash-based row selection — EXACTLY
+  reproducible everywhere (same md5 rule in any engine), the right
+  tool when a sample must be re-derivable (eval holdouts).
+- ``key_skew_report``: per-key frequency histogram + skew metrics;
+  the diagnosis step that decides whether a join needs salting
+  (operators/skew.py) or AQE suffices.
+
+Scale notes: all three are single-shuffle-or-less; the skew report
+aggregates to |distinct keys| and tops-k before any collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample(df: DataFrame, stratum_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum Bernoulli sample: fractions = {stratum: fraction}."""
+    return df.sampleBy(stratum_col, fractions, seed=seed)
+
+
+def deterministic_sample(df: DataFrame, key_col: str,
+                         fraction: float) -> DataFrame:
+    """Keep rows where md5(key) mod 10^6 < fraction * 10^6 —
+    engine-portable and exactly re-derivable from the key alone."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
+                    16, 10).cast("long") % 1_000_000
+    return df.where(bucket < int(fraction * 1_000_000))
+
+
+def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> dict:
+    """Skew diagnosis: {n_keys, total, max_share, p99_to_median, top}.
+
+    max_share = heaviest key's fraction of all rows; a join key with
+    max_share >> 1/shuffle_partitions will bottleneck one task.
+    """
+    hist = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    stats = hist.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    ).collect()[0]
+    top_rows = (hist.orderBy(F.desc("cnt"), F.col(key_col).cast("string"))
+                .limit(top).collect())
+    return {
+        "n_keys": stats["n_keys"],
+        "total": stats["total"],
+        "max_share": stats["max_cnt"] / stats["total"] if stats["total"] else 0.0,
+        "p99_to_median": (stats["p99"] / stats["p50"]) if stats["p50"] else 0.0,
+        "top": [(r[key_col], r["cnt"]) for r in top_rows],
+    }

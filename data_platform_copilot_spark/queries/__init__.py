@@ -16,5 +16,6 @@ from . import similarity  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import extras2  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

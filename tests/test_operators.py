@@ -127,3 +127,49 @@ class TestAsofJoin:
         got = asof_join_backward(sl, sr, "k", "lts", "rts",
                                  ["rts"]).collect()
         assert got[0]["rts"] == pd.Timestamp("2024-01-01 10:00")
+
+
+class TestSampling:
+    def test_deterministic_sample_is_stable(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.sampling import (
+            deterministic_sample,
+        )
+        cust = load_table(spark, sf_dir, "customer")
+        a = {r["c_custkey"] for r in
+             deterministic_sample(cust, "c_custkey", 0.2).collect()}
+        b = {r["c_custkey"] for r in
+             deterministic_sample(cust, "c_custkey", 0.2).collect()}
+        assert a == b and 0.1 < len(a) / cust.count() < 0.3
+        # monotone: a smaller fraction is a subset of a larger one
+        s10 = {r["c_custkey"] for r in
+               deterministic_sample(cust, "c_custkey", 0.1).collect()}
+        assert s10 <= a
+
+    def test_stratified_fractions_approx(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.sampling import (
+            stratified_sample,
+        )
+        cust = load_table(spark, sf_dir, "customer")
+        frac = {"BUILDING": 0.5, "MACHINERY": 0.1}
+        out = stratified_sample(cust, "c_mktsegment", frac, seed=7)
+        got = {r["c_mktsegment"]: r["cnt"] for r in
+               out.groupBy("c_mktsegment")
+                  .agg(F.count("*").alias("cnt")).collect()}
+        totals = {r["c_mktsegment"]: r["cnt"] for r in
+                  cust.groupBy("c_mktsegment")
+                      .agg(F.count("*").alias("cnt")).collect()}
+        assert set(got) <= set(frac)
+        for seg, f in frac.items():
+            share = got.get(seg, 0) / totals[seg]
+            assert abs(share - f) < 0.25, (seg, share)
+
+    def test_key_skew_report(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.sampling import (
+            key_skew_report,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        rep = key_skew_report(ev, "event_type", top=3)
+        assert rep["n_keys"] == 5
+        assert rep["total"] == ev.count()
+        assert 0.15 < rep["max_share"] < 0.35
+        assert len(rep["top"]) == 3
