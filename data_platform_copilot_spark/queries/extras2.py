@@ -117,3 +117,51 @@ def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.select(kind.alias("kind"),
                       F.row_number().over(w).cast("long").alias("rnk"))
             .where(F.col("rnk") <= 5))
+
+
+@query("lateral_view_explode", oracle="""
+SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM documents,
+     unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+            ' ')) AS t(tok)
+WHERE length(t.tok) > 0
+GROUP BY 1
+ORDER BY n DESC, token
+LIMIT 15
+""")
+def lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode through the SQL parser (the table-valued
+    fan-out syntax) — top-15 token frequencies."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(r"""
+        SELECT tok AS token, count(*) AS n
+        FROM documents
+        LATERAL VIEW explode(
+            split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')
+        ) t AS tok
+        WHERE length(tok) > 0
+        GROUP BY 1
+        ORDER BY n DESC, token
+        LIMIT 15
+    """)
+
+
+@query("argmax_aggregates", oracle="""
+SELECT o_orderstatus AS status,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       round(max(o_totalprice), 2) AS biggest_total,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order
+FROM orders
+GROUP BY o_orderstatus
+""")
+def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates) — Spark's equivalents of
+    DuckDB's arg_max/arg_min. (o_totalprice values are distinct
+    enough at these SFs for a deterministic argmax.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+             rnd(F.max("o_totalprice"), 2).alias("biggest_total"),
+             F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"))
+    )
