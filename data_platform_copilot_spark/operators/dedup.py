@@ -114,12 +114,15 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     a hex string — uniform, engine-portable. All k mins compute as k
     aggregate expressions in ONE groupBy(id): the shuffle carries
     |shingles| rows once, not k times (the explode-seeds formulation
-    multiplies shuffle volume by k — measured 4x slower at sf0.1)."""
+    multiplies shuffle volume by k — measured 4x slower at sf0.1).
+    The shingle-set size rides along as a free extra aggregate so
+    Jaccard verification needs no second pass over the shingles."""
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle"))))
          .alias(f"mh{i}")
         for i in range(num_hashes)
     ]
+    aggs.append(F.count("*").alias("size"))
     return sh.groupBy("id").agg(*aggs)
 
 

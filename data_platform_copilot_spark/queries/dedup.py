@@ -124,9 +124,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins on (band, bucket); verification touches only
     colliding pairs. md5-string minhash keeps it oracle-portable."""
     docs = _t(spark, sf_dir, "documents")
-    # The shingle set feeds four consumers (signatures, both sides of
-    # the verification join, sizes) — persist it so the explode runs
-    # once, not four times (LRU-evicted; ~40% of query time at sf0.1).
+    # The shingle set feeds three consumers (signatures + both sides
+    # of the verification join) — persist it so the explode runs once
+    # (LRU-evicted; ~40% of query time at sf0.1).
     sh = shingles(docs, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, num_hashes=16)
     cand = lsh_candidate_pairs(sig, bands=4)
@@ -138,7 +138,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sha, "id_a").join(shb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
+    # set sizes ride along on the signature aggregation — no extra pass
+    sizes = sig.select("id", "size")
     verified = (
         common
         .join(sizes.withColumnsRenamed({"id": "id_a", "size": "size_a"}), "id_a")
