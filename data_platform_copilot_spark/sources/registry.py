@@ -39,8 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            # Integer `div`, not F.floor(col/1000): the latter routes
+            # through double, whose 256ns ulp at 2024-epoch nanosecond
+            # magnitudes shifts ~1.6% of instants by 1us vs DuckDB's
+            # exact truncation.
             df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 
@@ -52,10 +56,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     core. A round-robin repartition (cheap: one pass over the rows)
     unlocks the full local[N] parallelism for expression-heavy
     operators (shingling, simhash, regex scoring). On a real cluster
-    reading properly-sized files this is a no-op: we only repartition
-    when the source has fewer than half the target partitions.
+    reading properly-sized files this is a no-op: the probe (and the
+    repartition) is gated to local masters, so cluster plans never pay
+    the `.rdd` lineage materialization the probe requires.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
+    target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= target:
         return df.repartition(target)
     return df
