@@ -203,8 +203,9 @@ WHERE list_dot_product(a.embedding, b.embedding) /
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45 — this corpus
     has no planted vector dups; the threshold exercises the operator
-    on real pairs). Brute-force verify path; SRP-LSH candidates are
-    the scale path (operators/similarity.py)."""
+    on real pairs). Distributed blocked all-pairs gemm (exact, no
+    driver collect); at true near-dup thresholds the sub-quadratic
+    path is method='lsh' (SRP buckets + per-bucket gemm)."""
     pairs = embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.45)

@@ -92,6 +92,43 @@ class TestAnn:
         assert recall >= 0.55, f"SRP-LSH recall too low: {recall:.2f}"
 
 
+class TestEmbeddingDedup:
+    def test_blocked_gemm_equals_expression_pairs(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.dedup import (
+            embedding_near_duplicates)
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {(r["id_a"], r["id_b"])
+                 for r in embedding_near_duplicates(
+                     emb, "vec_id", "embedding", threshold=0.45,
+                     method="pairs").collect()}
+        blocked = {(r["id_a"], r["id_b"])
+                   for r in embedding_near_duplicates(
+                       emb, "vec_id", "embedding", threshold=0.45,
+                       method="blocked", blocks=5).collect()}
+        assert blocked == exact and exact
+
+    def test_lsh_recovers_planted_vector_dupes(self, spark):
+        """Planted near-identical vectors (cosine ~0.999) must all be
+        recovered by the LSH-bucketed gemm path."""
+        import numpy as np
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((50, 64))
+        rows = [(i, base[i].tolist()) for i in range(50)]
+        # plant 10 near-dupes: id 100+i = id i + tiny noise
+        for i in range(10):
+            rows.append((100 + i, (base[i] + 0.01 * rng.standard_normal(64))
+                         .tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from data_platform_copilot_spark.operators.dedup import (
+            embedding_near_duplicates)
+        got = {(r["id_a"], r["id_b"])
+               for r in embedding_near_duplicates(
+                   df, "vec_id", "embedding", threshold=0.99,
+                   method="lsh", n_planes=8, tables=8).collect()}
+        want = {(i, 100 + i) for i in range(10)}
+        assert want <= got, f"LSH missed planted dupes: {want - got}"
+
+
 class TestAsofJoin:
     def test_matches_pandas_merge_asof(self, spark):
         left = pd.DataFrame({

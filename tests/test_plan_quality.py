@@ -82,8 +82,30 @@ class TestNoPythonInHotPath:
         assert "PythonUDF" not in plan
 
     def test_embedding_dedup_is_arrow_batched(self, spark, sf_dir):
-        # the one intentional Python stage must be Arrow (MapInPandas),
-        # never row-at-a-time
+        # the one intentional Python stage must be Arrow (cogrouped
+        # applyInPandas block-gemm), never row-at-a-time
         plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
-        assert "MapInPandas" in plan
+        assert "FlatMapCoGroupsInPandas" in plan
         assert "BatchEvalPython" not in plan
+
+    def test_embedding_dedup_never_collects_to_driver(self, spark, sf_dir,
+                                                      monkeypatch):
+        # Building the blocked all-pairs plan must be fully lazy: no
+        # driver-side collect() and no sc.broadcast of a materialized
+        # matrix anywhere in its construction (the r1 anti-pattern).
+        from pyspark.sql import DataFrame
+        from data_platform_copilot_spark.operators.dedup import (
+            embedding_near_duplicates)
+        from data_platform_copilot_spark.sources.registry import load_table
+
+        def _boom(*a, **k):
+            raise AssertionError("driver-side materialization in plan build")
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        monkeypatch.setattr(DataFrame, "collect", _boom)
+        monkeypatch.setattr(DataFrame, "toPandas", _boom)
+        monkeypatch.setattr(spark.sparkContext, "broadcast", _boom)
+        for method in ("blocked", "lsh"):
+            df = embedding_near_duplicates(
+                emb, "vec_id", "embedding", threshold=0.9, method=method)
+            df.explain(mode="cost")  # force analysis + optimization, no exec
