@@ -39,24 +39,28 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, sha1 string, "
+    "media_id long, kind string, n_bytes long, sha256 string, "
     "width int, height int, duration_s double, feature array<float>"
 )
 
 
 def _fake_decode(payload: bytes, kind: str) -> dict[str, Any]:
     """Deterministic stand-in for a real codec: derives pseudo
-    width/height/duration and an 8-dim feature vector from the bytes.
-    Replace via DECODERS in production."""
+    width/height/duration and an 8-dim feature vector from the
+    sha256 of the bytes (sha256, not sha1: the DuckDB oracle can
+    recompute it — see queries/extras2.py multimodal_features).
+    Every derived value is exactly representable in both engines:
+    (b-128)/128 is a dyadic rational and b/8.0 has exactly three
+    decimal digits, so no rounding divergence is possible. Replace
+    via DECODERS in production."""
     if payload is None:
         raise NotImplementedError("real decoder required for NULL payload")
-    h = hashlib.sha1(payload).digest()
-    feat = [round((b - 128) / 128.0, 6) for b in h[:8]]
+    h = hashlib.sha256(payload).digest()
+    feat = [(b - 128) / 128.0 for b in h[:8]]
     return {
         "width": 16 + h[0] % 1024 if kind in ("image", "video") else None,
         "height": 16 + h[1] % 1024 if kind in ("image", "video") else None,
-        "duration_s": round(h[2] / 8.0, 3) if kind in ("audio", "video")
-        else None,
+        "duration_s": h[2] / 8.0 if kind in ("audio", "video") else None,
         "feature": feat,
     }
 
@@ -69,12 +73,18 @@ DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic media fixture: payload bytes derived from the id."""
+    """Deterministic media fixture: payload bytes derived from the id.
+
+    The payload is the ASCII hexdigest repeated 4x (256 bytes) —
+    opaque binary to the Spark side, but byte-identical to a VARCHAR
+    DuckDB can rebuild, so the oracle can recompute the payload
+    digest (DuckDB's sha256 only accepts VARCHAR, not BLOB)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        payload = (hashlib.sha256(f"media-{i}".encode()).hexdigest() * 4
+                   ).encode("ascii")
         rows.append((i, kind, bytearray(payload),
                      f"application/x-{kind}", {"src": f"synth://{i}"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -95,14 +105,18 @@ def extract_features(df: DataFrame,
                     "media_id": rec.media_id,
                     "kind": rec.kind,
                     "n_bytes": len(payload) if payload is not None else 0,
-                    "sha1": hashlib.sha1(payload).hexdigest()
+                    "sha256": hashlib.sha256(payload).hexdigest()
                     if payload is not None else None,
                     **decoded,
                 })
             yield pd.DataFrame(out)
 
-    return (df.repartition(max(df.sparkSession.sparkContext.defaultParallelism, 1))
-            .mapInPandas(run, schema=FEATURE_SCHEMA))
+    # No repartition here, ever: that would shuffle the binary
+    # payloads (the exact anti-pattern this module's contract bans).
+    # Parallelism comes from the SOURCE split: size
+    # spark.sql.files.maxPartitionBytes at read time so the scan
+    # yields enough partitions for the decode stage.
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_s: float = 10.0) -> DataFrame:

@@ -17,5 +17,6 @@ from . import timeseries  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import extras2  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -30,8 +30,8 @@ class TestMultimodal:
         rows = {r["media_id"]: r for r in feats.collect()}
         assert len(rows) == 24
         assert all(len(r["feature"]) == 8 for r in rows.values())
-        assert rows[0]["n_bytes"] == 128
-        assert rows[0]["sha1"] is not None
+        assert rows[0]["n_bytes"] == 256
+        assert rows[0]["sha256"] is not None
         # images/videos get dimensions; audio gets duration
         img = next(r for r in rows.values() if r["kind"] == "image")
         aud = next(r for r in rows.values() if r["kind"] == "audio")
@@ -47,6 +47,16 @@ class TestMultimodal:
         pdf = frames.toPandas()
         assert (pdf.groupby("media_id").frame_idx.min() == 0).all()
         assert (pdf["frame_ts_s"] == pdf["frame_idx"] * 5.0).all()
+
+    def test_payload_never_shuffled(self, spark):
+        # The decode stage must map over source partitions as-is: no
+        # Exchange may appear below the mapInPandas node (shuffling
+        # binary payloads is the anti-pattern this module bans).
+        feats = extract_features(synthetic_media(spark, n=24))
+        plan = feats._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            feats._jdf.queryExecution(), "formatted")
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan
 
     def test_features_joinable_with_relational(self, spark):
         media = synthetic_media(spark, n=12)
