@@ -36,6 +36,26 @@ def deterministic_sample(df: DataFrame, key_col: str,
     return df.where(bucket < int(fraction * 1_000_000))
 
 
+def deterministic_stratified_sample(df: DataFrame, stratum_col: str,
+                                    key_col: str,
+                                    fractions: dict) -> DataFrame:
+    """Per-stratum sampling by the md5 rule instead of RNG: a row is
+    kept iff md5(key) mod 10^6 < fraction(stratum) * 10^6. Same class
+    balancing as ``stratified_sample`` but EXACTLY re-derivable in any
+    engine from (key, stratum) alone — the choice when the sampled set
+    itself must be auditable (eval holdouts, compliance splits).
+    Strata absent from ``fractions`` are dropped (sampleBy parity).
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
+                    16, 10).cast("long") % 1_000_000
+    cutoff = F.lit(None).cast("long")
+    for stratum, frac in fractions.items():
+        cutoff = (F.when(F.col(stratum_col) == stratum,
+                         F.lit(int(frac * 1_000_000)))
+                  .otherwise(cutoff))
+    return df.where(bucket < cutoff)
+
+
 def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> dict:
     """Skew diagnosis: {n_keys, total, max_share, p99_to_median, top}.
 

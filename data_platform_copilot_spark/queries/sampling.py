@@ -6,7 +6,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sampling import deterministic_sample, stratified_sample
+from ..operators.sampling import (
+    deterministic_sample,
+    deterministic_stratified_sample,
+)
 from .core import _t, query
 
 # DuckDB: md5-hex-prefix -> integer via positional polynomial
@@ -31,14 +34,27 @@ def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_mktsegment").alias("segment")))
 
 
-@query("stratified_sample_counts")  # seeded RNG: rows-only check
+_FRACTIONS = {"BUILDING": 0.5, "MACHINERY": 0.2, "AUTOMOBILE": 0.1,
+              "FURNITURE": 0.1, "HOUSEHOLD": 0.05}
+
+_CUTOFF_CASE = "CASE c_mktsegment " + " ".join(
+    f"WHEN '{seg}' THEN {int(frac * 1_000_000)}"
+    for seg, frac in _FRACTIONS.items()) + " END"
+
+
+@query("stratified_sample_counts", oracle=f"""
+SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_sampled
+FROM customer
+WHERE ({_HEX_POLY}) % 1000000 < {_CUTOFF_CASE}
+GROUP BY 1
+""")
 def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment Bernoulli sampling at different rates (class
-    balancing); sampled counts per stratum. Seeded but engine-specific
-    RNG -> no value oracle; fraction accuracy asserted in tests."""
+    """Per-segment sampling at different rates (class balancing) via
+    the deterministic md5 rule — the sampled set is exactly
+    re-derivable in any engine, so counts per stratum value-verify
+    against DuckDB replaying the identical predicate."""
     cust = _t(spark, sf_dir, "customer")
-    fractions = {"BUILDING": 0.5, "MACHINERY": 0.2, "AUTOMOBILE": 0.1,
-                 "FURNITURE": 0.1, "HOUSEHOLD": 0.05}
-    return (stratified_sample(cust, "c_mktsegment", fractions)
+    return (deterministic_stratified_sample(
+                cust, "c_mktsegment", "c_custkey", _FRACTIONS)
             .groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(F.count("*").alias("n_sampled")))

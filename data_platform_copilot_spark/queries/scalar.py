@@ -38,17 +38,51 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("json_schema_inference")  # engine-specific: rows-only check
+@query("json_schema_inference", oracle="""
+WITH s AS (
+    SELECT json_group_structure(props::JSON) AS j FROM events
+)
+SELECT u.k AS field,
+       CASE
+           WHEN json_extract_string(j, '$.' || u.k) IN
+                ('UTINYINT', 'USMALLINT', 'UINTEGER', 'UBIGINT',
+                 'TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT')
+               THEN 'integer'
+           WHEN json_extract_string(j, '$.' || u.k) IN
+                ('FLOAT', 'DOUBLE') THEN 'number'
+           WHEN json_extract_string(j, '$.' || u.k) = 'VARCHAR'
+               THEN 'string'
+           WHEN json_extract_string(j, '$.' || u.k) = 'BOOLEAN'
+               THEN 'boolean'
+           ELSE lower(json_extract_string(j, '$.' || u.k))
+       END AS json_type
+FROM s, unnest(json_keys(j)) AS u(k)
+""")
 def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json with an explicit schema -> typed struct column (the
-    production path for semi-structured ingestion; schema_of_json for
-    discovery). No oracle: DuckDB's JSON typing differs."""
+    """Distributed JSON schema inference: parse_json -> VARIANT, then
+    ``schema_of_variant_agg`` merges every document's shape in one
+    aggregation (map-side partial merge — no driver-side sampling).
+    Output is one row per top-level field with a NORMALIZED type class
+    (integer/number/string/boolean), which is what makes the result
+    engine-comparable: DuckDB's json_group_structure infers the same
+    shape under different native type names (UBIGINT vs BIGINT), and
+    both map onto the shared vocabulary. Flat-object contract; nested
+    fields would recurse the same normalization."""
     ev = _t(spark, sf_dir, "events")
-    parsed = ev.select(
-        "event_id",
-        F.from_json("props", "k INT").alias("p"))
-    return (parsed.select("event_id", F.col("p.k").alias("k"))
-            .where(F.col("k") > 95))
+    merged = (ev.select(F.parse_json("props").alias("v"))
+              .agg(F.schema_of_variant_agg("v").alias("s")))
+    pair = F.explode(
+        F.expr(r"regexp_extract_all(s, '(\\w+): ([A-Z]+)', 0)")).alias("p")
+    norm = (F.when(F.split("p", ": ").getItem(1).isin(
+                "TINYINT", "SMALLINT", "INT", "BIGINT"), "integer")
+            .when(F.split("p", ": ").getItem(1).isin(
+                "FLOAT", "DOUBLE", "DECIMAL"), "number")
+            .when(F.split("p", ": ").getItem(1) == "STRING", "string")
+            .when(F.split("p", ": ").getItem(1) == "BOOLEAN", "boolean")
+            .otherwise(F.lower(F.split("p", ": ").getItem(1))))
+    return (merged.select(pair)
+            .select(F.split("p", ": ").getItem(0).alias("field"),
+                    norm.alias("json_type")))
 
 
 @query("math_functions", oracle="""

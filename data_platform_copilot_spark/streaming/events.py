@@ -49,8 +49,10 @@ def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(raw_schema)
               .parquet(str(stage)))
     if dict(stream.dtypes).get("ts") == "bigint":
+        # Integer div, matching sources/registry.py exactly (double
+        # division drifts 1us on ~1.6% of nanosecond instants).
         stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     assert dict(stream.dtypes)["ts"] == dict(batch.dtypes)["ts"]
     return stream
 
