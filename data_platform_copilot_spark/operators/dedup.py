@@ -60,6 +60,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str,
     stays in codegen until the explode."""
     df = spread(df)
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    # Docs shorter than n tokens emit NO shingles (matching the SQL
+    # oracle, whose position range is empty for them) — without this
+    # gate arrays_zip pads the short slice with nulls and concat_ws
+    # silently drops them, emitting a truncated pseudo-shingle.
+    df = df.where(F.size(toks) >= n)
     # Build shingles by zipping n shifted views of the token array
     # (n fixed-cost slices per row) instead of one slice per shingle
     # position — ~2x faster, and dedupe inside the row

@@ -35,26 +35,35 @@ def scd2_merge(current: DataFrame, updates: DataFrame,
                key: str, ts_col: str) -> DataFrame:
     """Apply an update batch to an SCD2 history table.
 
-    ``updates`` carries one row per changed key (latest state). Rows
-    for keys already at the same or newer valid_from are still closed
-    by the update's timestamp — callers ensure batch ts monotonicity.
+    ``updates`` carries one row per changed key (latest state).
+    Idempotent: an open row is closed only when the update is strictly
+    newer than its valid_from, and an update whose key already has an
+    open row at-or-after its ts is a no-op — so retrying a batch
+    leaves the table unchanged instead of stacking zero-length
+    versions.
     """
-    upd_keys = updates.select(F.col(key)).distinct()
-
     open_rows = current.where(F.col("is_current"))
     closed_rows = current.where(~F.col("is_current"))
 
-    affected = open_rows.join(upd_keys, key, "left_semi")
-    untouched = open_rows.join(upd_keys, key, "left_anti")
-
     upd_ts = updates.select(F.col(key).alias("__k"),
                             F.col(ts_col).alias("__new_ts"))
-    expired = (affected.join(upd_ts, affected[key] == F.col("__k"))
+    tagged = open_rows.join(upd_ts, open_rows[key] == F.col("__k"), "left")
+    should_expire = (F.col("__k").isNotNull()
+                     & (F.col("valid_from") < F.col("__new_ts")))
+    expired = (tagged.where(should_expire)
                .withColumn("valid_to", F.col("__new_ts"))
                .withColumn("is_current", F.lit(False))
                .drop("__k", "__new_ts"))
+    untouched = tagged.where(~should_expire).drop("__k", "__new_ts")
 
-    inserted = scd2_init(updates, key, ts_col)
+    already_open = open_rows.select(F.col(key).alias("__k"),
+                                    F.col("valid_from").alias("__vf"))
+    fresh = updates.join(
+        already_open,
+        (updates[key] == F.col("__k"))
+        & (F.col("__vf") >= updates[ts_col]),
+        "left_anti")
+    inserted = scd2_init(fresh, key, ts_col)
 
     cols = [key, *[c for c in inserted.columns if c != key]]
     return (closed_rows.select(*cols)

@@ -1,37 +1,90 @@
-"""Skew-aware join: explicit key salting.
+"""Skew-aware join: hot-key-only salting.
 
 AQE's skew-join splitting (enabled in session.py) handles most skew
-at runtime; explicit salting remains the tool when one build-side key
+at runtime; explicit salting remains the tool when one probe-side key
 is so hot that even split partitions overwhelm a task, or when AQE is
 unavailable (streaming joins, some cluster configs).
 
-Mechanics: the probe (large, skewed) side gets a deterministic salt
-in [0, S) derived from hashing its other columns; the build side is
-replicated S times (explode) so every salted key finds its match.
-Equality with the plain join is property-tested.
+Mechanics: only keys DETECTED (or declared) as hot are salted — the
+probe side splits into hot/cold branches with a broadcast semi/anti
+join against the tiny hot-key set; the build side is replicated
+``salts`` times for hot keys ONLY, and the cold remainder runs as a
+plain join. Blanket salting (replicating the whole build side S
+times) multiplies build shuffle volume by S for keys that never
+needed it — at 100 TB the hot set is typically a handful of keys and
+the replication cost must stay proportional to them.
 
-At 100 TB: apply ONLY to keys detected as hot (pre-aggregate a key
-histogram, salt the top-k keys, union with the unsalted remainder) —
-blanket salting multiplies the build side by S.
+The extra cost of detection is one aggregate scan of the probe side
+(skipped when callers pass ``hot_keys`` from a prior
+``key_skew_report``). Equality with the plain join is
+property-tested; a plan test pins that the cold branch contains no
+explode.
+
+Only ``inner``, ``left`` and ``left_semi`` are accepted: with a
+right/full outer join the replicated build side would emit each
+unmatched build row ``salts`` times.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SUPPORTED = ("inner", "left", "left_semi")
+
+
+def _hot_key_set(large: DataFrame, key: str,
+                 hot_keys: list | None, min_freq: int | None) -> DataFrame:
+    """One-column DataFrame of hot key values (small; broadcast it)."""
+    if hot_keys is not None:
+        kt = large.schema[key].dataType
+        return large.sparkSession.createDataFrame(
+            [(k,) for k in hot_keys],
+            T.StructType([T.StructField(key, kt)]))
+    hist = large.groupBy(key).agg(F.count("*").alias("__cnt"))
+    if min_freq is not None:
+        return hist.where(F.col("__cnt") >= min_freq).select(key)
+    # Default detection: a key is hot when its rows exceed an even
+    # share of one shuffle partition's input (the point at which a
+    # single task's input stops shrinking as the cluster grows).
+    nparts = int(large.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    total = hist.agg(F.sum("__cnt").alias("__total"))
+    return (hist.crossJoin(F.broadcast(total))
+            .where(F.col("__cnt") > F.col("__total") / nparts)
+            .select(key))
 
 
 def salted_join(large: DataFrame, small: DataFrame, key: str,
-                salts: int = 8, how: str = "inner") -> DataFrame:
-    """Join ``large`` to ``small`` on ``key`` with salt fan-out.
+                salts: int = 8, how: str = "inner",
+                hot_keys: list | None = None,
+                min_freq: int | None = None) -> DataFrame:
+    """Join ``large`` to ``small`` on ``key``, salting ONLY hot keys.
 
-    Output columns = large's columns + small's non-key columns
-    (like a plain ``join(..., on=key)``)."""
+    Output columns = large's columns + small's non-key columns (like
+    a plain ``join(..., on=key)``). Hot keys come from ``hot_keys``
+    (explicit, e.g. from key_skew_report — no detection scan), from
+    ``min_freq`` (histogram threshold), or from the default detector
+    (count > total / shuffle partitions). Everything stays lazy: the
+    hot set is a broadcast DataFrame, never collected to the driver.
+    """
+    if how not in _SUPPORTED:
+        raise ValueError(
+            f"salted_join supports {_SUPPORTED}, got {how!r}: outer "
+            "joins would duplicate unmatched build rows per salt")
+    hot = F.broadcast(_hot_key_set(large, key, hot_keys, min_freq))
+
+    l_hot = large.join(hot, key, "left_semi")
+    l_cold = large.join(hot, key, "left_anti")
+    s_hot = small.join(hot, key, "left_semi")
+
     other_cols = [c for c in large.columns if c != key]
     salt_src = F.xxhash64(*[F.col(c) for c in other_cols]) if other_cols \
         else F.xxhash64(F.col(key))
-    l_salted = large.withColumn("__salt", F.pmod(salt_src, F.lit(salts)))
-    s_rep = small.withColumn(
+    l_salted = l_hot.withColumn("__salt", F.pmod(salt_src, F.lit(salts)))
+    s_rep = s_hot.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
-    out = l_salted.join(s_rep, [key, "__salt"], how)
-    return out.drop("__salt")
+    hot_out = l_salted.join(s_rep, [key, "__salt"], how).drop("__salt")
+    cold_out = l_cold.join(small, key, how)
+    return hot_out.unionByName(cold_out)

@@ -67,6 +67,40 @@ class TestSaltedJoin:
         assert len(out) == 2
         assert {r["k"]: r["w"] for r in out} == {1: "x", 2: None}
 
+    def test_explicit_hot_keys_equals_plain_join(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        customer = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+        some_keys = [r["o_custkey"] for r in orders.limit(3).collect()]
+        plain = orders.join(customer, "o_custkey")
+        salted = salted_join(orders, customer, "o_custkey", salts=8,
+                             hot_keys=some_keys)
+        p = {(r["o_orderkey"], r["c_name"]) for r in plain.collect()}
+        s = {(r["o_orderkey"], r["c_name"]) for r in salted.collect()}
+        assert p == s
+
+    def test_outer_joins_rejected(self, spark):
+        left = spark.createDataFrame([(1, "a")], "k long, v string")
+        right = spark.createDataFrame([(1, "x")], "k long, w string")
+        for how in ("right", "full", "full_outer"):
+            with pytest.raises(ValueError, match="outer"):
+                salted_join(left, right, "k", how=how)
+
+    def test_cold_branch_not_replicated(self, spark, sf_dir):
+        # exactly ONE explode (Generate) in the whole plan — on the
+        # hot branch; the cold remainder joins the build side plain.
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey")
+        customer = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+        salted = salted_join(orders, customer, "o_custkey", salts=8,
+                             hot_keys=[1, 2])
+        plan = salted._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            salted._jdf.queryExecution(), "simple")
+        assert plan.count("Generate") == 1
+        assert "Union" in plan
+
 
 class TestScd2:
     def _snap(self, spark, rows):
@@ -105,3 +139,17 @@ class TestScd2:
         # history grows by exactly one closed + one open row
         assert once.count() == 2
         assert once.where("is_current").count() == 1
+
+    def test_merge_is_idempotent(self, spark):
+        """Retrying the same batch must be a no-op: no zero-length
+        versions, no duplicate open rows."""
+        hist = scd2_init(self._snap(spark, [(1, "a", "2024-01-01"),
+                                            (2, "b", "2024-01-01")]),
+                         "id", "ts")
+        upd = self._snap(spark, [(1, "a2", "2024-02-01")])
+        once = scd2_merge(hist, upd, "id", "ts")
+        twice = scd2_merge(once, upd, "id", "ts")
+        o = sorted(map(tuple, once.collect()))
+        t = sorted(map(tuple, twice.collect()))
+        assert o == t
+        assert twice.where("valid_from = valid_to").count() == 0
