@@ -103,6 +103,34 @@ class TestProfiler:
         prof = profile_df(dirty, exact=False)
         assert prof["id"]["distinct"] in (2, 3, 4)  # HLL estimate
 
+    def test_profile_job_count_independent_of_columns(self, spark):
+        """Histogram batching: jobs scale with #distinct types (2
+        here), not #columns (12) — the per-column loop would launch
+        13+ jobs."""
+        # patch the CLASSIC class: pyspark.sql.DataFrame is the
+        # abstract base and classic sessions override collect()
+        from pyspark.sql.classic.dataframe import DataFrame
+        row = {f"n{i}": i for i in range(6)} | {f"s{i}": str(i)
+                                                for i in range(6)}
+        wide = spark.createDataFrame([row, row])
+        actions = 0
+        orig = DataFrame.collect
+
+        def counting(self):
+            nonlocal actions
+            actions += 1
+            return orig(self)
+
+        DataFrame.collect = counting
+        try:
+            prof = profile_df(wide)
+        finally:
+            DataFrame.collect = orig
+        assert len(prof) == 12
+        assert all(prof[c]["top_values"] for c in prof)
+        # 1 stats pass + one histogram per TYPE (bigint, string)
+        assert actions == 3, f"expected 3 actions, saw {actions}"
+
 
 class TestRunner:
     def test_run_checks_and_report(self, spark, sf_dir):

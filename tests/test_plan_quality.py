@@ -93,7 +93,9 @@ class TestNoPythonInHotPath:
         # Building the blocked all-pairs plan must be fully lazy: no
         # driver-side collect() and no sc.broadcast of a materialized
         # matrix anywhere in its construction (the r1 anti-pattern).
-        from pyspark.sql import DataFrame
+        # patch the CLASSIC class: pyspark.sql.DataFrame is the
+        # abstract base and classic sessions override collect()
+        from pyspark.sql.classic.dataframe import DataFrame
         from data_platform_copilot_spark.operators.dedup import (
             embedding_near_duplicates)
         from data_platform_copilot_spark.sources.registry import load_table
