@@ -87,13 +87,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh", oracle=_DUCK_SHINGLES + """
 , sig AS (
+    -- universal-hash minhash family over x = int(md5[0:8], 16);
+    -- mirrors operators.dedup.minhash_signatures/_mh_coeffs exactly
+    -- (int64 arithmetic, no engine divergence)
     SELECT id, s.seed,
-           min(md5(concat_ws(':', s.seed, shingle))) AS mh
+           min((
+               (2 * ((1103515245 * (s.seed + 1) + 12345) % 536870912) + 1)
+               * ('0x' || substring(md5(shingle), 1, 8))::BIGINT
+               + (69069 * (s.seed + 1) + 1) % 536870912
+           ) % 2147483647) AS mh
     FROM sh, unnest(range(0, 16)) AS s(seed)
     GROUP BY id, s.seed
 ), banded AS (
     SELECT id, seed % 4 AS band,
-           md5(string_agg(mh, ',' ORDER BY seed)) AS bucket
+           md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bucket
     FROM sig
     GROUP BY id, seed % 4
 ), cand AS (

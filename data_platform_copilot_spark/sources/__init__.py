@@ -1,3 +1,9 @@
-from .registry import TESTDATA_TABLES, load_table, register_testdata
+from .registry import (
+    TESTDATA_TABLES,
+    load_table,
+    register_testdata,
+    warm_tables,
+)
 
-__all__ = ["TESTDATA_TABLES", "load_table", "register_testdata"]
+__all__ = ["TESTDATA_TABLES", "load_table", "register_testdata",
+           "warm_tables"]
