@@ -23,8 +23,10 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import settings
+
 DEFAULT_MAX_AGE_HOURS = 24.0  # reference src/dq.py:167
-DEFAULT_SIGMA = 3.0           # reference src/config.py:197
+DEFAULT_SIGMA = settings.data_quality.default_sigma  # reference src/config.py:197
 
 
 @dataclass

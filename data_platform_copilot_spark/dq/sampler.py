@@ -17,8 +17,10 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DEFAULT_LIMIT = 10_000   # reference src/config.py:195
-MAX_LIMIT = 200_000      # reference src/config.py:196
+from ..config import settings
+
+DEFAULT_LIMIT = settings.data_quality.default_limit  # reference src/config.py:195
+MAX_LIMIT = settings.data_quality.max_limit          # reference src/config.py:196
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
 

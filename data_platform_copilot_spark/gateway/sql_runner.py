@@ -44,9 +44,12 @@ FORBIDDEN = re.compile(
 )
 SQL_FENCE_RE = re.compile(r"```sql\s*(.*?)```", re.DOTALL | re.IGNORECASE)
 
-DEFAULT_ROW_LIMIT = 200     # reference src/config.py:91
-DEFAULT_PREVIEW_ROWS = 20   # reference src/sql_runner.py:62
-DEFAULT_TIMEOUT_MS = 8_000  # reference src/config.py:92 (dead there; live here)
+from ..config import settings
+
+DEFAULT_ROW_LIMIT = settings.sql.row_limit    # reference src/config.py:91
+DEFAULT_PREVIEW_ROWS = 20                     # reference src/sql_runner.py:62
+# reference src/config.py:92 (dead there; live here)
+DEFAULT_TIMEOUT_MS = settings.sql.query_timeout_ms
 
 
 class IncorrectQuestionError(ValueError):

@@ -21,6 +21,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from .catalog import NamespaceManager, TableManager, build_markdown
+from .config import settings
 from .chain import CompletionProvider, agent_answer, nl_to_sql
 from .chain.dbt import generate_dbt_model, write_files_atomic
 from .dq import DQRule, profile_df, render_markdown_report, run_checks
@@ -134,7 +135,8 @@ class CopilotService:
         LIMIT n; `.limit()` composes the same cap plan-side)."""
         try:
             run = sql_run(self.spark, sql,
-                          row_limit=limit_override or 200)
+                          row_limit=limit_override
+                          or settings.sql.row_limit)
         except IncorrectQuestionError as exc:
             return {"error": str(exc), "status": 400}
         return {"plan": run.plan, "rows": run.preview}

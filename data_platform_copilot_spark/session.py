@@ -24,7 +24,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+from .config import settings
+
+# Env vars outrank the settings file (operator overrides at launch);
+# the settings tree supplies the validated defaults.
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(settings.spark.cpus))
 
 
 def get_spark(app_name: str = "data_platform_copilot_spark",
@@ -36,9 +40,10 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
     (DuckDB) uses naive-UTC timestamps, and the reference warehouse
     stores UTC (reference src/database/models.py:48-49).
     """
-    master = master or f"local[{DEFAULT_CPUS}]"
+    master = master or settings.spark.master or f"local[{DEFAULT_CPUS}]"
     n_shuffle = shuffle_partitions or int(os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_CPUS))
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        settings.spark.shuffle_partitions or DEFAULT_CPUS))
     builder = (
         SparkSession.builder
         .appName(app_name)
@@ -56,7 +61,8 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               settings.spark.driver_memory))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
