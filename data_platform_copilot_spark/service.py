@@ -167,6 +167,17 @@ class CopilotService:
         self._schema_docs_cache = None  # new table -> docs stale
         return out
 
+    # -- demo seed (reference query.http:164-169; handler absent there,
+    #    intended behavior implemented) --------------------------------------
+    def demo_seed_events(self, rows: int = 150_000) -> dict[str, Any]:
+        """Seed the deterministic demo ``events`` table at ``rows``
+        rows and register it in the session catalog."""
+        from .sources.seed import seed_events
+        df = seed_events(self.spark, rows)
+        df.createOrReplaceTempView("events")
+        self._schema_docs_cache = None  # new table -> docs stale
+        return {"table": "events", "rows": df.count(), "seeded": True}
+
 
 def _jsonable(row: dict[str, Any]) -> dict[str, Any]:
     return {k: (v.isoformat() if hasattr(v, "isoformat") else
@@ -190,8 +201,16 @@ def create_fastapi_app(service: CopilotService):
     app.post("/dq/check")(service.dq_check)
     app.post("/dbt/generate")(service.dbt_generate)
     app.post("/dbt/preview")(service.dbt_preview)
+    app.post("/dbt/write")(service.dbt_write)
     app.post("/namespace")(service.namespace_create)
     app.get("/namespace")(service.namespace_list)
     app.delete("/namespace/{id_}")(service.namespace_delete)
     app.post("/namespace/{namespace_id}/table")(service.table_register)
+    # table_upload is also the schema-docs cache invalidator — without
+    # this route the HTTP surface could never refresh stale docs after
+    # a new table (reference src/route/namespace_table.py).
+    app.post("/table/{table_id}/upload")(service.table_upload)
+    app.post("/schema/refresh")(
+        lambda: {"markdown": service.schema_docs(refresh=True)})
+    app.post("/demo/seed/events")(service.demo_seed_events)
     return app

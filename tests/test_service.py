@@ -119,3 +119,33 @@ class TestCatalogRoutes:
         assert spark.table("svc_ns.people").count() == 2
         service.namespace_delete(ns["id"])
         assert not any(r["id"] == ns["id"] for r in service.namespace_list())
+
+
+class TestDemoSeed:
+    def test_seed_events_and_profile(self, service):
+        """Reference query.http:164-169: seed 150k events, then
+        DQ-profile the seeded table."""
+        out = service.demo_seed_events(rows=150_000)
+        assert out == {"table": "events", "rows": 150_000, "seeded": True}
+        prof = service.dq_profile("events")["profile"]
+        assert prof["event_id"]["nulls"] == 0
+        assert set(prof) == {"event_id", "user_id", "event_type", "amount",
+                             "event_ts", "country", "device", "source"}
+        types = {t["value"] for t in prof["event_type"]["top_values"]}
+        assert types <= {"view", "click", "purchase", "signup", "refund"}
+        # deterministic: reseeding yields the identical table
+        service.demo_seed_events(rows=1000)
+        a = service.spark.table("events").orderBy("event_id").collect()
+        service.demo_seed_events(rows=1000)
+        b = service.spark.table("events").orderBy("event_id").collect()
+        assert a == b
+
+    def test_seed_rejects_nonpositive(self, service):
+        with pytest.raises(ValueError):
+            service.demo_seed_events(rows=0)
+
+    def test_seed_invalidates_schema_docs(self, service):
+        docs_before = service.schema_docs()
+        service.demo_seed_events(rows=100)
+        assert service._schema_docs_cache is None
+        assert docs_before  # cache had been populated before the seed
