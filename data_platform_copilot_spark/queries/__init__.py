@@ -18,5 +18,6 @@ from . import extras  # noqa: E402,F401
 from . import extras2  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import quality  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

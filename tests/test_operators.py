@@ -129,6 +129,27 @@ class TestEmbeddingDedup:
         assert want <= got, f"LSH missed planted dupes: {want - got}"
 
 
+class TestRepetitionSignals:
+    def test_known_answers(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            repetition_signals)
+        df = spark.createDataFrame(
+            [(1, "a a a b"),          # a=3/4; "a a"=2/3; trigrams: "a a a","a a b" distinct -> dup 0
+             (2, "x y x y x y"),      # x=3/6; "x y"=3/5; trigrams: xyx,yxy,xyx,yxy -> 2 distinct of 4 -> dup 0.5
+             (3, "q w")],             # no trigrams -> NULL dup frac
+            "doc_id long, text string")
+        out = {r["id"]: r for r in repetition_signals(
+            df, "doc_id", "text").collect()}
+        assert out[1]["top_token_share"] == pytest.approx(0.75)
+        assert out[1]["top_bigram_share"] == pytest.approx(2 / 3)
+        assert out[1]["dup_trigram_frac"] == pytest.approx(0.0)
+        assert out[2]["top_token_share"] == pytest.approx(0.5)
+        assert out[2]["top_bigram_share"] == pytest.approx(0.6)
+        assert out[2]["dup_trigram_frac"] == pytest.approx(0.5)
+        assert out[3]["dup_trigram_frac"] is None
+        assert out[3]["top_bigram_share"] == pytest.approx(1.0)
+
+
 class TestAsofJoin:
     def test_matches_pandas_merge_asof(self, spark):
         left = pd.DataFrame({
