@@ -54,3 +54,20 @@ def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=10, n_planes=8, tables=4, dim=64, seed=42)
     return out.select("query_id", "neighbor_id",
                       rnd("cosine", 4).alias("cosine"), "rank")
+
+
+@query("ann_ivf_topk")  # approximate + iterative index build: rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for the same 5 queries: deterministic
+    mini k-means coarse quantizer (16 cells, 2 Lloyd rounds), each
+    query probes its 8 nearest cells, exact cosine re-ranks. The
+    iterative index build is not SQL-expressible, so the driver
+    records a rows-only check; recall vs brute force is pinned in
+    tests."""
+    from ..operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, "vec_id", "embedding",
+                   k=10, n_clusters=16, n_probe=8, iters=2, dim=64)
+    return out.select("query_id", "neighbor_id",
+                      rnd("cosine", 4).alias("cosine"), "rank")

@@ -91,6 +91,28 @@ class TestAnn:
         recall = len(t & a) / len(t)
         assert recall >= 0.55, f"SRP-LSH recall too low: {recall:.2f}"
 
+    def test_ivf_recall_and_probe_scaling(self, spark, sf_dir):
+        """IVF with 8/16 cells probed must beat a recall floor on the
+        near-orthogonal corpus (hard case); probing ALL cells must be
+        exact (= brute force)."""
+        from data_platform_copilot_spark.operators.similarity import ivf_topk
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 5)
+        truth = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(emb, queries, "vec_id",
+                                           "embedding", k=10).collect()}
+        half = {(r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(emb, queries, "vec_id", "embedding",
+                                  k=10, n_clusters=16, n_probe=8,
+                                  iters=2).collect()}
+        recall = len(truth & half) / len(truth)
+        assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+        full = {(r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(emb, queries, "vec_id", "embedding",
+                                  k=10, n_clusters=16, n_probe=16,
+                                  iters=2).collect()}
+        assert full == truth
+
 
 class TestEmbeddingDedup:
     def test_blocked_gemm_equals_expression_pairs(self, spark, sf_dir):
