@@ -1,0 +1,61 @@
+"""Embedding storage operators: int8 scalar quantization.
+
+Training-data pipelines store billions of embeddings; symmetric int8
+quantization (q = round(x * 127 / max|x|), per-vector scale) cuts
+storage 4x and feeds int8 ANN kernels. Everything here is a pure
+column expression over the array (higher-order functions — zero
+Python, zero shuffle, linear scan at any scale).
+
+The rounding step is floor(x * scale + 0.5) — NOT engine round():
+half-up by construction, so Spark and the DuckDB oracle agree
+bit-for-bit on exact .5 products (engine round() semantics differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scale(vec: Column) -> Column:
+    return F.lit(127.0) / F.array_max(F.transform(vec, F.abs))
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, scale, qvec): symmetric per-vector int8 quantization.
+
+    ``scale`` is the dequant multiplier's inverse (x ~ q / scale);
+    all-zero vectors yield NULL scale and qvec (nothing to quantize).
+    """
+    v = F.col(vec_col)
+    scale = _scale(v)
+    qvec = F.transform(
+        v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def dequant_error(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, scale, q_l1, mean_abs_err): quantization fidelity metrics.
+
+    q_l1 is integer-exact (engine-portable without rounding); the
+    mean absolute dequantization error folds left-to-right in both
+    engines, so the double result is bit-identical.
+    """
+    v = F.col(vec_col)
+    scale = _scale(v)
+    qvec = F.transform(
+        v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    abs_err = F.zip_with(
+        qvec, v, lambda q, x: F.abs(q / scale - x))
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        F.aggregate(qvec, F.lit(0).cast("long"),
+                    lambda acc, q: acc + F.abs(q)).alias("q_l1"),
+        (F.aggregate(abs_err, F.lit(0.0), lambda acc, e: acc + e)
+         / F.size(v)).alias("mean_abs_err"),
+    )

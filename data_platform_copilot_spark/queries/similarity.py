@@ -71,3 +71,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    k=10, n_clusters=16, n_probe=8, iters=2, dim=64)
     return out.select("query_id", "neighbor_id",
                       rnd("cosine", 4).alias("cosine"), "rank")
+
+
+@query("embedding_quantize_int8", oracle="""
+WITH s AS (
+    SELECT vec_id,
+           CAST(127.0 AS DOUBLE)
+           / CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) AS scale,
+           embedding
+    FROM embeddings
+), q AS (
+    SELECT vec_id, scale,
+           list_transform(embedding,
+                          x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv,
+           embedding
+    FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       round(list_sum(list_transform(
+                 list_zip(qv, embedding),
+                 p -> abs(p[1] / scale - p[2])))
+             / len(embedding), 6) AS mean_abs_err
+FROM q
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization fidelity over the embeddings
+    table: per-vector scale, integer-exact |q| mass, and mean
+    absolute dequantization error — all value-verified (half-up
+    rounding by construction avoids engine round() divergence)."""
+    from ..operators.embeddings import dequant_error
+    out = dequant_error(_t(spark, sf_dir, "embeddings"),
+                        "vec_id", "embedding")
+    return out.select(
+        out["id"].alias("vec_id"),
+        rnd("scale", 6).alias("scale"),
+        "q_l1",
+        rnd("mean_abs_err", 6).alias("mean_abs_err"),
+    )

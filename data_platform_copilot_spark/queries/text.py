@@ -47,25 +47,37 @@ def _duck_lang_case() -> str:
     return "CASE " + " ".join(clauses) + " ELSE 'und' END"
 
 
+# BPE-ish pre-tokenizer: alphanumeric runs OR single symbols — the
+# split-points a byte-pair tokenizer starts from. Same semantics in
+# Java regex and DuckDB's RE2.
+_SUBWORD_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
 @query("text_token_stats", oracle=f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all({_NORM}, '{_SUBWORD_RE}'))
+            AS BIGINT) AS n_subword_tokens,
        CAST(length({_NORM}) AS BIGINT) AS n_chars_norm,
        round(CAST(list_sum(list_transform({_TOKS}, x -> length(x)))
                   AS DOUBLE) / len({_TOKS}), 4) AS avg_token_len
 FROM documents
 """)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + mean token length.
+    """Token counting: whitespace tokens, BPE-ish pre-token count
+    (alnum runs | single symbols), mean token length.
     Zero shuffles — pure per-row expressions at any scale."""
     d = spread(_t(spark, sf_dir, "documents"))
+    norm = normalize_text(F.col("text"))
     toks = tokens(F.col("text"))
     tok_len_sum = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.length(normalize_text(F.col("text"))).cast("long").alias("n_chars_norm"),
+        F.size(F.regexp_extract_all(norm, F.lit(_SUBWORD_RE), 0))
+         .cast("long").alias("n_subword_tokens"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
         rnd(tok_len_sum.cast("double") / F.size(toks), 4).alias("avg_token_len"),
     )
 

@@ -1,10 +1,12 @@
 from .events import (
+    run_streaming_dedup,
     run_streaming_sessionization,
     run_streaming_tumbling_agg,
     streaming_events_source,
 )
 
 __all__ = [
+    "run_streaming_dedup",
     "run_streaming_sessionization",
     "run_streaming_tumbling_agg",
     "streaming_events_source",

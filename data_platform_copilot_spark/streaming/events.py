@@ -109,3 +109,28 @@ def run_streaming_sessionization(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str,
+                        keys: tuple[str, ...] = ("user_id", "event_type"),
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: ``withWatermark + dropDuplicates`` — the
+    continuous-ingest twin of the batch exact-dedup operator (keep the
+    first event per key set; the watermark bounds the dedup state so
+    keys older than the horizon are evicted instead of growing state
+    forever — the property that makes this runnable on an unbounded
+    100 TB/day stream). Append mode: each surviving first-arrival is
+    emitted exactly once."""
+    stream = streaming_events_source(spark, sf_dir)
+    deduped = (stream
+               .withWatermark("ts", watermark)
+               .dropDuplicates([*keys])
+               .select(*keys, "ts"))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -53,3 +53,20 @@ def test_stateful_user_totals_match_batch(spark, sf_dir):
     assert (g["n_events"] == e["n_events"]).all()
     assert (abs(g["total_value"] - e["total_value"]) < 0.02).all()
     assert (g["last_ts"] == e["last_ts"]).all()
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    """withWatermark + dropDuplicates on the bounded stream must keep
+    exactly one event per key set — same key set as batch distinct."""
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.sources import load_table
+    from data_platform_copilot_spark.streaming import run_streaming_dedup
+
+    got = run_streaming_dedup(spark, sf_dir).toPandas()
+    assert len(got) == len(got.drop_duplicates(["user_id", "event_type"]))
+    batch_keys = {(r["user_id"], r["event_type"])
+                  for r in load_table(spark, sf_dir, "events")
+                  .select("user_id", "event_type").distinct().collect()}
+    stream_keys = set(map(tuple, got[["user_id", "event_type"]].values))
+    assert stream_keys == batch_keys
