@@ -40,6 +40,72 @@ def _grams(toks: Column, n: int, kind: int) -> Column:
             F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]).alias("g")))
 
 
+# PII patterns shared with the oracle — RE2-compatible (no lookarounds)
+# so Java regex (Spark) and RE2 (DuckDB) agree on every match.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\+?[0-9][0-9-]{6,}[0-9]",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Append per-kind PII counts and a redacted text column.
+
+    The scrubbing pass every pretraining pipeline runs before
+    training: emails, phone numbers and IPs are replaced by typed
+    placeholders (<EMAIL>/<PHONE>/<IP>), counts per kind kept for
+    filtering/reporting. Pure regexp expressions — codegen'd, zero
+    shuffle, linear scan. Redaction order is email -> phone -> ip
+    (fixed, since the patterns could otherwise nest).
+    """
+    red = F.col(text_col)
+    for kind in ("email", "phone", "ip"):
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    out = df
+    for kind in ("email", "phone", "ip"):
+        out = out.withColumn(
+            f"n_{kind}s",
+            F.size(F.regexp_extract_all(
+                F.col(text_col), F.lit(PII_PATTERNS[kind]), 0)).cast("long"))
+    return out.withColumn("redacted", red)
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping token windows (the
+    context-length chunking step before tokenization/packing).
+
+    Output: (id, chunk_idx, start_token, n_tokens, chunk_text) — one
+    row per window; windows start every ``chunk_tokens - overlap``
+    tokens, the last may be short. Pure expressions + one explode:
+    embarrassingly parallel, no shuffle, linear in corpus size.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    out = (
+        spread(df)
+        .where(F.size(toks) >= 1)
+        .select(F.col(id_col).alias("id"), toks.alias("t"))
+        .select("id", "t",
+                F.explode(F.sequence(F.lit(1), F.size("t"),
+                                     F.lit(step))).alias("start"))
+        .select(
+            "id",
+            ((F.col("start") - 1) / step).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_token"),
+            F.slice("t", F.col("start"), chunk_tokens).alias("chunk"))
+    )
+    return out.select(
+        "id", "chunk_idx", "start_token",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )
+
+
 def repetition_signals(df: DataFrame, id_col: str,
                        text_col: str) -> DataFrame:
     """(id, top_token_share, top_bigram_share, dup_trigram_frac).

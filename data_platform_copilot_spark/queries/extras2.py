@@ -165,3 +165,29 @@ def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
              rnd(F.max("o_totalprice"), 2).alias("biggest_total"),
              F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"))
     )
+
+
+@query("window_distribution_funcs", oracle="""
+SELECT c_custkey,
+       c_mktsegment AS segment,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey)
+""")
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) per market segment — deterministic tie-break on the
+    key so both engines rank identically."""
+    w = (W.partitionBy("c_mktsegment")
+         .orderBy("c_acctbal", "c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey",
+                F.col("c_mktsegment").alias("segment"),
+                F.ntile(4).over(w).cast("long").alias("quartile"),
+                rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+                rnd(F.cume_dist().over(w), 6).alias("cum_dist"))
+    )

@@ -50,3 +50,86 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("top_bigram_share", 4).alias("top_bigram_share"),
         rnd("dup_trigram_frac", 4).alias("dup_trigram_frac"),
     )
+
+
+_CHUNK, _OVERLAP = 32, 8
+_STEP = _CHUNK - _OVERLAP
+
+
+@query("doc_chunking", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), starts AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1, {_STEP})) AS start
+    FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) / {_STEP} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(len(list_slice(t, start, start + {_CHUNK} - 1))
+            AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(t, start, start + {_CHUNK} - 1), ' '))
+           AS chunk_fp
+FROM starts
+""")
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (32-token windows, 8-token overlap):
+    every window's position, length and content fingerprint
+    value-verify against DuckDB replaying the identical slicing."""
+    from ..operators.quality import chunk_documents
+    from pyspark.sql import functions as F
+    ch = chunk_documents(_t(spark, sf_dir, "documents"),
+                         "doc_id", "text",
+                         chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    return ch.select(
+        ch["id"].alias("doc_id"), "chunk_idx", "start_token", "n_tokens",
+        F.md5("chunk_text").alias("chunk_fp"))
+
+
+@query("pii_redaction", oracle="""
+WITH corpus AS (
+    SELECT i AS rec_id,
+           'contact user' || i || ' at user' || i ||
+           '@example.com or +1-555-' || (1000 + i % 9000) ||
+           ' from host 10.' || (i % 256) || '.' || ((i * 7) % 256) ||
+           '.' || ((i * 13) % 256) AS text
+    FROM range(0, 200) t(i)
+)
+SELECT rec_id,
+       CAST(len(regexp_extract_all(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text,
+           '\\+?[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text,
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+           AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g'),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+           '<IP>', 'g')) AS redacted_fp
+FROM corpus
+""")
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministic synthetic corpus (emails,
+    phones, IPs planted per row): per-kind counts and the md5 of the
+    redacted text value-verify that both engines found and replaced
+    the exact same spans."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import redact_pii
+    corpus = (spark.range(200)
+              .select(F.col("id").alias("rec_id"),
+                      F.concat(
+                          F.lit("contact user"), F.col("id"),
+                          F.lit(" at user"), F.col("id"),
+                          F.lit("@example.com or +1-555-"),
+                          (F.lit(1000) + F.col("id") % 9000),
+                          F.lit(" from host 10."), F.col("id") % 256,
+                          F.lit("."), (F.col("id") * 7) % 256,
+                          F.lit("."), (F.col("id") * 13) % 256,
+                      ).alias("text")))
+    out = redact_pii(corpus, "text")
+    return out.select("rec_id", "n_emails", "n_phones", "n_ips",
+                      F.md5("redacted").alias("redacted_fp"))
