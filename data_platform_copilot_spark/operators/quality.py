@@ -106,6 +106,38 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def pack_chunks(chunks: DataFrame, id_col: str, idx_col: str,
+                tokens_col: str, capacity: int = 512,
+                shards: int = 8) -> DataFrame:
+    """Concat-and-cut sequence packing: assign every chunk a training
+    bin so each bin holds ``capacity`` tokens (the packing step that
+    turns chunked documents into fixed-length training sequences —
+    concatenate in order, cut every ``capacity`` tokens).
+
+    Chunks hash into ``shards`` independent streams (md5-derived so
+    any engine reproduces the assignment); within a shard a window
+    cumsum gives each chunk its token offset and bin = offset div
+    capacity. One shuffle, keyed on the shard; each shard packs
+    sequentially (the operation is order-defined) but shards pack in
+    parallel — at 100 TB, shards = O(cluster cores) keeps every task
+    busy while preserving a deterministic, reproducible packing.
+    """
+    from pyspark.sql import Window as W
+    shard = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6),
+                    16, 10).cast("long") % shards)
+    w = (W.partitionBy("shard").orderBy(id_col, idx_col)
+         .rowsBetween(W.unboundedPreceding, -1))
+    return (
+        chunks
+        .withColumn("shard", shard)
+        .withColumn("token_offset",
+                    F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+                    .cast("long"))
+        .withColumn("bin",
+                    F.floor(F.col("token_offset") / capacity).cast("long"))
+    )
+
+
 def repetition_signals(df: DataFrame, id_col: str,
                        text_col: str) -> DataFrame:
     """(id, top_token_share, top_bigram_share, dup_trigram_frac).

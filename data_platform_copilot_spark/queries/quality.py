@@ -133,3 +133,52 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = redact_pii(corpus, "text")
     return out.select("rec_id", "n_emails", "n_phones", "n_ips",
                       F.md5("redacted").alias("redacted_fp"))
+
+
+_HEXP = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+    f"{i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+    for i in range(6))
+
+
+@query("chunk_packing", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), starts AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1, {_STEP})) AS start
+    FROM toks
+), ch AS (
+    SELECT doc_id,
+           CAST((start - 1) / {_STEP} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, start, start + {_CHUNK} - 1))
+                AS BIGINT) AS n_tokens,
+           ({_HEXP}) % 8 AS shard
+    FROM starts
+), o AS (
+    SELECT doc_id, chunk_idx, n_tokens, shard,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS token_offset
+    FROM ch
+)
+SELECT doc_id, chunk_idx,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(token_offset AS BIGINT) AS token_offset,
+       CAST(floor(token_offset / 512) AS BIGINT) AS bin
+FROM o
+""")
+def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut packing of the 32-token chunks into 512-token
+    training bins across 8 deterministic shards; every chunk's shard,
+    token offset and bin value-verify against DuckDB replaying the
+    identical cumsum."""
+    from ..operators.quality import chunk_documents, pack_chunks
+    ch = chunk_documents(_t(spark, sf_dir, "documents"),
+                         "doc_id", "text",
+                         chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    packed = pack_chunks(ch, "id", "chunk_idx", "n_tokens",
+                         capacity=512, shards=8)
+    return packed.select(
+        packed["id"].alias("doc_id"), "chunk_idx", "shard",
+        "token_offset", "bin")
