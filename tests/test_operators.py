@@ -253,3 +253,54 @@ class TestSampling:
         assert rep["total"] == ev.count()
         assert 0.15 < rep["max_share"] < 0.35
         assert len(rep["top"]) == 3
+
+
+class TestChunkingAndPacking:
+    def test_chunks_reconstruct_document(self, spark):
+        """Stripping the overlap from consecutive chunks must
+        reconstruct the normalized document exactly."""
+        from data_platform_copilot_spark.operators.quality import (
+            chunk_documents)
+        text = " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(chunk_documents(df, "doc_id", "text",
+                                      chunk_tokens=32, overlap=8).collect(),
+                      key=lambda r: r["chunk_idx"])
+        rebuilt = rows[0]["chunk_text"].split(" ")
+        for r in rows[1:]:
+            rebuilt += r["chunk_text"].split(" ")[8:]
+        assert rebuilt == text.split(" ")
+        # each chunk spans min(32, remaining) tokens from its start
+        assert all(r["n_tokens"] == min(32, 100 - r["start_token"] + 1)
+                   for r in rows)
+
+    def test_packing_bins_fill_to_capacity(self, spark, sf_dir):
+        """Within a shard, every bin except the last must reach
+        capacity (concat-and-cut leaves no slack)."""
+        from data_platform_copilot_spark.operators.quality import (
+            chunk_documents, pack_chunks)
+        docs = load_table(spark, sf_dir, "documents")
+        ch = chunk_documents(docs, "doc_id", "text",
+                             chunk_tokens=32, overlap=8)
+        packed = pack_chunks(ch, "id", "chunk_idx", "n_tokens",
+                             capacity=512, shards=4).toPandas()
+        for shard, grp in packed.groupby("shard"):
+            grp = grp.sort_values(["id", "chunk_idx"])
+            last_bin = grp["bin"].max()
+            spans = grp[grp["bin"] < last_bin]
+            if len(spans):
+                # last chunk of each non-final bin crosses the cut
+                ends = spans.groupby("bin").tail(1)
+                assert ((ends["token_offset"] + ends["n_tokens"])
+                        >= (ends["bin"] + 1) * 512).all()
+
+    def test_quantization_error_bound(self, spark, sf_dir):
+        """Dequant error per element is bounded by 0.5/scale, so the
+        mean must be too."""
+        from data_platform_copilot_spark.operators.embeddings import (
+            dequant_error)
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = dequant_error(emb, "vec_id", "embedding").collect()
+        assert out
+        for r in out:
+            assert r["mean_abs_err"] <= 0.5 / r["scale"] + 1e-12
