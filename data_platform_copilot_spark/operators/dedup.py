@@ -124,7 +124,8 @@ def _mh_coeffs(i: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16,
+                       carry_shingles: bool = False) -> DataFrame:
     """Wide MinHash signatures: (id, mh0 .. mh{k-1}).
 
     One md5 per shingle supplies 32 uniform bits x =
@@ -138,7 +139,11 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     All k mins compute as k aggregate expressions in ONE groupBy(id):
     the shuffle carries |shingles| rows once, not k times. The
     shingle-set size rides along as a free extra aggregate so Jaccard
-    verification needs no second pass over the shingles."""
+    verification needs no second pass over the shingles; with
+    ``carry_shingles`` the set itself rides along too (same shuffled
+    bytes, packed as one array per doc), letting candidate
+    verification run as array_intersect over two tiny per-doc joins
+    instead of re-joining the exploded shingle table twice."""
     x = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     aggs = []
     for i in range(num_hashes):
@@ -146,6 +151,10 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
         aggs.append(F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MH_PRIME))
                     .alias(f"mh{i}"))
     aggs.append(F.count("*").alias("size"))
+    if carry_shingles:
+        # input shingles are already distinct per doc (shingles()
+        # dedupes in-row), so collect_list IS the set
+        aggs.append(F.collect_list("shingle").alias("shingles"))
     return sh.groupBy("id").agg(*aggs)
 
 

@@ -129,28 +129,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale path: banding turns all-pairs similarity into
     equi-joins on (band, bucket); verification touches only
-    colliding pairs. md5-string minhash keeps it oracle-portable."""
+    colliding pairs. The shingle SET rides the signature aggregation
+    (same shuffled bytes, packed as one array per doc), so verify is
+    array_intersect over two per-doc joins against the 1-row-per-doc
+    signature table — the exploded shingle table is never re-joined
+    and nothing needs a persist."""
     docs = _t(spark, sf_dir, "documents")
-    # The shingle set feeds three consumers (signatures + both sides
-    # of the verification join) — persist it so the explode runs once
-    # (LRU-evicted; ~40% of query time at sf0.1).
-    sh = shingles(docs, "doc_id", "text", n=3).persist()
-    sig = minhash_signatures(sh, num_hashes=16)
+    sh = shingles(docs, "doc_id", "text", n=3)
+    # one row per doc (tiny): persist it — the three consumers below
+    # (banding + both verification sides) then reuse one explode+agg
+    sig = minhash_signatures(sh, num_hashes=16,
+                             carry_shingles=True).persist()
     cand = lsh_candidate_pairs(sig, bands=4)
-    # Verify ONLY colliding pairs: join the shingle sets of the two
-    # sides of each candidate — never the all-pairs jaccard.
-    sha = sh.select(F.col("id").alias("id_a"), "shingle")
-    shb = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cand.join(sha, "id_a").join(shb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
-    )
-    # set sizes ride along on the signature aggregation — no extra pass
-    sizes = sig.select("id", "size")
+    a = sig.select(F.col("id").alias("id_a"),
+                   F.col("shingles").alias("sa"),
+                   F.col("size").alias("size_a"))
+    b = sig.select(F.col("id").alias("id_b"),
+                   F.col("shingles").alias("sb"),
+                   F.col("size").alias("size_b"))
     verified = (
-        common
-        .join(sizes.withColumnsRenamed({"id": "id_a", "size": "size_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "size": "size_b"}), "id_b")
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.col("common") /
                     (F.col("size_a") + F.col("size_b") - F.col("common")))
         .where(F.col("jaccard") >= 0.7)
