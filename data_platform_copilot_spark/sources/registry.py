@@ -53,7 +53,11 @@ def warm_tables(spark: SparkSession, sf_dir: str,
         key = (app, sf_dir, name)
         if key in _WARM:
             continue
-        df = load_table(spark, sf_dir, name)
+        # Persist the SPREAD layout: the testdata files are single
+        # row-group (1 partition); caching them pre-repartitioned
+        # means every downstream spread() is a no-op and parallel
+        # stages start parallel.
+        df = spread(load_table(spark, sf_dir, name))
         if persist:
             df = df.persist()
             df.count()
