@@ -216,3 +216,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.45)
     return pairs.select("id_a", "id_b", rnd("cosine", 4).alias("cosine"))
+
+
+@query("dedup_clusters",
+       oracle=_DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks")
+       + """
+, sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+), near AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.size + sb.size - common) >= 0.8
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM near
+    UNION
+    SELECT id_b, id_a FROM near
+), reach(node, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup clusters: min-label propagation labels
+    every involved doc with its component representative. The DuckDB
+    oracle computes the same components via a recursive
+    transitive-closure CTE — two entirely different algorithms, one
+    answer."""
+    from ..operators.graph import connected_components
+    sh = shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    near = jaccard_pairs(sh, threshold=0.8).select("id_a", "id_b")
+    cc = connected_components(near)
+    return cc.select(cc["id"].alias("doc_id"),
+                     cc["cluster"].cast("long").alias("cluster_id"))

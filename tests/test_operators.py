@@ -304,3 +304,16 @@ class TestChunkingAndPacking:
         assert out
         for r in out:
             assert r["mean_abs_err"] <= 0.5 / r["scale"] + 1e-12
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from data_platform_copilot_spark.operators.graph import (
+            connected_components)
+        # chain 1-2-3-4-5 (diameter 4: needs multiple rounds) + island 10-11
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+            "id_a long, id_b long")
+        got = {r["id"]: r["cluster"]
+               for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
