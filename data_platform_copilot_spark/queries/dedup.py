@@ -256,3 +256,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(near)
     return cc.select(cc["id"].alias("doc_id"),
                      cc["cluster"].cast("long").alias("cluster_id"))
+
+
+@query("dedup_keeper_selection",
+       oracle=_DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks")
+       + """
+, sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+), near AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.size + sb.size - common) >= 0.8
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM near
+    UNION
+    SELECT id_b, id_a FROM near
+), reach(node, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+), clusters AS (
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+), sized AS (
+    SELECT c.doc_id, c.cluster_id, len(t) AS n_tokens
+    FROM clusters c JOIN toks ON toks.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_tokens DESC, doc_id) = 1 AS is_keeper
+FROM sized
+""")
+def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: every clustered doc marked keeper or drop.
+    Policy: keep the longest version (token count), tie-break lowest
+    id — the standard near-dup survivorship rule. Composition of
+    connected_components over >=0.8 jaccard pairs with a per-cluster
+    ranking window."""
+    from pyspark.sql import Window as W
+
+    from ..operators.graph import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    near = jaccard_pairs(sh, threshold=0.8).select("id_a", "id_b")
+    cc = connected_components(near)
+    from ..functions.text import tokens
+    sized = (cc.join(docs.select("doc_id",
+                                 F.size(tokens(F.col("text")))
+                                 .cast("long").alias("n_tokens")),
+                     cc["id"] == F.col("doc_id"))
+             .select("doc_id", F.col("cluster").cast("long")
+                     .alias("cluster_id"), "n_tokens"))
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "doc_id")
+    return sized.withColumn("is_keeper", F.row_number().over(w) == 1)
