@@ -6,7 +6,7 @@ Prints ONE JSON line:
 
 Each query is executed with the noop sink (full compute, no driver
 materialization cost) after a warmup that absorbs JVM startup, table
-listing and the Python-worker pool spawn. Each query runs twice and
+listing and the Python-worker pool spawn. Each query runs three times and
 reports the faster run: the first execution pays one-time
 whole-stage-codegen compilation + JIT (measured 6s -> 0.45s on the
 regex-heavy text query), a fixed cost that is irrelevant at any real
@@ -68,7 +68,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
