@@ -56,6 +56,38 @@ def deterministic_stratified_sample(df: DataFrame, stratum_col: str,
     return df.where(bucket < cutoff)
 
 
+def domain_mix_sample(df: DataFrame, domain_col: str, key_col: str,
+                      target_mix: dict) -> DataFrame:
+    """Sample the LARGEST subset matching a target domain mixture.
+
+    ``target_mix`` = {domain: share} (shares sum to 1). The feasible
+    scale is K = min over domains of count_d / share_d (the scarcest
+    domain caps the mixture); each domain then samples at rate
+    K * share_d / count_d via the deterministic md5 rule — the
+    domain-reweighting step of training-data curation (e.g. upweight
+    code, downweight web), exactly re-derivable in any engine.
+    Domains absent from ``target_mix`` are dropped. Fully lazy: the
+    rate table is a broadcast DataFrame, never collected.
+    """
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        [(d, float(s)) for d, s in target_mix.items()],
+        f"{domain_col} string, __share double")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    joined = counts.join(F.broadcast(shares), domain_col)
+    k = joined.agg(F.min(F.col("__n") / F.col("__share")).alias("__k"))
+    rates = (joined.crossJoin(F.broadcast(k))
+             .select(domain_col,
+                     F.least(F.lit(1.0),
+                             F.col("__k") * F.col("__share")
+                             / F.col("__n")).alias("__rate")))
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
+                    16, 10).cast("long") % 1_000_000
+    return (df.join(F.broadcast(rates), domain_col)
+            .where(bucket < F.col("__rate") * 1_000_000)
+            .drop("__rate"))
+
+
 def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> dict:
     """Skew diagnosis: {n_keys, total, max_share, p99_to_median, top}.
 

@@ -58,3 +58,44 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cust, "c_mktsegment", "c_custkey", _FRACTIONS)
             .groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(F.count("*").alias("n_sampled")))
+
+
+_MIX = {"BUILDING": 0.4, "MACHINERY": 0.3, "AUTOMOBILE": 0.2,
+        "FURNITURE": 0.1}
+
+_MIX_SHARES = " UNION ALL ".join(
+    f"SELECT '{seg}' AS c_mktsegment, {share} AS share"
+    for seg, share in _MIX.items())
+
+
+@query("domain_mix_sample_counts", oracle=f"""
+WITH shares AS ({_MIX_SHARES}),
+counts AS (
+    SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1
+), joined AS (
+    SELECT counts.c_mktsegment, n, share
+    FROM counts JOIN shares USING (c_mktsegment)
+), k AS (
+    SELECT min(n / share) AS kk FROM joined
+), rates AS (
+    SELECT c_mktsegment, least(1.0, kk * share / n) AS rate
+    FROM joined, k
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_sampled
+FROM customer c
+JOIN rates r USING (c_mktsegment)
+WHERE ({_HEX_POLY}) % 1000000 < r.rate * 1000000
+GROUP BY 1
+""")
+def domain_mix_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: sample the largest customer subset
+    matching a 40/30/20/10 segment mix (HOUSEHOLD dropped — not in
+    the mix) via the deterministic md5 rule; per-segment counts
+    value-verify against DuckDB replaying the identical rate math and
+    predicate."""
+    from ..operators.sampling import domain_mix_sample
+    cust = _t(spark, sf_dir, "customer")
+    return (domain_mix_sample(cust, "c_mktsegment", "c_custkey", _MIX)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_sampled")))

@@ -317,3 +317,20 @@ class TestConnectedComponents:
         got = {r["id"]: r["cluster"]
                for r in connected_components(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+class TestDomainMixSample:
+    def test_mixture_approximates_target(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.sampling import (
+            domain_mix_sample)
+        mix = {"BUILDING": 0.4, "MACHINERY": 0.3, "AUTOMOBILE": 0.2,
+               "FURNITURE": 0.1}
+        cust = load_table(spark, sf_dir, "customer")
+        out = (domain_mix_sample(cust, "c_mktsegment", "c_custkey", mix)
+               .groupBy("c_mktsegment").count().collect())
+        counts = {r["c_mktsegment"]: r["count"] for r in out}
+        assert set(counts) == set(mix)  # HOUSEHOLD dropped
+        total = sum(counts.values())
+        for seg, share in mix.items():
+            got = counts[seg] / total
+            assert abs(got - share) < 0.05, f"{seg}: {got:.3f} vs {share}"

@@ -111,3 +111,21 @@ class TestNoPythonInHotPath:
             df = embedding_near_duplicates(
                 emb, "vec_id", "embedding", threshold=0.9, method=method)
             df.explain(mode="cost")  # force analysis + optimization, no exec
+
+
+class TestPipelineOperatorShapes:
+    """The r2 training-pipeline operators must keep their designed
+    shuffle budgets (keyed exchanges = hashpartitioning)."""
+
+    def test_chunking_has_no_keyed_shuffle(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "doc_chunking")
+        assert "hashpartitioning" not in plan  # pure map + explode
+
+    def test_repetition_signals_two_keyed_shuffles(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "text_repetition_signals")
+        # groupBy(id, kind, gram) + groupBy(id) — nothing else
+        assert plan.count("hashpartitioning") == 2
+
+    def test_packing_single_keyed_shuffle(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "chunk_packing")
+        assert plan.count("hashpartitioning") == 1  # the shard window
