@@ -153,3 +153,44 @@ class TestScd2:
         t = sorted(map(tuple, twice.collect()))
         assert o == t
         assert twice.where("valid_from = valid_to").count() == 0
+
+
+class TestReadConnectors:
+    def test_cross_format_roundtrip(self, spark, sf_dir, tmp_path):
+        from data_platform_copilot_spark.sources.connectors import (
+            read_table_any)
+        from data_platform_copilot_spark.sources.sinks import write_table
+        src = load_table(spark, sf_dir, "nation")
+        want = sorted(map(tuple, src.collect()))
+        schema = src.schema
+        for fmt in ("parquet", "csv", "json", "orc"):
+            path = str(tmp_path / fmt)
+            write_table(src, path, fmt=fmt)
+            got = read_table_any(
+                spark, path, fmt=fmt,
+                schema=schema if fmt in ("csv", "json") else None)
+            assert sorted(map(tuple, got.collect())) == want, fmt
+
+    def test_text_formats_require_schema(self, spark, tmp_path):
+        from data_platform_copilot_spark.sources.connectors import (
+            read_table_any)
+        with pytest.raises(ValueError, match="schema"):
+            read_table_any(spark, str(tmp_path), fmt="csv")
+
+    def test_jdbc_reader_contract(self, spark):
+        from data_platform_copilot_spark.sources.connectors import (
+            jdbc_options, jdbc_reader, postgres_url)
+        url = postgres_url("db.example", 5432, "warehouse")
+        assert url == "jdbc:postgresql://db.example:5432/warehouse"
+        opts = jdbc_options(url, "events", user="u", password="p",
+                            partition_column="event_id", lower_bound=0,
+                            upper_bound=1_000_000, num_partitions=32)
+        assert opts["url"] == url and opts["dbtable"] == "events"
+        assert opts["partitionColumn"] == "event_id"
+        assert opts["numPartitions"] == "32"
+        # reader builds from the same validated map without a driver
+        assert jdbc_reader(spark, url, "events", user="u") is not None
+        with pytest.raises(ValueError, match="requires"):
+            jdbc_options(url, "t", partition_column="id")
+        with pytest.raises(ValueError, match="jdbc"):
+            jdbc_options("postgresql://nope", "t")
