@@ -191,3 +191,26 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
                 rnd(F.cume_dist().over(w), 6).alias("cum_dist"))
     )
+
+
+@query("group_by_all_syntax", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+""")
+def group_by_all_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the modern shorthand both Spark 4
+    and DuckDB accept) — run as literal SQL text through the session
+    catalog to pin the SQL-surface support itself."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice) * 100, 0) / 100 AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
