@@ -134,3 +134,36 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_enriched_agg(spark: SparkSession, sf_dir: str,
+                               watermark: str = "1 hour") -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (no state, no watermark needed on the static side —
+    Spark re-plans the dim per micro-batch, which at scale is the
+    broadcast-refresh pattern for slowly-changing lookups), then
+    aggregates per enriched group. Returns the final result of the
+    bounded run."""
+    stream = streaming_events_source(spark, sf_dir)
+    # deterministic user->segment dimension (derived, engine-free)
+    dim = (spark.range(100_000)
+           .select(F.col("id").alias("user_id"),
+                   F.concat(F.lit("seg_"), (F.col("id") % 4))
+                   .alias("segment")))
+    agg = (
+        stream
+        .withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "segment")
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "segment", "n")
+    )
+    name = f"stream_enriched_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -81,3 +81,41 @@ def run_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (result.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1).drop("rn"))
+
+
+def run_streaming_scd2_upsert(spark, sf_dir: str):
+    """Streaming CDC -> SCD2: every micro-batch folds into the history
+    table via foreachBatch(scd2_merge) — the continuous-upsert pattern
+    (with Delta this body becomes MERGE INTO; the per-batch dedup and
+    merge semantics are identical). Within a batch only each key's
+    LATEST row applies (CDC batch compaction); scd2_merge's
+    idempotency makes micro-batch replays safe. Returns the final
+    history DataFrame of the bounded run."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..operators.scd import scd2_init, scd2_merge
+    from .events import streaming_events_source
+
+    stream = (streaming_events_source(spark, sf_dir)
+              .select("user_id", "value", "ts"))
+    state = {"hist": None}
+
+    def upsert(batch, _bid):
+        latest = (batch.withColumn(
+            "__rn", F.row_number().over(
+                W.partitionBy("user_id")
+                .orderBy(F.desc("ts"), F.desc("value"))))
+            .where("__rn = 1").drop("__rn"))
+        if state["hist"] is None:
+            state["hist"] = scd2_init(latest, "user_id", "ts").localCheckpoint()
+        else:
+            state["hist"] = scd2_merge(
+                state["hist"], latest, "user_id", "ts").localCheckpoint()
+
+    q = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return state["hist"]

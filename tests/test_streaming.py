@@ -70,3 +70,57 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
                   .select("user_id", "event_type").distinct().collect()}
     stream_keys = set(map(tuple, got[["user_id", "event_type"]].values))
     assert stream_keys == batch_keys
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.sources import load_table
+    from data_platform_copilot_spark.streaming import (
+        run_streaming_enriched_agg,
+    )
+
+    got = run_streaming_enriched_agg(spark, sf_dir).toPandas()
+    dim = (spark.range(100_000)
+           .select(F.col("id").alias("user_id"),
+                   F.concat(F.lit("seg_"), (F.col("id") % 4))
+                   .alias("segment")))
+    exp = (load_table(spark, sf_dir, "events")
+           .join(dim, "user_id")
+           .groupBy(F.window("ts", "6 hours").alias("w"), "segment")
+           .agg(F.count("*").alias("n"))
+           .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                   .alias("window_start"), "segment", "n")
+           .toPandas())
+    key = ["window_start", "segment"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert g.equals(e)
+
+
+def test_streaming_scd2_upsert_current_state(spark, sf_dir):
+    """foreachBatch CDC: the final open rows must be each user's
+    latest (ts, value) regardless of micro-batch boundaries, with no
+    zero-length versions."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.sources import load_table
+    from data_platform_copilot_spark.streaming.stateful import (
+        run_streaming_scd2_upsert,
+    )
+
+    hist = run_streaming_scd2_upsert(spark, sf_dir)
+    cur = (hist.where("is_current")
+           .select("user_id", "value", "ts").toPandas())
+    latest = (load_table(spark, sf_dir, "events")
+              .withColumn("__rn", F.row_number().over(
+                  W.partitionBy("user_id")
+                  .orderBy(F.desc("ts"), F.desc("value"))))
+              .where("__rn = 1")
+              .select("user_id", "value", "ts").toPandas())
+    k = ["user_id"]
+    c = cur.sort_values(k).reset_index(drop=True)
+    l = latest.sort_values(k).reset_index(drop=True)
+    assert c.equals(l)
+    assert hist.where("valid_from = valid_to").count() == 0
