@@ -33,3 +33,31 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"nation", "revenue"}
+
+def test_driver_gate_covers_pipeline_pack():
+    """The driver verifies list(queries())[:50]; the LLM-pipeline entries
+    must sit inside that window (r2 verdict task #1)."""
+    import __spark_entry__ as e
+    gate = list(e.queries())[:50]
+    must_have = {
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
+        "dedup_keeper_selection", "ann_bruteforce_topk", "ann_srp_lsh_topk",
+        "ann_ivf_topk", "embedding_quantize_int8",
+        "deterministic_hash_sample", "stratified_sample_counts",
+        "domain_mix_sample_counts", "multimodal_features",
+        "text_repetition_signals", "doc_chunking", "chunk_packing",
+        "pii_redaction", "sessionization_gaps", "tumbling_window_1h",
+        "asof_join_purchase_click", "range_join_price_bands",
+        "flagship_revenue_by_nation",
+    }
+    missing = must_have - set(gate)
+    assert not missing, f"pipeline entries outside driver gate: {sorted(missing)}"
+
+
+def test_registry_order_is_deterministic():
+    import importlib
+    import data_platform_copilot_spark.queries as q
+    first = list(q.QUERIES)
+    importlib.reload(q)
+    assert list(q.QUERIES) == first
