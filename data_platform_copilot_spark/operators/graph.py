@@ -2,21 +2,37 @@
 
 Pair generation (jaccard/minhash/embedding) yields EDGES; dedup
 pipelines need CLUSTERS — every document labeled with its component's
-representative (min id) so one keeper per cluster survives. This is
-min-label propagation:
+representative (min id) so one keeper per cluster survives. Two
+methods, same (id, cluster) contract:
+
+``method="propagation"`` — min-label propagation::
 
     label(v) <- min(label(v), min over neighbors(label(u)))
 
 iterated to fixpoint. Convergence takes O(component diameter) rounds;
 near-dup components are small and dense (dupes of one source), so a
-handful of rounds suffices — ``max_iters`` bounds the worst case, and
-the loop exits early the first round nothing changes (one cheap
-count per round). At extreme scale the same loop upgrades to the
-large-star/small-star contraction (Kiveris et al.), which bounds
-rounds by O(log n) — the per-round joins below are unchanged.
+handful of rounds suffice. Each round is one join (labels x edges) +
+one groupBy(min) — shuffle keyed on vertex id.
 
-Each round is one join (labels x edges) + one groupBy(min) — shuffle
-keyed on vertex id. Edges are materialized once, undirected.
+``method="star"`` — the alternating large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14). Each round rewires edges toward per-neighborhood minima:
+
+    large-star(u): m = min(N(u) + {u}); emit (v, m) for v in N(u), v > u
+    small-star(u): over edges directed large->small, m = min(N(u) + {u});
+                   emit (v, m) for v in N(u), v != m, plus (u, m)
+
+which converges in O(log n) rounds regardless of component DIAMETER —
+the web-scale path when dup chains are long (propagation needs
+O(diameter) rounds). Equivalence of the two methods is pinned in
+tests/test_operators.py.
+
+Both loops ``localCheckpoint`` their iteration state every few rounds:
+without lineage truncation each round's plan nests the previous
+round's, and by round ~20 plan analysis + task serialization dominate
+the actual shuffles (an O(rounds^2) driver-side cost at cluster
+scale). ``localCheckpoint`` (executor-local materialization, no HDFS
+checkpoint dir needed) resets the plan to a leaf.
 """
 
 from __future__ import annotations
@@ -24,26 +40,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_CHECKPOINT_EVERY = 4
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative operator exhausts max_iters unconverged
+    (returning partial labels would silently merge/split clusters)."""
+
 
 def connected_components(pairs: DataFrame,
                          src: str = "id_a", dst: str = "id_b",
-                         max_iters: int = 20) -> DataFrame:
+                         max_iters: int = 20,
+                         method: str = "propagation") -> DataFrame:
     """(id, cluster): cluster = min id reachable from ``id``.
 
     Only vertices that appear in ``pairs`` are returned (isolated
     docs are their own cluster by definition — no need to carry
     them through the propagation).
     """
+    if method not in ("propagation", "star"):
+        raise ValueError(f"unknown method {method!r}")
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .unionAll(pairs.select(F.col(dst).alias("u"),
                                     F.col(src).alias("v")))
+             .where(F.col("u") != F.col("v"))
              .distinct()
              .persist())
+    try:
+        if method == "star":
+            return _star_components(edges, max_iters)
+        return _propagation_components(edges, max_iters)
+    finally:
+        edges.unpersist()
+
+
+def _propagation_components(edges: DataFrame, max_iters: int) -> DataFrame:
     labels = (edges.select(F.col("u").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id")))
-
-    for _ in range(max_iters):
+    prev = None
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["id"])
             .groupBy("u").agg(F.min("cluster").alias("nmin")))
@@ -52,11 +88,69 @@ def connected_components(pairs: DataFrame,
                         "left")
             .select(labels["id"],
                     F.least("cluster", "nmin").alias("cluster"),
-                    (F.col("nmin") < F.col("cluster")).alias("changed"))
-            .persist())
+                    (F.col("nmin") < F.col("cluster")).alias("changed")))
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            updated = updated.localCheckpoint(eager=False)
+        updated = updated.persist()
         changed = updated.where("changed").count()
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
         labels = updated.select("id", "cluster")
         if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+            return labels
+    raise ConvergenceError(
+        f"min-label propagation did not converge in {max_iters} rounds "
+        f"({changed} labels still changing); raise max_iters or use "
+        f"method='star' (O(log n) rounds)")
+
+
+def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star; ``edges`` arrives symmetrized."""
+    cur = edges
+    prev = None
+    for it in range(max_iters):
+        # large-star over the symmetrized neighborhood
+        sym = (cur.unionAll(cur.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+               .distinct())
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", "u").alias("m")))
+        large = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star over edges directed large -> small
+        directed = (large.select(F.greatest("u", "v").alias("u"),
+                                 F.least("u", "v").alias("v"))
+                    .where(F.col("u") != F.col("v"))
+                    .distinct())
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (directed.join(smins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionAll(smins.select(F.col("u"), F.col("m").alias("v")))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+        # Each round references `cur` ~8x (sym twice in the join, then
+        # large/directed/small reuse), so a lazy plan grows 8^rounds —
+        # an EAGER per-round localCheckpoint is mandatory here, not an
+        # optimization (deferring to every 4th round OOMs the driver on
+        # plan-tree bookkeeping alone).
+        small = small.localCheckpoint()
+        # converged when every edge already points at its component min:
+        # one more large-star pass would change nothing <=> small == cur
+        delta = (small.unionAll(cur).distinct().count()
+                 - small.intersect(cur).count())
+        if prev is not None:
+            prev.unpersist()
+        prev = small
+        cur = small
+        if delta == 0:
+            roots = cur.select(F.col("v").alias("id")).distinct()
+            return (cur.select(F.col("u").alias("id"),
+                               F.col("v").alias("cluster"))
+                    .unionAll(roots.withColumn("cluster", F.col("id")))
+                    .distinct())
+    raise ConvergenceError(
+        f"star contraction did not converge in {max_iters} rounds")

@@ -114,17 +114,24 @@ def run_streaming_sessionization(spark: SparkSession, sf_dir: str,
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,
                         keys: tuple[str, ...] = ("user_id", "event_type"),
                         watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup: ``withWatermark + dropDuplicates`` — the
-    continuous-ingest twin of the batch exact-dedup operator (keep the
-    first event per key set; the watermark bounds the dedup state so
-    keys older than the horizon are evicted instead of growing state
-    forever — the property that makes this runnable on an unbounded
-    100 TB/day stream). Append mode: each surviving first-arrival is
-    emitted exactly once."""
+    """Streaming exact dedup: ``withWatermark +
+    dropDuplicatesWithinWatermark`` — the continuous-ingest twin of the
+    batch exact-dedup operator.
+
+    Plain ``dropDuplicates(keys)`` only evicts state when the
+    event-time column is part of the dedup subset; with keys alone its
+    state grows forever on an unbounded stream.
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) keeps one state row
+    per key and drops it once the watermark passes the key's horizon —
+    bounded state at 100 TB/day, at the cost that a key recurring more
+    than ``watermark`` after its first arrival is emitted again (the
+    documented within-horizon guarantee; eviction is pinned by
+    tests/test_streaming.py::test_streaming_dedup_state_eviction).
+    Append mode: each within-horizon first-arrival is emitted once."""
     stream = streaming_events_source(spark, sf_dir)
     deduped = (stream
                .withWatermark("ts", watermark)
-               .dropDuplicates([*keys])
+               .dropDuplicatesWithinWatermark([*keys])
                .select(*keys, "ts"))
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = (deduped.writeStream.outputMode("append")

@@ -56,8 +56,9 @@ def test_stateful_user_totals_match_batch(spark, sf_dir):
 
 
 def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
-    """withWatermark + dropDuplicates on the bounded stream must keep
-    exactly one event per key set — same key set as batch distinct."""
+    """dropDuplicatesWithinWatermark on the bounded single-batch stream
+    keeps exactly one event per key set (watermark starts at 0, so no
+    state is evicted mid-batch) — same key set as batch distinct."""
     from pyspark.sql import functions as F
 
     from data_platform_copilot_spark.sources import load_table
@@ -124,3 +125,55 @@ def test_streaming_scd2_upsert_current_state(spark, sf_dir):
     l = latest.sort_values(k).reset_index(drop=True)
     assert c.equals(l)
     assert hist.where("valid_from = valid_to").count() == 0
+
+
+def test_streaming_dedup_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must (a) drop duplicates inside the
+    watermark horizon, (b) EVICT key state once the watermark passes it,
+    re-emitting a key that recurs later — the bounded-state property that
+    plain dropDuplicates(keys) lacks on an unbounded stream."""
+    import datetime as dt
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampType)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = StructType([StructField("user_id", LongType()),
+                         StructField("ts", TimestampType())])
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / name))
+
+    # batch 1: u1 twice within the 1h horizon (dup dropped); u2 far
+    # ahead, advancing the watermark past u1's state on commit.
+    write_batch("b1", [(1, t0),
+                       (1, t0 + dt.timedelta(minutes=10)),
+                       (2, t0 + dt.timedelta(hours=5))])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    deduped = (stream.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["user_id"])
+               .select("user_id", "ts"))
+    name = f"dedup_evict_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: u1 recurs 4.5h later — beyond the horizon, state
+        # already evicted, so it must be emitted AGAIN.
+        write_batch("b2", [(1, t0 + dt.timedelta(hours=4, minutes=30))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name).toPandas()
+    u1 = sorted(got[got.user_id == 1]["ts"])
+    assert len(u1) == 2, f"expected re-emission after eviction, got {u1}"
+    assert u1[0] == t0
+    assert u1[1] == t0 + dt.timedelta(hours=4, minutes=30)
+    assert len(got[got.user_id == 2]) == 1
