@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 
 
 def _scale(vec: Column) -> Column:
-    return F.lit(127.0) / F.array_max(F.transform(vec, F.abs))
+    # Explicit NULL for all-zero vectors: Spark's non-ANSI 127/0 happens
+    # to yield NULL already, but DuckDB (ieee_floating_point_ops) yields
+    # +inf — the guard keeps both engines (and ANSI mode) on the
+    # documented "NULL scale" contract; the oracle mirrors it as
+    # nullif(max|x|, 0).
+    amax = F.array_max(F.transform(vec, F.abs))
+    return F.when(amax > 0, F.lit(127.0) / amax)
 
 
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -34,7 +40,8 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
         scale.alias("scale"),
-        qvec.alias("qvec"),
+        # NULL array (not an array of NULLs) when there is no scale
+        F.when(scale.isNotNull(), qvec).alias("qvec"),
     )
 
 

@@ -59,15 +59,19 @@ def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
     shuffle, linear scan. Redaction order is email -> phone -> ip
     (fixed, since the patterns could otherwise nest).
     """
-    red = F.col(text_col)
-    for kind in ("email", "phone", "ip"):
-        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    # Counts are taken on the PROGRESSIVELY redacted string (count kind
+    # k after replacing kinds before it), so each count equals the
+    # number of replacements actually made — counting on the original
+    # would double-count e.g. the digit run inside an already-redacted
+    # email as a phone.
     out = df
+    red = F.col(text_col)
     for kind in ("email", "phone", "ip"):
         out = out.withColumn(
             f"n_{kind}s",
             F.size(F.regexp_extract_all(
-                F.col(text_col), F.lit(PII_PATTERNS[kind]), 0)).cast("long"))
+                red, F.lit(PII_PATTERNS[kind]), 0)).cast("long"))
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out.withColumn("redacted", red)
 
 

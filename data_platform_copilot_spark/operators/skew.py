@@ -48,8 +48,13 @@ def _hot_key_set(large: DataFrame, key: str,
     # Default detection: a key is hot when its rows exceed an even
     # share of one shuffle partition's input (the point at which a
     # single task's input stops shrinking as the cluster grows).
-    nparts = int(large.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
+    # Under AQE-managed clusters the conf can be the string "auto";
+    # fall back to the scheduler's default parallelism.
+    try:
+        nparts = int(large.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        nparts = large.sparkSession.sparkContext.defaultParallelism
     total = hist.agg(F.sum("__cnt").alias("__total"))
     return (hist.crossJoin(F.broadcast(total))
             .where(F.col("__cnt") > F.col("__total") / nparts)
@@ -73,7 +78,10 @@ def salted_join(large: DataFrame, small: DataFrame, key: str,
         raise ValueError(
             f"salted_join supports {_SUPPORTED}, got {how!r}: outer "
             "joins would duplicate unmatched build rows per salt")
-    hot = F.broadcast(_hot_key_set(large, key, hot_keys, min_freq))
+    # The hot set feeds three joins (l_hot / l_cold / s_hot); persist it
+    # so the detection histogram scans `large` once, not three times.
+    hot = F.broadcast(_hot_key_set(large, key, hot_keys, min_freq)
+                      .persist())
 
     l_hot = large.join(hot, key, "left_semi")
     l_cold = large.join(hot, key, "left_anti")

@@ -95,21 +95,34 @@ WITH corpus AS (
            '.' || ((i * 13) % 256) AS text
     FROM range(0, 200) t(i)
 )
+, s1 AS (
+    SELECT rec_id, text,
+           regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+    FROM corpus
+), s2 AS (
+    SELECT rec_id, text, t1,
+           regexp_replace(t1,
+               '\\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS t2
+    FROM s1
+)
+-- progressive counting (kind k counted AFTER replacing kinds before
+-- it) so each count equals the replacements actually made — mirrors
+-- operators/quality.redact_pii exactly
 SELECT rec_id,
        CAST(len(regexp_extract_all(text,
            '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
            AS n_emails,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(t1,
            '\\+?[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(t2,
            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
            AS BIGINT) AS n_ips,
-       md5(regexp_replace(regexp_replace(regexp_replace(text,
-           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
-           '\\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g'),
+       md5(regexp_replace(t2,
            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
            '<IP>', 'g')) AS redacted_fp
-FROM corpus
+FROM s2
 """)
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over a deterministic synthetic corpus (emails,

@@ -77,8 +77,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
     SELECT vec_id,
            CAST(127.0 AS DOUBLE)
-           / CAST(list_max(list_transform(embedding, x -> abs(x)))
-                  AS DOUBLE) AS scale,
+           / nullif(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                         AS DOUBLE), 0.0) AS scale,
            embedding
     FROM embeddings
 ), q AS (

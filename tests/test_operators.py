@@ -378,3 +378,39 @@ class TestDomainMixSample:
         for seg, share in mix.items():
             got = counts[seg] / total
             assert abs(got - share) < 0.05, f"{seg}: {got:.3f} vs {share}"
+
+
+class TestPiiRedaction:
+    def test_progressive_counts_no_double_count(self, spark):
+        """A digit-bearing email must count as 1 email / 0 phones: phone
+        matching runs on the already-email-redacted string."""
+        from data_platform_copilot_spark.operators.quality import redact_pii
+        df = spark.createDataFrame(
+            [("a", "reach me: 123-456-7890@example.com"),
+             ("b", "call +1-555-123456 at 10.1.2.3"),
+             ("c", "plain text, no pii")],
+            "id string, text string")
+        got = {r["id"]: r for r in redact_pii(df, "text").collect()}
+        assert (got["a"]["n_emails"], got["a"]["n_phones"],
+                got["a"]["n_ips"]) == (1, 0, 0)
+        assert "<EMAIL>" in got["a"]["redacted"]
+        assert "<PHONE>" not in got["a"]["redacted"]
+        assert (got["b"]["n_emails"], got["b"]["n_phones"],
+                got["b"]["n_ips"]) == (0, 1, 1)
+        assert (got["c"]["n_emails"], got["c"]["n_phones"],
+                got["c"]["n_ips"]) == (0, 0, 0)
+        assert got["c"]["redacted"] == "plain text, no pii"
+
+
+class TestQuantizeZeroVector:
+    def test_all_zero_vector_yields_null_scale(self, spark):
+        from data_platform_copilot_spark.operators.embeddings import (
+            quantize_int8)
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            "id long, v array<double>")
+        got = {r["id"]: r for r in quantize_int8(df, "id", "v").collect()}
+        assert got[1]["scale"] is None
+        assert got[1]["qvec"] is None
+        assert abs(got[2]["scale"] - 127.0 / 2.0) < 1e-12
+        assert got[2]["qvec"] == [64, -127, 32]
