@@ -35,7 +35,9 @@ BENCH_QUERIES = [
     "dq_profile_events_value",
     "text_quality_score",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    # the sub-quadratic LSH path is the headline; the exact blocked
+    # gemm (dedup_embedding_cosine) stays an oracle/verify entry
+    "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "sessionization_gaps",
 ]

@@ -209,12 +209,67 @@ WHERE list_dot_product(a.embedding, b.embedding) /
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45 — this corpus
     has no planted vector dups; the threshold exercises the operator
-    on real pairs). Distributed blocked all-pairs gemm (exact, no
-    driver collect); at true near-dup thresholds the sub-quadratic
-    path is method='lsh' (SRP buckets + per-bucket gemm)."""
+    on real pairs). Distributed blocked all-pairs gemm: the EXACT
+    verify entry (O(n^2) compute by definition). The scale/headline
+    path at true near-dup thresholds is dedup_embedding_lsh below."""
     pairs = embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.45)
+    return pairs.select("id_a", "id_b", rnd("cosine", 4).alias("cosine"))
+
+
+@query("dedup_embedding_lsh", oracle="""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+    FROM embeddings
+), planted AS (
+    -- deterministic near-dupes: every 10th vector re-enters with a
+    -- per-element scaling cycle (cosine ~0.9999998 to its source)
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(list_zip(embedding, range(0, len(embedding))),
+                          p -> p[1] * (1 + 0.0002 * (p[2] % 5)))
+               AS embedding
+    FROM base WHERE vec_id % 10 = 0
+), corpus AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+           AS cosine
+FROM corpus a
+JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) /
+      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+       sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.99
+""")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection on the SUB-QUADRATIC scale path:
+    SRP-LSH bucketing + per-bucket gemm at a true near-dup threshold
+    (0.99) over deterministically planted near-dupes (every 10th
+    vector perturbed by a per-element scaling cycle — both engines
+    replay the same corpus, so the DuckDB all-pairs oracle
+    value-verifies what LSH recovers). Collision probability per
+    8-plane table at cosine ~0.9999998 is ~0.9995, so across 8 tables
+    recovery is deterministic-complete; candidates are re-scored
+    exactly, so false bucket collisions cannot leak through. Compute
+    is O(sum bucket^2) << O(n^2) — the 100 TB path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    planted = (base.where(F.col("vec_id") % 10 == 0)
+               .select((F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+                       F.transform(
+                           "embedding",
+                           lambda x, i: x * (F.lit(1.0) + F.lit(0.0002)
+                                             * (i % 5)))
+                       .alias("embedding")))
+    corpus = base.unionAll(planted)
+    pairs = embedding_near_duplicates(
+        corpus, "vec_id", "embedding", threshold=0.99,
+        method="lsh", n_planes=8, tables=8, dim=64)
     return pairs.select("id_a", "id_b", rnd("cosine", 4).alias("cosine"))
 
 
