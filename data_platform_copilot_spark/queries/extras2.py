@@ -214,3 +214,26 @@ def group_by_all_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@query("warehouse_view_revenue", oracle="""
+SELECT n_name AS country,
+       round(sum(o_totalprice) * 100) / 100 AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def warehouse_view_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's documented warehouse view surface (reference
+    db/schema_docs.md:43-48, v_revenue_by_country): CREATE OR REPLACE
+    VIEW through the catalog's ViewManager, then SELECT from the view
+    by name. Catalyst inlines the view definition, so the consumer
+    query optimizes through it (the scan prunes to the 4 referenced
+    columns exactly as if the SELECT were written inline)."""
+    from ..catalog.views import V_REVENUE_BY_COUNTRY, ViewManager
+    from ..sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir, ("orders", "customer", "nation"))
+    ViewManager(spark).create("v_revenue_by_country", V_REVENUE_BY_COUNTRY)
+    return spark.table("v_revenue_by_country")

@@ -20,7 +20,13 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
-from .catalog import NamespaceManager, TableManager, build_markdown
+from .catalog import (
+    NamespaceManager,
+    TableManager,
+    ViewManager,
+    build_markdown,
+    create_demo_views,
+)
 from .config import settings
 from .chain import CompletionProvider, agent_answer, nl_to_sql
 from .chain.dbt import generate_dbt_model, write_files_atomic
@@ -45,14 +51,32 @@ class CopilotService:
         self.provider = provider
         self.ns = NamespaceManager(spark, control_root)
         self.tables = TableManager(spark, self.ns)
+        self.views = ViewManager(spark)
         self._schema_docs_cache: str | None = None
 
     # -- lifecycle (A33/A34) ------------------------------------------------
     def bootstrap(self) -> None:
-        """Startup ping + catalog warm-up (reference src/lifespan.py)."""
+        """Startup ping + catalog warm-up (reference src/lifespan.py);
+        demo warehouse views when the base tables are present
+        (reference db/schema_docs.md:43-48)."""
         assert self.spark.sql("SELECT 1").collect()[0][0] == 1
         self.ns.namespaces.all()  # materializes control tables
         self.ns.tables.all()
+        create_demo_views(self.views)
+
+    # -- views (reference db/schema_docs.md:43-48) ---------------------------
+    def view_create(self, name: str, sql: str) -> dict[str, Any]:
+        out = self.views.create(name, sql)
+        self._schema_docs_cache = None  # views render in schema docs
+        return out
+
+    def view_list(self) -> list[dict[str, str]]:
+        return self.views.list()
+
+    def view_delete(self, name: str) -> dict[str, Any]:
+        dropped = self.views.drop(name)
+        self._schema_docs_cache = None
+        return {"name": name, "dropped": dropped}
 
     # -- misc surface (A35) --------------------------------------------------
     def health(self) -> dict[str, Any]:
@@ -213,4 +237,7 @@ def create_fastapi_app(service: CopilotService):
     app.post("/schema/refresh")(
         lambda: {"markdown": service.schema_docs(refresh=True)})
     app.post("/demo/seed/events")(service.demo_seed_events)
+    app.post("/views/{name}")(service.view_create)
+    app.get("/views")(service.view_list)
+    app.delete("/views/{name}")(service.view_delete)
     return app

@@ -132,3 +132,59 @@ class TestSchemaDocs:
         assert "## events" in md and "## lineitem" in md
         assert "| event_type | string |" in md
         assert "view / click / purchase" in md  # events descriptions
+
+
+class TestViews:
+    def test_create_select_drop(self, spark, sf_dir):
+        from data_platform_copilot_spark.catalog import ViewManager
+        from data_platform_copilot_spark.sources import register_testdata
+        register_testdata(spark, sf_dir, ("region",))
+        vm = ViewManager(spark)
+        out = vm.create("v_regions", "SELECT r_name FROM region")
+        assert out["name"] == "v_regions"
+        assert spark.table("v_regions").count() == 5
+        assert [v["name"] for v in vm.list()] == ["v_regions"]
+        assert vm.definition("v_regions") == "SELECT r_name FROM region"
+        assert vm.drop("v_regions")
+        assert vm.list() == []
+
+    def test_rejects_non_select_and_bad_names(self, spark):
+        import pytest as _pytest
+
+        from data_platform_copilot_spark.catalog import ViewManager
+        from data_platform_copilot_spark.gateway import IncorrectQuestionError
+        vm = ViewManager(spark)
+        with _pytest.raises(IncorrectQuestionError):
+            vm.create("v_bad", "DROP TABLE region")
+        with _pytest.raises(IncorrectQuestionError):
+            vm.create("bad name!", "SELECT 1")
+        with _pytest.raises(IncorrectQuestionError):
+            vm.create("v_multi", "SELECT 1; SELECT 2")
+
+    def test_demo_view_bootstrap_and_schema_docs(self, spark, sf_dir):
+        from data_platform_copilot_spark.catalog import (
+            ViewManager, build_markdown, create_demo_views)
+        from data_platform_copilot_spark.sources import register_testdata
+        register_testdata(spark, sf_dir)
+        vm = ViewManager(spark)
+        created = create_demo_views(vm)
+        assert created == ["v_revenue_by_country"]
+        df = spark.table("v_revenue_by_country")
+        assert set(df.columns) == {"country", "revenue"}
+        assert df.count() == 25
+        md = build_markdown(spark)
+        assert "## v_revenue_by_country" in md
+        assert "| country | string |" in md
+
+    def test_view_optimizes_through(self, spark, sf_dir):
+        """Catalyst must inline the view: a filtered select over the
+        view pushes the filter into the scan, not post-aggregation of
+        everything (column pruning visible in ReadSchema)."""
+        from data_platform_copilot_spark.catalog import (
+            ViewManager, create_demo_views)
+        from data_platform_copilot_spark.sources import register_testdata
+        register_testdata(spark, sf_dir)
+        create_demo_views(ViewManager(spark))
+        plan = (spark.table("v_revenue_by_country")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "o_orderdate" not in plan  # unused column pruned away

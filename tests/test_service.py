@@ -149,3 +149,29 @@ class TestDemoSeed:
         service.demo_seed_events(rows=100)
         assert service._schema_docs_cache is None
         assert docs_before  # cache had been populated before the seed
+
+
+class TestViewRoutes:
+    def test_bootstrap_creates_demo_view(self, service):
+        names = [v["name"] for v in service.view_list()]
+        assert "v_revenue_by_country" in names
+        assert service.spark.table("v_revenue_by_country").count() == 25
+
+    def test_create_and_delete_roundtrip(self, service):
+        out = service.view_create("v_region_names",
+                                  "SELECT r_name FROM region")
+        assert out["name"] == "v_region_names"
+        assert "## v_region_names" in service.schema_docs()
+        got = service.view_delete("v_region_names")
+        assert got["dropped"]
+        assert "## v_region_names" not in service.schema_docs(refresh=True)
+
+    def test_http_surface_has_view_routes(self, service):
+        import importlib.util
+        if importlib.util.find_spec("fastapi") is None:
+            import pytest as _pytest
+            _pytest.skip("fastapi not installed")
+        from data_platform_copilot_spark.service import create_fastapi_app
+        app = create_fastapi_app(service)
+        paths = {r.path for r in app.routes}
+        assert {"/views", "/views/{name}"} <= paths
