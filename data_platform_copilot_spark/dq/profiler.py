@@ -7,14 +7,15 @@ adds a top-5 value histogram.
 
 Spark-first shape: ALL scalar statistics for ALL columns compute in
 ONE ``df.agg(...)`` pass (a single scan + partial aggregation), not
-a per-column loop like the pandas reference. Top-5 histograms batch
-into one stacked job per distinct column TYPE (explode to
-(column, value) rows -> one groupBy + per-column window top-k), so
-the job count is bounded by the handful of types in any schema, not
-the column count — at 100 columns x 100 TB the per-column-loop
-formulation would be 100 full scans. Map-side partial aggregation
-means the stacked shuffle still carries only distinct (column,
-value) pairs.
+a per-column loop like the pandas reference. Top-5 histograms for
+every atomic column batch into ONE stacked string-cast job (explode
+to (column, value-as-string) rows -> one groupBy + per-column window
+top-k; the <= 5 winners reparse to native types on the driver), so a
+whole profile is two jobs total — at 100 columns x 100 TB the
+per-column-loop formulation would be 100 full scans. Map-side
+partial aggregation means the stacked shuffle still carries only
+distinct (column, value) pairs. Non-atomic columns (decimal, nested)
+fall back to one typed histogram job per type.
 
 ``exact=False`` switches distinct counts to HyperLogLog++ and
 percentiles to percentile_approx — the 100 TB configuration.
@@ -35,6 +36,34 @@ def _is_numeric(dt: T.DataType) -> bool:
 
 def _is_timestamp(dt: T.DataType) -> bool:
     return isinstance(dt, (T.TimestampType, T.DateType))
+
+
+# Types whose string cast round-trips losslessly (DecimalType excluded:
+# it belongs to the typed fallback so callers keep Decimal objects).
+_ATOMIC = (T.IntegralType, T.FloatType, T.DoubleType, T.StringType,
+           T.BooleanType, T.TimestampType, T.DateType)
+
+
+def _is_atomic(dt: T.DataType) -> bool:
+    return isinstance(dt, _ATOMIC)
+
+
+def _reparse(s: str, dt: T.DataType) -> Any:
+    """Parse a Spark string-cast scalar back to its native Python type."""
+    import datetime as _dt
+    if isinstance(dt, T.StringType):
+        return s
+    if isinstance(dt, T.IntegralType):
+        return int(s)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(s)
+    if isinstance(dt, T.BooleanType):
+        return s == "true"
+    if isinstance(dt, T.TimestampType):
+        return _dt.datetime.fromisoformat(s)
+    if isinstance(dt, T.DateType):
+        return _dt.date.fromisoformat(s)
+    return s
 
 
 def profile_df(df: DataFrame, max_top: int = 5,
@@ -113,32 +142,54 @@ def profile_df(df: DataFrame, max_top: int = 5,
         out[name] = col_prof
 
     # Top-k histograms: deterministic tie-break on the value itself.
-    # One stacked job per distinct column type (same-typed columns
-    # share an exploded (column, value) frame — heterogeneous types
-    # can't share one array, but the type count is O(1) for any
-    # schema width).
+    # Every ATOMIC column (numeric/string/boolean/timestamp/date)
+    # string-casts into ONE stacked (column, value) explode — a single
+    # scan + single shuffle regardless of how many types the schema
+    # mixes; the <= max_top surviving strings per column are parsed
+    # back to their native type on the driver. String-casting is safe
+    # as a group key here because the cast is injective within one
+    # column's type. Non-atomic columns (decimal/array/struct/...) keep
+    # a per-type job so their values come back natively typed.
     from collections import defaultdict
 
     from pyspark.sql import Window as W
 
-    by_type: dict[str, list[str]] = defaultdict(list)
     for field in df.schema.fields:
-        by_type[field.dataType.simpleString()].append(field.name)
+        out[field.name]["top_values"] = []
 
-    for names in by_type.values():
+    atomic = [f for f in df.schema.fields if _is_atomic(f.dataType)]
+    other_by_type: dict[str, list[str]] = defaultdict(list)
+    for f in df.schema.fields:
+        if not _is_atomic(f.dataType):
+            other_by_type[f.dataType.simpleString()].append(f.name)
+
+    def run_topk(stacked: DataFrame) -> list:
+        w = (W.partitionBy("__col")
+             .orderBy(F.desc("__cnt"), F.col("__val").cast("string")))
+        return (stacked.where(F.col("__val").isNotNull())
+                .groupBy("__col", "__val").agg(F.count("*").alias("__cnt"))
+                .withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= max_top)
+                .collect())
+
+    if atomic:
+        dtype_of = {f.name: f.dataType for f in atomic}
+        stacked = df.select(F.explode(F.array(*[
+            F.struct(F.lit(f.name).alias("__col"),
+                     F.col(f.name).cast("string").alias("__val"))
+            for f in atomic])).alias("s")).select("s.__col", "s.__val")
+        for r in sorted(run_topk(stacked),
+                        key=lambda r: (r["__col"], r["__rk"])):
+            out[r["__col"]]["top_values"].append(
+                {"value": _reparse(r["__val"], dtype_of[r["__col"]]),
+                 "count": r["__cnt"]})
+
+    for names in other_by_type.values():
         stacked = df.select(F.explode(F.array(*[
             F.struct(F.lit(n).alias("__col"), F.col(n).alias("__val"))
             for n in names])).alias("s")).select("s.__col", "s.__val")
-        w = (W.partitionBy("__col")
-             .orderBy(F.desc("__cnt"), F.col("__val").cast("string")))
-        top = (stacked.where(F.col("__val").isNotNull())
-               .groupBy("__col", "__val").agg(F.count("*").alias("__cnt"))
-               .withColumn("__rk", F.row_number().over(w))
-               .where(F.col("__rk") <= max_top)
-               .collect())
-        for n in names:
-            out[n]["top_values"] = []
-        for r in sorted(top, key=lambda r: (r["__col"], r["__rk"])):
+        for r in sorted(run_topk(stacked),
+                        key=lambda r: (r["__col"], r["__rk"])):
             out[r["__col"]]["top_values"].append(
                 {"value": r["__val"], "count": r["__cnt"]})
     return out

@@ -104,9 +104,11 @@ class TestProfiler:
         assert prof["id"]["distinct"] in (2, 3, 4)  # HLL estimate
 
     def test_profile_job_count_independent_of_columns(self, spark):
-        """Histogram batching: jobs scale with #distinct types (2
-        here), not #columns (12) — the per-column loop would launch
-        13+ jobs."""
+        """Histogram batching: every atomic column shares ONE
+        string-cast stacked histogram job regardless of how many types
+        the schema mixes — 2 actions total (stats + histograms) for 12
+        columns across 2 types; the per-column loop would launch 13+
+        and the r2 per-type batching 3."""
         # patch the CLASSIC class: pyspark.sql.DataFrame is the
         # abstract base and classic sessions override collect()
         from pyspark.sql.classic.dataframe import DataFrame
@@ -128,8 +130,11 @@ class TestProfiler:
             DataFrame.collect = orig
         assert len(prof) == 12
         assert all(prof[c]["top_values"] for c in prof)
-        # 1 stats pass + one histogram per TYPE (bigint, string)
-        assert actions == 3, f"expected 3 actions, saw {actions}"
+        # values come back natively typed despite the string transport
+        assert prof["n0"]["top_values"][0]["value"] == 0
+        assert prof["s3"]["top_values"][0]["value"] == "3"
+        # 1 stats pass + 1 unified atomic histogram pass
+        assert actions == 2, f"expected 2 actions, saw {actions}"
 
 
 class TestRunner:
