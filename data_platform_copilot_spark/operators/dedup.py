@@ -295,28 +295,67 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     if method == "lsh":
-        from .similarity import _bucket_expr, _hyperplanes
+        import numpy as np
 
-        def bucket_gemm(_key, pdf):
+        from .similarity import _hyperplanes
+
+        # One gemm pass per PARTITION, not per bucket: with t tables x
+        # 2^n_planes buckets the per-group Arrow/pandas overhead of an
+        # applyInPandas dominates (measured 8s for 2048 near-empty
+        # buckets at sf0.1); repartitioning on (tbl, bucket) then
+        # grouping INSIDE one mapInPandas batch amortizes it to one
+        # pandas pass per partition. Partition memory is bounded by the
+        # shuffle partition count; a pathological hot bucket (thousands
+        # of mutually-near-identical vectors) concentrates in one task
+        # — the same skew AQE splitting or a bucket-size cap handles in
+        # the jaccard path.
+        def part_gemm(batches):
             import pandas as pd
-            if len(pdf) < 2:
-                return pd.DataFrame(
-                    {"id_a": pd.Series(dtype="int64"),
-                     "id_b": pd.Series(dtype="int64"),
-                     "cosine": pd.Series(dtype="float64")})
-            ids, mat = _norm_block(pdf)
-            return _gemm_pairs(ids, mat, ids, mat, threshold, same_block=True)
+            pdfs = [b for b in batches if len(b)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            for _, g in pdf.groupby(["tbl", "bucket"], sort=False):
+                if len(g) < 2:
+                    continue
+                ids, mat = _norm_block(g.reset_index(drop=True))
+                yield _gemm_pairs(ids, mat, ids, mat, threshold,
+                                  same_block=True)
 
-        tagged = None
-        for t in range(tables):
-            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-            tt = base.select(
-                F.lit(t).alias("tbl"),
-                _bucket_expr(F.col("v"), planes).alias("bucket"),
-                "id", "v")
-            tagged = tt if tagged is None else tagged.unionAll(tt)
-        return (tagged.groupBy("tbl", "bucket")
-                .applyInPandas(bucket_gemm, _PAIR_SCHEMA)
+        # Bucket tagging happens in the SAME Arrow/numpy world as the
+        # scoring, not as column expressions: the expression form
+        # (tables x n_planes x dim literal-array folds) builds a
+        # ~30k-node tree that costs seconds of driver-side analysis
+        # per run — a pure plan-bookkeeping tax. One mapInPandas pass
+        # computes all tables' sign bits per batch with a single
+        # (n, dim) @ (dim, tables*n_planes) gemm and emits the rows
+        # already replicated per table (one corpus scan, not `tables`
+        # unions). Hyperplanes are the same seeded family as
+        # similarity._hyperplanes, so buckets are deterministic.
+        planes_by_tbl = [
+            np.asarray(_hyperplanes(dim, n_planes, seed + 1000 * t),
+                       dtype=np.float64)
+            for t in range(tables)
+        ]
+
+        def tag(batches):
+            import pandas as pd
+            for b in batches:
+                if not len(b):
+                    continue
+                mat = np.array(b["v"].tolist(), dtype=np.float64)
+                for t, planes in enumerate(planes_by_tbl):
+                    bits = mat @ planes.T >= 0
+                    codes = ["".join("1" if x else "0" for x in row)
+                             for row in bits]
+                    yield pd.DataFrame({
+                        "tbl": t, "bucket": codes,
+                        "id": b["id"].to_numpy(), "v": b["v"]})
+
+        tagged = base.mapInPandas(
+            tag, "tbl int, bucket string, id long, v array<double>")
+        return (tagged.repartition("tbl", "bucket")
+                .mapInPandas(part_gemm, _PAIR_SCHEMA)
                 .dropDuplicates(["id_a", "id_b"]))
 
     if method != "blocked":
