@@ -310,17 +310,34 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         # — the same skew AQE splitting or a bucket-size cap handles in
         # the jaccard path.
         def part_gemm(batches):
+            # One vectorized pass per partition: normalize every vector
+            # once, sort rows by (tbl, bucket), walk the segment
+            # boundaries with pure numpy slices (a pandas groupby +
+            # per-group frame here costs ~0.5ms x thousands of mostly
+            # tiny buckets), emit ONE result frame per partition.
             import pandas as pd
             pdfs = [b for b in batches if len(b)]
             if not pdfs:
                 return
             pdf = pd.concat(pdfs, ignore_index=True)
-            for _, g in pdf.groupby(["tbl", "bucket"], sort=False):
-                if len(g) < 2:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            key = (pdf["tbl"].astype(str) + "|" + pdf["bucket"]).to_numpy()
+            order = np.argsort(key, kind="stable")
+            key_s, ids_s, mat_s = key[order], ids[order], mat[order]
+            bounds = np.flatnonzero(
+                np.r_[True, key_s[1:] != key_s[:-1], True])
+            out = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s < 2:
                     continue
-                ids, mat = _norm_block(g.reset_index(drop=True))
-                yield _gemm_pairs(ids, mat, ids, mat, threshold,
-                                  same_block=True)
+                out.append(_gemm_pairs(ids_s[s:e], mat_s[s:e],
+                                       ids_s[s:e], mat_s[s:e],
+                                       threshold, same_block=True))
+            out = [o for o in out if len(o)]
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
         # Bucket tagging happens in the SAME Arrow/numpy world as the
         # scoring, not as column expressions: the expression form

@@ -47,8 +47,13 @@ def dq_profile_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max(c), 4).alias("max_v"),
         rnd(F.mean(c), 4).alias("mean_v"),
         rnd(F.stddev_pop(c), 4).alias("std_v"),
-        rnd(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        rnd(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        # one percentile buffer for both quantiles, not two
+        F.expr("percentile(value, array(0.5, 0.95))").alias("__p"),
+    ).select(
+        "n_rows", "nulls", "n_distinct", "min_v", "max_v", "mean_v",
+        "std_v",
+        rnd(F.col("__p")[0], 4).alias("p50"),
+        rnd(F.col("__p")[1], 4).alias("p95"),
     )
 
 
