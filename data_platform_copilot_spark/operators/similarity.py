@@ -76,6 +76,13 @@ def _kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
     kilobytes, independent of corpus size); assignment stays
     distributed (argmin over a broadcast centroid matrix in one Arrow
     batch pass per round). Returns a list[list[float]].
+
+    Centroids are quantized to 6 decimals after every round: the
+    per-cell means are float sums whose accumulation ORDER is
+    engine- and partitioning-dependent, so snapping to a 1e-6 grid
+    makes the whole index build bit-reproducible across engines —
+    the DuckDB oracle replays these exact rounds in SQL (negligible
+    recall impact; pinned by the recall pytest).
     """
     import numpy as np
 
@@ -85,6 +92,7 @@ def _kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
              .orderBy("h").limit(n_clusters).collect())
     cents = np.array([r["v"] for r in seeds], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = np.round(cents, 6)
 
     for _ in range(iters):
         assigned = _assign_clusters(corpus, id_col, vec_col, cents.tolist())
@@ -101,7 +109,7 @@ def _kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
         for c, vec in acc.items():
             norm = np.linalg.norm(vec)
             if norm > 0:
-                nxt[c] = vec / norm
+                nxt[c] = np.round(vec / norm, 6)
         cents = nxt
     return cents.tolist()
 

@@ -5,12 +5,163 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, srp_lsh_topk
+from ..operators.similarity import _hyperplanes, brute_force_topk, srp_lsh_topk
 from .core import _t, query, rnd
 
 _COS = """list_dot_product(q.embedding, c.embedding) /
       (sqrt(list_dot_product(q.embedding, q.embedding)) *
        sqrt(list_dot_product(c.embedding, c.embedding)))"""
+
+# Cosine over pre-cast DOUBLE[] columns qv/cv (the ANN oracles cast
+# once in their candidate CTEs; Spark's `dot` folds in double, so the
+# oracle must never let DuckDB accumulate in float32).
+_COS_QC = """list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) *
+            sqrt(list_dot_product(cv, cv)))"""
+
+
+def _plane_sql(plane: list[float]) -> str:
+    """One hyperplane as a DOUBLE[] literal. repr() round-trips the
+    exact doubles Spark ships as F.lit(...), so both engines hash the
+    identical plane."""
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _bucket_sql(planes: list[list[float]]) -> str:
+    """Sign-bit bucket string — SQL twin of operators.similarity._bucket_expr."""
+    bits = [
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_plane_sql(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    ]
+    return "\n        || ".join(bits)
+
+
+def _srp_oracle(k: int, n_planes: int, tables: int,
+                dim: int, seed: int) -> str:
+    """DuckDB replay of srp_lsh_topk: same seeded hyperplanes (as
+    literals), same bucket bits, candidates = bucket match in ANY
+    table, exact cosine re-rank."""
+    bucket_cols = ",\n       ".join(
+        f"{_bucket_sql(_hyperplanes(dim, n_planes, seed + 1000 * t))} AS b{t}"
+        for t in range(tables))
+    any_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(tables))
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+       {bucket_cols}
+    FROM embeddings
+), cand AS (
+    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+           c.vec_id AS neighbor_id, CAST(c.embedding AS DOUBLE[]) AS cv
+    FROM b q JOIN b c
+      ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND ({any_match})
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           round({_COS_QC}, 4) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_QC} DESC, neighbor_id) AS BIGINT) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_assign_sql(name: str, cents: str) -> str:
+    """One Lloyd assignment round: nearest centroid by dot (argmax is
+    scale-invariant, so raw vectors need no normalization; ties break
+    to the LOWEST cluster, matching np.argmax first-index)."""
+    return f"""{name} AS (
+    SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cluster,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             c.cv) DESC,
+                            c.cluster) AS rn
+        FROM embeddings e CROSS JOIN {cents} c
+    ) WHERE rn = 1
+)"""
+
+
+def _ivf_update_sql(rnd_i: int, assign: str, prev: str) -> str:
+    """One Lloyd update round: per-(cluster, pos) mean, renormalize,
+    snap to the operator's 1e-6 centroid grid; empty cells keep the
+    previous centroid."""
+    return f"""m{rnd_i} AS (
+    SELECT cluster, pos, avg(x) AS mx FROM (
+        SELECT cluster, unnest(v) AS x, unnest(range(len(v))) AS pos
+        FROM {assign}
+    ) GROUP BY cluster, pos
+), g{rnd_i} AS (
+    SELECT cluster, list(mx ORDER BY pos) AS mv FROM m{rnd_i} GROUP BY cluster
+), c{rnd_i} AS (
+    SELECT p.cluster,
+           CASE WHEN g.mv IS NULL
+                     OR sqrt(list_dot_product(g.mv, g.mv)) = 0 THEN p.cv
+                ELSE list_transform(g.mv,
+                     x -> round(x / sqrt(list_dot_product(g.mv, g.mv)), 6))
+           END AS cv
+    FROM {prev} p LEFT JOIN g{rnd_i} g USING (cluster)
+)"""
+
+
+def _ivf_oracle(k: int, n_clusters: int, n_probe: int, iters: int) -> str:
+    """DuckDB replay of ivf_topk's full deterministic index build:
+    seeds = the n_clusters corpus vectors with the smallest md5(id),
+    `iters` Lloyd rounds (assignment + quantized mean update) as
+    chained CTEs, then probe the n_probe nearest cells and re-rank
+    exactly — the same arithmetic the Spark operator runs, so the
+    value hash matches."""
+    ctes = [f"""seeds AS (
+    SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cluster,
+           CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR))
+    LIMIT {n_clusters}
+), c0 AS (
+    SELECT cluster,
+           list_transform(v,
+               x -> round(x / sqrt(list_dot_product(v, v)), 6)) AS cv
+    FROM seeds
+)"""]
+    for i in range(1, iters + 1):
+        ctes.append(_ivf_assign_sql(f"a{i}", f"c{i - 1}"))
+        ctes.append(_ivf_update_sql(i, f"a{i}", f"c{i - 1}"))
+    final_cents = f"c{iters}"
+    ctes.append(_ivf_assign_sql("af", final_cents))
+    ctes.append(f"""probes AS (
+    SELECT query_id, qv, cluster FROM (
+        SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+               c.cluster,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), c.cv)
+                            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[])))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.cluster DESC) AS rn
+        FROM embeddings q CROSS JOIN {final_cents} c
+        WHERE q.vec_id < 5
+    ) WHERE rn <= {n_probe}
+), cand AS (
+    SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+    FROM probes p JOIN af a
+      ON p.cluster = a.cluster AND a.vec_id <> p.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           round({_COS_QC}, 4) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_QC} DESC, neighbor_id) AS BIGINT) AS rank
+    FROM cand
+)""")
+    body = ",\n".join(ctes)
+    return (f"WITH {body}\n"
+            f"SELECT query_id, neighbor_id, cosine, rank "
+            f"FROM ranked WHERE rank <= {k}")
 
 
 @query("ann_bruteforce_topk", oracle=f"""
@@ -42,12 +193,15 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       rnd("cosine", 4).alias("cosine"), "rank")
 
 
-@query("ann_srp_lsh_topk")  # approximate: rows-only check; recall pinned in tests
+@query("ann_srp_lsh_topk",
+       oracle=_srp_oracle(k=10, n_planes=8, tables=4, dim=64, seed=42))
 def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-10 for the same 5 queries. Bucketed
-    candidate generation (4 tables x 8 hyperplanes) + exact re-rank;
-    recall vs brute force is asserted in tests (not SQL-expressible
-    deterministically, so no value oracle)."""
+    candidate generation (4 tables x 8 hyperplanes) + exact re-rank.
+    Fully deterministic: the seeded hyperplanes ship as literals to
+    BOTH engines, so the DuckDB oracle replays the identical bucket
+    bits and the value hash must match; recall vs brute force is
+    additionally pinned in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     out = srp_lsh_topk(emb, queries, "vec_id", "embedding",
@@ -56,14 +210,16 @@ def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       rnd("cosine", 4).alias("cosine"), "rank")
 
 
-@query("ann_ivf_topk")  # approximate + iterative index build: rows-only
+@query("ann_ivf_topk",
+       oracle=_ivf_oracle(k=10, n_clusters=16, n_probe=8, iters=2))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the same 5 queries: deterministic
     mini k-means coarse quantizer (16 cells, 2 Lloyd rounds), each
     query probes its 8 nearest cells, exact cosine re-ranks. The
-    iterative index build is not SQL-expressible, so the driver
-    records a rows-only check; recall vs brute force is pinned in
-    tests."""
+    build is bit-reproducible (md5-ordered seeds + 1e-6-quantized
+    centroids), so the DuckDB oracle replays the identical Lloyd
+    rounds as chained CTEs and value-hashes the result; recall vs
+    brute force is additionally pinned in tests."""
     from ..operators.similarity import ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
