@@ -26,7 +26,9 @@ class CompletionProvider(Protocol):
 
 class StubProvider:
     """Deterministic provider for tests: returns canned completions
-    keyed by substring match, else a fallback."""
+    keyed by substring match (most-specific — longest — key wins when
+    several match: prompts embed schema docs, whose table/view names
+    can collide with short keys), else a fallback."""
 
     def __init__(self, canned: dict[str, str] | None = None,
                  fallback: str = "```sql\nSELECT 1 AS one\n```") -> None:
@@ -36,9 +38,9 @@ class StubProvider:
 
     async def complete(self, system: str, user: str) -> str:
         self.calls.append((system, user))
-        for key, resp in self.canned.items():
-            if key in user:
-                return resp
+        hits = [key for key in self.canned if key in user]
+        if hits:
+            return self.canned[max(hits, key=len)]
         return self.fallback
 
 

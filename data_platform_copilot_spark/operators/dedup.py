@@ -309,8 +309,17 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         # of mutually-near-identical vectors) concentrates in one task
         # — the same skew AQE splitting or a bucket-size cap handles in
         # the jaccard path.
+        #
+        # Vectors cross every Python<->JVM boundary as BINARY (raw
+        # float64 bytes), not array<double>: Arrow's nested-list
+        # conversion materializes one ndarray per row (~0.16s per 17k
+        # rows, measured), while bytes rows join/split through
+        # b"".join + np.frombuffer at memcpy speed. The shuffle also
+        # carries each vector ONCE (tables replicate ids + bucket
+        # codes JVM-side via posexplode, not the payload rows 8x
+        # through Arrow).
         def part_gemm(batches):
-            # One vectorized pass per partition: normalize every vector
+            # One vectorized pass per partition: decode every vector
             # once, sort rows by (tbl, bucket), walk the segment
             # boundaries with pure numpy slices (a pandas groupby +
             # per-group frame here costs ~0.5ms x thousands of mostly
@@ -321,8 +330,9 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                 return
             pdf = pd.concat(pdfs, ignore_index=True)
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = np.frombuffer(
+                b"".join(pdf["v"]), dtype=np.float64).reshape(len(ids), -1)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             key = (pdf["tbl"].astype(str) + "|" + pdf["bucket"]).to_numpy()
             order = np.argsort(key, kind="stable")
             key_s, ids_s, mat_s = key[order], ids[order], mat[order]
@@ -344,16 +354,15 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         # (tables x n_planes x dim literal-array folds) builds a
         # ~30k-node tree that costs seconds of driver-side analysis
         # per run — a pure plan-bookkeeping tax. One mapInPandas pass
-        # computes all tables' sign bits per batch with a single
-        # (n, dim) @ (dim, tables*n_planes) gemm and emits the rows
-        # already replicated per table (one corpus scan, not `tables`
-        # unions). Hyperplanes are the same seeded family as
-        # similarity._hyperplanes, so buckets are deterministic.
-        planes_by_tbl = [
-            np.asarray(_hyperplanes(dim, n_planes, seed + 1000 * t),
-                       dtype=np.float64)
-            for t in range(tables)
-        ]
+        # computes ALL tables' sign bits per batch with a single
+        # (n, dim) @ (dim, tables*n_planes) gemm, emitting ONE row per
+        # vector (bucket codes as an array); the per-table replication
+        # happens JVM-side with posexplode so the Arrow boundary and
+        # the corpus scan stay 1x.
+        planes_all = np.concatenate(
+            [np.asarray(_hyperplanes(dim, n_planes, seed + 1000 * t),
+                        dtype=np.float64)
+             for t in range(tables)])  # (tables*n_planes, dim)
 
         def tag(batches):
             import pandas as pd
@@ -361,16 +370,19 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                 if not len(b):
                     continue
                 mat = np.array(b["v"].tolist(), dtype=np.float64)
-                for t, planes in enumerate(planes_by_tbl):
-                    bits = mat @ planes.T >= 0
-                    codes = ["".join("1" if x else "0" for x in row)
-                             for row in bits]
-                    yield pd.DataFrame({
-                        "tbl": t, "bucket": codes,
-                        "id": b["id"].to_numpy(), "v": b["v"]})
+                bits = (mat @ planes_all.T >= 0).reshape(
+                    len(mat), tables, n_planes)
+                codes = [["".join("1" if x else "0" for x in tb) for tb in row]
+                         for row in bits]
+                yield pd.DataFrame({
+                    "id": b["id"].to_numpy(),
+                    "v": [m.tobytes() for m in mat],
+                    "bkts": codes})
 
-        tagged = base.mapInPandas(
-            tag, "tbl int, bucket string, id long, v array<double>")
+        tagged = (base.mapInPandas(
+                      tag, "id long, v binary, bkts array<string>")
+                  .select("id", "v",
+                          F.posexplode("bkts").alias("tbl", "bucket")))
         return (tagged.repartition("tbl", "bucket")
                 .mapInPandas(part_gemm, _PAIR_SCHEMA)
                 .dropDuplicates(["id_a", "id_b"]))

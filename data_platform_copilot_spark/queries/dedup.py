@@ -256,17 +256,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, so false bucket collisions cannot leak through. Compute
     is O(sum bucket^2) << O(n^2) — the 100 TB path."""
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id",
-                      F.col("embedding").cast("array<double>")
-                      .alias("embedding"))
-    planted = (base.where(F.col("vec_id") % 10 == 0)
-               .select((F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
-                       F.transform(
-                           "embedding",
-                           lambda x, i: x * (F.lit(1.0) + F.lit(0.0002)
-                                             * (i % 5)))
-                       .alias("embedding")))
-    corpus = base.unionAll(planted)
+    # Single-scan corpus: every row explodes to itself (+ its planted
+    # near-dupe for every 10th id) in one pass over the cached table —
+    # a unionAll of two scans doubles the partition count and makes
+    # the downstream Python tag stage run two task waves for no work.
+    v = F.col("embedding").cast("array<double>")
+    orig = F.struct(F.col("vec_id").alias("vec_id"), v.alias("embedding"))
+    pert = F.struct(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(v, lambda x, i: x * (F.lit(1.0) + F.lit(0.0002)
+                                         * (i % 5))).alias("embedding"))
+    corpus = (emb.select(F.explode(
+                  F.when(F.col("vec_id") % 10 == 0, F.array(orig, pert))
+                  .otherwise(F.array(orig))).alias("s"))
+              .select("s.*"))
     pairs = embedding_near_duplicates(
         corpus, "vec_id", "embedding", threshold=0.99,
         method="lsh", n_planes=8, tables=8, dim=64)
