@@ -299,22 +299,22 @@ GROUP BY cohort_week
 def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort 7-day retention (reference query.http:85).
 
-    Spark-first: one shuffle on user_id computes first_ts AND the
-    retained flag in a single groupBy (min + conditional max over a
-    window-free self-comparison), then a 2nd small agg by week.
-    At 100 TB the user_id agg is the only big shuffle; no self-join.
+    Spark-first: "retained within 7 days of first activity" needs only
+    each user's min(ts) and max(ts) — retained == (max_ts >= first_ts
+    + 7d) — so ONE groupBy(user_id) with map-side partial aggregation
+    computes everything. No window pass: a window would shuffle every
+    EVENT row; the agg shuffles one partial row per user per map task.
+    At 100 TB that's the difference between moving the events table
+    and moving the (much smaller) user dimension.
     """
     events = _t(spark, sf_dir, "events").select("user_id", "ts")
-    w = W.partitionBy("user_id")
-    flags = (
-        events
-        .withColumn("first_ts", F.min("ts").over(w))
-        .groupBy("user_id", F.date_format(
-            F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias("cohort_week"))
-        .agg(F.max(
-            F.when(F.col("ts") >= F.col("first_ts") + F.expr("INTERVAL 7 DAYS"), 1)
-             .otherwise(0)).alias("retained"))
-    )
+    spans = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("max_ts"))
+    flags = spans.select(
+        F.date_format(F.date_trunc("week", F.col("first_ts")),
+                      "yyyy-MM-dd").alias("cohort_week"),
+        (F.col("max_ts") >= F.col("first_ts") + F.expr("INTERVAL 7 DAYS"))
+        .cast("int").alias("retained"))
     return flags.groupBy("cohort_week").agg(
         F.count("*").alias("cohort_size"),
         F.sum("retained").cast("long").alias("retained_7d"),
