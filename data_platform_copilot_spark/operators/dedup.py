@@ -416,3 +416,113 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
               .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("j")))))
     return (side_a.groupBy("i", "j").cogroup(side_b.groupBy("i", "j"))
             .applyInPandas(block_gemm, _PAIR_SCHEMA))
+
+
+def semantic_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                        n_clusters: int = 8, threshold: float = 0.95,
+                        iters: int = 2, dim: int = 64,
+                        keep: str = "centroid") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then search for
+    near-duplicate pairs ONLY within each cluster — the pairwise
+    cost drops from O(n^2) to O(sum cluster_size^2), which is the
+    whole trick that made semantic dedup tractable at web scale.
+
+    Build: the IVF coarse quantizer's deterministic k-means
+    (seeds = smallest md5(id), quantized centroids — engine-portable,
+    see operators/similarity._kmeans_centroids) assigns every vector
+    a cluster. One shuffle on `cluster` co-locates each cluster in a
+    single task; a per-partition numpy segment walk runs one gemm per
+    cluster and emits thresholded pairs WITH both members' rounded
+    centroid similarity, so the keep-policy needs no extra join
+    against the corpus.
+
+    Keep policy (who of a near-dup pair is the duplicate):
+    - ``centroid`` (paper-faithful): the member CLOSER to its
+      centroid loses — SemDeDup keeps low-centroid-similarity
+      examples to preserve diversity. Similarities are quantized to
+      1e-6 before comparing so Spark and a SQL oracle take the same
+      branch; exact ties fall back to keeping the smaller id.
+    - ``min_id``: the larger id loses — the simplest deterministic
+      survivorship, matching exact_duplicates' convention.
+
+    The duplicate relation is the paper's pairwise rule (a row is a
+    duplicate iff it loses ANY pair), not a transitive closure —
+    chain the output into operators/graph.connected_components when
+    cluster-level survivorship is needed.
+
+    Scale notes (100 TB): n_clusters bounds the quadratic term —
+    size it so the biggest cluster's gemm fits one task (paper uses
+    ~100k clusters for billions of docs). The cluster shuffle moves
+    each vector once; pair output is tiny relative to the corpus. A
+    pathological giant cluster should be sub-blocked with the
+    `blocked` method's cogroup — documented upgrade path.
+
+    Output: (id_col, cluster_id, is_duplicate, dup_of) — dup_of is
+    the smallest winning counterpart among lost pairs, NULL for
+    keepers.
+    """
+    import numpy as np
+
+    from .similarity import _assign_clusters, _kmeans_centroids
+
+    if keep not in ("centroid", "min_id"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = _kmeans_centroids(base, "id", "v", n_clusters, iters, dim)
+    tagged = _assign_clusters(base, "id", "v", cents)
+    cmat = np.array(cents, dtype=np.float64)
+
+    def part_pairs(batches):
+        import pandas as pd
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cl = pdf["cluster"].to_numpy(dtype=np.int64)
+        csim = np.round(np.einsum("ij,ij->i", mat, cmat[cl]), 6)
+        order = np.argsort(cl, kind="stable")
+        cl_s, ids_s = cl[order], ids[order]
+        mat_s, sim_s = mat[order], csim[order]
+        bounds = np.flatnonzero(np.r_[True, cl_s[1:] != cl_s[:-1], True])
+        out = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            p = _gemm_pairs(ids_s[s:e], mat_s[s:e], ids_s[s:e], mat_s[s:e],
+                            threshold, same_block=True)
+            if not len(p):
+                continue
+            sim_of = dict(zip(ids_s[s:e].tolist(), sim_s[s:e].tolist()))
+            out.append(p.assign(sim_a=p["id_a"].map(sim_of),
+                                sim_b=p["id_b"].map(sim_of)))
+        out = [o for o in out if len(o)]
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    pairs = (tagged.repartition("cluster")
+             .mapInPandas(part_pairs, _PAIR_SCHEMA
+                          + ", sim_a double, sim_b double"))
+
+    if keep == "min_id":
+        loser, winner = F.col("id_b"), F.col("id_a")
+    else:
+        loser = (F.when(F.col("sim_a") > F.col("sim_b"), F.col("id_a"))
+                 .when(F.col("sim_b") > F.col("sim_a"), F.col("id_b"))
+                 .otherwise(F.greatest("id_a", "id_b")))
+        winner = (F.when(F.col("sim_a") > F.col("sim_b"), F.col("id_b"))
+                  .when(F.col("sim_b") > F.col("sim_a"), F.col("id_a"))
+                  .otherwise(F.least("id_a", "id_b")))
+
+    dup = (pairs.select(loser.alias("id"), winner.alias("kept"))
+           .groupBy("id").agg(F.min("kept").alias("dup_of")))
+    return (tagged.select("id", "cluster")
+            .join(dup, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.col("cluster").cast("int").alias("cluster_id"),
+                    F.col("dup_of").isNotNull().alias("is_duplicate"),
+                    F.col("dup_of")))

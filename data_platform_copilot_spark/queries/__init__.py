@@ -45,6 +45,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "dedup_semantic",
     "dedup_clusters",
     "dedup_keeper_selection",
     # similarity / embeddings
@@ -83,7 +84,9 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "null_ordering",
     "lateral_view_explode",
     "argmax_aggregates",
-    "group_by_all_syntax",
+    # group_by_all_syntax yields its gate slot to dedup_semantic; like
+    # dq_rule_freshness_ts below it stays value-verified by the
+    # full-registry pytest oracle (list is exactly 50 names).
     # bench headliners + reference DQ/gateway parity
     "multi_join_topk",
     "cohort_retention_weekly",

@@ -17,6 +17,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    semantic_duplicates,
     shingles,
     simhash,
 )
@@ -218,13 +219,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", rnd("cosine", 4).alias("cosine"))
 
 
-@query("dedup_embedding_lsh", oracle="""
+# Planted-near-dupe corpus, shared by the embedding-dedup scale-path
+# entries (dedup_embedding_lsh, dedup_semantic): every 10th vector
+# re-enters with a per-element scaling cycle (cosine ~0.9999998 to its
+# source), so both engines replay the identical corpus and a DuckDB
+# oracle can value-verify what the approximate method recovers.
+_PLANTED_SQL = """
 WITH base AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
     FROM embeddings
 ), planted AS (
-    -- deterministic near-dupes: every 10th vector re-enters with a
-    -- per-element scaling cycle (cosine ~0.9999998 to its source)
     SELECT vec_id + 1000000 AS vec_id,
            list_transform(list_zip(embedding, range(0, len(embedding))),
                           p -> p[1] * (1 + 0.0002 * (p[2] % 5)))
@@ -233,6 +237,28 @@ WITH base AS (
 ), corpus AS (
     SELECT * FROM base UNION ALL SELECT * FROM planted
 )
+"""
+
+
+def _planted_corpus(emb: DataFrame) -> DataFrame:
+    """Spark twin of ``_PLANTED_SQL``. Single-scan: every row explodes
+    to itself (+ its planted near-dupe for every 10th id) in one pass
+    over the cached table — a unionAll of two scans doubles the
+    partition count and makes the downstream Python tag stage run two
+    task waves for no work."""
+    v = F.col("embedding").cast("array<double>")
+    orig = F.struct(F.col("vec_id").alias("vec_id"), v.alias("embedding"))
+    pert = F.struct(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(v, lambda x, i: x * (F.lit(1.0) + F.lit(0.0002)
+                                         * (i % 5))).alias("embedding"))
+    return (emb.select(F.explode(
+                F.when(F.col("vec_id") % 10 == 0, F.array(orig, pert))
+                .otherwise(F.array(orig))).alias("s"))
+            .select("s.*"))
+
+
+@query("dedup_embedding_lsh", oracle=_PLANTED_SQL + """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.embedding, b.embedding) /
              (sqrt(list_dot_product(a.embedding, a.embedding)) *
@@ -255,25 +281,69 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovery is deterministic-complete; candidates are re-scored
     exactly, so false bucket collisions cannot leak through. Compute
     is O(sum bucket^2) << O(n^2) — the 100 TB path."""
-    emb = _t(spark, sf_dir, "embeddings")
-    # Single-scan corpus: every row explodes to itself (+ its planted
-    # near-dupe for every 10th id) in one pass over the cached table —
-    # a unionAll of two scans doubles the partition count and makes
-    # the downstream Python tag stage run two task waves for no work.
-    v = F.col("embedding").cast("array<double>")
-    orig = F.struct(F.col("vec_id").alias("vec_id"), v.alias("embedding"))
-    pert = F.struct(
-        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
-        F.transform(v, lambda x, i: x * (F.lit(1.0) + F.lit(0.0002)
-                                         * (i % 5))).alias("embedding"))
-    corpus = (emb.select(F.explode(
-                  F.when(F.col("vec_id") % 10 == 0, F.array(orig, pert))
-                  .otherwise(F.array(orig))).alias("s"))
-              .select("s.*"))
+    corpus = _planted_corpus(_t(spark, sf_dir, "embeddings"))
     pairs = embedding_near_duplicates(
         corpus, "vec_id", "embedding", threshold=0.99,
         method="lsh", n_planes=8, tables=8, dim=64)
     return pairs.select("id_a", "id_b", rnd("cosine", 4).alias("cosine"))
+
+
+def _semantic_oracle(n_clusters: int, threshold: float, iters: int) -> str:
+    """DuckDB replay of operators.dedup.semantic_duplicates over the
+    planted corpus: the IVF oracle's deterministic k-means CTE chain
+    (seeds = smallest md5(id), quantized Lloyd rounds, final
+    assignment ``af``), then within-cluster thresholded pairs and the
+    paper's centroid keep-policy on 1e-6-quantized similarities."""
+    from .similarity import _kmeans_sql
+
+    ctes, final_cents = _kmeans_sql(n_clusters, iters, src="corpus")
+    ctes.append(f"""sims AS (
+    SELECT a.vec_id, a.v, a.cluster,
+           round(list_dot_product(a.v, c.cv) /
+                 sqrt(list_dot_product(a.v, a.v)), 6) AS csim
+    FROM af a JOIN {final_cents} c USING (cluster)
+), prs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.csim AS sim_a, b.csim AS sim_b
+    FROM sims a JOIN sims b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+), losses AS (
+    SELECT CASE WHEN sim_a > sim_b THEN id_a
+                WHEN sim_b > sim_a THEN id_b
+                ELSE greatest(id_a, id_b) END AS id,
+           CASE WHEN sim_a > sim_b THEN id_b
+                WHEN sim_b > sim_a THEN id_a
+                ELSE least(id_a, id_b) END AS kept
+    FROM prs
+), dup AS (
+    SELECT id, min(kept) AS dup_of FROM losses GROUP BY id
+)""")
+    body = ",\n".join(ctes)
+    return (_PLANTED_SQL.rstrip() + ", " + body + """
+SELECT t.vec_id, CAST(t.cluster AS INT) AS cluster_id,
+       d.dup_of IS NOT NULL AS is_duplicate, d.dup_of
+FROM af t LEFT JOIN dup d ON d.id = t.vec_id
+""")
+
+
+@query("dedup_semantic",
+       oracle=_semantic_oracle(n_clusters=8, threshold=0.95, iters=2))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space with
+    the IVF coarse quantizer's deterministic k-means, then find
+    near-dup pairs ONLY within clusters — O(sum cluster^2), not
+    O(n^2) — and drop the pair member closer to its centroid (the
+    paper keeps low-centroid-similarity examples for diversity).
+    Runs over the planted corpus so the dedup verdict is non-trivial
+    and the DuckDB oracle replays the identical k-means + keep-policy
+    arithmetic end to end."""
+    corpus = _planted_corpus(_t(spark, sf_dir, "embeddings"))
+    return semantic_duplicates(
+        corpus, "vec_id", "embedding",
+        n_clusters=8, threshold=0.95, iters=2, dim=64, keep="centroid")
 
 
 @query("dedup_clusters",

@@ -68,10 +68,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _ivf_assign_sql(name: str, cents: str) -> str:
+def _ivf_assign_sql(name: str, cents: str, src: str = "embeddings") -> str:
     """One Lloyd assignment round: nearest centroid by dot (argmax is
     scale-invariant, so raw vectors need no normalization; ties break
-    to the LOWEST cluster, matching np.argmax first-index)."""
+    to the LOWEST cluster, matching np.argmax first-index). ``src``
+    lets callers assign over a CTE (e.g. the planted dedup corpus)
+    instead of the embeddings table."""
     return f"""{name} AS (
     SELECT vec_id, v, cluster FROM (
         SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cluster,
@@ -80,7 +82,7 @@ def _ivf_assign_sql(name: str, cents: str) -> str:
                    ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                              c.cv) DESC,
                             c.cluster) AS rn
-        FROM embeddings e CROSS JOIN {cents} c
+        FROM {src} e CROSS JOIN {cents} c
     ) WHERE rn = 1
 )"""
 
@@ -107,18 +109,19 @@ def _ivf_update_sql(rnd_i: int, assign: str, prev: str) -> str:
 )"""
 
 
-def _ivf_oracle(k: int, n_clusters: int, n_probe: int, iters: int) -> str:
-    """DuckDB replay of ivf_topk's full deterministic index build:
-    seeds = the n_clusters corpus vectors with the smallest md5(id),
-    `iters` Lloyd rounds (assignment + quantized mean update) as
-    chained CTEs, then probe the n_probe nearest cells and re-rank
-    exactly — the same arithmetic the Spark operator runs, so the
-    value hash matches."""
+def _kmeans_sql(n_clusters: int, iters: int,
+                src: str = "embeddings") -> tuple[list[str], str]:
+    """CTE chain replaying operators.similarity._kmeans_centroids over
+    ``src``: seeds = the n_clusters vectors with the smallest md5(id),
+    ``iters`` Lloyd rounds (assignment + quantized mean update), then
+    the final assignment as CTE ``af`` (vec_id, v, cluster). Returns
+    (ctes, final_centroid_cte_name) for callers to extend — the IVF
+    oracle adds probes, the SemDeDup oracle within-cluster pairs."""
     ctes = [f"""seeds AS (
     SELECT CAST(row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cluster,
            CAST(embedding AS DOUBLE[]) AS v
-    FROM embeddings
+    FROM {src}
     ORDER BY md5(CAST(vec_id AS VARCHAR))
     LIMIT {n_clusters}
 ), c0 AS (
@@ -128,10 +131,21 @@ def _ivf_oracle(k: int, n_clusters: int, n_probe: int, iters: int) -> str:
     FROM seeds
 )"""]
     for i in range(1, iters + 1):
-        ctes.append(_ivf_assign_sql(f"a{i}", f"c{i - 1}"))
+        ctes.append(_ivf_assign_sql(f"a{i}", f"c{i - 1}", src))
         ctes.append(_ivf_update_sql(i, f"a{i}", f"c{i - 1}"))
     final_cents = f"c{iters}"
-    ctes.append(_ivf_assign_sql("af", final_cents))
+    ctes.append(_ivf_assign_sql("af", final_cents, src))
+    return ctes, final_cents
+
+
+def _ivf_oracle(k: int, n_clusters: int, n_probe: int, iters: int) -> str:
+    """DuckDB replay of ivf_topk's full deterministic index build:
+    seeds = the n_clusters corpus vectors with the smallest md5(id),
+    `iters` Lloyd rounds (assignment + quantized mean update) as
+    chained CTEs, then probe the n_probe nearest cells and re-rank
+    exactly — the same arithmetic the Spark operator runs, so the
+    value hash matches."""
+    ctes, final_cents = _kmeans_sql(n_clusters, iters)
     ctes.append(f"""probes AS (
     SELECT query_id, qv, cluster FROM (
         SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,

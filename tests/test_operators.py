@@ -151,6 +151,60 @@ class TestEmbeddingDedup:
         assert want <= got, f"LSH missed planted dupes: {want - got}"
 
 
+class TestSemanticDedup:
+    def _corpus(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((60, 64))
+        rows = [(i, base[i].tolist()) for i in range(60)]
+        for i in range(12):  # plant 12 near-copies: 100+i ~ i
+            rows.append((100 + i, (base[i] + 0.01 * rng.standard_normal(64))
+                         .tolist()))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_min_id_policy_flags_planted_copies(self, spark):
+        from data_platform_copilot_spark.operators.dedup import (
+            semantic_duplicates)
+        out = {r["vec_id"]: r for r in semantic_duplicates(
+            self._corpus(spark), "vec_id", "embedding", n_clusters=6,
+            threshold=0.95, keep="min_id").collect()}
+        assert len(out) == 72
+        for i in range(12):
+            assert out[100 + i]["is_duplicate"]
+            assert out[100 + i]["dup_of"] == i
+        dupes = {k for k, r in out.items() if r["is_duplicate"]}
+        assert dupes == {100 + i for i in range(12)}
+
+    def test_centroid_policy_drops_exactly_one_per_pair(self, spark):
+        """Paper policy: the pair member CLOSER to its centroid loses;
+        each planted pair yields exactly one duplicate pointing at its
+        counterpart, and nothing else is flagged."""
+        from data_platform_copilot_spark.operators.dedup import (
+            semantic_duplicates)
+        out = {r["vec_id"]: r for r in semantic_duplicates(
+            self._corpus(spark), "vec_id", "embedding", n_clusters=6,
+            threshold=0.95, keep="centroid").collect()}
+        flagged = {k for k, r in out.items() if r["is_duplicate"]}
+        for i in range(12):
+            pair = {i, 100 + i}
+            lost = pair & flagged
+            assert len(lost) == 1, f"pair {pair}: flagged {lost}"
+            loser = lost.pop()
+            assert out[loser]["dup_of"] == (pair - {loser}).pop()
+            # near-identical vectors must co-cluster
+            assert out[i]["cluster_id"] == out[100 + i]["cluster_id"]
+        assert flagged <= {i for i in range(12)} | {100 + i
+                                                    for i in range(12)}
+
+    def test_unknown_keep_policy_raises(self, spark):
+        from data_platform_copilot_spark.operators.dedup import (
+            semantic_duplicates)
+        with pytest.raises(ValueError, match="keep"):
+            semantic_duplicates(self._corpus(spark), "vec_id",
+                                "embedding", keep="newest")
+
+
 class TestRepetitionSignals:
     def test_known_answers(self, spark):
         from data_platform_copilot_spark.operators.quality import (
