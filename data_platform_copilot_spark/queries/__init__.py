@@ -46,6 +46,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_semantic",
+    "dedup_incremental",
     "dedup_clusters",
     "dedup_keeper_selection",
     # similarity / embeddings
@@ -84,9 +85,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "null_ordering",
     "lateral_view_explode",
     "argmax_aggregates",
-    # group_by_all_syntax yields its gate slot to dedup_semantic; like
-    # dq_rule_freshness_ts below it stays value-verified by the
-    # full-registry pytest oracle (list is exactly 50 names).
+    "group_by_all_syntax",
     # bench headliners + reference DQ/gateway parity
     "multi_join_topk",
     "cohort_retention_weekly",
@@ -96,12 +95,12 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "sampler_where_limit",
     "dq_profile_events_value",
     "dq_top_values_event_type",
-    "dq_rule_not_null_user_id",
-    "dq_rule_unique_event_id",
     "dq_rule_anomaly_zscore_value",
-    # dq_rule_freshness_ts was driver-verified green in r2 and stays
-    # covered by the full-registry pytest oracle; it yields its gate
-    # slot to warehouse_view_revenue (list is exactly 50 names).
+    # dq_rule_freshness_ts / dq_rule_not_null_user_id /
+    # dq_rule_unique_event_id were driver-verified green in r2 and stay
+    # covered by the full-registry pytest oracle; their gate slots go
+    # to warehouse_view_revenue, dedup_semantic and dedup_incremental
+    # (list is exactly 50 names).
 ]
 
 

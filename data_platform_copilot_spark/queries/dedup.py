@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     embedding_near_duplicates,
     exact_duplicates,
+    fingerprint_store,
+    incremental_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -443,3 +445,57 @@ def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cluster_id"), "n_tokens"))
     w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "doc_id")
     return sized.withColumn("is_keeper", F.row_number().over(w) == 1)
+
+
+@query("dedup_incremental", oracle=f"""
+WITH fp AS (
+    SELECT doc_id, md5({_NORM}) AS f FROM documents
+), hist AS (
+    SELECT f AS fingerprint, min(doc_id) AS first_id
+    FROM fp WHERE doc_id % 3 = 0 GROUP BY 1
+), batch AS (
+    SELECT doc_id, f FROM fp WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, f FROM fp WHERE doc_id % 30 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, f FROM fp WHERE doc_id % 30 = 1
+), j AS (
+    SELECT b.doc_id, b.f, h.first_id,
+           min(b.doc_id) OVER (PARTITION BY b.f) AS keeper
+    FROM batch b LEFT JOIN hist h ON h.fingerprint = b.f
+)
+SELECT doc_id, f AS fingerprint,
+       CASE WHEN first_id IS NOT NULL THEN 'history_dup'
+            WHEN doc_id <> keeper THEN 'batch_dup'
+            ELSE 'new' END AS status,
+       CASE WHEN first_id IS NOT NULL THEN first_id
+            WHEN doc_id <> keeper THEN keeper END AS dup_of
+FROM j
+""")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup — the ongoing-ingestion shape:
+    history snapshot = docs with doc_id % 3 == 0, distilled to a
+    (fingerprint, first_id) store; the new batch = the remaining docs
+    plus deterministic planted copies (every 30th history doc
+    re-enters as id+1000000 -> guaranteed history_dup; every doc with
+    doc_id % 30 == 1 re-enters as id+2000000 -> guaranteed batch_dup)
+    so the three-way verdict is non-trivial at every sf. Single scan
+    builds the batch (conditional explode, no self-union); only
+    fingerprints ever shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk(idc):
+        return F.struct(idc.alias("doc_id"), F.col("text").alias("text"))
+
+    arr = F.filter(
+        F.array(
+            F.when(F.col("doc_id") % 3 != 0, mk(F.col("doc_id"))),
+            F.when(F.col("doc_id") % 30 == 0,
+                   mk(F.col("doc_id") + F.lit(1000000))),
+            F.when(F.col("doc_id") % 30 == 1,
+                   mk(F.col("doc_id") + F.lit(2000000)))),
+        lambda x: x.isNotNull())
+    batch = docs.select(F.explode(arr).alias("s")).select("s.*")
+    store = fingerprint_store(
+        docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text")
+    return incremental_duplicates(batch, store, "doc_id", "text")

@@ -205,6 +205,54 @@ class TestSemanticDedup:
                                 "embedding", keep="newest")
 
 
+class TestIncrementalDedup:
+    def _frames(self, spark):
+        hist = spark.createDataFrame(
+            [(0, "alpha beta"), (3, "gamma delta"), (6, "epsilon zeta")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(10, "alpha  BETA "),   # history dup (normalizes to hist 0)
+             (11, "fresh one"),
+             (12, "fresh two"),
+             (13, "fresh one"),      # batch dup of 11
+             (14, "gamma delta")],   # history dup of 3
+            "doc_id long, text string")
+        return hist, batch
+
+    def test_three_way_verdict(self, spark):
+        from data_platform_copilot_spark.operators.dedup import (
+            fingerprint_store, incremental_duplicates)
+        hist, batch = self._frames(spark)
+        store = fingerprint_store(hist, "doc_id", "text")
+        out = {r["doc_id"]: r for r in incremental_duplicates(
+            batch, store, "doc_id", "text").collect()}
+        assert out[10]["status"] == "history_dup" and out[10]["dup_of"] == 0
+        assert out[14]["status"] == "history_dup" and out[14]["dup_of"] == 3
+        assert out[13]["status"] == "batch_dup" and out[13]["dup_of"] == 11
+        assert out[11]["status"] == "new" and out[11]["dup_of"] is None
+        assert out[12]["status"] == "new" and out[12]["dup_of"] is None
+
+    def test_advancing_the_store_is_idempotent(self, spark):
+        """Merging the batch's keepers into the store and re-running
+        the SAME batch must yield 100% history_dup — the retry/replay
+        safety property an ingestion pipeline needs."""
+        from data_platform_copilot_spark.operators.dedup import (
+            fingerprint_store, incremental_duplicates)
+        hist, batch = self._frames(spark)
+        store = fingerprint_store(hist, "doc_id", "text")
+        first = incremental_duplicates(batch, store, "doc_id", "text")
+        keeper_ids = [r["doc_id"] for r in
+                      first.where("status = 'new'").collect()]
+        advanced = (store.unionByName(fingerprint_store(
+            batch.where(F.col("doc_id").isin(keeper_ids)),
+            "doc_id", "text"))
+            .groupBy("fingerprint")
+            .agg(F.min("first_id").alias("first_id")))
+        replay = incremental_duplicates(batch, advanced, "doc_id", "text")
+        statuses = {r["status"] for r in replay.collect()}
+        assert statuses == {"history_dup"}
+
+
 class TestRepetitionSignals:
     def test_known_answers(self, spark):
         from data_platform_copilot_spark.operators.quality import (
