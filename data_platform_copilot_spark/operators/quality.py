@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text
+from ..functions.text import normalize_text, tokens
 from ..sources.registry import spread
 
 
@@ -176,3 +176,60 @@ def repetition_signals(df: DataFrame, id_col: str,
              / F.sum(_of(3, F.col("c")))).alias("dup_trigram_frac"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "a", "in", "that",
+                    "have", "with")
+
+
+def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str,
+                          min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_ratio: float = 0.1,
+                          min_alpha_word_frac: float = 0.8,
+                          min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the rule ensemble web-scale LM pipelines
+    apply before training. Defaults are the paper's thresholds; every
+    rule is a pure JVM expression over the token array (one scan, no
+    shuffle, no UDF), so the filter runs at wire speed and pushes
+    into codegen.
+
+    Rules (each surfaced as its own boolean so curation can audit WHY
+    a doc dropped, plus the conjunction as ``keep``):
+    - ``ok_word_count``:    min_words <= n <= max_words
+    - ``ok_mean_word_len``: mean token length in [min, max]
+    - ``ok_symbol_ratio``:  ('#' + '...') occurrences / n <= max
+    - ``ok_alpha_words``:   frac of tokens containing a letter >= min
+    - ``ok_stopwords``:     distinct stopword hits >= min_stopwords
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_len = (F.aggregate(toks, F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+                .cast("double") / n)
+    norm = normalize_text(F.col(text_col))
+    symbols = (F.length(norm) - F.length(F.replace(norm, F.lit("#")))
+               + F.regexp_count(norm, F.lit(r"\.\.\.")))
+    alpha_frac = (F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+                  .cast("double") / n)
+    stop_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        ((n >= min_words) & (n <= max_words)).alias("ok_word_count"),
+        ((mean_len >= min_mean_word_len)
+         & (mean_len <= max_mean_word_len)).alias("ok_mean_word_len"),
+        ((symbols.cast("double") / n) <= max_symbol_ratio)
+            .alias("ok_symbol_ratio"),
+        (alpha_frac >= min_alpha_word_frac).alias("ok_alpha_words"),
+        (stop_hits >= min_stopwords).alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("ok_word_count") & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio") & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"))

@@ -111,3 +111,50 @@ def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> dict:
         "p99_to_median": (stats["p99"] / stats["p50"]) if stats["p50"] else 0.0,
         "top": [(r[key_col], r["cnt"]) for r in top_rows],
     }
+
+
+def temperature_mix_sample(df: DataFrame, domain_col: str, key_col: str,
+                           temperature: float = 2.0) -> DataFrame:
+    """Temperature-flattened domain mixture — the multilingual-LM
+    rebalancing rule (mT5 / XLM-R): target share of domain d is
+    q_d ∝ p_d^(1/T) where p_d is its observed share. T=1 keeps the
+    natural mix; T→∞ approaches uniform; between, dominant domains
+    are down-sampled and tail domains kept whole.
+
+    Unlike ``domain_mix_sample`` the target mix is DERIVED from the
+    observed counts, so no configuration is needed: one tiny
+    count-by-domain agg feeds q_d, the feasible scale K =
+    min_d(n_d / q_d) caps the subset (the scarcest domain is kept
+    in full), and each domain samples at rate K * q_d / n_d via the
+    deterministic md5 rule. Rates are rounded to the 1e-6 grid and
+    compared as INTEGER cutoffs, so any engine replaying the same
+    arithmetic selects the identical rows.
+
+    Scale: the count agg touches |domains| rows; the rate table
+    broadcasts; the filter is a scan-local predicate — no shuffle of
+    the data being sampled.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    qraw = counts.select(
+        domain_col, "__n",
+        F.pow(F.col("__n").cast("double"),
+              F.lit(1.0 / temperature)).alias("__q"))
+    tot = qraw.agg(F.sum("__q").alias("__qs"))
+    shares = (qraw.crossJoin(F.broadcast(tot))
+              .select(domain_col, "__n",
+                      (F.col("__q") / F.col("__qs")).alias("__share")))
+    k = shares.agg(F.min(F.col("__n") / F.col("__share")).alias("__k"))
+    rates = (shares.crossJoin(F.broadcast(k))
+             .select(domain_col,
+                     F.round(F.least(
+                         F.lit(1.0),
+                         F.col("__k") * F.col("__share") / F.col("__n")), 6)
+                     .alias("__rate")))
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
+                    16, 10).cast("long") % 1_000_000
+    cutoff = F.round(F.col("__rate") * 1_000_000, 0).cast("long")
+    return (df.join(F.broadcast(rates), domain_col)
+            .where(bucket < cutoff)
+            .drop("__rate"))

@@ -58,6 +58,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "deterministic_hash_sample",
     "stratified_sample_counts",
     "domain_mix_sample_counts",
+    "temperature_mix_counts",
     # quality / text-pipeline
     "text_token_stats",
     "text_quality_score",
@@ -68,6 +69,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "doc_chunking",
     "chunk_packing",
     "pii_redaction",
+    "quality_filter_gopher",
     # multimodal
     "multimodal_features",
     # event-time / streaming-parity
@@ -91,16 +93,16 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "cohort_retention_weekly",
     "tpch_q1_pricing_summary",
     "window_rank_topk_per_group",
-    "limit_injection",
-    "sampler_where_limit",
     "dq_profile_events_value",
     "dq_top_values_event_type",
     "dq_rule_anomaly_zscore_value",
     # dq_rule_freshness_ts / dq_rule_not_null_user_id /
-    # dq_rule_unique_event_id were driver-verified green in r2 and stay
-    # covered by the full-registry pytest oracle; their gate slots go
-    # to warehouse_view_revenue, dedup_semantic and dedup_incremental
-    # (list is exactly 50 names).
+    # dq_rule_unique_event_id / limit_injection / sampler_where_limit
+    # were driver-verified green in r2 and stay covered by the
+    # full-registry pytest oracle; their gate slots go to
+    # warehouse_view_revenue and the round-3 pipeline additions
+    # (dedup_semantic, dedup_incremental, quality_filter_gopher,
+    # temperature_mix_counts — list is exactly 50 names).
 ]
 
 

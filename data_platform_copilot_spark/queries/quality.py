@@ -195,3 +195,61 @@ def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         packed["id"].alias("doc_id"), "chunk_idx", "shard",
         "token_offset", "bin")
+
+
+_GOPHER_STOPS = ("'the','be','to','of','and','a','in','that','have',"
+                 "'with'")
+
+# Spark's array_intersect preserves first-array order; DuckDB's
+# list_intersect makes no order promise — only the SIZE is compared,
+# so both are safe here.
+_GQF = f"""
+WITH t AS (
+    SELECT doc_id, {_NORM} AS norm,
+           string_split({_NORM}, ' ') AS toks
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(toks) AS n,
+           list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / len(toks) AS mean_len,
+           (length(norm) - length(replace(norm, '#', ''))
+            + len(regexp_extract_all(norm, '\\.\\.\\.')))::DOUBLE
+               / len(toks) AS sym_ratio,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / len(toks) AS alpha_frac,
+           len(list_intersect(toks, [{_GOPHER_STOPS}])) AS stop_hits
+    FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       round(mean_len, 4) AS mean_word_len,
+       n >= 30 AND n <= 100000 AS ok_word_count,
+       mean_len >= 3.0 AND mean_len <= 10.0 AS ok_mean_word_len,
+       sym_ratio <= 0.1 AS ok_symbol_ratio,
+       alpha_frac >= 0.8 AS ok_alpha_words,
+       stop_hits >= 1 AS ok_stopwords,
+       (n >= 30 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+           AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 1
+           AS keep
+FROM m
+"""
+
+
+@query("quality_filter_gopher", oracle=_GQF)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-ensemble quality filter (Rae et al. 2021 §A1.1)
+    over the documents table. Operator defaults are the paper's
+    thresholds; this entry adapts min_words to 30 and min_stopwords
+    to 1 so the synthetic corpus (10-100 words/doc, 0-2 distinct
+    stopwords) yields a genuine keep/drop split in both engines.
+    Every rule is its own audited boolean; pure codegen expressions,
+    zero shuffles."""
+    from ..operators.quality import gopher_quality_filter
+    out = gopher_quality_filter(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_words=30, min_stopwords=1)
+    return out.select(
+        "doc_id", "n_words", rnd("mean_word_len", 4).alias("mean_word_len"),
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_alpha_words", "ok_stopwords", "keep")

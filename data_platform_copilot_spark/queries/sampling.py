@@ -99,3 +99,50 @@ def domain_mix_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (domain_mix_sample(cust, "c_mktsegment", "c_custkey", _MIX)
             .groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(F.count("*").alias("n_sampled")))
+
+
+_DOC_POLY = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+    f"{i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+    for i in range(6))
+
+
+@query("temperature_mix_counts", oracle=f"""
+WITH c AS (
+    SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+), q AS (
+    SELECT lang, n, pow(n, 0.5) AS qr FROM c
+), s AS (
+    SELECT lang, n, qr / (SELECT sum(qr) FROM q) AS share FROM q
+), r AS (
+    SELECT lang, n,
+           round(least(1.0,
+                       (SELECT min(n / share) FROM s) * share / n), 6)
+               AS rate
+    FROM s
+), sel AS (
+    SELECT d.lang FROM documents d JOIN r USING (lang)
+    WHERE ({_DOC_POLY}) % 1000000
+          < CAST(round(rate * 1000000, 0) AS BIGINT)
+), g AS (
+    SELECT lang, count(*) AS m FROM sel GROUP BY 1
+)
+SELECT r.lang AS lang, CAST(r.n AS BIGINT) AS n_total,
+       CAST(coalesce(g.m, 0) AS BIGINT) AS n_sampled
+FROM r LEFT JOIN g USING (lang)
+""")
+def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture at T=2 (mT5/XLM-R
+    rebalancing): dominant 'en' is down-sampled toward the flattened
+    share, the scarcest language is kept whole. Counts per language
+    value-verify that both engines derive the same rates from the
+    same observed mix and select the identical md5-keyed rows."""
+    from ..operators.sampling import temperature_mix_sample
+    docs = _t(spark, sf_dir, "documents")
+    sampled = (temperature_mix_sample(docs, "lang", "doc_id",
+                                      temperature=2.0)
+               .groupBy("lang").agg(F.count("*").alias("n_sampled")))
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    return (totals.join(sampled, "lang", "left")
+            .select("lang", "n_total",
+                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled")))

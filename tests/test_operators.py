@@ -205,6 +205,75 @@ class TestSemanticDedup:
                                 "embedding", keep="newest")
 
 
+class TestTemperatureMixSample:
+    def _df(self, spark):
+        rows = ([(i, "big") for i in range(800)]
+                + [(10000 + i, "mid") for i in range(150)]
+                + [(20000 + i, "small") for i in range(50)])
+        return spark.createDataFrame(rows, "k long, dom string")
+
+    def test_flattens_toward_uniform(self, spark):
+        from data_platform_copilot_spark.operators.sampling import (
+            temperature_mix_sample)
+        out = temperature_mix_sample(self._df(spark), "dom", "k",
+                                     temperature=2.0)
+        got = {r["dom"]: r["n"] for r in
+               out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+        # scarcest domain kept ~whole; dominant domain down-sampled
+        assert got["small"] >= 45
+        assert got["big"] < 800
+        # flattened: big/small ratio shrinks from 16x toward sqrt(16)=4x
+        assert got["big"] / got["small"] < 8
+
+    def test_t1_keeps_natural_mix(self, spark):
+        from data_platform_copilot_spark.operators.sampling import (
+            temperature_mix_sample)
+        df = self._df(spark)
+        out = temperature_mix_sample(df, "dom", "k", temperature=1.0)
+        # T=1 -> every rate is 1.0 -> identity sample
+        assert out.count() == df.count()
+
+    def test_invalid_temperature_raises(self, spark):
+        from data_platform_copilot_spark.operators.sampling import (
+            temperature_mix_sample)
+        with pytest.raises(ValueError, match="temperature"):
+            temperature_mix_sample(self._df(spark), "dom", "k",
+                                   temperature=0.0)
+
+
+class TestGopherQualityFilter:
+    def test_each_rule_fires_on_its_own_violation(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            gopher_quality_filter)
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "runs off to the woods with a happy bark and a wag ") * 2
+        df = spark.createDataFrame(
+            [(1, good),                      # passes everything
+             (2, "the of and to a"),         # too few words
+             (3, "zz " * 60),                # no stopwords, short words
+             (4, ("# " * 30) + good)],       # symbol ratio blown
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in gopher_quality_filter(
+            df, "doc_id", "text", min_words=20).collect()}
+        assert out[1]["keep"]
+        assert not out[2]["ok_word_count"] and not out[2]["keep"]
+        assert not out[3]["ok_stopwords"] and not out[3]["keep"]
+        assert not out[3]["ok_mean_word_len"]  # mean len 2.0 < 3.0
+        assert not out[4]["ok_symbol_ratio"] and not out[4]["keep"]
+        # the symbol-heavy doc still counts its words honestly
+        assert out[4]["n_words"] == 30 + out[1]["n_words"]
+
+    def test_paper_defaults_enforce_50_word_floor(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            gopher_quality_filter)
+        df = spark.createDataFrame(
+            [(1, "the and of to a word list that is only twenty long "
+                 "with some more filler here to be sure")],
+            "doc_id long, text string")
+        row = gopher_quality_filter(df, "doc_id", "text").collect()[0]
+        assert not row["ok_word_count"] and not row["keep"]
+
+
 class TestIncrementalDedup:
     def _frames(self, spark):
         hist = spark.createDataFrame(
