@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text
+from ..functions.text import normalize_text, tokens
 from ..functions.vectors import cosine_similarity
 from ..sources.registry import spread
 
@@ -50,6 +50,51 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .withColumn("cluster_id", F.min(id_col).over(w))
         .withColumn("is_duplicate", F.col(id_col) != F.col("cluster_id"))
     )
+
+
+def span_dedup(df: DataFrame, id_col: str, text_col: str,
+               span_words: int = 10) -> DataFrame:
+    """C4-style span-level corpus dedup (Raffel et al. 2020 §2.2 —
+    C4 removes any three-sentence span occurring more than once in
+    the corpus, keeping one occurrence). Sentences here are
+    deterministic fixed-width token windows (``span_words`` each,
+    trailing partial included) so both engines segment identically.
+
+    Per document: total spans, spans kept after global first-
+    occurrence-wins (ordered by (doc_id, span_idx)), and the md5 of
+    the cleaned text reassembled from surviving spans in order — a
+    compact content proof that the SAME spans survived in both
+    engines.
+
+    Scale (the honest C4 cost structure): segmenting is scan-local
+    (sequence + slice, no shuffle); global dedup is ONE shuffle of
+    the span stream keyed on the span fingerprint (window min, no
+    join-back); reassembly is ONE groupBy on doc_id. Span
+    fingerprints are uniform md5 — no hot keys beyond true
+    boilerplate, which is exactly what AQE skew handling is for.
+    """
+    from pyspark.sql import Window as W
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(span_words))
+    spans = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, span_words), " "))
+    seg = (spread(df)
+           .select(F.col(id_col).alias("id"),
+                   F.posexplode(spans).alias("span_idx", "span"))
+           .withColumn("fp", F.md5("span")))
+    first = F.min(F.struct("id", "span_idx")).over(W.partitionBy("fp"))
+    kept = seg.withColumn(
+        "keep", F.struct("id", "span_idx") == first)
+    return (kept.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("keep"), F.struct("span_idx", "span")))),
+                lambda s: s["span"]),
+            " ")).alias("clean_fp")))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str,

@@ -233,3 +233,38 @@ def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str,
         F.col("ok_word_count") & F.col("ok_mean_word_len")
         & F.col("ok_symbol_ratio") & F.col("ok_alpha_words")
         & F.col("ok_stopwords"))
+
+
+def decontaminate(df: DataFrame, id_col: str, text_col: str,
+                  eval_df: DataFrame, eval_id_col: str,
+                  eval_text_col: str, n: int = 13) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3
+    appendix-C rule, Brown et al. 2020: flag any training document
+    sharing a 13-gram with an evaluation set). Returns one row per
+    training doc: (id, n_hit_ngrams, contaminated).
+
+    Both sides reuse the dedup shingle builder (distinct word
+    n-grams per doc, built in-row before the explode) and compare
+    md5 fingerprints, so the check is engine-portable.
+
+    Scale: eval sets are benchmark-sized (thousands of docs — tiny
+    against a 100 TB corpus), so the distinct eval-gram set is
+    BROADCAST and the corpus side never shuffles its gram stream:
+    explode -> broadcast-hash semi-ish join -> groupBy doc_id on
+    only the HITS (near-empty for a clean corpus). Docs shorter
+    than n words emit no grams and report 0 hits.
+    """
+    from .dedup import shingles
+
+    eval_fps = (shingles(eval_df, eval_id_col, eval_text_col, n=n)
+                .select(F.md5("shingle").alias("fp")).distinct())
+    hits = (shingles(df, id_col, text_col, n=n)
+            .select(F.col("id"), F.md5("shingle").alias("fp"))
+            .join(F.broadcast(eval_fps), "fp")
+            .groupBy("id").agg(F.count("*").alias("n_hit_ngrams")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(hits, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"))
+            .withColumn("contaminated", F.col("n_hit_ngrams") > 0))

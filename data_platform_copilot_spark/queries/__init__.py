@@ -49,6 +49,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_incremental",
     "dedup_clusters",
     "dedup_keeper_selection",
+    "dedup_spans",
     # similarity / embeddings
     "ann_bruteforce_topk",
     "ann_srp_lsh_topk",
@@ -70,6 +71,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "chunk_packing",
     "pii_redaction",
     "quality_filter_gopher",
+    "decontamination",
     # multimodal
     "multimodal_features",
     # event-time / streaming-parity
@@ -94,15 +96,15 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "tpch_q1_pricing_summary",
     "window_rank_topk_per_group",
     "dq_profile_events_value",
-    "dq_top_values_event_type",
-    "dq_rule_anomaly_zscore_value",
     # dq_rule_freshness_ts / dq_rule_not_null_user_id /
-    # dq_rule_unique_event_id / limit_injection / sampler_where_limit
-    # were driver-verified green in r2 and stay covered by the
+    # dq_rule_unique_event_id / limit_injection / sampler_where_limit /
+    # dq_top_values_event_type / dq_rule_anomaly_zscore_value were
+    # driver-verified green in r2 and stay covered by the
     # full-registry pytest oracle; their gate slots go to
     # warehouse_view_revenue and the round-3 pipeline additions
     # (dedup_semantic, dedup_incremental, quality_filter_gopher,
-    # temperature_mix_counts — list is exactly 50 names).
+    # temperature_mix_counts, dedup_spans, decontamination — list is
+    # exactly 50 names).
 ]
 
 

@@ -499,3 +499,38 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = fingerprint_store(
         docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text")
     return incremental_duplicates(batch, store, "doc_id", "text")
+
+
+@query("dedup_spans", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), seg AS (
+    SELECT doc_id,
+           CAST((s - 1) // 10 AS BIGINT) AS span_idx,
+           array_to_string(list_slice(t, s, s + 9), ' ') AS span
+    FROM toks, unnest(range(1, greatest(len(t), 1) + 1, 10)) AS u(s)
+), k AS (
+    SELECT doc_id, span_idx, span,
+           row_number() OVER (PARTITION BY md5(span)
+                              ORDER BY doc_id, span_idx) AS rn
+    FROM seg
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                               ORDER BY span_idx), '')) AS clean_fp
+FROM k
+GROUP BY doc_id
+""")
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level corpus dedup (10-word spans, global
+    first-occurrence-wins): per-doc span counts plus the md5 of the
+    reassembled cleaned text, so the oracle verifies WHICH spans
+    survived, not just how many. The sf0.01 corpus has ~150
+    genuinely repeated spans, so the keep/drop split is real."""
+    from ..operators.dedup import span_dedup
+    out = span_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                     span_words=10)
+    return out.select(out["id"].alias("doc_id"), "n_spans", "n_kept",
+                      "clean_fp")

@@ -253,3 +253,56 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", rnd("mean_word_len", 4).alias("mean_word_len"),
         "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
         "ok_alpha_words", "ok_stopwords", "keep")
+
+
+_TOKS_Q = f"string_split({_NORM}, ' ')"
+
+_DECON_SQL = f"""
+WITH norm AS (
+    SELECT doc_id, {_TOKS_Q} AS t FROM documents
+), corpus AS (
+    SELECT doc_id, t FROM norm
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, list_concat(['zzz'], t) AS t
+    FROM norm WHERE doc_id % 97 = 0
+), cg AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(list_slice(t, i, i + 12), ' ')) AS fp
+    FROM corpus, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE len(t) >= 13
+), eg AS (
+    SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 12), ' ')) AS fp
+    FROM norm, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE doc_id % 97 = 0 AND len(t) >= 13
+), h AS (
+    SELECT doc_id, count(*) AS c FROM cg JOIN eg USING (fp) GROUP BY 1
+)
+SELECT c.doc_id AS doc_id,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_ngrams,
+       coalesce(h.c, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN h USING (doc_id)
+"""
+
+
+@query("decontamination", oracle=_DECON_SQL)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C 13-gram rule)
+    with PLANTED contamination: the eval split is doc_id % 97 == 0;
+    each eval doc re-enters the corpus prefixed with one token, so
+    its interior 13-grams survive verbatim and the planted copies
+    must flag. Eval docs themselves self-match (a training corpus
+    containing its own benchmark is exactly what the rule exists to
+    catch); docs under 13 words emit no grams and report 0."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    planted = eval_df.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    out = decontaminate(corpus, "doc_id", "text",
+                        eval_df, "doc_id", "text", n=13)
+    return out.select(out["id"].alias("doc_id"), "n_hit_ngrams",
+                      "contaminated")

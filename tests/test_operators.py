@@ -274,6 +274,68 @@ class TestGopherQualityFilter:
         assert not row["ok_word_count"] and not row["keep"]
 
 
+class TestSpanDedup:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from data_platform_copilot_spark.operators.dedup import span_dedup
+        rep = "one two three four five"          # 5-word span, repeated
+        df = spark.createDataFrame(
+            [(1, rep + " alpha beta gamma delta eps"),
+             (2, rep + " zeta eta theta iota kappa"),   # span 0 dup of doc1
+             (3, "wholly unique words in this doc here")],
+            "doc_id long, text string")
+        out = {r["id"]: r for r in
+               span_dedup(df, "doc_id", "text", span_words=5).collect()}
+        assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+        assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1  # lost span 0
+        assert out[3]["n_kept"] == out[3]["n_spans"]
+        # doc2's cleaned text is exactly its surviving second span
+        import hashlib
+        assert out[2]["clean_fp"] == hashlib.md5(
+            b"zeta eta theta iota kappa").hexdigest()
+
+    def test_fully_duplicated_doc_hashes_empty(self, spark):
+        from data_platform_copilot_spark.operators.dedup import span_dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")],
+            "doc_id long, text string")
+        out = {r["id"]: r for r in
+               span_dedup(df, "doc_id", "text", span_words=5).collect()}
+        import hashlib
+        assert out[2]["n_kept"] == 0
+        assert out[2]["clean_fp"] == hashlib.md5(b"").hexdigest()
+
+
+class TestDecontamination:
+    def test_planted_overlap_flags(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            decontaminate)
+        bench = "alpha beta gamma delta epsilon"
+        train = spark.createDataFrame(
+            [(1, "prefix " + bench + " suffix"),     # contains the 5-gram
+             (2, "completely unrelated training words here"),
+             (3, "alpha beta gamma different tail words")],  # only 3 shared
+            "doc_id long, text string")
+        eval_df = spark.createDataFrame(
+            [(100, bench)], "doc_id long, text string")
+        out = {r["id"]: r for r in decontaminate(
+            train, "doc_id", "text", eval_df, "doc_id", "text",
+            n=5).collect()}
+        assert out[1]["contaminated"] and out[1]["n_hit_ngrams"] == 1
+        assert not out[2]["contaminated"]
+        assert not out[3]["contaminated"]   # shares <n-gram, no flag
+
+    def test_short_docs_emit_no_grams(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            decontaminate)
+        train = spark.createDataFrame(
+            [(1, "too short")], "doc_id long, text string")
+        eval_df = spark.createDataFrame(
+            [(100, "too short")], "doc_id long, text string")
+        row = decontaminate(train, "doc_id", "text",
+                            eval_df, "doc_id", "text", n=5).collect()[0]
+        assert row["n_hit_ngrams"] == 0 and not row["contaminated"]
+
+
 class TestIncrementalDedup:
     def _frames(self, spark):
         hist = spark.createDataFrame(
