@@ -220,3 +220,145 @@ def srp_lsh_topk(corpus: DataFrame, queries: DataFrame,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
+                 m: int = 8, ks: int = 16, iters: int = 2,
+                 dim: int = 64) -> list:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` subspaces of dim/m and train an independent
+    ``ks``-centroid L2 k-means per subspace. Returns a nested list
+    (m x ks x d) of 1e-6-quantized centroids.
+
+    Deterministic like the IVF build: seeds are the ``ks`` corpus
+    vectors with the smallest md5(id) (each sliced per subspace),
+    assignment ranks by the expanded L2 form c.c - 2*x.c with ties
+    to the lowest cluster, and every update snaps to the 1e-6 grid —
+    so a SQL oracle can replay the identical rounds.
+
+    Scale: the build syncs only m*ks*d floats per round to the
+    driver (kilobytes, corpus-size independent); per-round stats are
+    ONE distributed pass (argmin in an Arrow batch gemm, then a
+    (sub, cluster, pos)-keyed mean — m*ks*d groups). Empty cells
+    keep their previous centroid.
+    """
+    d = dim // m
+    seeds = (corpus
+             .select(F.col(vec_col).cast("array<double>").alias("v"),
+                     F.md5(F.col(id_col).cast("string")).alias("h"))
+             .orderBy("h").limit(ks).collect())
+    books = np.round(
+        np.array([r["v"] for r in seeds], dtype=np.float64)
+        .reshape(ks, m, d).transpose(1, 0, 2), 6)  # (m, ks, d)
+
+    def assign(batches):
+        import pandas as pd
+        cc = np.einsum("mkd,mkd->mk", books, books)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            sub = mat.reshape(len(mat), m, d)
+            cross = np.einsum("nmd,mkd->nmk", sub, books)
+            codes = np.argmin(cc[None] - 2.0 * cross, axis=2)
+            yield pd.DataFrame({"v": pdf["v"],
+                                "codes": list(codes.astype("int32"))})
+
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assigned = base.mapInPandas(
+            assign, "v array<double>, codes array<int>")
+        stats = (assigned
+                 .select(F.posexplode("v").alias("pos", "x"), "codes")
+                 .withColumn("sub",
+                             F.floor(F.col("pos") / d).cast("int"))
+                 .withColumn("cluster",
+                             F.element_at("codes", F.col("sub") + 1))
+                 .groupBy("sub", "cluster", "pos")
+                 .agg(F.avg("x").alias("mx"))
+                 .collect())
+        nxt = books.copy()
+        for r in stats:
+            nxt[r["sub"], r["cluster"], r["pos"] % d] = np.round(r["mx"], 6)
+        books = nxt
+    return books.tolist()
+
+
+def pq_code_expr(vec: Column, books: list) -> Column:
+    """codes array<int>: per subspace, the argmin-L2 codebook entry,
+    as a pure JVM expression (ranked by c.c - 2*x.c; ties to the
+    lowest cluster via struct-min). ``books`` is pq_codebooks output.
+    """
+    m = len(books)
+    d = len(books[0][0])
+    codes = []
+    for j in range(m):
+        sv = F.slice(vec, j * d + 1, d)
+        entries = []
+        for cidx, cent in enumerate(books[j]):
+            cc = 0.0
+            for x in cent:
+                cc += float(x) * float(x)
+            clit = F.array(*[F.lit(float(x)) for x in cent])
+            entries.append(F.struct(
+                (F.lit(cc) - 2.0 * dot(sv, clit)).alias("dist"),
+                F.lit(cidx).alias("cluster")))
+        codes.append(F.array_min(F.array(*entries))["cluster"])
+    return F.array(*codes)
+
+
+def pq_xhat_expr(codes: Column, books: list) -> Column:
+    """Reconstructed vector from PQ codes: concat of the selected
+    centroid per subspace (the codebook rides as a literal —
+    m*ks*d doubles, kilobytes)."""
+    blit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cent])
+                  for cent in book])
+        for book in books])
+    return F.flatten(F.transform(
+        codes, lambda c, j: F.element_at(F.element_at(blit, j + 1), c + 1)))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame,
+            id_col: str, vec_col: str, k: int = 10,
+            m: int = 8, ks: int = 16, iters: int = 2, dim: int = 64,
+            shortlist: int = 40,
+            query_id_col: str | None = None) -> DataFrame:
+    """Approximate cosine top-k via product quantization + exact
+    refine — the memory-scale ANN path: the corpus persists as
+    m log2(ks)-bit codes (8 bytes/vector here vs 512 raw), ADC
+    scoring ranks ALL rows against the reconstructed vectors, and
+    only the ``shortlist`` best per query fetch their full-precision
+    vector for the exact re-rank.
+
+    Plan: encode + reconstruct are scan-local expressions; scoring
+    is a broadcast of the (small) query set across the code scan —
+    no corpus shuffle; the refine join touches |queries|*shortlist
+    rows. All arithmetic is deterministic (1e-6 codebooks, tie-break
+    on neighbor id), so a SQL oracle value-verifies end to end.
+    """
+    query_id_col = query_id_col or id_col
+    books = pq_codebooks(corpus, id_col, vec_col, m, ks, iters, dim)
+    v = F.col(vec_col).cast("array<double>")
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_xhat_expr(pq_code_expr(v, books), books).alias("xhat"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       v.alias("qv"))
+    ws = W.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    short = (F.broadcast(q).crossJoin(enc)
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("adc", cosine_similarity(F.col("qv"),
+                                                  F.col("xhat")))
+             .withColumn("rn", F.row_number().over(ws))
+             .where(F.col("rn") <= shortlist)
+             .select("query_id", "qv", "neighbor_id"))
+    full = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         v.alias("cv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (short.join(full, "neighbor_id")
+            .withColumn("cosine",
+                        cosine_similarity(F.col("qv"), F.col("cv")))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -281,3 +281,121 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_l1",
         rnd("mean_abs_err", 6).alias("mean_abs_err"),
     )
+
+
+def _pq_assign_sql(name: str, cents: str) -> str:
+    """One PQ assignment round over every (vec_id, sub) row: nearest
+    codebook entry by the expanded L2 form c.c - 2*x.c (rank ASC),
+    ties to the lowest cluster — the operator's struct-min order."""
+    return f"""{name} AS (
+    SELECT vec_id, sub, sv, cluster FROM (
+        SELECT s.vec_id, s.sub, s.sv, b.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY list_dot_product(b.cv, b.cv)
+                            - 2 * list_dot_product(s.sv, b.cv),
+                            b.cluster) AS rn
+        FROM sub s JOIN {cents} b USING (sub)
+    ) WHERE rn = 1
+)"""
+
+
+def _pq_sql(m: int, ks: int, iters: int, d: int) -> tuple[list[str], str]:
+    """CTE chain replaying operators.similarity.pq_codebooks: the
+    (vec_id, sub) subvector table, md5-seeded per-subspace codebooks,
+    ``iters`` L2 Lloyd rounds (1e-6-snapped means, empty cells keep
+    their centroid), and the final assignment ``af``. Returns
+    (ctes, final_codebook_cte)."""
+    ctes = [f"""sub AS (
+    SELECT vec_id, s.sub,
+           list_slice(CAST(embedding AS DOUBLE[]),
+                      s.sub * {d} + 1, s.sub * {d} + {d}) AS sv
+    FROM embeddings, (SELECT unnest(range({m})) AS sub) s
+)""", f"""c0 AS (
+    SELECT sub,
+           CAST(row_number() OVER (PARTITION BY sub
+               ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cluster,
+           list_transform(sv, x -> round(x, 6)) AS cv
+    FROM sub
+    QUALIFY row_number() OVER (PARTITION BY sub
+        ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {ks}
+)"""]
+    for i in range(1, iters + 1):
+        ctes.append(_pq_assign_sql(f"a{i}", f"c{i - 1}"))
+        ctes.append(f"""m{i} AS (
+    SELECT sub, cluster, pos, avg(x) AS mx FROM (
+        SELECT sub, cluster, unnest(sv) AS x,
+               unnest(range(len(sv))) AS pos
+        FROM a{i}
+    ) GROUP BY 1, 2, 3
+), c{i} AS (
+    SELECT p.sub, p.cluster,
+           CASE WHEN g.mv IS NULL THEN p.cv
+                ELSE list_transform(g.mv, x -> round(x, 6)) END AS cv
+    FROM c{i - 1} p LEFT JOIN (
+        SELECT sub, cluster, list(mx ORDER BY pos) AS mv
+        FROM m{i} GROUP BY 1, 2) g USING (sub, cluster)
+)""")
+    ctes.append(_pq_assign_sql("af", f"c{iters}"))
+    return ctes, f"c{iters}"
+
+
+def _pq_oracle(k: int, m: int, ks: int, iters: int, d: int,
+               shortlist: int) -> str:
+    """DuckDB replay of pq_topk: rebuild the codebooks round by
+    round, reconstruct every corpus vector from its codes, ADC-rank
+    by approximate cosine, then exact-refine the shortlist."""
+    ctes, final_books = _pq_sql(m, ks, iters, d)
+    ctes.append(f"""xh AS (
+    SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS xhat
+    FROM af a JOIN {final_books} c
+      ON a.sub = c.sub AND a.cluster = c.cluster
+    GROUP BY a.vec_id
+), adc AS (
+    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+           x.vec_id AS neighbor_id,
+           list_dot_product(CAST(q.embedding AS DOUBLE[]), x.xhat)
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(x.xhat, x.xhat))) AS adc
+    FROM embeddings q JOIN xh x
+      ON q.vec_id < 5 AND x.vec_id <> q.vec_id
+), short AS (
+    SELECT query_id, qv, neighbor_id FROM (
+        SELECT query_id, qv, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {shortlist}
+), ranked AS (
+    SELECT s.query_id, s.neighbor_id,
+           round({_COS_QC}, 4) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_COS_QC} DESC, s.neighbor_id) AS BIGINT) AS rank
+    FROM (SELECT s0.query_id, s0.qv, s0.neighbor_id,
+                 CAST(e.embedding AS DOUBLE[]) AS cv
+          FROM short s0 JOIN embeddings e ON e.vec_id = s0.neighbor_id) s
+)""")
+    body = ",\n".join(ctes)
+    return (f"WITH {body}\n"
+            f"SELECT query_id, neighbor_id, cosine, rank "
+            f"FROM ranked WHERE rank <= {k}")
+
+
+@query("ann_pq_topk",
+       oracle=_pq_oracle(k=10, m=8, ks=16, iters=2, d=8, shortlist=40))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN for the same 5 queries: per-subspace
+    L2 codebooks (8 subspaces x 16 centroids, 2 Lloyd rounds) encode
+    the corpus to 8 bytes/vector, ADC ranks reconstructed vectors,
+    and the top-40 shortlist re-ranks exactly. The deterministic
+    build (md5 seeds, 1e-6 centroid grid, lowest-cluster ties) lets
+    the DuckDB oracle replay the whole index and value-hash the
+    result; recall vs brute force is additionally pinned in tests."""
+    from ..operators.similarity import pq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = pq_topk(emb, queries, "vec_id", "embedding",
+                  k=10, m=8, ks=16, iters=2, dim=64, shortlist=40)
+    return out.select("query_id", "neighbor_id",
+                      rnd("cosine", 4).alias("cosine"), "rank")

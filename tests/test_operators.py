@@ -114,6 +114,54 @@ class TestAnn:
         assert full == truth
 
 
+class TestPq:
+    def test_pq_recall_and_shortlist_exactness(self, spark, sf_dir):
+        """PQ+refine recall floor on the near-orthogonal corpus; a
+        corpus-sized shortlist must equal brute force (the refine
+        stage is exact, so PQ error can only shrink the shortlist)."""
+        from data_platform_copilot_spark.operators.similarity import pq_topk
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        queries = emb.where(F.col("vec_id") < 5)
+        truth = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(emb, queries, "vec_id",
+                                           "embedding", k=10).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in pq_topk(emb, queries, "vec_id", "embedding",
+                                   k=10, shortlist=40).collect()}
+        # near-orthogonal vectors are PQ's hard case (reconstruction
+        # error is the same scale as the cosine gaps): 0.5 floor at a
+        # 40-row shortlist, exactness proven at a full shortlist below
+        recall = len(truth & approx) / len(truth)
+        assert recall >= 0.5, f"PQ recall too low: {recall:.2f}"
+        full = {(r["query_id"], r["neighbor_id"])
+                for r in pq_topk(emb, queries, "vec_id", "embedding",
+                                 k=10, shortlist=n).collect()}
+        assert full == truth
+
+    def test_codes_match_build_assignment(self, spark, sf_dir):
+        """The JVM encode expression and the build's numpy argmin
+        agree on every vector (same expanded-L2 arithmetic)."""
+        import numpy as np
+        from data_platform_copilot_spark.operators.similarity import (
+            pq_code_expr, pq_codebooks)
+        emb = load_table(spark, sf_dir, "embeddings").limit(200)
+        books = pq_codebooks(emb, "vec_id", "embedding")
+        rows = (emb.select(
+            "vec_id",
+            pq_code_expr(F.col("embedding").cast("array<double>"),
+                         books).alias("codes"),
+            F.col("embedding").cast("array<double>").alias("v"))
+            .collect())
+        b = np.array(books)            # (m, ks, d)
+        cc = np.einsum("mkd,mkd->mk", b, b)
+        for r in rows:
+            sub = np.array(r["v"]).reshape(b.shape[0], b.shape[2])
+            cross = np.einsum("md,mkd->mk", sub, b)
+            expect = np.argmin(cc - 2.0 * cross, axis=1)
+            assert list(r["codes"]) == list(expect)
+
+
 class TestEmbeddingDedup:
     def test_blocked_gemm_equals_expression_pairs(self, spark, sf_dir):
         from data_platform_copilot_spark.operators.dedup import (
