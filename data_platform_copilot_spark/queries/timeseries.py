@@ -135,3 +135,85 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts").cast("long") - F.col("click_ts").cast("long"))
         .alias("secs_since_click"),
     )
+
+
+@query("hopping_window_15m", oracle="""
+SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts)
+                    - k.k * INTERVAL 15 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events, (SELECT unnest(range(4)) AS k) k
+GROUP BY 1, 2
+""")
+def hopping_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour size, 15-minute hop — each
+    event lands in exactly size/hop = 4 windows. Spark's window()
+    replicates rows JVM-side before the partial agg; the oracle
+    replays the same membership rule (the 4 slide-aligned starts at
+    or before the event). Same shuffle shape as the tumbling query,
+    4x the pre-agg rows — the standard smoothed-dashboard cost."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count("*").alias("n"),
+             rnd(F.sum("value"), 2).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "event_type", "n", "total_value")
+    )
+
+
+@query("events_gap_fill", oracle="""
+WITH hourly AS (
+    SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+           count(*) AS n, round(avg(value), 2) AS av
+    FROM events GROUP BY 1, 2
+), b AS (
+    SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+), spine AS (
+    SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+    FROM b
+), j AS (
+    SELECT s.event_type, s.h, coalesce(hh.n, 0) AS n, hh.av
+    FROM spine s LEFT JOIN hourly hh USING (event_type, h)
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n AS BIGINT) AS n,
+       last_value(av IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS avg_value_ffill
+FROM j
+""")
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per event type, a dense
+    hourly spine from its first to last hour, zero-filled counts, and
+    forward-filled hourly averages (rounded BEFORE the fill so both
+    engines propagate identical values). The spine generates from a
+    |types|-row bounds table (explode of a sequence — no join against
+    a calendar table); the fill is one window over the same
+    (event_type) partitioning as the spine join, so the plan carries
+    a single shuffle of the dense grid."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").alias("n"),
+                   rnd(F.avg("value"), 2).alias("av")))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx",
+                             F.expr("interval 1 hour"))).alias("h"))
+    w = (W.partitionBy("event_type").orderBy("h")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (spine.join(hourly, ["event_type", "h"], "left")
+            .select("event_type",
+                    F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.last("av", ignorenulls=True).over(w)
+                    .alias("avg_value_ffill")))
