@@ -85,6 +85,19 @@ def rnd(c, n: int):
     return F.round(col * factor, 0) / factor
 
 
+def epoch_s(c):
+    """Seconds since epoch, robust to TIMESTAMP and TIMESTAMP_NTZ.
+
+    Spark 4 forbids a direct TIMESTAMP_NTZ -> BIGINT cast, and the
+    testdata parquet carries naive timestamps (read as NTZ). Casting
+    through TIMESTAMP_LTZ first is a no-op for LTZ inputs and applies
+    the session timezone (pinned to UTC in session.py) for NTZ, so
+    both types yield the same wall-clock epoch the DuckDB oracle uses.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp_ltz").cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Group 1 — the reference's promised SQL surface (SURVEY.md §2.B)
 # ---------------------------------------------------------------------------

@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
-from .core import _t, query, rnd
+from .core import _t, epoch_s, query, rnd
 
 SESSION_GAP_MIN = 30
 
@@ -60,14 +60,14 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn("new_session",
                     (F.col("prev_ts").isNull()
-                     | (F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                     | (epoch_s("ts") - epoch_s("prev_ts")
                         > SESSION_GAP_MIN * 60)).cast("int"))
         .withColumn("session_id", F.sum("new_session").over(wrun))
     )
     per_session = (
         sessions.groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"),
-             (F.max("ts").cast("long") - F.min("ts").cast("long"))
+             (epoch_s(F.max("ts")) - epoch_s(F.min("ts")))
              .alias("dur_s"))
     )
     return (
@@ -132,7 +132,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id",
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click"),
-        (F.col("ts").cast("long") - F.col("click_ts").cast("long"))
+        (epoch_s("ts") - epoch_s("click_ts"))
         .alias("secs_since_click"),
     )
 
