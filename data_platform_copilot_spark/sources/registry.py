@@ -82,6 +82,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # exact truncation.
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-TZ TIMESTAMP.
+
+    Parquet naive timestamps (isAdjustedToUTC=false) land as
+    TIMESTAMP_NTZ in Spark 4, a type unix_millis/withWatermark/epoch
+    casts all reject. The session timezone is pinned to UTC
+    (session.py), so this cast relabels the same wall-clock instant —
+    it is the one place the whole engine pays the NTZ migration;
+    everything downstream may assume TIMESTAMP.
+    """
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp_ltz"))
     return df
 
 

@@ -53,6 +53,12 @@ def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # division drifts 1us on ~1.6% of nanosecond instants).
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # Same normalization as sources/registry._normalize_ntz:
+        # withWatermark rejects NTZ event time
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); session TZ is UTC so
+        # the cast relabels the identical instant.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     assert dict(stream.dtypes)["ts"] == dict(batch.dtypes)["ts"]
     return stream
 
