@@ -39,10 +39,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # flagship (also the driver's entry() smoke query)
     "flagship_revenue_by_nation",
     # dedup family
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_semantic",
@@ -54,7 +52,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "ann_bruteforce_topk",
     "ann_srp_lsh_topk",
     "ann_ivf_topk",
-    "embedding_quantize_int8",
+    "ann_pq_topk",
     # sampling
     "deterministic_hash_sample",
     "stratified_sample_counts",
@@ -64,7 +62,6 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     "text_ngram_frequency",
     "text_repetition_signals",
     "doc_chunking",
@@ -77,6 +74,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # event-time / streaming-parity
     "sessionization_gaps",
     "tumbling_window_1h",
+    "hopping_window_15m",
+    "events_gap_fill",
     "asof_join_purchase_click",
     "range_join_price_bands",
     # warehouse views (catalog surface)
@@ -96,15 +95,15 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "tpch_q1_pricing_summary",
     "window_rank_topk_per_group",
     "dq_profile_events_value",
-    # dq_rule_freshness_ts / dq_rule_not_null_user_id /
-    # dq_rule_unique_event_id / limit_injection / sampler_where_limit /
-    # dq_top_values_event_type / dq_rule_anomaly_zscore_value were
-    # driver-verified green in r2 and stay covered by the
-    # full-registry pytest oracle; their gate slots go to
-    # warehouse_view_revenue and the round-3 pipeline additions
-    # (dedup_semantic, dedup_incremental, quality_filter_gopher,
-    # temperature_mix_counts, dedup_spans, decontamination — list is
-    # exactly 50 names).
+    "dq_rule_freshness_ts",
+    # Rotation policy: every registry entry should earn a driver-green
+    # row at least once across rounds. r5 swaps four slots that were
+    # driver-verified in r2-r4 (dedup_exact, dedup_simhash,
+    # text_fingerprint, embedding_quantize_int8 — still value-verified
+    # every run by the full-registry pytest oracle) for the r3/r4
+    # additions never yet inside the gate: ann_pq_topk,
+    # hopping_window_15m, events_gap_fill, and the r5-fixed
+    # dq_rule_freshness_ts. List is exactly 50 names.
 ]
 
 
