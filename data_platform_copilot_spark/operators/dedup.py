@@ -369,6 +369,13 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             # boundaries with pure numpy slices (a pandas groupby +
             # per-group frame here costs ~0.5ms x thousands of mostly
             # tiny buckets), emit ONE result frame per partition.
+            #
+            # First-colliding-table rule: a pair co-bucketed in k > 1
+            # tables would surface k times; each row carries its full
+            # per-table code vector, so table t emits a pair ONLY when
+            # no table t' < t also collides. Global exactly-once
+            # emission with zero cross-partition coordination — the
+            # output needs no distinct/dropDuplicates exchange at all.
             import pandas as pd
             pdfs = [b for b in batches if len(b)]
             if not pdfs:
@@ -378,19 +385,32 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             mat = np.frombuffer(
                 b"".join(pdf["v"]), dtype=np.float64).reshape(len(ids), -1)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            key = (pdf["tbl"].astype(str) + "|" + pdf["bucket"]).to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            tbls = pdf["tbl"].to_numpy(dtype=np.int64)
+            key = (tbls << n_planes) + pdf["bucket"].to_numpy(
+                dtype=np.int64)
             order = np.argsort(key, kind="stable")
             key_s, ids_s, mat_s = key[order], ids[order], mat[order]
+            codes_s, tbls_s = codes[order], tbls[order]
             bounds = np.flatnonzero(
                 np.r_[True, key_s[1:] != key_s[:-1], True])
             out = []
             for s, e in zip(bounds[:-1], bounds[1:]):
                 if e - s < 2:
                     continue
-                out.append(_gemm_pairs(ids_s[s:e], mat_s[s:e],
-                                       ids_s[s:e], mat_s[s:e],
-                                       threshold, same_block=True))
-            out = [o for o in out if len(o)]
+                t = tbls_s[s]
+                sims = mat_s[s:e] @ mat_s[s:e].T
+                ia, ib = np.where(sims >= threshold)
+                keep = ids_s[s:e][ia] < ids_s[s:e][ib]
+                ia, ib = ia[keep], ib[keep]
+                if t > 0 and len(ia):
+                    seg = codes_s[s:e, :t]
+                    fresh = ~(seg[ia] == seg[ib]).any(axis=1)
+                    ia, ib = ia[fresh], ib[fresh]
+                if len(ia):
+                    out.append(pd.DataFrame({
+                        "id_a": ids_s[s:e][ia], "id_b": ids_s[s:e][ib],
+                        "cosine": sims[ia, ib]}))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
@@ -409,6 +429,8 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                         dtype=np.float64)
              for t in range(tables)])  # (tables*n_planes, dim)
 
+        powers = 1 << np.arange(n_planes, dtype=np.int64)
+
         def tag(batches):
             import pandas as pd
             for b in batches:
@@ -417,20 +439,18 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                 mat = np.array(b["v"].tolist(), dtype=np.float64)
                 bits = (mat @ planes_all.T >= 0).reshape(
                     len(mat), tables, n_planes)
-                codes = [["".join("1" if x else "0" for x in tb) for tb in row]
-                         for row in bits]
+                codes = bits @ powers  # (n, tables) int bucket numbers
                 yield pd.DataFrame({
                     "id": b["id"].to_numpy(),
                     "v": [m.tobytes() for m in mat],
-                    "bkts": codes})
+                    "codes": list(codes)})
 
         tagged = (base.mapInPandas(
-                      tag, "id long, v binary, bkts array<string>")
-                  .select("id", "v",
-                          F.posexplode("bkts").alias("tbl", "bucket")))
+                      tag, "id long, v binary, codes array<long>")
+                  .select("id", "v", "codes",
+                          F.posexplode("codes").alias("tbl", "bucket")))
         return (tagged.repartition("tbl", "bucket")
-                .mapInPandas(part_gemm, _PAIR_SCHEMA)
-                .dropDuplicates(["id_a", "id_b"]))
+                .mapInPandas(part_gemm, _PAIR_SCHEMA))
 
     if method != "blocked":
         raise ValueError(f"unknown method {method!r}")
