@@ -22,8 +22,15 @@ SESSION_GAP_MIN = 30
 @query("sessionization_gaps", oracle=f"""
 WITH ordered AS (
     SELECT user_id, ts,
-           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                     > INTERVAL {SESSION_GAP_MIN} MINUTE
+           -- date_diff('second', a, b) counts second-boundary
+           -- crossings == floor(epoch(b)) - floor(epoch(a)), the exact
+           -- semantics of the Spark side's epoch_s subtraction — an
+           -- exact interval compare here would disagree on a gap
+           -- falling strictly inside (1800, 1801) seconds when
+           -- timestamps carry sub-second precision.
+           CASE WHEN date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                     > {SESSION_GAP_MIN * 60}
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM events

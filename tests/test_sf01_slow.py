@@ -1,0 +1,46 @@
+"""sf0.1 oracle verification for the dedup/ANN pack (r4 verdict #5).
+
+The default gate runs at sf0.01; the planted corpora, deterministic
+k-means/PQ codebook replays and LSH hyperplane replays must stay
+hash-identical to the DuckDB oracle off that tuned point. This suite
+re-runs the value-hash comparison at 10x the data. Excluded from the
+default run (see pyproject addopts); run with: pytest -m slow
+"""
+from __future__ import annotations
+
+import pytest
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+DEDUP_ANN_PACK = [
+    "dedup_exact", "dedup_spans", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_semantic", "dedup_incremental",
+    "dedup_clusters", "dedup_keeper_selection",
+    "ann_bruteforce_topk", "ann_srp_lsh_topk", "ann_ivf_topk",
+    "ann_pq_topk", "embedding_quantize_int8", "decontamination",
+]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import duckdb
+    from tests.conftest import TABLES
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", DEDUP_ANN_PACK)
+def test_dedup_ann_pack_matches_oracle_at_sf01(spark, duck01, name):
+    from tests.conftest import normalize_rows
+
+    from data_platform_copilot_spark.queries import ORACLE, QUERIES
+    spark_df = QUERIES[name](spark, SF01_DIR).toPandas()
+    oracle_df = duck01.sql(ORACLE[name]).df()
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns)
+    assert normalize_rows(spark_df) == normalize_rows(oracle_df)
