@@ -1,0 +1,125 @@
+"""Corpus-level data-selection operators for LM training pipelines.
+
+Two selection signals the reference has no analogue for (SURVEY.md
+§2.C scope: training-data pipeline operators):
+
+- ``importance_resample_dsir`` — DSIR (Xie et al. 2023,
+  arXiv:2302.03169): rank raw documents by how target-like their
+  hashed-bigram distribution is. The importance log-weight of a doc
+  is sum over its bigram instances of
+  ``ln p_target(bucket) - ln p_raw(bucket)`` with add-1 smoothing
+  over ``n_buckets`` hash buckets; the top-k by weight are the
+  selected training subset.
+
+- ``unigram_logprob_scores`` — CCNet-style perplexity-proxy quality
+  signal (Wenzek et al. 2020, arXiv:1911.00359 use a wiki LM; the
+  engine-internal stand-in is the corpus's own unigram LM): per-doc
+  mean token log-probability under the corpus unigram distribution.
+  Degenerate/rare-token documents score low; boilerplate scores
+  high.
+
+Shape notes (100 TB): everything is expressions + keyed aggregates.
+DSIR's distribution table is ``n_buckets`` rows — broadcast to score;
+the per-doc pass is one (id, bucket) combine. The unigram LM is NOT
+broadcast (web-scale vocab can be 1e8+ rows): docs join the count
+table via a token-keyed shuffle with map-side combine, the standard
+big-big co-partitioned join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokens
+from ..sources.registry import spread
+from .quality import _grams
+
+
+def _md5_bucket(col: Column, m: int) -> Column:
+    """First-8-hex-chars of md5 as an integer, mod m — the engine's
+    standard cross-engine hash (DuckDB replays it as
+    ``('0x' || substring(md5(x), 1, 8))::BIGINT % m``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % m
+
+
+def importance_resample_dsir(df: DataFrame, id_col: str, text_col: str,
+                             target: Column, n_buckets: int = 64,
+                             k: int | None = 100) -> DataFrame:
+    """Top-``k`` docs by DSIR hashed-bigram importance log-weight
+    (``k=None`` scores every doc, unsorted — top-k uses a bounded
+    per-partition heap, so ``k`` must stay selection-sized).
+
+    ``target`` is a boolean Column marking the in-domain example set
+    (it must be computable per input row — e.g. ``F.col("lang") ==
+    "en"``). Returns (id, dsir_logweight, n_bigrams), weight
+    descending, doc id ascending on ties; docs with fewer than two
+    tokens form no bigram and are not scored, mirroring the paper's
+    feature extractor.
+
+    Plan: one explode + (id, bucket) combine; the bucket distribution
+    (``n_buckets`` rows) and its totals broadcast back onto the
+    per-doc counts, so the only data-sized exchanges are the two
+    keyed combines.
+    """
+    toks = tokens(F.col(text_col))
+    grams = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), target.alias("tgt"),
+                F.explode(_grams(toks, 2, 2)).alias("s"))
+        .select("id", "tgt",
+                _md5_bucket(F.col("s.g"), n_buckets).alias("bucket"))
+    )
+    docb = (grams.groupBy("id", "tgt", "bucket")
+            .agg(F.count("*").alias("c")))
+    dist = docb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("tc"),
+        F.sum("c").alias("rc"))
+    tot = dist.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    ratio = (F.log((F.col("tc") + 1.0) / (F.col("tt") + n_buckets))
+             - F.log((F.col("rc") + 1.0) / (F.col("rt") + n_buckets)))
+    scored_buckets = (dist.crossJoin(F.broadcast(tot))
+                      .select("bucket", ratio.alias("logratio")))
+    scored = (
+        docb.join(F.broadcast(scored_buckets), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("logratio")).alias("dsir_logweight"),
+             F.sum("c").cast("long").alias("n_bigrams"))
+    )
+    if k is None:
+        return scored
+    return scored.orderBy(F.desc("dsir_logweight"), "id").limit(k)
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """(id, n_tokens, avg_logprob): mean ln p(token) per document
+    under the corpus's own unigram MLE distribution
+    (``p(t) = count(t) / total_tokens``).
+
+    Every token is by construction in-vocabulary, so the MLE needs no
+    smoothing. ``avg_logprob`` is the negative cross-entropy of the
+    doc against the corpus unigram LM — the cheap stand-in for the
+    perplexity filters of CCNet-class pipelines.
+    """
+    toks = (
+        spread(df)
+        .select(F.col(id_col).alias("id"),
+                F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("ct"))
+    stats = vocab.agg(F.sum("ct").alias("n_total"))
+    doc_tok = toks.groupBy("id", "tok").agg(F.count("*").alias("c"))
+    return (
+        doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.sum("c").cast("long").alias("n_tokens"),
+             (F.sum(F.col("c")
+                    * F.log(F.col("ct").cast("double") / F.col("n_total")))
+              / F.sum("c")).alias("avg_logprob"))
+    )
+
+
+__all__ = ["importance_resample_dsir", "unigram_logprob_scores"]

@@ -306,3 +306,92 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                         eval_df, "doc_id", "text", n=13)
     return out.select(out["id"].alias("doc_id"), "n_hit_ngrams",
                       "contaminated")
+
+
+_DSIR_BUCKETS, _DSIR_K = 64, 100
+
+_DSIR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang = 'en' AS tgt, string_split({_NORM}, ' ') AS t
+    FROM documents
+), bg AS (
+    SELECT doc_id, tgt,
+           ('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT
+               % {_DSIR_BUCKETS} AS bucket
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+), db AS (
+    SELECT doc_id, tgt, bucket, count(*) AS c FROM bg GROUP BY 1, 2, 3
+), dist AS (
+    SELECT bucket,
+           sum(CASE WHEN tgt THEN c ELSE 0 END) AS tc,
+           sum(c) AS rc
+    FROM db GROUP BY 1
+), tot AS (
+    SELECT sum(tc) AS tt, sum(rc) AS rt FROM dist
+), scored AS (
+    SELECT bucket,
+           ln((tc + 1.0) / (tt + {_DSIR_BUCKETS}))
+         - ln((rc + 1.0) / (rt + {_DSIR_BUCKETS})) AS logratio
+    FROM dist CROSS JOIN tot
+)
+SELECT db.doc_id AS doc_id,
+       round(sum(db.c * s.logratio), 4) AS dsir_logweight,
+       CAST(sum(db.c) AS BIGINT) AS n_bigrams
+FROM db JOIN scored s USING (bucket)
+GROUP BY 1
+ORDER BY sum(db.c * s.logratio) DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@query("dsir_importance_resample", oracle=_DSIR_SQL)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    hashed-bigram importance weights targeting the English slice of
+    the corpus (p_target = lang='en' docs, p_raw = all docs); top-100
+    docs by log-weight are the selected subset. The DuckDB oracle
+    replays the identical md5 bucketing, add-1 smoothing and
+    log-ratio arithmetic."""
+    from pyspark.sql import functions as F
+
+    from ..operators.selection import importance_resample_dsir
+    out = importance_resample_dsir(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        target=F.col("lang") == "en",
+        n_buckets=_DSIR_BUCKETS, k=_DSIR_K)
+    return out.select(out["id"].alias("doc_id"),
+                      rnd("dsir_logweight", 4).alias("dsir_logweight"),
+                      "n_bigrams")
+
+
+@query("unigram_logprob_score", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+), tk AS (
+    SELECT doc_id, tok FROM toks WHERE length(tok) > 0
+), vocab AS (
+    SELECT tok, count(*) AS ct FROM tk GROUP BY 1
+), tot AS (
+    SELECT sum(ct) AS n_total FROM vocab
+), dt AS (
+    SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2
+)
+SELECT dt.doc_id AS doc_id,
+       CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+       round(sum(dt.c * ln(CAST(v.ct AS DOUBLE) / tot.n_total))
+             / sum(dt.c), 4) AS avg_logprob
+FROM dt JOIN vocab v USING (tok) CROSS JOIN tot
+GROUP BY 1
+""")
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal (CCNet-class pipelines filter
+    on LM perplexity; the engine-internal stand-in scores each doc's
+    mean token log-probability under the corpus's own unigram MLE).
+    Token-keyed shuffle join — the vocab is deliberately NOT
+    broadcast: at web scale it is its own big table."""
+    from ..operators.selection import unigram_logprob_scores
+    out = unigram_logprob_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(out["id"].alias("doc_id"), "n_tokens",
+                      rnd("avg_logprob", 4).alias("avg_logprob"))

@@ -695,3 +695,52 @@ class TestQuantizeZeroVector:
         assert got[1]["qvec"] is None
         assert abs(got[2]["scale"] - 127.0 / 2.0) < 1e-12
         assert got[2]["qvec"] == [64, -127, 32]
+
+
+class TestSelectionOperators:
+    def test_dsir_enriches_target_domain(self, spark, sf_dir):
+        """DSIR's top-k must be enriched in the target domain relative
+        to the corpus base rate (the operator's whole purpose)."""
+        from pyspark.sql import functions as F
+
+        from data_platform_copilot_spark.operators.selection import (
+            importance_resample_dsir)
+        from data_platform_copilot_spark.sources.registry import load_table
+        docs = load_table(spark, sf_dir, "documents")
+        sel = importance_resample_dsir(
+            docs, "doc_id", "text", target=F.col("lang") == "en", k=100)
+        picked = sel.join(docs.select("doc_id", "lang"),
+                          sel["id"] == F.col("doc_id"))
+        en_share = (picked.where(F.col("lang") == "en").count()
+                    / picked.count())
+        base = (docs.where(F.col("lang") == "en").count() / docs.count())
+        assert en_share > base + 0.1, (en_share, base)
+
+    def test_dsir_target_docs_score_higher_on_average(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from data_platform_copilot_spark.operators.selection import (
+            importance_resample_dsir)
+        from data_platform_copilot_spark.sources.registry import load_table
+        docs = load_table(spark, sf_dir, "documents")
+        sel = importance_resample_dsir(
+            docs, "doc_id", "text", target=F.col("lang") == "en",
+            k=None)  # keep everything: compare full weight distributions
+        w = (sel.join(docs.select("doc_id", "lang"),
+                      sel["id"] == F.col("doc_id"))
+             .groupBy(F.col("lang") == "en")
+             .agg(F.avg("dsir_logweight").alias("m")).collect())
+        means = {r[0]: r["m"] for r in w}
+        assert means[True] > means[False]
+
+    def test_unigram_logprob_rare_tokens_score_lower(self, spark):
+        """A doc of corpus-frequent tokens must outscore a doc of
+        singleton tokens under the corpus unigram LM."""
+        from data_platform_copilot_spark.operators.selection import (
+            unigram_logprob_scores)
+        rows = [(i, "common words repeated here") for i in range(9)]
+        rows.append((99, "xylophone quixotic zeugma"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: r["avg_logprob"]
+               for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+        assert got[0] > got[99]
