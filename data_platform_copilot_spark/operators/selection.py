@@ -57,11 +57,17 @@ def importance_resample_dsir(df: DataFrame, id_col: str, text_col: str,
     tokens form no bigram and are not scored, mirroring the paper's
     feature extractor.
 
-    Plan: one explode + (id, bucket) combine; the bucket distribution
-    (``n_buckets`` rows) and its totals broadcast back onto the
-    per-doc counts, so the only data-sized exchanges are the two
-    keyed combines.
+    Plan: two passes over the exploded grams (no materialization —
+    the lineage recompute is the price of staying pure-DataFrame;
+    Spark does not dedupe the repeated subtree): pass 1 partial-aggs
+    bucket counts down to ``n_buckets`` rows whose totals come from a
+    whole-frame window (always ``n_buckets`` rows, scale-safe); pass
+    2 map-side broadcast-joins the scored buckets onto the gram
+    instances and combines per doc — the only data-sized exchange is
+    that final id-keyed combine.
     """
+    from pyspark.sql import Window as W
+
     toks = tokens(F.col(text_col))
     grams = (
         spread(df)
@@ -70,21 +76,20 @@ def importance_resample_dsir(df: DataFrame, id_col: str, text_col: str,
         .select("id", "tgt",
                 _md5_bucket(F.col("s.g"), n_buckets).alias("bucket"))
     )
-    docb = (grams.groupBy("id", "tgt", "bucket")
-            .agg(F.count("*").alias("c")))
-    dist = docb.groupBy("bucket").agg(
-        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("tc"),
-        F.sum("c").alias("rc"))
-    tot = dist.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
-    ratio = (F.log((F.col("tc") + 1.0) / (F.col("tt") + n_buckets))
-             - F.log((F.col("rc") + 1.0) / (F.col("rt") + n_buckets)))
-    scored_buckets = (dist.crossJoin(F.broadcast(tot))
-                      .select("bucket", ratio.alias("logratio")))
+    dist = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("tc"),
+        F.count("*").alias("rc"))
+    wall = W.partitionBy()
+    ratio = (F.log((F.col("tc") + 1.0)
+                   / (F.sum("tc").over(wall) + n_buckets))
+             - F.log((F.col("rc") + 1.0)
+                     / (F.sum("rc").over(wall) + n_buckets)))
+    scored_buckets = dist.select("bucket", ratio.alias("logratio"))
     scored = (
-        docb.join(F.broadcast(scored_buckets), "bucket")
+        grams.join(F.broadcast(scored_buckets), "bucket")
         .groupBy("id")
-        .agg(F.sum(F.col("c") * F.col("logratio")).alias("dsir_logweight"),
-             F.sum("c").cast("long").alias("n_bigrams"))
+        .agg(F.sum("logratio").alias("dsir_logweight"),
+             F.count("*").cast("long").alias("n_bigrams"))
     )
     if k is None:
         return scored
@@ -109,7 +114,11 @@ def unigram_logprob_scores(df: DataFrame, id_col: str,
         .where(F.length("tok") > 0)
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("ct"))
-    stats = vocab.agg(F.sum("ct").alias("n_total"))
+    # Total token count from the flat token stream, NOT vocab.agg(sum):
+    # the latter would recompute the vocab lineage (explode + tok-keyed
+    # shuffle) just to produce one scalar; this branch is explode +
+    # partial count only.
+    stats = toks.agg(F.count("*").alias("n_total"))
     doc_tok = toks.groupBy("id", "tok").agg(F.count("*").alias("c"))
     return (
         doc_tok.join(vocab, "tok")

@@ -319,13 +319,11 @@ WITH toks AS (
            ('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT
                % {_DSIR_BUCKETS} AS bucket
     FROM toks, unnest(range(1, len(t))) AS u(i)
-), db AS (
-    SELECT doc_id, tgt, bucket, count(*) AS c FROM bg GROUP BY 1, 2, 3
 ), dist AS (
     SELECT bucket,
-           sum(CASE WHEN tgt THEN c ELSE 0 END) AS tc,
-           sum(c) AS rc
-    FROM db GROUP BY 1
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+           count(*) AS rc
+    FROM bg GROUP BY 1
 ), tot AS (
     SELECT sum(tc) AS tt, sum(rc) AS rt FROM dist
 ), scored AS (
@@ -334,12 +332,15 @@ WITH toks AS (
          - ln((rc + 1.0) / (rt + {_DSIR_BUCKETS})) AS logratio
     FROM dist CROSS JOIN tot
 )
-SELECT db.doc_id AS doc_id,
-       round(sum(db.c * s.logratio), 4) AS dsir_logweight,
-       CAST(sum(db.c) AS BIGINT) AS n_bigrams
-FROM db JOIN scored s USING (bucket)
+-- per-INSTANCE sum (not per-bucket c * ratio): both engines then sum
+-- the identical multiset of doubles, so the 4-decimal rounding sees
+-- the same value on both sides.
+SELECT bg.doc_id AS doc_id,
+       round(sum(s.logratio), 4) AS dsir_logweight,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN scored s USING (bucket)
 GROUP BY 1
-ORDER BY sum(db.c * s.logratio) DESC, doc_id
+ORDER BY sum(s.logratio) DESC, doc_id
 LIMIT {_DSIR_K}
 """
 

@@ -129,3 +129,21 @@ class TestPipelineOperatorShapes:
     def test_packing_single_keyed_shuffle(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "chunk_packing")
         assert plan.count("hashpartitioning") == 1  # the shard window
+
+
+class TestSelectionOperatorShapes:
+    def test_dsir_two_keyed_shuffles_and_broadcast_scoring(self, spark, sf_dir):
+        """DSIR: bucket-distribution combine + final per-doc combine
+        only; the scored bucket table must broadcast (64 rows), never
+        shuffle the gram stream against it."""
+        plan = plan_of(spark, sf_dir, "dsir_importance_resample")
+        assert plan.count("hashpartitioning") == 2
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_unigram_logprob_three_keyed_shuffles(self, spark, sf_dir):
+        """(id, tok) combine + vocab combine + final id combine; the
+        scalar total comes from the flat token stream (no second vocab
+        build)."""
+        plan = plan_of(spark, sf_dir, "unigram_logprob_score")
+        assert plan.count("hashpartitioning") == 3

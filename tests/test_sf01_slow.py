@@ -37,6 +37,25 @@ def duck01():
 @pytest.mark.slow
 @pytest.mark.parametrize("name", DEDUP_ANN_PACK)
 def test_dedup_ann_pack_matches_oracle_at_sf01(spark, duck01, name):
+    _assert_matches_at_sf01(spark, duck01, name)
+
+
+def _other_oracle_entries():
+    from data_platform_copilot_spark.queries import ORACLE
+    return [n for n in ORACLE if n not in DEDUP_ANN_PACK]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _other_oracle_entries())
+def test_full_registry_matches_oracle_at_sf01(spark, duck01, name):
+    """Every oracle-comparable entry, not just the dedup/ANN pack:
+    the whole registry must hold away from the tuned sf0.01 point
+    (rounding boundaries, LIMIT-edge ties and planted-corpus
+    determinism are all sf-sensitive)."""
+    _assert_matches_at_sf01(spark, duck01, name)
+
+
+def _assert_matches_at_sf01(spark, duck01, name):
     from tests.conftest import normalize_rows
 
     from data_platform_copilot_spark.queries import ORACLE, QUERIES
