@@ -61,14 +61,15 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # quality / text-pipeline
     "text_token_stats",
     "text_quality_score",
-    "text_lang_id",
-    "text_ngram_frequency",
     "text_repetition_signals",
     "doc_chunking",
     "chunk_packing",
     "pii_redaction",
     "quality_filter_gopher",
     "decontamination",
+    # data selection (new in r5)
+    "dsir_importance_resample",
+    "unigram_logprob_score",
     # multimodal
     "multimodal_features",
     # event-time / streaming-parity
@@ -97,13 +98,15 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dq_profile_events_value",
     "dq_rule_freshness_ts",
     # Rotation policy: every registry entry should earn a driver-green
-    # row at least once across rounds. r5 swaps four slots that were
+    # row at least once across rounds. r5 swaps six slots that were
     # driver-verified in r2-r4 (dedup_exact, dedup_simhash,
-    # text_fingerprint, embedding_quantize_int8 — still value-verified
-    # every run by the full-registry pytest oracle) for the r3/r4
-    # additions never yet inside the gate: ann_pq_topk,
-    # hopping_window_15m, events_gap_fill, and the r5-fixed
-    # dq_rule_freshness_ts. List is exactly 50 names.
+    # text_fingerprint, embedding_quantize_int8, text_lang_id,
+    # text_ngram_frequency — all still value-verified every run by the
+    # full-registry pytest oracle at sf0.01 AND the slow sf0.1 suite)
+    # for the entries never yet inside the gate: ann_pq_topk,
+    # hopping_window_15m, events_gap_fill, the r5-fixed
+    # dq_rule_freshness_ts, and the r5-new dsir_importance_resample /
+    # unigram_logprob_score. List is exactly 50 names.
 ]
 
 

@@ -1,6 +1,7 @@
 from .events import (
     run_streaming_dedup,
     run_streaming_enriched_agg,
+    run_streaming_hopping_agg,
     run_streaming_sessionization,
     run_streaming_tumbling_agg,
     streaming_events_source,
@@ -9,6 +10,7 @@ from .events import (
 __all__ = [
     "run_streaming_dedup",
     "run_streaming_enriched_agg",
+    "run_streaming_hopping_agg",
     "run_streaming_sessionization",
     "run_streaming_tumbling_agg",
     "streaming_events_source",

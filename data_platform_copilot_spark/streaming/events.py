@@ -90,6 +90,35 @@ def run_streaming_tumbling_agg(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def run_streaming_hopping_agg(spark: SparkSession, sf_dir: str,
+                              size: str = "1 hour", hop: str = "15 minutes",
+                              watermark: str = "1 hour") -> DataFrame:
+    """Hopping (sliding) window count/sum per event_type — the
+    streaming twin of queries/timeseries.hopping_window_15m. Spark
+    replicates each event into size/hop windows BEFORE the keyed
+    state update, so state size scales with open windows x groups,
+    bounded by the watermark exactly as for tumbling windows."""
+    stream = streaming_events_source(spark, sf_dir)
+    agg = (
+        stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, hop).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "event_type", "n", "total_value")
+    )
+    name = f"stream_hopping_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_streaming_sessionization(spark: SparkSession, sf_dir: str,
                                  gap: str = "30 minutes",
                                  watermark: str = "1 hour") -> DataFrame:

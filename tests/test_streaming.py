@@ -177,3 +177,17 @@ def test_streaming_dedup_state_eviction(spark, tmp_path):
     assert u1[0] == t0
     assert u1[1] == t0 + dt.timedelta(hours=4, minutes=30)
     assert len(got[got.user_id == 2]) == 1
+
+
+def test_streaming_hopping_equals_batch(spark, sf_dir):
+    """Sliding windows through the watermarked streaming path must
+    produce the exact batch hopping-window answer on the bounded
+    source (rounding included)."""
+    from data_platform_copilot_spark.queries import QUERIES
+    from data_platform_copilot_spark.streaming import (
+        run_streaming_hopping_agg)
+
+    batch = QUERIES["hopping_window_15m"](spark, sf_dir).toPandas()
+    stream = run_streaming_hopping_agg(spark, sf_dir).toPandas()
+    assert len(stream) == len(batch)
+    assert normalize_rows(stream) == normalize_rows(batch)
