@@ -131,4 +131,59 @@ def unigram_logprob_scores(df: DataFrame, id_col: str,
     )
 
 
-__all__ = ["importance_resample_dsir", "unigram_logprob_scores"]
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-``k`` docs by BM25 against a bag of ``query_terms`` —
+    the full-text upgrade of the reference's token-overlap retrieval
+    (reference src/chain.py:36-47 ranks schema-doc chunks by shared
+    token count; BM25 adds tf saturation + idf + length
+    normalization, the standard sparse-retrieval baseline).
+
+    Lucene-style idf (``ln(1 + (N - df + 0.5) / (df + 0.5))``, always
+    positive). Returns (id, bm25, n_hits) for docs matching at least
+    one term, score descending, id ascending on ties.
+
+    Shape: term stats and corpus scalars are tiny (|query| rows / 1
+    row — broadcast); the only data-sized work is one pass over the
+    token stream pre-filtered to query terms (an IN filter that
+    pushes into the scan) plus the per-(doc, term) combine. Doc
+    lengths ride a second corpus pass, combined per doc — at web
+    scale both passes are scan-bound map work.
+    """
+    from pyspark.sql import Window as W
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = (
+        spread(df)
+        .select(F.col(id_col).alias("id"),
+                F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    doclen = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    corpus = doclen.agg(F.count("*").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    tf = (toks.where(F.array_contains(terms, F.col("tok")))
+          .groupBy("id", "tok").agg(F.count("*").alias("tf")))
+    # df_t over the matched docs only — |query_terms| rows.
+    dft = tf.groupBy("tok").agg(F.count("*").alias("dft"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("dft") + 0.5)
+                / (F.col("dft") + 0.5))
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "s",
+            idf * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+        .groupBy("id")
+        .agg(F.sum("s").alias("bm25"),
+             F.count("*").cast("long").alias("n_hits"))
+    )
+    return scored.orderBy(F.desc("bm25"), "id").limit(k)
+
+
+__all__ = ["bm25_topk", "importance_resample_dsir",
+           "unigram_logprob_scores"]

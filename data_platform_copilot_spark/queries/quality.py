@@ -396,3 +396,52 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(out["id"].alias("doc_id"), "n_tokens",
                       rnd("avg_logprob", 4).alias("avg_logprob"))
+
+
+_BM25_TERMS = ("hash", "merge", "scan", "join")
+_BM25_K = 20
+
+@query("bm25_topk_docs", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+), tk AS (
+    SELECT doc_id, tok FROM toks WHERE length(tok) > 0
+), doclen AS (
+    SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1
+), corpus AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+), tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM tk WHERE tok IN {_BM25_TERMS!r}
+    GROUP BY 1, 2
+), dft AS (
+    SELECT tok, count(*) AS dft FROM tf GROUP BY 1
+), s AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (c.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)) AS s
+    FROM tf
+    JOIN dft d USING (tok)
+    JOIN doclen l USING (doc_id)
+    CROSS JOIN corpus c
+)
+SELECT doc_id, round(sum(s), 4) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM s GROUP BY 1
+ORDER BY sum(s) DESC, doc_id
+LIMIT {_BM25_K}
+""")
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (Robertson/Zaragoza 2009 formulation,
+    Lucene idf) for a fixed operator-vocabulary query over the
+    documents table — the full-text upgrade of the reference's
+    token-overlap RAG retrieval (src/chain.py:36-47). The oracle
+    replays tf, df, length normalization and the positive idf
+    exactly."""
+    from ..operators.selection import bm25_topk
+    out = bm25_topk(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                    list(_BM25_TERMS), k=_BM25_K)
+    return out.select(out["id"].alias("doc_id"),
+                      rnd("bm25", 4).alias("bm25"), "n_hits")
