@@ -268,3 +268,55 @@ def decontaminate(df: DataFrame, id_col: str, text_col: str,
                 "id",
                 F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"))
             .withColumn("contaminated", F.col("n_hit_ngrams") > 0))
+
+
+def decontaminate_fuzzy(df: DataFrame, id_col: str, text_col: str,
+                        eval_df: DataFrame, eval_id_col: str,
+                        eval_text_col: str, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate benchmark decontamination: flag a training doc
+    when its n-gram-shingle Jaccard similarity to ANY eval doc
+    reaches ``threshold`` — the fuzzy complement of the exact
+    13-gram rule (verbatim-overlap checks miss lightly-edited eval
+    copies; near-dup contamination is the documented failure mode
+    the dedup literature warns about, Lee et al. 2021 §6).
+
+    Returns one row per training doc:
+    (id, n_eval_matches, max_jaccard, contaminated).
+
+    Scale: the eval shingle set is benchmark-sized -> BROADCAST; the
+    corpus gram stream never shuffles against it. The only keyed
+    exchanges are the per-(train, eval) common count and the per-doc
+    fold, both over HIT rows only (near-empty for a clean corpus).
+    Jaccard is common / (size_a + size_b - common) over distinct
+    shingles — integer inputs, one division, so both engines compute
+    bit-identical doubles and the threshold/max agree exactly.
+    """
+    from .dedup import shingles
+
+    sh_c = shingles(df, id_col, text_col, n=n)
+    sh_e = (shingles(eval_df, eval_id_col, eval_text_col, n=n)
+            .withColumnsRenamed({"id": "eid"}))
+    esizes = sh_e.groupBy("eid").agg(F.count("*").alias("esize"))
+    csizes = sh_c.groupBy("id").agg(F.count("*").alias("csize"))
+    common = (sh_c.join(F.broadcast(sh_e), "shingle")
+              .groupBy("id", "eid").agg(F.count("*").alias("common")))
+    jac = (common
+           .join(F.broadcast(esizes), "eid")
+           .join(csizes, "id")
+           .withColumn("jaccard",
+                       F.col("common")
+                       / (F.col("csize") + F.col("esize")
+                          - F.col("common")))
+           .where(F.col("jaccard") >= threshold))
+    per_doc = jac.groupBy("id").agg(
+        F.count("*").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_eval_matches", F.lit(0)).cast("long")
+                .alias("n_eval_matches"),
+                "max_jaccard")
+            .withColumn("contaminated", F.col("n_eval_matches") > 0))

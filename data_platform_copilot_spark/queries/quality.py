@@ -445,3 +445,70 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     list(_BM25_TERMS), k=_BM25_K)
     return out.select(out["id"].alias("doc_id"),
                       rnd("bm25", 4).alias("bm25"), "n_hits")
+
+
+_FUZZY_THRESHOLD = 0.5
+
+@query("decontamination_fuzzy", oracle=f"""
+WITH norm AS (
+    SELECT doc_id, {_TOKS_Q} AS t FROM documents
+), corpus AS (
+    SELECT doc_id, t FROM norm
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, list_concat(['zzz'], t) AS t
+    FROM norm WHERE doc_id % 97 = 0
+), sh_c AS (
+    SELECT DISTINCT doc_id AS id,
+           concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM corpus, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    WHERE len(t) >= 3
+      AND length(concat_ws(' ', t[i], t[i+1], t[i+2])) > 0
+), sh_e AS (
+    SELECT DISTINCT doc_id AS eid,
+           concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM norm, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    WHERE doc_id % 97 = 0 AND len(t) >= 3
+      AND length(concat_ws(' ', t[i], t[i+1], t[i+2])) > 0
+), cs AS (SELECT id, count(*) AS csize FROM sh_c GROUP BY 1),
+es AS (SELECT eid, count(*) AS esize FROM sh_e GROUP BY 1),
+cm AS (
+    SELECT id, eid, count(*) AS common
+    FROM sh_c JOIN sh_e USING (shingle) GROUP BY 1, 2
+), jac AS (
+    SELECT id,
+           CAST(common AS DOUBLE) / (csize + esize - common) AS jaccard
+    FROM cm JOIN cs USING (id) JOIN es USING (eid)
+    WHERE CAST(common AS DOUBLE) / (csize + esize - common)
+          >= {_FUZZY_THRESHOLD}
+), per_doc AS (
+    SELECT id, count(*) AS n_eval_matches, max(jaccard) AS mx
+    FROM jac GROUP BY 1
+)
+SELECT c.doc_id AS doc_id,
+       CAST(coalesce(p.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       round(p.mx, 4) AS max_jaccard,
+       coalesce(p.n_eval_matches, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN per_doc p ON p.id = c.doc_id
+""")
+def decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate benchmark decontamination (trigram-shingle
+    Jaccard >= 0.5 against the eval split) over the SAME planted
+    corpus as the exact 13-gram entry: each planted copy ('zzz '
+    prefix, +1000000 id) is a lightly-edited eval duplicate — the
+    case the verbatim rule exists to catch and the fuzzy rule must
+    also catch, while short/clean docs stay unflagged."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import decontaminate_fuzzy
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    planted = eval_df.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    out = decontaminate_fuzzy(corpus, "doc_id", "text",
+                              eval_df, "doc_id", "text",
+                              n=3, threshold=_FUZZY_THRESHOLD)
+    return out.select(out["id"].alias("doc_id"), "n_eval_matches",
+                      rnd("max_jaccard", 4).alias("max_jaccard"),
+                      "contaminated")
