@@ -69,9 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     warm = _WARM.get((spark.sparkContext.applicationId, sf_dir, name))
     if warm is not None:
         return warm
+    # The warehouse contract is UTC (reference stores UTC; the DuckDB
+    # oracle reads parquet naive timestamps as naive-UTC). The NTZ
+    # normalization below re-labels naive instants in the SESSION
+    # timezone, so pin it here — runtime-settable, and required even
+    # on sessions we did not build (e.g. the driver's own session).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANOS_TS_COLUMNS:
-        # Runtime-settable SQL conf; required even on sessions we did
-        # not build (e.g. the driver's own SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLUMNS.get(name, ()):
