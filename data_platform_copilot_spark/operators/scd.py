@@ -70,3 +70,38 @@ def scd2_merge(current: DataFrame, updates: DataFrame,
             .unionByName(untouched.select(*cols))
             .unionByName(expired.select(*cols))
             .unionByName(inserted.select(*cols)))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Row-level diff between two table snapshots:
+    (keys..., status in {added, removed, changed, unchanged},
+    old_fp, new_fp).
+
+    The change test compares an md5 fingerprint of the null-tagged
+    compare columns, so nothing but the keys and two 32-char strings
+    survives the join — at 100 TB the full-outer shuffle carries
+    (key, fp) pairs, not row payloads; the same diff over Delta/
+    Iceberg would push down to change-data-feed file pruning, and
+    nothing above this API changes. NULL and the string 'NULL' hash
+    differently (explicit unit-separator sentinel).
+    """
+    sep = chr(1)
+
+    def fp(df: DataFrame) -> DataFrame:
+        tagged = [F.coalesce(F.col(c).cast("string"), F.lit(sep + "N"))
+                  for c in compare_cols]
+        return df.select(*key_cols,
+                         F.md5(F.concat_ws(sep, *tagged)).alias("fp"))
+
+    o = fp(old).withColumnRenamed("fp", "old_fp")
+    n = fp(new).withColumnRenamed("fp", "new_fp")
+    return (
+        o.join(n, key_cols, "full_outer")
+        .select(
+            *key_cols, "old_fp", "new_fp",
+            F.when(F.col("old_fp").isNull(), "added")
+            .when(F.col("new_fp").isNull(), "removed")
+            .when(F.col("old_fp") != F.col("new_fp"), "changed")
+            .otherwise("unchanged").alias("status"))
+    )

@@ -512,3 +512,60 @@ def decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(out["id"].alias("doc_id"), "n_eval_matches",
                       rnd("max_jaccard", 4).alias("max_jaccard"),
                       "contaminated")
+
+
+@query("snapshot_diff_documents", oracle="""
+WITH old AS (
+    SELECT doc_id, text, lang, source FROM documents
+), new AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+               AS text,
+           lang, source
+    FROM documents WHERE doc_id % 29 <> 0
+    UNION ALL
+    SELECT doc_id + 2000000, text, lang, source
+    FROM documents WHERE doc_id % 41 = 0
+), o AS (
+    SELECT doc_id,
+           md5(concat_ws(chr(1),
+               coalesce(text, chr(1) || 'N'),
+               coalesce(lang, chr(1) || 'N'),
+               coalesce(source, chr(1) || 'N'))) AS old_fp
+    FROM old
+), n AS (
+    SELECT doc_id,
+           md5(concat_ws(chr(1),
+               coalesce(text, chr(1) || 'N'),
+               coalesce(lang, chr(1) || 'N'),
+               coalesce(source, chr(1) || 'N'))) AS new_fp
+    FROM new
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n USING (doc_id)
+""")
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the crawl-over-crawl change feed every
+    incremental training-data pipeline starts from): documents vs a
+    deterministically perturbed next snapshot — every 29th doc
+    removed, every 13th edited, every 41st re-added under a new id.
+    Row status and both content fingerprints value-verify against
+    DuckDB replaying the identical null-tagged md5 scheme."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd import snapshot_diff
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", "lang", "source")
+    new = (old.where(F.col("doc_id") % 29 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 13 == 0,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text")))
+           .unionByName(old.where(F.col("doc_id") % 41 == 0)
+                        .withColumn("doc_id",
+                                    F.col("doc_id") + 2000000)))
+    return snapshot_diff(old, new, ["doc_id"], ["text", "lang", "source"])
