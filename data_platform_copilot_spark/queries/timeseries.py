@@ -224,3 +224,54 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n", F.lit(0)).cast("long").alias("n"),
                     F.last("av", ignorenulls=True).over(w)
                     .alias("avg_value_ffill")))
+
+
+@query("rolling_zscore_anomalies", oracle="""
+WITH es AS (
+    SELECT event_type, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS es
+    FROM events
+), w AS (
+    SELECT event_type, value, es,
+           avg(value) OVER r AS mu,
+           stddev_pop(value) OVER r AS sd,
+           count(value) OVER r AS n_prior
+    FROM es
+    WINDOW r AS (PARTITION BY event_type ORDER BY es
+                 RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN n_prior >= 30
+                      AND abs(value - mu) / nullif(sd, 0) > 3.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM w
+GROUP BY event_type
+""")
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: each event scored against
+    the trailing 24 h of its own event_type (RANGE frame over epoch
+    seconds, current second excluded so no event scores against
+    itself or its same-second peers), flagged when |z| > 3 with at
+    least 30 prior points. The streaming-monitoring twin of the
+    global z-score DQ rule (A11) — same arithmetic, windowed.
+
+    Scale: one shuffle on event_type; the RANGE frame is Spark's
+    native sliding aggregation, state bounded by the 24 h horizon per
+    partition. Skewed event types would salt by (type, day) — noted,
+    not needed at testdata cardinality."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value",
+                                            epoch_s("ts").alias("es"))
+    r = (W.partitionBy("event_type").orderBy("es")
+         .rangeBetween(-86400, -1))
+    w = (ev
+         .withColumn("mu", F.avg("value").over(r))
+         .withColumn("sd", F.stddev_pop("value").over(r))
+         .withColumn("n_prior", F.count("value").over(r)))
+    anom = ((F.col("n_prior") >= 30)
+            & (F.abs(F.col("value") - F.col("mu"))
+               / F.nullif(F.col("sd"), F.lit(0)) > 3.0))
+    return (w.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(anom, 1).otherwise(0)).cast("long")
+                 .alias("n_anomalies")))
