@@ -158,3 +158,22 @@ def temperature_mix_sample(df: DataFrame, domain_col: str, key_col: str,
     return (df.join(F.broadcast(rates), domain_col)
             .where(bucket < cutoff)
             .drop("__rate"))
+
+
+def per_group_reservoir(df: DataFrame, group_col: str, key_col: str,
+                        k: int) -> DataFrame:
+    """Exactly ``k`` rows per group (fewer if the group is smaller),
+    selected by md5(key) rank — the deterministic reservoir: the
+    choice is uniform-ish, auditable, and stable under re-runs and
+    engine changes (RNG reservoirs are neither). Ties on the hash
+    break by key.
+
+    Scale: one shuffle on the group key; WindowGroupLimit pushes the
+    rank-k cut into the partial aggregation, so only ~k rows per
+    group per map task survive to the exchange.
+    """
+    from pyspark.sql import Window as W
+    h = F.md5(F.col(key_col).cast("string"))
+    w = (W.partitionBy(group_col).orderBy(h, F.col(key_col)))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

@@ -146,3 +146,24 @@ def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (totals.join(sampled, "lang", "left")
             .select("lang", "n_total",
                     F.coalesce("n_sampled", F.lit(0)).alias("n_sampled")))
+
+
+@query("per_group_reservoir_sample", oracle="""
+WITH ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+)
+SELECT source, doc_id FROM ranked WHERE rk <= 5
+""")
+def per_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain reservoir: exactly 5 docs per source,
+    chosen by md5(doc_id) rank — the auditable balanced-subsample
+    primitive (inspection sets, per-domain eval slices). Both engines
+    rank the identical hash strings, so the sampled set is
+    value-verified row-for-row."""
+    from ..operators.sampling import per_group_reservoir
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return per_group_reservoir(docs, "source", "doc_id", k=5)
