@@ -148,3 +148,50 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable (unlike xxhash64), value-verified per doc."""
     return spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query("corpus_datacard_by_lang", oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, {_NORM} AS nt
+    FROM documents
+), f AS (
+    SELECT doc_id, lang,
+           len(string_split(nt, ' ')) AS ntok,
+           md5(nt) AS fp
+    FROM t
+), d AS (
+    SELECT lang, ntok,
+           count(*) OVER (PARTITION BY fp) > 1 AS is_dup
+    FROM f
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       round(avg(CAST(ntok AS DOUBLE)), 2) AS avg_tokens,
+       round(quantile_cont(CAST(ntok AS DOUBLE), 0.5), 2) AS p50_tokens
+FROM d
+GROUP BY lang
+""")
+def corpus_datacard_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus data card: doc counts, exact-duplicate doc
+    counts (content-fingerprint collisions), and token-length
+    mean/median — the one-call summary a dataset release documents
+    (data cards / datasheets). One fingerprint window + one lang
+    combine; at scale both key uniformly."""
+    from pyspark.sql import Window as W
+    d = _t(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    f = d.select("lang",
+                 F.size(F.split(nt, " ")).alias("ntok"),
+                 F.md5(nt).alias("fp"))
+    wf = W.partitionBy("fp")
+    dd = f.withColumn("is_dup", F.count("*").over(wf) > 1)
+    return (dd.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                 .cast("long").alias("n_dup_docs"),
+                 rnd(F.avg(F.col("ntok").cast("double")), 2)
+                 .alias("avg_tokens"),
+                 rnd(F.expr("percentile(CAST(ntok AS DOUBLE), 0.5)"), 2)
+                 .alias("p50_tokens")))
