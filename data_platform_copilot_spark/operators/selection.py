@@ -144,27 +144,29 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     positive). Returns (id, bm25, n_hits) for docs matching at least
     one term, score descending, id ascending on ties.
 
-    Shape: term stats and corpus scalars are tiny (|query| rows / 1
-    row — broadcast); the only data-sized work is one pass over the
-    token stream pre-filtered to query terms (an IN filter that
-    pushes into the scan) plus the per-(doc, term) combine. Doc
-    lengths ride a second corpus pass, combined per doc — at web
-    scale both passes are scan-bound map work.
+    Shape: doc lengths are a pure expression (``size`` of the token
+    array — NO explode, NO shuffle), so the corpus scalars cost one
+    map-side count. The only exploded pass is pre-filtered to the
+    query terms (pushes into the scan); its per-(doc, term) combine,
+    the tiny term-stats combine, and the doc-keyed join/fold are the
+    only keyed exchanges. Spark does not reuse repeated subtrees, so
+    every derived table here descends from a map-only lineage —
+    recomputation costs a scan, never a shuffle.
     """
-    from pyspark.sql import Window as W
-
     terms = F.array(*[F.lit(t) for t in query_terms])
-    toks = (
+    doclen = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(tokens(F.col(text_col)),
+                        lambda x: F.length(x) > 0)).alias("dl"))
+    corpus = doclen.agg(F.count("*").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    hits = (
         spread(df)
         .select(F.col(id_col).alias("id"),
                 F.explode(tokens(F.col(text_col))).alias("tok"))
-        .where(F.length("tok") > 0)
+        .where(F.array_contains(terms, F.col("tok")))
     )
-    doclen = toks.groupBy("id").agg(F.count("*").alias("dl"))
-    corpus = doclen.agg(F.count("*").alias("n_docs"),
-                        F.avg("dl").alias("avgdl"))
-    tf = (toks.where(F.array_contains(terms, F.col("tok")))
-          .groupBy("id", "tok").agg(F.count("*").alias("tf")))
+    tf = hits.groupBy("id", "tok").agg(F.count("*").alias("tf"))
     # df_t over the matched docs only — |query_terms| rows.
     dft = tf.groupBy("tok").agg(F.count("*").alias("dft"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("dft") + 0.5)

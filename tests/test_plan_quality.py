@@ -147,3 +147,11 @@ class TestSelectionOperatorShapes:
         build)."""
         plan = plan_of(spark, sf_dir, "unigram_logprob_score")
         assert plan.count("hashpartitioning") == 3
+
+    def test_bm25_doclen_never_explodes_or_shuffles(self, spark, sf_dir):
+        """Doc lengths are a size() expression — the only exploded
+        lineage is pre-filtered to the query terms, and the scored
+        side joins term stats by broadcast."""
+        plan = plan_of(spark, sf_dir, "bm25_topk_docs")
+        assert plan.count("hashpartitioning") == 4
+        assert "BroadcastExchange" in plan
