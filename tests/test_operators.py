@@ -744,3 +744,68 @@ class TestSelectionOperators:
         got = {r["id"]: r["avg_logprob"]
                for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
         assert got[0] > got[99]
+
+
+class TestSnapshotDiff:
+    def test_identity_diff_all_unchanged(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.scd import snapshot_diff
+        from data_platform_copilot_spark.sources.registry import load_table
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang")
+        d = snapshot_diff(docs, docs, ["doc_id"], ["text", "lang"])
+        assert d.where("status <> 'unchanged'").count() == 0
+
+    def test_null_vs_sentinel_string_differ(self, spark):
+        """A NULL column and the literal sentinel-ish string must not
+        collide into 'unchanged'."""
+        from data_platform_copilot_spark.operators.scd import snapshot_diff
+        old = spark.createDataFrame([(1, None)], "id long, v string")
+        new = spark.createDataFrame([(1, "N")], "id long, v string")
+        row = snapshot_diff(old, new, ["id"], ["v"]).collect()[0]
+        assert row["status"] == "changed"
+
+    def test_added_removed_counts(self, spark):
+        from data_platform_copilot_spark.operators.scd import snapshot_diff
+        old = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string")
+        new = spark.createDataFrame(
+            [(i, "v999" if i == 3 else f"v{i}") for i in range(2, 12)],
+            "id long, v string")
+        got = {r["status"]: r["n"] for r in
+               snapshot_diff(old, new, ["id"], ["v"])
+               .groupBy("status").agg(F.count("*").alias("n")).collect()}
+        assert got == {"removed": 2, "added": 2, "changed": 1,
+                       "unchanged": 7}
+
+
+class TestPerGroupReservoir:
+    def test_exactly_k_per_group_and_stability(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.sampling import (
+            per_group_reservoir)
+        from data_platform_copilot_spark.sources.registry import load_table
+        from pyspark.sql import functions as F
+        docs = load_table(spark, sf_dir, "documents").select(
+            "source", "doc_id")
+        s1 = per_group_reservoir(docs, "source", "doc_id", 3)
+        sizes = s1.groupBy("source").count().collect()
+        full = {r["source"]: r["count"]
+                for r in docs.groupBy("source").count().collect()}
+        for r in sizes:
+            assert r["count"] == min(3, full[r["source"]])
+        s2 = per_group_reservoir(docs, "source", "doc_id", 3)
+        assert sorted(map(tuple, s1.collect())) == \
+            sorted(map(tuple, s2.collect()))
+
+
+class TestBm25:
+    def test_term_rich_doc_outranks(self, spark):
+        from data_platform_copilot_spark.operators.selection import bm25_topk
+        rows = [(1, "hash join merge hash join scan"),
+                (2, "hash and nothing else of note here"),
+                (3, "completely unrelated words only")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = bm25_topk(df, "doc_id", "text",
+                        ["hash", "join", "merge", "scan"], k=10).collect()
+        ids = [r["id"] for r in got]
+        assert ids[0] == 1            # most query-term mass wins
+        assert 3 not in ids           # no-hit docs never appear
