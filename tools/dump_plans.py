@@ -19,15 +19,32 @@ def main() -> None:
     from data_platform_copilot_spark.session import get_spark
 
     spark = get_spark("plan-dump", shuffle_partitions=8)
-    out = ["# PLANS — formatted physical plans per query",
-           "", f"Generated against `{sf_dir}`.", ""]
+    plans: dict[str, str] = {}
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            plans[name] = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
                 df._jdf.queryExecution(), "formatted")
         except Exception as exc:  # pragma: no cover
-            plan = f"ERROR: {exc}"
+            plans[name] = f"ERROR: {exc}"
+
+    out = ["# PLANS — formatted physical plans per query",
+           "", f"Generated against `{sf_dir}`.", "",
+           "## Plan-shape audit (keyed exchanges / broadcasts / "
+           "scans / Python stages per query)", "",
+           "| query | keyed exchanges | broadcasts | parquet scans | "
+           "Arrow (Python) stages | top-k pushdown |", "|---|---|---|---|---|---|"]
+    for name, plan in plans.items():
+        topk = ("TakeOrderedAndProject" in plan
+                or "WindowGroupLimit" in plan)
+        out.append(
+            f"| {name} | {plan.count('hashpartitioning')} "
+            f"| {plan.count('BroadcastExchange')} "
+            f"| {plan.count('Scan parquet')} "
+            f"| {plan.count('ArrowEvalPython') + plan.count('MapInPandas') + plan.count('FlatMapGroupsInPandas') + plan.count('FlatMapCoGroupsInPandas')} "
+            f"| {'yes' if topk else '—'} |")
+    out.append("")
+    for name, plan in plans.items():
         out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
     Path("PLANS.md").write_text("\n".join(out), encoding="utf-8")
     print(f"wrote PLANS.md ({len(QUERIES)} queries)")
