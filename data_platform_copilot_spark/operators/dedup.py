@@ -138,6 +138,13 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
         hot = (sh.groupBy("shingle").count()
                .where(F.col("count") > max_shingle_freq).select("shingle"))
         sh = sh.join(hot, "shingle", "left_anti")
+    # The filtered shingle set feeds FOUR subtrees (sizes + both join
+    # sides); Spark recomputes unshared lineage, so without this the
+    # corpus explode and the hot-filter shuffle run 4x. Lazy
+    # localCheckpoint materializes the set once on executor storage at
+    # first use — exactly what production fuzzy-dedup pipelines do
+    # with their shingle table.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
