@@ -97,19 +97,13 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
             " ")).alias("clean_fp")))
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str,
-             n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Built as sequence+transform over the token array, then explode —
-    stays in codegen until the explode."""
-    df = spread(df)
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    # Docs shorter than n tokens emit NO shingles (matching the SQL
-    # oracle, whose position range is empty for them) — without this
-    # gate arrays_zip pads the short slice with nulls and concat_ws
-    # silently drops them, emitting a truncated pseudo-shingle.
-    df = df.where(F.size(toks) >= n)
+def shingle_array(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle ARRAY of a text column — the
+    in-row (pre-explode) form, also usable for map-only shingle-set
+    sizes via ``F.size`` (no explode, no shuffle). Empty for docs
+    shorter than n tokens (the oracle's empty position range).
+    """
+    toks = F.split(normalize_text(text_col), " ")
     # Build shingles by zipping n shifted views of the token array
     # (n fixed-cost slices per row) instead of one slice per shingle
     # position — ~2x faster, and dedupe inside the row
@@ -120,10 +114,28 @@ def shingles(df: DataFrame, id_col: str, text_col: str,
     sh = F.transform(
         F.arrays_zip(*shifted),
         lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
+    return F.when(
+        F.size(toks) >= n,
+        F.filter(F.array_distinct(sh), lambda x: F.length(x) > 0)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str,
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built as sequence+transform over the token array, then explode —
+    stays in codegen until the explode. Docs shorter than n tokens
+    emit NO shingles (matching the SQL oracle, whose position range
+    is empty for them) — without that gate arrays_zip pads the short
+    slice with nulls and concat_ws silently drops them, emitting a
+    truncated pseudo-shingle.
+    """
+    df = spread(df)
     return (
         df.select(F.col(id_col).alias("id"),
-                  F.explode(F.array_distinct(sh)).alias("shingle"))
-        .where(F.length("shingle") > 0)
+                  F.explode(shingle_array(F.col(text_col), n))
+                  .alias("shingle"))
     )
 
 

@@ -285,20 +285,27 @@ def decontaminate_fuzzy(df: DataFrame, id_col: str, text_col: str,
     (id, n_eval_matches, max_jaccard, contaminated).
 
     Scale: the eval shingle set is benchmark-sized -> BROADCAST; the
-    corpus gram stream never shuffles against it. The only keyed
-    exchanges are the per-(train, eval) common count and the per-doc
-    fold, both over HIT rows only (near-empty for a clean corpus).
-    Jaccard is common / (size_a + size_b - common) over distinct
-    shingles — integer inputs, one division, so both engines compute
+    corpus gram stream never shuffles against it. Both shingle-set
+    sizes are map-only ``size(shingle_array(...))`` expressions (no
+    groupBy, no subtree reuse of the exploded stream), so the only
+    keyed exchanges are the per-(train, eval) common count, the
+    size-join on hit docs, and the per-doc fold — all over HIT rows
+    only (near-empty for a clean corpus). Jaccard is
+    common / (size_a + size_b - common) over distinct shingles —
+    integer inputs, one division, so both engines compute
     bit-identical doubles and the threshold/max agree exactly.
     """
-    from .dedup import shingles
+    from .dedup import shingle_array, shingles
 
     sh_c = shingles(df, id_col, text_col, n=n)
     sh_e = (shingles(eval_df, eval_id_col, eval_text_col, n=n)
             .withColumnsRenamed({"id": "eid"}))
-    esizes = sh_e.groupBy("eid").agg(F.count("*").alias("esize"))
-    csizes = sh_c.groupBy("id").agg(F.count("*").alias("csize"))
+    esizes = eval_df.select(
+        F.col(eval_id_col).alias("eid"),
+        F.size(shingle_array(F.col(eval_text_col), n)).alias("esize"))
+    csizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingle_array(F.col(text_col), n)).alias("csize"))
     common = (sh_c.join(F.broadcast(sh_e), "shingle")
               .groupBy("id", "eid").agg(F.count("*").alias("common")))
     jac = (common

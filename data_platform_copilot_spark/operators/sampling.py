@@ -130,28 +130,27 @@ def temperature_mix_sample(df: DataFrame, domain_col: str, key_col: str,
     compared as INTEGER cutoffs, so any engine replaying the same
     arithmetic selects the identical rows.
 
-    Scale: the count agg touches |domains| rows; the rate table
-    broadcasts; the filter is a scan-local predicate — no shuffle of
-    the data being sampled.
+    Scale: the count agg touches |domains| rows; every derived scalar
+    (share normalizer, feasible scale K) comes from whole-frame
+    windows over that always-tiny table — one lineage, ONE keyed
+    exchange (the old crossJoin-a-scalar chain recomputed the count
+    agg per layer: 6 exchanges for the same arithmetic). The rate
+    table broadcasts; the filter is a scan-local predicate — no
+    shuffle of the data being sampled.
     """
+    from pyspark.sql import Window as W
+
     if temperature <= 0:
         raise ValueError("temperature must be positive")
+    wall = W.partitionBy()
     counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
-    qraw = counts.select(
-        domain_col, "__n",
-        F.pow(F.col("__n").cast("double"),
-              F.lit(1.0 / temperature)).alias("__q"))
-    tot = qraw.agg(F.sum("__q").alias("__qs"))
-    shares = (qraw.crossJoin(F.broadcast(tot))
-              .select(domain_col, "__n",
-                      (F.col("__q") / F.col("__qs")).alias("__share")))
-    k = shares.agg(F.min(F.col("__n") / F.col("__share")).alias("__k"))
-    rates = (shares.crossJoin(F.broadcast(k))
-             .select(domain_col,
-                     F.round(F.least(
-                         F.lit(1.0),
-                         F.col("__k") * F.col("__share") / F.col("__n")), 6)
-                     .alias("__rate")))
+    q = F.pow(F.col("__n").cast("double"), F.lit(1.0 / temperature))
+    share = q / F.sum(q).over(wall)
+    k = F.min(F.col("__n") / share).over(wall)
+    rates = counts.select(
+        domain_col,
+        F.round(F.least(F.lit(1.0), k * share / F.col("__n")), 6)
+        .alias("__rate"))
     bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
                     16, 10).cast("long") % 1_000_000
     cutoff = F.round(F.col("__rate") * 1_000_000, 0).cast("long")
