@@ -75,12 +75,14 @@ def domain_mix_sample(df: DataFrame, domain_col: str, key_col: str,
         f"{domain_col} string, __share double")
     counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
     joined = counts.join(F.broadcast(shares), domain_col)
-    k = joined.agg(F.min(F.col("__n") / F.col("__share")).alias("__k"))
-    rates = (joined.crossJoin(F.broadcast(k))
-             .select(domain_col,
-                     F.least(F.lit(1.0),
-                             F.col("__k") * F.col("__share")
-                             / F.col("__n")).alias("__rate")))
+    # K from a whole-frame window over the |domains|-row table — one
+    # lineage (an agg + crossJoin here would recompute the count agg).
+    from pyspark.sql import Window as W
+    k = F.min(F.col("__n") / F.col("__share")).over(W.partitionBy())
+    rates = joined.select(
+        domain_col,
+        F.least(F.lit(1.0),
+                k * F.col("__share") / F.col("__n")).alias("__rate"))
     bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
                     16, 10).cast("long") % 1_000_000
     return (df.join(F.broadcast(rates), domain_col)
