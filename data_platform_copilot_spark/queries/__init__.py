@@ -82,14 +82,16 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # warehouse views (catalog surface)
     "warehouse_view_revenue",
     # SQL-surface extras promoted from past the r2 gate window
-    "window_range_frame",
-    "window_distribution_funcs",
-    "set_ops_all_variants",
-    "array_functions",
-    "null_ordering",
-    "lateral_view_explode",
     "argmax_aggregates",
     "group_by_all_syntax",
+    # r5 additions: retrieval, fuzzy decontamination, snapshot diff,
+    # rolling anomaly, data card, per-group reservoir
+    "bm25_topk_docs",
+    "decontamination_fuzzy",
+    "snapshot_diff_documents",
+    "rolling_zscore_anomalies",
+    "corpus_datacard_by_lang",
+    "per_group_reservoir_sample",
     # bench headliners + reference DQ/gateway parity
     "multi_join_topk",
     "cohort_retention_weekly",
@@ -98,15 +100,17 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dq_profile_events_value",
     "dq_rule_freshness_ts",
     # Rotation policy: every registry entry should earn a driver-green
-    # row at least once across rounds. r5 swaps six slots that were
-    # driver-verified in r2-r4 (dedup_exact, dedup_simhash,
+    # row at least once across rounds. r5 rotates OUT twelve slots
+    # that were driver-verified in r2-r4 (dedup_exact, dedup_simhash,
     # text_fingerprint, embedding_quantize_int8, text_lang_id,
-    # text_ngram_frequency — all still value-verified every run by the
-    # full-registry pytest oracle at sf0.01 AND the slow sf0.1 suite)
-    # for the entries never yet inside the gate: ann_pq_topk,
-    # hopping_window_15m, events_gap_fill, the r5-fixed
-    # dq_rule_freshness_ts, and the r5-new dsir_importance_resample /
-    # unigram_logprob_score. List is exactly 50 names.
+    # text_ngram_frequency, window_range_frame,
+    # window_distribution_funcs, set_ops_all_variants, array_functions,
+    # null_ordering, lateral_view_explode — all still value-verified
+    # every run by the full-registry pytest oracle at sf0.01 AND the
+    # slow sf0.1 suite) in favor of the entries never yet inside the
+    # gate: the r3/r4 additions ann_pq_topk / hopping_window_15m /
+    # events_gap_fill, the r5-fixed dq_rule_freshness_ts, and the
+    # eight r5-new operators. List is exactly 50 names.
 ]
 
 
