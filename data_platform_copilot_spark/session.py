@@ -52,15 +52,25 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size-based post-shuffle coalescing (the Spark-docs-recommended
-        # setting): target advisoryPartitionSizeInBytes (64 MB) instead
-        # of preserving parallelism. At 100 TB this right-sizes every
-        # reduce stage off the runtime map statistics; locally it
-        # collapses kilobyte shuffles to one task, dropping ~30 no-op
-        # task schedules per stage (measured 5.2s -> 4.0s on the
-        # headline bench at sf0.1).
+        # Post-shuffle coalescing strategy. parallelismFirst=true (the
+        # Spark default) sizes reduce stages to keep default parallelism
+        # (still collapsing kilobyte shuffles, since the 1 MB
+        # minPartitionSize floor applies); =false targets
+        # advisoryPartitionSizeInBytes off runtime map stats. A/B at
+        # sf0.1 local[32]: =false serializes the heaviest reduce stage
+        # (multi_join_topk 0.63s -> 0.95s) with no offsetting win on the
+        # small-shuffle queries, so parallelism-first is the local
+        # default; a cluster deployment that wants strict 64 MB
+        # size-based coalescing flips SPARK_GRAFT_PARALLELISM_FIRST.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+                os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+        # Advisory target for AQE (coalescing when parallelismFirst is
+        # flipped off, plus skew-join splitting). 8 MB keeps heavy local
+        # stages parallel; clusters override via SPARK_GRAFT_ADVISORY_MB
+        # (64 is the Spark default).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(int(os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8"))
+                    * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
