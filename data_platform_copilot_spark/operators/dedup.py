@@ -318,7 +318,8 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               method: str = "blocked",
                               blocks: int = 8,
                               n_planes: int = 8, tables: int = 8,
-                              dim: int = 64, seed: int = 42) -> DataFrame:
+                              dim: int = 64, seed: int = 42,
+                              tag_partitions: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cosine >= threshold).
 
     ``blocked`` (default): EXACT all-pairs via a distributed block
@@ -341,6 +342,14 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     bucket) group scores only co-bucketed candidates. Probabilistic
     recall, pinned by a planted-dupe pytest; compute is
     O(sum bucket^2) << O(n^2).
+
+    ``tag_partitions``: optional coalesce width for the Python tag
+    stage. The tag gemm is memcpy-cheap, so its cost is per-task
+    Arrow fixed overhead (~15 ms); when the input arrives in
+    micro-partitions (a cached KB-sized table, a heavily filtered
+    scan), coalescing to ~corpus_bytes / 32 MB halves the stage.
+    None inherits the scan partitioning — right on a real cluster
+    where parquet splits are already block-sized.
 
     ``pairs``: pure-DataFrame crossJoin with expression-level cosine;
     the reference formulation used by the oracle and property tests.
@@ -464,7 +473,9 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                     "v": [m.tobytes() for m in mat],
                     "codes": list(codes)})
 
-        tagged = (base.mapInPandas(
+        tag_src = (base.coalesce(tag_partitions)
+                   if tag_partitions else base)
+        tagged = (tag_src.mapInPandas(
                       tag, "id long, v binary, codes array<long>")
                   .select("id", "v", "codes",
                           F.posexplode("codes").alias("tbl", "bucket")))

@@ -279,14 +279,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector perturbed by a per-element scaling cycle — both engines
     replay the same corpus, so the DuckDB all-pairs oracle
     value-verifies what LSH recovers). Collision probability per
-    8-plane table at cosine ~0.9999998 is ~0.9995, so across 8 tables
-    recovery is deterministic-complete; candidates are re-scored
-    exactly, so false bucket collisions cannot leak through. Compute
-    is O(sum bucket^2) << O(n^2) — the 100 TB path."""
+    8-plane table at cosine ~0.9999998 is ~0.998, so across 4 tables
+    the per-pair miss probability is ~1e-11 — recovery is
+    deterministic-complete while the vector payload shuffles 4x, not
+    8x; candidates are re-scored exactly, so false bucket collisions
+    cannot leak through. Compute is O(sum bucket^2) << O(n^2) — the
+    100 TB path. tag_partitions=4 sizes the Python tag stage to the
+    ~1 MB cached corpus (see operator docstring)."""
     corpus = _planted_corpus(_t(spark, sf_dir, "embeddings"))
     pairs = embedding_near_duplicates(
         corpus, "vec_id", "embedding", threshold=0.99,
-        method="lsh", n_planes=8, tables=8, dim=64)
+        method="lsh", n_planes=8, tables=4, dim=64, tag_partitions=4)
     return pairs.select("id_a", "id_b", rnd("cosine", 4).alias("cosine"))
 
 
