@@ -70,7 +70,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(3):
+        # min-of-5: single runs carry ±0.5s machine-contention
+        # outliers (observed: one 0.2s query spiking to 1.5s); five
+        # samples make the min a stable steady-state estimate while
+        # total bench wall-clock stays ~30s.
+        for _ in range(5):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

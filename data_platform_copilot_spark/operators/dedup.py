@@ -140,23 +140,36 @@ def shingles(df: DataFrame, id_col: str, text_col: str,
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
-                  max_shingle_freq: int | None = 1000) -> DataFrame:
+                  max_shingle_freq: int | None = 1000,
+                  materialize: str | None = "auto") -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold via inverted-index
     self-join on the shingle. Input: (id, shingle) distinct.
 
     Output: (id_a, id_b, common, size_a, size_b, jaccard), id_a < id_b.
+
+    ``materialize`` controls how the filtered shingle set (which
+    feeds FOUR subtrees — sizes + both join sides, recomputed 4x
+    otherwise) is shared: ``"checkpoint"`` = lazy localCheckpoint
+    (cheapest, but executor-local blocks are NOT recomputable — an
+    executor loss under dynamic allocation fails the job);
+    ``"persist"`` = MEMORY_AND_DISK persist, lineage stays
+    recomputable (the cluster-safe choice); ``None`` = no sharing;
+    ``"auto"`` (default) = checkpoint on local masters, persist on
+    clusters.
     """
     if max_shingle_freq is not None:
         hot = (sh.groupBy("shingle").count()
                .where(F.col("count") > max_shingle_freq).select("shingle"))
         sh = sh.join(hot, "shingle", "left_anti")
-    # The filtered shingle set feeds FOUR subtrees (sizes + both join
-    # sides); Spark recomputes unshared lineage, so without this the
-    # corpus explode and the hot-filter shuffle run 4x. Lazy
-    # localCheckpoint materializes the set once on executor storage at
-    # first use — exactly what production fuzzy-dedup pipelines do
-    # with their shingle table.
-    sh = sh.localCheckpoint(eager=False)
+    if materialize == "auto":
+        is_local = sh.sparkSession.conf.get("spark.master",
+                                            "local").startswith("local")
+        materialize = "checkpoint" if is_local else "persist"
+    if materialize == "checkpoint":
+        sh = sh.localCheckpoint(eager=False)
+    elif materialize == "persist":
+        from pyspark import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

@@ -78,21 +78,31 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     (keys..., status in {added, removed, changed, unchanged},
     old_fp, new_fp).
 
-    The change test compares an md5 fingerprint of the null-tagged
-    compare columns, so nothing but the keys and two 32-char strings
+    The change test compares an md5 fingerprint of the compare
+    columns, so nothing but the keys and two 32-char strings
     survives the join — at 100 TB the full-outer shuffle carries
     (key, fp) pairs, not row payloads; the same diff over Delta/
     Iceberg would push down to change-data-feed file pruning, and
-    nothing above this API changes. NULL and the string 'NULL' hash
-    differently (explicit unit-separator sentinel).
+    nothing above this API changes.
+
+    The pre-hash encoding is injective for ANY cell contents: each
+    column encodes as ``len:value`` (NULL as the bare token ``n``,
+    unambiguous since non-NULL tokens start with a digit), and the
+    tokens concatenate with no separator — a front-to-back parse
+    (read digits to ':', then that many chars) recovers the exact
+    column tuple, so no separator/sentinel collision exists (unlike
+    a concat_ws scheme, where values containing the separator can
+    shift across column boundaries).
     """
-    sep = chr(1)
 
     def fp(df: DataFrame) -> DataFrame:
-        tagged = [F.coalesce(F.col(c).cast("string"), F.lit(sep + "N"))
-                  for c in compare_cols]
+        def enc(c: str):
+            s = F.col(c).cast("string")
+            return F.when(s.isNull(), F.lit("n")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s))
         return df.select(*key_cols,
-                         F.md5(F.concat_ws(sep, *tagged)).alias("fp"))
+                         F.md5(F.concat(*[enc(c) for c in compare_cols]))
+                         .alias("fp"))
 
     o = fp(old).withColumnRenamed("fp", "old_fp")
     n = fp(new).withColumnRenamed("fp", "new_fp")

@@ -154,10 +154,15 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     recomputation costs a scan, never a shuffle.
     """
     terms = F.array(*[F.lit(t) for t in query_terms])
+    # dl > 0 excludes token-less docs AND NULL text (size(NULL) = -1)
+    # from n_docs/avgdl — they contribute no mass to any score and a
+    # GROUP-BY-over-tokens oracle formulation never sees them, so
+    # including them would skew avgdl on dirty corpora.
     doclen = spread(df).select(
         F.col(id_col).alias("id"),
         F.size(F.filter(tokens(F.col(text_col)),
-                        lambda x: F.length(x) > 0)).alias("dl"))
+                        lambda x: F.length(x) > 0)).alias("dl"))\
+        .where(F.col("dl") > 0)
     corpus = doclen.agg(F.count("*").alias("n_docs"),
                         F.avg("dl").alias("avgdl"))
     hits = (

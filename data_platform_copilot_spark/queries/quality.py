@@ -528,17 +528,21 @@ WITH old AS (
     FROM documents WHERE doc_id % 41 = 0
 ), o AS (
     SELECT doc_id,
-           md5(concat_ws(chr(1),
-               coalesce(text, chr(1) || 'N'),
-               coalesce(lang, chr(1) || 'N'),
-               coalesce(source, chr(1) || 'N'))) AS old_fp
+           md5(CASE WHEN text IS NULL THEN 'n'
+                    ELSE length(text) || ':' || text END
+            || CASE WHEN lang IS NULL THEN 'n'
+                    ELSE length(lang) || ':' || lang END
+            || CASE WHEN source IS NULL THEN 'n'
+                    ELSE length(source) || ':' || source END) AS old_fp
     FROM old
 ), n AS (
     SELECT doc_id,
-           md5(concat_ws(chr(1),
-               coalesce(text, chr(1) || 'N'),
-               coalesce(lang, chr(1) || 'N'),
-               coalesce(source, chr(1) || 'N'))) AS new_fp
+           md5(CASE WHEN text IS NULL THEN 'n'
+                    ELSE length(text) || ':' || text END
+            || CASE WHEN lang IS NULL THEN 'n'
+                    ELSE length(lang) || ':' || lang END
+            || CASE WHEN source IS NULL THEN 'n'
+                    ELSE length(source) || ':' || source END) AS new_fp
     FROM new
 )
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp,
@@ -554,7 +558,7 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically perturbed next snapshot — every 29th doc
     removed, every 13th edited, every 41st re-added under a new id.
     Row status and both content fingerprints value-verify against
-    DuckDB replaying the identical null-tagged md5 scheme."""
+    DuckDB replaying the identical length-prefixed md5 encoding."""
     from pyspark.sql import functions as F
 
     from ..operators.scd import snapshot_diff

@@ -66,15 +66,19 @@ def warm_tables(spark: SparkSession, sf_dir: str,
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one warehouse table from ``{sf_dir}/{name}.parquet``."""
-    warm = _WARM.get((spark.sparkContext.applicationId, sf_dir, name))
-    if warm is not None:
-        return warm
     # The warehouse contract is UTC (reference stores UTC; the DuckDB
     # oracle reads parquet naive timestamps as naive-UTC). The NTZ
     # normalization below re-labels naive instants in the SESSION
     # timezone, so pin it here — runtime-settable, and required even
     # on sessions we did not build (e.g. the driver's own session).
+    # Pinned on BOTH the warm and cold paths: the NTZ->LTZ cast is
+    # lazy, so a caller that reset the session timezone after the
+    # cold load would otherwise re-label cached frames' naive
+    # instants under the new zone at execution time.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    warm = _WARM.get((spark.sparkContext.applicationId, sf_dir, name))
+    if warm is not None:
+        return warm
     if name in _NANOS_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -28,6 +28,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..queries.core import rnd
+
 
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a streaming source (schema from a batch peek).
@@ -75,7 +77,7 @@ def run_streaming_tumbling_agg(spark: SparkSession, sf_dir: str,
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             rnd(F.sum("value"), 2).alias("total_value"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                 .alias("window_start"),
                 "event_type", "n", "total_value")
@@ -104,7 +106,7 @@ def run_streaming_hopping_agg(spark: SparkSession, sf_dir: str,
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", size, hop).alias("w"), "event_type")
         .agg(F.count("*").alias("n"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             rnd(F.sum("value"), 2).alias("total_value"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                 .alias("window_start"),
                 "event_type", "n", "total_value")

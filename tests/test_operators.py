@@ -809,3 +809,20 @@ class TestBm25:
         ids = [r["id"] for r in got]
         assert ids[0] == 1            # most query-term mass wins
         assert 3 not in ids           # no-hit docs never appear
+
+    def test_null_and_empty_docs_excluded_from_corpus_stats(self, spark):
+        """NULL text (size() = -1) and token-less docs must not count
+        into n_docs/avgdl: scores over the clean subset are identical
+        with and without the dirty rows present."""
+        from data_platform_copilot_spark.operators.selection import bm25_topk
+        clean = [(1, "hash join merge hash join scan"),
+                 (2, "hash and nothing else of note here")]
+        dirty = clean + [(3, None), (4, ""), (5, "   ")]
+        q = ["hash", "join"]
+        a = {r["id"]: r["bm25"] for r in bm25_topk(
+            spark.createDataFrame(clean, "doc_id long, text string"),
+            "doc_id", "text", q).collect()}
+        b = {r["id"]: r["bm25"] for r in bm25_topk(
+            spark.createDataFrame(dirty, "doc_id long, text string"),
+            "doc_id", "text", q).collect()}
+        assert a == b and set(a) == {1, 2}

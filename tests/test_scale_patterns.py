@@ -74,11 +74,17 @@ class TestBucketedJoin:
 
 
 class TestAqe:
-    def test_aqe_coalesces_small_shuffle(self, spark, sf_dir):
-        """With AQE on, a small groupBy must not fan out to the full
-        shuffle-partition count at runtime."""
+    def test_aqe_policy_is_master_conditional(self, spark, sf_dir):
+        """AQE defaults off for local masters (per-stage job barriers
+        dominate on warm MB-scale data) and on for cluster masters
+        (runtime coalesce/skew re-planning); SPARK_GRAFT_AQE
+        overrides. The small groupBy must stay correct either way."""
+        import os
         nation = load_table(spark, sf_dir, "nation")
         out = nation.groupBy("n_regionkey").count()
         assert out.count() == 5
-        # AQE enabled in the session (set by get_spark)
-        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        expected = os.environ.get(
+            "SPARK_GRAFT_AQE",
+            "false" if spark.conf.get("spark.master").startswith("local")
+            else "true")
+        assert spark.conf.get("spark.sql.adaptive.enabled") == expected
