@@ -74,11 +74,18 @@ def connected_components(pairs: DataFrame,
         edges.unpersist()
 
 
-def _propagation_components(edges: DataFrame, max_iters: int) -> DataFrame:
+def _propagation_components(edges: DataFrame, max_iters: int,
+                            check_every: int = 2) -> DataFrame:
+    # Convergence is probed every ``check_every`` rounds, not every
+    # round: the probe (`count()`) is a driver-synchronized job, and
+    # a fixed point stays fixed, so a cadence-k probe detects
+    # convergence at most k-1 cheap no-op rounds late while cutting
+    # the barrier count by k on long propagation chains.
     labels = (edges.select(F.col("u").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id")))
-    prev = None
+    pending: list[DataFrame] = []
+    changed = -1
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -92,13 +99,17 @@ def _propagation_components(edges: DataFrame, max_iters: int) -> DataFrame:
         if (it + 1) % _CHECKPOINT_EVERY == 0:
             updated = updated.localCheckpoint(eager=False)
         updated = updated.persist()
-        changed = updated.where("changed").count()
-        if prev is not None:
-            prev.unpersist()
-        prev = updated
+        pending.append(updated)
         labels = updated.select("id", "cluster")
-        if changed == 0:
-            return labels
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            changed = updated.where("changed").count()
+            # the probe materialized `updated`; earlier persists are
+            # now safe to drop without re-triggering their lineage
+            for p in pending[:-1]:
+                p.unpersist()
+            pending = pending[-1:]
+            if changed == 0:
+                return labels
     raise ConvergenceError(
         f"min-label propagation did not converge in {max_iters} rounds "
         f"({changed} labels still changing); raise max_iters or use "
@@ -139,7 +150,11 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
         # plan-tree bookkeeping alone).
         small = small.localCheckpoint()
         # converged when every edge already points at its component min:
-        # one more large-star pass would change nothing <=> small == cur
+        # one more large-star pass would change nothing <=> small == cur.
+        # Unlike propagation, the probe runs EVERY round: star converges
+        # in O(log n) rounds and each round costs ~8 shuffles, so a
+        # skipped probe risks one full heavy round to save two small
+        # jobs over checkpointed (already-materialized) inputs.
         delta = (small.unionAll(cur).distinct().count()
                  - small.intersect(cur).count())
         if prev is not None:

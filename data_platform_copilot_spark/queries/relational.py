@@ -312,17 +312,32 @@ def distinct_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_counts")  # engine-specific sketch: rows-only check
+@query("approx_distinct_counts", oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+       TRUE AS within_eps
+FROM lineitem
+GROUP BY l_returnflag
+""")
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
-    distinct counting: one pass, fixed memory, no expand. No oracle
-    (DuckDB's approx sketch differs); accuracy asserted in tests
-    against the exact count (rsd 5%)."""
+    distinct counting: one pass, fixed memory, no expand.
+
+    The sketch value itself is engine-specific, so the oracle gate is
+    bounded-error: the query returns |approx - exact| / exact <= 5%
+    (2.5x the configured rsd) as ``within_eps``, which the DuckDB
+    side pins to TRUE — a hash mismatch means the sketch left its
+    error envelope, not merely that two engines' sketches differ."""
+    eps = 0.05
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02)
+             .alias("n_parts_approx"),
              F.countDistinct("l_partkey").alias("n_parts_exact"))
+        .select("l_returnflag", "n_parts_exact",
+                (F.abs(F.col("n_parts_approx") - F.col("n_parts_exact"))
+                 / F.col("n_parts_exact") <= eps).alias("within_eps"))
     )
 
 
@@ -534,13 +549,32 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles")  # engine-specific sketch: rows-only check
+@query("approx_percentiles", oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       TRUE AS within_eps
+FROM lineitem
+GROUP BY l_returnflag
+""")
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx — bounded-memory quantile sketch; accuracy
-    vs exact asserted in tests."""
+    """percentile_approx — bounded-memory quantile sketch (GK, rank
+    error <= 1/accuracy).
+
+    Sketch output is engine-specific, so the oracle gate is
+    bounded-error: ``within_eps`` asserts the approx median lands
+    within 1% relative of the exact interpolated median (generous
+    vs the <=60-row rank error at accuracy 10000 on a smooth price
+    distribution); DuckDB pins it to TRUE. The exact median itself
+    still hash-matches quantile_cont."""
+    eps = 0.01
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
+             .alias("p50_approx"),
              F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"))
+        .select("l_returnflag",
+                rnd(F.col("p50_exact"), 4).alias("p50_exact"),
+                (F.abs(F.col("p50_approx") - F.col("p50_exact"))
+                 / F.col("p50_exact") <= eps).alias("within_eps"))
     )

@@ -150,6 +150,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def corpus_datacard(docs: DataFrame, lang_col: str = "lang",
+                    text_col: str = "text",
+                    exact_percentile: bool = False) -> DataFrame:
+    """Per-language corpus data card: doc counts, exact-duplicate doc
+    counts (content-fingerprint collisions), and token-length
+    mean/median — the one-call summary a dataset release documents
+    (data cards / datasheets). One fingerprint window + one lang
+    combine; at scale both key uniformly.
+
+    ``exact_percentile=False`` (the default, and the 100 TB path)
+    computes the median via percentile_approx's bounded GK sketch;
+    the exact form buffers every token count of a language group in
+    one aggregation buffer — a per-group memory bomb on a web-scale
+    corpus with few languages — and exists for oracle parity at
+    small scale factors (mirroring the A6 profiler's exact flag).
+    """
+    from pyspark.sql import Window as W
+    nt = normalize_text(F.col(text_col))
+    f = docs.select(F.col(lang_col).alias("lang"),
+                    F.size(F.split(nt, " ")).alias("ntok"),
+                    F.md5(nt).alias("fp"))
+    wf = W.partitionBy("fp")
+    dd = f.withColumn("is_dup", F.count("*").over(wf) > 1)
+    p50 = (F.expr("percentile(CAST(ntok AS DOUBLE), 0.5)")
+           if exact_percentile
+           else F.percentile_approx(F.col("ntok").cast("double"),
+                                    0.5, 10000))
+    return (dd.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                 .cast("long").alias("n_dup_docs"),
+                 rnd(F.avg(F.col("ntok").cast("double")), 2)
+                 .alias("avg_tokens"),
+                 rnd(p50, 2).alias("p50_tokens")))
+
+
+
 @query("corpus_datacard_by_lang", oracle=f"""
 WITH t AS (
     SELECT doc_id, lang, {_NORM} AS nt
@@ -174,24 +211,8 @@ FROM d
 GROUP BY lang
 """)
 def corpus_datacard_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language corpus data card: doc counts, exact-duplicate doc
-    counts (content-fingerprint collisions), and token-length
-    mean/median — the one-call summary a dataset release documents
-    (data cards / datasheets). One fingerprint window + one lang
-    combine; at scale both key uniformly."""
-    from pyspark.sql import Window as W
-    d = _t(spark, sf_dir, "documents")
-    nt = normalize_text(F.col("text"))
-    f = d.select("lang",
-                 F.size(F.split(nt, " ")).alias("ntok"),
-                 F.md5(nt).alias("fp"))
-    wf = W.partitionBy("fp")
-    dd = f.withColumn("is_dup", F.count("*").over(wf) > 1)
-    return (dd.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-                 .cast("long").alias("n_dup_docs"),
-                 rnd(F.avg(F.col("ntok").cast("double")), 2)
-                 .alias("avg_tokens"),
-                 rnd(F.expr("percentile(CAST(ntok AS DOUBLE), 0.5)"), 2)
-                 .alias("p50_tokens")))
+    """Oracle entry for :func:`corpus_datacard`, run in exact-
+    percentile mode so DuckDB's quantile_cont hash-matches; the
+    operator default is the approx scale path."""
+    return corpus_datacard(_t(spark, sf_dir, "documents"),
+                           exact_percentile=True)
