@@ -23,6 +23,7 @@ conditional aggregates. Two shuffles total, both keyed on uniform
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, tokens
@@ -327,3 +328,153 @@ def decontaminate_fuzzy(df: DataFrame, id_col: str, text_col: str,
                 .alias("n_eval_matches"),
                 "max_jaccard")
             .withColumn("contaminated", F.col("n_eval_matches") > 0))
+
+
+def positional_kgrams(df: DataFrame, id_col: str, text_col: str,
+                      k: int) -> DataFrame:
+    """(id, pos, fp): md5 of every word k-gram WITH its 0-based token
+    offset — the positional sibling of ``dedup.shingles`` (which
+    dedupes in-row and drops offsets). Built by zipping k shifted
+    slices of the token array (k fixed-cost slices per row), then one
+    posexplode; docs shorter than k tokens emit nothing."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    width = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    shifted = [F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(k)]
+    sh = F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)]))
+    grams = F.when(F.size(toks) >= k, sh).otherwise(
+        F.array().cast("array<string>"))
+    return (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(grams).alias("pos", "gram"))
+            .select("id", "pos", F.md5("gram").alias("fp")))
+
+
+def decontaminate_substring(df: DataFrame, id_col: str, text_col: str,
+                            eval_df: DataFrame, eval_id_col: str,
+                            eval_text_col: str,
+                            min_len: int = 10, k: int = 5) -> DataFrame:
+    """Arbitrary-offset exact-substring decontamination — the
+    suffix-array-class check of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): flag a training doc
+    sharing ANY verbatim run of >= ``min_len`` tokens with an eval
+    doc, at any offset in either text. Subsumes the fixed-alignment
+    13-gram rule (``decontaminate``): a shared 13-gram is a run of 13.
+
+    Returns one row per training doc:
+    (id, n_eval_matches, max_substring_tokens, contaminated) where
+    max_substring_tokens is the longest shared run among pairs
+    reaching min_len (0 when clean).
+
+    Instead of a monolithic suffix array (single-machine, RAM-bound)
+    the same semantics distribute as k-gram diagonal chaining:
+    a shared run of length m >= k is EXACTLY m - k + 1 consecutive
+    shared k-grams at constant offset difference (pos - epos), so
+    per (pair, diagonal) a gaps-and-islands window recovers every
+    maximal run length — no approximation.
+
+    Scale shape: the eval gram set is benchmark-sized -> BROADCAST;
+    the corpus gram stream never shuffles against it. A strided
+    anchor prefilter bounds the chaining stage: any run of
+    >= min_len tokens must contain a corpus gram starting at a
+    multiple of s = min_len - k + 1 (an interval of s consecutive
+    start offsets always contains one), so only docs whose STRIDED
+    grams (1/s of the stream) hit the eval set enter the
+    all-gram chaining join — for a clean corpus that stage is
+    near-empty. The only keyed exchanges are over HIT rows.
+    """
+    if k > min_len:
+        raise ValueError("k must be <= min_len")
+    stride = min_len - k + 1
+    cg = positional_kgrams(df, id_col, text_col, k)
+    eg = (positional_kgrams(eval_df, eval_id_col, eval_text_col, k)
+          .withColumnsRenamed({"id": "eid", "pos": "epos"}))
+    # stage 1: strided anchors -> candidate (corpus doc, eval doc) pairs
+    cand = (cg.where(F.col("pos") % stride == 0)
+            .join(F.broadcast(eg.select("eid", "fp").distinct()), "fp")
+            .select("id", "eid").distinct())
+    # stage 2: full-gram diagonal chaining over candidate pairs only.
+    # Runs >= min_len are guaranteed anchored (stride argument above),
+    # so restricting to candidates loses nothing.
+    m = (cg.join(F.broadcast(eg), "fp")
+         .join(cand, ["id", "eid"], "left_semi")
+         .select("id", "eid", "pos",
+                 (F.col("pos") - F.col("epos")).alias("diag")))
+    w = W.partitionBy("id", "eid", "diag").orderBy("pos")
+    runs = (m.withColumn("isl", F.col("pos") - F.row_number().over(w))
+            .groupBy("id", "eid", "diag", "isl")
+            .agg((F.count("*") + (k - 1)).alias("run")))
+    pair_best = (runs.groupBy("id", "eid")
+                 .agg(F.max("run").alias("run"))
+                 .where(F.col("run") >= min_len))
+    per_doc = pair_best.groupBy("id").agg(
+        F.count("*").alias("n_eval_matches"),
+        F.max("run").alias("max_substring_tokens"))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_eval_matches", F.lit(0)).cast("long")
+                .alias("n_eval_matches"),
+                F.coalesce("max_substring_tokens", F.lit(0)).cast("long")
+                .alias("max_substring_tokens"))
+            .withColumn("contaminated", F.col("n_eval_matches") > 0))
+
+
+def duplicate_substring_pairs(df: DataFrame, id_col: str, text_col: str,
+                              min_len: int = 15, k: int = 5,
+                              max_gram_freq: int | None = None) -> DataFrame:
+    """Corpus x corpus exact-substring duplicate pairs — the DEDUP
+    half of the suffix-array family (Lee et al. 2022 find duplicated
+    >=50-token spans ACROSS training docs, not just vs an eval set):
+    (id_a, id_b, max_substring_tokens) for every doc pair sharing a
+    verbatim run of >= ``min_len`` tokens at any offsets, id_a < id_b.
+
+    Same k-gram diagonal chaining as ``decontaminate_substring`` but
+    self-joined: a strided anchor pass (1/s of the gram stream,
+    s = min_len - k + 1) generates candidate pairs, then full-gram
+    chaining runs over candidate docs only. Both joins key on the
+    gram fingerprint — ordinary keyed shuffles, no broadcast needed
+    on either side, so the pattern holds when both sides are the
+    full corpus.
+
+    ``max_gram_freq`` drops grams occurring in more than that many
+    docs before the anchor join (boilerplate/navigation grams create
+    quadratic candidate fan-out exactly like hot shingles in
+    ``dedup.jaccard_pairs``); None keeps exact semantics — a
+    production corpus run wants ~1000.
+    """
+    if k > min_len:
+        raise ValueError("k must be <= min_len")
+    stride = min_len - k + 1
+    g = positional_kgrams(df, id_col, text_col, k)
+    if max_gram_freq is not None:
+        hot = (g.select("id", "fp").distinct()
+               .groupBy("fp").count()
+               .where(F.col("count") > max_gram_freq).select("fp"))
+        g = g.join(hot, "fp", "left_anti")
+    anchors = (g.where(F.col("pos") % stride == 0)
+               .select(F.col("id").alias("id_a"), "fp"))
+    cand = (anchors
+            .join(g.select(F.col("id").alias("id_b"), "fp"), "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    docs_a = cand.select(F.col("id_a").alias("id")).distinct()
+    docs_b = cand.select(F.col("id_b").alias("id")).distinct()
+    ga = (g.join(docs_a, "id", "left_semi")
+          .select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "fp"))
+    gb = (g.join(docs_b, "id", "left_semi")
+          .select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "fp"))
+    m = (ga.join(gb, "fp")
+         .where(F.col("id_a") < F.col("id_b"))
+         .join(cand, ["id_a", "id_b"], "left_semi")
+         .select("id_a", "id_b", "pa",
+                 (F.col("pa") - F.col("pb")).alias("diag")))
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (m.withColumn("isl", F.col("pa") - F.row_number().over(w))
+            .groupBy("id_a", "id_b", "diag", "isl")
+            .agg((F.count("*") + (k - 1)).alias("run")))
+    return (runs.groupBy("id_a", "id_b")
+            .agg(F.max("run").cast("long").alias("max_substring_tokens"))
+            .where(F.col("max_substring_tokens") >= min_len))

@@ -36,81 +36,71 @@ from . import quality  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_GATE_PRIORITY: list[str] = [
-    # flagship (also the driver's entry() smoke query)
-    "flagship_revenue_by_nation",
-    # dedup family
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_semantic",
-    "dedup_incremental",
-    "dedup_clusters",
-    "dedup_keeper_selection",
-    "dedup_spans",
-    # similarity / embeddings
-    "ann_bruteforce_topk",
-    "ann_srp_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    # sampling
-    "deterministic_hash_sample",
-    "stratified_sample_counts",
-    "domain_mix_sample_counts",
-    "temperature_mix_counts",
-    # quality / text-pipeline
-    "text_token_stats",
-    "text_quality_score",
-    "text_repetition_signals",
-    "doc_chunking",
-    "chunk_packing",
-    "pii_redaction",
-    "quality_filter_gopher",
-    "decontamination",
-    # data selection (new in r5)
-    "dsir_importance_resample",
-    "unigram_logprob_score",
-    # multimodal
-    "multimodal_features",
-    # event-time / streaming-parity
-    "sessionization_gaps",
-    "tumbling_window_1h",
-    "hopping_window_15m",
-    "events_gap_fill",
-    "asof_join_purchase_click",
-    "range_join_price_bands",
-    # warehouse views (catalog surface)
-    "warehouse_view_revenue",
-    # SQL-surface extras promoted from past the r2 gate window
-    "argmax_aggregates",
-    "group_by_all_syntax",
-    # r5 additions: retrieval, fuzzy decontamination, snapshot diff,
-    # rolling anomaly, data card, per-group reservoir
-    "bm25_topk_docs",
-    "decontamination_fuzzy",
-    "snapshot_diff_documents",
-    "rolling_zscore_anomalies",
-    "corpus_datacard_by_lang",
-    "per_group_reservoir_sample",
-    # bench headliners + reference DQ/gateway parity
-    "multi_join_topk",
-    "cohort_retention_weekly",
-    "tpch_q1_pricing_summary",
-    "window_rank_topk_per_group",
-    "dq_profile_events_value",
-    "dq_rule_freshness_ts",
-    # Rotation policy: every registry entry should earn a driver-green
-    # row at least once across rounds. r5 rotates OUT twelve slots
-    # that were driver-verified in r2-r4 (dedup_exact, dedup_simhash,
-    # text_fingerprint, embedding_quantize_int8, text_lang_id,
-    # text_ngram_frequency, window_range_frame,
-    # window_distribution_funcs, set_ops_all_variants, array_functions,
-    # null_ordering, lateral_view_explode — all still value-verified
-    # every run by the full-registry pytest oracle at sf0.01 AND the
-    # slow sf0.1 suite) in favor of the entries never yet inside the
-    # gate: the r3/r4 additions ann_pq_topk / hopping_window_15m /
-    # events_gap_fill, the r5-fixed dq_rule_freshness_ts, and the
-    # eight r5-new operators. List is exactly 50 names.
+    # r6 gate: the 52 entries verified only locally during r5 (plain
+    # SQL surface, DQ rules, the twelve rotated out in r5) plus the
+    # r6-new decontamination_substring and the two newly value-gated
+    # approx sketches — every correctness claim machine-checked by
+    # the driver within two rounds. The 50 r5-gate entries rotate
+    # out; they remain value-verified every run by the full-registry
+    # pytest oracle at sf0.01 and the slow sf0.1 suite.
+    # r6-new + newly value-gated first
+    "decontamination_substring",
+    "dedup_substring_pairs",
+    "approx_distinct_counts",
+    "approx_percentiles",
+    # SQL surface (r1/r2-era gate rows, re-checked now)
+    "halfopen_ts_range",
+    "join_using",
+    "groupby_ordinal",
+    "topk_orderby_alias",
+    "window_running_sum",
+    "window_lag_delta",
+    "set_ops_union_intersect_except",
+    "rollup_revenue_region_nation",
+    "cube_status_priority",
+    "grouping_sets_explicit",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "distinct_agg_per_group",
+    "pivot_status_by_priority",
+    "unpivot_stack",
+    "exists_correlated_subquery",
+    "scalar_subquery_cte",
+    "case_when_bucketing",
+    "null_handling_coalesce",
+    "string_functions",
+    "date_functions",
+    "having_filter",
+    "exact_percentiles",
+    "json_extract_props",
+    "json_schema_inference",
+    "math_functions",
+    "using_join_syntax",
+    "sampler_where_limit",
+    # DQ surface
+    "dq_profile_text_length",
+    "dq_top_values_event_type",
+    "dq_rule_not_null_user_id",
+    "dq_rule_unique_event_id",
+    "dq_rule_range_value",
+    "dq_rule_anomaly_zscore_value",
+    # rotated out in r5, back under the driver now
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_quantize_int8",
+    "text_ngram_frequency",
+    "window_range_frame",
+    "set_ops_all_variants",
+    "array_functions",
+    "null_ordering",
+    "lateral_view_explode",
+    "window_distribution_funcs",
+    # Deferred to r7 (trivial projections, driver-green in r1/r2 and
+    # pytest-oracle-verified every run): projection_alias,
+    # filter_conjunctive, limit_injection.
+    # List is exactly 50 names.
 ]
 
 

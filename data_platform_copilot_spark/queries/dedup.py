@@ -537,3 +537,44 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                      span_words=10)
     return out.select(out["id"].alias("doc_id"), "n_spans", "n_kept",
                       "clean_fp")
+
+
+_DSP_K, _DSP_MINLEN = 5, 15
+
+@query("dedup_substring_pairs", oracle=f"""
+WITH ct AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), cg AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(t[i:i+{_DSP_K - 1}], ' ')) AS fp
+    FROM ct, unnest(range(1, len(t) - {_DSP_K} + 2)) AS u(i)
+), m AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.pos AS pa, a.pos - b.pos AS diag
+    FROM cg a JOIN cg b USING (fp)
+    WHERE a.doc_id < b.doc_id
+), isl AS (
+    SELECT id_a, id_b, diag, pa,
+           pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                   ORDER BY pa) AS g
+    FROM m
+), runs AS (
+    SELECT id_a, id_b, count(*) + {_DSP_K - 1} AS run
+    FROM isl GROUP BY id_a, id_b, diag, g
+)
+SELECT id_a, id_b, CAST(max(run) AS BIGINT) AS max_substring_tokens
+FROM runs GROUP BY id_a, id_b
+HAVING max(run) >= {_DSP_MINLEN}
+""")
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus x corpus substring-level dedup (Lee et al. 2022's
+    cross-document duplicated-span discovery, distributed as k-gram
+    diagonal chaining): every documents pair sharing a verbatim run
+    of >= 15 tokens at arbitrary offsets, with the exact maximal run
+    length. The testdata's planted near-duplicate pairs surface here
+    with near-full-document runs; DuckDB replays the identical
+    k=5 chaining so run lengths value-verify."""
+    from ..operators.quality import duplicate_substring_pairs
+    return duplicate_substring_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_len=_DSP_MINLEN, k=_DSP_K)

@@ -573,3 +573,85 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .withColumn("doc_id",
                                     F.col("doc_id") + 2000000)))
     return snapshot_diff(old, new, ["doc_id"], ["text", "lang", "source"])
+
+
+_SUB_K, _SUB_MINLEN = 5, 10
+
+_SUBSTR_SQL = f"""
+WITH ev AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t
+    FROM documents WHERE doc_id % 89 = 0
+), planted AS (
+    SELECT doc_id + 3000000 AS doc_id,
+           'qq ww ' || array_to_string(t[6:19], ' ') || ' ee rr' AS text
+    FROM ev WHERE len(t) >= 19
+), corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id, text FROM planted
+), ct AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM corpus
+), cg AS (
+    SELECT doc_id AS id, i - 1 AS pos,
+           md5(array_to_string(t[i:i+{_SUB_K - 1}], ' ')) AS fp
+    FROM ct, unnest(range(1, len(t) - {_SUB_K} + 2)) AS u(i)
+), eg AS (
+    SELECT doc_id AS eid, i - 1 AS epos,
+           md5(array_to_string(t[i:i+{_SUB_K - 1}], ' ')) AS fp
+    FROM ev, unnest(range(1, len(t) - {_SUB_K} + 2)) AS u(i)
+), m AS (
+    SELECT id, eid, pos, pos - epos AS diag
+    FROM cg JOIN eg USING (fp)
+), isl AS (
+    SELECT id, eid, diag, pos,
+           pos - row_number() OVER (PARTITION BY id, eid, diag
+                                    ORDER BY pos) AS g
+    FROM m
+), runs AS (
+    SELECT id, eid, count(*) + {_SUB_K - 1} AS run
+    FROM isl GROUP BY id, eid, diag, g
+), pair_best AS (
+    SELECT id, eid, max(run) AS run
+    FROM runs GROUP BY id, eid
+    HAVING max(run) >= {_SUB_MINLEN}
+), per_doc AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+           CAST(max(run) AS BIGINT) AS max_substring_tokens
+    FROM pair_best GROUP BY id
+)
+SELECT c.doc_id,
+       coalesce(p.n_eval_matches, 0) AS n_eval_matches,
+       coalesce(p.max_substring_tokens, 0) AS max_substring_tokens,
+       coalesce(p.n_eval_matches, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN per_doc p ON c.doc_id = p.id
+"""
+
+
+@query("decontamination_substring", oracle=_SUBSTR_SQL)
+def decontamination_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-offset substring decontamination (Lee et al. 2022
+    suffix-array class, distributed as k-gram diagonal chaining)
+    with PLANTED contamination: the eval split is doc_id % 89 == 0;
+    a 14-token INTERIOR slice of each long-enough eval doc re-enters
+    the corpus wrapped in junk tokens — offsets differ on both sides
+    (slice starts at eval token 5, planted token 2), which is
+    exactly what the fixed-alignment 13-gram rule cannot see and
+    this operator must. DuckDB replays the identical k=5 gram /
+    min_len=10 chaining, so run lengths value-verify."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import decontaminate_substring
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 89 == 0)
+    from ..functions.text import normalize_text
+    toks = F.split(normalize_text(F.col("text")), " ")
+    planted = (eval_df.where(F.size(toks) >= 19)
+               .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                       F.concat(F.lit("qq ww "),
+                                F.array_join(F.slice(toks, 6, 14), " "),
+                                F.lit(" ee rr")).alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    out = decontaminate_substring(corpus, "doc_id", "text",
+                                  eval_df, "doc_id", "text",
+                                  min_len=_SUB_MINLEN, k=_SUB_K)
+    return out.select(out["id"].alias("doc_id"), "n_eval_matches",
+                      "max_substring_tokens", "contaminated")

@@ -826,3 +826,53 @@ class TestBm25:
             spark.createDataFrame(dirty, "doc_id long, text string"),
             "doc_id", "text", q).collect()}
         assert a == b and set(a) == {1, 2}
+
+
+class TestSubstringDecontamination:
+    def _run(self, spark, corpus, eval_rows, **kw):
+        from data_platform_copilot_spark.operators.quality import (
+            decontaminate_substring,
+        )
+        c = spark.createDataFrame(corpus, "doc_id long, text string")
+        e = spark.createDataFrame(eval_rows, "doc_id long, text string")
+        return {r["id"]: (r["max_substring_tokens"], r["contaminated"])
+                for r in decontaminate_substring(
+                    c, "doc_id", "text", e, "doc_id", "text",
+                    min_len=6, k=3, **kw).collect()}
+
+    def test_arbitrary_offsets_and_exact_run_length(self, spark):
+        """A 7-token verbatim run at different offsets on both sides
+        must flag with the exact run length; a 5-token run (below
+        min_len=6) must not."""
+        run7 = "one two three four five six seven"
+        eval_rows = [(100, f"eval preamble {run7} eval tail words")]
+        corpus = [
+            (1, f"junk prefix tokens {run7} and unrelated suffix"),
+            (2, "one two three four five nothing else matches here"),
+            (3, "completely disjoint text with no shared runs at all"),
+        ]
+        got = self._run(spark, corpus, eval_rows)
+        assert got[1] == (7, True)
+        assert got[2][1] is False and got[3][1] is False
+
+    def test_subsumes_aligned_ngram_rule(self, spark):
+        """A full-doc copy (the fixed-alignment case) reports the
+        whole shared length."""
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        got = self._run(spark, [(1, text)], [(200, text)])
+        assert got[1] == (8, True)
+
+    def test_corpus_pairs_find_shared_run_at_offsets(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            duplicate_substring_pairs,
+        )
+        run = "a b c d e f g h"                      # 8 shared tokens
+        df = spark.createDataFrame(
+            [(1, f"x y z {run} p q"),
+             (2, f"m n {run} r s t u"),
+             (3, "nothing in common with the others at all")],
+            "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["max_substring_tokens"]
+               for r in duplicate_substring_pairs(
+                   df, "doc_id", "text", min_len=6, k=3).collect()}
+        assert got == {(1, 2): 8}

@@ -34,31 +34,28 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert set(df.columns) == {"nation", "revenue"}
 
-def test_driver_gate_covers_pipeline_pack():
-    """The driver verifies list(queries())[:50]; the LLM-pipeline entries
-    must sit inside that window (r2 verdict task #1). The set below
-    tracks the r5 gate rotation (r4 verdict task #4): long-green slots
-    dedup_exact / dedup_simhash / embedding_quantize_int8 /
-    text_fingerprint rotated out (still value-verified by the
-    full-registry parametrized oracle test) in favor of the entries
-    that had never earned a driver-green row."""
+def test_driver_gate_covers_rotation_set():
+    """The driver verifies list(queries())[:50]. r6 rotation policy:
+    the window holds the entries that were only locally verified in
+    r5 (plain SQL + DQ surface, the twelve rotated out in r5) plus
+    the r6-new substring operators and the newly value-gated approx
+    sketches; the 50 r5-gate entries rotate out and stay
+    value-verified by the full-registry parametrized oracle test."""
     import __spark_entry__ as e
     gate = list(e.queries())[:50]
     must_have = {
-        "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_embedding_cosine", "dedup_clusters",
-        "dedup_keeper_selection", "ann_bruteforce_topk", "ann_srp_lsh_topk",
-        "ann_ivf_topk", "ann_pq_topk",
-        "deterministic_hash_sample", "stratified_sample_counts",
-        "domain_mix_sample_counts", "multimodal_features",
-        "text_repetition_signals", "doc_chunking", "chunk_packing",
-        "pii_redaction", "sessionization_gaps", "tumbling_window_1h",
-        "hopping_window_15m", "events_gap_fill", "dq_rule_freshness_ts",
-        "asof_join_purchase_click", "range_join_price_bands",
-        "flagship_revenue_by_nation",
+        # r6-new + newly value-gated
+        "decontamination_substring", "dedup_substring_pairs",
+        "approx_distinct_counts", "approx_percentiles",
+        # never-yet-driver-checked / rotated-back representatives
+        "dq_rule_unique_event_id", "dq_rule_anomaly_zscore_value",
+        "exact_percentiles", "distinct_agg_per_group",
+        "text_lang_id", "dedup_exact", "dedup_simhash",
+        "embedding_quantize_int8", "window_distribution_funcs",
+        "set_ops_all_variants", "lateral_view_explode",
     }
     missing = must_have - set(gate)
-    assert not missing, f"pipeline entries outside driver gate: {sorted(missing)}"
+    assert not missing, f"rotation entries outside driver gate: {sorted(missing)}"
 
 
 def test_registry_order_is_deterministic():
