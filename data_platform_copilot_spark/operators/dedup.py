@@ -691,3 +691,61 @@ def incremental_duplicates(batch: DataFrame, store: DataFrame,
              .when(F.col("id") != F.col("keeper"), F.col("keeper"))
              .alias("dup_of"))
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 4, w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every word k-gram, slide a window of ``w``
+    consecutive gram hashes, and keep each window's minimum (rightmost
+    position on ties). Output: (id, pos, fp) — the selected
+    fingerprints, distinct per position.
+
+    Guarantee: any verbatim match of >= t = w + k - 1 tokens between
+    two documents shares at least one SELECTED fingerprint, while the
+    expected density of selected grams is 2/(w+1) — the
+    guarantee-bearing alternative to fixed-stride anchor sampling
+    (``quality.decontaminate_substring`` uses strides because its
+    second stage re-derives exact runs; winnowed sets are the right
+    store when the fingerprints themselves are the index, e.g. a
+    corpus-wide near-dup candidate table).
+
+    Shape: gram hash + explode are per-row expressions; selection is
+    ONE window pass over (id, pos) — a single keyed shuffle — plus a
+    same-key distinct that reuses the partitioning. The rightmost-min
+    tie-break is encoded arithmetically (ord = h * 2^20 + (2^20 - 1 -
+    pos), minimized over the forward w-frame) so any engine replays
+    the exact selection; docs are capped at 2^20 grams per id for the
+    encoding (raise the shift for longer docs).
+    """
+    from pyspark.sql import Window as W
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    g = positional_word_kgram_hashes(df, id_col, text_col, k)
+    # one row per gram position; windows start at pos <= n_grams - w
+    wspec = (W.partitionBy("id").orderBy("pos")
+             .rowsBetween(W.currentRow, w - 1))
+    enc = F.col("h") * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    n_grams = F.count("*").over(W.partitionBy("id"))
+    sel = (g
+           .withColumn("__n", n_grams)
+           .withColumn("__m", F.min(enc).over(wspec))
+           .where(F.col("pos") <= F.col("__n") - w)
+           .select("id",
+                   (F.lit((1 << 20) - 1) - F.col("__m") % F.lit(1 << 20))
+                   .alias("pos"),
+                   (F.col("__m") / F.lit(1 << 20)).cast("long").alias("h"))
+           .distinct())
+    return sel
+
+
+def positional_word_kgram_hashes(df: DataFrame, id_col: str, text_col: str,
+                                 k: int) -> DataFrame:
+    """(id, pos, h): 32-bit md5-derived hash of every word k-gram with
+    its 0-based position (non-distinct) — the numeric sibling of
+    ``quality.positional_kgrams``."""
+    from .quality import positional_kgrams
+    g = positional_kgrams(df, id_col, text_col, k)
+    return g.select(
+        "id", "pos",
+        F.conv(F.substring("fp", 1, 8), 16, 10).cast("long").alias("h"))

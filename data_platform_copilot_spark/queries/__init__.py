@@ -46,6 +46,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # r6-new + newly value-gated first
     "decontamination_substring",
     "dedup_substring_pairs",
+    "dedup_winnowing_fingerprints",
     "approx_distinct_counts",
     "approx_percentiles",
     # SQL surface (r1/r2-era gate rows, re-checked now)
@@ -75,7 +76,6 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "json_extract_props",
     "json_schema_inference",
     "math_functions",
-    "using_join_syntax",
     "sampler_where_limit",
     # DQ surface
     "dq_profile_text_length",
@@ -97,9 +97,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "null_ordering",
     "lateral_view_explode",
     "window_distribution_funcs",
-    # Deferred to r7 (trivial projections, driver-green in r1/r2 and
+    # Deferred to r7 (trivial/twin entries, driver-green in r1/r2 and
     # pytest-oracle-verified every run): projection_alias,
-    # filter_conjunctive, limit_injection.
+    # filter_conjunctive, limit_injection, using_join_syntax (the
+    # join_using literal-syntax twin stays in).
     # List is exactly 50 names.
 ]
 

@@ -578,3 +578,44 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_substring_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         min_len=_DSP_MINLEN, k=_DSP_K)
+
+
+_WIN_K, _WIN_W = 4, 5
+
+@query("dedup_winnowing_fingerprints", oracle=f"""
+WITH ct AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+    SELECT doc_id AS id, i - 1 AS pos,
+           ('0x' || substring(md5(array_to_string(t[i:i+{_WIN_K - 1}], ' ')),
+                              1, 8))::BIGINT AS h
+    FROM ct, unnest(range(1, len(t) - {_WIN_K} + 2)) AS u(i)
+), e AS (
+    SELECT id, pos, h,
+           h * 1048576 + (1048575 - pos) AS enc,
+           count(*) OVER (PARTITION BY id) AS n
+    FROM g
+), sel AS (
+    SELECT id,
+           min(enc) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS m,
+           pos, n
+    FROM e
+)
+SELECT DISTINCT id AS doc_id,
+       CAST(1048575 - (m % 1048576) AS BIGINT) AS pos,
+       CAST(m // 1048576 AS BIGINT) AS h
+FROM sel WHERE pos <= n - {_WIN_W}
+""")
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS)
+    over the documents corpus: every selected (position, 32-bit gram
+    hash) pair value-verifies against DuckDB replaying the identical
+    rightmost-min-per-window arithmetic — the guarantee-bearing
+    fingerprint store (any shared run of >= w + k - 1 = 8 tokens
+    shares a selected fingerprint at ~2/(w+1) storage density)."""
+    from ..operators.dedup import winnow_fingerprints
+    out = winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                              "doc_id", "text", k=_WIN_K, w=_WIN_W)
+    return out.select(out["id"].alias("doc_id"), "pos", "h")

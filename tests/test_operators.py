@@ -876,3 +876,42 @@ class TestSubstringDecontamination:
                for r in duplicate_substring_pairs(
                    df, "doc_id", "text", min_len=6, k=3).collect()}
         assert got == {(1, 2): 8}
+
+
+class TestWinnowing:
+    def test_guarantee_and_density(self, spark):
+        """Any shared run of >= w + k - 1 tokens must share a selected
+        fingerprint (the winnowing guarantee), and selection density
+        must be well below 1 (the point of winnowing)."""
+        from data_platform_copilot_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        run = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+        df = spark.createDataFrame(
+            [(1, f"aa bb cc {run} dd"),
+             (2, f"xx {run} yy zz ww vv"),
+             (3, "entirely different content with no overlap here at all")],
+            "doc_id long, text string")
+        out = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+        by = {i: {r["h"] for r in out.where(F.col("id") == i).collect()}
+              for i in (1, 2, 3)}
+        assert by[1] & by[2], "shared >= t-token run must share a fingerprint"
+        assert not (by[1] & by[3])
+        # density: selected <= ~2/(w+1) + slack of the gram count
+        n_grams = 14 - 3 + 1
+        assert len(by[1]) <= n_grams * 0.75
+
+    def test_selection_is_offset_invariant(self, spark):
+        """A pure prefix shift must shift positions but keep the same
+        selected hash set for the shared suffix."""
+        from data_platform_copilot_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        body = "a b c d e f g h i j k l"
+        df = spark.createDataFrame(
+            [(1, body), (2, f"x y z {body}")],
+            "doc_id long, text string")
+        out = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+        h1 = {r["h"] for r in out.where(F.col("id") == 1).collect()}
+        h2 = {r["h"] for r in out.where(F.col("id") == 2).collect()}
+        assert h1 <= h2

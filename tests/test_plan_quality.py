@@ -155,3 +155,25 @@ class TestSelectionOperatorShapes:
         plan = plan_of(spark, sf_dir, "bm25_topk_docs")
         assert plan.count("hashpartitioning") == 4
         assert "BroadcastExchange" in plan
+
+
+class TestSubstringOps:
+    def test_decontamination_eval_side_broadcasts(self, spark, sf_dir):
+        """The eval gram set is benchmark-sized: both the anchor join
+        and the chaining join must broadcast it (the corpus gram
+        stream never shuffles against the eval set), and the whole
+        operator stays JVM-side."""
+        plan = plan_of(spark, sf_dir, "decontamination_substring")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pair_dedup_no_cartesian_and_reuses_gram_stream(self, spark,
+                                                           sf_dir):
+        """Corpus x corpus chaining joins key on the gram fingerprint
+        (SortMergeJoin at scale) — never a cartesian product; the
+        shared gram subtree must be reused, not recomputed per arm."""
+        plan = plan_of(spark, sf_dir, "dedup_substring_pairs")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ReusedExchange" in plan
