@@ -131,6 +131,61 @@ def unigram_logprob_scores(df: DataFrame, id_col: str,
     )
 
 
+
+def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
+                          lam: float = 0.7) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): mean ln of the Jelinek-Mercer
+    interpolated bigram probability per document under the corpus's
+    own counts:
+
+        P(w2 | w1) = lam * c(w1 w2) / c(w1) + (1 - lam) * c(w2) / N
+
+    — the next rung above :func:`unigram_logprob_scores` on the
+    CCNet-style perplexity-filter ladder (context-aware, so
+    word-salad that passes a unigram filter scores low here).
+    Interpolation (not backoff) keeps both terms live when a corpus
+    scores itself, and needs no discounting bookkeeping.
+
+    Shape mirrors the unigram scorer: the bigram and unigram count
+    tables are corpus-derived and deliberately NOT broadcast (at web
+    scale each is its own big table); scoring is three
+    token/bigram-keyed shuffle joins plus one per-doc fold, all
+    map-side combined. Docs with < 2 tokens emit no bigrams and are
+    absent from the output (defined behavior, matching the oracle).
+    """
+    base = spread(df).select(F.col(id_col).alias("id"),
+                             tokens(F.col(text_col)).alias("t"))
+    # consecutive pairs built IN-ROW (two shifted slices zipped) —
+    # zero shuffle, same idiom as quality._grams; a positional
+    # self-join formulation would shuffle the whole token stream twice
+    width = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice("t", 1, width).alias("w1"),
+                         F.slice("t", 2, width).alias("w2"))
+    toks = (base.select("id", F.explode("t").alias("tok"))
+            .where(F.length("tok") > 0))
+    bg = (base.select("id", F.explode(pairs).alias("p"))
+          .select("id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2"))
+          .where((F.length("w1") > 0) & (F.length("w2") > 0)))
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    n_total = toks.agg(F.count("*").alias("n_total"))
+    doc_bg = bg.groupBy("id", "w1", "w2").agg(F.count("*").alias("c"))
+    p = (F.lit(lam) * F.col("cb") / F.col("cu1")
+         + F.lit(1.0 - lam) * F.col("cu2") / F.col("n_total"))
+    return (
+        doc_bg
+        .join(cb, ["w1", "w2"])
+        .join(cu.withColumnsRenamed({"tok": "w1", "cu": "cu1"}), "w1")
+        .join(cu.withColumnsRenamed({"tok": "w2", "cu": "cu2"}), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("id")
+        .agg(F.sum("c").cast("long").alias("n_bigrams"),
+             (F.sum(F.col("c") * F.log(p)) / F.sum("c"))
+             .alias("avg_logprob"))
+    )
+
+
 def bm25_topk(df: DataFrame, id_col: str, text_col: str,
               query_terms: list[str], k: int = 20,
               k1: float = 1.2, b: float = 0.75) -> DataFrame:
@@ -192,5 +247,5 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     return scored.orderBy(F.desc("bm25"), "id").limit(k)
 
 
-__all__ = ["bm25_topk", "importance_resample_dsir",
-           "unigram_logprob_scores"]
+__all__ = ["bm25_topk", "bigram_logprob_scores",
+           "importance_resample_dsir", "unigram_logprob_scores"]

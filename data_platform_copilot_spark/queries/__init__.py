@@ -47,6 +47,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "decontamination_substring",
     "dedup_substring_pairs",
     "dedup_winnowing_fingerprints",
+    "bigram_logprob_score",
     "approx_distinct_counts",
     "approx_percentiles",
     # SQL surface (r1/r2-era gate rows, re-checked now)
@@ -75,7 +76,6 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "exact_percentiles",
     "json_extract_props",
     "json_schema_inference",
-    "math_functions",
     "sampler_where_limit",
     # DQ surface
     "dq_profile_text_length",
@@ -99,8 +99,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "window_distribution_funcs",
     # Deferred to r7 (trivial/twin entries, driver-green in r1/r2 and
     # pytest-oracle-verified every run): projection_alias,
-    # filter_conjunctive, limit_injection, using_join_syntax (the
-    # join_using literal-syntax twin stays in).
+    # filter_conjunctive, limit_injection, math_functions,
+    # using_join_syntax (the join_using literal-syntax twin stays in).
     # List is exactly 50 names.
 ]
 

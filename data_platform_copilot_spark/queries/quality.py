@@ -655,3 +655,50 @@ def decontamination_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   min_len=_SUB_MINLEN, k=_SUB_K)
     return out.select(out["id"].alias("doc_id"), "n_eval_matches",
                       "max_substring_tokens", "contaminated")
+
+
+_JM_LAM = 0.75  # exact binary double, as is 1-lam = 0.25
+
+@query("bigram_logprob_score", oracle=f"""
+WITH ct AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), tk AS (
+    SELECT doc_id, unnest(t) AS tok FROM ct
+), tknn AS (
+    SELECT doc_id, tok FROM tk WHERE length(tok) > 0
+), bg AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM ct, unnest(range(1, len(t))) AS u(i)
+    WHERE length(t[i]) > 0 AND length(t[i+1]) > 0
+), cb AS (
+    SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+), cu AS (
+    SELECT tok, count(*) AS cu FROM tknn GROUP BY 1
+), tot AS (
+    SELECT count(*) AS n_total FROM tknn
+), dbg AS (
+    SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3
+)
+SELECT dbg.doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * ln({_JM_LAM} * cb.cb / cu1.cu
+                        + {1.0 - _JM_LAM} * cu2.cu / tot.n_total))
+             / sum(c), 4) AS avg_logprob
+FROM dbg
+JOIN cb ON dbg.w1 = cb.w1 AND dbg.w2 = cb.w2
+JOIN cu cu1 ON dbg.w1 = cu1.tok
+JOIN cu cu2 ON dbg.w2 = cu2.tok
+CROSS JOIN tot
+GROUP BY 1
+""")
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring (the
+    context-aware rung above `unigram_logprob_score` on the
+    CCNet-class perplexity-filter ladder), self-scored over the
+    documents corpus; DuckDB replays the identical count joins and
+    lam=0.75 mixture, so per-doc means value-verify."""
+    from ..operators.selection import bigram_logprob_scores
+    out = bigram_logprob_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", lam=_JM_LAM)
+    return out.select(out["id"].alias("doc_id"), "n_bigrams",
+                      rnd("avg_logprob", 4).alias("avg_logprob"))

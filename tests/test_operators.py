@@ -915,3 +915,32 @@ class TestWinnowing:
         h1 = {r["h"] for r in out.where(F.col("id") == 1).collect()}
         h2 = {r["h"] for r in out.where(F.col("id") == 2).collect()}
         assert h1 <= h2
+
+
+class TestBigramLm:
+    def test_word_salad_scores_below_fluent_repeat(self, spark):
+        """Docs built from the same unigram pool: the one whose
+        bigrams follow corpus-frequent transitions must outscore the
+        shuffled word salad (the signal a unigram LM cannot see)."""
+        from data_platform_copilot_spark.operators.selection import (
+            bigram_logprob_scores,
+        )
+        fluent = "the cat sat on the mat"
+        salad = "mat the on sat cat the"
+        corpus = [(i, fluent) for i in range(10)] + [(100, salad)]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r["id"]: r["avg_logprob"]
+               for r in bigram_logprob_scores(
+                   df, "doc_id", "text").collect()}
+        assert got[1] > got[100]
+
+    def test_short_docs_absent(self, spark):
+        from data_platform_copilot_spark.operators.selection import (
+            bigram_logprob_scores,
+        )
+        df = spark.createDataFrame(
+            [(1, "hello world again"), (2, "single"), (3, "")],
+            "doc_id long, text string")
+        ids = {r["id"] for r in bigram_logprob_scores(
+            df, "doc_id", "text").collect()}
+        assert ids == {1}
