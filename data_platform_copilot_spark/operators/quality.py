@@ -478,3 +478,32 @@ def duplicate_substring_pairs(df: DataFrame, id_col: str, text_col: str,
     return (runs.groupBy("id_a", "id_b")
             .agg(F.max("run").cast("long").alias("max_substring_tokens"))
             .where(F.col("max_substring_tokens") >= min_len))
+
+
+def quantile_band_filter(df: DataFrame, score: Column,
+                         lower_q: float = 0.25, upper_q: float = 0.75,
+                         exact: bool = False) -> DataFrame:
+    """Keep rows whose ``score`` lies inside the corpus's
+    [lower_q, upper_q] quantile band — the standard middle-band
+    heuristic (CCNet keeps the head/middle perplexity buckets; both
+    tails are suspect: too-clean boilerplate on one side, noise on
+    the other). Appends the band bounds as ``q_lo`` / ``q_hi``.
+
+    ``exact=False`` (default, the 100 TB path) derives the bounds
+    from percentile_approx's bounded sketch; the exact interpolated
+    form exists for small-scale oracle parity. Either way the bounds
+    are a 1-row aggregate broadcast back over the scan — two passes
+    over the data, no data-sized shuffle.
+    """
+    scored = df.withColumn("__score", score)
+    if exact:
+        bounds = scored.agg(F.expr(
+            f"percentile(__score, array({lower_q}, {upper_q}))").alias("q"))
+    else:
+        bounds = scored.agg(F.percentile_approx(
+            "__score", [lower_q, upper_q], 10000).alias("q"))
+    bounds = bounds.select(F.col("q")[0].alias("q_lo"),
+                           F.col("q")[1].alias("q_hi"))
+    return (scored.crossJoin(F.broadcast(bounds))
+            .where(F.col("__score").between(F.col("q_lo"), F.col("q_hi")))
+            .drop("__score"))

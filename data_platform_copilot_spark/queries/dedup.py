@@ -619,3 +619,58 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = winnow_fingerprints(_t(spark, sf_dir, "documents"),
                               "doc_id", "text", k=_WIN_K, w=_WIN_W)
     return out.select(out["id"].alias("doc_id"), "pos", "h")
+
+
+@query("dedup_cluster_size_histogram",
+       oracle=_DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks")
+       + """
+, sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+), near AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.size + sb.size - common) >= 0.8
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM near
+    UNION
+    SELECT id_b, id_a FROM near
+), reach(node, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+), clusters AS (
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+), csize AS (
+    SELECT cluster_id, count(*) AS cluster_size
+    FROM clusters GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removable
+FROM csize GROUP BY cluster_size
+""")
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup report card: distribution of near-dup cluster sizes
+    (how much of the corpus is duplicated, and how clumpy) plus the
+    removable-doc count per size bucket — the summary a dedup run
+    publishes before anyone signs off on deleting n_removable docs.
+    Composition: jaccard pairs -> connected components -> two tiny
+    keyed combines; the histogram is |distinct sizes| rows."""
+    from ..operators.graph import connected_components
+    sh = shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    near = jaccard_pairs(sh, threshold=0.8).select("id_a", "id_b")
+    cc = connected_components(near)
+    csize = cc.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (csize.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("cluster_size").cast("long").alias("n_docs"),
+                 (F.sum("cluster_size") - F.count("*")).cast("long")
+                 .alias("n_removable"))
+            .select(F.col("cluster_size").cast("long").alias("cluster_size"),
+                    "n_clusters", "n_docs", "n_removable"))

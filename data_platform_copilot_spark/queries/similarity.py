@@ -399,3 +399,36 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   k=10, m=8, ks=16, iters=2, dim=64, shortlist=40)
     return out.select("query_id", "neighbor_id",
                       rnd("cosine", 4).alias("cosine"), "rank")
+
+
+@query("embedding_stats_by_dim", oracle="""
+WITH v AS (
+    SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 4) + 0.0 AS mean_x,
+       round(stddev_pop(x), 4) AS std_x,
+       round(min(x), 4) AS min_x,
+       round(max(x), 4) AS max_x
+FROM v GROUP BY dim
+""")
+def embedding_stats_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA data card: per-dimension count / mean /
+    population std / min / max over the corpus — the drift /
+    dead-dimension / normalization check run before any ANN index
+    build. One posexplode + one 64-key combine (map-side partial agg
+    means the shuffle carries |dims| rows per task regardless of
+    corpus size)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (emb.select(F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.count("*").alias("n"),
+                 # + 0.0 folds IEEE -0.0 to +0.0 (a mean rounding to
+                 # zero keeps its sign bit, and the engines disagree)
+                 (rnd(F.avg(x), 4) + F.lit(0.0)).alias("mean_x"),
+                 rnd(F.stddev_pop(x), 4).alias("std_x"),
+                 rnd(F.min(x), 4).alias("min_x"),
+                 rnd(F.max(x), 4).alias("max_x")))

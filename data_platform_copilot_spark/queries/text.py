@@ -216,3 +216,50 @@ def corpus_datacard_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator default is the approx scale path."""
     return corpus_datacard(_t(spark, sf_dir, "documents"),
                            exact_percentile=True)
+
+
+_QSCORE = (f"0.4 * least(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)"
+           f" + 0.3 * (1.0 - CAST(length(regexp_replace(text,"
+           f" '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))"
+           f" + 0.3 * (CAST(len(list_filter({_TOKS},"
+           f" t -> list_contains([{_EN_SW}], t))) AS DOUBLE)"
+           f" / len({_TOKS}))")
+
+
+@query("quality_band_filter_counts", oracle=f"""
+WITH s AS (
+    SELECT lang, {_QSCORE} AS score FROM documents
+), b AS (
+    SELECT quantile_cont(score, 0.25) AS q_lo,
+           quantile_cont(score, 0.75) AS q_hi
+    FROM s
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN score BETWEEN q_lo AND q_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band,
+       round(any_value(q_lo), 4) AS q_lo,
+       round(any_value(q_hi), 4) AS q_hi
+FROM s CROSS JOIN b
+GROUP BY lang
+""")
+def quality_band_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Middle-quality-band selection (CCNet-style bucket keep): per
+    language, how many documents survive the corpus [p25, p75]
+    quality band, with the band bounds. Oracle runs the operator's
+    exact-percentile mode; the operator default is the
+    percentile_approx scale path."""
+    from ..operators.quality import quantile_band_filter
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = (0.4 * F.least(F.lit(1.0), F.size(toks).cast("double") / 100.0)
+             + 0.3 * (1.0 - punct_ratio(F.col("text")))
+             + 0.3 * stopword_ratio(F.col("text"), "en"))
+    kept = quantile_band_filter(d, score, 0.25, 0.75, exact=True)
+    total = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_in_band"),
+                 rnd(F.first("q_lo"), 4).alias("q_lo"),
+                 rnd(F.first("q_hi"), 4).alias("q_hi"))
+            .join(total, "lang")
+            .select("lang", "n_total", "n_in_band", "q_lo", "q_hi"))

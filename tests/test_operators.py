@@ -944,3 +944,29 @@ class TestBigramLm:
         ids = {r["id"] for r in bigram_logprob_scores(
             df, "doc_id", "text").collect()}
         assert ids == {1}
+
+
+class TestQuantileBandFilter:
+    def test_band_keeps_middle_and_appends_bounds(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            quantile_band_filter,
+        )
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], "id long, s double")
+        kept = quantile_band_filter(df, F.col("s"), 0.25, 0.75,
+                                    exact=True).collect()
+        ids = sorted(r["id"] for r in kept)
+        # exact interpolated quartiles of 1..100 are 25.75 and 75.25
+        assert ids == list(range(26, 76))
+        assert {round(r["q_lo"], 2) for r in kept} == {25.75}
+        assert {round(r["q_hi"], 2) for r in kept} == {75.25}
+
+    def test_approx_mode_close_to_exact(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            quantile_band_filter,
+        )
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 1001)], "id long, s double")
+        approx = quantile_band_filter(df, F.col("s"), 0.25, 0.75)
+        n = approx.count()
+        assert abs(n - 500) <= 10
