@@ -249,3 +249,65 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
 
 __all__ = ["bm25_topk", "bigram_logprob_scores",
            "importance_resample_dsir", "unigram_logprob_scores"]
+
+
+def vocab_coverage(df: DataFrame, id_col: str, text_col: str,
+                   vocab_sizes: tuple[int, ...] = (100, 1000, 10000),
+                   ) -> DataFrame:
+    """Tokenizer-budget planning curve: for each candidate vocabulary
+    size V, what fraction of corpus token INSTANCES the top-V types
+    (by frequency) cover — the number that decides how big a
+    tokenizer vocabulary has to be before OOV/byte-fallback rates are
+    acceptable.
+
+    Output: (v, n_types, covered_instances, coverage), one row per
+    requested size; n_types = min(V, |vocab|).
+
+    Scale shape — deliberately NOT a global top-V sort: ranking 1e8+
+    vocab types to take a prefix would funnel the whole vocabulary
+    through one sort. Coverage only depends on the COUNT-OF-COUNTS
+    table (how many types occur c times — thousands of rows on any
+    corpus since distinct counts are ~sqrt-of-instances sparse):
+    token counts (1 keyed shuffle) -> count histogram (1 tiny
+    shuffle) -> cumulative window over count classes descending
+    (|classes| rows) -> each V lands in one class, a partial class
+    contributing (V - types_above) * c instances. Ties inside a
+    class share the same count, so coverage is tie-break-free.
+    """
+    toks = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    cc = freq.groupBy("c").agg(F.count("*").alias("n_types"))
+    from pyspark.sql import Window as W
+    wdesc = W.orderBy(F.desc("c")).rowsBetween(W.unboundedPreceding, -1)
+    cum = (cc
+           .withColumn("types_above",
+                       F.coalesce(F.sum("n_types").over(wdesc), F.lit(0)))
+           .withColumn("inst_above",
+                       F.coalesce(F.sum(F.col("n_types") * F.col("c"))
+                                  .over(wdesc), F.lit(0))))
+    totals = freq.agg(F.count("*").alias("total_types"),
+                      F.sum("c").alias("total_inst"))
+    sizes = (df.sparkSession
+             .createDataFrame([(int(v),) for v in vocab_sizes], "v long"))
+    # each V selects the count class its boundary falls into
+    hit = (sizes.crossJoin(F.broadcast(cum))
+           .where((F.col("types_above") < F.col("v"))
+                  & (F.col("v") <= F.col("types_above") + F.col("n_types"))))
+    covered = (F.col("inst_above")
+               + (F.col("v") - F.col("types_above")) * F.col("c"))
+    partial = hit.select("v", covered.alias("covered_instances"))
+    return (sizes.join(partial, "v", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "v",
+                F.least(F.col("v"), F.col("total_types")).cast("long")
+                .alias("n_types"),
+                F.coalesce("covered_instances", F.col("total_inst"))
+                .cast("long").alias("covered_instances"),
+                (F.coalesce("covered_instances", F.col("total_inst"))
+                 / F.col("total_inst")).alias("coverage"))
+            .orderBy("v"))

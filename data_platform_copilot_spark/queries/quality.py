@@ -702,3 +702,54 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", lam=_JM_LAM)
     return out.select(out["id"].alias("doc_id"), "n_bigrams",
                       rnd("avg_logprob", 4).alias("avg_logprob"))
+
+
+_VC_SIZES = (50, 100, 1000)
+
+@query("vocab_coverage_curve", oracle=f"""
+WITH tk AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), tknn AS (
+    SELECT tok FROM tk WHERE length(tok) > 0
+), freq AS (
+    SELECT tok, count(*) AS c FROM tknn GROUP BY 1
+), cc AS (
+    SELECT c, count(*) AS n_types FROM freq GROUP BY 1
+), cum AS (
+    SELECT c, n_types,
+           coalesce(sum(n_types) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS types_above,
+           coalesce(sum(n_types * c) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS inst_above
+    FROM cc
+), tot AS (
+    SELECT count(*) AS total_types, sum(c) AS total_inst FROM freq
+), sizes(v) AS (
+    VALUES {", ".join(f"({v})" for v in _VC_SIZES)}
+), hit AS (
+    SELECT v, inst_above + (v - types_above) * c AS covered
+    FROM sizes, cum
+    WHERE types_above < v AND v <= types_above + n_types
+)
+SELECT CAST(s.v AS BIGINT) AS v,
+       CAST(least(s.v, tot.total_types) AS BIGINT) AS n_types,
+       CAST(coalesce(hit.covered, tot.total_inst) AS BIGINT)
+           AS covered_instances,
+       round(CAST(coalesce(hit.covered, tot.total_inst) AS DOUBLE)
+             / tot.total_inst, 4) AS coverage
+FROM sizes s LEFT JOIN hit ON s.v = hit.v CROSS JOIN tot
+""")
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage curve over the documents corpus:
+    fraction of token instances the top-V frequency-ranked types
+    cover, for three candidate vocabulary sizes — computed from the
+    count-of-counts table (no global vocab sort; see the operator
+    docstring for why that matters at web scale). DuckDB replays the
+    identical count-class arithmetic."""
+    from ..operators.selection import vocab_coverage
+    out = vocab_coverage(_t(spark, sf_dir, "documents"),
+                         "doc_id", "text", _VC_SIZES)
+    return out.select("v", "n_types", "covered_instances",
+                      rnd("coverage", 4).alias("coverage"))

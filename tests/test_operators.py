@@ -970,3 +970,21 @@ class TestQuantileBandFilter:
         approx = quantile_band_filter(df, F.col("s"), 0.25, 0.75)
         n = approx.count()
         assert abs(n - 500) <= 10
+
+
+class TestVocabCoverage:
+    def test_exact_curve_and_saturation(self, spark):
+        from data_platform_copilot_spark.operators.selection import (
+            vocab_coverage,
+        )
+        df = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b c d")], "doc_id long, text string")
+        # counts: a=4 b=3 c=2 d=1, N=10
+        got = {r["v"]: (r["n_types"], r["covered_instances"],
+                        round(r["coverage"], 4))
+               for r in vocab_coverage(df, "doc_id", "text",
+                                       (1, 2, 3, 10)).collect()}
+        assert got[1] == (1, 4, 0.4)
+        assert got[2] == (2, 7, 0.7)
+        assert got[3] == (3, 9, 0.9)
+        assert got[10] == (4, 10, 1.0)    # saturates at |vocab|
