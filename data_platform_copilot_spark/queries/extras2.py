@@ -237,3 +237,31 @@ def warehouse_view_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata(spark, sf_dir, ("orders", "customer", "nation"))
     ViewManager(spark).create("v_revenue_by_country", V_REVENUE_BY_COUNTRY)
     return spark.table("v_revenue_by_country")
+
+
+@query("salted_join_brand_volume", oracle="""
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""")
+def salted_join_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted join, value-verified: lineitem joins part
+    through operators.skew.salted_join (default hot-key detection,
+    4 salts) and aggregates per brand — the result is
+    salting-INVARIANT, so the plain-SQL join is an exact oracle; a
+    wrong salt replication or a dropped cold branch shows up as a
+    count/sum mismatch. Plan shape (hot/cold split, no blanket
+    replication) is pinned separately in tests/test_scale_patterns."""
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity")
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand")
+    joined = salted_join(li, pt, "partkey", salts=4)
+    return (joined.groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").alias("n_lines"),
+                 rnd(F.sum("l_quantity"), 2).alias("total_qty")))

@@ -753,3 +753,53 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "doc_id", "text", _VC_SIZES)
     return out.select("v", "n_types", "covered_instances",
                       rnd("coverage", 4).alias("coverage"))
+
+
+@query("packing_efficiency_report", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), starts AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1, {_STEP})) AS start
+    FROM toks
+), ch AS (
+    SELECT doc_id,
+           CAST((start - 1) / {_STEP} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, start, start + {_CHUNK} - 1))
+                AS BIGINT) AS n_tokens,
+           ({_HEXP}) % 8 AS shard
+    FROM starts
+), o AS (
+    SELECT shard, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS token_offset
+    FROM ch
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(token_offset // 512) + 1 AS BIGINT) AS n_bins,
+       round(CAST(sum(n_tokens) AS DOUBLE)
+             / ((max(token_offset // 512) + 1) * 512), 4) AS utilization
+FROM o GROUP BY shard
+""")
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA: per training shard, how many 512-token bins the
+    concat-and-cut packing opened and what fraction of their capacity
+    carries real tokens — the padding-waste number that prices a
+    packing policy before a training run. Pure composition over
+    pack_chunks (one shard-keyed window), value-verified end to end."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import chunk_documents, pack_chunks
+    ch = chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                         chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    packed = pack_chunks(ch, "id", "chunk_idx", "n_tokens",
+                         capacity=512, shards=8)
+    return (packed.groupBy(F.col("shard").cast("long").alias("shard"))
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 (F.max("bin") + 1).cast("long").alias("n_bins"),
+                 rnd(F.sum("n_tokens").cast("double")
+                     / ((F.max("bin") + 1) * 512), 4).alias("utilization")))
