@@ -424,7 +424,7 @@ def decontaminate_substring(df: DataFrame, id_col: str, text_col: str,
 
 def duplicate_substring_pairs(df: DataFrame, id_col: str, text_col: str,
                               min_len: int = 15, k: int = 5,
-                              max_gram_freq: int | None = None) -> DataFrame:
+                              max_gram_freq: int | None = 1000) -> DataFrame:
     """Corpus x corpus exact-substring duplicate pairs — the DEDUP
     half of the suffix-array family (Lee et al. 2022 find duplicated
     >=50-token spans ACROSS training docs, not just vs an eval set):
@@ -439,11 +439,12 @@ def duplicate_substring_pairs(df: DataFrame, id_col: str, text_col: str,
     on either side, so the pattern holds when both sides are the
     full corpus.
 
-    ``max_gram_freq`` drops grams occurring in more than that many
-    docs before the anchor join (boilerplate/navigation grams create
-    quadratic candidate fan-out exactly like hot shingles in
-    ``dedup.jaccard_pairs``); None keeps exact semantics — a
-    production corpus run wants ~1000.
+    ``max_gram_freq`` (default 1000, matching ``dedup.jaccard_pairs``)
+    drops grams occurring in more than that many docs before the
+    anchor join — boilerplate/navigation grams create quadratic
+    candidate fan-out, and a run shared only through such grams is
+    boilerplate, not duplication. ``None`` keeps exact semantics
+    (what the small-scale oracle entry uses).
     """
     if k > min_len:
         raise ValueError("k must be <= min_len")

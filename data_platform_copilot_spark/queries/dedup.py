@@ -577,7 +577,8 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import duplicate_substring_pairs
     return duplicate_substring_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        min_len=_DSP_MINLEN, k=_DSP_K)
+        min_len=_DSP_MINLEN, k=_DSP_K,
+        max_gram_freq=None)  # exact mode: oracle replays without a cap
 
 
 _WIN_K, _WIN_W = 4, 5
