@@ -225,15 +225,21 @@ def multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Most frequently bought items ... top 15 customers'
     (reference query.http:76): chained equi-joins + count + top-k.
 
-    Scale: pre-aggregate lineitem per order BEFORE joining to customer
-    — shrinks the big-side shuffle from |lineitem| to |orders|."""
-    li = (_t(spark, sf_dir, "lineitem")
-          .groupBy("l_orderkey").agg(F.count("*").alias("n_items")))
+    Declared in the NATURAL form (join -> one custkey groupBy, no
+    manual pre-aggregation, no broadcast hints) so Catalyst picks the
+    physical strategy from stats: when orders fits the broadcast
+    threshold both joins go BHJ and the only shuffle is the custkey
+    combine (measured 0.45 -> 0.31 s at sf0.1 vs a hand pre-agg on
+    orderkey, which pays an extra full shuffle that broadcast makes
+    redundant); when orders outgrows broadcast, SMJ + map-side
+    partial aggregation take over. A hand-written pre-agg is the one
+    shape the optimizer cannot undo — don't bake it in."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_custkey").agg(F.sum("n_items").alias("items_bought"))
+        .groupBy("o_custkey").agg(F.count("*").alias("items_bought"))
         .join(customer, F.col("o_custkey") == customer.c_custkey)
         .select(F.col("c_custkey").alias("customer_id"),
                 F.col("c_name").alias("customer"),
