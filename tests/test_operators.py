@@ -988,3 +988,46 @@ class TestVocabCoverage:
         assert got[2] == (2, 7, 0.7)
         assert got[3] == (3, 9, 0.9)
         assert got[10] == (4, 10, 1.0)    # saturates at |vocab|
+
+
+class TestSubstringChainingVsBruteForce:
+    def test_random_corpus_matches_dp_reference(self, spark):
+        """k-gram diagonal chaining must agree with a brute-force DP
+        longest-common-token-run on a seeded random corpus (30 docs,
+        tiny alphabet so shared runs and repeated grams are common —
+        the regime where diagonal/island bookkeeping can go wrong)."""
+        import random
+        from data_platform_copilot_spark.operators.quality import (
+            duplicate_substring_pairs,
+        )
+        rng = random.Random(42)
+        alphabet = [f"w{i}" for i in range(8)]
+        docs = [(i, " ".join(rng.choice(alphabet) for _ in range(40)))
+                for i in range(30)]
+
+        def longest_run(a, b):
+            a, b = a.split(), b.split()
+            best = 0
+            dp = [0] * (len(b) + 1)
+            for i in range(1, len(a) + 1):
+                prev = 0
+                for j in range(1, len(b) + 1):
+                    cur = dp[j]
+                    dp[j] = prev + 1 if a[i - 1] == b[j - 1] else 0
+                    best = max(best, dp[j])
+                    prev = cur
+            return best
+
+        min_len, k = 6, 3
+        expect = {}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                r = longest_run(docs[i][1], docs[j][1])
+                if r >= min_len:
+                    expect[(docs[i][0], docs[j][0])] = r
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["max_substring_tokens"]
+               for r in duplicate_substring_pairs(
+                   df, "doc_id", "text", min_len=min_len, k=k,
+                   max_gram_freq=None).collect()}
+        assert got == expect
