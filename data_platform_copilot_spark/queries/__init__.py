@@ -48,10 +48,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_substring_pairs",
     "dedup_winnowing_fingerprints",
     "bigram_logprob_score",
+    "streaming_decontamination_gate",
     "approx_distinct_counts",
     "approx_percentiles",
     # SQL surface (r1/r2-era gate rows, re-checked now)
-    "halfopen_ts_range",
     "join_using",
     "groupby_ordinal",
     "topk_orderby_alias",
@@ -100,7 +100,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # Deferred to r7 (trivial/twin entries, driver-green in r1/r2 and
     # pytest-oracle-verified every run): projection_alias,
     # filter_conjunctive, limit_injection, math_functions,
-    # using_join_syntax (the join_using literal-syntax twin stays in).
+    # halfopen_ts_range, using_join_syntax (the join_using
+    # literal-syntax twin stays in).
     # List is exactly 50 names.
 ]
 

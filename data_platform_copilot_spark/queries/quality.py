@@ -803,3 +803,31 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.max("bin") + 1).cast("long").alias("n_bins"),
                  rnd(F.sum("n_tokens").cast("double")
                      / ((F.max("bin") + 1) * 512), 4).alias("utilization")))
+
+
+@query("streaming_decontamination_gate", oracle=f"""
+WITH norm AS (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+), cg AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(list_slice(t, i, i + 12), ' ')) AS fp
+    FROM norm, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE len(t) >= 13
+), eg AS (
+    SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 12), ' ')) AS fp
+    FROM norm, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE doc_id % 97 = 0 AND len(t) >= 13
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+FROM cg JOIN eg USING (fp) GROUP BY 1
+""")
+def streaming_decontamination_gate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """STREAMING entry under the value oracle: documents flow through
+    Structured Streaming's stream-static broadcast join against the
+    eval 13-gram set (the production ingest-gate shape) and the
+    materialized per-doc hit counts must hash-match the batch SQL —
+    the first registry row where the driver verifies a streaming
+    pipeline's VALUES, not just stream==batch in pytest."""
+    from ..streaming.events import run_streaming_decontamination
+    return run_streaming_decontamination(spark, sf_dir, n=13)

@@ -211,3 +211,60 @@ def run_streaming_enriched_agg(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a streaming source (same staged-symlink
+    trick as the events source; documents carry no timestamps, so no
+    type repair is needed)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = Path(tempfile.gettempdir()) / f"stream_docs_{abs(hash(sf_dir))}"
+    stage.mkdir(exist_ok=True)
+    link = stage / "documents.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/documents.parquet")
+    return spark.readStream.schema(schema).parquet(str(stage))
+
+
+def run_streaming_decontamination(spark: SparkSession, sf_dir: str,
+                                  n: int = 13) -> DataFrame:
+    """Streaming benchmark decontamination: documents arrive as a
+    stream and join the STATIC eval n-gram fingerprint set (the
+    GPT-3 13-gram rule of operators/quality.decontaminate, applied
+    as data lands instead of in a batch sweep — the shape of a
+    production ingest gate that quarantines contaminated docs before
+    they reach the training corpus).
+
+    Stream-static broadcast join: the eval gram set is
+    benchmark-sized and static, so every micro-batch pays one
+    broadcast-hash probe per gram, no stateful operator and no
+    watermark needed (per-doc counts are a stateless per-batch
+    aggregation here because each doc's grams arrive in its one
+    micro-batch row). Equality with the batch operator is asserted
+    in tests/test_streaming.py.
+    """
+    from ..operators.dedup import shingle_array
+    from ..sources.registry import load_table
+
+    docs_batch = load_table(spark, sf_dir, "documents")
+    eval_df = docs_batch.where(F.col("doc_id") % 97 == 0)
+    eval_fps = (eval_df.select(F.explode(
+        shingle_array(F.col("text"), n)).alias("shingle"))
+        .select(F.md5("shingle").alias("fp")).distinct())
+
+    stream = streaming_documents_source(spark, sf_dir)
+    hits = (stream
+            .select("doc_id",
+                    F.explode(shingle_array(F.col("text"), n))
+                    .alias("shingle"))
+            .select("doc_id", F.md5("shingle").alias("fp"))
+            .join(F.broadcast(eval_fps), "fp")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hit_ngrams")))
+    name = f"stream_decon_{uuid.uuid4().hex[:8]}"
+    q = (hits.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

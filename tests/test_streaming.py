@@ -191,3 +191,27 @@ def test_streaming_hopping_equals_batch(spark, sf_dir):
     stream = run_streaming_hopping_agg(spark, sf_dir).toPandas()
     assert len(stream) == len(batch)
     assert normalize_rows(stream) == normalize_rows(batch)
+
+
+def test_streaming_decontamination_equals_batch(spark, sf_dir):
+    """The streaming ingest-gate decontamination must flag exactly the
+    docs (with exactly the hit counts) that the batch operator flags."""
+    from data_platform_copilot_spark.operators.quality import decontaminate
+    from data_platform_copilot_spark.sources import load_table
+    from data_platform_copilot_spark.streaming.events import (
+        run_streaming_decontamination,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    batch = {r["id"]: r["n_hit_ngrams"]
+             for r in decontaminate(docs, "doc_id", "text",
+                                    eval_df, "doc_id", "text",
+                                    n=13).collect()
+             if r["n_hit_ngrams"] > 0}
+    stream = {r["doc_id"]: r["n_hit_ngrams"]
+              for r in run_streaming_decontamination(
+                  spark, sf_dir, n=13).collect()}
+    assert stream == batch
+    assert batch, "eval docs self-match, so hits must be non-empty"
