@@ -235,15 +235,12 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16,
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                        num_hashes: int = 16) -> DataFrame:
-    """LSH banding over wide signatures: band b takes columns
+def lsh_band_buckets(signatures: DataFrame, bands: int = 4,
+                     num_hashes: int = 16) -> DataFrame:
+    """(id, band, bucket): band b takes signature columns
     {mh_i : i % bands == b} in ascending i, bucket = md5 of their
-    concatenation; docs sharing any (band, bucket) become candidates.
-
-    Output: distinct (id_a, id_b), id_a < id_b. The band buckets
-    unpivot through an Expand node (one pass), and each bucket join
-    is tiny at scale (docs per bucket ~ true near-dupes only)."""
+    concatenation. The band buckets unpivot through an Expand node
+    (one pass over the signature table)."""
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -252,9 +249,19 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
             ])).alias("bucket"))
         for b in range(bands)
     ]
-    banded = (signatures
-              .select("id", F.explode(F.array(*band_cols)).alias("bb"))
-              .select("id", "bb.band", "bb.bucket"))
+    return (signatures
+            .select("id", F.explode(F.array(*band_cols)).alias("bb"))
+            .select("id", "bb.band", "bb.bucket"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        num_hashes: int = 16) -> DataFrame:
+    """LSH banding over wide signatures: docs sharing any
+    (band, bucket) become candidates.
+
+    Output: distinct (id_a, id_b), id_a < id_b. Each bucket join
+    is tiny at scale (docs per bucket ~ true near-dupes only)."""
+    banded = lsh_band_buckets(signatures, bands, num_hashes)
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -263,6 +270,69 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
+                              store_sigs: DataFrame,
+                              num_hashes: int = 16, bands: int = 4,
+                              shingle_n: int = 3,
+                              threshold: float = 0.7) -> DataFrame:
+    """Fuzzy incremental dedup: screen a NEW batch of docs against a
+    persisted MinHash signature STORE (the fuzzy sibling of
+    ``incremental_duplicates``, which is exact-fingerprint only) —
+    the shape of a crawl pipeline that must reject near-duplicates of
+    an already-accepted corpus without rescanning it.
+
+    ``store_sigs`` is the output of ``minhash_signatures(...,
+    carry_shingles=True)`` over the accepted corpus — signatures for
+    candidate generation plus the shingle sets for exact-Jaccard
+    verification, so the store alone suffices (no re-read of
+    accepted text). Batch docs shingle+sign here.
+
+    Output: one row per batch doc —
+    (id, best_match_id, best_jaccard, is_duplicate) with the highest-
+    Jaccard store match >= threshold (ties: lowest store id), or
+    NULL/false when the batch doc collides with nothing.
+
+    Scale: the batch is ingest-sized, the store corpus-sized; banding
+    joins key on (band, bucket) so the store-side stream is touched
+    once, and verification runs only on colliding pairs. The store
+    update is a trivial unionByName of accepted batch signatures —
+    append-only, no rewrite of existing store rows.
+    """
+    from pyspark.sql import Window as W
+    sh = shingles(batch, id_col, text_col, n=shingle_n)
+    bsig = minhash_signatures(sh, num_hashes=num_hashes,
+                              carry_shingles=True)
+    bb = lsh_band_buckets(bsig, bands, num_hashes).withColumnsRenamed(
+        {"id": "bid"})
+    sb = lsh_band_buckets(store_sigs, bands, num_hashes).withColumnsRenamed(
+        {"id": "sid"})
+    cand = (bb.join(sb, ["band", "bucket"])
+            .select("bid", "sid").distinct())
+    bside = bsig.select(F.col("id").alias("bid"),
+                        F.col("shingles").alias("bsh"),
+                        F.col("size").alias("bsz"))
+    sside = store_sigs.select(F.col("id").alias("sid"),
+                              F.col("shingles").alias("ssh"),
+                              F.col("size").alias("ssz"))
+    verified = (
+        cand.join(bside, "bid").join(sside, "sid")
+        .withColumn("common", F.size(F.array_intersect("bsh", "ssh")))
+        .withColumn("jaccard", F.col("common")
+                    / (F.col("bsz") + F.col("ssz") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = W.partitionBy("bid").orderBy(F.desc("jaccard"), "sid")
+    best = (verified.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select(F.col("bid").alias("id"),
+                    F.col("sid").alias("best_match_id"),
+                    F.col("jaccard").alias("best_jaccard")))
+    return (batch.select(F.col(id_col).alias("id"))
+            .join(best, "id", "left")
+            .withColumn("is_duplicate",
+                        F.col("best_match_id").isNotNull()))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

@@ -49,11 +49,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_winnowing_fingerprints",
     "bigram_logprob_score",
     "streaming_decontamination_gate",
+    "dedup_incremental_minhash",
     "approx_distinct_counts",
     "approx_percentiles",
     # SQL surface (r1/r2-era gate rows, re-checked now)
     "join_using",
-    "groupby_ordinal",
     "topk_orderby_alias",
     "window_running_sum",
     "window_lag_delta",
@@ -100,8 +100,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # Deferred to r7 (trivial/twin entries, driver-green in r1/r2 and
     # pytest-oracle-verified every run): projection_alias,
     # filter_conjunctive, limit_injection, math_functions,
-    # halfopen_ts_range, using_join_syntax (the join_using
-    # literal-syntax twin stays in).
+    # halfopen_ts_range, groupby_ordinal, using_join_syntax (the
+    # join_using literal-syntax twin stays in).
     # List is exactly 50 names.
 ]
 

@@ -675,3 +675,72 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_removable"))
             .select(F.col("cluster_size").cast("long").alias("cluster_size"),
                     "n_clusters", "n_docs", "n_removable"))
+
+
+@query("dedup_incremental_minhash", oracle=_DUCK_SHINGLES + """
+, sig AS (
+    SELECT id, s.seed,
+           min((
+               (2 * ((1103515245 * (s.seed + 1) + 12345) % 536870912) + 1)
+               * ('0x' || substring(md5(shingle), 1, 8))::BIGINT
+               + (69069 * (s.seed + 1) + 1) % 536870912
+           ) % 2147483647) AS mh
+    FROM sh, unnest(range(0, 16)) AS s(seed)
+    GROUP BY id, s.seed
+), banded AS (
+    SELECT id, seed % 4 AS band,
+           md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bucket
+    FROM sig
+    GROUP BY id, seed % 4
+), cand AS (
+    SELECT DISTINCT b.id AS bid, s.id AS sid
+    FROM banded b JOIN banded s
+      ON b.band = s.band AND b.bucket = s.bucket
+    WHERE b.id % 2 = 1 AND s.id % 2 = 0
+), sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, verified AS (
+    SELECT c.bid, c.sid, count(*) AS common
+    FROM cand c
+    JOIN sh a ON a.id = c.bid
+    JOIN sh b2 ON b2.id = c.sid AND b2.shingle = a.shingle
+    GROUP BY 1, 2
+), scored AS (
+    SELECT v.bid, v.sid,
+           CAST(common AS DOUBLE) / (sa.size + sb.size - common) AS j
+    FROM verified v
+    JOIN sizes sa ON sa.id = v.bid
+    JOIN sizes sb ON sb.id = v.sid
+    WHERE CAST(common AS DOUBLE) / (sa.size + sb.size - common) >= 0.7
+), best AS (
+    SELECT bid, sid, j,
+           row_number() OVER (PARTITION BY bid ORDER BY j DESC, sid) AS rk
+    FROM scored
+)
+SELECT d.doc_id,
+       b.sid AS best_match_id,
+       round(b.j, 4) AS best_jaccard,
+       b.sid IS NOT NULL AS is_duplicate
+FROM documents d
+LEFT JOIN best b ON b.bid = d.doc_id AND b.rk = 1
+WHERE d.doc_id % 2 = 1
+""")
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental dedup against a persisted signature store:
+    odd doc_ids arrive as the new batch, even doc_ids are the
+    already-accepted corpus whose MinHash signatures + shingle sets
+    form the store — near-dup pairs planted in the testdata straddle
+    the split, so real cross-snapshot rejections occur. DuckDB
+    replays signatures, banding, Jaccard verification and the
+    best-match window bit-for-bit."""
+    from ..operators.dedup import incremental_minhash_dedup
+    docs = _t(spark, sf_dir, "documents")
+    store_docs = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    store_sigs = minhash_signatures(
+        shingles(store_docs, "doc_id", "text", n=3),
+        num_hashes=16, carry_shingles=True)
+    out = incremental_minhash_dedup(batch, "doc_id", "text", store_sigs,
+                                    num_hashes=16, bands=4, threshold=0.7)
+    return out.select(out["id"].alias("doc_id"), "best_match_id",
+                      rnd("best_jaccard", 4).alias("best_jaccard"),
+                      "is_duplicate")

@@ -1031,3 +1031,31 @@ class TestSubstringChainingVsBruteForce:
                    df, "doc_id", "text", min_len=min_len, k=k,
                    max_gram_freq=None).collect()}
         assert got == expect
+
+
+class TestIncrementalMinhash:
+    def test_batch_near_dup_of_store_flags_with_best_match(self, spark):
+        from data_platform_copilot_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_signatures,
+            shingles,
+        )
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill nearby today")
+        store_docs = spark.createDataFrame(
+            [(2, base), (4, "entirely different accepted content about "
+                            "spark shuffles joins and partitions only")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(1, base + " extra"),                       # near-dup of 2
+             (3, "fresh unrelated new document with brand new words "
+                 "that match nothing in the accepted store at all")],
+            "doc_id long, text string")
+        store = minhash_signatures(
+            shingles(store_docs, "doc_id", "text", n=3),
+            carry_shingles=True)
+        got = {r["id"]: (r["best_match_id"], r["is_duplicate"])
+               for r in incremental_minhash_dedup(
+                   batch, "doc_id", "text", store).collect()}
+        assert got[1] == (2, True)
+        assert got[3] == (None, False)
