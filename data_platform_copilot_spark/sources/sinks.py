@@ -69,3 +69,27 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     if options:
         reader = reader.options(**options)
     return reader.load(path)
+
+
+def export_training_shards(packed: DataFrame, path: str,
+                           mode: str = "overwrite") -> None:
+    """Materialize packed training chunks (output of
+    ``operators.quality.pack_chunks``: ... shard, token_offset, bin)
+    as the directory layout a trainer consumes: one directory per
+    shard (partition pruning = shard selection), rows within each
+    file sorted by (bin, token_offset) so a sequential read streams
+    training sequences in packing order without a sort at load time.
+
+    One exchange total: the repartition ON shard both routes each
+    shard's rows to a single writer task (one file per shard, no
+    tiny-file spray) and is the only shuffle —
+    ``sortWithinPartitions`` is a task-local sort. At 100 TB,
+    shards = O(cluster cores), so files stay balanced by
+    construction (the md5 shard assignment is uniform).
+    """
+    (packed
+     .repartition("shard")
+     .sortWithinPartitions("bin", "token_offset")
+     .write.mode(mode)
+     .partitionBy("shard")
+     .parquet(path))
