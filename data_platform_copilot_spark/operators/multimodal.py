@@ -135,3 +135,40 @@ def sample_frames(df: DataFrame, every_s: float = 10.0) -> DataFrame:
                 "frame_idx",
                 (F.col("frame_idx") * F.lit(every_s)).alias("frame_ts_s"))
     )
+
+
+def media_exact_duplicates(media: DataFrame) -> DataFrame:
+    """Exact media dedup on the raw binary payload: (media_id, kind,
+    payload_sha256, cluster_id, is_duplicate) — cluster = min id per
+    digest. The binary-column analogue of text exact dedup: content
+    hashing is a per-row expression over the BLOB (no decode), one
+    digest-keyed window, no join-back. At 100 TB of media this is the
+    first pass of every pipeline — re-crawled/re-encoded-identical
+    assets collapse before any expensive decode runs.
+    """
+    from pyspark.sql import Window as W
+    hashed = media.select(
+        "media_id", "kind",
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"))
+    w = W.partitionBy("payload_sha256")
+    return (hashed
+            .withColumn("cluster_id", F.min("media_id").over(w))
+            .withColumn("is_duplicate",
+                        F.col("media_id") != F.col("cluster_id")))
+
+
+def synthetic_media_with_dupes(spark: SparkSession, n: int = 64,
+                               n_unique: int = 48) -> DataFrame:
+    """Media fixture with PLANTED exact duplicates: ids >= n_unique
+    repeat the payload of id % n_unique (kind still follows the id),
+    so payload-level dedup has real work."""
+    import hashlib as _h
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = (_h.sha256(f"media-{i % n_unique}".encode()).hexdigest()
+                   * 4).encode("ascii")
+        rows.append((i, kind, bytearray(payload),
+                     f"application/x-{kind}", {"src": f"synth://{i}"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -56,3 +56,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(synthetic_media(spark, n=_N_MEDIA))
     return feats.select("media_id", "kind", "n_bytes", "sha256",
                         "width", "height", "duration_s")
+
+
+@query("media_exact_dedup", oracle=f"""
+WITH m AS (
+    SELECT i AS media_id,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+           repeat(sha256('media-' || (i % 48)), 4) AS payload
+    FROM range(0, {_N_MEDIA}) t(i)
+), h AS (
+    SELECT media_id, kind, sha256(payload) AS payload_sha256 FROM m
+)
+SELECT media_id, kind, payload_sha256,
+       min(media_id) OVER (PARTITION BY payload_sha256) AS cluster_id,
+       media_id <> min(media_id) OVER (PARTITION BY payload_sha256)
+           AS is_duplicate
+FROM h
+""")
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup over a media corpus with planted
+    duplicate assets (ids >= 48 repeat earlier payloads): content
+    digest, cluster representative and duplicate flag all
+    value-verify against DuckDB rebuilding the identical bytes."""
+    from ..operators.multimodal import (
+        media_exact_duplicates,
+        synthetic_media_with_dupes,
+    )
+    media = synthetic_media_with_dupes(spark, n=_N_MEDIA, n_unique=48)
+    return media_exact_duplicates(media)
