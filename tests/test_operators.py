@@ -1059,3 +1059,41 @@ class TestIncrementalMinhash:
                    batch, "doc_id", "text", store).collect()}
         assert got[1] == (2, True)
         assert got[3] == (None, False)
+
+
+class TestWinnowingVsBruteForce:
+    def test_random_docs_match_reference_selection(self, spark):
+        """The arithmetic rightmost-min encoding must reproduce a
+        direct per-window winnowing reference on random docs."""
+        import hashlib
+        import random
+        from data_platform_copilot_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        rng = random.Random(7)
+        alphabet = [f"t{i}" for i in range(6)]
+        docs = [(i, " ".join(rng.choice(alphabet) for _ in range(25)))
+                for i in range(12)]
+        k, w = 3, 4
+
+        def ref(text):
+            toks = text.split()
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1)]
+            hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                  for g in grams]
+            sel = set()
+            for j in range(len(hs) - w + 1):
+                window = hs[j:j + w]
+                m = min(window)
+                # rightmost minimum
+                pos = j + max(i for i, h in enumerate(window) if h == m)
+                sel.add((pos, hs[pos]))
+            return sel
+
+        expect = {(d, p, h) for d, t in docs for p, h in ref(t)}
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["id"], r["pos"], r["h"])
+               for r in winnow_fingerprints(df, "doc_id", "text",
+                                            k=k, w=w).collect()}
+        assert got == expect
