@@ -263,3 +263,44 @@ def quality_band_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.first("q_hi"), 4).alias("q_hi"))
             .join(total, "lang")
             .select("lang", "n_total", "n_in_band", "q_lo", "q_hi"))
+
+
+@query("text_token_entropy", oracle=f"""
+WITH tk AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), tknn AS (
+    SELECT doc_id, tok FROM tk WHERE length(tok) > 0
+), c AS (
+    SELECT doc_id, tok, count(*) AS c FROM tknn GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy,
+       CASE WHEN count(*) > 1
+            THEN round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                       / ln(count(*)), 4)
+       END AS norm_entropy
+FROM c GROUP BY doc_id
+""")
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document plus the
+    type-count-normalized form in [0, 1] — the diversity signal that
+    separates keyword-stuffed/templated text (low) from natural prose
+    (high); complements the Gopher repetition ratios. Identity
+    H = ln(n) - sum(c ln c)/n keeps it one combine per doc, all
+    expressions; single-type docs yield NULL normalized entropy by
+    definition on both engines."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    c = (d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+         .where(F.length("tok") > 0)
+         .groupBy("doc_id", "tok").agg(F.count("*").alias("c")))
+    n = F.sum("c")
+    h = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return (c.groupBy("doc_id")
+            .agg(n.cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_types"),
+                 rnd(h, 4).alias("entropy"),
+                 F.when(F.count("*") > 1,
+                        rnd(h / F.log(F.count("*")), 4))
+                 .alias("norm_entropy")))
