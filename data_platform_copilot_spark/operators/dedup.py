@@ -276,7 +276,8 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
                               store_sigs: DataFrame,
                               num_hashes: int = 16, bands: int = 4,
                               shingle_n: int = 3,
-                              threshold: float = 0.7) -> DataFrame:
+                              threshold: float = 0.7,
+                              verify: str = "exact") -> DataFrame:
     """Fuzzy incremental dedup: screen a NEW batch of docs against a
     persisted MinHash signature STORE (the fuzzy sibling of
     ``incremental_duplicates``, which is exact-fingerprint only) —
@@ -299,6 +300,15 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
     once, and verification runs only on colliding pairs. The store
     update is a trivial unionByName of accepted batch signatures —
     append-only, no rewrite of existing store rows.
+
+    ``verify="exact"`` (default) computes true Jaccard from the
+    shingle sets the store carries; ``verify="signature"`` estimates
+    Jaccard as the fraction of agreeing minhash components — the
+    store then needs ONLY the signature columns (~128 bytes/doc
+    instead of KB-scale shingle arrays), the layout a web-scale
+    store actually persists. The estimate is unbiased with stddev
+    ~= sqrt(J(1-J)/num_hashes); raise num_hashes when the threshold
+    must cut finely.
     """
     from pyspark.sql import Window as W
     sh = shingles(batch, id_col, text_col, n=shingle_n)
@@ -310,19 +320,35 @@ def incremental_minhash_dedup(batch: DataFrame, id_col: str, text_col: str,
         {"id": "sid"})
     cand = (bb.join(sb, ["band", "bucket"])
             .select("bid", "sid").distinct())
-    bside = bsig.select(F.col("id").alias("bid"),
-                        F.col("shingles").alias("bsh"),
-                        F.col("size").alias("bsz"))
-    sside = store_sigs.select(F.col("id").alias("sid"),
-                              F.col("shingles").alias("ssh"),
-                              F.col("size").alias("ssz"))
-    verified = (
-        cand.join(bside, "bid").join(sside, "sid")
-        .withColumn("common", F.size(F.array_intersect("bsh", "ssh")))
-        .withColumn("jaccard", F.col("common")
-                    / (F.col("bsz") + F.col("ssz") - F.col("common")))
-        .where(F.col("jaccard") >= threshold)
-    )
+    if verify == "signature":
+        mh = [f"mh{i}" for i in range(num_hashes)]
+        bside = bsig.select(F.col("id").alias("bid"),
+                            *[F.col(c).alias(f"b_{c}") for c in mh])
+        sside = store_sigs.select(F.col("id").alias("sid"),
+                                  *[F.col(c).alias(f"s_{c}") for c in mh])
+        agree = sum((F.col(f"b_{c}") == F.col(f"s_{c}")).cast("int")
+                    for c in mh)
+        verified = (
+            cand.join(bside, "bid").join(sside, "sid")
+            .withColumn("jaccard", agree / F.lit(float(num_hashes)))
+            .where(F.col("jaccard") >= threshold)
+        )
+    elif verify == "exact":
+        bside = bsig.select(F.col("id").alias("bid"),
+                            F.col("shingles").alias("bsh"),
+                            F.col("size").alias("bsz"))
+        sside = store_sigs.select(F.col("id").alias("sid"),
+                                  F.col("shingles").alias("ssh"),
+                                  F.col("size").alias("ssz"))
+        verified = (
+            cand.join(bside, "bid").join(sside, "sid")
+            .withColumn("common", F.size(F.array_intersect("bsh", "ssh")))
+            .withColumn("jaccard", F.col("common")
+                        / (F.col("bsz") + F.col("ssz") - F.col("common")))
+            .where(F.col("jaccard") >= threshold)
+        )
+    else:
+        raise ValueError(f"verify must be 'exact' or 'signature', got {verify!r}")
     w = W.partitionBy("bid").orderBy(F.desc("jaccard"), "sid")
     best = (verified.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") == 1)

@@ -1097,3 +1097,28 @@ class TestWinnowingVsBruteForce:
                for r in winnow_fingerprints(df, "doc_id", "text",
                                             k=k, w=w).collect()}
         assert got == expect
+
+    def test_signature_verify_mode_needs_no_shingles(self, spark):
+        """verify='signature' must work from a signatures-only store
+        and still accept near-dups / reject unrelated docs."""
+        from data_platform_copilot_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_signatures,
+            shingles,
+        )
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill nearby today")
+        store_docs = spark.createDataFrame(
+            [(2, base)], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(1, base), (3, "no shared phrasing whatsoever in this "
+                            "completely different new document text")],
+            "doc_id long, text string")
+        store = (minhash_signatures(
+            shingles(store_docs, "doc_id", "text", n=3))
+            .drop("size"))  # signatures only — no shingle arrays
+        got = {r["id"]: r["is_duplicate"]
+               for r in incremental_minhash_dedup(
+                   batch, "doc_id", "text", store,
+                   verify="signature", threshold=0.7).collect()}
+        assert got == {1: True, 3: False}
