@@ -275,3 +275,99 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.when(anom, 1).otherwise(0)).cast("long")
                  .alias("n_anomalies")))
+
+
+def funnel_conversion(events: DataFrame, user_col: str, type_col: str,
+                      ts_col: str, steps: list[str]) -> DataFrame:
+    """Sequential funnel: per step, how many users performed step i
+    strictly AFTER their qualifying time for step i-1 (first-touch
+    semantics: each step's qualifying time is the EARLIEST occurrence
+    that still follows the previous step). Output: (step_idx, step,
+    n_users, conversion_rate vs step 1).
+
+    One user-keyed shuffle total: per user, each step's event times
+    aggregate into one sorted array (map-side combined), then the
+    sequential thresholds are pure array expressions — no per-step
+    join cascade, no window. Per-user arrays are bounded by that
+    user's event count for the funnel types only, the standard
+    event-analytics memory envelope; a pathological power user is a
+    skew concern for AQE, not a correctness one.
+    """
+    per_user = events.where(F.col(type_col).isin(steps)).groupBy(
+        F.col(user_col).alias("user")).agg(*[
+            F.array_sort(F.collect_list(
+                F.when(F.col(type_col) == s, F.col(ts_col))))
+            .alias(f"ts_{i}")
+            for i, s in enumerate(steps)])
+    t_prev = None
+    reached = []
+    for i in range(len(steps)):
+        arr = F.col(f"ts_{i}")
+        if t_prev is None:
+            t_i = F.array_min(arr)
+        else:
+            after = F.filter(arr, lambda x: x > t_prev)
+            t_i = F.when(t_prev.isNotNull(), F.array_min(after))
+        per_user = per_user.withColumn(f"t_{i}", t_i)
+        t_prev = F.col(f"t_{i}")
+        reached.append(F.sum(F.col(f"t_{i}").isNotNull().cast("long"))
+                       .alias(f"n_{i}"))
+    counts = per_user.agg(*reached)
+    rows = counts.select(F.explode(F.array(*[
+        F.struct(F.lit(i + 1).alias("step_idx"),
+                 F.lit(s).alias("step"),
+                 F.col(f"n_{i}").alias("n_users"))
+        for i, s in enumerate(steps)])).alias("r")).select("r.*")
+    from pyspark.sql import Window as W
+    wall = W.partitionBy()
+    return rows.select(
+        "step_idx", "step", "n_users",
+        rnd(F.col("n_users")
+            / F.max(F.when(F.col("step_idx") == 1, F.col("n_users")))
+            .over(wall).cast("double"), 4).alias("conversion_rate"))
+
+
+@query("funnel_view_click_purchase", oracle="""
+WITH fe AS (
+    SELECT user_id, event_type, ts FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+), u AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+    FROM fe GROUP BY user_id
+), u1 AS (
+    SELECT u.user_id, u.t0,
+           min(CASE WHEN fe.event_type = 'click'
+                     AND fe.ts > u.t0 THEN fe.ts END) AS t1
+    FROM u LEFT JOIN fe ON fe.user_id = u.user_id
+    GROUP BY u.user_id, u.t0
+), u2 AS (
+    SELECT u1.user_id, u1.t0, u1.t1,
+           min(CASE WHEN fe.event_type = 'purchase'
+                     AND fe.ts > u1.t1 THEN fe.ts END) AS t2
+    FROM u1 LEFT JOIN fe ON fe.user_id = u1.user_id
+    GROUP BY u1.user_id, u1.t0, u1.t1
+), c AS (
+    SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u2
+)
+SELECT step_idx, step, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / max(CASE WHEN step_idx = 1 THEN n_users END) OVER (), 4)
+           AS conversion_rate
+FROM (
+    SELECT 1 AS step_idx, 'view' AS step, CAST(n0 AS BIGINT) AS n_users FROM c
+    UNION ALL
+    SELECT 2, 'click', CAST(n1 AS BIGINT) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n2 AS BIGINT) FROM c
+)
+""")
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential view -> click -> purchase funnel over events with
+    first-touch ordering semantics (each step must strictly follow
+    the user's qualifying time for the previous one); step counts and
+    conversion rates value-verify against DuckDB replaying the same
+    sequential-min chain."""
+    return funnel_conversion(_t(spark, sf_dir, "events"),
+                             "user_id", "event_type", "ts",
+                             ["view", "click", "purchase"])

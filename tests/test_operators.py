@@ -1122,3 +1122,31 @@ class TestWinnowingVsBruteForce:
                    batch, "doc_id", "text", store,
                    verify="signature", threshold=0.7).collect()}
         assert got == {1: True, 3: False}
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        """A user whose purchase precedes their click must not count
+        as converted through the purchase step."""
+        from data_platform_copilot_spark.queries.timeseries import (
+            funnel_conversion,
+        )
+        import datetime as dt
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        rows = [
+            # user 1 converts fully, in order
+            (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+            # user 2: purchase BEFORE click -> stops at click
+            (2, "view", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+            # user 3: never clicks
+            (3, "view", t(0)),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp")
+        got = {r["step"]: (r["n_users"], r["conversion_rate"])
+               for r in funnel_conversion(
+                   df, "user_id", "event_type", "ts",
+                   ["view", "click", "purchase"]).collect()}
+        assert got["view"] == (3, 1.0)
+        assert got["click"][0] == 2
+        assert got["purchase"][0] == 1
