@@ -235,3 +235,69 @@ def dq_rule_freshness_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(age_h, 4).alias("age_hours"),
         (age_h <= 48.0).alias("passed"),
     )
+
+
+_HIST_BINS = 20
+
+@query("dq_value_histogram", oracle=f"""
+WITH b AS (
+    SELECT min(value) AS lo, max(value) AS hi FROM events
+), binned AS (
+    SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_HIST_BINS}))
+                      AS BIGINT), {_HIST_BINS - 1}) AS bin
+    FROM events, b WHERE value IS NOT NULL
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY bin
+""")
+def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram (20 bins over [min, max], top
+    edge closed) — the distribution view the profiler's top-5 list
+    cannot give for continuous columns. Two passes, both minimal: a
+    1-row min/max aggregate broadcast back over the scan, then one
+    bin-keyed combine (map-side partial agg -> 20 rows)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    return (ev.crossJoin(F.broadcast(b))
+            .select(F.least(
+                F.floor((F.col("value") - F.col("lo")) / width)
+                .cast("long"),
+                F.lit(_HIST_BINS - 1)).alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("n")))
+
+
+@query("dq_robust_outliers_mad", oracle="""
+WITH s AS (
+    SELECT quantile_cont(value, 0.5) AS med FROM events
+), d AS (
+    SELECT quantile_cont(abs(value - med), 0.5) AS mad, any_value(med) AS med
+    FROM events, s WHERE value IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(CASE WHEN abs(0.6745 * (value - d.med) / d.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(any_value(d.med), 4) AS median_v,
+       round(any_value(d.mad), 4) AS mad_v
+FROM events, d WHERE value IS NOT NULL
+""")
+def dq_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier rule: modified z-score via median absolute
+    deviation (Iglewicz-Hoaglin, |0.6745 (x - med) / MAD| > 3.5) —
+    the heavy-tail-safe complement of A11's mean/std z-score, which
+    a single extreme value can mask. Exact medians here for oracle
+    parity; the 100 TB form swaps both quantiles to
+    percentile_approx exactly as the A6 profiler's exact flag does.
+    Three passes, each a scalar aggregate broadcast back — no
+    data-sized shuffle at any step."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (ev.crossJoin(F.broadcast(med))
+           .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+                F.first("med").alias("med")))
+    rz = F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (ev.crossJoin(F.broadcast(mad))
+            .agg(F.count("*").alias("n_checked"),
+                 F.sum((rz > 3.5).cast("long")).alias("n_outliers"),
+                 rnd(F.first("med"), 4).alias("median_v"),
+                 rnd(F.first("mad"), 4).alias("mad_v")))
