@@ -1150,3 +1150,44 @@ class TestFunnel:
         assert got["view"] == (3, 1.0)
         assert got["click"][0] == 2
         assert got["purchase"][0] == 1
+
+    def test_random_events_match_reference(self, spark):
+        """Funnel counts must equal a brute-force per-user replay on
+        seeded random event streams."""
+        import datetime as dt
+        import random
+        from data_platform_copilot_spark.queries.timeseries import (
+            funnel_conversion,
+        )
+        rng = random.Random(11)
+        steps = ["a", "b", "c"]
+        rows = []
+        for u in range(40):
+            for _ in range(rng.randint(0, 8)):
+                rows.append((u, rng.choice(steps + ["x"]),
+                             dt.datetime(2024, 1, 1)
+                             + dt.timedelta(minutes=rng.randint(0, 500))))
+
+        def ref_counts():
+            by_user = {}
+            for u, s, ts in rows:
+                by_user.setdefault(u, []).append((s, ts))
+            n = [0, 0, 0]
+            for evs in by_user.values():
+                t_prev = None
+                for i, step in enumerate(steps):
+                    cand = [ts for s, ts in evs if s == step
+                            and (t_prev is None or ts > t_prev)]
+                    if not cand:
+                        break
+                    t_prev = min(cand)
+                    n[i] += 1
+            return n
+
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp")
+        got = {r["step_idx"]: r["n_users"]
+               for r in funnel_conversion(df, "user_id", "event_type",
+                                          "ts", steps).collect()}
+        expect = ref_counts()
+        assert [got[1], got[2], got[3]] == expect
