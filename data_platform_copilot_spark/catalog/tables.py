@@ -30,12 +30,15 @@ class TableError(ValueError):
     pass
 
 
-def validate_csv_upload(path: str | Path) -> int:
+def validate_upload(path: str | Path,
+                    suffixes: tuple[str, ...] = (".csv",)) -> int:
     """Size/extension/emptiness gate (reference src/utils.py:83-119).
     Returns the file size."""
     p = Path(path)
-    if p.suffix.lower() != ".csv":
-        raise TableError(f"only .csv uploads are supported, got {p.suffix!r}")
+    if p.suffix.lower() not in suffixes:
+        raise TableError(
+            f"only {'/'.join(suffixes)} uploads are supported, "
+            f"got {p.suffix!r}")
     if not p.exists():
         raise TableError(f"file not found: {p}")
     size = p.stat().st_size
@@ -69,13 +72,37 @@ class TableManager:
             raise TableError(f"table not found: {table_id}")
         if bool(meta["is_loaded"]):
             raise TableError("table already loaded; re-upload rejected")
-        size = validate_csv_upload(csv_path)
+        size = validate_upload(csv_path)
         ns = self.ns.get(int(meta["namespace_id"]))
         fq = f"{ns['schema_name']}.{meta['table_name']}"
         df = self.spark.read.csv(str(csv_path), header=True, inferSchema=True)
         df.write.mode("overwrite").saveAsTable(fq)
         return self.ns.tables.update(
             table_id, file_name=Path(csv_path).name,
+            file_size=size, is_loaded=True)
+
+    def upload_jsonl(self, table_id: int,
+                     jsonl_path: str | Path) -> dict[str, Any]:
+        """Phase 2 for newline-delimited JSON (the other interchange
+        format every data platform ingests; reference is CSV-only).
+        Same two-phase lifecycle and gates; schema inference via
+        Spark's native JSON reader (one extra pass, like CSV
+        inferSchema — at scale callers pass explicit schemas through
+        the sources layer instead)."""
+        meta = self.ns.tables.get(table_id)
+        if meta is None:
+            raise TableError(f"table not found: {table_id}")
+        if bool(meta["is_loaded"]):
+            raise TableError("table already loaded; re-upload rejected")
+        size = validate_upload(jsonl_path, (".jsonl", ".json"))
+        ns = self.ns.get(int(meta["namespace_id"]))
+        fq = f"{ns['schema_name']}.{meta['table_name']}"
+        df = self.spark.read.json(str(jsonl_path))
+        if not df.columns or df.columns == ["_corrupt_record"]:
+            raise TableError("no parseable JSON records in upload")
+        df.write.mode("overwrite").saveAsTable(fq)
+        return self.ns.tables.update(
+            table_id, file_name=Path(jsonl_path).name,
             file_size=size, is_loaded=True)
 
     def get(self, table_id: int) -> dict[str, Any]:

@@ -188,3 +188,26 @@ class TestViews:
         plan = (spark.table("v_revenue_by_country")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "o_orderdate" not in plan  # unused column pruned away
+
+
+def test_jsonl_two_phase_ingest(spark, tmp_path, managers):
+    """register -> upload_jsonl materializes a queryable table with
+    inferred schema; bad extension and empty files are rejected."""
+    ns_mgr, tbl_mgr = managers
+    ns = ns_mgr.create("jsonl demo")
+    meta = tbl_mgr.register(int(ns["id"]), "events_j")
+    p = tmp_path / "events.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    out = tbl_mgr.upload_jsonl(int(meta["id"]), p)
+    assert bool(out["is_loaded"])
+    got = spark.table(f"{ns['schema_name']}.events_j") \
+        .orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in got] == [(1, "x"), (2, "y")]
+    # wrong extension rejected
+    import pytest as _pt
+    from data_platform_copilot_spark.catalog.tables import TableError
+    meta2 = tbl_mgr.register(int(ns["id"]), "events_j2")
+    bad = tmp_path / "nope.txt"
+    bad.write_text("{}")
+    with _pt.raises(TableError):
+        tbl_mgr.upload_jsonl(int(meta2["id"]), bad)
