@@ -338,3 +338,67 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cohort_size"),
         F.sum("retained").cast("long").alias("retained_7d"),
     )
+
+
+@query("cohort_retention_matrix", oracle="""
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+    FROM events GROUP BY user_id
+), actives AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS active_w
+    FROM events
+), cells AS (
+    SELECT f.cohort_w,
+           date_diff('day', f.cohort_w, a.active_w) // 7 AS weeks_since,
+           count(*) AS n_active
+    FROM firsts f JOIN actives a USING (user_id)
+    GROUP BY 1, 2
+), sized AS (
+    SELECT cohort_w, weeks_since, n_active,
+           max(CASE WHEN weeks_since = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_w) AS cohort_size
+    FROM cells
+)
+SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+       CAST(weeks_since AS BIGINT) AS weeks_since,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention_rate
+FROM sized
+""")
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cohort retention triangle (cohort week x weeks-since
+    grid with per-cell active counts and rates) — the standard
+    product-analytics artifact the scalar 7-day entry summarizes.
+
+    Shape: distinct (user, week) activity + per-user first week both
+    key on user_id (shared partitioning), the join is user-keyed, and
+    the grid combine outputs |cohorts x weeks| rows; cohort size
+    comes from the weeks_since=0 cell via a window over the tiny
+    grid, not a second pass over events."""
+    from pyspark.sql import Window as W
+    events = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w"))
+    actives = (events
+               .select("user_id",
+                       F.date_trunc("week", F.col("ts")).alias("active_w"))
+               .distinct())
+    cells = (firsts.join(actives, "user_id")
+             .select("cohort_w",
+                     (F.datediff("active_w", "cohort_w") / 7)
+                     .cast("long").alias("weeks_since"))
+             .groupBy("cohort_w", "weeks_since")
+             .agg(F.count("*").alias("n_active")))
+    wc = W.partitionBy("cohort_w")
+    sized = cells.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("weeks_since") == 0, F.col("n_active")))
+        .over(wc))
+    return sized.select(
+        F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+        "weeks_since",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        rnd(F.col("n_active") / F.col("cohort_size"), 4)
+        .alias("retention_rate"))
