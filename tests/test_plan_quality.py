@@ -177,3 +177,30 @@ class TestSubstringOps:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "ReusedExchange" in plan
+
+
+class TestAnalyticsShapes:
+    def test_funnel_single_user_keyed_exchange(self, spark, sf_dir):
+        """The funnel aggregates all step arrays in ONE groupBy(user):
+        exactly one data-sized keyed exchange, no per-step joins."""
+        plan = plan_of(spark, sf_dir, "funnel_view_click_purchase")
+        import re
+        keyed = re.findall(r"hashpartitioning\((\w+)", plan)
+        assert keyed.count("user_id") == 1
+        assert "SortMergeJoin" not in plan
+
+    def test_histogram_two_scans_one_combine(self, spark, sf_dir):
+        """Equi-width histogram: min/max via a broadcast 1-row agg and
+        one bin-keyed combine — no join beyond the scalar broadcast."""
+        plan = plan_of(spark, sf_dir, "dq_value_histogram")
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds attach
+        assert plan.count("SortMergeJoin") == 0
+
+    def test_retention_matrix_no_event_rescan_for_sizes(self, spark,
+                                                        sf_dir):
+        """Cohort sizes come from the weeks_since=0 grid cell (window
+        over the tiny grid), so the events relation appears exactly
+        twice (firsts + actives), not a third time."""
+        plan = plan_of(spark, sf_dir, "cohort_retention_matrix")
+        assert plan.count("events.parquet") <= 2 or \
+            plan.count("Scan parquet") <= 2
