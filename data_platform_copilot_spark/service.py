@@ -191,6 +191,14 @@ class CopilotService:
         self._schema_docs_cache = None  # new table -> docs stale
         return out
 
+    def table_upload_jsonl(self, table_id: int,
+                           jsonl_path: str) -> dict[str, Any]:
+        """JSONL twin of table_upload (reference surface is CSV-only;
+        same lifecycle, gates and docs-cache invalidation)."""
+        out = _jsonable(self.tables.upload_jsonl(table_id, jsonl_path))
+        self._schema_docs_cache = None
+        return out
+
     # -- demo seed (reference query.http:164-169; handler absent there,
     #    intended behavior implemented) --------------------------------------
     def demo_seed_events(self, rows: int = 150_000) -> dict[str, Any]:
@@ -234,6 +242,7 @@ def create_fastapi_app(service: CopilotService):
     # this route the HTTP surface could never refresh stale docs after
     # a new table (reference src/route/namespace_table.py).
     app.post("/table/{table_id}/upload")(service.table_upload)
+    app.post("/table/{table_id}/upload_jsonl")(service.table_upload_jsonl)
     app.post("/schema/refresh")(
         lambda: {"markdown": service.schema_docs(refresh=True)})
     app.post("/demo/seed/events")(service.demo_seed_events)

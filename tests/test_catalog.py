@@ -194,6 +194,9 @@ def test_jsonl_two_phase_ingest(spark, tmp_path, managers):
     """register -> upload_jsonl materializes a queryable table with
     inferred schema; bad extension and empty files are rejected."""
     ns_mgr, tbl_mgr = managers
+    # physical warehouse location is session-global: clear leftovers
+    # from prior runs before (and after) materializing
+    spark.sql("DROP DATABASE IF EXISTS jsonl_demo CASCADE")
     ns = ns_mgr.create("jsonl demo")
     meta = tbl_mgr.register(int(ns["id"]), "events_j")
     p = tmp_path / "events.jsonl"
@@ -211,3 +214,4 @@ def test_jsonl_two_phase_ingest(spark, tmp_path, managers):
     bad.write_text("{}")
     with _pt.raises(TableError):
         tbl_mgr.upload_jsonl(int(meta2["id"]), bad)
+    spark.sql("DROP DATABASE IF EXISTS jsonl_demo CASCADE")
