@@ -371,3 +371,44 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(_t(spark, sf_dir, "events"),
                              "user_id", "event_type", "ts",
                              ["view", "click", "purchase"])
+
+
+@query("event_transition_matrix", oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), pairs AS (
+    SELECT event_type AS from_type, next_type AS to_type
+    FROM ordered WHERE next_type IS NOT NULL
+)
+SELECT from_type, to_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY from_type), 4) AS p
+FROM pairs GROUP BY from_type, to_type
+""")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each ordered
+    pair of consecutive events within a user's stream (ts order,
+    event_id tiebreak), the count and row-normalized probability
+    P(next | current) — the Markov view of user journeys that powers
+    next-action features and anomaly flags on behavioral logs.
+
+    One user-keyed window pass builds the pairs; the matrix combine
+    and its row normalization both run over |event_types|^2 rows."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .where(F.col("next_type").isNotNull())
+             .select(F.col("event_type").alias("from_type"),
+                     F.col("next_type").alias("to_type")))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n"))
+    wrow = W.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        rnd(F.col("n") / F.sum("n").over(wrow), 4).alias("p"))
