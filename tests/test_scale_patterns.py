@@ -125,3 +125,24 @@ class TestTrainingShardExport:
         a = {tuple(r) for r in packed.drop("shard").collect()}
         b = {tuple(r) for r in back.drop("shard").collect()}
         assert a == b
+
+
+class TestConcurrentQueries:
+    def test_parallel_actions_one_session(self, spark, sf_dir):
+        """Two registry queries executing concurrently from separate
+        threads on the ONE shared session must both return correct
+        results — the FAIR-scheduler-ready concurrency contract of a
+        long-lived analytics session (plan cache and job submission
+        are GIL/JVM-safe; nothing is session-mutating per query)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from data_platform_copilot_spark.queries import QUERIES
+
+        def run(name):
+            return {tuple(r) for r in
+                    QUERIES[name](spark, sf_dir).collect()}
+
+        names = ["flagship_revenue_by_nation", "tpch_q1_pricing_summary"]
+        serial = [run(n) for n in names]
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            parallel = list(ex.map(run, names))
+        assert parallel == serial
