@@ -20,7 +20,7 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
-from .namespaces import NamespaceError, NamespaceManager
+from .namespaces import NamespaceManager
 from .naming import normalize_schema_name
 
 MAX_FILE_SIZE = 50 * 1024 * 1024  # reference src/utils.py:83

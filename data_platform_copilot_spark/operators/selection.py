@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, tokens
+from ..functions.text import tokens
 from ..sources.registry import spread
 from .quality import _grams
 
