@@ -66,3 +66,42 @@ def dequant_error(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         (F.aggregate(abs_err, F.lit(0.0), lambda acc, e: acc + e)
          / F.size(v)).alias("mean_abs_err"),
     )
+
+
+def mean_pool(df: DataFrame, group_col: str, vec_col: str,
+              renormalize: bool = True) -> DataFrame:
+    """Element-wise mean of the vectors in each group — the standard
+    chunk-embeddings -> document-embedding pooling step — optionally
+    L2-renormalized (cosine retrieval expects unit vectors).
+
+    Shape: posexplode to (group, dim, x) then ONE (group, dim)-keyed
+    combine with map-side partial aggregation, then one small
+    group-keyed fold back to an array. No per-row Python, no driver
+    collect; at 100 TB the shuffle carries |groups| x dims partial
+    sums per map task, not the vectors themselves.
+
+    zip_with/aggregate over a collect_list would also work but holds
+    every vector of a group in one aggregation buffer; the dim-keyed
+    form never materializes a group's vectors together.
+    """
+    exploded = df.select(
+        F.col(group_col).alias("group"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    per_dim = (exploded.groupBy("group", "dim")
+               .agg(F.avg(F.col("x").cast("double")).alias("m"),
+                    F.count("*").alias("n")))
+    pooled = (per_dim.groupBy("group")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("dim", "m"))).alias("dm"),
+                  (F.max("n")).cast("long").alias("n_vectors"))
+              .select("group", "n_vectors",
+                      F.transform("dm", lambda s: s["m"]).alias("mean_vec")))
+    if not renormalize:
+        return pooled
+    norm = F.sqrt(F.aggregate("mean_vec", F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    return pooled.select(
+        "group", "n_vectors",
+        F.when(norm > 0,
+               F.transform("mean_vec", lambda x: x / norm))
+        .otherwise(F.col("mean_vec")).alias("mean_vec"))

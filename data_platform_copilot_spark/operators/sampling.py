@@ -178,3 +178,32 @@ def per_group_reservoir(df: DataFrame, group_col: str, key_col: str,
     w = (W.partitionBy(group_col).orderBy(h, F.col(key_col)))
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
+
+
+def dataset_split(df: DataFrame, key_col: str,
+                  fractions: dict[str, float]) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: the
+    md5 bucket of the key (mod 10^6) falls into contiguous ranges
+    sized by ``fractions`` (must sum to 1). Appends a ``split``
+    column. Properties every training pipeline needs and RNG splits
+    don't give: reproducible across engines/runs/partitionings,
+    stable under corpus growth (a doc's split never changes when new
+    docs arrive), and disjoint-and-exhaustive by construction.
+    Scan-local expression — zero shuffle.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")),
+                                1, 6), 16, 10).cast("long") % 1000000
+    expr = None
+    hi = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        hi += frac
+        cond = bucket < int(hi * 1000000)
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

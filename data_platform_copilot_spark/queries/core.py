@@ -12,7 +12,11 @@ parquet tables. The driver hash-compares the two at sf0.01
 - no non-deterministic row *sets*: LIMIT only after a total order
   with a unique tiebreak, or when it exceeds the row count;
 - integer sums in oracle SQL are cast back to BIGINT (DuckDB widens
-  sum(BIGINT) to HUGEINT, which pandas would mangle).
+  sum(BIGINT) to HUGEINT, which pandas would mangle);
+- rounded floats that can land on zero get ``+ 0.0`` on BOTH sides:
+  a mean/component rounding to zero keeps its IEEE sign bit and the
+  engines disagree on -0.0 (bit twice: embedding_stats_by_dim,
+  embedding_mean_pool — both only at sf0.1).
 
 Spark-first notes are on each query: what Catalyst should do with it
 (pushdown, broadcast, partial agg) and why the shape survives 100 TB.

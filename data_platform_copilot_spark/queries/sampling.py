@@ -167,3 +167,33 @@ def per_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import per_group_reservoir
     docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
     return per_group_reservoir(docs, "source", "doc_id", k=5)
+
+
+@query("dataset_split_counts", oracle="""
+WITH b AS (
+    SELECT doc_id, lang,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % 1000000 AS bucket
+    FROM documents
+), s AS (
+    SELECT lang,
+           CASE WHEN bucket < 900000 THEN 'train'
+                WHEN bucket < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY lang, split
+""")
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split of the documents
+    corpus, counted per language — assignment is the md5-bucket rule
+    (reproducible on any engine, stable under corpus growth,
+    disjoint-exhaustive by construction), value-verified per
+    (lang, split) cell."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import dataset_split
+    out = dataset_split(_t(spark, sf_dir, "documents"), "doc_id",
+                        {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("lang", "split").agg(F.count("*").alias("n"))

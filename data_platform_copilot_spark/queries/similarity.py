@@ -432,3 +432,35 @@ def embedding_stats_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.stddev_pop(x), 4).alias("std_x"),
                  rnd(F.min(x), 4).alias("min_x"),
                  rnd(F.max(x), 4).alias("max_x")))
+
+
+@query("embedding_mean_pool", oracle="""
+WITH v AS (
+    SELECT vec_id // 4 AS grp, i - 1 AS dim,
+           CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), m AS (
+    SELECT grp, dim, avg(x) AS m FROM v GROUP BY grp, dim
+), n AS (
+    SELECT grp, sqrt(sum(m * m)) AS nrm FROM m GROUP BY grp
+)
+SELECT m.grp AS group_id, m.dim,
+       round(m.m / n.nrm, 6) + 0.0 AS pooled
+FROM m JOIN n ON m.grp = n.grp
+""")
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling: vectors grouped 4-to-1
+    (vec_id div 4), element-wise mean, L2-renormalized — exploded to
+    (group, dim, value) rows so DuckDB value-verifies every pooled
+    component. The operator's dim-keyed combine never materializes a
+    group's vectors in one buffer."""
+    from ..operators.embeddings import mean_pool
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") / 4).cast("long").alias("grp"), "embedding")
+    pooled = mean_pool(emb, "grp", "embedding")
+    return (pooled.select(F.col("group").alias("group_id"),
+                          F.posexplode("mean_vec").alias("dim", "p"))
+            # + 0.0 folds IEEE -0.0 (a component rounding to zero
+            # keeps its sign bit and the engines disagree on it)
+            .select("group_id", "dim",
+                    (rnd("p", 6) + F.lit(0.0)).alias("pooled")))
