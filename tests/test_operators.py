@@ -1191,3 +1191,51 @@ class TestFunnel:
                                           "ts", steps).collect()}
         expect = ref_counts()
         assert [got[1], got[2], got[3]] == expect
+
+
+class TestDatasetSplit:
+    def test_disjoint_exhaustive_stable_under_growth(self, spark):
+        from data_platform_copilot_spark.operators.sampling import (
+            dataset_split,
+        )
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        small = spark.range(500).withColumnRenamed("id", "k")
+        big = spark.range(2000).withColumnRenamed("id", "k")
+        a = {r["k"]: r["split"]
+             for r in dataset_split(small, "k", fr).collect()}
+        b = {r["k"]: r["split"]
+             for r in dataset_split(big, "k", fr).collect()}
+        assert len(a) == 500 and set(a.values()) <= set(fr)
+        # growth stability: every original key keeps its split
+        assert all(b[k] == v for k, v in a.items())
+        # rough proportions on the larger set
+        from collections import Counter
+        c = Counter(b.values())
+        assert abs(c["train"] / 2000 - 0.8) < 0.05
+
+    def test_fractions_must_sum_to_one(self, spark):
+        import pytest as _pt
+        from data_platform_copilot_spark.operators.sampling import (
+            dataset_split,
+        )
+        with _pt.raises(ValueError):
+            dataset_split(spark.range(1), "id", {"a": 0.5, "b": 0.4})
+
+
+class TestMeanPool:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from data_platform_copilot_spark.operators.embeddings import (
+            mean_pool,
+        )
+        rng = np.random.default_rng(3)
+        rows = [(i // 3, rng.standard_normal(8).tolist())
+                for i in range(12)]
+        df = spark.createDataFrame(rows, "g long, v array<double>")
+        got = {r["group"]: r["mean_vec"]
+               for r in mean_pool(df, "g", "v").collect()}
+        for g in range(4):
+            vecs = np.array([v for gg, v in rows if gg == g])
+            m = vecs.mean(axis=0)
+            m = m / np.linalg.norm(m)
+            assert np.allclose(got[g], m, atol=1e-12)
