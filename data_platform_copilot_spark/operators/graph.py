@@ -169,3 +169,55 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
                     .distinct())
     raise ConvergenceError(
         f"star contraction did not converge in {max_iters} rounds")
+
+
+def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+             iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list
+    (symmetrized internally, so every node has out-degree >= 1 and no
+    dangling-mass term is needed): (id, rank) after ``iters`` rounds
+    of r' = (1-d)/N + d * sum(r_in / deg_in).
+
+    Centrality over the near-dup graph ranks the most-connected
+    representatives (which doc anchors a template family); fixed
+    iteration count keeps it deterministic and lets any engine replay
+    it exactly — convergence-driven variants just loop this operator.
+
+    Shape per round: one edge-keyed join (ranks are |V|-sized, edges
+    |E|-sized; the join keys on the edge's source) + one dst-keyed
+    combine. The rank frame is localCheckpointed per round in local
+    mode (plan growth is linear in iters otherwise); damping and the
+    teleport term are scalar expressions.
+    """
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .unionAll(pairs.select(F.col(dst).alias("u"),
+                                    F.col(src).alias("v")))
+             .where(F.col("u") != F.col("v"))
+             .distinct()
+             .persist())
+    try:
+        nodes = edges.select(F.col("u").alias("id")).distinct()
+        n = nodes.count()
+        deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(iters):
+            contrib = (edges
+                       .join(ranks, edges["u"] == ranks["id"])
+                       .join(deg, "u")
+                       .select(F.col("v").alias("id"),
+                               (F.col("rank") / F.col("deg"))
+                               .alias("c")))
+            ranks = (nodes
+                     .join(contrib.groupBy("id")
+                           .agg(F.sum("c").alias("s")), "id", "left")
+                     .select("id",
+                             (F.lit((1.0 - damping) / n)
+                              + F.lit(damping)
+                              * F.coalesce("s", F.lit(0.0)))
+                             .alias("rank")))
+            if edges.sparkSession.conf.get(
+                    "spark.master", "local").startswith("local"):
+                ranks = ranks.localCheckpoint(eager=False)
+        return ranks
+    finally:
+        edges.unpersist()

@@ -744,3 +744,58 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(out["id"].alias("doc_id"), "best_match_id",
                       rnd("best_jaccard", 4).alias("best_jaccard"),
                       "is_duplicate")
+
+
+_PR_ITERS, _PR_D = 3, 0.85
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""cb{i} AS (
+    SELECT e.v AS id, sum(r.rank / d.deg) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON r.id = e.u
+    JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+), r{i} AS (
+    SELECT n.id,
+           (1.0 - {_PR_D}) / (SELECT n FROM nn)
+               + {_PR_D} * coalesce(cb{i}.s, 0.0) AS rank
+    FROM nodes n LEFT JOIN cb{i} ON cb{i}.id = n.id
+)"""
+
+@query("dedup_pagerank_centrality",
+       oracle=_DUCK_SHINGLES.replace("WITH toks", "WITH toks")
+       + """
+, sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+), near AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.size + sb.size - common) >= 0.8
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM near
+    UNION
+    SELECT id_b, id_a FROM near
+), nodes AS (SELECT DISTINCT u AS id FROM edges)
+, nn AS (SELECT count(*) AS n FROM nodes)
+, deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u)
+, r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+, """ + ",\n".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1)) + f"""
+SELECT id AS doc_id, round(rank, 6) AS rank FROM r{_PR_ITERS}
+""")
+def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the >=0.8 jaccard near-dup graph
+    (3 fixed iterations, damping 0.85): which documents anchor the
+    densest template families. Iterative-algorithm evidence beyond
+    connected components, and every rank value-verifies against
+    DuckDB replaying the identical iteration chain."""
+    from ..operators.graph import pagerank
+    sh = shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    near = jaccard_pairs(sh, threshold=0.8).select("id_a", "id_b")
+    pr = pagerank(near, iters=_PR_ITERS, damping=_PR_D)
+    return pr.select(pr["id"].alias("doc_id"),
+                     rnd("rank", 6).alias("rank"))

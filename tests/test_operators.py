@@ -1239,3 +1239,21 @@ class TestMeanPool:
             m = vecs.mean(axis=0)
             m = m / np.linalg.norm(m)
             assert np.allclose(got[g], m, atol=1e-12)
+
+
+class TestPagerank:
+    def test_star_graph_center_dominates_and_mass_conserved(self, spark):
+        from data_platform_copilot_spark.operators.graph import pagerank
+        df = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                                   "id_a long, id_b long")
+        r = {x["id"]: x["rank"] for x in pagerank(df, iters=5).collect()}
+        assert r[0] > r[1] and abs(r[1] - r[2]) < 1e-12
+        assert abs(sum(r.values()) - 1.0) < 1e-9  # symmetrized: no leak
+
+    def test_hand_computed_two_node_fixpoint(self, spark):
+        """Two nodes, one edge: symmetric — every iteration keeps
+        rank = 0.5 exactly."""
+        from data_platform_copilot_spark.operators.graph import pagerank
+        df = spark.createDataFrame([(7, 9)], "id_a long, id_b long")
+        r = {x["id"]: x["rank"] for x in pagerank(df, iters=4).collect()}
+        assert r == {7: 0.5, 9: 0.5}
