@@ -207,3 +207,27 @@ def dataset_split(df: DataFrame, key_col: str,
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def weighted_sample_topk(df: DataFrame, key_col: str, weight,
+                         k: int = 100) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis, 2006): each row draws u from the md5 of its
+    key (uniform in (0,1), engine-reproducible — no RNG) and the k
+    rows with the largest u^(1/w), equivalently the largest
+    ln(u)/w, win. Inclusion probability is proportional to weight,
+    the sample is stable across runs/engines/partitionings, and
+    re-running with a larger corpus never evicts a row in favor of a
+    lower-keyed one.
+
+    ``weight`` is a Column of positive weights. Appends ``es_key``;
+    top-k via TakeOrdered (bounded per-partition heaps, no global
+    sort). Zero-weight rows get key -inf and can never win.
+    """
+    u = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
+                16, 10).cast("double") + 0.5) / 16777216.0
+    es = F.when(weight > 0, F.log(u) / weight).otherwise(
+        F.lit(float("-inf")))
+    return (df.withColumn("es_key", es)
+            .orderBy(F.desc("es_key"), F.col(key_col))
+            .limit(k))

@@ -10,7 +10,7 @@ from ..operators.sampling import (
     deterministic_sample,
     deterministic_stratified_sample,
 )
-from .core import _t, query
+from .core import _t, query, rnd
 
 # DuckDB: md5-hex-prefix -> integer via positional polynomial
 _HEX_POLY = " + ".join(
@@ -197,3 +197,35 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dataset_split(_t(spark, sf_dir, "documents"), "doc_id",
                         {"train": 0.9, "val": 0.05, "test": 0.05})
     return out.groupBy("lang", "split").agg(F.count("*").alias("n"))
+
+
+@query("weighted_sample_topk_docs", oracle="""
+WITH w AS (
+    SELECT doc_id, n_chars,
+           (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+            + 0.5) / 16777216.0 AS u
+    FROM documents
+), keyed AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ln(u) / n_chars AS es_key
+    FROM w WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(es_key, 8) AS es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 100
+""")
+def weighted_sample_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample of 100 documents
+    (Efraimidis-Spirakis keys from md5-derived uniforms — longer docs
+    proportionally likelier, zero RNG): membership, order and keys
+    all value-verify against DuckDB replaying the identical
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import weighted_sample_topk
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample_topk(d, "doc_id", F.col("n_chars"), k=100)
+    return out.select("doc_id",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      rnd("es_key", 8).alias("es_key"))

@@ -1257,3 +1257,33 @@ class TestPagerank:
         df = spark.createDataFrame([(7, 9)], "id_a long, id_b long")
         r = {x["id"]: x["rank"] for x in pagerank(df, iters=4).collect()}
         assert r == {7: 0.5, 9: 0.5}
+
+
+class TestWeightedSample:
+    def test_weight_proportional_inclusion(self, spark):
+        """Rows with 10x weight must be sampled ~10x as often across
+        the deterministic key family (here: many disjoint corpora)."""
+        from pyspark.sql import functions as F
+        from data_platform_copilot_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+        # 200 heavy (w=10) + 1800 light (w=1); expect heavy share of a
+        # k=200 sample ~ 200*10/(200*10+1800*1) = 0.526
+        rows = [(i, 10.0 if i < 200 else 1.0) for i in range(2000)]
+        df = spark.createDataFrame(rows, "k long, w double")
+        got = weighted_sample_topk(df, "k", F.col("w"), k=200).collect()
+        heavy = sum(1 for r in got if r["k"] < 200)
+        assert 0.40 < heavy / 200 < 0.65
+
+    def test_deterministic_and_growth_stable(self, spark):
+        from pyspark.sql import functions as F
+        from data_platform_copilot_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 5)) for i in range(300)], "k long, w double")
+        a = [r["k"] for r in weighted_sample_topk(
+            df, "k", F.col("w"), k=50).collect()]
+        b = [r["k"] for r in weighted_sample_topk(
+            df, "k", F.col("w"), k=50).collect()]
+        assert a == b
