@@ -304,3 +304,43 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.when(F.count("*") > 1,
                         rnd(h / F.log(F.count("*")), 4))
                  .alias("norm_entropy")))
+
+
+@query("text_distinctiveness", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+    FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    WHERE length(concat_ws(' ', t[i], t[i+1], t[i+2])) > 0
+      AND len(t) >= 3
+), freq AS (
+    SELECT g, count(*) AS df FROM sh GROUP BY g
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+       round(CAST(sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS distinctiveness
+FROM sh JOIN freq USING (g)
+GROUP BY sh.doc_id
+""")
+def text_distinctiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinctiveness: the fraction of a document's distinct
+    trigram shingles that occur NOWHERE else in the corpus — near 1
+    means genuinely novel content, near 0 means template/boilerplate
+    assembled from corpus-common phrasing. The complement signal to
+    near-dup detection (a doc can be 'no near-dup' yet still fully
+    boilerplate). Reuses the dedup shingle builder; one gram-keyed
+    document-frequency combine + one doc-keyed fold."""
+    from ..operators.dedup import shingles as _sh
+    sh = _sh(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (sh.join(freq, "shingle")
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+                 rnd(F.sum((F.col("df") == 1).cast("int"))
+                     / F.count("*"), 4).alias("distinctiveness")))
