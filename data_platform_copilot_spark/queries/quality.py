@@ -805,7 +805,7 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / ((F.max("bin") + 1) * 512), 4).alias("utilization")))
 
 
-@query("streaming_decontamination_gate", oracle=f"""
+@query("streaming_decontamination_gate", oracle=rf"""
 WITH norm AS (
     SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
 ), cg AS (
