@@ -44,6 +44,23 @@ class StubProvider:
         return self.fallback
 
 
+def make_provider(llm) -> CompletionProvider:
+    """Provider dispatch from an ``LLMConfig`` (reference
+    src/provider.py:103-117's get_provider): stub stays hermetic; the
+    three HTTP providers share the chat-completions wire format and
+    differ only in base URL / key."""
+    if llm.provider == "stub":
+        return StubProvider()
+    if llm.provider == "openai":
+        return OpenAICompatProvider("https://api.openai.com/v1",
+                                    llm.openai_api_key, llm.model)
+    if llm.provider == "openrouter":
+        return OpenAICompatProvider("https://openrouter.ai/api/v1",
+                                    llm.openrouter_api_key, llm.model)
+    return OpenAICompatProvider(llm.ollama_base_url.rstrip("/") + "/v1",
+                                None, llm.model)
+
+
 class OpenAICompatProvider:
     """Chat-completions over HTTP (openai/openrouter/ollama-compatible).
     Instantiation requires httpx; kept import-gated for offline envs."""

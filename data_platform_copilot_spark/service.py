@@ -250,3 +250,23 @@ def create_fastapi_app(service: CopilotService):
     app.get("/views")(service.view_list)
     app.delete("/views/{name}")(service.view_delete)
     return app
+
+
+def create_app():
+    """No-arg ASGI factory for a real deployment (``uvicorn --factory
+    data_platform_copilot_spark.service:create_app``; parity: reference
+    src/main.py builds its app at import). Builds the default service
+    from the settings tree — session, provider, control root — and
+    bootstraps the catalog before serving.
+    """
+    import os
+
+    from .chain.provider import make_provider
+    from .session import get_spark
+
+    spark = get_spark("copilot-api")
+    service = CopilotService(
+        spark, make_provider(settings.llm),
+        os.environ.get("SPARK_GRAFT_CONTROL_ROOT", "/tmp/copilot_control"))
+    service.bootstrap()
+    return create_fastapi_app(service)

@@ -146,3 +146,30 @@ class TestMetrics:
         assert "lat_ms_sum 200.0" in out
         assert "lat_ms_count 5" in out
         assert "lat_ms_p95 40.0" in out  # sorted[int(0.95*5)-1] = idx 3
+
+
+class TestProviderFactory:
+    def test_stub_dispatch(self):
+        from data_platform_copilot_spark.chain import make_provider
+        from data_platform_copilot_spark.config import LLMConfig
+        assert type(make_provider(LLMConfig(provider="stub"))).__name__ == \
+            "StubProvider"
+
+    def test_http_dispatch_gated_on_httpx(self):
+        # The three HTTP providers share one wire class; base URL / key
+        # come from the config. httpx isn't in this container, so
+        # instantiation must fail fast (import-gated), never at request
+        # time.
+        import pytest
+        from data_platform_copilot_spark.chain import make_provider
+        from data_platform_copilot_spark.config import LLMConfig
+        try:
+            import httpx  # noqa: F401
+        except ImportError:
+            for prov in ("openai", "openrouter", "ollama"):
+                with pytest.raises(ImportError):
+                    make_provider(LLMConfig(provider=prov, openai_api_key="k",
+                                            openrouter_api_key="k"))
+        else:
+            p = make_provider(LLMConfig(provider="ollama"))
+            assert p.base_url.endswith("/v1")
