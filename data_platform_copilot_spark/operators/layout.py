@@ -1,0 +1,69 @@
+"""Storage-layout operators: z-order clustering keys for
+multi-dimensional data skipping.
+
+Sorting a 100 TB fact table by ONE key gives perfect min/max pruning
+on that key and none on any other; interleaving the bits of two (or
+more) bucketed keys — the Z-order / Morton curve — gives every
+interleaved dimension locality, so parquet row-group min/max stats
+prune scans filtered on EITHER key (the technique behind
+Delta/Iceberg OPTIMIZE ZORDER; Morton 1966 is public domain).
+
+Everything here is pure JVM expressions: bucketize each dimension to
+``bits`` bits against its (broadcast, 1-row) max, then interleave.
+The write path is just ``df.repartitionByRange(z).sortWithinPartitions
+(z).write...`` — the curve key does the clustering, the engine does
+the layout.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketize(col: Column, max_col: Column, bits: int = 8) -> Column:
+    """Scale a positive key to [0, 2^bits) against its max — the
+    per-dimension quantile-free bucketing both engines replay
+    exactly (floor of an exact double ratio)."""
+    n = 1 << bits
+    raw = F.floor((col - 1).cast("double") * n / max_col.cast("double"))
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("long")
+
+
+def interleave(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton interleave: bit b of x lands at position 2b, bit b of
+    y at 2b+1. A sum of 2*bits shift/mask terms — whole-stage
+    codegen folds it into straight-line long arithmetic."""
+    terms = []
+    for b in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, b).bitwiseAND(1), 2 * b))
+        terms.append(F.shiftleft(F.shiftright(y, b).bitwiseAND(1),
+                                 2 * b + 1))
+    return reduce(lambda a, c: a + c, terms)
+
+
+def zorder_stats(df: DataFrame, xcol: str, ycol: str,
+                 bits: int = 8, files: int = 64) -> DataFrame:
+    """Simulated post-OPTIMIZE layout report: assign every row its
+    z-key, split the curve into ``files`` equal z-ranges (the file
+    boundaries a range-partitioned sorted write produces), and emit
+    per-file min/max of BOTH dimensions — the exact stats a reader's
+    min/max pruning consults. Narrow ranges on both columns = both
+    predicates skip files.
+
+    Scale shape: two 1-row max aggregates (broadcast), one
+    file-keyed combine; no shuffle of the fact rows beyond the
+    groupBy (the real write path would range-repartition instead)."""
+    maxes = df.agg(F.max(xcol).alias("mx"), F.max(ycol).alias("my"))
+    z = interleave(bucketize(F.col(xcol), F.col("mx"), bits),
+                   bucketize(F.col(ycol), F.col("my"), bits), bits)
+    per_file = (1 << (2 * bits)) // files
+    return (df.join(F.broadcast(maxes))
+            .select(F.col(xcol).alias("x"), F.col(ycol).alias("y"),
+                    (z / per_file).cast("long").alias("file_id"))
+            .groupBy("file_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                 F.min("y").alias("min_y"), F.max("y").alias("max_y")))

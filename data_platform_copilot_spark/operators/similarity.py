@@ -222,6 +222,53 @@ def srp_lsh_topk(corpus: DataFrame, queries: DataFrame,
     )
 
 
+def knn_join(corpus: DataFrame, id_col: str, vec_col: str,
+             k: int = 3, n_planes: int = 6, tables: int = 4,
+             dim: int = 64, seed: int = 42) -> DataFrame:
+    """k-NN GRAPH: approximate top-k neighbors for EVERY corpus
+    vector (vs the ANN entries, whose small query set broadcasts).
+    The corpus self-joins per hash table on the SRP bucket key — a
+    shuffle hash join co-locating each bucket, never a broadcast —
+    and exact cosine re-ranks the union of candidates.
+
+    Exactly-once pair emission without a distinct: a pair is taken
+    only from the FIRST table whose buckets collide (join on table
+    t's bucket, filter that every earlier table's buckets differ),
+    so the union is duplicate-free by construction and the
+    dropDuplicates exchange the naive union needs disappears.
+
+    Scale: per table the work is O(sum over buckets of bucket^2) —
+    the standard LSH knn-join bound (Sarma et al., WWW 2014 class) —
+    and each bucket's pairs materialize only within its shuffle
+    partition. Rows whose buckets collide with nothing simply have
+    no edges, the correct semantics for a near-dup/similarity graph.
+    """
+    all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t)
+                  for t in range(tables)]
+    b = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        *[_bucket_expr(F.col(vec_col), p).alias(f"b{t}")
+          for t, p in enumerate(all_planes)])
+    cand = None
+    for t in range(tables):
+        q, c = b.alias("q"), b.alias("c")
+        cond = (F.col(f"q.b{t}") == F.col(f"c.b{t}")) & \
+            (F.col("q.id") != F.col("c.id"))
+        for s in range(t):
+            cond &= F.col(f"q.b{s}") != F.col(f"c.b{s}")
+        pairs = q.join(c, cond).select(
+            F.col("q.id").alias("query_id"), F.col("q.v").alias("qv"),
+            F.col("c.id").alias("neighbor_id"), F.col("c.v").alias("cv"))
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (cand
+            .withColumn("cosine", cosine_similarity(F.col("qv"),
+                                                    F.col("cv")))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
                  m: int = 8, ks: int = 16, iters: int = 2,
                  dim: int = 64) -> list:

@@ -401,6 +401,56 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       rnd("cosine", 4).alias("cosine"), "rank")
 
 
+def _knn_join_oracle(k: int, n_planes: int, tables: int,
+                     dim: int, seed: int) -> str:
+    """DuckDB replay of knn_join: identical literal hyperplanes and
+    bucket bits; a single join whose predicate is the OR over tables
+    emits each colliding pair exactly once — the same set the Spark
+    side's first-colliding-table rule produces without a distinct."""
+    bucket_cols = ",\n       ".join(
+        f"{_bucket_sql(_hyperplanes(dim, n_planes, seed + 1000 * t))} AS b{t}"
+        for t in range(tables))
+    any_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(tables))
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+       {bucket_cols}
+    FROM embeddings
+), cand AS (
+    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+           c.vec_id AS neighbor_id, CAST(c.embedding AS DOUBLE[]) AS cv
+    FROM b q JOIN b c
+      ON c.vec_id <> q.vec_id AND ({any_match})
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           round({_COS_QC}, 4) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_QC} DESC, neighbor_id) AS BIGINT) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("knn_join_graph",
+       oracle=_knn_join_oracle(k=3, n_planes=6, tables=4, dim=64, seed=42))
+def knn_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 3-NN graph over the WHOLE embeddings table — the
+    all-pairs companion to the broadcast ANN entries, built for
+    corpus-scale fan-out: per-table bucket self-joins (shuffle
+    co-location, no broadcast, no distinct thanks to the
+    first-colliding-table rule) + exact cosine re-rank. The seeded
+    hyperplanes ship as literals to both engines, so the oracle
+    replays the identical candidate set and the value hash matches."""
+    from ..operators.similarity import knn_join
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_join(emb, "vec_id", "embedding",
+                   k=3, n_planes=6, tables=4, dim=64, seed=42)
+    return out.select("query_id", "neighbor_id",
+                      rnd("cosine", 4).alias("cosine"), "rank")
+
+
 @query("embedding_stats_by_dim", oracle="""
 WITH v AS (
     SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x

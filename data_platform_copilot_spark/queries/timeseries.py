@@ -412,3 +412,97 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "from_type", "to_type", "n",
         rnd(F.col("n") / F.sum("n").over(wrow), 4).alias("p"))
+
+
+@query("trend_slope_by_event_type", oracle="""
+WITH x AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) / 86400.0 - 19700.0 AS xd,
+           value AS y
+    FROM events
+), s AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(xd) AS sx, sum(y) AS sy,
+           sum(xd * y) AS sxy, sum(xd * xd) AS sxx
+    FROM x GROUP BY event_type
+)
+SELECT event_type, n,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+           AS slope_per_day,
+       round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
+           AS intercept
+FROM s
+""")
+def trend_slope_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS linear trend of `value` over time — the
+    drift-detection primitive behind "is this metric rising?": slope
+    (units/day) and intercept from the closed-form moment sums, one
+    map-side-combinable groupBy.
+
+    Numerics are engine-portable by construction: x is recentered by
+    a constant (~data epoch) BEFORE summation so the n*sxx - sx^2
+    cancellation keeps ~9 significant digits, and both engines sum
+    the identical doubles. At 100 TB this is |groups| rows of state
+    per task — the same one-shuffle shape as any sum/count agg."""
+    ev = _t(spark, sf_dir, "events")
+    xd = (epoch_s("ts") / F.lit(86400.0)) - F.lit(19700.0)
+    s = (ev.select("event_type", xd.alias("xd"), F.col("value").alias("y"))
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("xd").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("xd") * F.col("y")).alias("sxy"),
+              F.sum(F.col("xd") * F.col("xd")).alias("sxx")))
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / \
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    return s.select(
+        "event_type", "n",
+        rnd(slope, 6).alias("slope_per_day"),
+        rnd((F.col("sy") - slope * F.col("sx")) / F.col("n"),
+            4).alias("intercept"))
+
+
+@query("ewma_value_per_user", oracle="""
+WITH arr AS (
+    SELECT user_id, event_id, value,
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS win
+    FROM events
+    WHERE user_id < 30
+)
+SELECT user_id, event_id,
+       round(
+           list_sum(list_transform(range(len(win)),
+               j -> win[j + 1] * power(0.7, len(win) - 1 - j)))
+           / list_sum(list_transform(range(len(win)),
+               j -> power(0.7, len(win) - 1 - j))), 4) AS ewma
+FROM arr
+""")
+def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of `value` per user
+    (decay 0.7), truncated to the trailing 20 events — the smoothing
+    primitive for behavioral scoring. The truncation is the scale
+    design: exact EWMA is a sequential recurrence (unbounded
+    lineage), while the windowed form caps per-row state at 20
+    values with relative error (1-a)^20 < 1e-3 of the true tail, and
+    runs as ONE user-keyed window pass. Weights are normalized over
+    the frame so short prefixes (< 20 rows) are exact, and the frame
+    list order (ts, event_id) is total, so both engines fold the
+    identical sequence."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    arr = ev.select("user_id", "event_id",
+                    F.collect_list("value").over(w).alias("win"))
+    decay = F.lit(0.7)
+    n = F.size("win").cast("double")
+    weighted = F.zip_with(
+        F.col("win"), F.sequence(F.lit(1), F.size("win")),
+        lambda x, j: x * F.pow(decay, n - j.cast("double")))
+    weights = F.transform(
+        F.sequence(F.lit(1), F.size("win")),
+        lambda j: F.pow(decay, n - j.cast("double")))
+    ewma = (F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+            / F.aggregate(weights, F.lit(0.0), lambda a, x: a + x))
+    return arr.select("user_id", "event_id", rnd(ewma, 4).alias("ewma"))

@@ -1287,3 +1287,140 @@ class TestWeightedSample:
         b = [r["k"] for r in weighted_sample_topk(
             df, "k", F.col("w"), k=50).collect()]
         assert a == b
+
+
+class TestKnnJoin:
+    def test_no_duplicate_pairs_and_recall(self, spark, sf_dir):
+        # first-colliding-table rule must emit each pair at most once
+        # BEFORE ranking; probe by running with a k larger than any
+        # candidate set and checking pair uniqueness.
+        from data_platform_copilot_spark.operators.similarity import knn_join
+        from data_platform_copilot_spark.sources import load_table
+        emb = load_table(spark, sf_dir, "embeddings").limit(200)
+        out = knn_join(emb, "vec_id", "embedding", k=10_000,
+                       n_planes=4, tables=3, dim=64).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in out]
+        assert len(pairs) == len(set(pairs))
+        # ranks are dense per query
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1))
+                   for v in by_q.values())
+
+    def test_graph_recall_vs_bruteforce(self, spark, sf_dir):
+        # with generous tables/few planes, top-1 neighbor recall
+        # should be high (planted structure not required — just that
+        # LSH candidates usually contain the true best neighbor)
+        from data_platform_copilot_spark.operators.similarity import (
+            brute_force_topk,
+            knn_join,
+        )
+        from data_platform_copilot_spark.sources import load_table
+        emb = load_table(spark, sf_dir, "embeddings").limit(150)
+        approx = {r["query_id"]: r["neighbor_id"]
+                  for r in knn_join(emb, "vec_id", "embedding", k=1,
+                                    n_planes=4, tables=6, dim=64).collect()}
+        exact = {r["query_id"]: r["neighbor_id"]
+                 for r in brute_force_topk(emb, emb, "vec_id", "embedding",
+                                           k=1).collect()}
+        hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+        assert hits / len(exact) > 0.5
+
+
+class TestZorder:
+    def test_interleave_matches_python(self, spark):
+        from pyspark.sql import functions as F
+        from data_platform_copilot_spark.operators.layout import interleave
+
+        def morton(x, y, bits=8):
+            z = 0
+            for b in range(bits):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        rows = [(x, y) for x in (0, 1, 5, 127, 255) for y in (0, 3, 200, 255)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = df.select("x", "y",
+                        interleave(F.col("x"), F.col("y")).alias("z")).collect()
+        for r in got:
+            assert r["z"] == morton(r["x"], r["y"])
+
+    def test_both_dims_narrow(self, spark, sf_dir):
+        # the point of the curve: per-file ranges on BOTH columns are
+        # far narrower than the global range for the bulk of files
+        from data_platform_copilot_spark.operators.layout import zorder_stats
+        from data_platform_copilot_spark.sources import load_table
+        li = load_table(spark, sf_dir, "lineitem")
+        rep = zorder_stats(li, "l_partkey", "l_suppkey",
+                           bits=8, files=64).collect()
+        gx = max(r["max_x"] for r in rep) - min(r["min_x"] for r in rep)
+        gy = max(r["max_y"] for r in rep) - min(r["min_y"] for r in rep)
+        nx = sorted((r["max_x"] - r["min_x"]) / gx for r in rep)
+        ny = sorted((r["max_y"] - r["min_y"]) / gy for r in rep)
+        # median per-file width <= 40% of the global range on each dim
+        assert nx[len(nx) // 2] <= 0.4
+        assert ny[len(ny) // 2] <= 0.4
+
+
+class TestTrendAndEwma:
+    def test_slope_matches_numpy(self, spark):
+        import numpy as np
+        rows = []
+        for i in range(200):
+            # slope 2.0/day + deterministic wiggle
+            rows.append(("a", float(19700 + i / 24.0),
+                         2.0 * (i / 24.0) + ((i * 7) % 5) * 0.1))
+        df = spark.createDataFrame(
+            [(t, __import__("datetime").datetime.utcfromtimestamp(
+                int(d * 86400)), v) for t, d, v in rows],
+            "event_type string, ts timestamp, value double")
+        from pyspark.sql import functions as F
+        from data_platform_copilot_spark.queries.core import epoch_s
+        xd = (epoch_s("ts") / F.lit(86400.0)) - F.lit(19700.0)
+        s = (df.select(xd.alias("x"), F.col("value").alias("y"))
+             .agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+                  F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"))).collect()[0]
+        slope = (s["sxy"] - s["sx"] * s["sy"] / s["n"]) / \
+            (s["sxx"] - s["sx"] * s["sx"] / s["n"])
+        xs = np.array([d - 19700 for _, d, _ in rows])
+        # epoch_s truncates to whole seconds; replicate for parity
+        xs = np.floor(xs * 86400) / 86400 - 0.0
+        ys = np.array([v for _, _, v in rows])
+        want = np.polyfit(xs, ys, 1)[0]
+        assert abs(slope - want) < 1e-6
+
+    def test_ewma_matches_reference_loop(self, spark):
+        import datetime
+        rows = [(1, i, datetime.datetime(2024, 1, 1, 0, i), float(i % 7))
+                for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double")
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+        from data_platform_copilot_spark.queries.core import rnd
+        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(-19, 0))
+        arr = df.select("event_id",
+                        F.collect_list("value").over(w).alias("win"))
+        nn = F.size("win").cast("double")
+        num = F.aggregate(
+            F.zip_with(F.col("win"), F.sequence(F.lit(1), F.size("win")),
+                       lambda x, j: x * F.pow(F.lit(0.7),
+                                              nn - j.cast("double"))),
+            F.lit(0.0), lambda a, x: a + x)
+        den = F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.size("win")),
+                        lambda j: F.pow(F.lit(0.7), nn - j.cast("double"))),
+            F.lit(0.0), lambda a, x: a + x)
+        got = {r["event_id"]: r["e"] for r in
+               arr.select("event_id", rnd(num / den, 6).alias("e")).collect()}
+        vals = [float(i % 7) for i in range(30)]
+        for t in range(30):
+            window = vals[max(0, t - 19):t + 1]
+            ws = [0.7 ** (len(window) - 1 - j) for j in range(len(window))]
+            want = sum(v * wt for v, wt in zip(window, ws)) / sum(ws)
+            assert abs(got[t] - want) < 1e-6
