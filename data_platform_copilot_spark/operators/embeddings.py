@@ -105,3 +105,83 @@ def mean_pool(df: DataFrame, group_col: str, vec_col: str,
         F.when(norm > 0,
                F.transform("mean_vec", lambda x: x / norm))
         .otherwise(F.col("mean_vec")).alias("mean_vec"))
+
+
+def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> "tuple":
+    """(sum of outer products X^T X as a dim x dim numpy array,
+    per-dim sums, row count) in ONE distributed pass: each Arrow
+    batch contributes a partial Gram (a dim*dim float block —
+    kilobytes, corpus-size independent), and a single global combine
+    sums the partials. This is the covariance/PCA building block
+    whose driver state is O(dim^2), never O(rows).
+    """
+    import numpy as np
+
+    def partial(batches):
+        import pandas as pd
+        g = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            g += mat.T @ mat
+            s += mat.sum(axis=0)
+            n += len(mat)
+        yield pd.DataFrame({"g": [g.reshape(-1).tolist()],
+                            "s": [s.tolist()], "n": [n]})
+
+    parts = (df.select(F.col(vec_col).cast("array<double>").alias("v"))
+             .mapInPandas(partial,
+                          "g array<double>, s array<double>, n long")
+             .collect())
+    import numpy as np
+    g = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    for r in parts:
+        g += np.array(r["g"]).reshape(dim, dim)
+        s += np.array(r["s"])
+        n += r["n"]
+    return g, s, n
+
+
+def pca_components(df: DataFrame, vec_col: str, dim: int,
+                   k: int = 2) -> "tuple":
+    """Top-k principal components of the embedding cloud: covariance
+    = Gram/n - mean mean^T (one distributed pass via gram_matrix),
+    then an eigendecomposition of the dim x dim matrix on the driver
+    — numpy on a kilobyte-sized symmetric matrix, the correct
+    split of distributed vs driver work at any corpus size. Returns
+    (components k x dim with a deterministic sign convention —
+    largest-|coord| entry positive — and eigenvalues desc).
+    """
+    import numpy as np
+    g, s, n = gram_matrix(df, vec_col, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return comps, vals[order]
+
+
+def pca_project(df: DataFrame, id_col: str, vec_col: str,
+                components) -> DataFrame:
+    """Project every vector onto the given components (k x dim
+    literal — kilobytes riding the plan, no broadcast variable, no
+    Python in the scan): returns (id, proj array<double>). Centering
+    is deliberately NOT applied here so projection composes with
+    incremental appends; callers wanting centered scores subtract
+    the component-projected mean (a k-vector) afterwards."""
+    from ..functions.vectors import dot
+    v = F.col(vec_col).cast("array<double>")
+    cols = [dot(v, F.array(*[F.lit(float(x)) for x in comp]))
+            for comp in components]
+    return df.select(F.col(id_col).alias("id"),
+                     F.array(*cols).alias("proj"))

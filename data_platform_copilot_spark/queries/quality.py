@@ -831,3 +831,61 @@ def streaming_decontamination_gate(spark: SparkSession,
     pipeline's VALUES, not just stream==batch in pytest."""
     from ..streaming.events import run_streaming_decontamination
     return run_streaming_decontamination(spark, sf_dir, n=13)
+
+
+@query("decontamination_embedding", oracle="""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), eval_set AS (
+    SELECT vec_id AS eval_id,
+           list_transform(list_zip(v, range(0, len(v))),
+                          p -> p[1] * (1 + 0.0002 * (p[2] % 5))) AS ev
+    FROM base WHERE vec_id % 37 = 0
+), hits AS (
+    SELECT c.vec_id, e.eval_id,
+           list_dot_product(c.v, e.ev) /
+           (sqrt(list_dot_product(c.v, c.v)) *
+            sqrt(list_dot_product(e.ev, e.ev))) AS cos
+    FROM base c CROSS JOIN eval_set e
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_eval_hits,
+       round(max(cos), 4) AS max_cosine
+FROM hits WHERE cos >= 0.99 GROUP BY vec_id
+""")
+def decontamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space rung
+    of the decontamination ladder (exact 13-gram -> fuzzy trigram ->
+    substring -> THIS): flag training vectors whose cosine to any
+    eval-set vector exceeds 0.99, catching paraphrases/translations
+    that share no n-grams with the benchmark. The eval set is planted
+    (every 37th vector, per-element scaling cycle — the shared
+    planted-dupe idiom) so both engines replay the identical corpus
+    and the flags are value-verified.
+
+    Scale design: real eval sets are SMALL (benchmarks are thousands
+    of rows vs a 100 TB corpus), so the right plan is a broadcast of
+    the eval vectors and ONE corpus scan — no LSH, no shuffle of the
+    corpus, no join exchange at all; per-row work is |eval| dot
+    products in an Arrow-free JVM expression only when |eval| is
+    tiny, else the blocked-gemm operator (dedup.embedding pathway)
+    takes over."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("v"))
+    eval_set = (base.where(F.col("vec_id") % 37 == 0)
+                .select(F.col("vec_id").alias("eval_id"),
+                        F.transform("v", lambda x, i: x * (
+                            F.lit(1.0) + F.lit(0.0002) * (i % 5)))
+                        .alias("ev")))
+    scored = (base.crossJoin(F.broadcast(eval_set))
+              .withColumn("cos", cosine_similarity(F.col("v"),
+                                                   F.col("ev")))
+              .where(F.col("cos") >= 0.99))
+    return (scored.groupBy("vec_id")
+            .agg(F.count("*").alias("n_eval_hits"),
+                 rnd(F.max("cos"), 4).alias("max_cosine")))

@@ -514,3 +514,44 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             # keeps its sign bit and the engines disagree on it)
             .select("group_id", "dim",
                     (rnd("p", 6) + F.lit(0.0)).alias("pooled")))
+
+
+@query("embedding_covariance_dims", oracle="""
+WITH v AS (
+    SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, 9)) AS u(i)
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       round(sum(a.x * b.x) / count(*)
+             - (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 6) + 0.0
+           AS cov
+FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+""")
+def embedding_covariance_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance of the first 8 embedding dimensions (upper
+    triangle, 36 cells) from raw moment sums — the SQL-verifiable
+    window into the PCA pipeline (operators.embeddings.gram_matrix /
+    pca_components compute the full dim x dim version in one
+    distributed pass with O(dim^2) driver state). One scan, one
+    1-row aggregate of 8 + 36 sums; the 36 output rows inline from
+    the aggregated struct — no join, no explode of the fact table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    xs = [F.element_at(v, i + 1) for i in range(8)]
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(xs[i]).alias(f"s{i}") for i in range(8)]
+    aggs += [F.sum(xs[i] * xs[j]).alias(f"p{i}_{j}")
+             for i in range(8) for j in range(i, 8)]
+    agg = emb.agg(*aggs)
+    n = F.col("n").cast("double")
+    cells = [
+        F.struct(F.lit(i).cast("long").alias("dim_i"),
+                 F.lit(j).cast("long").alias("dim_j"),
+                 (rnd(F.col(f"p{i}_{j}") / n
+                      - (F.col(f"s{i}") / n) * (F.col(f"s{j}") / n), 6)
+                  + F.lit(0.0)).alias("cov"))
+        for i in range(8) for j in range(i, 8)
+    ]
+    return (agg.select(F.explode(F.array(*cells)).alias("c"))
+            .select("c.dim_i", "c.dim_j", "c.cov"))

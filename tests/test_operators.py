@@ -1424,3 +1424,39 @@ class TestTrendAndEwma:
             ws = [0.7 ** (len(window) - 1 - j) for j in range(len(window))]
             want = sum(v * wt for v, wt in zip(window, ws)) / sum(ws)
             assert abs(got[t] - want) < 1e-6
+
+
+class TestPCA:
+    def test_gram_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+        from data_platform_copilot_spark.operators.embeddings import (
+            gram_matrix,
+        )
+        from data_platform_copilot_spark.sources import load_table
+        emb = load_table(spark, sf_dir, "embeddings")
+        g, s, n = gram_matrix(emb, "embedding", 64)
+        mat = np.stack([np.array(r["embedding"], dtype=np.float64)
+                        for r in emb.collect()])
+        assert n == len(mat)
+        assert np.allclose(g, mat.T @ mat, rtol=1e-9)
+        assert np.allclose(s, mat.sum(axis=0), rtol=1e-9)
+
+    def test_projected_variance_equals_eigenvalues(self, spark, sf_dir):
+        import numpy as np
+        from data_platform_copilot_spark.operators.embeddings import (
+            pca_components,
+            pca_project,
+        )
+        from data_platform_copilot_spark.sources import load_table
+        emb = load_table(spark, sf_dir, "embeddings")
+        comps, vals = pca_components(emb, "embedding", 64, k=3)
+        assert vals[0] >= vals[1] >= vals[2] > 0
+        # components are orthonormal
+        cm = np.array(comps)
+        assert np.allclose(cm @ cm.T, np.eye(3), atol=1e-9)
+        # variance of the projected scores == the eigenvalues
+        proj = np.stack([np.array(r["proj"]) for r in
+                         pca_project(emb, "vec_id", "embedding",
+                                     comps).collect()])
+        got = proj.var(axis=0)
+        assert np.allclose(got, vals, rtol=1e-6)
