@@ -43,7 +43,13 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # the driver within two rounds. The 50 r5-gate entries rotate
     # out; they remain value-verified every run by the full-registry
     # pytest oracle at sf0.01 and the slow sf0.1 suite.
-    # r6-new + newly value-gated first
+    # r6-new + newly value-gated first (never driver-verified yet)
+    "knn_join_graph",
+    "zorder_layout_report",
+    "trend_slope_by_event_type",
+    "ewma_value_per_user",
+    "embedding_covariance_dims",
+    "decontamination_embedding",
     "decontamination_substring",
     "dedup_substring_pairs",
     "dedup_winnowing_fingerprints",
@@ -70,8 +76,6 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "scalar_subquery_cte",
     "case_when_bucketing",
     "null_handling_coalesce",
-    "string_functions",
-    "date_functions",
     "having_filter",
     "exact_percentiles",
     "json_extract_props",
@@ -91,17 +95,16 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_simhash",
     "embedding_quantize_int8",
     "text_ngram_frequency",
-    "window_range_frame",
-    "set_ops_all_variants",
-    "array_functions",
-    "null_ordering",
     "lateral_view_explode",
     "window_distribution_funcs",
     # Deferred to r7 (trivial/twin entries, driver-green in r1/r2 and
     # pytest-oracle-verified every run): projection_alias,
     # filter_conjunctive, limit_injection, math_functions,
     # halfopen_ts_range, groupby_ordinal, using_join_syntax (the
-    # join_using literal-syntax twin stays in).
+    # join_using literal-syntax twin stays in), and — displaced by the
+    # six late-r6 entries above — string_functions, date_functions,
+    # window_range_frame, set_ops_all_variants, array_functions,
+    # null_ordering.
     # List is exactly 50 names.
 ]
 

@@ -52,7 +52,11 @@ def test_driver_gate_covers_rotation_set():
         "exact_percentiles", "distinct_agg_per_group",
         "text_lang_id", "dedup_exact", "dedup_simhash",
         "embedding_quantize_int8", "window_distribution_funcs",
-        "set_ops_all_variants", "lateral_view_explode",
+        "lateral_view_explode",
+        # late-r6 additions, never driver-verified
+        "knn_join_graph", "zorder_layout_report",
+        "trend_slope_by_event_type", "ewma_value_per_user",
+        "embedding_covariance_dims", "decontamination_embedding",
     }
     missing = must_have - set(gate)
     assert not missing, f"rotation entries outside driver gate: {sorted(missing)}"
