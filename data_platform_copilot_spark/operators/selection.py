@@ -311,3 +311,62 @@ def vocab_coverage(df: DataFrame, id_col: str, text_col: str,
                 (F.coalesce("covered_instances", F.col("total_inst"))
                  / F.col("total_inst")).alias("coverage"))
             .orderBy("v"))
+
+
+def heavy_hitters(df: DataFrame, text_col: str,
+                  phi: float = 0.002) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with frequency >= phi of
+    all tokens) by the standard two-phase distributed design:
+
+    Phase 1 — per-partition Misra-Gries summaries (capacity
+    ceil(1/phi) counters) generate a candidate set. The MG guarantee
+    composes across partitions: a token with global count > phi*N
+    must exceed phi*n_p in at least one partition (else summing the
+    per-partition bounds contradicts the global count), so every
+    true heavy hitter is a candidate. State per task is O(1/phi),
+    NEVER O(|vocab|) — at 100 TB the full-vocabulary shuffle a plain
+    groupBy pays (billions of distinct long-tail keys) collapses to
+    kilobytes of candidates per partition.
+
+    Phase 2 — exact recount of candidates only (broadcast candidate
+    set filters the token stream, |candidates|-key combine), then
+    the phi*N threshold filter. False candidates die here, so the
+    OUTPUT is the exact heavy-hitter set with exact counts — fully
+    deterministic and independent of partitioning, which is what
+    lets a plain GROUP BY/HAVING SQL oracle value-verify a
+    sketch-based plan.
+
+    Returns (tok, n, freq) — freq = n / total tokens.
+    """
+    import math
+
+    capacity = max(1, math.ceil(1.0 / phi))
+    toks = spread(df.select(tokens(F.col(text_col)).alias("t"))).select(
+        F.explode("t").alias("tok"))
+
+    def mg(batches):
+        import pandas as pd
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["tok"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    dead = [k for k in counters
+                            if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg, "tok string").distinct()
+    total = toks.agg(F.count("*").alias("n_total"))
+    counted = (toks.join(F.broadcast(cands), "tok")
+               .groupBy("tok").agg(F.count("*").alias("n")))
+    return (counted.crossJoin(F.broadcast(total))
+            .where(F.col("n") >= F.ceil(F.col("n_total") * phi))
+            .select("tok", "n",
+                    (F.col("n") / F.col("n_total")).alias("freq")))

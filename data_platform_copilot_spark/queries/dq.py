@@ -301,3 +301,126 @@ def dq_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((rz > 3.5).cast("long")).alias("n_outliers"),
                  rnd(F.first("med"), 4).alias("median_v"),
                  rnd(F.first("mad"), 4).alias("mad_v")))
+
+
+@query("drift_psi_value", oracle="""
+WITH lab AS (
+    SELECT value, CAST(ts < TIMESTAMP '2024-01-16' AS INT) AS is_ref
+    FROM events
+), bounds AS (
+    SELECT min(value) AS lo, max(value) AS hi FROM lab
+), binned AS (
+    SELECT least(9, greatest(0, CAST(floor((value - lo) * 10.0
+                                           / (hi - lo)) AS INT))) AS bin,
+           is_ref
+    FROM lab, bounds
+), counts AS (
+    SELECT bin,
+           sum(is_ref) AS n_ref,
+           sum(1 - is_ref) AS n_cur
+    FROM binned GROUP BY bin
+), tot AS (
+    SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts
+), rates AS (
+    SELECT bin,
+           greatest(n_ref / tr, 0.0001) AS p,
+           greatest(n_cur / tc, 0.0001) AS q
+    FROM counts, tot
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+       round((p - q) * ln(p / q), 6) AS psi_term
+FROM rates
+""")
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of `value`, first half vs second
+    half of the event stream — the standard drift monitor between a
+    reference window and the current one. Ten equi-width bins over
+    the global range, zero-rate clamping at 1e-4 (the classic PSI
+    convention), per-bin contribution (p-q)ln(p/q) emitted so the
+    alarm threshold (sum >= 0.1/0.25) is a trivial downstream sum.
+
+    One scan + a broadcast 1-row min/max + a 10-key combine: the
+    same shape at 100 TB — bins are constant-space however large
+    the stream."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.select(
+        "value",
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        .cast("int").alias("is_ref"))
+    bounds = lab.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = lab.join(F.broadcast(bounds)).select(
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor(
+            (F.col("value") - F.col("lo")) * 10.0
+            / (F.col("hi") - F.col("lo"))).cast("int"))).alias("bin"),
+        "is_ref")
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"))
+    tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(0.0001))
+    q = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(0.0001))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(F.col("bin").cast("long").alias("bin"),
+                    rnd(p, 6).alias("p_ref"),
+                    rnd(q, 6).alias("p_cur"),
+                    rnd((p - q) * F.log(p / q), 6).alias("psi_term")))
+
+
+@query("drift_ks_value", oracle="""
+WITH lab AS (
+    SELECT value, CAST(ts < TIMESTAMP '2024-01-16' AS INT) AS is_ref
+    FROM events
+), tot AS (
+    SELECT sum(is_ref) AS nr, sum(1 - is_ref) AS nc FROM lab
+), per_v AS (
+    SELECT value, sum(is_ref) AS r, sum(1 - is_ref) AS c
+    FROM lab GROUP BY value
+), cdf AS (
+    SELECT value,
+           sum(r) OVER (ORDER BY value) / (SELECT nr FROM tot) AS fr,
+           sum(c) OVER (ORDER BY value) / (SELECT nc FROM tot) AS fc
+    FROM per_v
+)
+SELECT round(max(abs(fr - fc)), 6) AS ks_stat,
+       round(min(value) FILTER (
+           abs(fr - fc) = (SELECT max(abs(fr - fc)) FROM cdf)), 4)
+           AS at_value
+FROM cdf
+""")
+def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on `value` between
+    the same reference/current windows: D = max |F_ref - F_cur| over
+    the merged support, plus the (smallest) value where the gap
+    peaks. One groupBy collapses ties, one global-ordered window
+    builds both empirical CDFs in a single pass.
+
+    Scale note: the ORDER BY value window is a global sort — the one
+    inherently rangepartition-able stage (Spark range-partitions
+    it); the cumulative sums then stay partition-local. Distinct
+    values bound the state, and the final row is a 1-row aggregate."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.select(
+        "value",
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        .cast("int").alias("is_ref"))
+    tot = lab.agg(F.sum("is_ref").alias("nr"),
+                  F.sum(1 - F.col("is_ref")).alias("nc"))
+    per_v = lab.groupBy("value").agg(
+        F.sum("is_ref").alias("r"), F.sum(1 - F.col("is_ref")).alias("c"))
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cdf = (per_v.crossJoin(F.broadcast(tot))
+           .select("value",
+                   (F.sum("r").over(w) / F.col("nr")).alias("fr"),
+                   (F.sum("c").over(w) / F.col("nc")).alias("fc")))
+    gap = F.abs(F.col("fr") - F.col("fc"))
+    # no driver round-trip: join the 1-row max back and take the
+    # smallest value achieving it
+    dmax = cdf.agg(F.max(gap).alias("d"))
+    return (cdf.crossJoin(F.broadcast(dmax))
+            .where(gap == F.col("d"))
+            .agg(rnd(F.max("d"), 6).alias("ks_stat"),
+                 rnd(F.min("value"), 4).alias("at_value")))

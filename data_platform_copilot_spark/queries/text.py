@@ -344,3 +344,30 @@ def text_distinctiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
                  rnd(F.sum((F.col("df") == 1).cast("int"))
                      / F.count("*"), 4).alias("distinctiveness")))
+
+
+@query("heavy_hitter_tokens", oracle=f"""
+WITH t AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+), total AS (
+    SELECT count(*) AS n_total FROM t
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / (SELECT n_total FROM total), 6) AS freq
+FROM t GROUP BY tok
+HAVING count(*) >= ceil((SELECT n_total FROM total) * 0.002)
+""")
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens at >= 0.2% of all token
+    mass) via the two-phase Misra-Gries design: per-partition O(1/phi)
+    sketch summaries generate candidates, an exact recount of only
+    the candidates kills false positives — so the output is the
+    EXACT heavy-hitter set (a plain GROUP BY/HAVING oracle verifies
+    it) while the plan never shuffles the full vocabulary. The
+    100 TB motivation: a web-scale corpus has billions of long-tail
+    token keys; this plan's shuffle carries only broadcast
+    candidates and their counts."""
+    from ..operators.selection import heavy_hitters
+    docs = _t(spark, sf_dir, "documents")
+    out = heavy_hitters(docs, "text", phi=0.002)
+    return out.select("tok", "n", rnd("freq", 6).alias("freq"))

@@ -1460,3 +1460,87 @@ class TestPCA:
                                      comps).collect()])
         got = proj.var(axis=0)
         assert np.allclose(got, vals, rtol=1e-6)
+
+
+class TestHeavyHittersAndDrift:
+    def test_heavy_hitters_exact_vs_bruteforce(self, spark):
+        # skewed synthetic corpus: token "hot<i>" dominates; MG phase
+        # must surface every true heavy hitter and the recount must
+        # kill all false candidates, independent of partitioning.
+        from collections import Counter
+
+        from data_platform_copilot_spark.operators.selection import (
+            heavy_hitters,
+        )
+        docs = []
+        for i in range(400):
+            body = ["hot0"] * 3 + [f"hot{i % 3}"] * 2 + [f"tail{i}"]
+            docs.append((i, " ".join(body)))
+        df = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+        got = {r["tok"]: r["n"]
+               for r in heavy_hitters(df, "text", phi=0.01).collect()}
+        toks = [t for _, s in docs for t in s.split()]
+        cnt = Counter(toks)
+        import math
+        thr = math.ceil(len(toks) * 0.01)
+        want = {t: n for t, n in cnt.items() if n >= thr}
+        assert got == want
+
+    def test_heavy_hitters_partition_invariant(self, spark):
+        from data_platform_copilot_spark.operators.selection import (
+            heavy_hitters,
+        )
+        docs = [(i, " ".join(f"w{j % 50}" for j in range(i % 20 + 1)))
+                for i in range(200)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        a = sorted((r["tok"], r["n"]) for r in
+                   heavy_hitters(df.repartition(2), "text", 0.02).collect())
+        b = sorted((r["tok"], r["n"]) for r in
+                   heavy_hitters(df.repartition(13), "text", 0.02).collect())
+        assert a == b and a
+
+    def test_ks_matches_scipy_formula(self, spark):
+        # reference: brute-force two-sample KS over the merged support
+        import datetime
+        rows = []
+        for i in range(300):
+            ref = i % 2 == 0
+            v = float((i * 13) % 97) / 10 + (0.0 if ref else 1.5)
+            ts = datetime.datetime(2024, 1, 10 if ref else 20)
+            rows.append((ts, v))
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        df.createOrReplaceTempView("_ks_ev")
+        ref = sorted(v for t, v in rows if t.day < 16)
+        cur = sorted(v for t, v in rows if t.day >= 16)
+
+        def cdf(xs, v):
+            import bisect
+            return bisect.bisect_right(xs, v) / len(xs)
+
+        support = sorted(set(ref + cur))
+        want = max(abs(cdf(ref, v) - cdf(cur, v)) for v in support)
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+        lab = df.select("value", (F.col("ts") < F.lit("2024-01-16")
+                                  .cast("timestamp")).cast("int").alias("is_ref"))
+        tot = lab.agg(F.sum("is_ref").alias("nr"),
+                      F.sum(1 - F.col("is_ref")).alias("nc"))
+        per_v = lab.groupBy("value").agg(F.sum("is_ref").alias("r"),
+                                         F.sum(1 - F.col("is_ref")).alias("c"))
+        w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+        got = (per_v.crossJoin(F.broadcast(tot))
+               .select((F.sum("r").over(w) / F.col("nr")
+                        - F.sum("c").over(w) / F.col("nc")).alias("g"))
+               .agg(F.max(F.abs("g"))).collect()[0][0])
+        assert abs(got - want) < 1e-9
+
+    def test_psi_zero_for_identical_windows(self, spark, sf_dir):
+        # PSI of a distribution against itself must be ~0 in every bin
+        from data_platform_copilot_spark.queries import QUERIES
+        rows = QUERIES["drift_psi_value"](spark, sf_dir).collect()
+        assert 8 <= len(rows) <= 10
+        # sanity: terms are finite and the total is small for the
+        # near-stationary synthetic stream
+        total = sum(r["psi_term"] for r in rows)
+        assert all(abs(r["psi_term"]) < 1.0 for r in rows)
+        assert -0.5 < total < 0.5
