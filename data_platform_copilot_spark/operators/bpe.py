@@ -1,0 +1,151 @@
+"""Distributed BPE-merge training (Sennrich et al. 2016, ACL —
+"Neural Machine Translation of Rare Words with Subword Units").
+
+The tokenizer-training step of an LLM data pipeline, built ENTIRELY
+from relational operations so the learned merge table is
+value-verifiable against a SQL replay:
+
+- state = the corpus's distinct-word symbol streams, one row per
+  (word, position, symbol) — vocabulary-sized, NOT corpus-sized: the
+  100 TB corpus collapses to its word vocabulary + counts in one
+  groupBy, and every merge round after that touches only the vocab.
+- each round: adjacent-pair frequencies (self-join on position+1,
+  count-weighted combine), a deterministic argmax (freq DESC, then
+  lexicographic pair — the tiebreak both engines replay), greedy
+  left-to-right non-overlapping occurrence selection (the
+  consecutive-run / odd-rank window trick), and a rebuild of the
+  symbol stream with merged positions renumbered.
+
+The driver sees one KB-sized row per round (the chosen pair); the
+symbol state localCheckpoints per round to stop logical-plan growth
+across rounds (same rationale as operators/graph.py — executor-local
+blocks, no HDFS round-trip; at this cadence a lost executor costs a
+re-run of a vocabulary-sized job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+MARKER = "</w>"
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, n): the corpus's distinct words with counts — the only
+    corpus-sized pass in BPE training."""
+    return (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .where(F.length("w") > 0)
+            .groupBy("w").agg(F.count("*").alias("n")))
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """(w, pos, s): each word split into single characters plus the
+    end-of-word marker, 1-based positions."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)))
+    return (words.select(
+        "w", F.posexplode(F.concat(chars, F.array(F.lit(MARKER))))
+        .alias("pos0", "s"))
+        .select("w", (F.col("pos0") + 1).alias("pos"), "s"))
+
+
+def bpe_train(df: DataFrame, text_col: str,
+              n_merges: int = 8) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (merge_rank, lhs, rhs, freq) — deterministic for a given corpus,
+    so a SQL oracle replaying the identical rounds value-verifies
+    the whole training run."""
+    spark = df.sparkSession
+    words = word_vocab(df, text_col).localCheckpoint()
+    s = _initial_symbols(words).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        a, b = s.alias("a"), s.alias("b")
+        pairs = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                        & (F.col("b.pos") == F.col("a.pos") + 1))
+                 .select(F.col("a.w").alias("w"),
+                         F.col("a.pos").alias("apos"),
+                         F.col("a.s").alias("lhs"),
+                         F.col("b.s").alias("rhs")))
+        best = (pairs.join(words, "w")
+                .groupBy("lhs", "rhs").agg(F.sum("n").alias("freq"))
+                .orderBy(F.desc("freq"), "lhs", "rhs")
+                .limit(1).collect())
+        if not best:
+            break
+        lhs, rhs, freq = best[0]["lhs"], best[0]["rhs"], int(best[0]["freq"])
+        merges.append((r, lhs, rhs, freq))
+        # greedy left-to-right non-overlap: consecutive candidate
+        # positions (only possible when lhs == rhs) form runs via the
+        # pos - row_number trick; odd ranks within a run merge.
+        cand = (pairs
+                .where((F.col("lhs") == lhs) & (F.col("rhs") == rhs))
+                .withColumn("rn", F.row_number().over(
+                    W.partitionBy("w").orderBy("apos")))
+                .withColumn("grp", F.col("apos") - F.col("rn"))
+                .withColumn("rn2", F.row_number().over(
+                    W.partitionBy("w", "grp").orderBy("apos")))
+                .where(F.col("rn2") % 2 == 1)
+                .select("w", "apos"))
+        start = cand.select("w", F.col("apos").alias("pos"),
+                            F.lit(True).alias("is_start"))
+        tail = cand.select("w", (F.col("apos") + 1).alias("pos"),
+                           F.lit(True).alias("is_tail"))
+        s = (s.join(start, ["w", "pos"], "left")
+             .join(tail, ["w", "pos"], "left")
+             .where(F.col("is_tail").isNull())
+             .select("w", "pos",
+                     F.when(F.col("is_start").isNotNull(),
+                            F.lit(lhs + rhs))
+                     .otherwise(F.col("s")).alias("s"))
+             .select("w",
+                     F.row_number().over(
+                         W.partitionBy("w").orderBy("pos")).alias("pos"),
+                     "s")
+             .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, freq long")
+
+
+def bpe_reference(texts: list[str], n_merges: int = 8):
+    """Pure-python Sennrich reference for tests: same tokenization
+    (lowercase, whitespace-collapsed), same tiebreak, same greedy
+    left-to-right merging."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                words[w] += 1
+    seqs = {w: [*w, MARKER] for w in words}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pair_counts: Counter = Counter()
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                pair_counts[(seq[i], seq[i + 1])] += words[w]
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(),
+                   key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (lhs, rhs), freq = best
+        merges.append((r, lhs, rhs, freq))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == lhs
+                        and seq[i + 1] == rhs):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges

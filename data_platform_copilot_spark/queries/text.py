@@ -371,3 +371,79 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = heavy_hitters(docs, "text", phi=0.002)
     return out.select("tok", "n", rnd("freq", 6).alias("freq"))
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB replay of operators.bpe.bpe_train, round by round: the
+    word vocab, the character symbol streams, and per round the
+    pair-frequency combine, the (freq DESC, lhs, rhs) argmax as a
+    1-row CTE, the greedy non-overlap window selection, and the
+    symbol-stream rebuild — identical relational steps, identical
+    tiebreaks, so the learned merge table value-hashes equal. CTEs
+    are MATERIALIZED: default inlining re-expands each round's state
+    into the next (exponential re-scans of the parquet)."""
+    ctes = [f"""words AS MATERIALIZED (
+    SELECT tok AS w, count(*) AS n FROM (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ) WHERE len(tok) > 0 GROUP BY tok
+), s0 AS MATERIALIZED (
+    SELECT w, i AS pos, substr(w, i, 1) AS s
+    FROM words, unnest(range(1, len(w) + 1)) AS u(i)
+    UNION ALL
+    SELECT w, len(w) + 1, '</w>' FROM words
+)"""]
+    for r in range(1, n_merges + 1):
+        p = f"s{r - 1}"
+        ctes.append(f"""p{r} AS MATERIALIZED (
+    SELECT a.w, a.pos AS apos, a.s AS lhs, b.s AS rhs
+    FROM {p} a JOIN {p} b ON a.w = b.w AND b.pos = a.pos + 1
+), b{r} AS MATERIALIZED (
+    SELECT lhs, rhs, freq FROM (
+        SELECT lhs, rhs, sum(n) AS freq
+        FROM p{r} JOIN words USING (w) GROUP BY lhs, rhs
+    ) ORDER BY freq DESC, lhs, rhs LIMIT 1
+), m{r} AS MATERIALIZED (
+    SELECT w, apos FROM (
+        SELECT w, apos,
+               row_number() OVER (PARTITION BY w, grp
+                                  ORDER BY apos) AS rn2
+        FROM (
+            SELECT c.w, c.apos,
+                   c.apos - row_number() OVER (PARTITION BY c.w
+                                               ORDER BY c.apos) AS grp
+            FROM p{r} c JOIN b{r} USING (lhs, rhs)
+        )
+    ) WHERE rn2 % 2 = 1
+), s{r} AS MATERIALIZED (
+    SELECT w, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, s
+    FROM (
+        SELECT s.w, s.pos,
+               CASE WHEN m1.apos IS NOT NULL
+                    THEN (SELECT lhs || rhs FROM b{r})
+                    ELSE s.s END AS s
+        FROM {p} s
+        LEFT JOIN m{r} m1 ON s.w = m1.w AND s.pos = m1.apos
+        LEFT JOIN m{r} m2 ON s.w = m2.w AND s.pos = m2.apos + 1
+        WHERE m2.apos IS NULL
+    )
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, CAST(freq AS BIGINT) AS freq "
+        f"FROM b{r}" for r in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@query("bpe_merge_table", oracle=_bpe_oracle(8))
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016) over the documents
+    corpus: the first 8 learned merges with their frequencies. The
+    whole training loop is relational — ONE corpus-sized groupBy
+    collapses 100 TB of text to its word vocabulary, and every merge
+    round after that is vocab-sized joins/windows; the driver sees
+    one row per round. Deterministic by construction (freq DESC +
+    lexicographic tiebreak, greedy left-to-right non-overlap), so the
+    DuckDB oracle replays all 8 rounds as chained CTEs and the merge
+    tables value-hash equal."""
+    from ..operators.bpe import bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=8)

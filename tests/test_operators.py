@@ -1544,3 +1544,48 @@ class TestHeavyHittersAndDrift:
         total = sum(r["psi_term"] for r in rows)
         assert all(abs(r["psi_term"]) < 1.0 for r in rows)
         assert -0.5 < total < 0.5
+
+
+class TestBPE:
+    def test_matches_python_reference_synthetic(self, spark):
+        from data_platform_copilot_spark.operators.bpe import (
+            bpe_reference,
+            bpe_train,
+        )
+        texts = ["low lower lowest low low",
+                 "new newer newest new newer",
+                 "wide wider widest low new"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [(r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
+               for r in bpe_train(df, "text", n_merges=6)
+               .orderBy("merge_rank").collect()]
+        want = bpe_reference(texts, n_merges=6)
+        assert got == want
+
+    def test_matches_python_reference_real_corpus(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.bpe import (
+            bpe_reference,
+            bpe_train,
+        )
+        from data_platform_copilot_spark.sources import load_table
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        texts = [r["text"] for r in docs.select("text").collect()]
+        got = [(r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
+               for r in bpe_train(docs, "text", n_merges=5)
+               .orderBy("merge_rank").collect()]
+        assert got == bpe_reference(texts, n_merges=5)
+
+    def test_overlapping_run_semantics(self, spark):
+        # "aaaa" with pair (a,a): greedy left-to-right merges
+        # positions 1-2 and 3-4 -> freq counts 3 adjacencies but only
+        # 2 merge sites; the reference loop defines the contract
+        from data_platform_copilot_spark.operators.bpe import (
+            bpe_reference,
+            bpe_train,
+        )
+        texts = ["aaaa aaaa aa"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [(r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
+               for r in bpe_train(df, "text", n_merges=3)
+               .orderBy("merge_rank").collect()]
+        assert got == bpe_reference(texts, n_merges=3)
