@@ -447,3 +447,115 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train
     docs = _t(spark, sf_dir, "documents")
     return bpe_train(docs, "text", n_merges=8)
+
+
+@query("tfidf_keywords_per_doc", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    WHERE doc_id < 100
+), tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+), df_t AS (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+), scored AS (
+    SELECT tf.doc_id, tf.tok,
+           tf.tf * ln(n.n_docs / df_t.df) AS tfidf
+    FROM tf JOIN df_t USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, round(tfidf, 6) AS tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT doc_id, tok, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, tok) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+""")
+def tfidf_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (first 100 docs) — the
+    classic per-document salience extraction: raw tf times
+    ln(N/df), deterministic (score DESC, token) tiebreak. Plan
+    shape: one doc-keyed tf combine, one token-keyed df combine
+    (map-side partial on both), a token join — NOT broadcast by
+    hint, the token side is vocabulary-sized and Catalyst picks —
+    and a WindowGroupLimit-pushed rank-3 filter, so the shuffle
+    after scoring carries at most 3 rows per document."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text")))
+                      .alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (tf.join(df_t, "tok").crossJoin(F.broadcast(n))
+              .select("doc_id", "tok",
+                      (F.col("tf")
+                       * F.log(F.col("n_docs") / F.col("df")))
+                      .alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 3)
+            .select("doc_id", "tok", rnd("tfidf", 6).alias("tfidf"),
+                    "rnk"))
+
+
+@query("pmi_cooccurrence_pairs", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+         unnest(range(1, len(t) + 1)) AS u(i)
+), pairs AS (
+    SELECT a.tok AS w1, b.tok AS w2
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+         AND a.tok < b.tok
+), pc AS (
+    SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY w1, w2
+), uc AS (
+    SELECT tok, count(*) AS n_tok FROM tok GROUP BY tok
+), tot AS (
+    SELECT (SELECT count(*) FROM pairs) AS n_pairs,
+           (SELECT count(*) FROM tok) AS n_toks
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       round(ln((n_pair / n_pairs)
+                / ((a.n_tok / n_toks) * (b.n_tok / n_toks))), 6) AS pmi
+FROM pc JOIN uc a ON pc.w1 = a.tok
+        JOIN uc b ON pc.w2 = b.tok
+        CROSS JOIN tot
+WHERE n_pair >= 50
+""")
+def pmi_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring
+    within a +-2 window — the embedding-training-prep statistic
+    (word2vec/GloVe both start from exactly this co-occurrence
+    count). Position self-join bounded to offset<=2 (each token row
+    joins at most 2 partners — linear, not quadratic, in corpus
+    size), unordered pairs canonicalized w1<w2, count floor 50 keeps
+    the output the strong-association set. PMI from the three
+    count tables; all shuffles are map-side-combinable key groups."""
+    from ..sources.registry import spread
+    docs = _t(spark, sf_dir, "documents")
+    tok = spread(docs.select("doc_id", F.posexplode(
+        tokens(F.col("text"))).alias("pos", "tok")))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("b.pos") - F.col("a.pos")).between(1, 2)
+                    & (F.col("a.tok") < F.col("b.tok")))
+             .select(F.col("a.tok").alias("w1"),
+                     F.col("b.tok").alias("w2")))
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    uc = tok.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    tot = (pairs.agg(F.count("*").alias("n_pairs"))
+           .crossJoin(tok.agg(F.count("*").alias("n_toks"))))
+    pmi = F.log((F.col("n_pair") / F.col("n_pairs"))
+                / ((F.col("a.n_tok") / F.col("n_toks"))
+                   * (F.col("b.n_tok") / F.col("n_toks"))))
+    return (pc.join(uc.alias("a"), F.col("w1") == F.col("a.tok"))
+            .join(uc.alias("b"), F.col("w2") == F.col("b.tok"))
+            .crossJoin(F.broadcast(tot))
+            .where(F.col("n_pair") >= 50)
+            .select("w1", "w2", "n_pair", rnd(pmi, 6).alias("pmi")))
