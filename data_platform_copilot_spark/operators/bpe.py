@@ -60,6 +60,17 @@ def bpe_train(df: DataFrame, text_col: str,
     (merge_rank, lhs, rhs, freq) — deterministic for a given corpus,
     so a SQL oracle replaying the identical rounds value-verifies
     the whole training run."""
+    merges_df, _ = bpe_train_with_state(df, text_col, n_merges)
+    return merges_df
+
+
+def bpe_train_with_state(df: DataFrame, text_col: str,
+                         n_merges: int = 8):
+    """(merge table, final symbol state (w, pos, s)) — the state is
+    what segmentation consumes: a word's row count IS its subword
+    count under the learned merges, and joining it back to the
+    corpus by word segments 100 TB of text with a vocab-sized dim
+    join."""
     spark = df.sparkSession
     words = word_vocab(df, text_col).localCheckpoint()
     s = _initial_symbols(words).localCheckpoint()
@@ -108,8 +119,8 @@ def bpe_train(df: DataFrame, text_col: str,
                          W.partitionBy("w").orderBy("pos")).alias("pos"),
                      "s")
              .localCheckpoint())
-    return spark.createDataFrame(
-        merges, "merge_rank long, lhs string, rhs string, freq long")
+    return (spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, freq long"), s)
 
 
 def bpe_reference(texts: list[str], n_merges: int = 8):

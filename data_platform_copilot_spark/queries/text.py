@@ -433,6 +433,21 @@ def _bpe_oracle(n_merges: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + sel
 
 
+def _bpe_segment_oracle(n_merges: int) -> str:
+    """Same round replay, different projection: the FINAL symbol
+    state s{n} — a word's row count is its subword count under the
+    learned merges."""
+    base = _bpe_oracle(n_merges)
+    head = base[:base.rindex("\nSELECT 1 AS merge_rank")]
+    return head + f"""
+SELECT s.w AS w,
+       CAST(max(words.n) AS BIGINT) AS word_count,
+       CAST(count(*) AS BIGINT) AS n_subwords
+FROM s{n_merges} s JOIN words ON s.w = words.w
+GROUP BY s.w
+"""
+
+
 @query("bpe_merge_table", oracle=_bpe_oracle(8))
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich 2016) over the documents
@@ -559,3 +574,24 @@ def pmi_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(tot))
             .where(F.col("n_pair") >= 50)
             .select("w1", "w2", "n_pair", rnd(pmi, 6).alias("pmi")))
+
+
+@query("bpe_segment_lengths", oracle=_bpe_segment_oracle(8))
+def bpe_segment_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword segmentation under the learned BPE merges: per
+    distinct word, its corpus count and its subword count after the
+    8 trained merges — the vocabulary-sized dim table that, joined
+    back by word, segments the full corpus (and prices it in
+    tokens) without touching the text again. Verified by the same
+    round-replay oracle as bpe_merge_table, projected onto the
+    final symbol state."""
+    from ..operators.bpe import bpe_train_with_state
+    docs = _t(spark, sf_dir, "documents")
+    _, state = bpe_train_with_state(docs, "text", n_merges=8)
+    from ..operators.bpe import word_vocab
+    words = word_vocab(docs, "text")
+    return (state.groupBy("w")
+            .agg(F.count("*").alias("n_subwords"))
+            .join(words, "w")
+            .select("w", F.col("n").cast("long").alias("word_count"),
+                    F.col("n_subwords").cast("long").alias("n_subwords")))
