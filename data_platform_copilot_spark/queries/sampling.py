@@ -229,3 +229,65 @@ def weighted_sample_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id",
                       F.col("n_chars").cast("long").alias("n_chars"),
                       rnd("es_key", 8).alias("es_key"))
+
+
+@query("token_budget_allocation", oracle=f"""
+WITH per AS (
+    SELECT source,
+           sum(len(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' '))) AS toks
+    FROM documents GROUP BY source
+), w AS (
+    SELECT source, toks,
+           toks ^ 0.7 AS wt
+    FROM per
+), q AS (
+    SELECT source, toks,
+           100000 * wt / sum(wt) OVER () AS quota
+    FROM w
+), fl AS (
+    SELECT source, toks, quota,
+           CAST(floor(quota) AS BIGINT) AS base,
+           quota - floor(quota) AS rem
+    FROM q
+), rk AS (
+    SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r,
+           100000 - sum(base) OVER () AS leftover
+    FROM fl
+)
+SELECT source, CAST(toks AS BIGINT) AS toks_available,
+       CAST(base + CASE WHEN r <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS allocated_tokens
+FROM rk
+""")
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: apportion a 100k-token budget across
+    sources by temperature-weighted mass (w = toks^0.7, the
+    mT5/XLM-R exponent) using LARGEST-REMAINDER apportionment — the
+    floors plus one extra token-quota for the biggest remainders, so
+    the allocations sum EXACTLY to the budget (naive rounding
+    drifts). Deterministic tiebreak (remainder DESC, source). This
+    is the plan a sampler executes; per-source token mass is one
+    groupBy, apportionment is |sources|-row window arithmetic."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens as toks_fn
+    docs = _t(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+           .agg(F.sum(F.size(toks_fn(F.col("text")))).alias("toks")))
+    wt = F.pow(F.col("toks").cast("double"), F.lit(0.7))
+    q = per.select("source", "toks",
+                   (F.lit(100000) * wt
+                    / F.sum(wt).over(W.partitionBy())).alias("quota"))
+    fl = q.select("source", "toks", "quota",
+                  F.floor("quota").cast("long").alias("base"),
+                  (F.col("quota") - F.floor("quota")).alias("rem"))
+    rk = fl.select(
+        "*",
+        F.row_number().over(W.orderBy(F.desc("rem"), "source")).alias("r"),
+        (F.lit(100000) - F.sum("base").over(W.partitionBy()))
+        .alias("leftover"))
+    return rk.select(
+        "source", F.col("toks").cast("long").alias("toks_available"),
+        (F.col("base") + F.when(F.col("r") <= F.col("leftover"), 1)
+         .otherwise(0)).cast("long").alias("allocated_tokens"))

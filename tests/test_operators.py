@@ -1589,3 +1589,11 @@ class TestBPE:
                for r in bpe_train(df, "text", n_merges=3)
                .orderBy("merge_rank").collect()]
         assert got == bpe_reference(texts, n_merges=3)
+
+
+class TestBudgetAllocation:
+    def test_sums_exactly_to_budget(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        rows = QUERIES["token_budget_allocation"](spark, sf_dir).collect()
+        assert sum(r["allocated_tokens"] for r in rows) == 100000
+        assert all(r["allocated_tokens"] >= 0 for r in rows)
