@@ -204,3 +204,48 @@ class TestAnalyticsShapes:
         plan = plan_of(spark, sf_dir, "cohort_retention_matrix")
         assert plan.count("events.parquet") <= 2 or \
             plan.count("Scan parquet") <= 2
+
+
+class TestLateR6PlanShapes:
+    def test_knn_join_no_distinct_exchange(self, spark, sf_dir):
+        # first-colliding-table rule: candidate union must reach the
+        # window WITHOUT a dropDuplicates (HashAggregate over pair
+        # keys) between the joins and the rank; buckets join as
+        # EQUI-joins (hash strategy is stats-driven: broadcast at this
+        # tiny SF, shuffle hash/SMJ at scale), never nested-loop
+        plan = plan_of(spark, sf_dir, "knn_join_graph")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" not in plan  # no distinct/dedup stage
+        assert "Window" in plan  # rank-k per query, not a global sort
+
+    def test_heavy_hitters_no_vocab_shuffle(self, spark, sf_dir):
+        # the only keyed aggregate exchange is over CANDIDATE tokens
+        # (post-broadcast-join); the raw token stream itself feeds the
+        # MG sketch via MapInPandas and a 1-row count only
+        plan = plan_of(spark, sf_dir, "heavy_hitter_tokens")
+        assert "MapInPandas" in plan
+        assert "BroadcastExchange" in plan  # candidates + total
+        assert "BatchEvalPython" not in plan
+
+    def test_zorder_is_pure_codegen(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "zorder_layout_report")
+        assert "MapInPandas" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "codegen id" in plan  # interleave folds into codegen
+
+    def test_trend_single_exchange(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "trend_slope_by_event_type")
+        assert plan.count("hashpartitioning") == 1
+        assert "partial" in plan.lower()  # map-side combine
+
+    def test_tfidf_windowgrouplimit(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tfidf_keywords_per_doc")
+        assert "WindowGroupLimit" in plan
+
+    def test_ewma_single_window_pass(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "ewma_value_per_user")
+        # one user-keyed exchange feeds the window; the weighted fold
+        # is expression-only
+        assert plan.count("hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan
