@@ -223,8 +223,9 @@ def srp_lsh_topk(corpus: DataFrame, queries: DataFrame,
 
 
 def knn_join(corpus: DataFrame, id_col: str, vec_col: str,
-             k: int = 3, n_planes: int = 6, tables: int = 4,
-             dim: int = 64, seed: int = 42) -> DataFrame:
+             k: int = 3, n_planes: int | None = 6, tables: int = 4,
+             dim: int = 64, seed: int = 42,
+             target_bucket: int = 32) -> DataFrame:
     """k-NN GRAPH: approximate top-k neighbors for EVERY corpus
     vector (vs the ANN entries, whose small query set broadcasts).
     The corpus self-joins per hash table on the SRP bucket key — a
@@ -242,7 +243,19 @@ def knn_join(corpus: DataFrame, id_col: str, vec_col: str,
     and each bucket's pairs materialize only within its shuffle
     partition. Rows whose buckets collide with nothing simply have
     no edges, the correct semantics for a near-dup/similarity graph.
+
+    THE scale knob is ``n_planes``: bucket count is 2^n_planes per
+    table, so holding it constant while the corpus grows makes
+    per-bucket work grow quadratically (measured: 10x corpus at 6
+    planes = 42x time; 10 planes = exactly 10x — BASELINE.md).
+    ``n_planes=None`` derives it from the corpus size to hold
+    ~``target_bucket`` vectors per bucket (one count() at build,
+    the same dial a production LSH index turns).
     """
+    if n_planes is None:
+        import math
+        n = corpus.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
     all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t)
                   for t in range(tables)]
     b = corpus.select(

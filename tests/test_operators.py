@@ -1597,3 +1597,16 @@ class TestBudgetAllocation:
         rows = QUERIES["token_budget_allocation"](spark, sf_dir).collect()
         assert sum(r["allocated_tokens"] for r in rows) == 100000
         assert all(r["allocated_tokens"] >= 0 for r in rows)
+
+
+class TestKnnAutoPlanes:
+    def test_auto_planes_tracks_corpus_size(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.similarity import knn_join
+        from data_platform_copilot_spark.sources import load_table
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = knn_join(emb, "vec_id", "embedding", k=1,
+                       n_planes=None, tables=2, dim=64)
+        # 500 vectors / 32 target -> 4 planes -> 16 buckets; just
+        # assert it runs and returns a sane graph
+        rows = out.collect()
+        assert rows and all(r["rank"] == 1 for r in rows)
