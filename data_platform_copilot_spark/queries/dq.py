@@ -303,7 +303,7 @@ def dq_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.first("mad"), 4).alias("mad_v")))
 
 
-@query("drift_psi_value", oracle="""
+_PSI_ORACLE = """
 WITH lab AS (
     SELECT value, CAST(ts < TIMESTAMP '2024-01-16' AS INT) AS is_ref
     FROM events
@@ -331,7 +331,10 @@ SELECT CAST(bin AS BIGINT) AS bin,
        round(p, 6) AS p_ref, round(q, 6) AS p_cur,
        round((p - q) * ln(p / q), 6) AS psi_term
 FROM rates
-""")
+"""
+
+
+@query("drift_psi_value", oracle=_PSI_ORACLE)
 def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of `value`, first half vs second
     half of the event stream — the standard drift monitor between a
@@ -424,3 +427,16 @@ def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(gap == F.col("d"))
             .agg(rnd(F.max("d"), 6).alias("ks_stat"),
                  rnd(F.min("value"), 4).alias("at_value")))
+
+
+@query("streaming_drift_psi", oracle=_PSI_ORACLE)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor running as a STREAM: current-window bin
+    counts accumulate from the live event stream (complete-mode
+    stateful aggregation), reference distribution and bin bounds are
+    static batch state, and the PSI epilogue runs over the monitor's
+    10-row state table. Emits bit-identical rows to the batch
+    ``drift_psi_value``, so the SAME DuckDB oracle value-verifies
+    the streaming path."""
+    from ..streaming.events import run_streaming_drift_psi
+    return run_streaming_drift_psi(spark, sf_dir)

@@ -268,3 +268,57 @@ def run_streaming_decontamination(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the CURRENT window's value
+    distribution accumulates from the live event stream (running
+    per-bin counts — the stateful part a production monitor keeps),
+    while the REFERENCE window's distribution and the bin bounds are
+    static batch state. The PSI epilogue over the 10 running bins is
+    a constant-space batch step on the monitor's state table.
+
+    Produces bit-identical rows to the batch ``drift_psi_value``
+    entry (same bounds, same bins, same 1e-4 clamp), so the same
+    DuckDB oracle value-verifies the streaming path end to end.
+    """
+    from ..queries.core import rnd
+    from ..sources.registry import load_table
+
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_of = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(
+        (F.col("value") - F.col("lo")) * 10.0
+        / (F.col("hi") - F.col("lo"))).cast("int"))).alias("bin")
+    ref = (ev.where(F.col("ts") < cutoff)
+           .join(F.broadcast(bounds))
+           .select(bin_of)
+           .groupBy("bin").agg(F.count("*").alias("n_ref")))
+
+    stream = streaming_events_source(spark, sf_dir)
+    cur_stream = (stream.where(F.col("ts") >= cutoff)
+                  .join(F.broadcast(bounds))
+                  .select(bin_of)
+                  .groupBy("bin").agg(F.count("*").alias("n_cur")))
+    name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    q = (cur_stream.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cur = spark.table(name)
+
+    counts = (ref.join(cur, "bin", "full")
+              .select("bin",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                      F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(0.0001))
+    qq = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(0.0001))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(F.col("bin").cast("long").alias("bin"),
+                    rnd(p, 6).alias("p_ref"),
+                    rnd(qq, 6).alias("p_cur"),
+                    rnd((p - qq) * F.log(p / qq), 6).alias("psi_term")))

@@ -215,3 +215,13 @@ def test_streaming_decontamination_equals_batch(spark, sf_dir):
                   spark, sf_dir, n=13).collect()}
     assert stream == batch
     assert batch, "eval docs self-match, so hits must be non-empty"
+
+
+def test_streaming_psi_equals_batch(spark, sf_dir):
+    from data_platform_copilot_spark.queries import QUERIES
+    batch = {r["bin"]: (r["p_ref"], r["p_cur"], r["psi_term"])
+             for r in QUERIES["drift_psi_value"](spark, sf_dir).collect()}
+    stream = {r["bin"]: (r["p_ref"], r["p_cur"], r["psi_term"])
+              for r in QUERIES["streaming_drift_psi"](spark, sf_dir)
+              .collect()}
+    assert batch == stream
