@@ -307,3 +307,81 @@ def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import zorder_stats
     li = _t(spark, sf_dir, "lineitem")
     return zorder_stats(li, "l_partkey", "l_suppkey", bits=8, files=64)
+
+
+@query("recursive_cte_date_spine", oracle="""
+WITH RECURSIVE spine(d) AS (
+    SELECT DATE '2024-01-01'
+    UNION ALL
+    SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '2024-01-30'
+), daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           count(*) AS n_events,
+           sum(value) AS revenue
+    FROM events GROUP BY 1
+)
+SELECT strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(coalesce(dy.n_events, 0) AS BIGINT) AS n_events,
+       round(coalesce(dy.revenue, 0.0), 2) AS revenue
+FROM spine s LEFT JOIN daily dy ON s.d = dy.d
+""")
+def recursive_cte_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 SQL surface): a recursively generated
+    daily spine left-joined to per-day event revenue — the gap-free
+    reporting series a naive GROUP BY cannot produce (absent days
+    must appear as zero rows). The recursion is driver-free: Spark 4
+    executes the iterative union inside the engine; DuckDB replays
+    the identical recursion, with only the date-format function
+    renamed across dialects."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_spine_events")
+    return spark.sql("""
+WITH RECURSIVE spine(d) AS (
+    SELECT DATE '2024-01-01'
+    UNION ALL
+    SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '2024-01-30'
+), daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           count(*) AS n_events,
+           sum(value) AS revenue
+    FROM _spine_events GROUP BY 1
+)
+SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+       CAST(coalesce(dy.n_events, 0) AS BIGINT) AS n_events,
+       round(coalesce(dy.revenue, 0.0) * 100) / 100 AS revenue
+FROM spine s LEFT JOIN daily dy ON s.d = dy.d
+""")
+
+
+@query("lateral_correlated_topk", oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       o.o_orderkey AS orderkey,
+       round(o.o_totalprice, 2) AS totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) o
+WHERE c.c_custkey <= 20
+""")
+def lateral_correlated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 3.2+ SQL surface): each
+    customer's top-2 orders by price, expressed as the SQL-standard
+    lateral join rather than a window — Catalyst decorrelates it
+    into the same rank-k plan, which is the point: the declarative
+    surface carries no per-row re-execution at scale. Deterministic
+    tiebreak on orderkey; identical SQL runs on DuckDB."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql("""
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       o.o_orderkey AS orderkey,
+       round(o.o_totalprice * 100) / 100 AS totalprice
+FROM _lat_customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM _lat_orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) o
+WHERE c.c_custkey <= 20
+""")
