@@ -440,3 +440,128 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming path."""
     from ..streaming.events import run_streaming_drift_psi
     return run_streaming_drift_psi(spark, sf_dir)
+
+
+# Inverse-CDF thresholds for Poisson(1): P(X <= k) for k = 0..5;
+# u above the last threshold maps to 6. Shared by the Spark entry
+# and its oracle as literals so both engines draw identical weights.
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847,
+              0.9196986029286058, 0.9810118431238462,
+              0.9963401531726563, 0.9994058151824183)
+
+
+def _pois_case_sql(u: str) -> str:
+    cases = "".join(
+        f" WHEN {u} < {t!r} THEN {k}"
+        for k, t in enumerate(_POIS1_CDF))
+    return f"(CASE{cases} ELSE 6 END)"
+
+
+@query("bootstrap_ci_mean_value", oracle=f"""
+WITH reps AS (
+    SELECT e.event_id, e.value, r.b,
+           (('0x' || substring(md5(CAST(e.event_id AS VARCHAR)
+                                   || '_' || CAST(r.b AS VARCHAR)), 1, 6))
+            ::BIGINT + 0.5) / 16777216.0 AS u
+    FROM events e, (SELECT unnest(range(50)) AS b) r
+), wt AS (
+    SELECT b, value, {_pois_case_sql('u')} AS w FROM reps
+), means AS (
+    SELECT b, sum(w * value) / sum(w) AS m FROM wt GROUP BY b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+       round(avg(m), 4) AS boot_mean,
+       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+       round(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM means
+""")
+def bootstrap_ci_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for mean(value) — the
+    standard resampling scheme AT SCALE (Chamandy et al., Google
+    2012 class): instead of materializing B resamples, every row
+    draws B Poisson(1) weights, here DETERMINISTICALLY via the
+    md5-uniform inverse-CDF trick the sampling operators already
+    use, so runs/engines/partitionings agree bit-for-bit. One
+    explode by replicate id, one 50-key weighted combine, exact
+    percentiles over the 50 replicate means. At 100 TB the
+    replicate dimension rides the scan (no data duplication on
+    disk) and the shuffle carries B rows per map task."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    reps = ev.select("event_id", "value",
+                     F.explode(F.sequence(F.lit(0), F.lit(49))).alias("b"))
+    u = (F.conv(F.substring(F.md5(
+        F.concat(F.col("event_id").cast("string"), F.lit("_"),
+                 F.col("b").cast("string"))), 1, 6),
+        16, 10).cast("double") + 0.5) / 16777216.0
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (reps.withColumn("w", w)
+             .groupBy("b")
+             .agg((F.sum(F.col("w") * F.col("value"))
+                   / F.sum("w")).alias("m")))
+    return means.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        rnd(F.avg("m"), 4).alias("boot_mean"),
+        rnd(F.percentile(F.col("m"), F.lit(0.025)), 4).alias("ci_lo"),
+        rnd(F.percentile(F.col("m"), F.lit(0.975)), 4).alias("ci_hi"))
+
+
+@query("ab_test_welch_t", oracle="""
+WITH g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           avg(value) AS m,
+           var_samp(value) AS v
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+), w AS (
+    SELECT
+        max(CASE WHEN event_type = 'click' THEN n END) AS na,
+        max(CASE WHEN event_type = 'click' THEN m END) AS ma,
+        max(CASE WHEN event_type = 'click' THEN v END) AS va,
+        max(CASE WHEN event_type = 'view' THEN n END) AS nb,
+        max(CASE WHEN event_type = 'view' THEN m END) AS mb,
+        max(CASE WHEN event_type = 'view' THEN v END) AS vb
+    FROM g
+)
+SELECT na, nb,
+       round(ma - mb, 6) AS mean_diff,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       round(pow(va / na + vb / nb, 2)
+             / (pow(va / na, 2) / (na - 1)
+                + pow(vb / nb, 2) / (nb - 1)), 2) AS welch_df
+FROM w
+""")
+def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event cohorts
+    (click vs view) — the A/B-experiment readout: mean difference,
+    t statistic, and Welch-Satterthwaite degrees of freedom, all
+    from one 2-group moment combine (count/mean/sample-variance) and
+    a 1-row pivot. The only data pass is the grouped aggregate;
+    everything after is scalar arithmetic both engines replay."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view"))
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"))
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("event_type") == "click", F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("event_type") == "click", F.col("v"))).alias("va"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("event_type") == "view", F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("event_type") == "view", F.col("v"))).alias("vb"))
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    dfw = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1))
+    return w.select(
+        "na", "nb",
+        rnd(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        rnd((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        rnd(dfw, 2).alias("welch_df"))

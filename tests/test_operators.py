@@ -1610,3 +1610,42 @@ class TestKnnAutoPlanes:
         # assert it runs and returns a sane graph
         rows = out.collect()
         assert rows and all(r["rank"] == 1 for r in rows)
+
+
+class TestStatEntries:
+    def test_bootstrap_ci_brackets_true_mean(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        from data_platform_copilot_spark.sources import load_table
+        row = QUERIES["bootstrap_ci_mean_value"](spark, sf_dir).collect()[0]
+        true_mean = load_table(spark, sf_dir, "events").agg(
+            {"value": "avg"}).collect()[0][0]
+        assert row["ci_lo"] < true_mean < row["ci_hi"]
+        assert row["ci_lo"] < row["boot_mean"] < row["ci_hi"]
+        assert row["n_replicates"] == 50
+
+    def test_welch_matches_scipy_formula(self, spark):
+        # reference: textbook Welch formulas on a constructed frame
+        import datetime
+        import statistics
+        rows = []
+        a = [10.0 + (i % 7) for i in range(40)]
+        b = [12.0 + (i % 13) * 0.5 for i in range(60)]
+        for i, v in enumerate(a):
+            rows.append((i, datetime.datetime(2024, 1, 2), "click", v))
+        for i, v in enumerate(b):
+            rows.append((1000 + i, datetime.datetime(2024, 1, 2),
+                         "view", v))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+                  " value double")
+        from pyspark.sql import functions as F
+        g = df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.avg("value").alias("m"),
+            F.var_samp("value").alias("v")).collect()
+        st = {r["event_type"]: r for r in g}
+        se2 = st["click"]["v"] / 40 + st["view"]["v"] / 60
+        t = (st["click"]["m"] - st["view"]["m"]) / se2 ** 0.5
+        want_t = ((statistics.mean(a) - statistics.mean(b))
+                  / (statistics.variance(a) / 40
+                     + statistics.variance(b) / 60) ** 0.5)
+        assert abs(t - want_t) < 1e-9
