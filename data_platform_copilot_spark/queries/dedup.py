@@ -799,3 +799,58 @@ def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(near, iters=_PR_ITERS, damping=_PR_D)
     return pr.select(pr["id"].alias("doc_id"),
                      rnd("rank", 6).alias("rank"))
+
+
+@query("dedup_bias_source_mix", oracle=f"""
+WITH fp AS (
+    SELECT doc_id, source, md5({_NORM}) AS f FROM documents
+), keep AS (
+    SELECT source, doc_id = min(doc_id) OVER (PARTITION BY f) AS kept
+    FROM fp
+), agg AS (
+    SELECT source,
+           count(*) AS n_before,
+           sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_after
+    FROM keep GROUP BY source
+), tot AS (
+    SELECT sum(n_before) AS tb, sum(n_after) AS ta FROM agg
+)
+SELECT source,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_after AS BIGINT) AS n_after,
+       round(n_before / tb, 6) AS share_before,
+       round(n_after / ta, 6) AS share_after,
+       round(n_after / ta - n_before / tb, 6) AS share_shift
+FROM agg, tot
+""")
+def dedup_bias_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup BIAS audit: the corpus's source composition before vs
+    after exact dedup, with the per-source share shift — the check
+    the dedup literature insists on (dedup removes more from
+    template-heavy sources, silently re-weighting the training mix;
+    a large |share_shift| means the keeper policy changed the data
+    distribution, not just its size). One fingerprint window + one
+    source-keyed combine + a broadcast 1-row total."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import normalize_text
+    docs = _t(spark, sf_dir, "documents")
+    f = F.md5(normalize_text(F.col("text")))
+    kept = (F.col("doc_id") ==
+            F.min("doc_id").over(W.partitionBy(f)))
+    agg = (docs.select("source", kept.alias("kept"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_before"),
+                F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                .alias("n_after")))
+    tot = agg.agg(F.sum("n_before").alias("tb"),
+                  F.sum("n_after").alias("ta"))
+    sb = F.col("n_before") / F.col("tb")
+    sa = F.col("n_after") / F.col("ta")
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("source",
+                    F.col("n_before").cast("long").alias("n_before"),
+                    F.col("n_after").cast("long").alias("n_after"),
+                    rnd(sb, 6).alias("share_before"),
+                    rnd(sa, 6).alias("share_after"),
+                    rnd(sa - sb, 6).alias("share_shift")))
