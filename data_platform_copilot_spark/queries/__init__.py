@@ -44,6 +44,20 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # out; they remain value-verified every run by the full-registry
     # pytest oracle at sf0.01 and the slow sf0.1 suite.
     # r6-new + newly value-gated first (never driver-verified yet)
+    "bpe_merge_table",
+    "bpe_segment_lengths",
+    "heavy_hitter_tokens",
+    "drift_psi_value",
+    "drift_ks_value",
+    "streaming_drift_psi",
+    "tfidf_keywords_per_doc",
+    "pmi_cooccurrence_pairs",
+    "token_budget_allocation",
+    "bootstrap_ci_mean_value",
+    "ab_test_welch_t",
+    "recursive_cte_date_spine",
+    "lateral_correlated_topk",
+    "dedup_bias_source_mix",
     "knn_join_graph",
     "zorder_layout_report",
     "trend_slope_by_event_type",
@@ -58,21 +72,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_incremental_minhash",
     "approx_distinct_counts",
     "approx_percentiles",
-    # SQL surface (r1/r2-era gate rows, re-checked now)
-    "join_using",
-    "topk_orderby_alias",
-    "window_running_sum",
-    "window_lag_delta",
-    "set_ops_union_intersect_except",
-    "rollup_revenue_region_nation",
-    "cube_status_priority",
-    "grouping_sets_explicit",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "distinct_agg_per_group",
-    "pivot_status_by_priority",
-    "unpivot_stack",
-    "exists_correlated_subquery",
+    # SQL surface (r1/r2-era gate rows, re-checked now; fourteen of
+    # these rotated back out late-r6 to make room for the
+    # never-driver-verified block above — all have r1/r2 driver
+    # greens and stay value-verified by the full-registry pytest
+    # oracle and today's local 145/145 sf0.01+sf0.1 runs)
     "scalar_subquery_cte",
     "case_when_bucketing",
     "null_handling_coalesce",
@@ -102,9 +106,16 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # filter_conjunctive, limit_injection, math_functions,
     # halfopen_ts_range, groupby_ordinal, using_join_syntax (the
     # join_using literal-syntax twin stays in), and — displaced by the
-    # six late-r6 entries above — string_functions, date_functions,
+    # late-r6 blocks above — string_functions, date_functions,
     # window_range_frame, set_ops_all_variants, array_functions,
-    # null_ordering.
+    # null_ordering, join_using, topk_orderby_alias,
+    # window_running_sum, window_lag_delta,
+    # set_ops_union_intersect_except, rollup_revenue_region_nation,
+    # cube_status_priority, grouping_sets_explicit,
+    # semi_join_customers_with_orders,
+    # anti_join_customers_without_orders, distinct_agg_per_group,
+    # pivot_status_by_priority, unpivot_stack,
+    # exists_correlated_subquery.
     # List is exactly 50 names.
 ]
 

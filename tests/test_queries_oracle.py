@@ -49,7 +49,7 @@ def test_driver_gate_covers_rotation_set():
         "approx_distinct_counts", "approx_percentiles",
         # never-yet-driver-checked / rotated-back representatives
         "dq_rule_unique_event_id", "dq_rule_anomaly_zscore_value",
-        "exact_percentiles", "distinct_agg_per_group",
+        "exact_percentiles",
         "text_lang_id", "dedup_exact", "dedup_simhash",
         "embedding_quantize_int8", "window_distribution_funcs",
         "lateral_view_explode",
@@ -57,6 +57,13 @@ def test_driver_gate_covers_rotation_set():
         "knn_join_graph", "zorder_layout_report",
         "trend_slope_by_event_type", "ewma_value_per_user",
         "embedding_covariance_dims", "decontamination_embedding",
+        "bpe_merge_table", "bpe_segment_lengths",
+        "heavy_hitter_tokens", "drift_psi_value", "drift_ks_value",
+        "streaming_drift_psi", "tfidf_keywords_per_doc",
+        "pmi_cooccurrence_pairs", "token_budget_allocation",
+        "bootstrap_ci_mean_value", "ab_test_welch_t",
+        "recursive_cte_date_spine", "lateral_correlated_topk",
+        "dedup_bias_source_mix",
     }
     missing = must_have - set(gate)
     assert not missing, f"rotation entries outside driver gate: {sorted(missing)}"
