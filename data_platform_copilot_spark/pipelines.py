@@ -42,3 +42,27 @@ def daily_sales(spark: SparkSession, sf_dir: str, out_path: str,
     out = transform_daily_revenue(extract_orders(spark, sf_dir, start, end))
     load_output(out, out_path)
     return spark.read.parquet(out_path)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Batch entrypoint for spark-submit (deploy/submit.sh — the
+    role the reference's Prefect worker plays for flows/etl.py):
+    ``python -m data_platform_copilot_spark.pipelines <sf_dir>
+    <out_path> [start] [end]``."""
+    import sys as _sys
+
+    from .session import get_spark
+    args = list(argv if argv is not None else _sys.argv[1:])
+    if len(args) < 2:
+        raise SystemExit(
+            "usage: pipelines <sf_dir> <out_path> [start] [end]")
+    sf_dir, out_path = args[0], args[1]
+    start = args[2] if len(args) > 2 else "1995-01-01"
+    end = args[3] if len(args) > 3 else "2001-12-31"
+    spark = get_spark("etl-daily-sales")
+    n = daily_sales(spark, sf_dir, out_path, start, end).count()
+    print(f"daily_sales: wrote {n} rows to {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1649,3 +1649,38 @@ class TestStatEntries:
                   / (statistics.variance(a) / 40
                      + statistics.variance(b) / 60) ** 0.5)
         assert abs(t - want_t) < 1e-9
+
+
+class TestLateR6EdgeCases:
+    def test_heavy_hitters_empty_and_tiny(self, spark):
+        from data_platform_copilot_spark.operators.selection import (
+            heavy_hitters,
+        )
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert heavy_hitters(empty, "text", 0.01).collect() == []
+        one = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+        got = {r["tok"]: r["n"] for r in
+               heavy_hitters(one, "text", 0.5).collect()}
+        assert got == {"a": 2}  # b is 1/3 < 0.5 threshold
+
+    def test_bpe_empty_corpus(self, spark):
+        from data_platform_copilot_spark.operators.bpe import bpe_train
+        empty = spark.createDataFrame([], "text string")
+        assert bpe_train(empty, "text", n_merges=3).collect() == []
+
+    def test_knn_singleton_corpus(self, spark):
+        from data_platform_copilot_spark.operators.similarity import knn_join
+        one = spark.createDataFrame(
+            [(1, [1.0] * 8)], "vec_id long, embedding array<double>")
+        assert knn_join(one, "vec_id", "embedding", k=3,
+                        n_planes=4, tables=2, dim=8).collect() == []
+
+    def test_zorder_constant_column(self, spark):
+        # a constant dimension must not divide by zero or emit
+        # out-of-range buckets
+        from data_platform_copilot_spark.operators.layout import zorder_stats
+        df = spark.createDataFrame([(5, i) for i in range(100)],
+                                   "x long, y long")
+        rep = zorder_stats(df, "x", "y", bits=4, files=4).collect()
+        assert sum(r["n_rows"] for r in rep) == 100
+        assert all(r["min_x"] == 5 and r["max_x"] == 5 for r in rep)
