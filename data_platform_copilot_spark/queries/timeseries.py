@@ -506,3 +506,63 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ewma = (F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
             / F.aggregate(weights, F.lit(0.0), lambda a, x: a + x))
     return arr.select("user_id", "event_id", rnd(ewma, 4).alias("ewma"))
+
+
+@query("attribution_last_touch", oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_type,
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_ts
+    FROM events
+), attributed AS (
+    SELECT CASE WHEN prev_ts IS NOT NULL
+                     AND date_diff('second', prev_ts, ts) <= 86400
+                THEN prev_type ELSE 'direct' END AS attributed_type,
+           value
+    FROM ordered WHERE event_type = 'purchase'
+)
+SELECT attributed_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS total_value
+FROM attributed GROUP BY attributed_type
+""")
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution: each purchase credits the
+    user's most recent non-purchase event within 24 h (else
+    'direct') — the marketing-analytics sibling of the funnel/as-of
+    entries. ONE user-keyed window pass carries the last qualifying
+    (type, ts) forward with an IGNORE NULLS last_value over the
+    frame ending at the previous row; the attribution combine is
+    |event_types| rows. Same single-exchange shape at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    not_purchase = F.col("event_type") != "purchase"
+    prev_type = F.last(F.when(not_purchase, F.col("event_type")),
+                       ignorenulls=True).over(w)
+    prev_ts = F.last(F.when(not_purchase, F.col("ts")),
+                     ignorenulls=True).over(w)
+    attributed = (ev
+                  .select("event_type", "value", "ts",
+                          prev_type.alias("prev_type"),
+                          prev_ts.alias("prev_ts"))
+                  .where(F.col("event_type") == "purchase")
+                  .select(
+                      F.when(F.col("prev_ts").isNotNull()
+                             & ((epoch_s("ts") - epoch_s("prev_ts"))
+                                <= 86400),
+                             F.col("prev_type"))
+                      .otherwise(F.lit("direct"))
+                      .alias("attributed_type"),
+                      "value"))
+    return (attributed.groupBy("attributed_type")
+            .agg(F.count("*").alias("n_purchases"),
+                 rnd(F.sum("value"), 2).alias("total_value")))
