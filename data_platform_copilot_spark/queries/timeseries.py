@@ -566,3 +566,68 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (attributed.groupBy("attributed_type")
             .agg(F.count("*").alias("n_purchases"),
                  rnd(F.sum("value"), 2).alias("total_value")))
+
+
+@query("survival_km_user_lifetime", oracle="""
+WITH life AS (
+    SELECT user_id,
+           date_diff('day', min(CAST(ts AS DATE)),
+                     max(CAST(ts AS DATE))) AS lifetime_d,
+           CAST(max(CAST(ts AS DATE))
+                < (SELECT max(CAST(ts AS DATE)) - 2 FROM events)
+               AS INT) AS churned
+    FROM events GROUP BY user_id
+), counts AS (
+    SELECT lifetime_d,
+           count(*) AS n_ending,
+           sum(churned) AS d_events
+    FROM life GROUP BY lifetime_d
+), risk AS (
+    SELECT lifetime_d, d_events,
+           sum(n_ending) OVER (ORDER BY lifetime_d DESC) AS n_risk
+    FROM counts
+)
+SELECT CAST(lifetime_d AS BIGINT) AS lifetime_d,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_events AS BIGINT) AS d_events,
+       round(exp(sum(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk))
+                 OVER (ORDER BY lifetime_d)), 6) AS survival
+FROM risk WHERE d_events < n_risk
+""")
+def survival_km_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user activity lifetimes
+    (first-to-last active day per user; users still active within
+    2 days of the window end are right-CENSORED — they leave the
+    risk set without a churn event, the distinction that makes KM
+    correct where a naive histogram over-counts churn). The
+    product-limit estimator runs as pure windows: risk set via a
+    descending cumulative sum, the survival product via
+    exp(cumsum(ln(1 - d/n))) — one user combine + two ordered
+    windows over |distinct lifetimes| rows, nothing driver-side."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    life = (ev.groupBy("user_id")
+            .agg(F.date_diff(F.max(d), F.min(d)).alias("lifetime_d"),
+                 F.max(d).alias("last_d")))
+    horizon = ev.agg(F.date_add(F.max(d), -2).alias("cut"))
+    life = (life.crossJoin(F.broadcast(horizon))
+            .select("lifetime_d",
+                    (F.col("last_d") < F.col("cut"))
+                    .cast("int").alias("churned")))
+    counts = life.groupBy("lifetime_d").agg(
+        F.count("*").alias("n_ending"),
+        F.sum("churned").alias("d_events"))
+    w_desc = (W.orderBy(F.desc("lifetime_d"))
+              .rowsBetween(W.unboundedPreceding, 0))
+    risk = counts.select(
+        "lifetime_d", "d_events",
+        F.sum("n_ending").over(w_desc).alias("n_risk"))
+    w_asc = W.orderBy("lifetime_d").rowsBetween(W.unboundedPreceding, 0)
+    surv = F.exp(F.sum(F.log(
+        1.0 - F.col("d_events").cast("double") / F.col("n_risk")))
+        .over(w_asc))
+    return (risk.where(F.col("d_events") < F.col("n_risk"))
+            .select(F.col("lifetime_d").cast("long").alias("lifetime_d"),
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    F.col("d_events").cast("long").alias("d_events"),
+                    rnd(surv, 6).alias("survival")))
