@@ -565,3 +565,48 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
         rnd((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
         rnd(dfw, 2).alias("welch_df"))
+
+
+@query("privacy_k_anonymity_report", oracle="""
+WITH qi AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+           count(*) AS grp_n
+    FROM customer
+    GROUP BY 1, 2, 3
+), k AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT k.k AS k,
+       CAST(count(*) FILTER (qi.grp_n < k.k) AS BIGINT)
+           AS n_violating_groups,
+       CAST(coalesce(sum(qi.grp_n) FILTER (qi.grp_n < k.k), 0)
+            AS BIGINT) AS n_reidentifiable_rows,
+       round(coalesce(sum(qi.grp_n) FILTER (qi.grp_n < k.k), 0)
+             / sum(qi.grp_n), 6) AS frac_at_risk
+FROM qi CROSS JOIN k
+GROUP BY k.k
+""")
+def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the customer table's
+    quasi-identifier tuple (nation, market segment, account-balance
+    band): for k in {2, 5, 10}, how many QI equivalence classes
+    fall below k and what fraction of rows they re-identify — the
+    governance sibling of PII redaction (redaction strips direct
+    identifiers; THIS measures whether the remaining attributes
+    still single people out). One QI combine, then constant-space
+    arithmetic over |classes| x 3 rows."""
+    from pyspark.sql import functions as F
+    cust = _t(spark, sf_dir, "customer")
+    qi = (cust.groupBy(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long")
+        .alias("bal_band"))
+        .agg(F.count("*").alias("grp_n")))
+    ks = qi.sparkSession.createDataFrame([(2,), (5,), (10,)], "k long")
+    viol = F.when(F.col("grp_n") < F.col("k"), F.col("grp_n"))
+    return (qi.crossJoin(F.broadcast(ks))
+            .groupBy("k")
+            .agg(F.count(viol).cast("long").alias("n_violating_groups"),
+                 F.coalesce(F.sum(viol), F.lit(0)).cast("long")
+                 .alias("n_reidentifiable_rows"),
+                 rnd(F.coalesce(F.sum(viol), F.lit(0))
+                     / F.sum("grp_n"), 6).alias("frac_at_risk")))
