@@ -58,6 +58,9 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "recursive_cte_date_spine",
     "lateral_correlated_topk",
     "dedup_bias_source_mix",
+    "attribution_last_touch",
+    "survival_km_user_lifetime",
+    "privacy_k_anonymity_report",
     "knn_join_graph",
     "zorder_layout_report",
     "trend_slope_by_event_type",
@@ -79,9 +82,6 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # oracle and today's local 145/145 sf0.01+sf0.1 runs)
     "scalar_subquery_cte",
     "case_when_bucketing",
-    "null_handling_coalesce",
-    "having_filter",
-    "exact_percentiles",
     "json_extract_props",
     "json_schema_inference",
     "sampler_where_limit",
@@ -115,7 +115,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # semi_join_customers_with_orders,
     # anti_join_customers_without_orders, distinct_agg_per_group,
     # pivot_status_by_priority, unpivot_stack,
-    # exists_correlated_subquery.
+    # exists_correlated_subquery, null_handling_coalesce,
+    # having_filter, exact_percentiles.
     # List is exactly 50 names.
 ]
 

@@ -49,7 +49,6 @@ def test_driver_gate_covers_rotation_set():
         "approx_distinct_counts", "approx_percentiles",
         # never-yet-driver-checked / rotated-back representatives
         "dq_rule_unique_event_id", "dq_rule_anomaly_zscore_value",
-        "exact_percentiles",
         "text_lang_id", "dedup_exact", "dedup_simhash",
         "embedding_quantize_int8", "window_distribution_funcs",
         "lateral_view_explode",
@@ -63,7 +62,8 @@ def test_driver_gate_covers_rotation_set():
         "pmi_cooccurrence_pairs", "token_budget_allocation",
         "bootstrap_ci_mean_value", "ab_test_welch_t",
         "recursive_cte_date_spine", "lateral_correlated_topk",
-        "dedup_bias_source_mix",
+        "dedup_bias_source_mix", "attribution_last_touch",
+        "survival_km_user_lifetime", "privacy_k_anonymity_report",
     }
     missing = must_have - set(gate)
     assert not missing, f"rotation entries outside driver gate: {sorted(missing)}"
