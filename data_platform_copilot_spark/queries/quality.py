@@ -889,3 +889,66 @@ def decontamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.groupBy("vec_id")
             .agg(F.count("*").alias("n_eval_hits"),
                  rnd(F.max("cos"), 4).alias("max_cosine")))
+
+
+@query("fim_transform_documents", oracle="""
+WITH u AS (
+    SELECT doc_id, text, length(text) AS L,
+           (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_a'),
+                               1, 6))::BIGINT + 0.5) / 16777216.0 AS u1,
+           (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_b'),
+                               1, 6))::BIGINT + 0.5) / 16777216.0 AS u2
+    FROM documents WHERE doc_id < 200 AND length(text) >= 20
+), cuts AS (
+    SELECT doc_id, text, L,
+           1 + CAST(floor(least(u1, u2) * (L - 1)) AS BIGINT) AS c1,
+           1 + CAST(floor(greatest(u1, u2) * (L - 1)) AS BIGINT) AS c2
+    FROM u
+)
+SELECT doc_id,
+       CAST(c1 - 1 AS BIGINT) AS len_prefix,
+       CAST(c2 - c1 AS BIGINT) AS len_middle,
+       CAST(L - c2 + 1 AS BIGINT) AS len_suffix,
+       md5('<PRE>' || substring(text, 1, c1 - 1)
+           || '<SUF>' || substring(text, c2, L - c2 + 1)
+           || '<MID>' || substring(text, c1, c2 - c1)) AS fim_md5
+FROM cuts
+""")
+def fim_transform_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): each
+    document splits at two DETERMINISTIC cut points (md5-uniform
+    draws — the same no-RNG idiom as the samplers, so every engine/
+    partitioning produces the identical reordering) and re-serializes
+    in PSM order <PRE>prefix<SUF>suffix<MID>middle. Verified by
+    value: the md5 of the transformed string must match DuckDB's
+    byte-for-byte, plus the three segment lengths. Pure string
+    expressions — the transform rides the scan at any scale."""
+    from pyspark.sql import functions as F
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 200) & (F.length("text") >= 20)))
+    ln = F.length("text")
+
+    def u(salt: str):
+        return (F.conv(F.substring(F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 6),
+            16, 10).cast("double") + 0.5) / 16777216.0
+
+    u1, u2 = u("_a"), u("_b")
+    c1 = (F.lit(1) + F.floor(F.least(u1, u2) * (ln - 1))).cast("long")
+    c2 = (F.lit(1) + F.floor(F.greatest(u1, u2) * (ln - 1))).cast("long")
+    prefix = F.expr("substring(text, 1, c1 - 1)")
+    middle = F.expr("substring(text, c1, c2 - c1)")
+    suffix = F.expr("substring(text, c2, L - c2 + 1)")
+    return (docs.select("doc_id", "text", ln.alias("L"),
+                        c1.alias("c1"), c2.alias("c2"))
+            .select("doc_id",
+                    (F.col("c1") - 1).cast("long").alias("len_prefix"),
+                    (F.col("c2") - F.col("c1")).cast("long")
+                    .alias("len_middle"),
+                    (F.col("L") - F.col("c2") + 1).cast("long")
+                    .alias("len_suffix"),
+                    F.md5(F.concat(F.lit("<PRE>"), prefix,
+                                   F.lit("<SUF>"), suffix,
+                                   F.lit("<MID>"), middle))
+                    .alias("fim_md5")))

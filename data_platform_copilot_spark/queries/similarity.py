@@ -555,3 +555,62 @@ def embedding_covariance_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (agg.select(F.explode(F.array(*cells)).alias("c"))
             .select("c.dim_i", "c.dim_j", "c.cov"))
+
+
+@query("contrastive_triplets", oracle="""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           (SELECT max(vec_id) + 1 FROM embeddings) AS n
+    FROM embeddings
+), anch AS (
+    SELECT vec_id AS anchor_id, v AS av, n,
+           list_transform(list_zip(v, range(0, len(v))),
+                          p -> p[1] * (1 + 0.0002 * (p[2] % 5))) AS pv,
+           CASE WHEN (vec_id * 7919 + 13) % n = vec_id
+                THEN ((vec_id * 7919 + 13) % n + 1) % n
+                ELSE (vec_id * 7919 + 13) % n END AS neg_id
+    FROM base WHERE vec_id % 10 = 0
+)
+SELECT a.anchor_id, a.neg_id AS negative_id,
+       round(list_dot_product(a.av, a.pv)
+             / (sqrt(list_dot_product(a.av, a.av))
+                * sqrt(list_dot_product(a.pv, a.pv))), 4) AS cos_pos,
+       round(list_dot_product(a.av, b.v)
+             / (sqrt(list_dot_product(a.av, a.av))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_neg
+FROM anch a JOIN base b ON b.vec_id = a.neg_id
+""")
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet export: every 10th vector
+    anchors a triplet with its planted near-duplicate as the
+    POSITIVE (the shared perturbation idiom) and a deterministic
+    pseudo-random corpus vector as the NEGATIVE (modular-arithmetic
+    draw — no RNG, identical across engines/partitionings; collision
+    with the anchor steps to the next id). Emits both cosines so the
+    margin distribution is inspectable. At scale: positives come
+    from the dedup pair stream, negatives from hash arithmetic — the
+    negative join is id-keyed, never a scan."""
+    from ..functions.vectors import cosine_similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nmax = emb.agg((F.max("vec_id") + 1).alias("n"))
+    base = emb.select("vec_id", v.alias("v")).crossJoin(F.broadcast(nmax))
+    raw_neg = (F.col("vec_id") * 7919 + 13) % F.col("n")
+    neg_id = F.when(raw_neg == F.col("vec_id"),
+                    (raw_neg + 1) % F.col("n")).otherwise(raw_neg)
+    anch = (base.where(F.col("vec_id") % 10 == 0)
+            .select(F.col("vec_id").alias("anchor_id"),
+                    F.col("v").alias("av"),
+                    F.transform("v", lambda x, i: x * (
+                        F.lit(1.0) + F.lit(0.0002) * (i % 5)))
+                    .alias("pv"),
+                    neg_id.alias("neg_id")))
+    negs = base.select(F.col("vec_id").alias("neg_id"),
+                       F.col("v").alias("nv"))
+    return (anch.join(negs, "neg_id")
+            .select("anchor_id",
+                    F.col("neg_id").alias("negative_id"),
+                    rnd(cosine_similarity(F.col("av"), F.col("pv")), 4)
+                    .alias("cos_pos"),
+                    rnd(cosine_similarity(F.col("av"), F.col("nv")), 4)
+                    .alias("cos_neg")))

@@ -595,3 +595,48 @@ def bpe_segment_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(words, "w")
             .select("w", F.col("n").cast("long").alias("word_count"),
                     F.col("n_subwords").cast("long").alias("n_subwords")))
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """Round replay projected onto per-language fertility: corpus
+    token occurrences weighted by each word's final subword count."""
+    base = _bpe_oracle(n_merges)
+    head = base[:base.rindex("\nSELECT 1 AS merge_rank")]
+    return head + f""",
+lw AS (
+    SELECT lang, tok AS w, count(*) AS n FROM (
+        SELECT lang, unnest({_TOKS}) AS tok FROM documents
+    ) WHERE len(tok) > 0 GROUP BY 1, 2
+), seg AS (
+    SELECT w, count(*) AS n_sub FROM s{n_merges} GROUP BY w
+)
+SELECT lang,
+       CAST(sum(lw.n) AS BIGINT) AS n_tokens,
+       round(sum(lw.n * seg.n_sub) / sum(lw.n), 6) AS fertility
+FROM lw JOIN seg ON lw.w = seg.w
+GROUP BY lang
+"""
+
+
+@query("bpe_fertility_by_lang", oracle=_bpe_fertility_oracle(8))
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language (subwords emitted per word
+    token) under the 8 learned BPE merges — the fairness metric for
+    multilingual tokenizers (a language with fertility 2x pays 2x
+    the sequence length for the same text). Corpus-weighted: each
+    (lang, word) occurrence count joins the vocab-sized segmentation
+    dim table; verified by the same round-replay oracle projected
+    onto the weighted average."""
+    from ..operators.bpe import bpe_train_with_state
+    docs = _t(spark, sf_dir, "documents")
+    _, state = bpe_train_with_state(docs, "text", n_merges=8)
+    seg = state.groupBy("w").agg(F.count("*").alias("n_sub"))
+    lw = (docs.select("lang", F.explode(tokens(F.col("text")))
+                      .alias("w"))
+          .where(F.length("w") > 0)
+          .groupBy("lang", "w").agg(F.count("*").alias("n")))
+    return (lw.join(seg, "w")
+            .groupBy("lang")
+            .agg(F.sum("n").cast("long").alias("n_tokens"),
+                 rnd(F.sum(F.col("n") * F.col("n_sub"))
+                     / F.sum("n"), 6).alias("fertility")))
