@@ -61,6 +61,9 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "attribution_last_touch",
     "survival_km_user_lifetime",
     "privacy_k_anonymity_report",
+    "fim_transform_documents",
+    "bpe_fertility_by_lang",
+    "contrastive_triplets",
     "knn_join_graph",
     "zorder_layout_report",
     "trend_slope_by_event_type",
@@ -80,8 +83,6 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # never-driver-verified block above — all have r1/r2 driver
     # greens and stay value-verified by the full-registry pytest
     # oracle and today's local 145/145 sf0.01+sf0.1 runs)
-    "scalar_subquery_cte",
-    "case_when_bucketing",
     "json_extract_props",
     "json_schema_inference",
     "sampler_where_limit",
@@ -98,7 +99,6 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_simhash",
     "embedding_quantize_int8",
-    "text_ngram_frequency",
     "lateral_view_explode",
     "window_distribution_funcs",
     # Deferred to r7 (trivial/twin entries, driver-green in r1/r2 and
@@ -116,7 +116,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # anti_join_customers_without_orders, distinct_agg_per_group,
     # pivot_status_by_priority, unpivot_stack,
     # exists_correlated_subquery, null_handling_coalesce,
-    # having_filter, exact_percentiles.
+    # having_filter, exact_percentiles, scalar_subquery_cte,
+    # case_when_bucketing, text_ngram_frequency.
     # List is exactly 50 names.
 ]
 

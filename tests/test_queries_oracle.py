@@ -64,6 +64,8 @@ def test_driver_gate_covers_rotation_set():
         "recursive_cte_date_spine", "lateral_correlated_topk",
         "dedup_bias_source_mix", "attribution_last_touch",
         "survival_km_user_lifetime", "privacy_k_anonymity_report",
+        "fim_transform_documents", "bpe_fertility_by_lang",
+        "contrastive_triplets",
     }
     missing = must_have - set(gate)
     assert not missing, f"rotation entries outside driver gate: {sorted(missing)}"
