@@ -172,3 +172,47 @@ def synthetic_media_with_dupes(spark: SparkSession, n: int = 64,
         rows.append((i, kind, bytearray(payload),
                      f"application/x-{kind}", {"src": f"synth://{i}"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZE_SCHEMA = ("media_id long, kind string, target_w int, target_h int,"
+                 " out_bytes long, payload binary")
+
+
+def resize_images(df: DataFrame, target_w: int = 224,
+                  target_h: int = 224,
+                  batch_rows: int = 256) -> DataFrame:
+    """Image-resize plumbing (the preprocessing step every vision
+    training pipeline runs): Arrow-batched mapInPandas over image
+    rows, payload in -> resized payload out, NO shuffle of the
+    binary column (same contract as extract_features — parallelism
+    comes from the source split). The pixel transform itself is the
+    STUBBED step (no image codec in this container): the stand-in
+    emits a deterministic payload of exactly target_w*target_h/64
+    bytes derived from the input via repetition/truncation, so the
+    batch shape, output schema, size accounting, and
+    bytes-in/bytes-out plumbing are all real and testable; swapping
+    in a real decoder touches only ``_resize_stub``."""
+
+    def _resize_stub(payload: bytes) -> bytes:
+        out_len = max(1, target_w * target_h // 64)
+        if not payload:
+            raise NotImplementedError(
+                "real image codec required for empty payload")
+        reps = out_len // len(payload) + 1
+        return (payload * reps)[:out_len]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None \
+                    else None
+                resized = _resize_stub(payload)
+                out.append({"media_id": rec.media_id, "kind": rec.kind,
+                            "target_w": target_w, "target_h": target_h,
+                            "out_bytes": len(resized),
+                            "payload": resized})
+            yield pd.DataFrame(out)
+
+    return (df.where(F.col("kind") == "image")
+            .mapInPandas(run, schema=RESIZE_SCHEMA))

@@ -140,3 +140,22 @@ class TestPipeline:
         # half-open window respected
         assert str(pdf["day"].min()) >= "1997-01-01"
         assert str(pdf["day"].max()) <= "1997-01-31"
+
+
+def test_resize_plumbing_no_shuffle(spark):
+    from data_platform_copilot_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+    media = synthetic_media(spark, n=32)
+    out = resize_images(media, target_w=64, target_h=64)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan  # payloads never shuffle
+    rows = out.collect()
+    assert rows and all(r["out_bytes"] == 64 * 64 // 64 for r in rows)
+    assert all(len(bytes(r["payload"])) == r["out_bytes"] for r in rows)
+    # deterministic: same input -> same resized bytes
+    again = resize_images(media, target_w=64, target_h=64).collect()
+    assert sorted(bytes(r["payload"]) for r in rows) == \
+        sorted(bytes(r["payload"]) for r in again)
