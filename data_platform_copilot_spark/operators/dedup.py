@@ -845,3 +845,17 @@ def positional_word_kgram_hashes(df: DataFrame, id_col: str, text_col: str,
     return g.select(
         "id", "pos",
         F.conv(F.substring("fp", 1, 8), 16, 10).cast("long").alias("h"))
+
+
+def containment_pairs(sh: DataFrame, threshold: float = 0.9,
+                      **kwargs) -> DataFrame:
+    """All-pairs shingle CONTAINMENT >= threshold:
+    common / min(size_a, size_b) — the asymmetric companion to
+    ``jaccard_pairs`` (Broder's containment): a short document
+    embedded verbatim in a long one has containment ~1.0 while its
+    Jaccard can be arbitrarily small, so symmetric dedup misses it.
+    Same inverted-index plumbing and hot-shingle/materialize knobs."""
+    pairs = jaccard_pairs(sh, threshold=0.0, **kwargs)
+    cont = F.col("common") / F.least("size_a", "size_b")
+    return (pairs.withColumn("containment", cont)
+            .where(F.col("containment") >= threshold))

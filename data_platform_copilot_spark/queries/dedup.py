@@ -854,3 +854,39 @@ def dedup_bias_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(sb, 6).alias("share_before"),
                     rnd(sa, 6).alias("share_after"),
                     rnd(sa - sb, 6).alias("share_shift")))
+
+
+@query("dedup_containment_pairs", oracle=_DUCK_SHINGLES + """
+, sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(common AS BIGINT) AS common,
+       CAST(sa.size AS BIGINT) AS size_a,
+       CAST(sb.size AS BIGINT) AS size_b,
+       round(CAST(common AS DOUBLE) / least(sa.size, sb.size), 4)
+           AS containment
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(common AS DOUBLE) / least(sa.size, sb.size) >= 0.9
+""")
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs at 0.9 (Broder's
+    asymmetric measure): catches a short document embedded in a long
+    one, where Jaccard stays low and the symmetric entries stay
+    silent — the quote/boilerplate-inclusion case every corpus
+    dedup pass needs alongside Jaccard. Same inverted-index
+    self-join bound; the containment division is the only change."""
+    from ..operators.dedup import containment_pairs, shingles
+    sh = shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    pairs = containment_pairs(sh, threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        rnd("containment", 4).alias("containment"))

@@ -640,3 +640,46 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").cast("long").alias("n_tokens"),
                  rnd(F.sum(F.col("n") * F.col("n_sub"))
                      / F.sum("n"), 6).alias("fertility")))
+
+
+def _bpe_doc_cost_oracle(n_merges: int) -> str:
+    """Round replay projected onto per-document subword cost."""
+    base = _bpe_oracle(n_merges)
+    head = base[:base.rindex("\nSELECT 1 AS merge_rank")]
+    return head + f""",
+dt AS (
+    SELECT doc_id, tok AS w FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ) WHERE len(tok) > 0
+), seg AS (
+    SELECT w, count(*) AS n_sub FROM s{n_merges} GROUP BY w
+)
+SELECT dt.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(seg.n_sub) AS BIGINT) AS n_bpe_tokens
+FROM dt JOIN seg ON dt.w = seg.w
+GROUP BY dt.doc_id
+"""
+
+
+@query("bpe_doc_token_cost", oracle=_bpe_doc_cost_oracle(8))
+def bpe_doc_token_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token PRICE under the learned BPE merges: word
+    count and total subword count — what sequence-length budgeting,
+    packing, and billing actually consume. The corpus joins the
+    vocab-sized segmentation dim table by word (broadcast-scale at
+    any corpus size: the dim is the vocabulary); one doc-keyed
+    combine. Completes the tokenizer QA ladder: merge table -> word
+    segmentation -> per-language fertility -> per-document cost,
+    every rung value-verified by the same round-replay oracle."""
+    from ..operators.bpe import bpe_train_with_state
+    docs = _t(spark, sf_dir, "documents")
+    _, state = bpe_train_with_state(docs, "text", n_merges=8)
+    seg = state.groupBy("w").agg(F.count("*").alias("n_sub"))
+    dt = (docs.select("doc_id", F.explode(tokens(F.col("text")))
+                      .alias("w"))
+          .where(F.length("w") > 0))
+    return (dt.join(seg, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_sub").cast("long").alias("n_bpe_tokens")))

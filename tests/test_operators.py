@@ -1684,3 +1684,24 @@ class TestLateR6EdgeCases:
         rep = zorder_stats(df, "x", "y", bits=4, files=4).collect()
         assert sum(r["n_rows"] for r in rep) == 100
         assert all(r["min_x"] == 5 and r["max_x"] == 5 for r in rep)
+
+
+class TestContainment:
+    def test_short_in_long_detected(self, spark):
+        # short doc fully embedded in a long one: containment ~1.0,
+        # jaccard far below 0.8 — the case the symmetric entry misses
+        short = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+        long_doc = filler + " " + short + " " + filler
+        df = spark.createDataFrame(
+            [(1, short), (2, long_doc)], "doc_id long, text string")
+        from data_platform_copilot_spark.operators.dedup import (
+            containment_pairs,
+            jaccard_pairs,
+            shingles,
+        )
+        sh = shingles(df, "doc_id", "text", n=3)
+        cont = containment_pairs(sh, threshold=0.9).collect()
+        assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+        assert cont[0]["containment"] >= 0.99
+        assert jaccard_pairs(sh, threshold=0.8).collect() == []
