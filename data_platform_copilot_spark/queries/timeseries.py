@@ -631,3 +631,100 @@ def survival_km_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_risk").cast("long").alias("n_risk"),
                     F.col("d_events").cast("long").alias("d_events"),
                     rnd(surv, 6).alias("survival")))
+
+
+@query("sliding_distinct_users_6h", oracle="""
+WITH uh AS (
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+), memb AS (
+    SELECT user_id, h - to_hours(o.o) AS w_start
+    FROM uh, (SELECT unnest(range(6)) AS o) o
+), bounds AS (
+    SELECT min(date_trunc('hour', ts)) AS lo,
+           max(date_trunc('hour', ts)) AS hi
+    FROM events
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM memb, bounds
+WHERE w_start >= lo AND w_start <= hi - INTERVAL 5 HOUR
+GROUP BY w_start
+""")
+def sliding_distinct_users_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per sliding 6-hour window (1-hour
+    slide) — the windowed-cardinality problem where a naive
+    window-function distinct would buffer every user per frame.
+    Scale shape: dedup to (user, hour) pairs FIRST (the one
+    state-heavy combine, |users|x|hours| bounded), then each pair
+    fans out to the <=6 windows it belongs to and a window-keyed
+    distinct combine finishes — shuffle volume 6x the pair count,
+    never 6x the event count. Complete windows only."""
+    ev = _t(spark, sf_dir, "events")
+    uh = (ev.select("user_id",
+                    F.date_trunc("hour", F.col("ts")).alias("h"))
+          .distinct())
+    memb = uh.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("o"),
+        "h").select(
+        "user_id",
+        (F.col("h") - F.make_interval(hours=F.col("o"))).alias("w_start"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    return (memb.crossJoin(F.broadcast(bounds))
+            .where((F.col("w_start") >= F.col("lo"))
+                   & (F.col("w_start")
+                      <= F.col("hi") - F.expr("INTERVAL 5 HOURS")))
+            .groupBy("w_start")
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("distinct_users"))
+            .select(F.date_format("w_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "distinct_users"))
+
+
+@query("user_growth_daily", oracle="""
+WITH fd AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_d FROM events
+    GROUP BY user_id
+), act AS (
+    SELECT CAST(ts AS DATE) AS d,
+           count(DISTINCT user_id) AS n_active
+    FROM events GROUP BY 1
+), news AS (
+    SELECT first_d AS d, count(*) AS n_new FROM fd GROUP BY first_d
+)
+SELECT strftime(act.d, '%Y-%m-%d') AS day,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       CAST(n_active - coalesce(n_new, 0) AS BIGINT) AS n_returning,
+       CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY act.d) AS BIGINT)
+           AS cum_unique_users
+FROM act LEFT JOIN news ON act.d = news.d
+""")
+def user_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth ledger: active users, NEW users (first-ever
+    activity that day), returning users, and the cumulative unique
+    count — the product-analytics daily. Two user-keyed combines
+    (first-day, daily-active) + an ordered window over |days| rows;
+    the cumulative count comes from summing new-user counts, never
+    from re-distinct-counting history (the trap that makes naive
+    versions quadratic in retained data)."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    fd = ev.groupBy("user_id").agg(F.min(d).alias("first_d"))
+    act = (ev.groupBy(d.alias("d"))
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    news = fd.groupBy(F.col("first_d").alias("d")).agg(
+        F.count("*").alias("n_new"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    joined = (act.join(news, "d", "left")
+              .select("d", "n_active",
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    return joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_new").cast("long").alias("n_new"),
+        (F.col("n_active") - F.col("n_new")).cast("long")
+        .alias("n_returning"),
+        F.sum("n_new").over(w).cast("long").alias("cum_unique_users"))
