@@ -728,3 +728,42 @@ def user_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).cast("long")
         .alias("n_returning"),
         F.sum("n_new").over(w).cast("long").alias("cum_unique_users"))
+
+
+@query("changepoint_cusum_daily", oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, avg(value) AS x
+    FROM events GROUP BY 1
+), mu AS (SELECT avg(x) AS mu FROM daily),
+cusum AS (
+    SELECT d,
+           sum(x - mu) OVER (ORDER BY d) AS c
+    FROM daily, mu
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       round(c, 6) AS cusum,
+       round(abs(c), 6) AS cusum_abs
+FROM cusum
+ORDER BY abs(c) DESC, d
+LIMIT 1
+""")
+def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily mean of `value`
+    (Page 1954): cumulative sum of deviations from the series mean,
+    argmax |CUSUM| = the most likely level-shift day — the
+    first-line monitoring answer to "when did this metric change?".
+    One daily combine, a broadcast 1-row mean, one ordered window
+    over |days| rows, and a deterministic (|c| DESC, day) argmax."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.avg("value").alias("x")))
+    mu = daily.agg(F.avg("x").alias("mu"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cusum = (daily.crossJoin(F.broadcast(mu))
+             .select("d", F.sum(F.col("x") - F.col("mu")).over(w)
+                     .alias("c")))
+    return (cusum
+            .orderBy(F.abs("c").desc(), "d").limit(1)
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    rnd("c", 6).alias("cusum"),
+                    rnd(F.abs("c"), 6).alias("cusum_abs")))
