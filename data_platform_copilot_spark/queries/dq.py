@@ -610,3 +610,50 @@ def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_reidentifiable_rows"),
                  rnd(F.coalesce(F.sum(viol), F.lit(0))
                      / F.sum("grp_n"), 6).alias("frac_at_risk")))
+
+
+@query("mi_event_type_value", oracle="""
+WITH bounds AS (
+    SELECT min(value) AS lo, max(value) AS hi FROM events
+), cont AS (
+    SELECT event_type,
+           least(9, greatest(0, CAST(floor((value - lo) * 10.0
+                                           / (hi - lo)) AS INT))) AS band,
+           count(*) AS n
+    FROM events, bounds GROUP BY 1, 2
+), tot AS (SELECT sum(n) AS nn FROM cont),
+px AS (SELECT event_type, sum(n) AS nx FROM cont GROUP BY 1),
+py AS (SELECT band, sum(n) AS ny FROM cont GROUP BY 1)
+SELECT round(sum((c.n / t.nn)
+              * ln((c.n / t.nn) / ((px.nx / t.nn) * (py.ny / t.nn)))),
+             6) AS mutual_information,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM cont c
+JOIN px USING (event_type) JOIN py USING (band) CROSS JOIN tot t
+""")
+def mi_event_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and the value decile
+    band — the dependency screen for feature selection / leakage
+    detection ("does this categorical already encode the metric?").
+    One contingency combine over |types|x10 cells, marginals by
+    re-aggregating the cells (never the rows), plug-in MI estimate.
+    Constant-space at any scale."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    band = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(
+        (F.col("value") - F.col("lo")) * 10.0
+        / (F.col("hi") - F.col("lo"))).cast("int")))
+    cont = (ev.crossJoin(F.broadcast(bounds))
+            .groupBy("event_type", band.alias("band"))
+            .agg(F.count("*").alias("n")))
+    tot = cont.agg(F.sum("n").alias("nn"))
+    px = cont.groupBy("event_type").agg(F.sum("n").alias("nx"))
+    py = cont.groupBy("band").agg(F.sum("n").alias("ny"))
+    p = F.col("n") / F.col("nn")
+    term = p * F.log(p / ((F.col("nx") / F.col("nn"))
+                          * (F.col("ny") / F.col("nn"))))
+    return (cont.join(px, "event_type").join(py, "band")
+            .crossJoin(F.broadcast(tot))
+            .agg(rnd(F.sum(term), 6).alias("mutual_information"),
+                 F.count("*").cast("long").alias("n_cells")))

@@ -767,3 +767,41 @@ def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
                     rnd("c", 6).alias("cusum"),
                     rnd(F.abs("c"), 6).alias("cusum_abs")))
+
+
+@query("trend_theilsen_daily", oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(floor(epoch(CAST(ts AS DATE)) / 86400) AS BIGINT) AS xd,
+           avg(value) AS y
+    FROM events GROUP BY 1, 2
+), slopes AS (
+    SELECT (b.y - a.y) / (b.xd - a.xd) AS s
+    FROM daily a JOIN daily b ON b.xd > a.xd
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(s, 0.5), 6) AS theilsen_slope
+FROM slopes
+""")
+def trend_theilsen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily mean value: the MEDIAN of
+    all pairwise day-to-day slopes — unlike the OLS entry, a third
+    of the days can be corrupted before the estimate moves (the
+    robust-statistics companion to trend_slope_by_event_type).
+    Scale design: the O(n^2) pair join runs over the DAY AGGREGATE
+    (|days| rows, never events), so "quadratic" means ~10^6 pairs
+    for three years of data — one broadcast self-join and an exact
+    interpolated median over the slope set."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.avg("value").alias("y"))
+             .select(F.floor(epoch_s(F.col("d").cast("timestamp"))
+                             / 86400).cast("long").alias("xd"), "y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (a.join(F.broadcast(b), F.col("b.xd") > F.col("a.xd"))
+              .select(((F.col("b.y") - F.col("a.y"))
+                       / (F.col("b.xd") - F.col("a.xd"))).alias("s")))
+    return slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        rnd(F.percentile(F.col("s"), F.lit(0.5)), 6)
+        .alias("theilsen_slope"))
