@@ -657,3 +657,83 @@ def mi_event_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(tot))
             .agg(rnd(F.sum(term), 6).alias("mutual_information"),
                  F.count("*").cast("long").alias("n_cells")))
+
+
+@query("dq_benford_first_digit", oracle="""
+WITH digits AS (
+    -- floor explicitly: DuckDB's double->BIGINT cast ROUNDS
+    -- (half-even) while Spark's truncates
+    SELECT CAST(substring(CAST(CAST(floor(abs(value)) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS d
+    FROM events WHERE abs(value) >= 1
+), counts AS (
+    SELECT d, count(*) AS n FROM digits GROUP BY d
+), tot AS (SELECT sum(n) AS nn FROM counts)
+SELECT CAST(d AS BIGINT) AS first_digit,
+       CAST(n AS BIGINT) AS n,
+       round(n / nn, 6) AS observed_p,
+       round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_p,
+       round(pow(n / nn - ln(1.0 + 1.0 / d) / ln(10.0), 2)
+             / (ln(1.0 + 1.0 / d) / ln(10.0)) * nn, 4) AS chi2_term
+FROM counts, tot
+""")
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen on `value`: observed
+    vs log10(1 + 1/d) expected frequencies with per-digit chi-square
+    contributions — the classic fabricated-data / unit-mixing
+    detector for financial and metric columns (a synthetic uniform
+    column fails it loudly, which is itself the signal here). One
+    9-key combine; constant space at any scale."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events").where(F.abs("value") >= 1)
+    d = F.substring(F.floor(F.abs(F.col("value"))).cast("bigint")
+                    .cast("string"), 1, 1).cast("int")
+    counts = ev.groupBy(d.alias("d")).agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("nn"))
+    obs = F.col("n") / F.col("nn")
+    exp_p = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(F.col("d").cast("long").alias("first_digit"),
+                    F.col("n").cast("long").alias("n"),
+                    rnd(obs, 6).alias("observed_p"),
+                    rnd(exp_p, 6).alias("benford_p"),
+                    rnd(F.pow(obs - exp_p, 2) / exp_p * F.col("nn"), 4)
+                    .alias("chi2_term")))
+
+
+@query("concentration_gini_user_activity", oracle="""
+WITH ua AS (
+    SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+), ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+           count(*) OVER () AS n, sum(x) OVER () AS sx
+    FROM ua
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       round(2.0 * sum(i * x) / (max(n) * max(sx))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked
+""")
+def concentration_gini_user_activity(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event-count concentration — the
+    inequality measure corpus builders also run on per-domain token
+    mass (a Gini near 1 means a handful of users/domains dominate
+    the data, the precursor to domain-mix reweighting). One user
+    combine, one ordered window with a deterministic (count, id)
+    total order, closed-form Gini from the rank-weighted sum."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    wr = W.orderBy("x", "user_id")
+    wall = W.partitionBy()
+    ranked = ua.select(
+        "x", F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("x").over(wall).alias("sx"))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        rnd(2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.max("sx"))
+            - (F.max("n") + 1.0) / F.max("n"), 6).alias("gini"))
