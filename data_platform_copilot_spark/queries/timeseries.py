@@ -805,3 +805,91 @@ def trend_theilsen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         rnd(F.percentile(F.col("s"), F.lit(0.5)), 6)
         .alias("theilsen_slope"))
+
+
+_HOLT_RECURSION = """
+WITH RECURSIVE daily AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i,
+           y
+    FROM (SELECT CAST(ts AS DATE) AS d, avg(value) AS y
+          FROM {events} GROUP BY 1)
+), n AS (SELECT max(i) AS imax FROM daily),
+state(i, level, trend) AS (
+    SELECT CAST(0 AS BIGINT),
+           (SELECT y FROM daily WHERE i = 0),
+           (SELECT y FROM daily WHERE i = 1)
+           - (SELECT y FROM daily WHERE i = 0)
+    UNION ALL
+    SELECT s.i + 1,
+           0.5 * d.y + 0.5 * (s.level + s.trend),
+           0.3 * ((0.5 * d.y + 0.5 * (s.level + s.trend)) - s.level)
+           + 0.7 * s.trend
+    FROM state s JOIN daily d ON d.i = s.i + 1
+    WHERE s.i + 1 <= (SELECT imax FROM n)
+)
+SELECT i AS day_index,
+       round(level, 6) AS level,
+       round(trend, 6) AS trend,
+       round(level + trend, 6) AS forecast_next
+FROM state WHERE i = (SELECT imax FROM n)
+"""
+
+
+@query("forecast_holt_daily",
+       oracle=_HOLT_RECURSION.format(events="events"))
+def forecast_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over the daily mean value
+    (alpha 0.5, beta 0.3), 1-step-ahead forecast — a sequential
+    recurrence executed ENGINE-SIDE via WITH RECURSIVE (Spark 4):
+    the recursion folds over the |days|-row aggregate, not the
+    events, so the sequential part is trivially small while the
+    data-sized work stays one parallel combine. Both engines run
+    the identical recursion and the final (level, trend, forecast)
+    hash-matches."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_holt_events")
+    return spark.sql(_HOLT_RECURSION.format(events="_holt_events"))
+
+
+@query("acf_daily_value", oracle="""
+WITH daily AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i, y
+    FROM (SELECT CAST(ts AS DATE) AS d, avg(value) AS y
+          FROM events GROUP BY 1)
+), mu AS (SELECT avg(y) AS m, count(*) AS n FROM daily),
+den AS (SELECT sum(pow(y - m, 2)) AS d0 FROM daily, mu),
+lags AS (SELECT unnest(range(1, 8)) AS lag)
+SELECT CAST(l.lag AS BIGINT) AS lag,
+       round(sum((a.y - mu.m) * (b.y - mu.m)) / max(den.d0), 6)
+           AS acf
+FROM lags l
+JOIN daily a ON TRUE
+JOIN daily b ON b.i = a.i + l.lag
+CROSS JOIN mu CROSS JOIN den
+GROUP BY l.lag
+""")
+def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily mean value at lags 1..7 — the
+    seasonality screen (a weekly cycle lights up lag 7). Standard
+    biased ACF estimator (global mean/denominator); the lag joins
+    run over the |days|-row aggregate, so the whole statistic costs
+    one combine plus day-count-sized joins."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.avg("value").alias("y"))
+             .select((F.row_number().over(W.orderBy("d")) - 1)
+                     .cast("long").alias("i"), "y"))
+    mu = daily.agg(F.avg("y").alias("m"), F.count("*").alias("n"))
+    den = (daily.crossJoin(F.broadcast(mu))
+           .agg(F.sum(F.pow(F.col("y") - F.col("m"), 2)).alias("d0")))
+    lags = daily.sparkSession.range(1, 8).select(
+        F.col("id").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    return (F.broadcast(lags).crossJoin(a)
+            .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+            .crossJoin(F.broadcast(mu))
+            .crossJoin(F.broadcast(den))
+            .groupBy("lag")
+            .agg(rnd(F.sum((F.col("a.y") - F.col("m"))
+                           * (F.col("b.y") - F.col("m")))
+                     / F.max("d0"), 6).alias("acf"))
+            .select(F.col("lag").cast("long").alias("lag"), "acf"))
