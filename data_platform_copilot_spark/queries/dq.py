@@ -737,3 +737,40 @@ def concentration_gini_user_activity(spark: SparkSession,
         rnd(2.0 * F.sum(F.col("i") * F.col("x"))
             / (F.max("n") * F.max("sx"))
             - (F.max("n") + 1.0) / F.max("n"), 6).alias("gini"))
+
+
+@query("dq_robust_mean_value", oracle="""
+WITH b AS (
+    SELECT quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean_raw,
+       round(avg(value) FILTER (value >= lo AND value <= hi), 6)
+           AS mean_trimmed,
+       round(avg(least(greatest(value, lo), hi)), 6)
+           AS mean_winsorized
+FROM events, b
+""")
+def dq_robust_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates for `value`: the raw mean next to
+    its 5%-trimmed (outliers dropped) and winsorized (outliers
+    clamped) versions — the robust-metrics triple that tells you
+    whether a KPI moved or its tail did. Exact interpolated
+    percentile bounds (oracle parity; the operator-scale twin is
+    percentile_approx as in the profiler), then one conditional
+    aggregate pass."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.percentile(F.col("value"), F.lit(0.05)).alias("lo"),
+               F.percentile(F.col("value"), F.lit(0.95)).alias("hi"))
+    v = F.col("value")
+    inside = (v >= F.col("lo")) & (v <= F.col("hi"))
+    return (ev.crossJoin(F.broadcast(b))
+            .agg(F.count("*").cast("long").alias("n"),
+                 rnd(F.avg(v), 6).alias("mean_raw"),
+                 rnd(F.avg(F.when(inside, v)), 6).alias("mean_trimmed"),
+                 rnd(F.avg(F.least(F.greatest(v, F.col("lo")),
+                                   F.col("hi"))), 6)
+                 .alias("mean_winsorized")))

@@ -385,3 +385,41 @@ FROM _lat_customer c,
               LIMIT 2) o
 WHERE c.c_custkey <= 20
 """)
+
+
+@query("entity_match_part_names", oracle="""
+WITH names AS (
+    SELECT DISTINCT p_name FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM names a JOIN names b
+  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+ AND abs(length(a.p_name) - length(b.p_name)) <= 1
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""")
+def entity_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching over part names: candidate
+    pairs come ONLY from blocks (same first character, length within
+    1) — the standard blocking step that turns the O(n^2) all-pairs
+    edit-distance into per-block work — then exact Levenshtein <= 3
+    scores survivors. Same blocking + same distance in DuckDB, so
+    the match set hash-verifies. At 100 TB the block key is the
+    shuffle key; a skewed block is handled like any hot key
+    (operators/skew.py)."""
+    from pyspark.sql import functions as F
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    cond = ((F.substring(F.col("a.p_name"), 1, 1)
+             == F.substring(F.col("b.p_name"), 1, 1))
+            & (F.abs(F.length(F.col("a.p_name"))
+                     - F.length(F.col("b.p_name"))) <= 1)
+            & (F.col("a.p_name") < F.col("b.p_name")))
+    return (a.join(b, cond)
+            .withColumn("edit_dist",
+                        F.levenshtein(F.col("a.p_name"),
+                                      F.col("b.p_name")).cast("long"))
+            .where(F.col("edit_dist") <= 3)
+            .select(F.col("a.p_name").alias("name_a"),
+                    F.col("b.p_name").alias("name_b"), "edit_dist"))

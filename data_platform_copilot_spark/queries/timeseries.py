@@ -893,3 +893,49 @@ def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (F.col("b.y") - F.col("m")))
                      / F.max("d0"), 6).alias("acf"))
             .select(F.col("lag").cast("long").alias("lag"), "acf"))
+
+
+@query("audience_overlap_jaccard", oracle="""
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+    SELECT event_type, count(*) AS n FROM ut GROUP BY event_type
+), common AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS c
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(c AS BIGINT) AS n_common,
+       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4)
+           AS jaccard
+FROM common
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+""")
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard of their user
+    sets for every type pair — the cohort-overlap matrix behind
+    "do purchasers also file errors?" questions. Dedup to
+    (user, type) FIRST (the state bound), then a user-keyed
+    self-join emits only co-membership rows; |types|^2 output. The
+    same shape computes corpus-domain audience overlap at 100 TB."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    common = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                     & (F.col("a.event_type") < F.col("b.event_type")))
+              .groupBy(F.col("a.event_type").alias("type_a"),
+                       F.col("b.event_type").alias("type_b"))
+              .agg(F.count("*").alias("c")))
+    sa = sizes.withColumnsRenamed({"event_type": "type_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"event_type": "type_b", "n": "nb"})
+    return (common.join(sa, "type_a").join(sb, "type_b")
+            .select("type_a", "type_b",
+                    F.col("c").cast("long").alias("n_common"),
+                    rnd(F.col("c") / (F.col("na") + F.col("nb")
+                                      - F.col("c")), 4).alias("jaccard")))
