@@ -683,3 +683,52 @@ def bpe_doc_token_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_words"),
                  F.sum("n_sub").cast("long").alias("n_bpe_tokens")))
+
+
+@query("zipf_slope_tokens", oracle=f"""
+WITH tf AS (
+    SELECT tok, count(*) AS n FROM (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ) WHERE len(tok) > 0 GROUP BY tok
+), ranked AS (
+    SELECT ln(row_number() OVER (ORDER BY n DESC, tok)) AS lx,
+           ln(n) AS ly
+    FROM tf
+    ORDER BY n DESC, tok
+    LIMIT 100
+), s AS (
+    SELECT count(*) AS k, sum(lx) AS sx, sum(ly) AS sy,
+           sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+    FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS n_ranks,
+       round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6)
+           AS zipf_slope
+FROM s
+""")
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token rank-frequency curve: OLS slope
+    of ln(freq) vs ln(rank) for the top-100 tokens (natural text
+    sits near -1; templated/synthetic corpora drift far off — a
+    one-number corpus-naturalness probe). One vocab combine, a
+    deterministic (freq DESC, token) ranking, and the same
+    closed-form moment-sum regression as the trend entries."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+          .where(F.length("tok") > 0)
+          .groupBy("tok").agg(F.count("*").alias("n")))
+    ranked = (tf.select(
+        F.log(F.row_number().over(W.orderBy(F.desc("n"), "tok"))
+              .cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+        F.row_number().over(W.orderBy(F.desc("n"), "tok")).alias("r"))
+        .where(F.col("r") <= 100))
+    s = ranked.agg(F.count("*").alias("k"), F.sum("lx").alias("sx"),
+                   F.sum("ly").alias("sy"),
+                   F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+                   F.sum(F.col("lx") * F.col("lx")).alias("sxx"))
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / \
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k"))
+    return s.select(F.col("k").cast("long").alias("n_ranks"),
+                    rnd(slope, 6).alias("zipf_slope"))

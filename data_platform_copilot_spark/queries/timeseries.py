@@ -939,3 +939,64 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c").cast("long").alias("n_common"),
                     rnd(F.col("c") / (F.col("na") + F.col("nb")
                                       - F.col("c")), 4).alias("jaccard")))
+
+
+@query("ltv_cumulative_by_cohort_week", oracle="""
+WITH first_seen AS (
+    SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+), purch AS (
+    SELECT e.user_id,
+           strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+               AS cohort_week,
+           CAST(floor(date_diff('second', date_trunc('week', f.first_ts),
+                                e.ts) / 604800.0) AS BIGINT)
+               AS weeks_since,
+           e.value
+    FROM events e JOIN first_seen f USING (user_id)
+    WHERE e.event_type = 'purchase'
+), csize AS (
+    SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d')
+               AS cohort_week,
+           count(*) AS n_users
+    FROM first_seen GROUP BY 1
+), wk AS (
+    SELECT cohort_week, weeks_since, sum(value) AS rev
+    FROM purch GROUP BY 1, 2
+)
+SELECT wk.cohort_week, wk.weeks_since,
+       CAST(cs.n_users AS BIGINT) AS cohort_users,
+       round(sum(wk.rev) OVER (PARTITION BY wk.cohort_week
+                               ORDER BY wk.weeks_since)
+             / cs.n_users, 4) AS cum_ltv_per_user
+FROM wk JOIN csize cs ON wk.cohort_week = cs.cohort_week
+""")
+def ltv_cumulative_by_cohort_week(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per user by signup cohort: purchase
+    revenue accumulated over weeks-since-first-seen, normalized by
+    cohort size — the LTV curve product teams steer by. One
+    user-keyed first-seen combine, one (cohort, week) revenue
+    combine, one ordered window per cohort; the weeks_since
+    arithmetic uses the same truncated-second parity idiom as
+    sessionization."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cw = F.date_trunc("week", F.col("first_ts"))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .join(first, "user_id")
+             .select(F.date_format(cw, "yyyy-MM-dd").alias("cohort_week"),
+                     F.floor((epoch_s("ts") - epoch_s(cw)) / 604800.0)
+                     .cast("long").alias("weeks_since"),
+                     "value"))
+    csize = (first.groupBy(F.date_format(cw, "yyyy-MM-dd")
+                           .alias("cohort_week"))
+             .agg(F.count("*").alias("n_users")))
+    wk = purch.groupBy("cohort_week", "weeks_since").agg(
+        F.sum("value").alias("rev"))
+    w = (W.partitionBy("cohort_week").orderBy("weeks_since")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (wk.join(csize, "cohort_week")
+            .select("cohort_week", "weeks_since",
+                    F.col("n_users").cast("long").alias("cohort_users"),
+                    rnd(F.sum("rev").over(w) / F.col("n_users"), 4)
+                    .alias("cum_ltv_per_user")))
