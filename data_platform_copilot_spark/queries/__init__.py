@@ -119,6 +119,17 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # having_filter, exact_percentiles, scalar_subquery_cte,
     # case_when_bucketing, text_ngram_frequency.
     # List is exactly 50 names.
+    #
+    # r7 rotation queue (registered after the r6 gate froze; verified
+    # locally at sf0.01 + sf0.1 and by the full-registry pytest
+    # oracle): bpe_doc_token_cost, dedup_containment_pairs,
+    # sliding_distinct_users_6h, user_growth_daily,
+    # changepoint_cusum_daily, trend_theilsen_daily,
+    # mi_event_type_value, dq_benford_first_digit,
+    # concentration_gini_user_activity, forecast_holt_daily,
+    # acf_daily_value, dq_robust_mean_value, audience_overlap_jaccard,
+    # entity_match_part_names, ltv_cumulative_by_cohort_week,
+    # zipf_slope_tokens.
 ]
 
 
