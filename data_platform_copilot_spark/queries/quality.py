@@ -952,3 +952,106 @@ def fim_transform_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.lit("<SUF>"), suffix,
                                    F.lit("<MID>"), middle))
                     .alias("fim_md5")))
+
+
+def _funnel_oracle() -> str:
+    """Composed oracle for the end-to-end curation funnel: the
+    quality stage SPLICES the quality_filter_gopher oracle verbatim
+    (single source of truth for the rule thresholds — nested WITH
+    inside a derived table is legal in DuckDB); dedup/decontaminate/
+    sample stages replay the operators' documented md5 rules."""
+    from .core import ORACLE
+    gopher = ORACLE["quality_filter_gopher"]
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH gq AS (
+    SELECT doc_id FROM ({gopher}) WHERE keep
+), s1 AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN gq USING (doc_id)
+), fp AS (
+    SELECT doc_id, md5({norm}) AS f FROM s1
+), s2 AS (
+    SELECT s1.doc_id, s1.text FROM s1 JOIN (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY f) AS k
+            FROM fp
+        ) WHERE k
+    ) kk USING (doc_id)
+), tok2 AS (
+    SELECT doc_id, string_split({norm}, ' ') AS t FROM s2
+), cg AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(list_slice(t, i, i + 12), ' ')) AS g
+    FROM tok2, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE len(t) >= 13
+), ev AS (
+    SELECT string_split({norm}, ' ') AS t
+    FROM documents WHERE doc_id % 97 = 0
+), eg AS (
+    SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 12), ' '))
+               AS g
+    FROM ev, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE len(t) >= 13
+), bad AS (
+    SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)
+), s3 AS (
+    SELECT doc_id FROM s2
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+), s4 AS (
+    SELECT doc_id FROM s3
+    WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 1000000) < 500000
+)
+SELECT '0_raw' AS stage,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT '1_quality',
+       CAST((SELECT count(*) FROM s1) AS BIGINT)
+UNION ALL SELECT '2_dedup',
+       CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL SELECT '3_decontam',
+       CAST((SELECT count(*) FROM s3) AS BIGINT)
+UNION ALL SELECT '4_sample',
+       CAST((SELECT count(*) FROM s4) AS BIGINT)
+"""
+
+
+@query("pipeline_curation_funnel", oracle=_funnel_oracle())
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one entry — quality filter ->
+    exact-dedup keepers -> 13-gram decontamination -> deterministic
+    50% sample — reporting the doc count surviving each stage (the
+    funnel every corpus build publishes). Each stage CALLS the real
+    operator (gopher_quality_filter, exact_duplicates, decontaminate,
+    deterministic_sample), so this is the integration proof that the
+    individually-verified pieces compose; the oracle splices the
+    gopher oracle verbatim and replays the md5 rules of the rest.
+    Plan: the stages chain as one lazy DAG — Catalyst sees the whole
+    pipeline and shares the document scan."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import exact_duplicates
+    from ..operators.quality import decontaminate, gopher_quality_filter
+    from ..operators.sampling import deterministic_sample
+    docs = _t(spark, sf_dir, "documents")
+    gq = gopher_quality_filter(docs, "doc_id", "text",
+                               min_words=30, min_stopwords=1)
+    s1 = docs.join(gq.where("keep").select("doc_id"), "doc_id")
+    keep2 = (exact_duplicates(s1, "doc_id", "text")
+             .where(~F.col("is_duplicate")).select("doc_id"))
+    s2 = s1.join(keep2, "doc_id")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    flags = decontaminate(s2, "doc_id", "text",
+                          eval_df, "doc_id", "text", n=13)
+    s3 = s2.join(flags.where(~F.col("contaminated"))
+                 .select(F.col("id").alias("doc_id")), "doc_id")
+    s4 = deterministic_sample(s3, "doc_id", 0.5)
+
+    def stage(name, df):
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count("*").cast("long").alias("n_docs"))
+    return (stage("0_raw", docs)
+            .unionAll(stage("1_quality", s1))
+            .unionAll(stage("2_dedup", s2))
+            .unionAll(stage("3_decontam", s3))
+            .unionAll(stage("4_sample", s4)))
