@@ -44,6 +44,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # out; they remain value-verified every run by the full-registry
     # pytest oracle at sf0.01 and the slow sf0.1 suite.
     # r6-new + newly value-gated first (never driver-verified yet)
+    "pipeline_curation_funnel",
     "bpe_merge_table",
     "bpe_segment_lengths",
     "heavy_hitter_tokens",
@@ -95,7 +96,6 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dq_rule_anomaly_zscore_value",
     # rotated out in r5, back under the driver now
     "text_lang_id",
-    "text_fingerprint",
     "dedup_exact",
     "dedup_simhash",
     "embedding_quantize_int8",
@@ -117,7 +117,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # pivot_status_by_priority, unpivot_stack,
     # exists_correlated_subquery, null_handling_coalesce,
     # having_filter, exact_percentiles, scalar_subquery_cte,
-    # case_when_bucketing, text_ngram_frequency.
+    # case_when_bucketing, text_ngram_frequency, text_fingerprint.
     # List is exactly 50 names.
     #
     # r7 rotation queue (registered after the r6 gate froze; verified

@@ -65,7 +65,7 @@ def test_driver_gate_covers_rotation_set():
         "dedup_bias_source_mix", "attribution_last_touch",
         "survival_km_user_lifetime", "privacy_k_anonymity_report",
         "fim_transform_documents", "bpe_fertility_by_lang",
-        "contrastive_triplets",
+        "contrastive_triplets", "pipeline_curation_funnel",
     }
     missing = must_have - set(gate)
     assert not missing, f"rotation entries outside driver gate: {sorted(missing)}"
