@@ -890,3 +890,70 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size_a").cast("long").alias("size_a"),
         F.col("size_b").cast("long").alias("size_b"),
         rnd("containment", 4).alias("containment"))
+
+
+@query("dedup_minhash_calibration", oracle=_DUCK_SHINGLES + """
+, sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+), exact AS (
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (sa.size + sb.size - common)
+               AS j_exact
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.size + sb.size - common) >= 0.5
+), sig AS (
+    SELECT id, s.seed,
+           min((
+               (2 * ((1103515245 * (s.seed + 1) + 12345) % 536870912) + 1)
+               * ('0x' || substring(md5(shingle), 1, 8))::BIGINT
+               + (69069 * (s.seed + 1) + 1) % 536870912
+           ) % 2147483647) AS mh
+    FROM sh, unnest(range(0, 16)) AS s(seed)
+    GROUP BY id, s.seed
+), agree AS (
+    SELECT e.id_a, e.id_b, e.j_exact,
+           sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0
+               AS j_est
+    FROM exact e
+    JOIN sig a ON a.id = e.id_a
+    JOIN sig b ON b.id = e.id_b AND b.seed = a.seed
+    GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b,
+       round(j_exact, 4) AS j_exact,
+       round(j_est, 4) AS j_est,
+       round(abs(j_exact - j_est), 4) AS abs_err
+FROM agree
+""")
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION report: for every true near-dup pair
+    (exact Jaccard >= 0.5), the 16-hash signature-agreement estimate
+    next to the exact value and their absolute error — the
+    measure-don't-guess check that the sketch the LSH pipeline
+    trusts actually tracks the statistic it estimates (E[agree/k] =
+    Jaccard; 16 hashes give ~0.12 std at J=0.5). Signatures come
+    from the same one-groupBy wide-signature build as the dedup
+    path; the estimate joins 16 rows per pair, bounded by the true
+    pair count."""
+    from ..operators.dedup import jaccard_pairs, minhash_signatures, shingles
+    sh = shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    exact = (jaccard_pairs(sh, threshold=0.5)
+             .select("id_a", "id_b", F.col("jaccard").alias("j_exact")))
+    sig = minhash_signatures(sh, num_hashes=16)
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(16)) / 16.0
+    a, b = sig.alias("a"), sig.alias("b")
+    return (exact
+            .join(a, F.col("id_a") == F.col("a.id"))
+            .join(b, F.col("id_b") == F.col("b.id"))
+            .select("id_a", "id_b",
+                    rnd("j_exact", 4).alias("j_exact"),
+                    rnd(agree, 4).alias("j_est"),
+                    rnd(F.abs(F.col("j_exact") - agree), 4)
+                    .alias("abs_err")))
