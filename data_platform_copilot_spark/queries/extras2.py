@@ -423,3 +423,76 @@ def entity_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("edit_dist") <= 3)
             .select(F.col("a.p_name").alias("name_a"),
                     F.col("b.p_name").alias("name_b"), "edit_dist"))
+
+
+@query("scd2_point_in_time_join", oracle="""
+WITH users AS (
+    SELECT DISTINCT user_id FROM events
+), hist AS (
+    SELECT user_id, 'bronze' AS tier,
+           TIMESTAMP '2024-01-05' AS valid_from,
+           CASE WHEN user_id % 5 = 0 THEN TIMESTAMP '2024-01-15'
+                ELSE TIMESTAMP '9999-12-31' END AS valid_to
+    FROM users
+    UNION ALL
+    SELECT user_id, 'silver', TIMESTAMP '2024-01-15',
+           CASE WHEN user_id % 10 = 0 THEN TIMESTAMP '2024-01-25'
+                ELSE TIMESTAMP '9999-12-31' END
+    FROM users WHERE user_id % 5 = 0
+    UNION ALL
+    SELECT user_id, 'gold', TIMESTAMP '2024-01-25',
+           TIMESTAMP '9999-12-31'
+    FROM users WHERE user_id % 10 = 0
+)
+SELECT coalesce(h.tier, 'none') AS tier,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+LEFT JOIN hist h
+  ON e.user_id = h.user_id
+ AND e.ts >= h.valid_from AND e.ts < h.valid_to
+GROUP BY 1
+""")
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join of the event stream against an
+    SCD2 dimension built by the REAL history operators: bootstrap
+    (everyone bronze), two update batches (silver for user%5 at
+    day 15, gold for user%10 at day 25) applied through
+    scd2_init/scd2_merge, then each event matched to the version
+    valid at its timestamp — the warehouse pattern behind
+    "attribute as it was when the event happened". Events before
+    the bootstrap resolve to 'none'. The oracle derives the same
+    history in closed form, so the whole operator chain
+    (expire/insert/idempotence logic included) is value-verified.
+    Plan: user-keyed equi-join + window predicate; at scale the dim
+    side is |users| x versions, broadcast or bucketed by key."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd import scd2_init, scd2_merge
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    t0 = F.lit("2024-01-05").cast("timestamp")
+    t1 = F.lit("2024-01-15").cast("timestamp")
+    t2 = F.lit("2024-01-25").cast("timestamp")
+    snap0 = users.select("user_id", F.lit("bronze").alias("tier"),
+                         t0.alias("ts"))
+    hist = scd2_init(snap0, "user_id", "ts")
+    upd1 = (users.where(F.col("user_id") % 5 == 0)
+            .select("user_id", F.lit("silver").alias("tier"),
+                    t1.alias("ts")))
+    hist = scd2_merge(hist, upd1, "user_id", "ts")
+    upd2 = (users.where(F.col("user_id") % 10 == 0)
+            .select("user_id", F.lit("gold").alias("tier"),
+                    t2.alias("ts")))
+    hist = scd2_merge(hist, upd2, "user_id", "ts")
+    h = hist.select(F.col("user_id").alias("h_user"), "tier",
+                    "valid_from", "valid_to")
+    joined = ev.join(
+        h, (F.col("user_id") == F.col("h_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")),
+        "left")
+    return (joined.groupBy(F.coalesce("tier", F.lit("none")).alias("tier"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_users")))
