@@ -129,7 +129,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # concentration_gini_user_activity, forecast_holt_daily,
     # acf_daily_value, dq_robust_mean_value, audience_overlap_jaccard,
     # entity_match_part_names, ltv_cumulative_by_cohort_week,
-    # zipf_slope_tokens.
+    # zipf_slope_tokens, dedup_minhash_calibration,
+    # scd2_point_in_time_join.
 ]
 
 
