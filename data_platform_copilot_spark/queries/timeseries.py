@@ -1000,3 +1000,104 @@ def ltv_cumulative_by_cohort_week(spark: SparkSession,
                     F.col("n_users").cast("long").alias("cohort_users"),
                     rnd(F.sum("rev").over(w) / F.col("n_users"), 4)
                     .alias("cum_ltv_per_user")))
+
+
+@query("streaming_trending_types_1h", oracle="""
+WITH counts AS (
+    SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, CAST(n AS BIGINT) AS n,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT h, event_type, n,
+           row_number() OVER (PARTITION BY h
+                              ORDER BY n DESC, event_type) AS rnk
+    FROM counts
+) WHERE rnk <= 3
+""")
+def streaming_trending_types_1h(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per hour computed FROM THE STREAM
+    (complete-mode hourly counts as the monitor's running state,
+    rank epilogue over the state table) — value-verified by the
+    plain batch SQL because the stream replays to the same counts."""
+    from ..streaming.events import run_streaming_trending_types
+    return run_streaming_trending_types(spark, sf_dir)
+
+
+@query("session_depth_histogram", oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), ts) > 1800
+                     OR lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+), sess AS (
+    SELECT user_id,
+           sum(is_start) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS session_no
+    FROM ordered
+), depth AS (
+    SELECT user_id, session_no, count(*) AS depth
+    FROM sess GROUP BY user_id, session_no
+), capped AS (
+    SELECT least(depth, 10) AS depth_bucket FROM depth
+)
+SELECT CAST(depth_bucket AS BIGINT) AS depth_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM depth),
+             4) AS frac
+FROM capped GROUP BY depth_bucket
+""")
+def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session depth distribution (30-min inactivity sessions, the
+    sessionization entry's rule): events per session bucketed at
+    10+, with the share of sessions per depth — depth-1 share IS the
+    bounce rate. Same single user-keyed exchange as sessionization
+    (both windows share it), one |sessions| combine, 10-row output."""
+    ev = _t(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wo)
+    is_start = F.when(prev.isNull()
+                      | ((epoch_s("ts") - epoch_s(prev)) > 1800), 1) \
+        .otherwise(0)
+    sess_no = F.sum(is_start).over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0))
+    depth = (ev.select("user_id", is_start.alias("s"), "ts", "event_id")
+             .select("user_id", sess_no.alias("session_no"))
+             .groupBy("user_id", "session_no")
+             .agg(F.count("*").alias("depth")))
+    tot = depth.agg(F.count("*").cast("double").alias("nt"))
+    return (depth.select(F.least(F.col("depth"), F.lit(10))
+                         .cast("long").alias("depth_bucket"))
+            .groupBy("depth_bucket")
+            .agg(F.count("*").cast("long").alias("n_sessions"))
+            .crossJoin(F.broadcast(tot))
+            .select("depth_bucket", "n_sessions",
+                    rnd(F.col("n_sessions") / F.col("nt"), 4)
+                    .alias("frac")))
+
+
+@query("traffic_heatmap_dow_hour", oracle="""
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 4) AS mean_value
+FROM events GROUP BY 1, 2
+""")
+def traffic_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day traffic heatmap with mean value —
+    the seasonality fingerprint behind capacity planning and the
+    input the anomaly entries normalize against. One 168-cell
+    combine. (Both engines number Sunday=1..Saturday=7.)"""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy((F.dayofweek("ts") - 1).cast("long").alias("dow"),
+                       F.hour("ts").cast("long").alias("hod"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 rnd(F.avg("value"), 4).alias("mean_value")))

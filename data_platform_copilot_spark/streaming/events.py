@@ -322,3 +322,35 @@ def run_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(p, 6).alias("p_ref"),
                     rnd(qq, 6).alias("p_cur"),
                     rnd((p - qq) * F.log(p / qq), 6).alias("psi_term")))
+
+
+def run_streaming_trending_types(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Trending event types per hour from the live stream: the
+    stream maintains (hour, type) counts (complete-mode windowed
+    aggregation — the monitor's running state); the top-3 rank per
+    hour is a |hours|x|types|-row batch epilogue over that state.
+    Same rows as the batch twin, so one oracle verifies both."""
+    from pyspark.sql import Window as W
+
+    stream = streaming_events_source(spark, sf_dir)
+    counts = (stream
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count("*").alias("n")))
+    name = f"stream_trend_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.table(name)
+    rk = W.partitionBy("w").orderBy(F.desc("n"), "event_type")
+    return (state
+            .withColumn("rnk", F.row_number().over(rk).cast("long"))
+            .where(F.col("rnk") <= 3)
+            .select(F.date_format(F.col("w.start"),
+                                  "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour_start"),
+                    "event_type", F.col("n").cast("long").alias("n"),
+                    "rnk"))
