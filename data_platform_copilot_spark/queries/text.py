@@ -732,3 +732,59 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k"))
     return s.select(F.col("k").cast("long").alias("n_ranks"),
                     rnd(slope, 6).alias("zipf_slope"))
+
+
+def _lang_mix_oracle() -> str:
+    from ..functions.text import LANG_STOPWORDS
+    cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x)))"
+            f" AS hits_{lang}")
+    hits = ",\n           ".join(cols)
+    langs = list(LANG_STOPWORDS)
+    n_langs = " + ".join(
+        f"CASE WHEN hits_{lg} > 0 THEN 1 ELSE 0 END" for lg in langs)
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), h AS (
+    SELECT doc_id,
+           {hits}
+    FROM t
+)
+SELECT doc_id,
+       CAST({n_langs} AS BIGINT) AS n_langs_hit,
+       {n_langs} >= 2 AS is_mixed
+FROM h
+WHERE {n_langs} >= 1
+"""
+
+
+@query("text_lang_mixing_flags", oracle=_lang_mix_oracle())
+def text_lang_mixing_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixing detector: documents whose tokens hit the
+    stopword lists of TWO OR MORE languages — the corpus-QA flag for
+    boilerplate-contaminated or concatenated-crawl pages that a
+    single-label language ID silently misfiles (they degrade
+    monolingual training sets from inside the 'right' bucket). The
+    entry emits every doc with at least one stopword hit so the
+    is_mixed flag itself is value-verified (this synthetic corpus is
+    cleanly monolingual — zero mixed docs IS the verified answer).
+    Pure token-array expressions per row, zero shuffle."""
+    from ..functions.text import LANG_STOPWORDS
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hit_flags = []
+    for words in LANG_STOPWORDS.values():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        hit_flags.append(F.when(hits > 0, 1).otherwise(0))
+    n_langs = hit_flags[0]
+    for fl in hit_flags[1:]:
+        n_langs = n_langs + fl
+    return (docs.select("doc_id", n_langs.alias("nl"))
+            .where(F.col("nl") >= 1)
+            .select("doc_id", F.col("nl").cast("long").alias("n_langs_hit"),
+                    (F.col("nl") >= 2).alias("is_mixed")))

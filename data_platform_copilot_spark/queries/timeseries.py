@@ -1101,3 +1101,52 @@ def traffic_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.hour("ts").cast("long").alias("hod"))
             .agg(F.count("*").cast("long").alias("n_events"),
                  rnd(F.avg("value"), 4).alias("mean_value")))
+
+
+@query("sax_daily_value", oracle="""
+WITH daily AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i, y
+    FROM (SELECT CAST(ts AS DATE) AS d, avg(value) AS y
+          FROM events GROUP BY 1)
+), stats AS (
+    SELECT avg(y) AS m, stddev_pop(y) AS s, count(*) AS n FROM daily
+), paa AS (
+    SELECT CAST(floor(i * 6.0 / n) AS BIGINT) AS seg,
+           avg((y - m) / s) AS zmean
+    FROM daily, stats GROUP BY 1
+)
+SELECT seg, round(zmean, 6) AS paa_z,
+       CASE WHEN zmean < -0.6745 THEN 'a'
+            WHEN zmean < 0.0 THEN 'b'
+            WHEN zmean < 0.6745 THEN 'c'
+            ELSE 'd' END AS sax_symbol
+FROM paa
+""")
+def sax_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic approximation of the daily value series (Lin et
+    al. 2003): z-normalize, piecewise-aggregate into 6 equal
+    segments (PAA), then map each segment mean to a 4-letter
+    alphabet at the standard N(0,1) quartile breakpoints
+    (+-0.6745) — the discretization behind symbolic motif/anomaly
+    search over billions of series. One day combine + a 6-key
+    combine; the word 'abccbd'-style output is the index key a
+    100 TB series store shards by."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.avg("value").alias("y"))
+             .select((F.row_number().over(W.orderBy("d")) - 1)
+                     .cast("long").alias("i"), "y"))
+    stats = daily.agg(F.avg("y").alias("m"),
+                      F.stddev_pop("y").alias("s"),
+                      F.count("*").alias("n"))
+    paa = (daily.crossJoin(F.broadcast(stats))
+           .groupBy(F.floor(F.col("i") * 6.0 / F.col("n"))
+                    .cast("long").alias("seg"))
+           .agg(F.avg((F.col("y") - F.col("m")) / F.col("s"))
+                .alias("zmean")))
+    sym = (F.when(F.col("zmean") < -0.6745, "a")
+           .when(F.col("zmean") < 0.0, "b")
+           .when(F.col("zmean") < 0.6745, "c")
+           .otherwise("d"))
+    return paa.select("seg", rnd("zmean", 6).alias("paa_z"),
+                      sym.alias("sax_symbol"))
