@@ -1055,3 +1055,64 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(stage("2_dedup", s2))
             .unionAll(stage("3_decontam", s3))
             .unionAll(stage("4_sample", s4)))
+
+
+@query("kappa_quality_rules", oracle="""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' ')) AS n,
+           length(text) AS L
+    FROM documents
+), flags AS (
+    SELECT CAST(n >= 30 AS INT) AS a,
+           CAST(L >= 150 AS INT) AS b
+    FROM t
+), c AS (
+    SELECT sum(a * b) AS yy,
+           sum(a * (1 - b)) AS yn,
+           sum((1 - a) * b) AS ny,
+           sum((1 - a) * (1 - b)) AS nn,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM flags
+)
+SELECT CAST(yy AS BIGINT) AS both_keep,
+       CAST(yn + ny AS BIGINT) AS disagree,
+       round((yy + nn) / n, 6) AS p_observed,
+       round(((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) / (n * n),
+             6) AS p_chance,
+       round(((yy + nn) / n
+              - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) / (n * n))
+             / (1 - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn))
+                / (n * n)), 6) AS kappa
+FROM c
+""")
+def kappa_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two quality rules — word-count >= 30 vs
+    char-length >= 150 — the chance-corrected agreement that tells
+    you whether a cheap proxy rule can stand in for an expensive one
+    (raw accuracy overstates agreement when both rules mostly say
+    keep). One conditional-aggregate pass builds the 2x2 table;
+    everything after is scalar arithmetic."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens as toks_fn
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.size(toks_fn(F.col("text"))) >= 30).cast("int")
+    b = (F.length("text") >= 150).cast("int")
+    c = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.col("a") * F.col("b")).alias("yy"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("yn"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("ny"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("nn"),
+        F.count("*").cast("double").alias("n"))
+    po = (F.col("yy") + F.col("nn")) / F.col("n")
+    pc = ((F.col("yy") + F.col("yn")) * (F.col("yy") + F.col("ny"))
+          + (F.col("ny") + F.col("nn")) * (F.col("yn") + F.col("nn"))) \
+        / (F.col("n") * F.col("n"))
+    return c.select(
+        F.col("yy").cast("long").alias("both_keep"),
+        (F.col("yn") + F.col("ny")).cast("long").alias("disagree"),
+        rnd(po, 6).alias("p_observed"),
+        rnd(pc, 6).alias("p_chance"),
+        rnd((po - pc) / (1 - pc), 6).alias("kappa"))

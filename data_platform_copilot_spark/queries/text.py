@@ -788,3 +788,53 @@ def text_lang_mixing_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("nl") >= 1)
             .select("doc_id", F.col("nl").cast("long").alias("n_langs_hit"),
                     (F.col("nl") >= 2).alias("is_mixed")))
+
+
+@query("sample_vocab_coverage", oracle=f"""
+WITH corpus_v AS (
+    SELECT DISTINCT tok FROM (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ) WHERE len(tok) > 0
+), samp AS (
+    SELECT doc_id, text FROM documents
+    WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 1000000) < 100000
+), samp_v AS (
+    SELECT DISTINCT tok FROM (
+        SELECT unnest({_TOKS.replace('documents', 'samp')}) AS tok
+        FROM samp
+    ) WHERE len(tok) > 0
+)
+SELECT CAST((SELECT count(*) FROM samp) AS BIGINT) AS n_sample_docs,
+       CAST((SELECT count(*) FROM samp_v) AS BIGINT) AS sample_types,
+       CAST((SELECT count(*) FROM corpus_v) AS BIGINT) AS corpus_types,
+       round((SELECT count(*) FROM samp_v)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM corpus_v), 6)
+           AS type_coverage
+""")
+def sample_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-quality audit: what fraction of the corpus's distinct
+    token types does the deterministic 10% document sample retain?
+    Low coverage means the sample under-represents the long tail —
+    the check run before trusting any subsampled ablation. Uses the
+    same md5 sample rule as the sampling operators; two vocab
+    combines and KB-sized scalars."""
+    from ..operators.sampling import deterministic_sample
+    docs = _t(spark, sf_dir, "documents")
+    def vocab(df):
+        return (df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+                .where(F.length("tok") > 0).distinct())
+    samp = deterministic_sample(docs, "doc_id", 0.1)
+    nv_c = vocab(docs).agg(F.count("*").alias("corpus_types"))
+    nv_s = vocab(samp).agg(F.count("*").alias("sample_types"))
+    nd = samp.agg(F.count("*").alias("n_sample_docs"))
+    return (nd.crossJoin(nv_s).crossJoin(nv_c)
+            .select(F.col("n_sample_docs").cast("long")
+                    .alias("n_sample_docs"),
+                    F.col("sample_types").cast("long")
+                    .alias("sample_types"),
+                    F.col("corpus_types").cast("long")
+                    .alias("corpus_types"),
+                    rnd(F.col("sample_types")
+                        / F.col("corpus_types").cast("double"), 6)
+                    .alias("type_coverage")))

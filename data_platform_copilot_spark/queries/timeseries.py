@@ -1150,3 +1150,48 @@ def sax_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            .otherwise("d"))
     return paa.select("seg", rnd("zmean", 6).alias("paa_z"),
                       sym.alias("sax_symbol"))
+
+
+@query("burst_detection_hourly", oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, count(*) AS n
+    FROM events GROUP BY 1
+), base AS (
+    SELECT h, n,
+           avg(n) OVER (ORDER BY h
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               AS baseline,
+           row_number() OVER (ORDER BY h) AS rn
+    FROM hourly
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(n AS BIGINT) AS n_events,
+       round(baseline, 4) AS baseline,
+       round(n / baseline, 4) AS burst_ratio
+FROM base
+WHERE rn > 24 AND n / baseline >= 1.5
+""")
+def burst_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection on the hourly event rate: hours running at
+    >= 1.5x their trailing-24h baseline (baseline excludes the
+    current hour; the first day is warm-up) — the simple
+    Kleinberg-class burst flag operations teams page on. One hourly
+    combine + one ordered 24-row window; hours, not events, carry
+    the window state."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count("*").alias("n")))
+    w = W.orderBy("h").rowsBetween(-24, -1)
+    wr = W.orderBy("h")
+    base = hourly.select(
+        "h", "n",
+        F.avg("n").over(w).alias("baseline"),
+        F.row_number().over(wr).alias("rn"))
+    return (base.where((F.col("rn") > 24)
+                       & (F.col("n") / F.col("baseline") >= 1.5))
+            .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour_start"),
+                    F.col("n").cast("long").alias("n_events"),
+                    rnd("baseline", 4).alias("baseline"),
+                    rnd(F.col("n") / F.col("baseline"), 4)
+                    .alias("burst_ratio")))
