@@ -614,3 +614,67 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cos_pos"),
                     rnd(cosine_similarity(F.col("av"), F.col("nv")), 4)
                     .alias("cos_neg")))
+
+
+def _cluster_sep_oracle(n_clusters: int, iters: int) -> str:
+    """k-means CTE chain + per-vector own/other centroid cosines,
+    aggregated per cluster."""
+    ctes, final_cents = _kmeans_sql(n_clusters, iters)
+    body = ",\n".join(ctes)
+    return f"""WITH {body},
+sims AS (
+    SELECT a.vec_id, a.cluster AS own,
+           c.cluster AS cand,
+           list_dot_product(a.v, c.cv)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+    FROM af a CROSS JOIN {final_cents} c
+), per_vec AS (
+    SELECT vec_id, own,
+           max(CASE WHEN cand = own THEN sim END) AS sim_own,
+           max(CASE WHEN cand <> own THEN sim END) AS sim_other
+    FROM sims GROUP BY vec_id, own
+)
+SELECT own AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(sim_own), 6) AS mean_sim_own,
+       round(avg(sim_other), 6) AS mean_sim_other,
+       round(avg(sim_own - sim_other), 6) AS mean_margin
+FROM per_vec GROUP BY own
+"""
+
+
+@query("cluster_separation_report",
+       oracle=_cluster_sep_oracle(n_clusters=16, iters=2))
+def cluster_separation_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Clustering-quality audit for the IVF coarse quantizer: per
+    cluster, the mean cosine of members to their OWN centroid vs
+    their best OTHER centroid, and the margin — the silhouette-class
+    check that tells you whether the k-means cells the ANN/SemDeDup
+    paths trust actually separate (margin ~0 means probes must rise
+    or cells must merge). Reuses the deterministic index build, so
+    the oracle replays the identical Lloyd rounds; the similarity
+    pass is one scan against the broadcast KB-sized centroid set."""
+    from ..operators.similarity import _assign_clusters, _kmeans_centroids
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids(emb, "vec_id", "embedding",
+                              n_clusters=16, iters=2, dim=64)
+    tagged = _assign_clusters(emb, "vec_id", "embedding", cents)
+    cent_col = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    from ..functions.vectors import cosine_similarity
+    sims = F.transform(cent_col,
+                       lambda c: cosine_similarity(F.col("v"), c))
+    own = F.element_at(sims, F.col("cluster") + 1)
+    other = F.array_max(F.transform(
+        sims, lambda s, i: F.when(i != F.col("cluster"), s)))
+    per_vec = tagged.select(F.col("cluster").alias("own"),
+                            own.alias("sim_own"),
+                            other.alias("sim_other"))
+    return (per_vec.groupBy(F.col("own").alias("cluster"))
+            .agg(F.count("*").cast("long").alias("n_vectors"),
+                 rnd(F.avg("sim_own"), 6).alias("mean_sim_own"),
+                 rnd(F.avg("sim_other"), 6).alias("mean_sim_other"),
+                 rnd(F.avg(F.col("sim_own") - F.col("sim_other")), 6)
+                 .alias("mean_margin")))
