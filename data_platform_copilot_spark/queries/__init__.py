@@ -130,7 +130,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # acf_daily_value, dq_robust_mean_value, audience_overlap_jaccard,
     # entity_match_part_names, ltv_cumulative_by_cohort_week,
     # zipf_slope_tokens, dedup_minhash_calibration,
-    # scd2_point_in_time_join.
+    # scd2_point_in_time_join, streaming_trending_types_1h,
+    # session_depth_histogram, traffic_heatmap_dow_hour,
+    # text_lang_mixing_flags, sax_daily_value,
+    # burst_detection_hourly, sample_vocab_coverage,
+    # kappa_quality_rules, cluster_separation_report.
 ]
 
 
