@@ -957,3 +957,38 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(agree, 4).alias("j_est"),
                     rnd(F.abs(F.col("j_exact") - agree), 4)
                     .alias("abs_err")))
+
+
+@query("dedup_threshold_sweep", oracle=_DUCK_SHINGLES + """
+, sizes AS (SELECT id, count(*) AS size FROM sh GROUP BY id)
+, pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT CAST(common AS DOUBLE) / (sa.size + sb.size - common) AS j
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+), th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
+SELECT th.t AS threshold,
+       CAST(count(*) FILTER (scored.j >= th.t) AS BIGINT) AS n_pairs
+FROM th CROSS JOIN scored
+GROUP BY th.t
+""")
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for near-dup dedup: the pair
+    count surviving Jaccard >= t for t in 0.5..0.9, from ONE
+    inverted-index pair computation — the tuning curve that decides
+    where to set the production threshold (and how many bands/rows
+    the LSH stage needs). The sweep is a 5-row broadcast against the
+    scored pair set, not five recomputations."""
+    from ..operators.dedup import jaccard_pairs, shingles
+    sh = shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    scored = jaccard_pairs(sh, threshold=0.0).select("jaccard")
+    th = scored.sparkSession.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "t double")
+    return (F.broadcast(th).crossJoin(scored)
+            .groupBy(F.col("t").alias("threshold"))
+            .agg(F.sum(F.when(F.col("jaccard") >= F.col("t"), 1)
+                       .otherwise(0)).cast("long").alias("n_pairs")))

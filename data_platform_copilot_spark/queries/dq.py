@@ -774,3 +774,87 @@ def dq_robust_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.avg(F.least(F.greatest(v, F.col("lo")),
                                    F.col("hi"))), 6)
                  .alias("mean_winsorized")))
+
+
+@query("pareto_share_user_activity", oracle="""
+WITH ua AS (
+    SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+), ranked AS (
+    SELECT x,
+           row_number() OVER (ORDER BY x DESC, user_id) AS r,
+           count(*) OVER () AS n, sum(x) OVER () AS sx
+    FROM ua
+), cum AS (
+    SELECT r, n, sx,
+           sum(x) OVER (ORDER BY r) AS cx
+    FROM ranked
+), th AS (SELECT unnest([0.01, 0.1, 0.5]) AS frac)
+SELECT th.frac AS top_frac,
+       CAST(max(c.r) AS BIGINT) AS n_top_users,
+       round(max(c.cx) / max(c.sx), 6) AS share_of_events
+FROM th JOIN cum c ON c.r <= greatest(1, ceil(th.frac * c.n))
+GROUP BY th.frac
+""")
+def pareto_share_user_activity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Pareto concentration readout: the share of all events produced
+    by the top 1% / 10% / 50% of users — the interpretable companion
+    to the Gini entry (corpus builders run the identical report on
+    per-domain token mass before deciding to cap domains). One user
+    combine + one ordered cumulative window + a 3-row threshold
+    join."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    wr = W.orderBy(F.desc("x"), "user_id")
+    wall = W.partitionBy()
+    wcum = W.orderBy("r").rowsBetween(W.unboundedPreceding, 0)
+    ranked = ua.select("x", F.row_number().over(wr).alias("r"),
+                       F.count("*").over(wall).alias("n"),
+                       F.sum("x").over(wall).alias("sx"))
+    cum = ranked.select("r", "n", "sx",
+                        F.sum("x").over(wcum).alias("cx"))
+    th = ua.sparkSession.createDataFrame(
+        [(0.01,), (0.1,), (0.5,)], "frac double")
+    return (F.broadcast(th).join(
+        cum, F.col("r") <= F.greatest(
+            F.lit(1), F.ceil(F.col("frac") * F.col("n"))))
+        .groupBy(F.col("frac").alias("top_frac"))
+        .agg(F.max("r").cast("long").alias("n_top_users"),
+             rnd(F.max("cx") / F.max("sx"), 6).alias("share_of_events")))
+
+
+@query("dq_referential_integrity", oracle="""
+SELECT 'events.user_id -> customer.c_custkey' AS fk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+           AS n_orphans,
+       round(count(*) FILTER (c.c_custkey IS NULL)
+             / CAST(count(*) AS DOUBLE), 6) AS orphan_rate,
+       CAST(min(CASE WHEN c.c_custkey IS NULL THEN e.user_id END)
+            AS BIGINT) AS example_orphan_key
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""")
+def dq_referential_integrity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Referential-integrity DQ rule: orphan rate of events.user_id
+    against customer.c_custkey (the FK class the reference's rule
+    set lacks), with the smallest offending key as the repro
+    pointer. One left join against the (broadcastable) dimension +
+    conditional aggregates — the plan any FK audit should have at
+    any scale."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    j = ev.join(F.broadcast(cust),
+                ev["user_id"] == cust["c_custkey"], "left")
+    orphan = F.col("c_custkey").isNull()
+    return j.agg(
+        F.lit("events.user_id -> customer.c_custkey").alias("fk"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(orphan.cast("int")).cast("long").alias("n_orphans"),
+        rnd(F.sum(orphan.cast("int")) / F.count("*").cast("double"), 6)
+        .alias("orphan_rate"),
+        F.min(F.when(orphan, F.col("user_id"))).cast("long")
+        .alias("example_orphan_key"))
