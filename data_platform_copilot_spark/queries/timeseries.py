@@ -1195,3 +1195,95 @@ def burst_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd("baseline", 4).alias("baseline"),
                     rnd(F.col("n") / F.col("baseline"), 4)
                     .alias("burst_ratio")))
+
+
+@query("time_to_convert_view_purchase", oracle="""
+WITH fv AS (
+    SELECT user_id, min(ts) AS first_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+    SELECT e.user_id, min(e.ts) AS first_purchase
+    FROM events e JOIN fv ON e.user_id = fv.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+    GROUP BY e.user_id
+), lags AS (
+    SELECT date_diff('second', fv.first_view, fp.first_purchase)
+               AS lag_s
+    FROM fv JOIN fp ON fv.user_id = fp.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       CAST(round(quantile_cont(lag_s, 0.5), 0) AS BIGINT) AS p50_s,
+       CAST(round(quantile_cont(lag_s, 0.9), 0) AS BIGINT) AS p90_s,
+       CAST(min(lag_s) AS BIGINT) AS min_s,
+       CAST(max(lag_s) AS BIGINT) AS max_s
+FROM lags
+""")
+def time_to_convert_view_purchase(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first view -> first
+    subsequent purchase, summarized as median/p90/min/max seconds —
+    the latency companion to the funnel entry (the funnel says HOW
+    MANY convert; this says HOW FAST). Two user-keyed min combines
+    and one |converters|-row summary; second-truncation parity via
+    the shared epoch idiom."""
+    ev = _t(spark, sf_dir, "events")
+    fv = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    fp = (ev.where(F.col("event_type") == "purchase")
+          .join(fv, "user_id")
+          .where(F.col("ts") >= F.col("first_view"))
+          .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    lags = (fv.join(fp, "user_id")
+            .select((epoch_s("first_purchase") - epoch_s("first_view"))
+                    .alias("lag_s")))
+    return lags.agg(
+        F.count("*").cast("long").alias("n_converters"),
+        F.round(F.percentile(F.col("lag_s"), F.lit(0.5)), 0)
+        .cast("long").alias("p50_s"),
+        F.round(F.percentile(F.col("lag_s"), F.lit(0.9)), 0)
+        .cast("long").alias("p90_s"),
+        F.min("lag_s").cast("long").alias("min_s"),
+        F.max("lag_s").cast("long").alias("max_s"))
+
+
+@query("pchart_error_rate_hourly", oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+    FROM events GROUP BY 1
+), pbar AS (
+    SELECT sum(e) / CAST(sum(n) AS DOUBLE) AS p FROM hourly
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(n AS BIGINT) AS n_events,
+       round(e / CAST(n AS DOUBLE), 6) AS error_rate,
+       round(p + 3 * sqrt(p * (1 - p) / n), 6) AS ucl
+FROM hourly, pbar
+WHERE e / CAST(n AS DOUBLE) > p + 3 * sqrt(p * (1 - p) / n)
+""")
+def pchart_error_rate_hourly(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """p-chart SPC monitor on the hourly error rate: hours whose
+    error share exceeds the binomial 3-sigma upper control limit
+    around the overall rate (Shewhart's attribute chart — the SLO
+    alarm that adjusts its threshold to each hour's sample size, so
+    a quiet hour needs a bigger spike to page than a busy one). One
+    hourly combine + a broadcast 1-row p-bar."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count("*").alias("n"),
+                   F.sum((F.col("event_type") == "error").cast("int"))
+                   .alias("e")))
+    pbar = hourly.agg((F.sum("e") / F.sum("n").cast("double"))
+                      .alias("p"))
+    rate = F.col("e") / F.col("n").cast("double")
+    ucl = F.col("p") + 3 * F.sqrt(F.col("p") * (1 - F.col("p"))
+                                  / F.col("n"))
+    return (hourly.crossJoin(F.broadcast(pbar))
+            .where(rate > ucl)
+            .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour_start"),
+                    F.col("n").cast("long").alias("n_events"),
+                    rnd(rate, 6).alias("error_rate"),
+                    rnd(ucl, 6).alias("ucl")))
