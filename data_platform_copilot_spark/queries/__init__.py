@@ -134,7 +134,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # session_depth_histogram, traffic_heatmap_dow_hour,
     # text_lang_mixing_flags, sax_daily_value,
     # burst_detection_hourly, sample_vocab_coverage,
-    # kappa_quality_rules, cluster_separation_report.
+    # kappa_quality_rules, cluster_separation_report,
+    # pareto_share_user_activity, dq_referential_integrity,
+    # dedup_threshold_sweep, time_to_convert_view_purchase,
+    # pchart_error_rate_hourly.
 ]
 
 
