@@ -838,3 +838,56 @@ def sample_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("sample_types")
                         / F.col("corpus_types").cast("double"), 6)
                     .alias("type_coverage")))
+
+
+@query("corr_length_alpha_by_lang", oracle=f"""
+WITH m AS (
+    SELECT lang,
+           CAST(n_chars AS DOUBLE) AS x,
+           len(list_filter(string_split({_NORM}, ' '),
+                           t -> regexp_matches(t, '[a-z]')))
+           / CAST(greatest(len(string_split({_NORM}, ' ')), 1) AS DOUBLE)
+               AS y
+    FROM documents
+), s AS (
+    SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM m GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       round((sxy - sx * sy / n)
+             / nullif(sqrt(sxx - sx * sx / n)
+                      * sqrt(syy - sy * sy / n), 0),
+             6) AS pearson_r
+FROM s
+""")
+def corr_length_alpha_by_lang(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation between document length and
+    alphabetic-token fraction — the cross-feature dependency check
+    run before treating quality signals as independent filters (a
+    strong correlation means two rules double-count the same
+    evidence). Closed-form moment sums per language: one combine,
+    engine-portable arithmetic."""
+    from ..functions.text import normalize_text
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    alpha = (F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+             / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+    m = docs.select("lang", F.col("n_chars").cast("double").alias("x"),
+                    alpha.alias("y"))
+    s = m.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    # zero-variance groups (e.g. a language with no [a-z] tokens)
+    # get NULL r — nullif on both engines, not a crash
+    denom = (F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+             * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy")
+                      / F.col("n")))
+    r = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / \
+        F.nullif(denom, F.lit(0.0))
+    return s.select("lang", F.col("n").cast("long").alias("n_docs"),
+                    rnd(r, 6).alias("pearson_r"))

@@ -1287,3 +1287,44 @@ def pchart_error_rate_hourly(spark: SparkSession,
                     F.col("n").cast("long").alias("n_events"),
                     rnd(rate, 6).alias("error_rate"),
                     rnd(ucl, 6).alias("ucl")))
+
+
+@query("wow_type_movers", oracle="""
+WITH weekly AS (
+    SELECT event_type,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+), wow AS (
+    SELECT event_type, wk, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+    FROM weekly
+)
+SELECT event_type, wk AS week_start,
+       CAST(n AS BIGINT) AS n,
+       CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(n - prev_n AS BIGINT) AS delta,
+       round((n - prev_n) / CAST(prev_n AS DOUBLE), 4) AS pct_change
+FROM wow WHERE prev_n IS NOT NULL
+""")
+def wow_type_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movers per event type: count, delta, and
+    percent change against the prior week — the standard reporting
+    cut behind "what moved this week?". One (type, week) combine +
+    one type-keyed lag window."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = (ev.groupBy("event_type",
+                         F.date_format(F.date_trunc("week", F.col("ts")),
+                                       "yyyy-MM-dd").alias("wk"))
+              .agg(F.count("*").alias("n")))
+    w = W.partitionBy("event_type").orderBy("wk")
+    wow = weekly.withColumn("prev_n", F.lag("n").over(w))
+    return (wow.where(F.col("prev_n").isNotNull())
+            .select("event_type", F.col("wk").alias("week_start"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("prev_n").cast("long").alias("prev_n"),
+                    (F.col("n") - F.col("prev_n")).cast("long")
+                    .alias("delta"),
+                    rnd((F.col("n") - F.col("prev_n"))
+                        / F.col("prev_n").cast("double"), 4)
+                    .alias("pct_change")))
