@@ -137,7 +137,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # kappa_quality_rules, cluster_separation_report,
     # pareto_share_user_activity, dq_referential_integrity,
     # dedup_threshold_sweep, time_to_convert_view_purchase,
-    # pchart_error_rate_hourly.
+    # pchart_error_rate_hourly, corr_length_alpha_by_lang,
+    # wow_type_movers.
 ]
 
 
