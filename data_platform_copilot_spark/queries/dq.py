@@ -858,3 +858,64 @@ def dq_referential_integrity(spark: SparkSession,
         .alias("orphan_rate"),
         F.min(F.when(orphan, F.col("user_id"))).cast("long")
         .alias("example_orphan_key"))
+
+
+@query("ab_test_mann_whitney", oracle="""
+WITH lab AS (
+    SELECT value, CAST(event_type = 'click' AS INT) AS is_a,
+           event_id
+    FROM events WHERE event_type IN ('click', 'view')
+), rk AS (
+    SELECT is_a, value,
+           (min(rn) OVER (PARTITION BY value)
+            + max(rn) OVER (PARTITION BY value)) / 2.0 AS avg_rank
+    FROM (
+        SELECT is_a, value,
+               row_number() OVER (ORDER BY value, event_id) AS rn
+        FROM lab
+    )
+), s AS (
+    SELECT sum(CASE WHEN is_a = 1 THEN avg_rank END) AS r_a,
+           sum(is_a) AS na,
+           sum(1 - is_a) AS nb
+    FROM rk
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(r_a - na * (na + 1) / 2.0, 2) AS u_stat,
+       round((r_a - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb * (na + nb + 1) / 12.0), 6) AS z_approx
+FROM s
+""")
+def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the click and view cohorts — the
+    nonparametric companion to the Welch entry (rank-based, so a
+    heavy-tailed metric can't fake a mean shift). Tied values get
+    their average rank via min/max row-number windows over a total
+    order; U from the rank sum, normal z approximation (tie
+    correction omitted and stated — ties here are measure-zero
+    doubles). One global sort window over the two cohorts."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view"))
+    lab = ev.select("value", (F.col("event_type") == "click")
+                    .cast("int").alias("is_a"), "event_id")
+    rn = F.row_number().over(W.orderBy("value", "event_id"))
+    base = lab.select("is_a", "value", rn.alias("rn"))
+    wv = W.partitionBy("value")
+    rk = base.select(
+        "is_a",
+        ((F.min("rn").over(wv) + F.max("rn").over(wv)) / 2.0)
+        .alias("avg_rank"))
+    s = rk.agg(
+        F.sum(F.when(F.col("is_a") == 1, F.col("avg_rank"))).alias("r_a"),
+        F.sum("is_a").alias("na"),
+        F.sum(1 - F.col("is_a")).alias("nb"))
+    u = F.col("r_a") - F.col("na") * (F.col("na") + 1) / 2.0
+    z = (u - F.col("na") * F.col("nb") / 2.0) / F.sqrt(
+        F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1)
+        / 12.0)
+    return s.select(F.col("na").cast("long").alias("n_a"),
+                    F.col("nb").cast("long").alias("n_b"),
+                    rnd(u, 2).alias("u_stat"),
+                    rnd(z, 6).alias("z_approx"))

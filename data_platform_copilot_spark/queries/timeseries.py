@@ -1328,3 +1328,54 @@ def wow_type_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd((F.col("n") - F.col("prev_n"))
                         / F.col("prev_n").cast("double"), 4)
                     .alias("pct_change")))
+
+
+@query("churn_label_dataset", oracle="""
+WITH feat AS (
+    SELECT user_id,
+           count(*) AS n_events_3w,
+           count(DISTINCT CAST(ts AS DATE)) AS active_days_3w,
+           count(DISTINCT event_type) AS n_types_3w
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-22'
+    GROUP BY user_id
+), future AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-22'
+)
+SELECT f.user_id,
+       CAST(f.n_events_3w AS BIGINT) AS n_events_3w,
+       CAST(f.active_days_3w AS BIGINT) AS active_days_3w,
+       CAST(f.n_types_3w AS BIGINT) AS n_types_3w,
+       CAST(fu.user_id IS NULL AS INT) AS churned
+FROM feat f LEFT JOIN future fu ON f.user_id = fu.user_id
+""")
+def churn_label_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-dataset construction — the last step of a training
+    pipeline: per-user features from an observation window (first 3
+    weeks: events, active days, mean value) with a leakage-safe
+    churn label from the STRICTLY LATER window (no activity after
+    day 21). The time split is the load-bearing part: features never
+    read label-window rows, the exact mistake ad-hoc dataset pulls
+    make. Features are deliberately integer-exact (counts, not float
+    means): per-user small-n float averages routinely land on
+    rounding boundaries where cross-engine summation-order ulps flip
+    the rounded digit — counts cannot. One pre-cutoff combine + one
+    distinct-user anti-ish join."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22").cast("timestamp")
+    feat = (ev.where(F.col("ts") < cut)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_events_3w"),
+                 F.countDistinct(F.col("ts").cast("date")).cast("long")
+                 .alias("active_days_3w"),
+                 F.countDistinct("event_type").cast("long")
+                 .alias("n_types_3w")))
+    future = (ev.where(F.col("ts") >= cut)
+              .select("user_id").distinct()
+              .withColumn("seen", F.lit(1)))
+    return (feat.join(future, "user_id", "left")
+            .select("user_id", "n_events_3w", "active_days_3w",
+                    "n_types_3w",
+                    F.when(F.col("seen").isNull(), 1).otherwise(0)
+                    .alias("churned")))
