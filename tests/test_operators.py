@@ -1705,3 +1705,39 @@ class TestContainment:
         assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
         assert cont[0]["containment"] >= 0.99
         assert jaccard_pairs(sh, threshold=0.8).collect() == []
+
+
+class TestMannWhitney:
+    def test_u_matches_bruteforce(self, spark):
+        # reference: U = number of (a, b) pairs with a > b (+0.5 ties)
+        import datetime
+        rows = []
+        a_vals = [1.0, 3.0, 5.0, 5.0, 9.0]
+        b_vals = [2.0, 4.0, 5.0, 6.0]
+        eid = 0
+        for v in a_vals:
+            rows.append((eid, datetime.datetime(2024, 1, 2),
+                         "click", v)); eid += 1
+        for v in b_vals:
+            rows.append((eid, datetime.datetime(2024, 1, 2),
+                         "view", v)); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+                  " value double")
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+        lab = df.select("value", (F.col("event_type") == "click")
+                        .cast("int").alias("is_a"), "event_id")
+        rn = F.row_number().over(W.orderBy("value", "event_id"))
+        base = lab.select("is_a", "value", rn.alias("rn"))
+        wv = W.partitionBy("value")
+        rk = base.select("is_a",
+                         ((F.min("rn").over(wv) + F.max("rn").over(wv))
+                          / 2.0).alias("avg_rank"))
+        s = rk.agg(F.sum(F.when(F.col("is_a") == 1,
+                                F.col("avg_rank"))).alias("r_a"),
+                   F.sum("is_a").alias("na")).collect()[0]
+        got_u = s["r_a"] - s["na"] * (s["na"] + 1) / 2.0
+        want_u = sum(1.0 if a > b else 0.5 if a == b else 0.0
+                     for a in a_vals for b in b_vals)
+        assert abs(got_u - want_u) < 1e-9
