@@ -919,3 +919,34 @@ def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("nb").cast("long").alias("n_b"),
                     rnd(u, 2).alias("u_stat"),
                     rnd(z, 6).alias("z_approx"))
+
+
+@query("dispersion_index_by_type", oracle="""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(avg(n), 4) AS mean_hourly,
+       round(var_samp(n) / avg(n), 4) AS dispersion_index
+FROM hourly GROUP BY event_type
+""")
+def dispersion_index_by_type(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Overdispersion index (variance/mean) of hourly counts per
+    event type — the count-data diagnostic that decides whether a
+    Poisson alarm threshold is honest (index ~1) or the stream is
+    bursty/clustered (index >> 1, demanding negative-binomial-wide
+    control limits; pairs with the p-chart entry). Two combines,
+    both map-side-partial."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count("*").alias("n")))
+    return (hourly.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_hours"),
+                 rnd(F.avg("n"), 4).alias("mean_hourly"),
+                 rnd(F.var_samp("n") / F.avg("n"), 4)
+                 .alias("dispersion_index")))

@@ -291,3 +291,64 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.col("toks").cast("long").alias("toks_available"),
         (F.col("base") + F.when(F.col("r") <= F.col("leftover"), 1)
          .otherwise(0)).cast("long").alias("allocated_tokens"))
+
+
+@query("split_leakage_check", oracle=f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 6))::BIGINT % 1000000)
+                     < 900000 THEN 'train'
+                WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 6))::BIGINT % 1000000)
+                     < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+), fp AS (
+    SELECT doc_id, split,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+    FROM split
+), grp AS (
+    SELECT f,
+           count(*) AS n_docs,
+           count(DISTINCT split) AS n_splits
+    FROM fp GROUP BY f
+)
+SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(count(*) FILTER (n_docs > 1) AS BIGINT) AS n_dup_groups,
+       CAST(count(*) FILTER (n_splits > 1) AS BIGINT)
+           AS n_leaking_groups,
+       CAST(coalesce(sum(n_docs) FILTER (n_splits > 1), 0) AS BIGINT)
+           AS n_leaking_docs
+FROM grp
+""")
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: after the deterministic 90/5/5
+    split, how many exact-duplicate fingerprint groups SPAN more
+    than one split — the classic evaluation-inflation pitfall
+    (duplicates of training docs sitting in test). Key-hash splits
+    cannot prevent it (duplicates have different keys), which is
+    exactly why dedup must run BEFORE splitting; this entry is the
+    check that proves whether it did. One fingerprint combine over
+    the split-tagged corpus; scalar report."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalize_text
+    from ..operators.sampling import dataset_split
+    docs = _t(spark, sf_dir, "documents")
+    tagged = dataset_split(docs, "doc_id",
+                           {"train": 0.9, "val": 0.05, "test": 0.05})
+    grp = (tagged.select(F.md5(normalize_text(F.col("text"))).alias("f"),
+                         "split")
+           .groupBy("f")
+           .agg(F.count("*").alias("n_docs"),
+                F.countDistinct("split").alias("n_splits")))
+    leak = F.when(F.col("n_splits") > 1, F.col("n_docs"))
+    return grp.agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.sum((F.col("n_docs") > 1).cast("int")).cast("long")
+        .alias("n_dup_groups"),
+        F.sum((F.col("n_splits") > 1).cast("int")).cast("long")
+        .alias("n_leaking_groups"),
+        F.coalesce(F.sum(leak), F.lit(0)).cast("long")
+        .alias("n_leaking_docs"))
