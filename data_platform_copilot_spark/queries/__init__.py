@@ -138,7 +138,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # pareto_share_user_activity, dq_referential_integrity,
     # dedup_threshold_sweep, time_to_convert_view_purchase,
     # pchart_error_rate_hourly, corr_length_alpha_by_lang,
-    # wow_type_movers, ab_test_mann_whitney, churn_label_dataset.
+    # wow_type_movers, ab_test_mann_whitney, churn_label_dataset,
+    # split_leakage_check, dispersion_index_by_type.
 ]
 
 
