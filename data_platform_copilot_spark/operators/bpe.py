@@ -55,27 +55,51 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
 
 
 def bpe_train(df: DataFrame, text_col: str,
-              n_merges: int = 8) -> DataFrame:
+              n_merges: int = 8, batch: int = 1) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (merge_rank, lhs, rhs, freq) — deterministic for a given corpus,
     so a SQL oracle replaying the identical rounds value-verifies
     the whole training run."""
-    merges_df, _ = bpe_train_with_state(df, text_col, n_merges)
+    merges_df, _ = bpe_train_with_state(df, text_col, n_merges, batch)
     return merges_df
 
 
 def bpe_train_with_state(df: DataFrame, text_col: str,
-                         n_merges: int = 8):
+                         n_merges: int = 8, batch: int = 1):
     """(merge table, final symbol state (w, pos, s)) — the state is
     what segmentation consumes: a word's row count IS its subword
     count under the learned merges, and joining it back to the
     corpus by word segments 100 TB of text with a vocab-sized dim
-    join."""
+    join.
+
+    ``batch`` amortizes the driver-synchronized round cost (the
+    latency floor at real vocab sizes — a 32k-merge run at batch=1
+    is 32k sequential vocab-sized jobs): each round collects the
+    ranked pair frequencies once and greedily accepts up to ``batch``
+    pairs, in (freq DESC, lhs, rhs) rank order, whose symbol sets
+    {lhs, rhs, lhs+rhs} are pairwise disjoint across the accepted
+    set, then applies them all in ONE rebuild. Disjointness makes
+    the batch application order-independent: no accepted pair can
+    create, destroy, or overlap an occurrence of another (a position
+    holds one symbol, so occurrences of symbol-disjoint pairs can
+    never share a position).
+
+    ``batch=1`` is EXACTLY the sequential Sennrich semantics (the
+    generic path degenerates to accept-the-argmax; pytest pins
+    equivalence). ``batch>1`` is the standard parallel-BPE
+    approximation: a merge may create a novel pair whose frequency
+    would outrank a later accepted pair under strict sequential
+    recounting, so the merge TABLE can differ slightly from
+    batch=1; recorded freqs are all measured against the round's
+    starting state. Every output remains fully deterministic for a
+    given (corpus, batch).
+    """
     spark = df.sparkSession
     words = word_vocab(df, text_col).localCheckpoint()
     s = _initial_symbols(words).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
         a, b = s.alias("a"), s.alias("b")
         pairs = (a.join(b, (F.col("a.w") == F.col("b.w"))
                         & (F.col("b.pos") == F.col("a.pos") + 1))
@@ -83,37 +107,55 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
                          F.col("a.pos").alias("apos"),
                          F.col("a.s").alias("lhs"),
                          F.col("b.s").alias("rhs")))
-        best = (pairs.join(words, "w")
-                .groupBy("lhs", "rhs").agg(F.sum("n").alias("freq"))
-                .orderBy(F.desc("freq"), "lhs", "rhs")
-                .limit(1).collect())
-        if not best:
+        # candidate horizon: enough ranked rows that symbol collisions
+        # rarely starve the batch, still KB-sized on the driver
+        horizon = 1 if want == 1 else max(64, 4 * want)
+        ranked = (pairs.join(words, "w")
+                  .groupBy("lhs", "rhs").agg(F.sum("n").alias("freq"))
+                  .orderBy(F.desc("freq"), "lhs", "rhs")
+                  .limit(horizon).collect())
+        if not ranked:
             break
-        lhs, rhs, freq = best[0]["lhs"], best[0]["rhs"], int(best[0]["freq"])
-        merges.append((r, lhs, rhs, freq))
-        # greedy left-to-right non-overlap: consecutive candidate
-        # positions (only possible when lhs == rhs) form runs via the
-        # pos - row_number trick; odd ranks within a run merge.
+        taken: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in ranked:
+            if len(taken) == want:
+                break
+            syms = {row["lhs"], row["rhs"], row["lhs"] + row["rhs"]}
+            if used & syms:
+                continue
+            taken.append((row["lhs"], row["rhs"], int(row["freq"])))
+            used |= syms
+        for lhs, rhs, freq in taken:
+            merges.append((len(merges) + 1, lhs, rhs, freq))
+        # greedy left-to-right non-overlap PER PAIR: consecutive
+        # candidate positions (only possible when lhs == rhs) form
+        # runs via the pos - row_number trick; odd ranks within a run
+        # merge. Accepted pairs are symbol-disjoint, so their
+        # occurrences are position-disjoint and one pass applies all.
+        is_taken = None
+        for lhs, rhs, _ in taken:
+            hit = (F.col("lhs") == lhs) & (F.col("rhs") == rhs)
+            is_taken = hit if is_taken is None else (is_taken | hit)
         cand = (pairs
-                .where((F.col("lhs") == lhs) & (F.col("rhs") == rhs))
+                .where(is_taken)
                 .withColumn("rn", F.row_number().over(
-                    W.partitionBy("w").orderBy("apos")))
+                    W.partitionBy("w", "lhs", "rhs").orderBy("apos")))
                 .withColumn("grp", F.col("apos") - F.col("rn"))
                 .withColumn("rn2", F.row_number().over(
-                    W.partitionBy("w", "grp").orderBy("apos")))
+                    W.partitionBy("w", "lhs", "rhs", "grp")
+                    .orderBy("apos")))
                 .where(F.col("rn2") % 2 == 1)
-                .select("w", "apos"))
-        start = cand.select("w", F.col("apos").alias("pos"),
-                            F.lit(True).alias("is_start"))
+                .select("w", "apos",
+                        F.concat("lhs", "rhs").alias("merged")))
+        start = cand.select("w", F.col("apos").alias("pos"), "merged")
         tail = cand.select("w", (F.col("apos") + 1).alias("pos"),
                            F.lit(True).alias("is_tail"))
         s = (s.join(start, ["w", "pos"], "left")
              .join(tail, ["w", "pos"], "left")
              .where(F.col("is_tail").isNull())
              .select("w", "pos",
-                     F.when(F.col("is_start").isNotNull(),
-                            F.lit(lhs + rhs))
-                     .otherwise(F.col("s")).alias("s"))
+                     F.coalesce("merged", "s").alias("s"))
              .select("w",
                      F.row_number().over(
                          W.partitionBy("w").orderBy("pos")).alias("pos"),
@@ -123,10 +165,15 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
         merges, "merge_rank long, lhs string, rhs string, freq long"), s)
 
 
-def bpe_reference(texts: list[str], n_merges: int = 8):
+def bpe_reference(texts: list[str], n_merges: int = 8,
+                  batch: int = 1):
     """Pure-python Sennrich reference for tests: same tokenization
     (lowercase, whitespace-collapsed), same tiebreak, same greedy
-    left-to-right merging."""
+    left-to-right merging. ``batch`` mirrors the distributed
+    batching contract exactly — identical rank order, identical
+    candidate horizon (``max(64, 4*want)``), identical greedy
+    symbol-disjoint acceptance — so batched runs are pinned against
+    this loop the same way batch=1 is."""
     import re
     from collections import Counter
 
@@ -137,23 +184,36 @@ def bpe_reference(texts: list[str], n_merges: int = 8):
                 words[w] += 1
     seqs = {w: [*w, MARKER] for w in words}
     merges = []
-    for r in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
         pair_counts: Counter = Counter()
         for w, seq in seqs.items():
             for i in range(len(seq) - 1):
                 pair_counts[(seq[i], seq[i + 1])] += words[w]
         if not pair_counts:
             break
-        best = min(pair_counts.items(),
-                   key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        (lhs, rhs), freq = best
-        merges.append((r, lhs, rhs, freq))
+        horizon = 1 if want == 1 else max(64, 4 * want)
+        ranked = sorted(pair_counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ranked = ranked[:horizon]
+        taken, used = [], set()
+        for (lhs, rhs), freq in ranked:
+            if len(taken) == want:
+                break
+            syms = {lhs, rhs, lhs + rhs}
+            if used & syms:
+                continue
+            taken.append((lhs, rhs, freq))
+            used |= syms
+        for lhs, rhs, freq in taken:
+            merges.append((len(merges) + 1, lhs, rhs, freq))
+        accepted = {(lhs, rhs): lhs + rhs for lhs, rhs, _ in taken}
         for w, seq in seqs.items():
             out, i = [], 0
             while i < len(seq):
-                if (i + 1 < len(seq) and seq[i] == lhs
-                        and seq[i + 1] == rhs):
-                    out.append(lhs + rhs)
+                if (i + 1 < len(seq)
+                        and (seq[i], seq[i + 1]) in accepted):
+                    out.append(accepted[(seq[i], seq[i + 1])])
                     i += 2
                 else:
                     out.append(seq[i])

@@ -313,8 +313,8 @@ def vocab_coverage(df: DataFrame, id_col: str, text_col: str,
             .orderBy("v"))
 
 
-def heavy_hitters(df: DataFrame, text_col: str,
-                  phi: float = 0.002) -> DataFrame:
+def heavy_hitters(df: DataFrame, text_col: str, phi: float = 0.002,
+                  persist_tokens: bool = True) -> DataFrame:
     """EXACT corpus heavy hitters (tokens with frequency >= phi of
     all tokens) by the standard two-phase distributed design:
 
@@ -326,7 +326,11 @@ def heavy_hitters(df: DataFrame, text_col: str,
     true heavy hitter is a candidate. State per task is O(1/phi),
     NEVER O(|vocab|) — at 100 TB the full-vocabulary shuffle a plain
     groupBy pays (billions of distinct long-tail keys) collapses to
-    kilobytes of candidates per partition.
+    kilobytes of candidates per partition. The SAME pass also emits
+    one per-partition token-total row, so the corpus total costs
+    kilobytes of side output instead of its own tokenize+count scan;
+    the tiny summary frame (O(partitions/phi) rows) is persisted so
+    the candidate branch and the total branch share one execution.
 
     Phase 2 — exact recount of candidates only (broadcast candidate
     set filters the token stream, |candidates|-key combine), then
@@ -336,6 +340,17 @@ def heavy_hitters(df: DataFrame, text_col: str,
     lets a plain GROUP BY/HAVING SQL oracle value-verify a
     sketch-based plan.
 
+    The recount is the only second look at the token stream — two
+    tokenizations is the floor for exact two-phase (candidates must
+    exist before they can be recounted). ``persist_tokens=True``
+    (default) shares the exploded stream between the passes with the
+    engine-standard materialization gate (``jaccard_pairs``' rule:
+    lazy localCheckpoint on local masters, recomputable
+    MEMORY_AND_DISK persist on clusters) so the recount reads the
+    cache instead of re-tokenizing; at extreme scale where spilling
+    the token stream would cost more than re-deriving it, pass
+    ``False`` to recompute.
+
     Returns (tok, n, freq) — freq = n / total tokens.
     """
     import math
@@ -343,11 +358,21 @@ def heavy_hitters(df: DataFrame, text_col: str,
     capacity = max(1, math.ceil(1.0 / phi))
     toks = spread(df.select(tokens(F.col(text_col)).alias("t"))).select(
         F.explode("t").alias("tok"))
+    if persist_tokens:
+        is_local = df.sparkSession.conf.get(
+            "spark.master", "local").startswith("local")
+        if is_local:
+            toks = toks.localCheckpoint(eager=False)
+        else:
+            from pyspark import StorageLevel
+            toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     def mg(batches):
         import pandas as pd
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for t in pdf["tok"]:
                 if t in counters:
                     counters[t] += 1
@@ -360,10 +385,17 @@ def heavy_hitters(df: DataFrame, text_col: str,
                         counters[k] -= 1
                     for k in dead:
                         del counters[k]
-        yield pd.DataFrame({"tok": list(counters.keys())})
+        cand = list(counters.keys())
+        yield pd.DataFrame({
+            "tok": pd.array(cand + [None], dtype="string"),
+            "part_n": pd.array([None] * len(cand) + [n_part],
+                               dtype="Int64")})
 
-    cands = toks.mapInPandas(mg, "tok string").distinct()
-    total = toks.agg(F.count("*").alias("n_total"))
+    summary = toks.mapInPandas(mg, "tok string, part_n long").persist()
+    cands = (summary.where(F.col("tok").isNotNull())
+             .select("tok").distinct())
+    total = (summary.where(F.col("part_n").isNotNull())
+             .agg(F.sum("part_n").alias("n_total")))
     counted = (toks.join(F.broadcast(cands), "tok")
                .groupBy("tok").agg(F.count("*").alias("n")))
     return (counted.crossJoin(F.broadcast(total))

@@ -1590,6 +1590,54 @@ class TestBPE:
                .orderBy("merge_rank").collect()]
         assert got == bpe_reference(texts, n_merges=3)
 
+    def test_batch1_is_sequential_semantics(self, spark):
+        # the generic batched path at batch=1 must degenerate to
+        # EXACTLY the sequential Sennrich loop (the r6 semantics)
+        from data_platform_copilot_spark.operators.bpe import (
+            bpe_reference,
+            bpe_train,
+        )
+        texts = ["low lower lowest low low",
+                 "new newer newest new newer",
+                 "wide wider widest low new"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [(r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
+               for r in bpe_train(df, "text", n_merges=6, batch=1)
+               .orderBy("merge_rank").collect()]
+        assert got == bpe_reference(texts, n_merges=6)
+
+    def test_batched_matches_batched_reference(self, spark, sf_dir):
+        # batch>1 is pinned against the pure-python replay of the
+        # identical batching contract (rank order, horizon, greedy
+        # symbol-disjoint acceptance, simultaneous application)
+        from data_platform_copilot_spark.operators.bpe import (
+            bpe_reference,
+            bpe_train,
+        )
+        from data_platform_copilot_spark.sources import load_table
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        texts = [r["text"] for r in docs.select("text").collect()]
+        for b in (3, 8):
+            got = [(r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
+                   for r in bpe_train(docs, "text", n_merges=12, batch=b)
+                   .orderBy("merge_rank").collect()]
+            assert got == bpe_reference(texts, n_merges=12, batch=b)
+            # within-round acceptance was symbol-disjoint, so all
+            # merged outputs are distinct subword units
+            assert len({lhs + rhs for _, lhs, rhs, _ in got}) == len(got)
+
+    def test_batched_rounds_are_fewer(self, spark):
+        # the point of batching: a vocab-sized run takes ~n/batch
+        # driver rounds, not n. Proxy: batched training must produce
+        # the full merge count while the corpus admits large batches.
+        from data_platform_copilot_spark.operators.bpe import bpe_train
+        texts = ["the quick brown fox jumps over the lazy dog",
+                 "pack my box with five dozen liquor jugs",
+                 "sphinx of black quartz judge my vow"] * 4
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_train(df, "text", n_merges=16, batch=8).collect()
+        assert len(got) == 16
+
 
 class TestBudgetAllocation:
     def test_sums_exactly_to_budget(self, spark, sf_dir):

@@ -228,6 +228,19 @@ class TestLateR6PlanShapes:
         assert "BroadcastExchange" in plan  # candidates + total
         assert "BatchEvalPython" not in plan
 
+    def test_heavy_hitters_single_corpus_tokenization(self, spark, sf_dir):
+        # r7 fusion: the MG pass ALSO emits per-partition token
+        # totals, so the corpus total no longer costs its own
+        # tokenize+count subtree. The only remaining looks at the
+        # token stream are the MG pass and the exact recount (the
+        # two-phase floor), and both read ONE shared materialized
+        # stream (localCheckpoint on local masters) — the plan must
+        # show exactly one parquet scan of documents.
+        plan = plan_of(spark, sf_dir, "heavy_hitter_tokens")
+        doc_scans = [ln for ln in plan.splitlines()
+                     if "Scan parquet" in ln and "documents" in ln]
+        assert len(doc_scans) <= 1, plan
+
     def test_zorder_is_pure_codegen(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "zorder_layout_report")
         assert "MapInPandas" not in plan

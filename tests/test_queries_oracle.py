@@ -35,40 +35,43 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"nation", "revenue"}
 
 def test_driver_gate_covers_rotation_set():
-    """The driver verifies list(queries())[:50]. r6 rotation policy:
-    the window holds the entries that were only locally verified in
-    r5 (plain SQL + DQ surface, the twelve rotated out in r5) plus
-    the r6-new substring operators and the newly value-gated approx
-    sketches; the 50 r5-gate entries rotate out and stay
-    value-verified by the full-registry parametrized oracle test."""
+    """The driver verifies list(queries())[:50]. Rotation policy
+    (r7+): every registry entry that has never had a green row in ANY
+    round's CORRECTNESS_r*.json must be either inside the first-50
+    gate window or explicitly named in DRIVER_GATE_PRIORITY's
+    documented residue (positions 51+, which lead the next round's
+    gate). Computed from the driver artifacts themselves so the test
+    keeps enforcing the policy as rounds accumulate."""
+    import glob
+    import json
+    from pathlib import Path
+
     import __spark_entry__ as e
-    gate = list(e.queries())[:50]
-    must_have = {
-        # r6-new + newly value-gated
-        "decontamination_substring", "dedup_substring_pairs",
-        "approx_distinct_counts", "approx_percentiles",
-        # never-yet-driver-checked / rotated-back representatives
-        "dq_rule_unique_event_id", "dq_rule_anomaly_zscore_value",
-        "text_lang_id", "dedup_exact", "dedup_simhash",
-        "embedding_quantize_int8", "window_distribution_funcs",
-        "lateral_view_explode",
-        # late-r6 additions, never driver-verified
-        "knn_join_graph", "zorder_layout_report",
-        "trend_slope_by_event_type", "ewma_value_per_user",
-        "embedding_covariance_dims", "decontamination_embedding",
-        "bpe_merge_table", "bpe_segment_lengths",
-        "heavy_hitter_tokens", "drift_psi_value", "drift_ks_value",
-        "streaming_drift_psi", "tfidf_keywords_per_doc",
-        "pmi_cooccurrence_pairs", "token_budget_allocation",
-        "bootstrap_ci_mean_value", "ab_test_welch_t",
-        "recursive_cte_date_spine", "lateral_correlated_topk",
-        "dedup_bias_source_mix", "attribution_last_touch",
-        "survival_km_user_lifetime", "privacy_k_anonymity_report",
-        "fim_transform_documents", "bpe_fertility_by_lang",
-        "contrastive_triplets", "pipeline_curation_funnel",
-    }
-    missing = must_have - set(gate)
-    assert not missing, f"rotation entries outside driver gate: {sorted(missing)}"
+    from data_platform_copilot_spark.queries import DRIVER_GATE_PRIORITY
+
+    root = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        for k, v in json.load(open(f)).items():
+            ok = v.get("match") or v.get("ok") or v.get("pass")
+            if ok is None:
+                ok = all(v.get(x) for x in
+                         ("rows_match", "schema_match", "hash_match")
+                         if x in v)
+            if ok:
+                seen.add(k)
+    if not seen:  # fresh checkout without driver artifacts
+        return
+    names = list(e.queries())
+    gate = set(names[:50])
+    residue = set(DRIVER_GATE_PRIORITY) - gate
+    unplaced = [q for q in names
+                if q not in seen and q not in gate and q not in residue]
+    assert not unplaced, (
+        f"never-driver-verified entries outside gate+residue: {unplaced}")
+    # the residue must stay small enough to clear in one more round
+    never = [q for q in names if q not in seen]
+    assert len([q for q in never if q not in gate]) <= 50
 
 
 def test_registry_order_is_deterministic():
