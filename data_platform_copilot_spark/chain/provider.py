@@ -48,17 +48,21 @@ def make_provider(llm) -> CompletionProvider:
     """Provider dispatch from an ``LLMConfig`` (reference
     src/provider.py:103-117's get_provider): stub stays hermetic; the
     three HTTP providers share the chat-completions wire format and
-    differ only in base URL / key."""
+    differ only in base URL / key / timeout (the reference gives each
+    transport its own budget — 30 s openai, 45 s openrouter, 60 s
+    local ollama; src/provider.py:36,65,86)."""
     if llm.provider == "stub":
         return StubProvider()
     if llm.provider == "openai":
         return OpenAICompatProvider("https://api.openai.com/v1",
-                                    llm.openai_api_key, llm.model)
+                                    llm.openai_api_key, llm.model,
+                                    timeout_s=30.0)
     if llm.provider == "openrouter":
         return OpenAICompatProvider("https://openrouter.ai/api/v1",
-                                    llm.openrouter_api_key, llm.model)
+                                    llm.openrouter_api_key, llm.model,
+                                    timeout_s=45.0)
     return OpenAICompatProvider(llm.ollama_base_url.rstrip("/") + "/v1",
-                                None, llm.model)
+                                None, llm.model, timeout_s=60.0)
 
 
 class OpenAICompatProvider:

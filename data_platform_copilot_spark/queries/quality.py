@@ -1026,20 +1026,28 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic_sample), so this is the integration proof that the
     individually-verified pieces compose; the oracle splices the
     gopher oracle verbatim and replays the md5 rules of the rest.
-    Plan: the stages chain as one lazy DAG — Catalyst sees the whole
-    pipeline and shares the document scan."""
+    Plan: the post-filter survivor frames (s1, s2) each feed three or
+    more downstream subtrees (the next stage's operator, its join
+    back, and the stage count), so they are shared via
+    ``materialize_auto`` instead of letting every consumer re-derive
+    them from the scan — this cuts the funnel's parquet scans of
+    documents from 20 to a handful; at 100 TB the progressively
+    shrinking survivor sets are exactly the frames cheap enough to
+    cache."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import exact_duplicates
     from ..operators.quality import decontaminate, gopher_quality_filter
     from ..operators.sampling import deterministic_sample
+    from ..sources.registry import materialize_auto
     docs = _t(spark, sf_dir, "documents")
     gq = gopher_quality_filter(docs, "doc_id", "text",
                                min_words=30, min_stopwords=1)
-    s1 = docs.join(gq.where("keep").select("doc_id"), "doc_id")
+    s1 = materialize_auto(
+        docs.join(gq.where("keep").select("doc_id"), "doc_id"))
     keep2 = (exact_duplicates(s1, "doc_id", "text")
              .where(~F.col("is_duplicate")).select("doc_id"))
-    s2 = s1.join(keep2, "doc_id")
+    s2 = materialize_auto(s1.join(keep2, "doc_id"))
     eval_df = docs.where(F.col("doc_id") % 97 == 0)
     flags = decontaminate(s2, "doc_id", "text",
                           eval_df, "doc_id", "text", n=13)

@@ -131,6 +131,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def materialize_auto(df: DataFrame) -> DataFrame:
+    """Share a frame that feeds multiple downstream subtrees without
+    recomputing it per consumer — the engine-standard gate (same rule
+    as ``operators.dedup.jaccard_pairs``): lazy localCheckpoint on
+    local masters (cheapest; executor-local blocks), recomputable
+    MEMORY_AND_DISK persist on clusters (an executor loss under
+    dynamic allocation must not fail the job)."""
+    if df.sparkSession.sparkContext.master.startswith("local"):
+        return df.localCheckpoint(eager=False)
+    from pyspark import StorageLevel
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def register_testdata(spark: SparkSession, sf_dir: str,
                       tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
     """Register every warehouse table as a temp view named after it.

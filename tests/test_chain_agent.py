@@ -173,3 +173,23 @@ class TestProviderFactory:
         else:
             p = make_provider(LLMConfig(provider="ollama"))
             assert p.base_url.endswith("/v1")
+
+    def test_per_provider_timeouts(self, monkeypatch):
+        # reference gives each transport its own budget: 30 s openai,
+        # 45 s openrouter, 60 s local ollama (src/provider.py:36,65,86).
+        # httpx may be absent in this container, so satisfy the
+        # construction-time import gate with a placeholder module —
+        # the assertion is about the dispatch wiring, not the wire.
+        import sys
+        import types
+
+        from data_platform_copilot_spark.chain import make_provider
+        from data_platform_copilot_spark.config import LLMConfig
+        monkeypatch.setitem(sys.modules, "httpx",
+                            sys.modules.get("httpx",
+                                            types.ModuleType("httpx")))
+        want = {"openai": 30.0, "openrouter": 45.0, "ollama": 60.0}
+        for prov, t in want.items():
+            p = make_provider(LLMConfig(provider=prov, openai_api_key="k",
+                                        openrouter_api_key="k"))
+            assert p.timeout_s == t, prov

@@ -241,6 +241,14 @@ class TestLateR6PlanShapes:
                      if "Scan parquet" in ln and "documents" in ln]
         assert len(doc_scans) <= 1, plan
 
+    def test_curation_funnel_shares_survivor_frames(self, spark, sf_dir):
+        # r7: the funnel's post-filter survivor frames (s1, s2) are
+        # materialized once and shared by every downstream stage —
+        # without the sharing the composed DAG re-derived the
+        # documents scan 20x across the five stage counts
+        plan = plan_of(spark, sf_dir, "pipeline_curation_funnel")
+        assert plan.count("Scan parquet") <= 8, plan
+
     def test_zorder_is_pure_codegen(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "zorder_layout_report")
         assert "MapInPandas" not in plan
