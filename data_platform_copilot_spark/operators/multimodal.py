@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side contract is real and tested — schema, partition-
-preserving mapInPandas plumbing, Arrow batch shapes, deterministic
-fake decode — while the actual codec calls are stubbed (no
-image/audio libraries in this container) behind ``DECODERS``:
-swap in PIL/torchaudio/pyav implementations in production and
-nothing else changes.
+preserving mapInPandas plumbing, Arrow batch shapes — and IMAGE
+decode is real for PNG payloads in any environment (pure-stdlib
+codec, operators/png.py) and for every other raster format when
+Pillow is importable (attempted at call time). Payloads that carry
+no image magic (the synthetic ASCII fixtures) keep the deterministic
+sha256-derived fake decode the DuckDB oracle replays; a real
+non-PNG image without Pillow is the ONLY case that still raises
+``NotImplementedError``. Audio/video decode remains stubbed behind
+``DECODERS`` (no torchaudio/pyav in this container): swap in real
+implementations in production and nothing else changes.
 
 Design for 100 TB of media:
 - Binary payloads stay columnar (parquet BINARY) and are NEVER
@@ -65,8 +70,62 @@ def _fake_decode(payload: bytes, kind: str) -> dict[str, Any]:
     }
 
 
+_IMAGE_MAGIC = (b"\xff\xd8\xff",          # JPEG
+                b"GIF87a", b"GIF89a",     # GIF
+                b"BM",                    # BMP
+                b"RIFF")                  # WEBP (RIFF container)
+
+
+def _pil_rows(payload: bytes):
+    """Decode any Pillow-supported format to (w, h, 3, RGB rows) —
+    import attempted at CALL time so environments without Pillow only
+    fail on payloads that actually need it."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — call-time optional dep
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    w, h = img.size
+    raw = img.tobytes()
+    rows = [bytearray(raw[y * w * 3:(y + 1) * w * 3]) for y in range(h)]
+    return w, h, 3, rows
+
+
+def _image_rows(payload: bytes):
+    """Real pixel access for an image payload, or None when the bytes
+    carry no image magic (synthetic fixtures -> fake decode)."""
+    from . import png
+    if png.is_png(payload):
+        try:
+            return png.decode(payload)
+        except png.UnsupportedPNG:
+            pass  # exotic PNG shape: fall through to Pillow
+    elif not payload.startswith(_IMAGE_MAGIC):
+        return None
+    try:
+        return _pil_rows(payload)
+    except ImportError:
+        raise NotImplementedError(
+            "non-PNG image payload needs Pillow (pip install pillow); "
+            "PNG decodes without it via operators/png.py") from None
+
+
+def _image_decode(payload: bytes, kind: str) -> dict[str, Any]:
+    """Image decode: real dimensions + 8-band luminance feature for
+    real image payloads, sha256-derived fake for opaque fixtures."""
+    if payload is None:
+        raise NotImplementedError("real decoder required for NULL payload")
+    shaped = _image_rows(payload)
+    if shaped is None:
+        return _fake_decode(payload, kind)
+    from .png import luminance_bands
+    w, h, ch, rows = shaped
+    return {"width": w, "height": h, "duration_s": None,
+            "feature": [float(v) for v in
+                        luminance_bands(w, h, ch, rows)]}
+
+
 DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
-    "image": _fake_decode,
+    "image": _image_decode,
     "audio": _fake_decode,
     "video": _fake_decode,
 }
@@ -174,6 +233,25 @@ def synthetic_media_with_dupes(spark: SparkSession, n: int = 64,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_png_media(spark: SparkSession, n: int = 16) -> DataFrame:
+    """Media fixture whose payloads are REAL PNG files (encoded by the
+    pure-stdlib codec): deterministic RGB gradients with per-id
+    dimensions, so decode tests have ground-truth width/height/pixels
+    without any image library."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i * 5) % 24, 8 + (i * 3) % 24
+        pix = [bytearray(((x * 31 + i) % 256, (y * 17 + i) % 256,
+                          (x * y + i) % 256)[c]
+                         for x in range(w) for c in range(3))
+               for y in range(h)]
+        from . import png
+        rows.append((i, "image", bytearray(png.encode(w, h, 3, pix)),
+                     "image/png", {"src": f"synth-png://{i}",
+                                   "w": str(w), "h": str(h)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 RESIZE_SCHEMA = ("media_id long, kind string, target_w int, target_h int,"
                  " out_bytes long, payload binary")
 
@@ -185,13 +263,14 @@ def resize_images(df: DataFrame, target_w: int = 224,
     training pipeline runs): Arrow-batched mapInPandas over image
     rows, payload in -> resized payload out, NO shuffle of the
     binary column (same contract as extract_features — parallelism
-    comes from the source split). The pixel transform itself is the
-    STUBBED step (no image codec in this container): the stand-in
-    emits a deterministic payload of exactly target_w*target_h/64
-    bytes derived from the input via repetition/truncation, so the
-    batch shape, output schema, size accounting, and
-    bytes-in/bytes-out plumbing are all real and testable; swapping
-    in a real decoder touches only ``_resize_stub``."""
+    comes from the source split). REAL image payloads take the real
+    pixel path: PNG decodes via the pure-stdlib codec (any
+    environment), other raster formats via Pillow when importable;
+    the output is a nearest-neighbor resample re-encoded as PNG.
+    Payloads with no image magic (the synthetic fixtures) keep the
+    deterministic repetition/truncation stand-in so the batch shape,
+    output schema, size accounting, and bytes-in/bytes-out plumbing
+    stay testable with opaque bytes."""
 
     def _resize_stub(payload: bytes) -> bytes:
         out_len = max(1, target_w * target_h // 64)
@@ -201,13 +280,25 @@ def resize_images(df: DataFrame, target_w: int = 224,
         reps = out_len // len(payload) + 1
         return (payload * reps)[:out_len]
 
+    def _resize(payload: bytes) -> bytes:
+        from . import png
+        if not payload:
+            return _resize_stub(payload)
+        shaped = _image_rows(payload)
+        if shaped is None:
+            return _resize_stub(payload)
+        w, h, ch, rows = shaped
+        return png.encode(target_w, target_h, ch,
+                          png.resize_nearest(w, h, ch, rows,
+                                             target_w, target_h))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rec in pdf.itertuples(index=False):
                 payload = bytes(rec.payload) if rec.payload is not None \
                     else None
-                resized = _resize_stub(payload)
+                resized = _resize(payload)
                 out.append({"media_id": rec.media_id, "kind": rec.kind,
                             "target_w": target_w, "target_h": target_h,
                             "out_bytes": len(resized),

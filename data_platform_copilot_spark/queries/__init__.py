@@ -114,7 +114,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "funnel_view_click_purchase",  # twin of attribution_last_touch
     # Any entry registered during r7 itself queues BEHIND the six
     # names above in the r8 gate (never-driver-verified strictly
-    # first, oldest first).
+    # first, oldest first):
+    "multimodal_png_decode",      # r7-new: real PNG codec value gate
 ]
 
 

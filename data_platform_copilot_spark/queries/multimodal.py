@@ -58,6 +58,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "width", "height", "duration_s")
 
 
+_N_PNG = 16
+
+@query("multimodal_png_decode", oracle=f"""
+WITH ids AS (SELECT unnest(range(0, {_N_PNG})) AS media_id)
+SELECT media_id,
+       CAST(8 + (media_id * 5) % 24 AS INT) AS width,
+       CAST(8 + (media_id * 3) % 24 AS INT) AS height,
+       TRUE AS bands_match
+FROM ids
+""")
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-gated: the fixture's payloads are
+    actual PNG files (gradients with per-id dimensions and pixel
+    formulas), Spark decodes the BYTES through the pure-stdlib codec
+    inside the Arrow plumbing, and the result is checked two ways —
+    width/height exactly against DuckDB replaying the generator's
+    dimension arithmetic, and the 8-band luminance feature against a
+    Spark-SQL replay of the generator's pixel formulas via the
+    engine's epsilon-boolean pattern (same contract as the approx
+    sketches: the oracle pins bands_match TRUE, so any codec bug
+    flips the hash). float32 storage of the feature bounds the
+    tolerance at 1e-5."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        extract_features,
+        synthetic_png_media,
+    )
+    feats = extract_features(synthetic_png_media(spark, n=_N_PNG))
+    # Spark-SQL replay of the generator: lum = (r+g+b) // 3 over the
+    # gradient formulas, 8 horizontal bands, mean/127.5 - 1
+    grid = spark.sql(f"""
+        WITH ids AS (SELECT explode(sequence(0, {_N_PNG - 1})) AS i),
+        dims AS (SELECT i, 8 + (i*5) % 24 AS w, 8 + (i*3) % 24 AS h
+                 FROM ids),
+        pix AS (
+            SELECT i, w, h, y, x,
+                   (((x*31 + i) % 256) + ((y*17 + i) % 256)
+                    + ((x*y + i) % 256)) DIV 3 AS lum
+            FROM dims
+            LATERAL VIEW explode(sequence(0, h - 1)) AS y
+            LATERAL VIEW explode(sequence(0, w - 1)) AS x
+        )
+        SELECT i AS media_id, least(y * 8 DIV h, 7) AS band,
+               sum(lum) / count(*) / 127.5 - 1.0 AS want
+        FROM pix GROUP BY 1, 2
+    """)
+    joined = (feats.select("media_id", "width", "height", "feature")
+              .join(grid, "media_id"))
+    diff = F.abs(F.element_at("feature", (F.col("band") + 1).cast("int"))
+                 - F.col("want"))
+    return (joined.groupBy("media_id", "width", "height")
+            .agg((F.max(diff) < 1e-5).alias("bands_match")))
+
+
 @query("media_exact_dedup", oracle=f"""
 WITH m AS (
     SELECT i AS media_id,
