@@ -508,3 +508,46 @@ def quantile_band_filter(df: DataFrame, score: Column,
     return (scored.crossJoin(F.broadcast(bounds))
             .where(F.col("__score").between(F.col("q_lo"), F.col("q_hi")))
             .drop("__score"))
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str,
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the FineWeb/RefinedWeb
+    compressibility quality signal (highly repetitive or templated
+    text compresses far below natural prose; near-random noise
+    compresses above it). Returns (id, n_bytes, n_compressed,
+    compression_ratio = compressed/raw, NULL for empty docs).
+
+    DEFLATE is fully deterministic for a fixed (input, level), so
+    the output is engine-reproducible — but it is NOT expressible in
+    SQL (no zlib in DuckDB), making this the engine's one
+    documented oracle-less query entry: the registry records a
+    rows-only driver check and the exact-value gate lives in pytest,
+    which replays zlib.compress byte-for-byte
+    (tests/test_operators.py). Plan: Arrow-batched mapInPandas over
+    the (id, text) projection — a pure per-row kernel, no shuffle,
+    parallelism from the source split (``spread`` in the query
+    layer); the 100 TB cost is one scan.
+    """
+    import pandas as pd
+
+    def run(batches):
+        import zlib
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b""
+                   for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, level)) if b else None
+                    for b in raw]
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "n_bytes": [len(b) for b in raw],
+                "n_compressed": pd.array(comp, dtype="Int64"),
+                "compression_ratio": [
+                    c / len(b) if b else None
+                    for c, b in zip(comp, raw)]})
+
+    return (df.select(F.col(id_col).alias(id_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(run, "id long, n_bytes long, "
+                              "n_compressed long, "
+                              "compression_ratio double"))

@@ -116,6 +116,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # names above in the r8 gate (never-driver-verified strictly
     # first, oldest first):
     "multimodal_png_decode",      # r7-new: real PNG codec value gate
+    "quality_score_auc",          # r7-new: histogram ROC-AUC
+    "dq_winsorized_value_stats",  # r7-new: winsorized robust stats
+    "ngram_novelty_deciles",      # r7-new: 13-gram novelty histogram
+    "compression_ratio_quality",  # r7-new: zlib signal (oracle-less)
 ]
 
 

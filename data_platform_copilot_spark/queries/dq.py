@@ -950,3 +950,51 @@ def dispersion_index_by_type(spark: SparkSession,
                  rnd(F.avg("n"), 4).alias("mean_hourly"),
                  rnd(F.var_samp("n") / F.avg("n"), 4)
                  .alias("dispersion_index")))
+
+
+@query("dq_winsorized_value_stats", oracle="""
+WITH b AS (
+    SELECT quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events WHERE value IS NOT NULL
+), w AS (
+    SELECT value AS raw,
+           least(greatest(value, b.lo), b.hi) AS v,
+           CAST(value < b.lo OR value > b.hi AS INT) AS clipped
+    FROM events, b WHERE value IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(clipped) AS BIGINT) AS n_clipped,
+       round(avg(raw), 6) AS mean_raw,
+       round(avg(v), 6) AS mean_winsor,
+       round(stddev_pop(raw), 6) AS std_raw,
+       round(stddev_pop(v), 6) AS std_winsor
+FROM w
+""")
+def dq_winsorized_value_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clamp the value column at its
+    exact p05/p95 and report mean/std before vs after — the standard
+    outlier-robust summary a DQ report publishes next to the raw
+    moments (raw std is dominated by the tail; the winsorized pair
+    is what thresholds should calibrate against). Plan: one exact
+    percentile pass producing a 1-row bound frame, broadcast back
+    over the scan, one moment combine — two passes, no per-row
+    state. At 100 TB swap the exact percentile for
+    percentile_approx exactly as ``approx_percentiles`` documents."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull()).select("value"))
+    b = ev.agg(F.expr("percentile(value, 0.05)").alias("lo"),
+               F.expr("percentile(value, 0.95)").alias("hi"))
+    v = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    clipped = ((F.col("value") < F.col("lo"))
+               | (F.col("value") > F.col("hi"))).cast("int")
+    return (ev.crossJoin(F.broadcast(b))
+            .select(F.col("value").alias("raw"), v.alias("v"),
+                    clipped.alias("clipped"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("clipped").cast("long").alias("n_clipped"),
+                 rnd(F.avg("raw"), 6).alias("mean_raw"),
+                 rnd(F.avg("v"), 6).alias("mean_winsor"),
+                 rnd(F.stddev_pop("raw"), 6).alias("std_raw"),
+                 rnd(F.stddev_pop("v"), 6).alias("std_winsor")))

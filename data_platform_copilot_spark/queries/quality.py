@@ -1124,3 +1124,61 @@ def kappa_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(po, 6).alias("p_observed"),
         rnd(pc, 6).alias("p_chance"),
         rnd((po - pc) / (1 - pc), 6).alias("kappa"))
+
+
+@query("ngram_novelty_deciles", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(list_slice(t, i, i + 12), ' ')) AS g
+    FROM tok, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE len(t) >= 13
+), freq AS (
+    SELECT g, count(*) AS n_docs_with FROM grams GROUP BY g
+), novelty AS (
+    SELECT gr.doc_id,
+           CAST(sum(CASE WHEN f.n_docs_with = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS nov
+    FROM grams gr JOIN freq f USING (g)
+    GROUP BY gr.doc_id
+)
+SELECT least(CAST(floor(nov * 10) AS BIGINT), 9) AS novelty_decile,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM novelty GROUP BY 1 ORDER BY 1
+""")
+def ngram_novelty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty profile: per doc, the fraction of its
+    DISTINCT 13-grams that occur in no other document, bucketed into
+    deciles — the corpus-health histogram behind memorization and
+    boilerplate audits (a mass at decile 0 means the corpus is
+    template-dominated; mass at 9 means mostly unique prose). Same
+    gram canonicalization as the decontamination family (md5 of the
+    space-joined window over normalized tokens). Plan: explode to
+    distinct (doc, gram), gram-keyed count (map-side combine), join
+    back, doc-keyed ratio, 10-row histogram — the inverted-index
+    shape, no pairwise work, no per-row driver state."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+    from ..sources.registry import spread
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    grams = (docs.select("doc_id", toks.alias("t"))
+             .where(F.size("t") >= 13)
+             .select("doc_id", F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("t") - 12),
+                 lambda i: F.md5(F.concat_ws(
+                     " ", F.slice("t", i, F.lit(13)))))).alias("g"))
+             .distinct())
+    freq = grams.groupBy("g").agg(F.count("*").alias("n_docs_with"))
+    novelty = (grams.join(freq, "g")
+               .groupBy("doc_id")
+               .agg((F.sum((F.col("n_docs_with") == 1).cast("int"))
+                     .cast("double") / F.count("*")).alias("nov")))
+    return (novelty
+            .select(F.least(F.floor(F.col("nov") * 10).cast("long"),
+                            F.lit(9).cast("long")).alias("novelty_decile"))
+            .groupBy("novelty_decile")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("novelty_decile"))

@@ -891,3 +891,77 @@ def corr_length_alpha_by_lang(spark: SparkSession,
         F.nullif(denom, F.lit(0.0))
     return s.select("lang", F.col("n").cast("long").alias("n_docs"),
                     rnd(r, 6).alias("pearson_r"))
+
+
+@query("quality_score_auc", oracle=f"""
+WITH scored AS (
+    SELECT CAST(len({_TOKS}) AS BIGINT) AS s,
+           CAST(lang = 'en' AS INT) AS y
+    FROM documents
+), g AS (
+    SELECT s, CAST(sum(y) AS DOUBLE) AS p,
+           CAST(sum(1 - y) AS DOUBLE) AS neg
+    FROM scored GROUP BY s
+), c AS (
+    SELECT p, neg,
+           coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_neg
+    FROM g
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       round(sum(p * (cum_neg + 0.5 * neg))
+             / (sum(p) * sum(neg)), 6) AS auc
+FROM c
+""")
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a quality score against a binary label — the
+    standard calibration check before a scored filter goes into a
+    curation pipeline (here: does token count discriminate English
+    docs?). Computed by the HISTOGRAM method: AUC equals the
+    Mann-Whitney probability P(s_pos > s_neg) + 0.5 P(tie), which for
+    an integer-valued score reduces to one groupBy over DISTINCT
+    SCORE VALUES plus a window over that (tiny) value histogram —
+    never a per-row global rank. At 100 TB the per-row sort a naive
+    rank-based AUC needs is the bottleneck; this plan shuffles only
+    |distinct scores| rows after the combine."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    g = scored.groupBy("s").agg(
+        F.sum("y").cast("double").alias("p"),
+        F.sum(1 - F.col("y")).cast("double").alias("neg"))
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select("p", "neg",
+                 F.coalesce(F.sum("neg").over(w), F.lit(0.0))
+                 .alias("cum_neg"))
+    return c.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        rnd(F.sum(F.col("p") * (F.col("cum_neg") + 0.5 * F.col("neg")))
+            / (F.sum("p") * F.sum("neg")), 6).alias("auc"))
+
+
+@query("compression_ratio_quality")  # oracle-less: no zlib in SQL —
+# the driver records the weaker rows-only check; the byte-exact gate
+# is the pytest zlib replay (tests/test_operators.py)
+def compression_ratio_quality(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Corpus compressibility profile: per-language doc counts and
+    mean zlib compression ratio, plus the count of suspiciously
+    compressible docs (< 0.35 — templated/repetitive boilerplate in
+    FineWeb-style filtering). One Arrow kernel pass + a tiny keyed
+    combine."""
+    from ..operators.quality import compression_ratio
+    docs = spread(_t(spark, sf_dir, "documents"))
+    cr = compression_ratio(docs, "doc_id", "text")
+    joined = docs.select(F.col("doc_id").alias("id"), "lang").join(cr, "id")
+    return (joined.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 rnd(F.avg("compression_ratio"), 6).alias("mean_ratio"),
+                 F.sum((F.col("compression_ratio") < 0.35).cast("int"))
+                 .cast("long").alias("n_templated"))
+            .orderBy("lang"))

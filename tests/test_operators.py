@@ -1789,3 +1789,54 @@ class TestMannWhitney:
         want_u = sum(1.0 if a > b else 0.5 if a == b else 0.0
                      for a in a_vals for b in b_vals)
         assert abs(got_u - want_u) < 1e-9
+
+
+class TestCompressionRatio:
+    def test_exact_zlib_replay(self, spark, sf_dir):
+        # byte-exact gate for the engine's one oracle-less entry:
+        # every (n_bytes, n_compressed, ratio) must equal a direct
+        # zlib.compress replay on the same utf-8 bytes
+        import zlib
+
+        from data_platform_copilot_spark.operators.quality import (
+            compression_ratio,
+        )
+        from data_platform_copilot_spark.sources import load_table
+        docs = load_table(spark, sf_dir, "documents").limit(200)
+        want = {}
+        for r in docs.select("doc_id", "text").collect():
+            b = r["text"].encode("utf-8")
+            want[r["doc_id"]] = (len(b), len(zlib.compress(b, 6)))
+        got = compression_ratio(docs, "doc_id", "text").collect()
+        assert len(got) == len(want)
+        for r in got:
+            nb, nc = want[r["id"]]
+            assert (r["n_bytes"], r["n_compressed"]) == (nb, nc)
+            assert abs(r["compression_ratio"] - nc / nb) < 1e-12
+
+    def test_empty_and_null_docs(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            compression_ratio,
+        )
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "hello hello hello hello")],
+            "doc_id long, text string")
+        rows = {r["id"]: r for r in
+                compression_ratio(df, "doc_id", "text").collect()}
+        assert rows[1]["compression_ratio"] is None
+        assert rows[2]["compression_ratio"] is None
+        assert rows[3]["compression_ratio"] < 1.0
+
+    def test_repetitive_compresses_below_prose(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            compression_ratio,
+        )
+        df = spark.createDataFrame(
+            [(1, "spam " * 400),
+             (2, "the quick brown fox jumps over the lazy dog and "
+                 "then wanders across seventeen distinct meadows "
+                 "while considering quantum chromodynamics")],
+            "doc_id long, text string")
+        rows = {r["id"]: r["compression_ratio"] for r in
+                compression_ratio(df, "doc_id", "text").collect()}
+        assert rows[1] < rows[2]
