@@ -551,3 +551,41 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str,
             .mapInPandas(run, "id long, n_bytes long, "
                               "n_compressed long, "
                               "compression_ratio double"))
+
+
+def normalize_unicode(df: DataFrame, text_col: str,
+                      form: str = "NFC") -> DataFrame:
+    """Unicode normalization of a text column — the canonicalization
+    step every multilingual corpus build runs before hashing or
+    deduplication (the same grapheme can arrive precomposed (NFC) or
+    decomposed (NFD) from different crawls, and byte-level dedup/
+    fingerprints silently miss the equality). Appends
+    ``<text_col>_norm`` and ``was_normal``.
+
+    Arrow-batched mapInPandas over ``unicodedata.normalize`` (the
+    stdlib implements the full Unicode algorithm; Spark's built-ins
+    have no normalizer) — a pure per-row kernel, no shuffle, one
+    scan at any scale. Cross-engine parity with DuckDB's
+    ``nfc_normalize`` is value-gated by the
+    ``unicode_nfc_normalization`` registry entry.
+    """
+    import pandas as pd
+
+    cols = list(df.columns)
+
+    def run(batches):
+        import unicodedata
+        for pdf in batches:
+            src = pdf[text_col]
+            norm = [unicodedata.normalize(form, t)
+                    if t is not None else None for t in src]
+            out = pdf.copy()
+            out[f"{text_col}_norm"] = norm
+            out["was_normal"] = [t == n if t is not None else None
+                                 for t, n in zip(src, norm)]
+            yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
+        + [f"{text_col}_norm string", "was_normal boolean"])
+    return df.mapInPandas(run, schema)

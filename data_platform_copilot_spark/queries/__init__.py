@@ -120,6 +120,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dq_winsorized_value_stats",  # r7-new: winsorized robust stats
     "ngram_novelty_deciles",      # r7-new: 13-gram novelty histogram
     "compression_ratio_quality",  # r7-new: zlib signal (oracle-less)
+    "unicode_nfc_normalization",  # r7-new: NFC canonicalization gate
+    "lang_id_prf_report",         # r7-new: detector P/R/F1 scorecard
 ]
 
 

@@ -1182,3 +1182,54 @@ def ngram_novelty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("novelty_decile")
             .agg(F.count("*").cast("long").alias("n_docs"))
             .orderBy("novelty_decile"))
+
+
+@query("unicode_nfc_normalization", oracle="""
+WITH corpus AS (
+    SELECT i AS rec_id,
+           CASE i % 4
+               WHEN 0 THEN 'cafe' || chr(769) || ' menu ' || i
+               WHEN 1 THEN 'plain ascii text ' || i
+               WHEN 2 THEN chr(65) || chr(778) || 'ngstrom unit ' || i
+               ELSE chr(64257) || 'le system ' || i
+           END AS text
+    FROM range(0, 64) t(i)
+)
+SELECT rec_id,
+       CAST(text = nfc_normalize(text) AS BOOLEAN) AS was_normal,
+       CAST(length(text) AS BIGINT) AS cp_before,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS cp_after,
+       md5(nfc_normalize(text)) AS nfc_md5
+FROM corpus
+""")
+def unicode_nfc_normalization(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization, value-gated cross-engine: a
+    synthetic corpus plants decomposed accents (e + U+0301), a
+    combining ring (A + U+030A) and a ligature (U+FB01) alongside
+    plain ASCII; Spark normalizes via the stdlib's full Unicode
+    algorithm inside an Arrow kernel, DuckDB replays with its native
+    nfc_normalize, and the md5 of the normalized text plus the
+    codepoint counts must agree byte-for-byte. (NFC recomposes the
+    accent pairs — codepoint count drops — but leaves the ligature,
+    which is a COMPATIBILITY (NFKC) decomposition, untouched: the
+    was_normal split pins that distinction.)"""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import normalize_unicode
+    corpus = spark.range(64).select(
+        F.col("id").alias("rec_id"),
+        F.when(F.col("id") % 4 == 0,
+               F.concat(F.lit("café menu "), F.col("id")))
+        .when(F.col("id") % 4 == 1,
+              F.concat(F.lit("plain ascii text "), F.col("id")))
+        .when(F.col("id") % 4 == 2,
+              F.concat(F.lit("Ångstrom unit "), F.col("id")))
+        .otherwise(F.concat(F.lit("ﬁle system "), F.col("id")))
+        .alias("text"))
+    out = normalize_unicode(corpus, "text", form="NFC")
+    return out.select(
+        "rec_id", "was_normal",
+        F.length("text").cast("long").alias("cp_before"),
+        F.length("text_norm").cast("long").alias("cp_after"),
+        F.md5("text_norm").alias("nfc_md5"))

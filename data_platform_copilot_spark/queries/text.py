@@ -965,3 +965,73 @@ def compression_ratio_quality(spark: SparkSession,
                  F.sum((F.col("compression_ratio") < 0.35).cast("int"))
                  .cast("long").alias("n_templated"))
             .orderBy("lang"))
+
+
+@query("lang_id_prf_report", oracle=f"""
+WITH cm AS (
+    SELECT lang AS labeled, {_duck_lang_case()} AS predicted,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+), langs AS (
+    SELECT DISTINCT labeled AS lang FROM cm
+), tp AS (
+    SELECT labeled AS lang, sum(n) AS v FROM cm
+    WHERE labeled = predicted GROUP BY 1
+), act AS (
+    SELECT labeled AS lang, sum(n) AS v FROM cm GROUP BY 1
+), pred AS (
+    SELECT predicted AS lang, sum(n) AS v FROM cm GROUP BY 1
+)
+SELECT l.lang,
+       CAST(coalesce(act.v, 0) AS BIGINT) AS n_labeled,
+       round(coalesce(tp.v, 0) / nullif(CAST(pred.v AS DOUBLE), 0),
+             6) AS precision,
+       round(coalesce(tp.v, 0) / nullif(CAST(act.v AS DOUBLE), 0),
+             6) AS recall,
+       round(2.0 * coalesce(tp.v, 0)
+             / nullif(CAST(coalesce(act.v, 0) + coalesce(pred.v, 0)
+                           AS DOUBLE), 0), 6) AS f1
+FROM langs l
+LEFT JOIN tp USING (lang)
+LEFT JOIN act ON act.lang = l.lang
+LEFT JOIN pred ON pred.lang = l.lang
+""")
+def lang_id_prf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the stopword language-ID
+    heuristic against the labeled lang column — the classifier
+    scorecard a curation pipeline publishes before trusting a cheap
+    detector for routing (text_lang_id gives the raw confusion
+    matrix; this is its evaluated summary). F1 uses the
+    2*TP/(actual+predicted) identity, so no harmonic-mean
+    divide-by-zero cases; zero-support classes surface as NULLs via
+    nullif on both engines. Everything aggregates the
+    |langs|^2-row confusion matrix — the corpus is touched once."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    cm = (d.select(F.col("lang").alias("labeled"),
+                   predicted_lang(F.col("text")).alias("predicted"))
+          .groupBy("labeled", "predicted").agg(F.count("*").alias("n")))
+    cm = cm.localCheckpoint(eager=False)  # tiny; feeds four subtrees
+    tp = (cm.where(F.col("labeled") == F.col("predicted"))
+          .groupBy(F.col("labeled").alias("lang"))
+          .agg(F.sum("n").alias("tp")))
+    act = (cm.groupBy(F.col("labeled").alias("lang"))
+           .agg(F.sum("n").alias("act")))
+    pred = (cm.groupBy(F.col("predicted").alias("lang"))
+            .agg(F.sum("n").alias("pred")))
+    langs = act.select("lang")
+    j = (langs.join(tp, "lang", "left")
+         .join(act, "lang", "left")
+         .join(pred, "lang", "left")
+         .select("lang",
+                 F.coalesce("tp", F.lit(0)).alias("tp"),
+                 F.coalesce("act", F.lit(0)).alias("act"),
+                 F.coalesce("pred", F.lit(0)).alias("pred")))
+    return j.select(
+        "lang", F.col("act").cast("long").alias("n_labeled"),
+        rnd(F.col("tp") / F.nullif(F.col("pred").cast("double"),
+                                   F.lit(0.0)), 6).alias("precision"),
+        rnd(F.col("tp") / F.nullif(F.col("act").cast("double"),
+                                   F.lit(0.0)), 6).alias("recall"),
+        rnd(2.0 * F.col("tp")
+            / F.nullif((F.col("act") + F.col("pred")).cast("double"),
+                       F.lit(0.0)), 6).alias("f1"))

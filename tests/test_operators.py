@@ -1840,3 +1840,32 @@ class TestCompressionRatio:
         rows = {r["id"]: r["compression_ratio"] for r in
                 compression_ratio(df, "doc_id", "text").collect()}
         assert rows[1] < rows[2]
+
+
+class TestUnicodeNormalization:
+    def test_source_literals_stay_decomposed(self):
+        # the unicode_nfc_normalization fixture literals are
+        # INTENTIONALLY decomposed (e + U+0301, A + U+030A); an
+        # editor or formatter silently NFC-normalizing the source
+        # file would turn the entry into a no-op — pin the bytes
+        import unicodedata
+        from pathlib import Path
+
+        import data_platform_copilot_spark.queries.quality as q
+        src = Path(q.__file__).read_text(encoding="utf-8")
+        assert "́" in src and "̊" in src
+        assert unicodedata.normalize("NFC", "é") == "é"
+
+    def test_normalize_unicode_operator(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            normalize_unicode,
+        )
+        df = spark.createDataFrame(
+            [(1, "éclair"), (2, "plain"), (3, None)],
+            "id long, text string")
+        rows = {r["id"]: r for r in
+                normalize_unicode(df, "text").collect()}
+        assert rows[1]["text_norm"] == "éclair"
+        assert rows[1]["was_normal"] is False
+        assert rows[2]["was_normal"] is True
+        assert rows[3]["text_norm"] is None and rows[3]["was_normal"] is None
