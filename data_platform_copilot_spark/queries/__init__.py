@@ -122,6 +122,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "compression_ratio_quality",  # r7-new: zlib signal (oracle-less)
     "unicode_nfc_normalization",  # r7-new: NFC canonicalization gate
     "lang_id_prf_report",         # r7-new: detector P/R/F1 scorecard
+    "incremental_agg_maintenance",  # r7-new: mergeable-state rollup
 ]
 
 

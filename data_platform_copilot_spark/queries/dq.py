@@ -998,3 +998,55 @@ def dq_winsorized_value_stats(spark: SparkSession,
                  rnd(F.avg("v"), 6).alias("mean_winsor"),
                  rnd(F.stddev_pop("raw"), 6).alias("std_raw"),
                  rnd(F.stddev_pop("v"), 6).alias("std_winsor")))
+
+
+@query("incremental_agg_maintenance", oracle="""
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n,
+       round(sum(value), 4) AS total,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS mean_v,
+       round(stddev_pop(value), 4) AS std_v
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""")
+def incremental_agg_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance, value-gated by the strongest
+    oracle shape there is: a DIFFERENT ALGORITHM computing the same
+    answer. The events history is split into three arrival windows;
+    each window collapses to a mergeable per-group state
+    (n, sum, sumsq, min, max) and the states fold pairwise
+    (operators/incremental.py) — the refresh path that scans only
+    the newly-landed delta at 100 TB. The oracle recomputes the
+    rollup from the FULL history in one pass; because every state
+    component is a commutative monoid, the two must agree to the
+    last bit of the sufficient statistics (mean/std derive off the
+    merged state, ddof=0 per the engine's DQ convention)."""
+    from ..operators.incremental import (
+        agg_state,
+        merge_agg_states,
+        state_report,
+    )
+    ev = _t(spark, sf_dir, "events")
+    windows = [
+        ev.where(F.col("ts") < "2024-01-10"),
+        ev.where((F.col("ts") >= "2024-01-10")
+                 & (F.col("ts") < "2024-01-20")),
+        ev.where(F.col("ts") >= "2024-01-20"),
+    ]
+    state = agg_state(windows[0], ["event_type"], "value")
+    for w in windows[1:]:
+        state = merge_agg_states(state,
+                                 agg_state(w, ["event_type"], "value"),
+                                 ["event_type"])
+    rep = state_report(state, ["event_type"])
+    return rep.select(
+        "event_type", "n",
+        rnd("total", 4).alias("total"),
+        rnd("min_v", 4).alias("min_v"),
+        rnd("max_v", 4).alias("max_v"),
+        rnd("mean_v", 4).alias("mean_v"),
+        rnd("std_v", 4).alias("std_v"))

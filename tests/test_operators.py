@@ -1869,3 +1869,42 @@ class TestUnicodeNormalization:
         assert rows[1]["was_normal"] is False
         assert rows[2]["was_normal"] is True
         assert rows[3]["text_norm"] is None and rows[3]["was_normal"] is None
+
+
+class TestIncrementalAggMaintenance:
+    def test_merge_equals_batch_and_chains(self, spark):
+        from data_platform_copilot_spark.operators.incremental import (
+            agg_state,
+            merge_agg_states,
+            state_report,
+        )
+        rows = [(i % 5, float((i * 37) % 101) - 50.0, i)
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "g int, v double, i long")
+        parts = [df.where(df["i"] % 3 == k) for k in range(3)]
+        state = agg_state(parts[0], ["g"], "v")
+        for p in parts[1:]:
+            state = merge_agg_states(state, agg_state(p, ["g"], "v"),
+                                     ["g"])
+        got = {r["g"]: r for r in state_report(state, ["g"]).collect()}
+        want = {r["g"]: r for r in state_report(
+            agg_state(df, ["g"], "v"), ["g"]).collect()}
+        assert set(got) == set(want)
+        for g in want:
+            for c in ("n", "min_v", "max_v"):
+                assert got[g][c] == want[g][c], (g, c)
+            for c in ("total", "mean_v", "std_v"):
+                assert abs(got[g][c] - want[g][c]) < 1e-9, (g, c)
+
+    def test_new_group_and_passthrough(self, spark):
+        from data_platform_copilot_spark.operators.incremental import (
+            agg_state,
+            merge_agg_states,
+        )
+        a = spark.createDataFrame([(1, 10.0), (1, 20.0)], "g int, v double")
+        b = spark.createDataFrame([(2, 5.0)], "g int, v double")
+        m = {r["g"]: r for r in merge_agg_states(
+            agg_state(a, ["g"], "v"), agg_state(b, ["g"], "v"),
+            ["g"]).collect()}
+        assert m[1]["n"] == 2 and m[1]["s"] == 30.0
+        assert m[2]["n"] == 1 and m[2]["mn"] == 5.0 and m[2]["mx"] == 5.0
