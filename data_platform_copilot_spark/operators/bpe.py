@@ -33,6 +33,10 @@ from ..functions.text import tokens
 
 MARKER = "</w>"
 
+# Diagnostic: driver-round count of the most recent bpe_train run
+# (batching exists to shrink this; benches read it after training).
+last_round_count = 0
+
 
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """(w, n): the corpus's distinct words with counts — the only
@@ -94,11 +98,14 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
     starting state. Every output remains fully deterministic for a
     given (corpus, batch).
     """
+    global last_round_count
     spark = df.sparkSession
     words = word_vocab(df, text_col).localCheckpoint()
     s = _initial_symbols(words).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
+    last_round_count = 0
     while len(merges) < n_merges:
+        last_round_count += 1
         want = min(batch, n_merges - len(merges))
         a, b = s.alias("a"), s.alias("b")
         pairs = (a.join(b, (F.col("a.w") == F.col("b.w"))

@@ -123,6 +123,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "unicode_nfc_normalization",  # r7-new: NFC canonicalization gate
     "lang_id_prf_report",         # r7-new: detector P/R/F1 scorecard
     "incremental_agg_maintenance",  # r7-new: mergeable-state rollup
+    "streaming_incremental_rollup",  # r7-new: foreachBatch state fold
 ]
 
 

@@ -1050,3 +1050,34 @@ def incremental_agg_maintenance(spark: SparkSession,
         rnd("max_v", 4).alias("max_v"),
         rnd("mean_v", 4).alias("mean_v"),
         rnd("std_v", 4).alias("std_v"))
+
+
+@query("streaming_incremental_rollup", oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(value) AS BIGINT) AS n,
+       round(sum(value), 4) AS total,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS mean_v,
+       round(stddev_pop(value), 4) AS std_v
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""")
+def streaming_incremental_rollup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental_agg_maintenance: the daily
+    rollup is maintained across REAL micro-batch boundaries
+    (foreachBatch folding mergeable states, maxFilesPerTrigger=1
+    over a 4-way staged source) and the streaming VALUES
+    hash-match the batch full-history oracle — the fourth
+    value-gated streaming entry."""
+    from ..streaming.events import run_streaming_incremental_rollup
+    rep = run_streaming_incremental_rollup(spark, sf_dir)
+    return rep.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n",
+        rnd("total", 4).alias("total"),
+        rnd("min_v", 4).alias("min_v"),
+        rnd("max_v", 4).alias("max_v"),
+        rnd("mean_v", 4).alias("mean_v"),
+        rnd("std_v", 4).alias("std_v"))

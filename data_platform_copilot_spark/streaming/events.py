@@ -354,3 +354,61 @@ def run_streaming_trending_types(spark: SparkSession,
                     .alias("hour_start"),
                     "event_type", F.col("n").cast("long").alias("n"),
                     "rnk"))
+
+
+def run_streaming_incremental_rollup(spark: SparkSession, sf_dir: str,
+                                     n_splits: int = 4) -> DataFrame:
+    """Streaming refresh of a daily rollup via MERGEABLE STATES: a
+    ``foreachBatch`` sink collapses each micro-batch to the
+    (n, sum, sumsq, min, max) monoid state per day
+    (operators/incremental.py) and folds it into the accumulated
+    state — the production pattern for "keep the rollup current as
+    partitions land" (state merge touches |groups| rows per batch,
+    never history). The bounded source is staged as ``n_splits``
+    parquet files with maxFilesPerTrigger=1, so the fold genuinely
+    crosses micro-batch boundaries; merge commutativity makes the
+    result independent of batch slicing, which is what lets the
+    batch full-history oracle hash-verify a streaming run.
+
+    Returns the final derived report (day, n, total, min, max, mean,
+    std) as a batch DataFrame.
+    """
+    from ..operators.incremental import (
+        agg_state,
+        merge_agg_states,
+        state_report,
+    )
+    from ..sources.registry import load_table
+
+    stage = (Path(tempfile.gettempdir())
+             / f"stream_events_split{n_splits}_{abs(hash(sf_dir))}")
+    if not (stage / "_SUCCESS").exists():
+        (load_table(spark, sf_dir, "events")
+         .repartition(n_splits)
+         .write.mode("overwrite").parquet(str(stage)))
+    schema = spark.read.parquet(str(stage)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(stage)))
+
+    holder: dict = {"state": None, "batches": 0}
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        days = bdf.select(F.to_date("ts").alias("day"), "value")
+        st = agg_state(days, ["day"], "value").localCheckpoint()
+        prev = holder["state"]
+        holder["state"] = (st if prev is None else
+                           merge_agg_states(prev, st, ["day"])
+                           .localCheckpoint())
+        holder["batches"] += 1
+
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.foreachBatch(sink)
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert holder["batches"] >= min(n_splits, 2), \
+        "rollup fold never crossed a micro-batch boundary"
+    return state_report(holder["state"], ["day"])
