@@ -30,6 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..sources.registry import truncate_lineage
 
 MARKER = "</w>"
 
@@ -166,8 +167,12 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
              .select("w",
                      F.row_number().over(
                          W.partitionBy("w").orderBy("pos")).alias("pos"),
-                     "s")
-             .localCheckpoint())
+                     "s"))
+        # per-round checkpoint + stats rebase: without the rebase the
+        # inherited size estimate compounds exponentially across
+        # rounds (see sources/registry.truncate_lineage)
+        s = truncate_lineage(s)
+
     return (spark.createDataFrame(
         merges, "merge_rank long, lhs string, rhs string, freq long"), s)
 

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.registry import truncate_lineage
+
 _CHECKPOINT_EVERY = 4
 
 
@@ -97,7 +99,10 @@ def _propagation_components(edges: DataFrame, max_iters: int,
                     F.least("cluster", "nmin").alias("cluster"),
                     (F.col("nmin") < F.col("cluster")).alias("changed")))
         if (it + 1) % _CHECKPOINT_EVERY == 0:
-            updated = updated.localCheckpoint(eager=False)
+            # checkpoint + stats rebase: inherited size estimates
+            # compound exponentially across rounds otherwise
+            # (sources/registry.truncate_lineage)
+            updated = truncate_lineage(updated, eager=False)
         updated = updated.persist()
         pending.append(updated)
         labels = updated.select("id", "cluster")
@@ -148,7 +153,7 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
         # an EAGER per-round localCheckpoint is mandatory here, not an
         # optimization (deferring to every 4th round OOMs the driver on
         # plan-tree bookkeeping alone).
-        small = small.localCheckpoint()
+        small = truncate_lineage(small)
         # converged when every edge already points at its component min:
         # one more large-star pass would change nothing <=> small == cur.
         # Unlike propagation, the probe runs EVERY round: star converges
@@ -217,7 +222,7 @@ def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
                              .alias("rank")))
             if edges.sparkSession.conf.get(
                     "spark.master", "local").startswith("local"):
-                ranks = ranks.localCheckpoint(eager=False)
+                ranks = truncate_lineage(ranks, eager=False)
         return ranks
     finally:
         edges.unpersist()

@@ -144,6 +144,37 @@ def materialize_auto(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + STATS REBASE for iterative loops.
+
+    Spark 4's ``Dataset.checkpoint`` truncates lineage but carries
+    the pre-checkpoint plan's *estimated* statistics into the new
+    ``LogicalRDD`` (``LogicalRDD.rewriteStatsAndConstraints``,
+    computed on the analyzed plan — persisting does not intercept
+    it). In a loop that checkpoints every round, the estimate is the
+    size-PRODUCT of the round's joins over the previous round's
+    inherited estimate, so the BigInt ``sizeInBytes`` multiplies its
+    digit count by the join fan-in every round; by round ~11
+    Catalyst's stats visitor spends minutes inside
+    ``BigInteger.multiplyToomCook3`` (measured in BPE training:
+    rebuild 0.7s -> 8.8s -> 85s on rounds 9/10/11). Rebasing the
+    checkpointed RDD through ``createDataFrame`` builds a LogicalRDD
+    with NO inherited stats — constant-size estimates every round —
+    at the cost of a per-read InternalRow->Row conversion, linear in
+    the (vocab/vertex-sized) iteration state.
+
+    Use for ROUND-STATE frames in iterative algorithms (BPE, label
+    propagation, PageRank). One-shot checkpoint sharing inside a
+    single query doesn't compound and doesn't need this.
+    """
+    ck = df.localCheckpoint(eager=eager)
+    jdf = ck._jdf  # noqa: SLF001 — JVM-level stats rebase
+    return DataFrame(
+        df.sparkSession._jsparkSession.createDataFrame(  # noqa: SLF001
+            jdf.javaRDD(), jdf.schema()),
+        df.sparkSession)
+
+
 def register_testdata(spark: SparkSession, sf_dir: str,
                       tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
     """Register every warehouse table as a temp view named after it.

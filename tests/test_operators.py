@@ -1908,3 +1908,46 @@ class TestIncrementalAggMaintenance:
             ["g"]).collect()}
         assert m[1]["n"] == 2 and m[1]["s"] == 30.0
         assert m[2]["n"] == 1 and m[2]["mn"] == 5.0 and m[2]["mx"] == 5.0
+
+
+class TestLineageTruncation:
+    def test_stats_do_not_compound_across_rounds(self, spark):
+        # regression for the Spark 4 checkpoint-stats compounding:
+        # Dataset.checkpoint carries the pre-checkpoint ESTIMATED
+        # sizeInBytes into the LogicalRDD, so a per-round checkpoint
+        # loop multiplies the estimate's digit count by the join
+        # fan-in every round — by round ~11 Catalyst's stats visitor
+        # spends minutes in BigInteger arithmetic. truncate_lineage
+        # rebases the RDD so the estimate stays conf-default-sized.
+        from pyspark.sql import functions as F
+
+        from data_platform_copilot_spark.sources.registry import (
+            truncate_lineage,
+        )
+        df = spark.range(500).select("id", (F.col("id") % 7).alias("k"))
+        s = truncate_lineage(df)
+        for _ in range(6):
+            a, b = s.alias("a"), s.alias("b")
+            s = (a.join(b, F.col("a.k") == F.col("b.k"))
+                 .groupBy(F.col("a.id").alias("id"))
+                 .agg(F.first(F.col("a.k")).alias("k")))
+            s = truncate_lineage(s)
+        bits = int(s._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+                   .stats().sizeInBytes()).bit_length()
+        assert bits < 128, f"stats estimate compounding: {bits} bits"
+        assert s.count() == 500
+
+    def test_bpe_deep_run_stays_fast(self, spark):
+        # end-to-end guard: 48 merges (7+ batched rounds) must stay
+        # in linear per-round time — pre-fix this crossed the
+        # exponential knee (rounds 9-11 went 0.7s -> 8.8s -> 85s)
+        import time
+
+        from data_platform_copilot_spark.operators.bpe import bpe_train
+        texts = [f"doc {i} alpha beta gamma delta epsilon zeta"
+                 f" word{i % 97} token{i % 53}" for i in range(300)]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        t0 = time.perf_counter()
+        got = bpe_train(df, "text", n_merges=48, batch=8).collect()
+        assert len(got) == 48
+        assert time.perf_counter() - t0 < 120
