@@ -203,6 +203,9 @@ def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     try:
         nodes = edges.select(F.col("u").alias("id")).distinct()
         n = nodes.count()
+        if n == 0:  # empty graph: no vertices, no ranks
+            return edges.sparkSession.createDataFrame(
+                [], "id long, rank double")
         deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for _ in range(iters):

@@ -90,6 +90,8 @@ def _kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
              .select(F.col(vec_col).alias("v"),
                      F.md5(F.col(id_col).cast("string")).alias("h"))
              .orderBy("h").limit(n_clusters).collect())
+    if not seeds:  # empty corpus: no cells, callers propagate empty
+        return []
     cents = np.array([r["v"] for r in seeds], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     cents = np.round(cents, 6)
@@ -156,6 +158,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     query_id_col = query_id_col or id_col
     cents = _kmeans_centroids(corpus, id_col, vec_col,
                               n_clusters, iters, dim)
+    if not cents:  # empty corpus: no cells, no neighbors
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, "
+                "rank long")
     tagged = _assign_clusters(corpus, id_col, vec_col, cents)
 
     # query -> its n_probe nearest cells, as (query_id, qv, cluster)
@@ -307,6 +313,12 @@ def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
              .select(F.col(vec_col).cast("array<double>").alias("v"),
                      F.md5(F.col(id_col).cast("string")).alias("h"))
              .orderBy("h").limit(ks).collect())
+    if not seeds:  # empty corpus: no codebooks, callers propagate empty
+        return []
+    if len(seeds) < ks:
+        # corpus smaller than the codebook: cycle-pad the seed set
+        # (deterministic; previously an unconditional reshape crash)
+        seeds = [seeds[i % len(seeds)] for i in range(ks)]
     books = np.round(
         np.array([r["v"] for r in seeds], dtype=np.float64)
         .reshape(ks, m, d).transpose(1, 0, 2), 6)  # (m, ks, d)
@@ -399,6 +411,10 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     """
     query_id_col = query_id_col or id_col
     books = pq_codebooks(corpus, id_col, vec_col, m, ks, iters, dim)
+    if not books:  # empty corpus
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, "
+                "rank long")
     v = F.col(vec_col).cast("array<double>")
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -660,6 +660,10 @@ def cluster_separation_report(spark: SparkSession,
     emb = _t(spark, sf_dir, "embeddings")
     cents = _kmeans_centroids(emb, "vec_id", "embedding",
                               n_clusters=16, iters=2, dim=64)
+    if not cents:  # empty corpus: no cells to audit
+        return spark.createDataFrame(
+            [], "cluster int, n_vectors long, mean_sim_own double, "
+                "mean_sim_other double, mean_margin double")
     tagged = _assign_clusters(emb, "vec_id", "embedding", cents)
     cent_col = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in cents])

@@ -836,7 +836,8 @@ def sample_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("corpus_types").cast("long")
                     .alias("corpus_types"),
                     rnd(F.col("sample_types")
-                        / F.col("corpus_types").cast("double"), 6)
+                        / F.nullif(F.col("corpus_types").cast("double"),
+                                   F.lit(0.0)), 6)
                     .alias("type_coverage")))
 
 

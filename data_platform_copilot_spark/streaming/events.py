@@ -409,6 +409,15 @@ def run_streaming_incremental_rollup(spark: SparkSession, sf_dir: str,
         q.processAllAvailable()
     finally:
         q.stop()
-    assert holder["batches"] >= min(n_splits, 2), \
-        "rollup fold never crossed a micro-batch boundary"
+    empty_report = "day date, n long, total double, min_v double, " \
+                   "max_v double, mean_v double, std_v double"
+    if holder["state"] is None:  # empty source: no batches arrived
+        return spark.createDataFrame([], empty_report)
+    if holder["batches"] < min(n_splits, 2):
+        # an all-empty source can legitimately arrive as one empty
+        # micro-batch; only a NON-empty single-batch run breaks the
+        # crossed-boundary contract
+        assert holder["state"].limit(1).count() == 0, \
+            "rollup fold never crossed a micro-batch boundary"
+        return spark.createDataFrame([], empty_report)
     return state_report(holder["state"], ["day"])

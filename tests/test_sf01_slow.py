@@ -63,3 +63,37 @@ def _assert_matches_at_sf01(spark, duck01, name):
     oracle_df = duck01.sql(ORACLE[name]).df()
     assert sorted(spark_df.columns) == sorted(oracle_df.columns)
     assert normalize_rows(spark_df) == normalize_rows(oracle_df)
+
+
+@pytest.mark.slow
+def test_every_entry_survives_empty_tables(spark, tmp_path_factory):
+    """Zero-row robustness: every registry entry must EXECUTE (not
+    necessarily return rows) against an empty mirror of the testdata
+    — at 100 TB, empty partitions and filters that match nothing are
+    routine, and a driver-side crash (seed collect()[0], numpy stack
+    of zero rows, ANSI divide-by-zero) is an operator bug. The r7
+    audit found and fixed seven of these; this pins them closed."""
+    import shutil
+    from pathlib import Path
+
+    from data_platform_copilot_spark.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_empty")
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    for t in tables:
+        stage = dst / f"_stage_{t}"
+        (spark.read.parquet(f"{src}/{t}.parquet")
+         .limit(0).coalesce(1)
+         .write.mode("overwrite").parquet(str(stage)))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, dst / f"{t}.parquet")
+        shutil.rmtree(stage)
+    failures = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, str(dst)).limit(5).collect()
+        except Exception as e:  # noqa: BLE001 — audit collects all
+            failures.append((name, str(e).splitlines()[0][:120]))
+    assert not failures, failures

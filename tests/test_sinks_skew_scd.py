@@ -194,3 +194,50 @@ class TestReadConnectors:
             jdbc_options(url, "t", partition_column="id")
         with pytest.raises(ValueError, match="jdbc"):
             jdbc_options("postgresql://nope", "t")
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_shuffle(self, spark, sf_dir):
+        """The 100 TB co-location claim, executed: two tables
+        bucketed on the join key with the same bucket count must
+        sort-merge-join with ZERO Exchange (no shuffle of either
+        side) — bucketing replaces the runtime shuffle with the
+        write-time layout. Broadcast is disabled in-scope so the
+        plan can't sidestep the claim."""
+        from data_platform_copilot_spark.sources.sinks import (
+            write_bucketed_table,
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        customer = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal")
+        for t in ("bkt_orders", "bkt_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        write_bucketed_table(orders, "bkt_orders", 8, ["o_custkey"])
+        write_bucketed_table(customer, "bkt_customer", 8, ["c_custkey"])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = (spark.table("bkt_orders")
+                 .join(spark.table("bkt_customer"),
+                       F.col("o_custkey") == F.col("c_custkey"))
+                 .groupBy("c_custkey")
+                 .agg(F.sum("o_totalprice").alias("rev")))
+            plan = j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                j._jdf.queryExecution(), "formatted")
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            # and the result is the plain join's result
+            expect = (orders.join(customer,
+                                  F.col("o_custkey") == F.col("c_custkey"))
+                      .groupBy("c_custkey")
+                      .agg(F.sum("o_totalprice").alias("rev")))
+            got = {r["c_custkey"]: round(r["rev"], 2)
+                   for r in j.collect()}
+            want = {r["c_custkey"]: round(r["rev"], 2)
+                    for r in expect.collect()}
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            for t in ("bkt_orders", "bkt_customer"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
