@@ -19,6 +19,7 @@ from pathlib import Path
 from typing import Any
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .namespaces import NamespaceManager
 from .naming import normalize_schema_name
@@ -100,10 +101,24 @@ class TableManager:
         df = self.spark.read.json(str(jsonl_path))
         if not df.columns or df.columns == ["_corrupt_record"]:
             raise TableError("no parseable JSON records in upload")
+        n_corrupt = 0
+        if "_corrupt_record" in df.columns:
+            # PERMISSIVE mode routes unparseable lines into
+            # _corrupt_record; a warehouse table must carry DATA
+            # columns only — drop the bad lines, surface the count.
+            # (Spark requires a cache/materialization barrier to
+            # filter on the corrupt column of the same scan.)
+            df = df.cache()
+            n_corrupt = df.where(
+                F.col("_corrupt_record").isNotNull()).count()
+            df = (df.where(F.col("_corrupt_record").isNull())
+                  .drop("_corrupt_record"))
         df.write.mode("overwrite").saveAsTable(fq)
-        return self.ns.tables.update(
+        out = self.ns.tables.update(
             table_id, file_name=Path(jsonl_path).name,
             file_size=size, is_loaded=True)
+        out["n_corrupt_records"] = n_corrupt
+        return out
 
     def get(self, table_id: int) -> dict[str, Any]:
         meta = self.ns.tables.get(table_id)

@@ -215,3 +215,25 @@ def test_jsonl_two_phase_ingest(spark, tmp_path, managers):
     with _pt.raises(TableError):
         tbl_mgr.upload_jsonl(int(meta2["id"]), bad)
     spark.sql("DROP DATABASE IF EXISTS jsonl_demo CASCADE")
+
+
+def test_jsonl_mixed_corrupt_records(spark, tmp_path, managers):
+    """PERMISSIVE-mode ingest with SOME bad lines: clean rows load,
+    corrupt lines are dropped (never saved as a _corrupt_record
+    column in the warehouse table) and their count is surfaced."""
+    ns_mgr, tbl_mgr = managers
+    spark.sql("DROP DATABASE IF EXISTS jsonl_corrupt CASCADE")
+    ns = ns_mgr.create("jsonl corrupt")
+    meta = tbl_mgr.register(int(ns["id"]), "events_c")
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n'
+                 'not json at all\n'
+                 '{"a": 2, "b": "y"}\n'
+                 '{"a": 3, "b": broken\n')
+    out = tbl_mgr.upload_jsonl(int(meta["id"]), p)
+    assert out["n_corrupt_records"] == 2
+    tbl = spark.table(f"{ns['schema_name']}.events_c")
+    assert "_corrupt_record" not in tbl.columns
+    got = tbl.orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in got] == [(1, "x"), (2, "y")]
+    spark.sql("DROP DATABASE IF EXISTS jsonl_corrupt CASCADE")

@@ -241,3 +241,26 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             for t in ("bkt_orders", "bkt_customer"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_unions_columns(self, spark, tmp_path):
+        """Schema evolution on the read path: a dataset whose later
+        partitions gained a column reads as the UNION schema with
+        mergeSchema (the standard lakehouse append-only evolution),
+        and old rows surface NULL for the new column."""
+        from data_platform_copilot_spark.sources.sinks import (
+            read_table,
+            write_table,
+        )
+        out = str(tmp_path / "evolving")
+        v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+        write_table(v1, out + "/day=1")
+        v2 = spark.createDataFrame([(2, "b", 9.5)],
+                                   "id long, name string, score double")
+        write_table(v2, out + "/day=2")
+        merged = read_table(spark, out, mergeSchema="true")
+        assert set(merged.columns) >= {"id", "name", "score"}
+        rows = {r["id"]: r for r in merged.collect()}
+        assert rows[1]["score"] is None
+        assert rows[2]["score"] == 9.5
