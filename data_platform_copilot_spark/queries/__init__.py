@@ -124,6 +124,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "lang_id_prf_report",         # r7-new: detector P/R/F1 scorecard
     "incremental_agg_maintenance",  # r7-new: mergeable-state rollup
     "streaming_incremental_rollup",  # r7-new: foreachBatch state fold
+    "token_budget_epochs_plan",   # r7-new: data-constrained mix plan
 ]
 
 

@@ -352,3 +352,100 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_leaking_groups"),
         F.coalesce(F.sum(leak), F.lit(0)).cast("long")
         .alias("n_leaking_docs"))
+
+
+@query("token_budget_epochs_plan", oracle=f"""
+WITH per AS (
+    SELECT source,
+           CAST(count(*) AS DOUBLE) AS w,
+           CAST(sum(len(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' '))) AS DOUBLE) AS toks
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT sum(toks) * 1.5 AS budget, sum(w) AS tot_w FROM per
+), r AS (
+    SELECT source, w, toks, 2.0 * toks AS cap,
+           2.0 * toks / w AS ratio
+    FROM per
+), o AS (
+    SELECT r.*, tot.budget, tot.tot_w,
+           coalesce(sum(cap) OVER (ORDER BY ratio, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumcap,
+           coalesce(sum(w) OVER (ORDER BY ratio, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumw
+    FROM r, tot
+), f AS (
+    SELECT *, CASE WHEN tot_w - cumw > 0
+                   AND ratio <= (budget - cumcap) / (tot_w - cumw)
+              THEN 1 ELSE 0 END AS capped
+    FROM o
+), lam AS (
+    SELECT CASE WHEN sum(1 - capped) = 0 THEN NULL
+                ELSE (max(budget) - sum(capped * cap))
+                     / sum((1 - capped) * w) END AS lambda
+    FROM f
+)
+SELECT source,
+       CAST(toks AS BIGINT) AS toks_available,
+       CAST(capped AS BOOLEAN) AS capped,
+       round(CASE WHEN capped = 1 OR lambda IS NULL THEN cap
+                  ELSE least(cap, lambda * w) END, 2)
+           AS allocated_tokens,
+       round(CASE WHEN capped = 1 OR lambda IS NULL THEN 2.0
+                  ELSE least(cap, lambda * w) / toks END, 4) AS epochs
+FROM f, lam
+""")
+def token_budget_epochs_plan(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Data-constrained training-mix planner (Muennighoff et al.
+    2023, arXiv:2305.16264 — repeating data beyond ~4 epochs stops
+    paying): allocate a budget of 1.5x the corpus's total tokens
+    across sources PROPORTIONALLY TO DOC COUNT but capped at 2
+    epochs of each source's own tokens, via closed-form
+    WATER-FILLING — sort sources by cap/weight, a prefix caps, the
+    rest share the remainder at a common rate lambda. One groupBy
+    builds the |sources|-row table; the watershed is window cumsums,
+    no iteration (the naive fixpoint loop is O(n) driver rounds).
+    Both engines replay the identical arithmetic; a pytest checks
+    the allocation sums to the budget and respects every cap."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens as toks_fn
+    docs = _t(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+           .agg(F.count("*").cast("double").alias("w"),
+                F.sum(F.size(toks_fn(F.col("text"))))
+                .cast("double").alias("toks")))
+    tot = W.partitionBy()
+    r = per.select(
+        "source", "w", "toks",
+        (F.lit(2.0) * F.col("toks")).alias("cap"),
+        (F.lit(2.0) * F.col("toks") / F.col("w")).alias("ratio"),
+        (F.sum("toks").over(tot) * 1.5).alias("budget"),
+        F.sum("w").over(tot).alias("tot_w"))
+    prefix = (W.orderBy("ratio", "source")
+              .rowsBetween(W.unboundedPreceding, -1))
+    o = r.select(
+        "*",
+        F.coalesce(F.sum("cap").over(prefix), F.lit(0.0)).alias("cumcap"),
+        F.coalesce(F.sum("w").over(prefix), F.lit(0.0)).alias("cumw"))
+    f = o.withColumn(
+        "capped",
+        ((F.col("tot_w") - F.col("cumw") > 0)
+         & (F.col("ratio") <= (F.col("budget") - F.col("cumcap"))
+            / (F.col("tot_w") - F.col("cumw")))).cast("int"))
+    lam = ((F.max("budget").over(tot)
+            - F.sum(F.col("capped") * F.col("cap")).over(tot))
+           / F.nullif(F.sum((1 - F.col("capped")) * F.col("w")).over(tot),
+                      F.lit(0.0)))
+    alloc = F.when((F.col("capped") == 1) | lam.isNull(), F.col("cap")) \
+        .otherwise(F.least(F.col("cap"), lam * F.col("w")))
+    return f.select(
+        "source",
+        F.col("toks").cast("long").alias("toks_available"),
+        F.col("capped").cast("boolean").alias("capped"),
+        rnd(alloc, 2).alias("allocated_tokens"),
+        rnd(F.when((F.col("capped") == 1) | lam.isNull(), F.lit(2.0))
+            .otherwise(alloc / F.col("toks")), 4).alias("epochs"))

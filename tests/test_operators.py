@@ -1951,3 +1951,22 @@ class TestLineageTruncation:
         got = bpe_train(df, "text", n_merges=48, batch=8).collect()
         assert len(got) == 48
         assert time.perf_counter() - t0 < 120
+
+
+class TestEpochsPlan:
+    def test_allocation_conserves_budget_and_caps(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        rows = QUERIES["token_budget_epochs_plan"](spark, sf_dir).collect()
+        assert rows
+        total_toks = sum(r["toks_available"] for r in rows)
+        budget = 1.5 * total_toks
+        allocated = sum(r["allocated_tokens"] for r in rows)
+        # water-filling conserves the budget unless EVERY source
+        # capped (budget exceeds 2 epochs of everything)
+        if not all(r["capped"] for r in rows):
+            assert abs(allocated - budget) < 1.0, (allocated, budget)
+        for r in rows:
+            assert r["allocated_tokens"] <= 2.0 * r["toks_available"] + 0.01
+            assert 0.0 <= r["epochs"] <= 2.0001
+            if r["capped"]:
+                assert abs(r["epochs"] - 2.0) < 1e-6
