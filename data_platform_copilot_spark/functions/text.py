@@ -107,3 +107,34 @@ def doc_fingerprint(c: Column) -> Column:
     md5 is identical across engines, making fingerprints
     oracle-comparable (unlike engine-native hash functions)."""
     return F.md5(normalize_text(c))
+
+
+# HTML extraction: shared pattern list so the Spark expression chain
+# and the DuckDB oracle replay the IDENTICAL passes in the identical
+# order. RE2 (DuckDB) has no backreferences, so script/style are
+# separate patterns; entity decoding runs tags-first and decodes
+# &amp; LAST (decoding it earlier would double-decode "&amp;lt;").
+HTML_STRIP_PASSES: list[tuple[str, str]] = [
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&(nbsp|#160);", " "),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Boilerplate-free visible text from raw HTML — the extraction
+    stage of every web-corpus pipeline (script/style/comment blocks
+    dropped, tags stripped, core entities decoded, whitespace
+    collapsed). Pure JVM-side regexp_replace chain: rides the scan
+    at any scale, no UDF; DuckDB value-verifies each pass
+    (queries/text.py html_text_extract)."""
+    out = col
+    for pat, rep in HTML_STRIP_PASSES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)

@@ -125,6 +125,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "incremental_agg_maintenance",  # r7-new: mergeable-state rollup
     "streaming_incremental_rollup",  # r7-new: foreachBatch state fold
     "token_budget_epochs_plan",   # r7-new: data-constrained mix plan
+    "html_text_extract",          # r7-new: web text extraction
 ]
 
 

@@ -1036,3 +1036,63 @@ def lang_id_prf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(2.0 * F.col("tp")
             / F.nullif((F.col("act") + F.col("pred")).cast("double"),
                        F.lit(0.0)), 6).alias("f1"))
+
+
+def _html_oracle() -> str:
+    """Splice the SAME pass list the Spark expression uses into a
+    nested regexp_replace chain — single source of truth."""
+    from ..functions.text import HTML_STRIP_PASSES
+    expr = "text"
+    for pat, rep in HTML_STRIP_PASSES:
+        # DuckDB string literals take no backslash escapes — splice
+        # the regex verbatim, quoting only single quotes
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"""
+WITH corpus AS (
+    SELECT i AS rec_id,
+           '<html><head><title>Doc ' || i || '</title>'
+           || '<script>var x = ' || i || ';</script>'
+           || '<style>p {{color: #' || i || '}}</style></head>'
+           || '<body><h1>Heading ' || i || '</h1>'
+           || '<p class="lead">Para &amp; sample ' || (i * 7) || '</p>'
+           || '<!-- hidden ' || i || ' -->'
+           || '<div>tail &lt;' || i || '&gt;&nbsp;end</div>'
+           || '</body></html>' AS text
+    FROM range(0, 128) t(i)
+)
+SELECT rec_id,
+       md5(trim({expr})) AS text_md5,
+       CAST(length(trim({expr})) AS BIGINT) AS n_chars
+FROM corpus
+"""
+
+
+@query("html_text_extract", oracle=_html_oracle())
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus text extraction, value-gated byte-for-byte: a
+    synthetic HTML corpus (script/style/comment blocks, entities,
+    nested tags, per-id variation) runs through the shared
+    regexp_replace pass list (functions/text.HTML_STRIP_PASSES) on
+    both engines, and the md5 of the extracted visible text must
+    match. The chain is pure JVM-side expressions — at 100 TB the
+    extraction rides the WARC/crawl scan with no Python boundary."""
+    from ..functions.text import html_to_text
+    corpus = spark.range(128).select(
+        F.col("id").alias("rec_id"),
+        F.concat(
+            F.lit("<html><head><title>Doc "), F.col("id"),
+            F.lit("</title><script>var x = "), F.col("id"),
+            F.lit(";</script><style>p {color: #"), F.col("id"),
+            F.lit("}</style></head><body><h1>Heading "), F.col("id"),
+            F.lit('</h1><p class="lead">Para &amp; sample '),
+            F.col("id") * 7,
+            F.lit("</p><!-- hidden "), F.col("id"),
+            F.lit(" --><div>tail &lt;"), F.col("id"),
+            F.lit("&gt;&nbsp;end</div></body></html>"),
+        ).alias("text"))
+    t = html_to_text(F.col("text"))
+    return corpus.select("rec_id",
+                         F.md5(t).alias("text_md5"),
+                         F.length(t).cast("long").alias("n_chars"))
