@@ -126,6 +126,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "streaming_incremental_rollup",  # r7-new: foreachBatch state fold
     "token_budget_epochs_plan",   # r7-new: data-constrained mix plan
     "html_text_extract",          # r7-new: web text extraction
+    "corpus_data_card_stats",     # r7-new: grouping-sets data card
 ]
 
 

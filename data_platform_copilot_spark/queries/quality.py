@@ -1233,3 +1233,34 @@ def unicode_nfc_normalization(spark: SparkSession,
         F.length("text").cast("long").alias("cp_before"),
         F.length("text_norm").cast("long").alias("cp_after"),
         F.md5("text_norm").alias("nfc_md5"))
+
+
+@query("corpus_data_card_stats", oracle=f"""
+WITH d AS (
+    SELECT lang, source,
+           CAST(len({_TOKS_Q}) AS BIGINT) AS n_toks,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang:' || lang
+            WHEN GROUPING(source) = 0 THEN 'source:' || source
+            ELSE 'overall' END AS section,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       round(CAST(sum(n_toks) AS DOUBLE) / nullif(count(*), 0), 2)
+           AS mean_tokens,
+       CAST(max(n_toks) AS BIGINT) AS max_tokens,
+       CAST(min(n_toks) AS BIGINT) AS min_tokens
+FROM d
+GROUP BY GROUPING SETS ((lang), (source), ())
+""")
+def corpus_data_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card composition stats (operators/datacard.py):
+    overall + per-language + per-source doc/token/char totals in ONE
+    corpus scan via GROUPING SETS — the reduce side is #langs +
+    #sources + 1 rows, so the shuffle is constant-size at any corpus
+    scale. Feeds render_data_card's markdown (the corpus-level
+    analogue of the reference's DQ report, src/dq.py:176-198)."""
+    from ..operators.datacard import corpus_stats
+    return corpus_stats(_t(spark, sf_dir, "documents"))

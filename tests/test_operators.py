@@ -1970,3 +1970,57 @@ class TestEpochsPlan:
             assert 0.0 <= r["epochs"] <= 2.0001
             if r["capped"]:
                 assert abs(r["epochs"] - 2.0) < 1e-6
+
+
+class TestDataCard:
+    def _docs(self, spark):
+        rows = [
+            (0, "alpha beta gamma", "en", "web"),
+            (1, "alpha beta", "en", "web"),
+            (2, "uno dos tres cuatro", "es", "books"),
+            (3, "", "es", "web"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+
+    def test_stats_sections_and_totals(self, spark):
+        from data_platform_copilot_spark.operators.datacard import (
+            corpus_stats)
+        rows = {r["section"]: r for r in
+                corpus_stats(self._docs(spark)).collect()}
+        assert set(rows) == {"overall", "lang:en", "lang:es",
+                             "source:web", "source:books"}
+        ov = rows["overall"]
+        assert ov["n_docs"] == 4
+        # whitespace-token convention: split('') -> [''] counts 1
+        assert ov["n_tokens"] == 3 + 2 + 4 + 1
+        assert rows["lang:en"]["n_docs"] == 2
+        assert rows["source:web"]["n_docs"] == 3
+        assert rows["lang:es"]["mean_tokens"] == 2.5
+        # per-section totals partition the overall totals
+        for prefix in ("lang:", "source:"):
+            grp = [r for s, r in rows.items() if s.startswith(prefix)]
+            assert sum(r["n_docs"] for r in grp) == ov["n_docs"]
+            assert sum(r["n_tokens"] for r in grp) == ov["n_tokens"]
+
+    def test_render_markdown(self, spark):
+        from data_platform_copilot_spark.operators.datacard import (
+            corpus_data_card, render_data_card)
+        card = corpus_data_card(self._docs(spark),
+                                extra_sections={"Dedup": "rate 0.02"})
+        assert "# Corpus Data Card" in card
+        assert "**Documents**: 4" in card
+        assert "## Language composition" in card
+        assert "| en | 2 | 50.0% |" in card
+        assert "## Dedup" in card and "rate 0.02" in card
+        assert render_data_card([]).strip().endswith("_No documents._")
+
+    def test_one_scan_plan(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.datacard import (
+            corpus_stats)
+        from data_platform_copilot_spark.queries.core import _t
+        plan = corpus_stats(
+            _t(spark, sf_dir, "documents"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("Exchange") == 1, plan
