@@ -252,6 +252,95 @@ def synthetic_png_media(spark: SparkSession, n: int = 16) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_png_media_dups(spark: SparkSession,
+                             n: int = 12) -> DataFrame:
+    """PNG fixture with planted BYTE-DISTINCT, PIXEL-IDENTICAL pairs:
+    ids 0..n-1 are the gradient images of ``synthetic_png_media``
+    (zlib level 6); ids n..2n-1 re-encode the SAME pixels as id-n at
+    zlib level 1. sha256-based exact dedup sees 2n distinct files;
+    perceptual hashing must pair them — the precise failure mode
+    image near-dup exists for."""
+    from . import png
+    rows = []
+    for j in range(2 * n):
+        i = j % n
+        w, h = 8 + (i * 5) % 24, 8 + (i * 3) % 24
+        pix = [bytearray(((x * 31 + i) % 256, (y * 17 + i) % 256,
+                          (x * y + i) % 256)[c]
+                         for x in range(w) for c in range(3))
+               for y in range(h)]
+        level = 6 if j < n else 1
+        rows.append((j, "image",
+                     bytearray(png.encode(w, h, 3, pix, level=level)),
+                     "image/png", {"src": f"synth-png://{j}",
+                                   "base": str(i)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, width int, height int, phash string"
+
+
+def perceptual_hash(df: DataFrame, grid: int = 8,
+                    batch_rows: int = 256) -> DataFrame:
+    """Average-hash perceptual fingerprint over image payloads.
+
+    The classic aHash recipe (downsample -> threshold on the mean ->
+    bit string), restated in INTEGER arithmetic so the DuckDB oracle
+    replays it bit-for-bit with no float-order divergence: luminance
+    lum = (r+g+b)//3 per pixel, the image is partitioned into a
+    grid×grid mesh by ``cell_y = y*grid//h``, and
+    bit(cy,cx) = cell_sum * total_count > total_sum * cell_count
+    (cross-multiplied cell mean vs global pixel mean — exact, no
+    division anywhere). Output phash is the row-major '0'/'1' string.
+
+    Scale: mapInPandas, zero shuffle — payloads never move; only the
+    64-char hash flows into the downstream group/join. A
+    Hamming-radius (<= t bits) variant buckets the hash into
+    (t+1)-way bands exactly like operators/dedup.py's SimHash path.
+    Non-image payloads (no magic) hash to NULL rather than erroring,
+    so mixed media tables pass through.
+    """
+    import numpy as np
+
+    def _hash_one(payload: bytes | None):
+        if payload is None:
+            return None, None, None
+        shaped = _image_rows(payload)
+        if shaped is None:
+            return None, None, None
+        w, h, ch, rows = shaped
+        arr = np.frombuffer(b"".join(bytes(r) for r in rows),
+                            dtype=np.uint8).reshape(h, w, ch)
+        if ch >= 3:
+            lum = arr[:, :, :3].astype(np.int64).sum(axis=2) // 3
+        else:  # gray / gray+alpha: luminance IS the first channel
+            lum = arr[:, :, 0].astype(np.int64)
+        cy = (np.arange(h) * grid) // h
+        cx = (np.arange(w) * grid) // w
+        cells = np.zeros((grid, grid), np.int64)
+        counts = np.zeros((grid, grid), np.int64)
+        mesh = (np.repeat(cy, w), np.tile(cx, h))
+        np.add.at(cells, mesh, lum.ravel())
+        np.add.at(counts, mesh, 1)
+        total_sum, total_count = int(lum.sum()), h * w
+        bits = (cells * total_count) > (total_sum * counts)
+        phash = "".join("1" if b else "0" for b in bits.ravel())
+        return w, h, phash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                payload = (bytes(rec.payload)
+                           if rec.payload is not None else None)
+                w, h, phash = _hash_one(payload)
+                out.append({"media_id": rec.media_id, "width": w,
+                            "height": h, "phash": phash})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 RESIZE_SCHEMA = ("media_id long, kind string, target_w int, target_h int,"
                  " out_bytes long, payload binary")
 

@@ -106,14 +106,18 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode(width: int, height: int, channels: int,
-           rows: list[bytearray] | list[bytes]) -> bytes:
+           rows: list[bytearray] | list[bytes],
+           level: int = 6) -> bytes:
     """(width, height, channels, rows) -> PNG bytes (filter 0 rows,
-    single IDAT). channels: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA."""
+    single IDAT). channels: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA.
+    ``level`` is the zlib compression level: different levels yield
+    byte-distinct files for IDENTICAL pixels (the case perceptual
+    dedup exists for and byte-hash dedup misses)."""
     color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     raw = b"".join(b"\x00" + bytes(r) for r in rows)
     return (SIGNATURE + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(raw, 6))
+            + _chunk(b"IDAT", zlib.compress(raw, level))
             + _chunk(b"IEND", b""))
 
 

@@ -127,6 +127,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "token_budget_epochs_plan",   # r7-new: data-constrained mix plan
     "html_text_extract",          # r7-new: web text extraction
     "corpus_data_card_stats",     # r7-new: grouping-sets data card
+    "media_phash_neardup",        # r7-new: aHash image near-dup
 ]
 
 

@@ -140,3 +140,59 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synthetic_media_with_dupes(spark, n=_N_MEDIA, n_unique=48)
     return media_exact_duplicates(media)
+
+
+_N_PH = 12
+
+@query("media_phash_neardup", oracle=f"""
+WITH ids AS (SELECT unnest(range(0, {_N_PH})) AS i),
+dims AS (SELECT i, 8 + (i*5) % 24 AS w, 8 + (i*3) % 24 AS h FROM ids),
+pix AS (
+    SELECT i, w, h, y, x,
+           (((x*31 + i) % 256) + ((y*17 + i) % 256)
+            + ((x*y + i) % 256)) // 3 AS lum
+    FROM dims, unnest(range(0, h)) AS ty(y), unnest(range(0, w)) AS tx(x)
+), cells AS (
+    SELECT i, (y*8) // h AS cy, (x*8) // w AS cx,
+           sum(lum) AS cs, count(*) AS cc
+    FROM pix GROUP BY 1, 2, 3
+), tot AS (
+    SELECT i, sum(lum) AS ts, count(*) AS tc FROM pix GROUP BY 1
+), hashes AS (
+    SELECT c.i,
+           string_agg(CASE WHEN c.cs * t.tc > t.ts * c.cc
+                           THEN '1' ELSE '0' END, ''
+                      ORDER BY c.cy, c.cx) AS phash
+    FROM cells c JOIN tot t ON c.i = t.i GROUP BY c.i
+), media AS (SELECT unnest(range(0, {2 * _N_PH})) AS media_id)
+SELECT m.media_id, h.phash,
+       CAST(min(m.media_id) OVER (PARTITION BY h.phash) AS BIGINT)
+           AS group_id,
+       CAST(count(*) OVER (PARTITION BY h.phash) AS BIGINT)
+           AS group_size
+FROM media m JOIN hashes h ON h.i = m.media_id % {_N_PH}
+""")
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (aHash, integer-exact): the
+    fixture plants byte-DISTINCT re-encodings of identical pixels
+    (zlib level 6 vs 1) that sha256 exact dedup cannot pair; the
+    pure-stdlib codec decodes both, the integer aHash matches them,
+    and the oracle replays hash bits, groups and sizes from the
+    generator's pixel formulas — the full decode→hash→group path is
+    value-gated. Scale: hashing is a zero-shuffle mapInPandas
+    (payloads never move); only (media_id, 64-char hash) reaches the
+    grouping exchange. (Reference has no media ops — north-star
+    brief addition.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        perceptual_hash,
+        synthetic_png_media_dups,
+    )
+    ph = perceptual_hash(synthetic_png_media_dups(spark, n=_N_PH))
+    w = Window.partitionBy("phash")
+    return ph.select(
+        "media_id", "phash",
+        F.min("media_id").over(w).cast("long").alias("group_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"))

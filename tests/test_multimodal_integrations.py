@@ -336,3 +336,38 @@ class TestRealImageDecode:
             with pytest.raises(Exception) as exc:
                 _image_decode(jpeg_ish, "image")
             assert not isinstance(exc.value, NotImplementedError)
+
+
+class TestPerceptualHash:
+    def test_reencoded_pairs_byte_distinct_pixel_identical(self, spark):
+        import hashlib
+
+        from data_platform_copilot_spark.operators.multimodal import (
+            perceptual_hash, synthetic_png_media_dups)
+        media = synthetic_png_media_dups(spark, n=4)
+        payloads = {r["media_id"]: bytes(r["payload"])
+                    for r in media.collect()}
+        hashes = {r["media_id"]: r["phash"]
+                  for r in perceptual_hash(media).collect()}
+        for i in range(4):
+            # different bytes => sha-based exact dedup misses the pair
+            assert payloads[i] != payloads[i + 4]
+            assert (hashlib.sha256(payloads[i]).hexdigest()
+                    != hashlib.sha256(payloads[i + 4]).hexdigest())
+            # same pixels => identical perceptual hash
+            assert hashes[i] == hashes[i + 4]
+            assert len(hashes[i]) == 64
+            assert set(hashes[i]) <= {"0", "1"}
+
+    def test_opaque_payload_hashes_null(self, spark):
+        from data_platform_copilot_spark.operators.multimodal import (
+            perceptual_hash, synthetic_media)
+        out = perceptual_hash(synthetic_media(spark, n=6)).collect()
+        assert all(r["phash"] is None for r in out)
+
+    def test_no_shuffle_plan(self, spark):
+        from data_platform_copilot_spark.operators.multimodal import (
+            perceptual_hash, synthetic_png_media_dups)
+        plan = perceptual_hash(synthetic_png_media_dups(spark, n=4)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
