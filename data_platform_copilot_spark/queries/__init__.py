@@ -128,6 +128,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "html_text_extract",          # r7-new: web text extraction
     "corpus_data_card_stats",     # r7-new: grouping-sets data card
     "media_phash_neardup",        # r7-new: aHash image near-dup
+    "ccnet_perplexity_buckets",   # r7-new: head/middle/tail terciles
 ]
 
 

@@ -1264,3 +1264,72 @@ def corpus_data_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of the reference's DQ report, src/dq.py:176-198)."""
     from ..operators.datacard import corpus_stats
     return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("ccnet_perplexity_buckets", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+), tk AS (
+    SELECT doc_id, tok FROM toks WHERE length(tok) > 0
+), vocab AS (
+    SELECT tok, count(*) AS ct FROM tk GROUP BY 1
+), tot AS (
+    SELECT sum(ct) AS n_total FROM vocab
+), dt AS (
+    SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2
+), scored AS (
+    SELECT dt.doc_id,
+           CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+           round(sum(dt.c * ln(CAST(v.ct AS DOUBLE) / tot.n_total))
+                 / sum(dt.c), 4) AS lp
+    FROM dt JOIN vocab v USING (tok) CROSS JOIN tot
+    GROUP BY 1
+), bucketed AS (
+    SELECT d.lang, s.n_tokens, s.lp,
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY s.lp DESC, s.doc_id) AS b
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(min(lp), 4) AS min_logprob,
+       round(max(lp), 4) AS max_logprob
+FROM bucketed
+GROUP BY 1, 2
+""")
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek 2020): per-language
+    perplexity terciles under the corpus's own unigram LM, the
+    standard quality stratification CommonCrawl pipelines feed into
+    sampling weights. The tercile order key is the 4dp-ROUNDED score
+    plus doc_id — a deterministic total order both engines reproduce
+    exactly (raw doubles could differ by 1 ULP across partial-sum
+    orders and flip a boundary row). Scale: the scorer is a
+    token-keyed shuffle join (vocab deliberately not broadcast), the
+    ntile is per-language (bounded partitions), and the output is
+    #langs x 3 rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.selection import unigram_logprob_scores
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_scores(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens",
+        rnd("avg_logprob", 4).alias("lp"))
+    b = scored.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "b", F.ntile(3).over(
+            Window.partitionBy("lang")
+                  .orderBy(F.col("lp").desc(), F.col("doc_id"))))
+    return (b.groupBy(
+                "lang",
+                F.when(F.col("b") == 1, "head")
+                 .when(F.col("b") == 2, "middle")
+                 .otherwise("tail").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 rnd(F.min("lp"), 4).alias("min_logprob"),
+                 rnd(F.max("lp"), 4).alias("max_logprob")))
