@@ -129,6 +129,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "corpus_data_card_stats",     # r7-new: grouping-sets data card
     "media_phash_neardup",        # r7-new: aHash image near-dup
     "ccnet_perplexity_buckets",   # r7-new: head/middle/tail terciles
+    "output_shard_plan",          # r7-new: token-sized write planning
 ]
 
 

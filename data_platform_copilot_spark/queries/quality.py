@@ -1333,3 +1333,59 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").cast("long").alias("n_tokens"),
                  rnd(F.min("lp"), 4).alias("min_logprob"),
                  rnd(F.max("lp"), 4).alias("max_logprob")))
+
+
+_SHARD_TOKENS = 4096
+
+
+@query("output_shard_plan", oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len({_TOKS_Q}) AS BIGINT) AS n_toks
+    FROM documents
+), cum AS (
+    SELECT doc_id, n_toks,
+           sum(n_toks) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cs
+    FROM d
+), assigned AS (
+    SELECT doc_id, n_toks,
+           CAST((cs - n_toks) // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+    FROM cum
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM assigned
+GROUP BY 1
+""")
+def output_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-planning: assign docs (in doc_id order) to output shards
+    of ~{_SHARD_TOKENS} whitespace tokens — the sizing pass before a
+    partitioned write of webdataset/parquet training shards, so every
+    output file lands near the target size regardless of doc-length
+    skew. shard_id = floor(exclusive-prefix-sum / target): a doc
+    straddling a boundary stays in the shard it started in
+    (first-fit, standard shard-writer semantics). Scale: ONE global
+    range-sort on doc_id (the TeraSort shape Spark is engineered
+    for) feeding a running sum; everything else is per-row
+    arithmetic plus a shard-keyed agg. The plan's single wide
+    exchange IS the minimum for order-preserving sharding."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    assigned = d.select(
+        "doc_id", "n_toks",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks"))
+                / _SHARD_TOKENS).cast("long").alias("shard_id"))
+    return (assigned.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_toks").cast("long").alias("n_tokens"),
+                 F.min("doc_id").cast("long").alias("first_doc"),
+                 F.max("doc_id").cast("long").alias("last_doc")))
