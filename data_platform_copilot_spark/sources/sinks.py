@@ -18,6 +18,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FORMATS = ("parquet", "csv", "json", "orc")
 
@@ -92,4 +93,37 @@ def export_training_shards(packed: DataFrame, path: str,
      .sortWithinPartitions("bin", "token_offset")
      .write.mode(mode)
      .partitionBy("shard")
+     .parquet(path))
+
+
+def export_document_shards(docs: DataFrame, path: str,
+                           target_tokens: int = 1 << 22,
+                           mode: str = "overwrite") -> None:
+    """Materialize raw documents as token-balanced shards using the
+    order-preserving prefix-sum plan (queries/quality.py
+    output_shard_plan): shard_id = floor(exclusive-running-token-sum
+    / target) in doc_id order, so every output directory holds ~
+    ``target_tokens`` whitespace tokens regardless of doc-length
+    skew, and a sequential reader sees docs in corpus order.
+
+    Two wide exchanges, both necessary: the global range-sort that
+    defines the running sum (TeraSort shape), then the repartition ON
+    shard_id that gives each shard a single writer (no tiny-file
+    spray). Rows inside each file stay sorted by doc_id via a
+    task-local sort.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    n_toks = token_count(F.col("text")).cast("long")
+    assigned = docs.withColumn(
+        "shard_id",
+        F.floor((F.sum(n_toks).over(w) - n_toks) / target_tokens)
+         .cast("long"))
+    (assigned
+     .repartition("shard_id")
+     .sortWithinPartitions("doc_id")
+     .write.mode(mode)
+     .partitionBy("shard_id")
      .parquet(path))

@@ -264,3 +264,41 @@ class TestSchemaEvolution:
         rows = {r["id"]: r for r in merged.collect()}
         assert rows[1]["score"] is None
         assert rows[2]["score"] == 9.5
+
+
+class TestDocumentShards:
+    def test_token_balanced_layout_roundtrip(self, spark, tmp_path):
+        """export_document_shards writes one directory per shard with
+        ~target tokens each (order-preserving first-fit), docs sorted
+        by doc_id within files, and nothing lost in the round trip."""
+        import os
+
+        from data_platform_copilot_spark.sources.sinks import (
+            export_document_shards,
+            read_table,
+        )
+        docs = spark.createDataFrame(
+            [(i, ("tok " * (5 + i % 7)).strip()) for i in range(200)],
+            "doc_id long, text string")
+        out = str(tmp_path / "shards")
+        export_document_shards(docs, out, target_tokens=100)
+        dirs = sorted(d for d in os.listdir(out)
+                      if d.startswith("shard_id="))
+        assert len(dirs) > 3
+        back = read_table(spark, out)
+        assert back.count() == 200
+        rows = sorted((r["shard_id"], r["doc_id"],
+                       len(r["text"].split())) for r in back.collect())
+        # shard ids follow doc order: shard of doc i <= shard of doc j
+        shards_in_doc_order = [s for s, _, _ in
+                               sorted(rows, key=lambda t: t[1])]
+        assert shards_in_doc_order == sorted(shards_in_doc_order)
+        # each shard holds >= target tokens minus one straddling doc
+        # (first-fit) and starts within a doc of the boundary
+        from collections import defaultdict
+        tok = defaultdict(int)
+        for s, _, n in rows:
+            tok[s] += n
+        for s in sorted(tok)[:-1]:  # all but the last shard
+            assert tok[s] >= 100 - 11, (s, tok[s])
+            assert tok[s] <= 100 + 11, (s, tok[s])
