@@ -130,6 +130,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "media_phash_neardup",        # r7-new: aHash image near-dup
     "ccnet_perplexity_buckets",   # r7-new: head/middle/tail terciles
     "output_shard_plan",          # r7-new: token-sized write planning
+    "embedding_domain_drift",     # r7-new: centroid-cosine drift
 ]
 
 

@@ -682,3 +682,71 @@ def cluster_separation_report(spark: SparkSession,
                  rnd(F.avg("sim_other"), 6).alias("mean_sim_other"),
                  rnd(F.avg(F.col("sim_own") - F.col("sim_other")), 6)
                  .alias("mean_margin")))
+
+
+@query("embedding_domain_drift", oracle="""
+WITH v AS (
+    SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), g AS (
+    SELECT CASE WHEN GROUPING(label) = 0 THEN CAST(label AS VARCHAR)
+                ELSE '__corpus__' END AS grp,
+           dim, sum(x) AS s, count(*) AS c
+    FROM v GROUP BY GROUPING SETS ((label, dim), (dim))
+), nrm AS (
+    SELECT grp, sqrt(sum(s * s)) AS nrm, max(c) AS n_vecs
+    FROM g GROUP BY grp
+)
+SELECT l.grp AS label,
+       CAST(ln.n_vecs AS BIGINT) AS n_vecs,
+       round(sum(l.s * c.s) / (ln.nrm * cn.nrm), 4) + 0.0
+           AS cos_to_corpus
+FROM g l
+JOIN g c ON c.grp = '__corpus__' AND c.dim = l.dim
+JOIN nrm ln ON ln.grp = l.grp
+JOIN nrm cn ON cn.grp = '__corpus__'
+WHERE l.grp <> '__corpus__'
+GROUP BY 1, ln.n_vecs, ln.nrm, cn.nrm
+""")
+def embedding_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space domain drift: cosine between each label's
+    centroid and the corpus centroid — the modality the numeric
+    PSI/KS monitors can't see (a source whose embeddings rotate away
+    from the corpus signals topic or pipeline drift even when scalar
+    stats hold). Cosine is scale-invariant, so centroids stay as
+    per-dim SUMS (no division until the final cosine — fewer
+    float-order hazards). Scale: ONE fact-table scan via GROUPING
+    SETS ((label,dim),(dim)); everything downstream operates on
+    #labels x dim rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("dim", "x"))
+    g = (v.groupingSets([["label", "dim"], ["dim"]], "label", "dim")
+         .agg(F.grouping("label").alias("gl"),
+              F.sum("x").alias("s"),
+              F.count(F.lit(1)).alias("c"))
+         .select(
+             F.when(F.col("gl") == 0, F.col("label").cast("string"))
+              .otherwise(F.lit("__corpus__")).alias("grp"),
+             "dim", "s", "c"))
+    nrm = g.groupBy("grp").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"),
+        F.max("c").alias("n_vecs"))
+    lab = g.where(F.col("grp") != "__corpus__")
+    cor = (g.where(F.col("grp") == "__corpus__")
+           .select(F.col("dim").alias("cdim"), F.col("s").alias("cs")))
+    cn = (nrm.where(F.col("grp") == "__corpus__")
+          .select(F.col("nrm").alias("cnrm")))
+    ln = nrm.where(F.col("grp") != "__corpus__").select(
+        F.col("grp").alias("ngrp"), "nrm", "n_vecs")
+    return (lab.join(cor, lab["dim"] == cor["cdim"])
+            .join(F.broadcast(cn))
+            .join(ln, lab["grp"] == ln["ngrp"])
+            .groupBy(lab["grp"].alias("label"), "n_vecs", "nrm", "cnrm")
+            .agg(F.sum(F.col("s") * F.col("cs")).alias("dot"))
+            .select("label",
+                    F.col("n_vecs").cast("long").alias("n_vecs"),
+                    (rnd(F.col("dot") / (F.col("nrm") * F.col("cnrm")),
+                         4) + F.lit(0.0)).alias("cos_to_corpus")))
