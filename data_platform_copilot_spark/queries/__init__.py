@@ -131,6 +131,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "ccnet_perplexity_buckets",   # r7-new: head/middle/tail terciles
     "output_shard_plan",          # r7-new: token-sized write planning
     "embedding_domain_drift",     # r7-new: centroid-cosine drift
+    "ngram_diversity_by_source",  # r7-new: TTR diversity card
+    "quality_calibration_bins",   # r7-new: reliability diagram
+    "domain_unigram_js",          # r7-new: domain similarity matrix
+    "training_order_interleave",  # r7-new: mixture schedule audit
 ]
 
 

@@ -449,3 +449,104 @@ def token_budget_epochs_plan(spark: SparkSession,
         rnd(alloc, 2).alias("allocated_tokens"),
         rnd(F.when((F.col("capped") == 1) | lam.isNull(), F.lit(2.0))
             .otherwise(alloc / F.col("toks")), 4).alias("epochs"))
+
+
+@query("training_order_interleave", oracle="""
+WITH per AS (
+    SELECT source, count(*) AS n FROM documents GROUP BY 1
+), w AS (
+    SELECT source, n, n ^ 0.7 AS wt FROM per
+), q AS (
+    SELECT source, n, 1000000 * wt / sum(wt) OVER () AS quota FROM w
+), fl AS (
+    SELECT source, n, CAST(floor(quota) AS BIGINT) AS base,
+           quota - floor(quota) AS rem
+    FROM q
+), rk AS (
+    SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r,
+           1000000 - sum(base) OVER () AS leftover
+    FROM fl
+), sh AS (
+    SELECT source,
+           greatest(base + CASE WHEN r <= leftover THEN 1 ELSE 0 END,
+                    1) AS share
+    FROM rk
+), rn AS (
+    SELECT d.source,
+           row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+    FROM documents d
+), keyed AS (
+    SELECT rn.source, rn.rn, (rn.rn * 1000000) // sh.share AS k
+    FROM rn JOIN sh USING (source)
+), pos AS (
+    SELECT source,
+           row_number() OVER (ORDER BY k, source, rn) AS gpos,
+           count(*) OVER () AS total
+    FROM keyed
+)
+SELECT source, CAST((gpos - 1) * 10 // total AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(gpos) AS BIGINT) AS first_pos,
+       CAST(max(gpos) AS BIGINT) AS last_pos
+FROM pos GROUP BY 1, 2
+""")
+def training_order_interleave(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Deterministic training-order schedule: every document gets a
+    global position interleaving sources at temperature-weighted
+    rates (shares = largest-remainder apportionment of 10^6 over
+    n_docs^0.7, the same mT5 exponent as token_budget_allocation),
+    audited as per-source doc counts within each decile of the
+    schedule — the uniformity check a trainer wants before an epoch
+    starts (a source bunching into one decile means mixture drift
+    mid-epoch). The interleave key is INTEGER stride arithmetic
+    (rn * 10^6 DIV share), md5-ranked within source, so both engines
+    produce the identical total order with no float boundary. Scale:
+    the per-source rank and the final position are range-sort shapes
+    (the TeraSort pattern); in production the sorted stream feeds the
+    shard sink directly (see output_shard_plan) and positions come
+    from per-shard offsets, so the single wide exchange here is the
+    minimum an order-producing operator can do."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wt = F.pow(F.col("n").cast("double"), F.lit(0.7))
+    q = per.select("source", "n",
+                   (F.lit(1000000) * wt
+                    / F.sum(wt).over(W.partitionBy())).alias("quota"))
+    fl = q.select("source", "n",
+                  F.floor("quota").cast("long").alias("base"),
+                  (F.col("quota") - F.floor("quota")).alias("rem"))
+    rk = fl.select(
+        "*",
+        F.row_number().over(W.orderBy(F.desc("rem"), "source")).alias("r"),
+        (F.lit(1000000) - F.sum("base").over(W.partitionBy()))
+        .alias("leftover"))
+    sh = rk.select(
+        "source",
+        F.greatest(
+            F.col("base") + F.when(F.col("r") <= F.col("leftover"), 1)
+                             .otherwise(0),
+            F.lit(1)).alias("share"))
+    rn = docs.select(
+        "source",
+        F.row_number().over(
+            W.partitionBy("source")
+             .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rn"))
+    keyed = rn.join(sh, "source").select(
+        "source", "rn",
+        F.expr("(rn * 1000000L) div share").alias("k"))
+    pos = keyed.select(
+        "source", "rn", "k",
+        F.row_number().over(W.orderBy("k", "source", "rn")).alias("gpos"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("total"))
+    return (pos.groupBy(
+                "source",
+                F.expr("CAST(((gpos - 1) * 10) DIV total AS BIGINT)")
+                 .alias("decile"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("gpos").cast("long").alias("first_pos"),
+                 F.max("gpos").cast("long").alias("last_pos")))

@@ -1096,3 +1096,227 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("rec_id",
                          F.md5(t).alias("text_md5"),
                          F.length(t).cast("long").alias("n_chars"))
+
+
+@query("ngram_diversity_by_source", oracle=f"""
+WITH toks AS (
+    SELECT source, string_split({_NORM}, ' ') AS t FROM documents
+), g AS (
+    SELECT source, 1 AS kind, t[i] AS gram
+    FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    UNION ALL
+    SELECT source, 2, t[i] || ' ' || t[i+1]
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+    UNION ALL
+    SELECT source, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+    FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+), a AS (
+    SELECT source, kind, count(*) AS total,
+           count(DISTINCT gram) AS uniq
+    FROM g GROUP BY 1, 2
+)
+SELECT source,
+       CAST(max(CASE WHEN kind = 1 THEN total END) AS BIGINT) AS n_tokens,
+       CAST(max(CASE WHEN kind = 1 THEN uniq END) AS BIGINT) AS uniq_tokens,
+       round(CAST(max(CASE WHEN kind = 1 THEN uniq END) AS DOUBLE)
+             / max(CASE WHEN kind = 1 THEN total END), 6) AS unigram_ttr,
+       round(CAST(max(CASE WHEN kind = 2 THEN uniq END) AS DOUBLE)
+             / max(CASE WHEN kind = 2 THEN total END), 6) AS bigram_ttr,
+       round(CAST(max(CASE WHEN kind = 3 THEN uniq END) AS DOUBLE)
+             / max(CASE WHEN kind = 3 THEN total END), 6) AS trigram_ttr
+FROM a GROUP BY source
+""")
+def ngram_diversity_by_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Corpus diversity card: per-source type-token ratios at n=1,2,3
+    (distinct n-grams / total n-grams) — the cheap Self-BLEU proxy
+    mixture designers read before weighting a source up (low TTR =
+    templated/spammy, high = diverse). Grams are built from n fixed
+    slices per row (the shingle_array zip trick, non-distinct here
+    because the denominator needs raw counts) and the agg is one
+    (source, kind, gram)-keyed distinct+count — the inverted-index
+    shape, output-linear at 100 TB with uniform md5-free keys (true
+    boilerplate grams are exactly what AQE skew split handles).
+    A source whose docs are all shorter than n tokens reports NULL
+    for that n (no such grams), identically in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def grams(n: int):
+        if n == 1:
+            return toks
+        width = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        shifted = [F.slice(toks, i + 1, width).alias(f"t{i}")
+                   for i in range(n)]
+        sh = F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
+        return F.when(F.size(toks) >= n, sh) \
+                .otherwise(F.array().cast("array<string>"))
+
+    parts = [
+        docs.select("source", F.lit(k).alias("kind"),
+                    F.explode(grams(k)).alias("gram"))
+        for k in (1, 2, 3)
+    ]
+    g = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    a = g.groupBy("source", "kind").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("gram").alias("uniq"))
+
+    def ttr(k: int, name: str):
+        u = F.max(F.when(F.col("kind") == k, F.col("uniq")))
+        t = F.max(F.when(F.col("kind") == k, F.col("total")))
+        return rnd(u.cast("double") / t, 6).alias(name)
+
+    return a.groupBy("source").agg(
+        F.max(F.when(F.col("kind") == 1, F.col("total")))
+         .cast("long").alias("n_tokens"),
+        F.max(F.when(F.col("kind") == 1, F.col("uniq")))
+         .cast("long").alias("uniq_tokens"),
+        ttr(1, "unigram_ttr"), ttr(2, "bigram_ttr"),
+        ttr(3, "trigram_ttr"))
+
+
+@query("quality_calibration_bins", oracle=f"""
+WITH scored AS (
+    SELECT CAST(len({_TOKS}) AS BIGINT) AS s,
+           CAST(lang = 'en' AS INT) AS y
+    FROM documents
+), g AS (
+    SELECT s, count(*) AS n, sum(y) AS pos FROM scored GROUP BY s
+), c AS (
+    SELECT s, n, pos,
+           sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n) OVER () AS total
+    FROM g
+)
+SELECT CAST((cum - n) * 10 // total AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_scores,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(min(s) AS BIGINT) AS min_score,
+       CAST(max(s) AS BIGINT) AS max_score,
+       round(CAST(sum(pos) AS DOUBLE) / sum(n), 6) AS pos_rate
+FROM c GROUP BY 1
+""")
+def quality_calibration_bins(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Reliability diagram for a quality score (the calibration
+    companion to quality_score_auc, same score/label: token count vs
+    lang='en'): decile bins by cumulative doc count with bin edges
+    snapped to score-value boundaries (first-fit, so a heavily-tied
+    score value never straddles two bins), each bin reporting its
+    score range and observed positive rate. Like the AUC entry this
+    is the HISTOGRAM method — the only windowed stage runs over
+    |distinct score values| rows after a map-side combine, never a
+    per-row global rank, and the bin id is integer arithmetic
+    ((cum-n)*10 DIV total), exact in both engines at any scale."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    g = scored.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("y").alias("pos"))
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    c = g.select("s", "n", "pos",
+                 F.sum("n").over(w).alias("cum"),
+                 F.sum("n").over(W.partitionBy()).alias("total"))
+    return (c.groupBy(F.expr("CAST(((cum - n) * 10) DIV total AS BIGINT)")
+                      .alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_scores"),
+                 F.sum("n").cast("long").alias("n_docs"),
+                 F.min("s").cast("long").alias("min_score"),
+                 F.max("s").cast("long").alias("max_score"),
+                 rnd(F.sum("pos").cast("double") / F.sum("n"), 6)
+                 .alias("pos_rate")))
+
+
+@query("domain_unigram_js", oracle=f"""
+WITH tk AS (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+), d AS (
+    SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2
+), tot AS (
+    SELECT source, sum(c) AS t FROM d GROUP BY 1
+), dist AS (
+    SELECT d.source, d.tok, CAST(d.c AS DOUBLE) / tot.t AS p
+    FROM d JOIN tot USING (source)
+), pairs AS (
+    SELECT a.source AS s1, b.source AS s2
+    FROM (SELECT DISTINCT source FROM documents) a,
+         (SELECT DISTINCT source FROM documents) b
+    WHERE a.source < b.source
+), l AS (
+    SELECT p.s1, p.s2, d.tok, d.p AS p1
+    FROM pairs p JOIN dist d ON d.source = p.s1
+), r AS (
+    SELECT p.s1, p.s2, d.tok, d.p AS p2
+    FROM pairs p JOIN dist d ON d.source = p.s2
+), m AS (
+    SELECT coalesce(l.s1, r.s1) AS s1, coalesce(l.s2, r.s2) AS s2,
+           coalesce(l.p1, 0) AS p1, coalesce(r.p2, 0) AS p2
+    FROM l FULL OUTER JOIN r
+      ON l.s1 = r.s1 AND l.s2 = r.s2 AND l.tok = r.tok
+)
+SELECT s1, s2,
+       CAST(count(*) AS BIGINT) AS n_union_tokens,
+       CAST(sum(CASE WHEN p1 > 0 AND p2 > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared_tokens,
+       round(sum(0.5 * (CASE WHEN p1 > 0
+                             THEN p1 * ln(2 * p1 / (p1 + p2))
+                             ELSE 0 END
+                      + CASE WHEN p2 > 0
+                             THEN p2 * ln(2 * p2 / (p1 + p2))
+                             ELSE 0 END)), 2) AS js_divergence
+FROM m GROUP BY 1, 2
+""")
+def domain_unigram_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain similarity matrix: Jensen-Shannon divergence between
+    every source pair's unigram distributions — the standard check
+    before merging or reweighting domains in a training mix (JS=0
+    identical, ln2 disjoint). Per-token contributions are identical
+    doubles in both engines (same counts, same division, same ln);
+    only the final sum's partial order differs, so the divergence is
+    reported at 2dp (the engine-parity rule for order-sensitive
+    derived moments) while the union/overlap vocabulary counts stay
+    integer-exact. Scale: distributions are one (source, tok) agg;
+    the pair expansion joins the per-source distribution (vocab-
+    sized, NOT corpus-sized) against a #sources^2 pair dim — at 100
+    TB the corpus is touched once and everything after is
+    vocabulary-bound."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("source", F.explode(tokens(F.col("text")))
+                     .alias("tok"))
+    d = tk.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dist = d.withColumn(
+        "p", F.col("c").cast("double")
+        / F.sum("c").over(W.partitionBy("source"))).drop("c")
+    srcs = docs.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("s1"))
+             .join(srcs.select(F.col("source").alias("s2")),
+                   F.col("s1") < F.col("s2")))
+    l = pairs.join(dist.select(F.col("source").alias("s1"), "tok",
+                               F.col("p").alias("p1")), "s1")
+    r = pairs.join(dist.select(F.col("source").alias("s2"), "tok",
+                               F.col("p").alias("p2")), "s2")
+    m = (l.join(r, ["s1", "s2", "tok"], "full_outer")
+         .select("s1", "s2",
+                 F.coalesce("p1", F.lit(0.0)).alias("p1"),
+                 F.coalesce("p2", F.lit(0.0)).alias("p2")))
+    term = 0.5 * (
+        F.when(F.col("p1") > 0,
+               F.col("p1") * F.log(2 * F.col("p1")
+                                   / (F.col("p1") + F.col("p2"))))
+         .otherwise(0.0)
+        + F.when(F.col("p2") > 0,
+                 F.col("p2") * F.log(2 * F.col("p2")
+                                     / (F.col("p1") + F.col("p2"))))
+           .otherwise(0.0))
+    return m.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_tokens"),
+        F.sum(((F.col("p1") > 0) & (F.col("p2") > 0)).cast("int"))
+         .cast("long").alias("n_shared_tokens"),
+        rnd(F.sum(term), 2).alias("js_divergence"))
