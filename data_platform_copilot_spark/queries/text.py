@@ -1138,7 +1138,12 @@ def ngram_diversity_by_source(spark: SparkSession,
     shape, output-linear at 100 TB with uniform md5-free keys (true
     boilerplate grams are exactly what AQE skew split handles).
     A source whose docs are all shorter than n tokens reports NULL
-    for that n (no such grams), identically in both engines."""
+    for that n (no such grams), identically in both engines.
+    Plan shape: all three gram widths ride ONE tagged explode (one
+    corpus scan, not a 3-branch union), and distinct-vs-total is the
+    two-level agg — (source, kind, gram) combine first, then a
+    count/sum over the gram groups — so there is no countDistinct
+    Expand doubling the exploded stream."""
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
 
@@ -1154,15 +1159,22 @@ def ngram_diversity_by_source(spark: SparkSession,
         return F.when(F.size(toks) >= n, sh) \
                 .otherwise(F.array().cast("array<string>"))
 
-    parts = [
-        docs.select("source", F.lit(k).alias("kind"),
-                    F.explode(grams(k)).alias("gram"))
-        for k in (1, 2, 3)
-    ]
-    g = parts[0].unionAll(parts[1]).unionAll(parts[2])
-    a = g.groupBy("source", "kind").agg(
-        F.count(F.lit(1)).alias("total"),
-        F.countDistinct("gram").alias("uniq"))
+    def tag(k: int):
+        # NB: a two-parameter lambda would make transform() pass the
+        # ARRAY INDEX as the second argument — close over k instead
+        return lambda x: F.struct(F.lit(k).alias("kind"),
+                                  x.alias("gram"))
+
+    tagged = F.concat(*[F.transform(grams(k), tag(k))
+                        for k in (1, 2, 3)])
+    g = (docs.select("source", F.explode(tagged).alias("kg"))
+         .select("source", F.col("kg.kind").alias("kind"),
+                 F.col("kg.gram").alias("gram")))
+    per_gram = g.groupBy("source", "kind", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    a = per_gram.groupBy("source", "kind").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("uniq"))
 
     def ttr(k: int, name: str):
         u = F.max(F.when(F.col("kind") == k, F.col("uniq")))
@@ -1284,17 +1296,20 @@ def domain_unigram_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact. Scale: distributions are one (source, tok) agg;
     the pair expansion joins the per-source distribution (vocab-
     sized, NOT corpus-sized) against a #sources^2 pair dim — at 100
-    TB the corpus is touched once and everything after is
-    vocabulary-bound."""
+    TB the corpus is touched once (the distribution frame is
+    materialized via the engine-standard gate before fanning out to
+    both pair sides) and everything after is vocabulary-bound."""
     from pyspark.sql import Window as W
+
+    from ..sources.registry import materialize_auto
     docs = _t(spark, sf_dir, "documents")
     tk = docs.select("source", F.explode(tokens(F.col("text")))
                      .alias("tok"))
     d = tk.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
-    dist = d.withColumn(
+    dist = materialize_auto(d.withColumn(
         "p", F.col("c").cast("double")
-        / F.sum("c").over(W.partitionBy("source"))).drop("c")
-    srcs = docs.select("source").distinct()
+        / F.sum("c").over(W.partitionBy("source"))).drop("c"))
+    srcs = dist.select("source").distinct()
     pairs = (srcs.select(F.col("source").alias("s1"))
              .join(srcs.select(F.col("source").alias("s2")),
                    F.col("s1") < F.col("s2")))

@@ -270,3 +270,33 @@ class TestLateR6PlanShapes:
         # is expression-only
         assert plan.count("hashpartitioning") == 1
         assert "BatchEvalPython" not in plan
+
+    def test_ngram_diversity_one_explode_no_expand(self, spark, sf_dir):
+        # all three gram widths ride ONE tagged explode; distinct
+        # counting is the two-level agg, so no countDistinct Expand
+        # doubles the exploded stream
+        plan = plan_of(spark, sf_dir, "ngram_diversity_by_source")
+        assert plan.count("Scan parquet") <= 2, plan
+        assert "Expand" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_domain_js_corpus_touched_once(self, spark, sf_dir):
+        # the per-source distribution is materialized before fanning
+        # out to both pair sides: the pair joins read the checkpointed
+        # vocab-sized frame, never the parquet corpus again
+        plan = plan_of(spark, sf_dir, "domain_unigram_js")
+        assert plan.count("Scan parquet") == 0, plan
+
+    def test_calibration_bins_histogram_method(self, spark, sf_dir):
+        # one keyed exchange (the per-score combine); the windows run
+        # over |distinct score values| rows, never a per-row rank
+        plan = plan_of(spark, sf_dir, "quality_calibration_bins")
+        assert plan.count("hashpartitioning") == 1, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_training_order_broadcasts_shares(self, spark, sf_dir):
+        # the |sources|-row share dim joins broadcast; the only wide
+        # stages are the two order-producing sorts
+        plan = plan_of(spark, sf_dir, "training_order_interleave")
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
