@@ -135,6 +135,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "quality_calibration_bins",   # r7-new: reliability diagram
     "domain_unigram_js",          # r7-new: domain similarity matrix
     "training_order_interleave",  # r7-new: mixture schedule audit
+    "doc_length_percentiles_by_source",  # r7-new: exact pctile card
+    "dedup_cross_source_matrix",  # r7-new: copy-flow pair matrix
 ]
 
 

@@ -992,3 +992,65 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("t").alias("threshold"))
             .agg(F.sum(F.when(F.col("jaccard") >= F.col("t"), 1)
                        .otherwise(0)).cast("long").alias("n_pairs")))
+
+
+@query("dedup_cross_source_matrix", oracle=f"""
+WITH toks AS (
+    SELECT source, {_TOKS} AS t FROM documents
+), fp AS (
+    SELECT source,
+           md5(array_to_string(list_slice(t, s, s + 9), ' ')) AS f
+    FROM toks, unnest(range(1, greatest(len(t), 1) + 1, 10)) AS u(s)
+), c AS (
+    SELECT f, source, count(*) AS n FROM fp GROUP BY 1, 2
+), p AS (
+    SELECT a.source AS s1, b.source AS s2,
+           CASE WHEN a.source = b.source
+                THEN (a.n * (a.n - 1)) // 2
+                ELSE a.n * b.n END AS pairs
+    FROM c a JOIN c b ON a.f = b.f AND a.source <= b.source
+)
+SELECT s1, s2,
+       CAST(sum(pairs) AS BIGINT) AS dup_pairs,
+       CAST(sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_groups
+FROM p GROUP BY 1, 2
+HAVING sum(pairs) > 0
+""")
+def dedup_cross_source_matrix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Copy-flow matrix: duplicated-SPAN pair counts between every
+    source pair (and within each source on the diagonal) — the
+    mirror-site / cross-crawl-overlap report that decides which
+    sources to dedup against each other before mixing. Spans are the
+    same 10-word fixed windows as dedup_spans (doc-level exact dupes
+    are too rare below sf0.1 to gate on). Pair counts come from
+    PER-GROUP PER-SOURCE COUNT ARITHMETIC (n_a * n_b cross, C(n,2)
+    intra), never a span-level self-join: the join runs on the
+    (fingerprint, source)-level aggregate, so a boilerplate span
+    shared by a million docs costs |sources| rows, not 10^12 pairs.
+    One fingerprint shuffle + one aggregate-level join — the only
+    safe shape for this report at 100 TB."""
+    from ..functions.text import tokens as toks_fn
+    t = toks_fn(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)),
+                        F.lit(10))
+    spans = F.transform(
+        starts, lambda s: F.array_join(F.slice(t, s, 10), " "))
+    fp = (_t(spark, sf_dir, "documents")
+          .select("source", F.explode(spans).alias("span"))
+          .select("source", F.md5("span").alias("f")))
+    c = fp.groupBy("f", "source").agg(F.count(F.lit(1)).alias("n"))
+    a = c.select("f", F.col("source").alias("s1"), F.col("n").alias("na"))
+    b = c.select("f", F.col("source").alias("s2"), F.col("n").alias("nb"))
+    p = (a.join(b, "f")
+         .where(F.col("s1") <= F.col("s2"))
+         .select("s1", "s2",
+                 F.when(F.col("s1") == F.col("s2"),
+                        F.expr("(na * (na - 1)) DIV 2"))
+                  .otherwise(F.col("na") * F.col("nb")).alias("pairs")))
+    return (p.groupBy("s1", "s2")
+            .agg(F.sum("pairs").cast("long").alias("dup_pairs"),
+                 F.sum((F.col("pairs") > 0).cast("int")).cast("long")
+                 .alias("n_shared_groups"))
+            .where(F.col("dup_pairs") > 0))

@@ -1335,3 +1335,66 @@ def domain_unigram_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("p1") > 0) & (F.col("p2") > 0)).cast("int"))
          .cast("long").alias("n_shared_tokens"),
         rnd(F.sum(term), 2).alias("js_divergence"))
+
+
+@query("doc_length_percentiles_by_source", oracle=f"""
+WITH scored AS (
+    SELECT source, CAST(len({_TOKS}) AS BIGINT) AS s FROM documents
+), g AS (
+    SELECT source, s, count(*) AS c FROM scored GROUP BY 1, 2
+), cum AS (
+    SELECT source, s, c,
+           sum(c) OVER (PARTITION BY source ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY source) AS n
+    FROM g
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(s) AS BIGINT) AS min_tokens,
+       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN s END)
+            AS BIGINT) AS p50_tokens,
+       CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN s END)
+            AS BIGINT) AS p90_tokens,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN s END)
+            AS BIGINT) AS p99_tokens,
+       CAST(max(s) AS BIGINT) AS max_tokens
+FROM cum GROUP BY source
+""")
+def doc_length_percentiles_by_source(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Data-card staple: EXACT token-length percentiles per source
+    (p50/p90/p99 by the nearest-rank convention, rank = ceil(p*n)
+    computed as integer arithmetic so both engines agree with no
+    float boundary). Same histogram method as the calibration bins:
+    one (source, length) combine, then windows over the per-source
+    DISTINCT-length histogram — never a per-row sort, so at 100 TB
+    the wide stage carries |sources| x |distinct lengths| rows. The
+    exact answer at percentile extremes (p99.9 tail audits) is where
+    approx_percentile's error bound bites; this plan makes exactness
+    as cheap as the sketch for integer-valued scores."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("s"))
+    g = scored.groupBy("source", "s").agg(F.count(F.lit(1)).alias("c"))
+    cum = g.select(
+        "source", "s",
+        F.sum("c").over(W.partitionBy("source").orderBy("s")
+                        .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy("source")).alias("n"))
+
+    def pct(mult: int, div: int, name: str):
+        r = F.expr(f"({mult} * n + {mult}) DIV {div}")
+        return (F.min(F.when(F.col("cum") >= r, F.col("s")))
+                .cast("long").alias(name))
+
+    return cum.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min("s").cast("long").alias("min_tokens"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"),
+                     F.col("s"))).cast("long").alias("p50_tokens"),
+        pct(9, 10, "p90_tokens"),
+        pct(99, 100, "p99_tokens"),
+        F.max("s").cast("long").alias("max_tokens"))
