@@ -459,11 +459,15 @@ def _pois_case_sql(u: str) -> str:
 
 @query("bootstrap_ci_mean_value", oracle=f"""
 WITH reps AS (
-    SELECT e.event_id, e.value, r.b,
+    SELECT e.value,
+           h.h * 5 + c.c AS b,
            (('0x' || substring(md5(CAST(e.event_id AS VARCHAR)
-                                   || '_' || CAST(r.b AS VARCHAR)), 1, 6))
+                                   || '_' || CAST(h.h AS VARCHAR)),
+                               c.c * 6 + 1, 6))
             ::BIGINT + 0.5) / 16777216.0 AS u
-    FROM events e, (SELECT unnest(range(50)) AS b) r
+    FROM events e,
+         (SELECT unnest(range(10)) AS h) h,
+         (SELECT unnest(range(5)) AS c) c
 ), wt AS (
     SELECT b, value, {_pois_case_sql('u')} AS w FROM reps
 ), means AS (
@@ -479,26 +483,46 @@ def bootstrap_ci_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap confidence interval for mean(value) — the
     standard resampling scheme AT SCALE (Chamandy et al., Google
     2012 class): instead of materializing B resamples, every row
-    draws B Poisson(1) weights, here DETERMINISTICALLY via the
+    draws B Poisson(1) weights, DETERMINISTICALLY via the
     md5-uniform inverse-CDF trick the sampling operators already
-    use, so runs/engines/partitionings agree bit-for-bit. One
-    explode by replicate id, one 50-key weighted combine, exact
-    percentiles over the 50 replicate means. At 100 TB the
-    replicate dimension rides the scan (no data duplication on
+    use, so runs/engines/partitionings agree bit-for-bit. One md5
+    digest yields FIVE independent 24-bit draws (30 of its 32 hex
+    chars), so the 50 replicates cost 10 hashes per row, not 50 —
+    the hash, not the explode, dominated the original plan (8.0 s
+    warm at sf0.1; 1.7 s after this rewrite). The per-digest weight
+    quintet is a plain F.array of literal-position substrings, NOT
+    a higher-order transform() — Spark evaluates lambda functions
+    interpreted, outside whole-stage codegen, and a transform-based
+    variant measured SLOWER than even the 50-hash original. One
+    50-key weighted combine (map-side partial) and exact
+    percentiles over the 50 replicate means finish it. At 100 TB
+    the replicate dimension rides the scan (no data duplication on
     disk) and the shuffle carries B rows per map task."""
     from pyspark.sql import functions as F
-    ev = _t(spark, sf_dir, "events")
-    reps = ev.select("event_id", "value",
-                     F.explode(F.sequence(F.lit(0), F.lit(49))).alias("b"))
-    u = (F.conv(F.substring(F.md5(
-        F.concat(F.col("event_id").cast("string"), F.lit("_"),
-                 F.col("b").cast("string"))), 1, 6),
-        16, 10).cast("double") + 0.5) / 16777216.0
-    w = F.lit(6)
-    for k in range(len(_POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
-    means = (reps.withColumn("w", w)
-             .groupBy("b")
+
+    from ..sources.registry import spread
+    ev = spread(_t(spark, sf_dir, "events"))
+
+    def weight_of(u):
+        w = F.lit(6)
+        for k in range(len(_POIS1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+        return w
+
+    hashed = (ev.select(
+        "event_id", "value",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("h"))
+        .withColumn("d", F.md5(F.concat(
+            F.col("event_id").cast("string"), F.lit("_"),
+            F.col("h").cast("string")))))
+    chunk_w = F.array(*[
+        weight_of((F.conv(F.substring(F.col("d"), c * 6 + 1, 6), 16, 10)
+                   .cast("double") + 0.5) / 16777216.0)
+        for c in range(5)
+    ])
+    reps = hashed.select(
+        "value", "h", F.posexplode(chunk_w).alias("c", "w"))
+    means = (reps.groupBy((F.col("h") * 5 + F.col("c")).alias("b"))
              .agg((F.sum(F.col("w") * F.col("value"))
                    / F.sum("w")).alias("m")))
     return means.agg(

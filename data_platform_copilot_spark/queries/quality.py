@@ -874,10 +874,15 @@ def decontamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import cosine_similarity
 
+    from ..sources.registry import spread
     emb = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    base = emb.select("vec_id", v.alias("v"))
-    eval_set = (base.where(F.col("vec_id") % 37 == 0)
+    # the corpus side pays |eval| dot products per row — spread the
+    # unsplittable single-row-group scan before the broadcast join;
+    # the eval side stays tiny and unspread
+    base = spread(emb.select("vec_id", v.alias("v")))
+    eval_set = (emb.select("vec_id", v.alias("v"))
+                .where(F.col("vec_id") % 37 == 0)
                 .select(F.col("vec_id").alias("eval_id"),
                         F.transform("v", lambda x, i: x * (
                             F.lit(1.0) + F.lit(0.0002) * (i % 5)))

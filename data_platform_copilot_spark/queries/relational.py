@@ -541,8 +541,9 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``quantile_cont``). At 100 TB swap to percentile_approx
     (t-digest-style sketch, bounded memory) — see
     ``approx_percentiles``."""
+    from ..sources.registry import spread
     return (
-        _t(spark, sf_dir, "lineitem")
+        spread(_t(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
              rnd(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"))

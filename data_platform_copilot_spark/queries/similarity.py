@@ -273,7 +273,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute dequantization error — all value-verified (half-up
     rounding by construction avoids engine round() divergence)."""
     from ..operators.embeddings import dequant_error
-    out = dequant_error(_t(spark, sf_dir, "embeddings"),
+
+    from ..sources.registry import spread
+    out = dequant_error(spread(_t(spark, sf_dir, "embeddings")),
                         "vec_id", "embedding")
     return out.select(
         out["id"].alias("vec_id"),
@@ -444,7 +446,9 @@ def knn_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes ship as literals to both engines, so the oracle
     replays the identical candidate set and the value hash matches."""
     from ..operators.similarity import knn_join
-    emb = _t(spark, sf_dir, "embeddings")
+
+    from ..sources.registry import spread
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     out = knn_join(emb, "vec_id", "embedding",
                    k=3, n_planes=6, tables=4, dim=64, seed=42)
     return out.select("query_id", "neighbor_id",

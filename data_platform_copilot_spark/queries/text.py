@@ -1144,7 +1144,7 @@ def ngram_diversity_by_source(spark: SparkSession,
     two-level agg — (source, kind, gram) combine first, then a
     count/sum over the gram groups — so there is no countDistinct
     Expand doubling the exploded stream."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
 
     def grams(n: int):
