@@ -304,7 +304,9 @@ def decontaminate_fuzzy(df: DataFrame, id_col: str, text_col: str,
     esizes = eval_df.select(
         F.col(eval_id_col).alias("eid"),
         F.size(shingle_array(F.col(eval_text_col), n)).alias("esize"))
-    csizes = df.select(
+    # spread: the per-row shingle_array size pass is CPU-heavy and
+    # the testdata scan is a single unsplittable row group
+    csizes = spread(df).select(
         F.col(id_col).alias("id"),
         F.size(shingle_array(F.col(text_col), n)).alias("csize"))
     common = (sh_c.join(F.broadcast(sh_e), "shingle")

@@ -329,6 +329,9 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     side pins to TRUE — a hash mismatch means the sketch left its
     error envelope, not merely that two engines' sketches differ."""
     eps = 0.05
+    # NOT spread: measured 1.38s unspread vs 1.77s spread at sf0.1 —
+    # merging 32 partial HLL sketches (rsd 0.02 = wide registers)
+    # costs more than the single-partition build saves
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -567,9 +570,10 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the <=60-row rank error at accuracy 10000 on a smooth price
     distribution); DuckDB pins it to TRUE. The exact median itself
     still hash-matches quantile_cont."""
+    from ..sources.registry import spread
     eps = 0.01
     return (
-        _t(spark, sf_dir, "lineitem")
+        spread(_t(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
              .alias("p50_approx"),

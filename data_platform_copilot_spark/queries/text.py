@@ -772,9 +772,11 @@ def text_lang_mixing_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry emits every doc with at least one stopword hit so the
     is_mixed flag itself is value-verified (this synthetic corpus is
     cleanly monolingual — zero mixed docs IS the verified answer).
-    Pure token-array expressions per row, zero shuffle."""
+    Pure token-array expressions per row, zero shuffle (spread
+    unlocks the unsplittable testdata scan for the per-row array
+    intersections; no-op on a cluster)."""
     from ..functions.text import LANG_STOPWORDS
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     hit_flags = []
     for words in LANG_STOPWORDS.values():
