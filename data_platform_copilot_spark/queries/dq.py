@@ -1112,3 +1112,48 @@ def streaming_incremental_rollup(spark: SparkSession,
         # spacing 100x relative to the ULP noise
         rnd("mean_v", 2).alias("mean_v"),
         rnd("std_v", 2).alias("std_v"))
+
+
+@query("dp_laplace_counts", oracle="""
+WITH g AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+), u AS (
+    SELECT event_type, n,
+           (('0x' || substring(md5(event_type || '_dp'), 1, 6))
+            ::BIGINT + 0.5) / 16777216.0 AS u
+    FROM g
+)
+SELECT event_type, n AS n_true,
+       1.0 AS epsilon,
+       round(-1.0 * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+             * ln(1 - 2 * abs(u - 0.5)), 4) AS noise,
+       round(n - 1.0 * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+             * ln(1 - 2 * abs(u - 0.5)), 4) AS n_noisy
+FROM u
+""")
+def dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy calibration card: per-group Laplace
+    mechanism (sensitivity 1, epsilon 1.0) over event-type counts —
+    true count, the drawn noise, and the noisy release side by side
+    so an auditor can see the mechanism's magnitude before a real
+    release (a real release would of course drop n_true). The draw
+    is the md5-uniform inverse-CDF trick shared with the Poisson
+    bootstrap: u from the group key makes runs/engines agree
+    bit-for-bit, and noise = -(1/eps)*sign(u-.5)*ln(1-2|u-.5|) is
+    the exact Laplace inverse CDF. Scale: one keyed combine; the
+    noise arithmetic is |groups|-sized."""
+    from pyspark.sql import functions as F
+    g = (_t(spark, sf_dir, "events")
+         .groupBy("event_type").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n")))
+    u = (F.conv(F.substring(F.md5(F.concat(F.col("event_type"),
+                                           F.lit("_dp"))), 1, 6),
+                16, 10).cast("double") + 0.5) / 16777216.0
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -1.0 * sign * F.log(1 - 2 * F.abs(u - 0.5))
+    return g.select(
+        "event_type", F.col("n").alias("n_true"),
+        F.lit(1.0).alias("epsilon"),
+        rnd(noise, 4).alias("noise"),
+        rnd(F.col("n") + noise, 4).alias("n_noisy"))
