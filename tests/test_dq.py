@@ -173,3 +173,45 @@ class TestRunner:
         assert all(r["event_type"] == "click" for r in got)
         with pytest.raises(ValueError):
             fetch_table_sample(spark, "events; DROP TABLE x")
+
+
+class TestObservedProfile:
+    def test_metrics_ride_a_write_and_match_direct_agg(self, spark,
+                                                       sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_platform_copilot_spark.dq.observe import (
+            check_observed,
+            observed_profile,
+        )
+        from data_platform_copilot_spark.sources.registry import load_table
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value")
+        obs_df, obs = observed_profile(ev)
+        # the metrics ride the job the pipeline already runs — here a
+        # parquet write; no second scan happens for DQ
+        obs_df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+        got = obs.get
+        direct = ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias("nu"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+            F.sum("value").alias("sm")).first()
+        assert got["n_rows"] == direct.n
+        assert got["nulls_user_id"] == direct.nu
+        assert got["min_value"] == direct.mn
+        assert got["max_value"] == direct.mx
+        assert abs(got["sum_value"] - direct.sm) < 1e-6 * abs(direct.sm)
+
+    def test_threshold_rules_over_observed_metrics(self):
+        from data_platform_copilot_spark.dq.observe import check_observed
+        metrics = {"n_rows": 100, "nulls_user_id": 3}
+        report = check_observed(metrics, {
+            "n_rows": (">=", 1),
+            "nulls_user_id": ("==", 0),
+            "missing_metric": ("<=", 5),
+        })
+        by = {r["metric"]: r for r in report}
+        assert by["n_rows"]["passed"] is True
+        assert by["nulls_user_id"]["passed"] is False
+        assert by["missing_metric"]["passed"] is False
