@@ -421,3 +421,54 @@ def run_streaming_incremental_rollup(spark: SparkSession, sf_dir: str,
             "rollup fold never crossed a micro-batch boundary"
         return spark.createDataFrame([], empty_report)
     return state_report(holder["state"], ["day"])
+
+
+def run_streaming_observed_dq(spark: SparkSession, sf_dir: str,
+                              max_files_per_trigger: int = 1):
+    """Continuous DQ via observed metrics on a stream: the
+    `dq/observe.py` pattern applied to Structured Streaming — the
+    observation expressions ride every micro-batch's existing
+    aggregation, and the per-batch numbers surface through
+    `StreamingQueryProgress.observedMetrics` with NO extra scan and
+    NO second query. This is the production shape for ingest-time
+    monitoring (null spikes, value-range drift) at any scale: the
+    metrics are accumulator-merged per task, state-free, and
+    watermark-independent.
+
+    Returns (rows_written, metrics) where metrics is the list of
+    per-batch observed dicts (n_rows / nulls_user_id /
+    min_value / max_value)."""
+    stream = streaming_events_source(spark, sf_dir)
+    observed = stream.observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long"))
+         .alias("nulls_user_id"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"))
+    name = f"stream_observed_{uuid.uuid4().hex[:8]}"
+    batches: list[dict] = []
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        # the job the pipeline already runs — here a count-only fold
+        batches.append({"rows": batch.count()})
+
+    q = (observed.writeStream.outputMode("append")
+         .foreachBatch(sink).queryName(name)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .start())
+    metrics = []
+    try:
+        q.processAllAvailable()
+        for progress in q.recentProgress:
+            om = progress["observedMetrics"] if isinstance(
+                progress, dict) else None
+            if om is None:
+                import json
+                om = json.loads(progress.json).get("observedMetrics")
+            if om and "dq" in om:
+                metrics.append(om["dq"])
+    finally:
+        q.stop()
+    rows = sum(b["rows"] for b in batches)
+    return rows, metrics

@@ -225,3 +225,27 @@ def test_streaming_psi_equals_batch(spark, sf_dir):
               for r in QUERIES["streaming_drift_psi"](spark, sf_dir)
               .collect()}
     assert batch == stream
+
+
+def test_streaming_observed_dq_matches_batch(spark, sf_dir):
+    """Per-batch observed metrics, summed across the stream, must
+    equal the batch profile of the same table — the ride-along DQ
+    numbers are exact, not sampled."""
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.sources.registry import load_table
+    from data_platform_copilot_spark.streaming.events import (
+        run_streaming_observed_dq,
+    )
+    rows, metrics = run_streaming_observed_dq(spark, sf_dir)
+    assert metrics, "no observed metrics surfaced from query progress"
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("nu"),
+        F.min("value").alias("mn"), F.max("value").alias("mx")).first()
+    assert rows == direct.n
+    assert sum(m["n_rows"] for m in metrics) == direct.n
+    assert sum(m["nulls_user_id"] for m in metrics) == direct.nu
+    assert min(m["min_value"] for m in metrics) == direct.mn
+    assert max(m["max_value"] for m in metrics) == direct.mx
