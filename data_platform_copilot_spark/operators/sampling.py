@@ -231,3 +231,47 @@ def weighted_sample_topk(df: DataFrame, key_col: str, weight,
     return (df.withColumn("es_key", es)
             .orderBy(F.desc("es_key"), F.col(key_col))
             .limit(k))
+
+
+def interleave_schedule_keys(df: DataFrame, group_col: str,
+                             id_col: str,
+                             temperature: float = 0.7) -> DataFrame:
+    """Deterministic temperature-weighted interleave keys: every row
+    gains ``rn`` (its md5-ranked position within its group) and ``k``
+    (the integer stride key ``rn * 10^6 DIV share``, where shares are
+    the largest-remainder apportionment of 10^6 over
+    ``n_group^temperature``). Sorting by (k, group, rn) yields the
+    schedule that interleaves groups at temperature-weighted rates —
+    the mixture order a trainer consumes (queries/sampling.py
+    `training_order_interleave` audits it; sinks.export_interleaved_
+    shards writes it). All-integer arithmetic after the one
+    apportionment pow, so any engine reproduces the identical order.
+    """
+    from pyspark.sql import Window as W
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    wt = F.pow(F.col("n").cast("double"), F.lit(temperature))
+    q = per.select(group_col, "n",
+                   (F.lit(1000000) * wt
+                    / F.sum(wt).over(W.partitionBy())).alias("quota"))
+    fl = q.select(group_col, "n",
+                  F.floor("quota").cast("long").alias("base"),
+                  (F.col("quota") - F.floor("quota")).alias("rem"))
+    rk = fl.select(
+        "*",
+        F.row_number().over(W.orderBy(F.desc("rem"), group_col))
+        .alias("r"),
+        (F.lit(1000000) - F.sum("base").over(W.partitionBy()))
+        .alias("leftover"))
+    sh = rk.select(
+        group_col,
+        F.greatest(
+            F.col("base") + F.when(F.col("r") <= F.col("leftover"), 1)
+                             .otherwise(0),
+            F.lit(1)).alias("share"))
+    rn = df.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(group_col)
+             .orderBy(F.md5(F.col(id_col).cast("string")), id_col)))
+    return rn.join(sh, group_col).withColumn(
+        "k", F.expr("(rn * 1000000L) div share")).drop("share")

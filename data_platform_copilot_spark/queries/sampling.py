@@ -510,35 +510,12 @@ def training_order_interleave(spark: SparkSession,
     from per-shard offsets, so the single wide exchange here is the
     minimum an order-producing operator can do."""
     from pyspark.sql import Window as W
+
+    from ..operators.sampling import interleave_schedule_keys
     docs = _t(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    wt = F.pow(F.col("n").cast("double"), F.lit(0.7))
-    q = per.select("source", "n",
-                   (F.lit(1000000) * wt
-                    / F.sum(wt).over(W.partitionBy())).alias("quota"))
-    fl = q.select("source", "n",
-                  F.floor("quota").cast("long").alias("base"),
-                  (F.col("quota") - F.floor("quota")).alias("rem"))
-    rk = fl.select(
-        "*",
-        F.row_number().over(W.orderBy(F.desc("rem"), "source")).alias("r"),
-        (F.lit(1000000) - F.sum("base").over(W.partitionBy()))
-        .alias("leftover"))
-    sh = rk.select(
-        "source",
-        F.greatest(
-            F.col("base") + F.when(F.col("r") <= F.col("leftover"), 1)
-                             .otherwise(0),
-            F.lit(1)).alias("share"))
-    rn = docs.select(
-        "source",
-        F.row_number().over(
-            W.partitionBy("source")
-             .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
-        .alias("rn"))
-    keyed = rn.join(sh, "source").select(
-        "source", "rn",
-        F.expr("(rn * 1000000L) div share").alias("k"))
+    keyed = interleave_schedule_keys(
+        docs.select("source", "doc_id"), "source", "doc_id",
+        temperature=0.7).select("source", "rn", "k")
     pos = keyed.select(
         "source", "rn", "k",
         F.row_number().over(W.orderBy("k", "source", "rn")).alias("gpos"),

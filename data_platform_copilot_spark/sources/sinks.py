@@ -127,3 +127,43 @@ def export_document_shards(docs: DataFrame, path: str,
      .write.mode(mode)
      .partitionBy("shard_id")
      .parquet(path))
+
+
+def export_interleaved_shards(docs: DataFrame, path: str,
+                              group_col: str = "source",
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              temperature: float = 0.7,
+                              target_tokens: int = 1 << 22,
+                              mode: str = "overwrite") -> None:
+    """Trainer-ready export: documents ordered by the deterministic
+    temperature-weighted interleave schedule
+    (operators/sampling.interleave_schedule_keys — sources mixed at
+    n^temperature rates, md5-ranked within source), then cut into
+    token-balanced shards by the running token sum IN SCHEDULE
+    ORDER. A sequential reader walking shard 0, 1, 2, ... consumes
+    the exact training mixture with ~``target_tokens`` per file —
+    the end-to-end compose of the interleave audit entry and the
+    prefix-sum shard planner. Wide stages: the schedule range-sort
+    and the single-writer-per-shard repartition, both inherent to an
+    order-defining export.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+    from ..operators.sampling import interleave_schedule_keys
+    keyed = interleave_schedule_keys(docs, group_col, id_col,
+                                     temperature=temperature)
+    w = (Window.orderBy("k", group_col, "rn")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    n_toks = token_count(F.col(text_col)).cast("long")
+    assigned = keyed.withColumn(
+        "shard_id",
+        F.floor((F.sum(n_toks).over(w) - n_toks) / target_tokens)
+         .cast("long"))
+    (assigned
+     .repartition("shard_id")
+     .sortWithinPartitions("k", group_col, "rn")
+     .write.mode(mode)
+     .partitionBy("shard_id")
+     .parquet(path))

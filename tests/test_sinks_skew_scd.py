@@ -302,3 +302,47 @@ class TestDocumentShards:
         for s in sorted(tok)[:-1]:  # all but the last shard
             assert tok[s] >= 100 - 11, (s, tok[s])
             assert tok[s] <= 100 + 11, (s, tok[s])
+
+
+def test_export_interleaved_shards_end_to_end(spark, sf_dir, tmp_path):
+    """The trainer-export compose: shards respect BOTH the interleave
+    schedule (reading shard 0,1,2,... in (k, source, rn) order
+    reproduces the audited mixture order exactly) and the token
+    budget (every shard but the last crosses the target only via its
+    final straddling doc)."""
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.functions.text import token_count
+    from data_platform_copilot_spark.operators.sampling import (
+        interleave_schedule_keys,
+    )
+    from data_platform_copilot_spark.sources.registry import load_table
+    from data_platform_copilot_spark.sources.sinks import (
+        export_interleaved_shards,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    target = 4096
+    out = str(tmp_path / "mix")
+    export_interleaved_shards(docs, out, target_tokens=target)
+    back = spark.read.parquet(out)
+    # every doc written exactly once
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # schedule order: walking shards in id order, rows sorted by
+    # (k, source, rn) must equal the schedule over the full corpus
+    got = [r.doc_id for r in
+           back.orderBy("shard_id", "k", "source", "rn").collect()]
+    want = [r.doc_id for r in
+            interleave_schedule_keys(docs, "source", "doc_id")
+            .orderBy("k", "source", "rn").collect()]
+    assert got == want
+    # token balance: each shard's tokens stay under target plus one
+    # straddling doc (first-fit semantics)
+    sizes = (back.withColumn("t", token_count(F.col("text")))
+             .groupBy("shard_id")
+             .agg(F.sum("t").alias("toks"), F.max("t").alias("mx"))
+             .collect())
+    n_shards = len(sizes)
+    assert n_shards >= 2
+    for r in sizes:
+        assert r.toks < target + r.mx
