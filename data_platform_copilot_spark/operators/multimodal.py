@@ -7,10 +7,13 @@ codec, operators/png.py) and for every other raster format when
 Pillow is importable (attempted at call time). Payloads that carry
 no image magic (the synthetic ASCII fixtures) keep the deterministic
 sha256-derived fake decode the DuckDB oracle replays; a real
-non-PNG image without Pillow is the ONLY case that still raises
-``NotImplementedError``. Audio/video decode remains stubbed behind
-``DECODERS`` (no torchaudio/pyav in this container): swap in real
-implementations in production and nothing else changes.
+non-PNG image without Pillow is the ONLY image case that still
+raises ``NotImplementedError``. AUDIO decode is real for RIFF/WAVE
+PCM payloads in any environment (pure-stdlib codec,
+operators/wav.py — the audio twin of the PNG path); only compressed
+audio and video remain stubbed behind ``DECODERS`` (no
+torchaudio/pyav in this container): swap in real implementations in
+production and nothing else changes.
 
 Design for 100 TB of media:
 - Binary payloads stay columnar (parquet BINARY) and are NEVER
@@ -124,9 +127,26 @@ def _image_decode(payload: bytes, kind: str) -> dict[str, Any]:
                         luminance_bands(w, h, ch, rows)]}
 
 
+def _audio_decode(payload: bytes, kind: str) -> dict[str, Any]:
+    """Audio decode: real sample-rate/duration + 8-band mean-abs
+    feature for RIFF/WAVE PCM payloads (pure-stdlib codec,
+    operators/wav.py — the audio twin of the PNG path), sha256 fake
+    for opaque fixtures, NotImplementedError only for genuinely
+    undecodable compressed formats (no audio libs in container)."""
+    from . import wav
+    if payload is None:
+        raise NotImplementedError("real decoder required for NULL payload")
+    if not wav.is_wav(payload):
+        return _fake_decode(payload, kind)
+    rate, _ch, _bits, frames = wav.decode(payload)
+    return {"width": None, "height": None,
+            "duration_s": len(frames) / rate,
+            "feature": [float(v) for v in wav.mean_abs_bands(frames)]}
+
+
 DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
     "image": _image_decode,
-    "audio": _fake_decode,
+    "audio": _audio_decode,
     "video": _fake_decode,
 }
 
@@ -396,3 +416,24 @@ def resize_images(df: DataFrame, target_w: int = 224,
 
     return (df.where(F.col("kind") == "image")
             .mapInPandas(run, schema=RESIZE_SCHEMA))
+
+
+def synthetic_wav_media(spark: SparkSession, n: int = 16) -> DataFrame:
+    """Media fixture whose payloads are REAL PCM WAV files (encoded
+    by the pure-stdlib codec): deterministic integer sawtooth
+    waveforms with per-id rate/length/step, so decode tests have
+    ground-truth frames without any audio library."""
+    from . import wav
+    rows = []
+    for i in range(n):
+        rate = 8000 + (i % 4) * 2000
+        n_frames = 1000 + i * 64
+        step = 3 + (i % 5)
+        frames = [(((t * step + i * 7) % 4096) - 2048,)
+                  for t in range(n_frames)]
+        rows.append((i, "audio",
+                     bytearray(wav.encode(rate, 1, 16, frames)),
+                     "audio/wav", {"src": f"synth-wav://{i}",
+                                   "rate": str(rate),
+                                   "frames": str(n_frames)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -138,6 +138,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "doc_length_percentiles_by_source",  # r7-new: exact pctile card
     "dedup_cross_source_matrix",  # r7-new: copy-flow pair matrix
     "dp_laplace_counts",          # r7-new: DP calibration card
+    "multimodal_wav_decode",      # r7-new: real WAV codec value gate
 ]
 
 

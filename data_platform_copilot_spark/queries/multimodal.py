@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import extract_features, synthetic_media
-from .core import query
+from .core import query, rnd
 
 _N_MEDIA = 64
 
@@ -196,3 +196,65 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "phash",
         F.min("media_id").over(w).cast("long").alias("group_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"))
+
+
+_N_WAV = 16
+
+
+@query("multimodal_wav_decode", oracle=f"""
+WITH ids AS (SELECT unnest(range(0, {_N_WAV})) AS media_id)
+SELECT media_id,
+       CAST(8000 + (media_id % 4) * 2000 AS INT) AS sample_rate,
+       CAST(1000 + media_id * 64 AS BIGINT) AS n_frames,
+       round(CAST(1000 + media_id * 64 AS DOUBLE)
+             / (8000 + (media_id % 4) * 2000), 6) AS duration_s,
+       TRUE AS bands_match
+FROM ids
+""")
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-gated: the fixture's payloads are
+    actual RIFF/WAVE PCM files (integer sawtooth waveforms with
+    per-id rate/length/step), Spark decodes the BYTES through the
+    pure-stdlib codec inside the Arrow plumbing, and the result is
+    checked two ways — sample_rate / frame count / duration exactly
+    against DuckDB replaying the generator's arithmetic, and the
+    8-band mean-abs feature against a Spark-SQL replay of the
+    generator's waveform via the epsilon-boolean pattern (same
+    contract as multimodal_png_decode; mean-abs instead of RMS so
+    the expected value is an exact integer ratio). float32 storage
+    of the feature bounds the tolerance at 1e-5."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        extract_features,
+        synthetic_wav_media,
+    )
+    feats = extract_features(synthetic_wav_media(spark, n=_N_WAV))
+    nf = F.lit(1000) + F.col("media_id") * 64
+    rate = (F.lit(8000) + (F.col("media_id") % 4) * 2000).cast("int")
+    # Spark-SQL replay of the generator waveform: per-band mean |s|
+    grid = spark.sql(f"""
+        WITH ids AS (SELECT explode(sequence(0, {_N_WAV - 1})) AS i),
+        dims AS (SELECT i, 1000 + i * 64 AS n, 3 + (i % 5) AS step
+                 FROM ids),
+        samp AS (
+            SELECT i, n, least(t * 8 DIV n, 7) AS band,
+                   abs(((t * step + i * 7) % 4096) - 2048) AS a
+            FROM dims
+            LATERAL VIEW explode(sequence(0, n - 1)) AS t
+        )
+        SELECT i AS media_id, band,
+               sum(a) / count(*) / 32768.0 AS want
+        FROM samp GROUP BY 1, 2
+    """)
+    joined = (feats.select("media_id", "duration_s", "feature")
+              .join(grid, "media_id"))
+    diff = F.abs(F.element_at("feature", (F.col("band") + 1).cast("int"))
+                 - F.col("want"))
+    return (joined.groupBy("media_id", "duration_s")
+            .agg(F.max(diff).alias("mx"))
+            .select("media_id",
+                    rate.alias("sample_rate"),
+                    nf.cast("long").alias("n_frames"),
+                    rnd(F.col("duration_s"), 6).alias("duration_s"),
+                    (F.col("mx") < 1e-5).alias("bands_match")))

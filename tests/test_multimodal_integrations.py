@@ -371,3 +371,62 @@ class TestPerceptualHash:
         plan = perceptual_hash(synthetic_png_media_dups(spark, n=4)) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit_stereo(self):
+        from data_platform_copilot_spark.operators import wav
+        frames = [((t % 100) - 50, ((t * 7) % 200) - 100)
+                  for t in range(500)]
+        payload = wav.encode(44100, 2, 16, frames)
+        rate, ch, bits, back = wav.decode(payload)
+        assert (rate, ch, bits) == (44100, 2, 16)
+        assert back == frames
+
+    def test_roundtrip_8bit_mono(self):
+        from data_platform_copilot_spark.operators import wav
+        frames = [((t % 256) - 128,) for t in range(257)]  # odd bytes
+        payload = wav.encode(8000, 1, 8, frames)
+        rate, ch, bits, back = wav.decode(payload)
+        assert (rate, ch, bits) == (8000, 1, 8)
+        assert back == frames
+
+    def test_unsupported_raises(self):
+        import struct
+
+        import pytest
+
+        from data_platform_copilot_spark.operators import wav
+        with pytest.raises(wav.UnsupportedWAV):
+            wav.decode(b"not a wav at all")
+        # non-PCM format tag
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+        bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        with pytest.raises(wav.UnsupportedWAV):
+            wav.decode(bad)
+
+    def test_mean_abs_bands_match_numpy(self):
+        import numpy as np
+
+        from data_platform_copilot_spark.operators import wav
+        n = 1234
+        samples = [((t * 13 + 5) % 4096) - 2048 for t in range(n)]
+        frames = [(s,) for s in samples]
+        got = wav.mean_abs_bands(frames)
+        arr = np.abs(np.array(samples, dtype=np.int64))
+        bands = np.minimum(np.arange(n) * 8 // n, 7)
+        want = [arr[bands == b].mean() / 32768.0 for b in range(8)]
+        assert np.allclose(got, want, atol=0)
+
+    def test_audio_decoder_real_path(self, spark):
+        from data_platform_copilot_spark.operators.multimodal import (
+            extract_features,
+            synthetic_wav_media,
+        )
+        feats = extract_features(synthetic_wav_media(spark, n=4)).collect()
+        by = {r.media_id: r for r in feats}
+        # duration = n_frames / rate from the REAL header, not a hash
+        assert by[0].duration_s == 1000 / 8000
+        assert by[1].duration_s == 1064 / 10000
+        assert all(r.width is None and r.height is None for r in feats)
