@@ -9,11 +9,12 @@ no image magic (the synthetic ASCII fixtures) keep the deterministic
 sha256-derived fake decode the DuckDB oracle replays; a real
 non-PNG image without Pillow is the ONLY image case that still
 raises ``NotImplementedError``. AUDIO decode is real for RIFF/WAVE
-PCM payloads in any environment (pure-stdlib codec,
-operators/wav.py — the audio twin of the PNG path); only compressed
-audio and video remain stubbed behind ``DECODERS`` (no
-torchaudio/pyav in this container): swap in real implementations in
-production and nothing else changes.
+PCM payloads (pure-stdlib codec, operators/wav.py) and VIDEO decode
+is real for uncompressed-DIB AVI payloads (operators/avi.py) in any
+environment — the full real-decode trifecta with zero dependencies;
+only compressed audio/video codecs remain stubbed behind
+``DECODERS`` (no torchaudio/pyav in this container): swap in real
+implementations in production and nothing else changes.
 
 Design for 100 TB of media:
 - Binary payloads stay columnar (parquet BINARY) and are NEVER
@@ -144,10 +145,32 @@ def _audio_decode(payload: bytes, kind: str) -> dict[str, Any]:
             "feature": [float(v) for v in wav.mean_abs_bands(frames)]}
 
 
+def _video_decode(payload: bytes, kind: str) -> dict[str, Any]:
+    """Video decode: real dimensions/duration + 8-temporal-band mean
+    luminance for uncompressed-DIB AVI payloads (pure-stdlib codec,
+    operators/avi.py — completes the PNG/WAV real-decode trifecta),
+    sha256 fake for opaque fixtures. Compressed video raises inside
+    the codec and also falls back to the fake (a compressed payload
+    without pyav is indistinguishable from opaque bytes here)."""
+    from . import avi
+    if payload is None:
+        raise NotImplementedError("real decoder required for NULL payload")
+    if not avi.is_avi(payload):
+        return _fake_decode(payload, kind)
+    try:
+        w, h, fps, frames = avi.decode(payload)
+    except avi.UnsupportedAVI:
+        return _fake_decode(payload, kind)
+    return {"width": w, "height": h,
+            "duration_s": len(frames) / fps,
+            "feature": [float(v) for v in
+                        avi.temporal_luma_bands(w, h, frames)]}
+
+
 DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
     "image": _image_decode,
     "audio": _audio_decode,
-    "video": _fake_decode,
+    "video": _video_decode,
 }
 
 
@@ -436,4 +459,30 @@ def synthetic_wav_media(spark: SparkSession, n: int = 16) -> DataFrame:
                      "audio/wav", {"src": f"synth-wav://{i}",
                                    "rate": str(rate),
                                    "frames": str(n_frames)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_avi_media(spark: SparkSession, n: int = 12) -> DataFrame:
+    """Media fixture whose payloads are REAL uncompressed-DIB AVI
+    files (encoded by the pure-stdlib codec): deterministic gradient
+    frames with per-id dimensions/fps/length, so video decode tests
+    have ground-truth pixels without any video library."""
+    from . import avi
+    rows = []
+    for i in range(n):
+        w, h = 4 + (i % 4) * 2, 3 + (i % 3) * 2
+        fps, n_frames = 4 + i % 3, 6 + i % 5
+        frames = []
+        for t in range(n_frames):
+            frames.append([
+                bytearray(((x * 31 + t + i) % 256,
+                           (y * 17 + t + i) % 256,
+                           (x * y + t + i) % 256)[c]
+                          for x in range(w) for c in range(3))
+                for y in range(h)])
+        rows.append((i, "video",
+                     bytearray(avi.encode(w, h, fps, frames)),
+                     "video/x-msvideo", {"src": f"synth-avi://{i}",
+                                         "fps": str(fps),
+                                         "frames": str(n_frames)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

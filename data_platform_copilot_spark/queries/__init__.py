@@ -139,6 +139,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_cross_source_matrix",  # r7-new: copy-flow pair matrix
     "dp_laplace_counts",          # r7-new: DP calibration card
     "multimodal_wav_decode",      # r7-new: real WAV codec value gate
+    "multimodal_avi_decode",      # r7-new: real AVI codec value gate
 ]
 
 

@@ -430,3 +430,65 @@ class TestWavCodec:
         assert by[0].duration_s == 1000 / 8000
         assert by[1].duration_s == 1064 / 10000
         assert all(r.width is None and r.height is None for r in feats)
+
+
+class TestAviCodec:
+    def _frames(self, w, h, n, seed=0):
+        return [[bytearray(((x * 31 + t + seed) % 256,
+                            (y * 17 + t + seed) % 256,
+                            (x * y + t + seed) % 256)[c]
+                           for x in range(w) for c in range(3))
+                 for y in range(h)]
+                for t in range(n)]
+
+    def test_roundtrip(self):
+        from data_platform_copilot_spark.operators import avi
+        frames = self._frames(6, 4, 10)
+        payload = avi.encode(6, 4, 5, frames)
+        w, h, fps, back = avi.decode(payload)
+        assert (w, h, fps) == (6, 4, 5.0)
+        assert [bytes(r) for f in back for r in f] == \
+               [bytes(r) for f in frames for r in f]
+
+    def test_odd_width_stride_padding(self):
+        from data_platform_copilot_spark.operators import avi
+        frames = self._frames(5, 3, 4)  # stride 16 != 15
+        w, h, fps, back = avi.decode(avi.encode(5, 3, 4, frames))
+        assert [bytes(r) for f in back for r in f] == \
+               [bytes(r) for f in frames for r in f]
+
+    def test_compressed_and_garbage_raise(self):
+        import pytest
+
+        from data_platform_copilot_spark.operators import avi
+        with pytest.raises(avi.UnsupportedAVI):
+            avi.decode(b"definitely not an avi")
+        payload = avi.encode(4, 3, 5, self._frames(4, 3, 2))
+        with pytest.raises(avi.UnsupportedAVI):
+            avi.decode(payload.replace(b"00db", b"00dc"))
+
+    def test_temporal_bands_match_numpy(self):
+        import numpy as np
+
+        from data_platform_copilot_spark.operators import avi
+        w, h, n = 6, 4, 13
+        frames = self._frames(w, h, n, seed=3)
+        got = avi.temporal_luma_bands(w, h, frames)
+        lum = np.array([[(int(r[3 * x]) + r[3 * x + 1] + r[3 * x + 2]) // 3
+                         for row in f for x in range(w)
+                         for r in [row]]
+                        for f in frames], dtype=np.int64)
+        bands = np.minimum(np.arange(n) * 8 // n, 7)
+        want = [lum[bands == b].mean() / 127.5 - 1.0 for b in range(8)]
+        assert np.allclose(got, want, atol=0)
+
+    def test_video_decoder_real_path(self, spark):
+        from data_platform_copilot_spark.operators.multimodal import (
+            extract_features,
+            synthetic_avi_media,
+        )
+        feats = extract_features(synthetic_avi_media(spark, n=3)).collect()
+        by = {r.media_id: r for r in feats}
+        # id 0: w=4, h=3, fps=4, n=6 -> duration from the REAL header
+        assert (by[0].width, by[0].height) == (4, 3)
+        assert by[0].duration_s == 6 * (1_000_000 // 4) / 1_000_000
