@@ -486,3 +486,59 @@ def synthetic_avi_media(spark: SparkSession, n: int = 12) -> DataFrame:
                                          "fps": str(fps),
                                          "frames": str(n_frames)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = ("media_id long, frame_idx int, frame_ts_s double, "
+                "width int, height int, frame_png binary")
+
+
+def extract_video_frames(df: DataFrame, every_s: float = 1.0,
+                         batch_rows: int = 64) -> DataFrame:
+    """Video -> image corpus: REAL frame extraction for decodable
+    (uncompressed-DIB AVI) payloads — each sampled frame re-encoded
+    as a standalone PNG still through the stdlib codecs, so the
+    output rows feed directly into the image pipeline (aHash
+    near-dup, resize, feature bands). Sampling keeps the frame whose
+    timestamp floor-matches each ``every_s`` tick (first frame
+    always kept). Non-AVI video payloads yield no rows here — they
+    stay on the metadata-only `sample_frames` path until a real
+    codec is swapped into DECODERS.
+
+    Scale: mapInPandas over the video partition — payloads never
+    shuffle; each task emits its own videos' stills via the iterator
+    contract, so a long video streams out one Arrow batch at a time.
+    """
+    from . import avi, png
+
+    videos = df.where(F.col("kind") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                payload = (bytes(rec.payload)
+                           if rec.payload is not None else None)
+                if payload is None or not avi.is_avi(payload):
+                    continue
+                try:
+                    w, h, fps, frames = avi.decode(payload)
+                except avi.UnsupportedAVI:
+                    continue
+                step = max(int(round(every_s * fps)), 1)
+                for idx in range(0, len(frames), step):
+                    out.append({
+                        "media_id": rec.media_id,
+                        "frame_idx": idx,
+                        "frame_ts_s": idx / fps,
+                        "width": w,
+                        "height": h,
+                        "frame_png": bytearray(
+                            png.encode(w, h, 3, frames[idx])),
+                    })
+                if len(out) >= batch_rows:
+                    yield pd.DataFrame(out)
+                    out = []
+            if out:
+                yield pd.DataFrame(out)
+
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)

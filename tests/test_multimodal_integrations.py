@@ -492,3 +492,66 @@ class TestAviCodec:
         # id 0: w=4, h=3, fps=4, n=6 -> duration from the REAL header
         assert (by[0].width, by[0].height) == (4, 3)
         assert by[0].duration_s == 6 * (1_000_000 // 4) / 1_000_000
+
+
+class TestVideoFrameExtraction:
+    def test_frames_become_decodable_png_stills(self, spark):
+        from data_platform_copilot_spark.operators import png
+        from data_platform_copilot_spark.operators.multimodal import (
+            extract_video_frames,
+            synthetic_avi_media,
+        )
+        media = synthetic_avi_media(spark, n=3)
+        # every_s=0 -> step clamps to 1: every frame extracted
+        stills = extract_video_frames(media, every_s=0.0).collect()
+        by_media = {}
+        for r in stills:
+            by_media.setdefault(r.media_id, []).append(r)
+        # id 0: w=4, h=3, fps=4, n_frames=6
+        assert len(by_media[0]) == 6
+        r0 = sorted(by_media[0], key=lambda r: r.frame_idx)[2]
+        assert (r0.width, r0.height) == (4, 3)
+        assert r0.frame_ts_s == 2 / 4
+        w, h, ch, rows = png.decode(bytes(r0.frame_png))
+        assert (w, h, ch) == (4, 3, 3)
+        # pixels equal the generator formula for frame t=2 of id 0
+        t, i = 2, 0
+        want = [bytes(((x * 31 + t + i) % 256, (y * 17 + t + i) % 256,
+                       (x * y + t + i) % 256)[c]
+                      for x in range(w) for c in range(3))
+                for y in range(h)]
+        assert [bytes(r) for r in rows] == want
+
+    def test_sampling_step_respects_fps(self, spark):
+        from data_platform_copilot_spark.operators.multimodal import (
+            extract_video_frames,
+            synthetic_avi_media,
+        )
+        media = synthetic_avi_media(spark, n=1)  # id 0: fps=4, 6 frames
+        stills = extract_video_frames(media, every_s=0.5).collect()
+        # step = round(0.5 * 4) = 2 -> frames 0, 2, 4
+        assert sorted(r.frame_idx for r in stills) == [0, 2, 4]
+
+    def test_stills_feed_the_image_pipeline(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_platform_copilot_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_video_frames,
+            perceptual_hash,
+            synthetic_avi_media,
+        )
+        stills = extract_video_frames(synthetic_avi_media(spark, n=2),
+                                      every_s=0.0)
+        as_media = stills.select(
+            (F.col("media_id") * 1000 + F.col("frame_idx"))
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("frame_png").alias("payload"),
+            F.lit("image/png").alias("mime"),
+            F.create_map().cast("map<string,string>").alias("meta"))
+        hashed = perceptual_hash(
+            spark.createDataFrame(as_media.collect(), MEDIA_SCHEMA))
+        rows = hashed.collect()
+        assert len(rows) == 13  # id 0: 6 frames, id 1: 7 frames
+        assert all(len(r.phash) == 64 for r in rows)
