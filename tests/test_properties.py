@@ -81,3 +81,32 @@ class TestSamplerProperties:
     def test_clamp_always_in_bounds(self, n):
         out = clamp_limit(n)
         assert 1 <= out <= MAX_LIMIT
+
+
+class TestCodecProperties:
+    @given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                    min_size=1, max_size=300),
+           st.sampled_from([8000, 16000, 44100]))
+    @settings(max_examples=50)
+    def test_wav_roundtrip_any_mono_pcm16(self, samples, rate):
+        from data_platform_copilot_spark.operators import wav
+        frames = [(s,) for s in samples]
+        r, ch, bits, back = wav.decode(wav.encode(rate, 1, 16, frames))
+        assert (r, ch, bits) == (rate, 1, 16)
+        assert back == frames
+
+    @given(st.integers(min_value=1, max_value=9),
+           st.integers(min_value=1, max_value=9),
+           st.integers(min_value=1, max_value=5),
+           st.integers(min_value=0, max_value=255))
+    @settings(max_examples=30)
+    def test_avi_roundtrip_any_dims(self, w, h, n, seed):
+        from data_platform_copilot_spark.operators import avi
+        frames = [[bytearray((x * 7 + y * 3 + t + seed) % 256
+                             for x in range(w) for _ in range(3))
+                   for y in range(h)]
+                  for t in range(n)]
+        w2, h2, fps, back = avi.decode(avi.encode(w, h, 5, frames))
+        assert (w2, h2) == (w, h)
+        assert [bytes(r) for f in back for r in f] == \
+               [bytes(r) for f in frames for r in f]
