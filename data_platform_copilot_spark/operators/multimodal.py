@@ -542,3 +542,121 @@ def extract_video_frames(df: DataFrame, every_s: float = 1.0,
                 yield pd.DataFrame(out)
 
     return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def audio_silence_stats(df: DataFrame, threshold: int = 256,
+                        ) -> DataFrame:
+    """Audio QC: per decodable (WAV PCM) payload, how many frames sit
+    below ``threshold`` absolute amplitude — the silence-trimming
+    signal an audio-pretraining pipeline computes before chunking.
+    Integer comparisons over integer samples: both engines and any
+    replay agree exactly. mapInPandas, zero payload shuffle."""
+    from . import wav
+
+    audio = df.where(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                payload = (bytes(rec.payload)
+                           if rec.payload is not None else None)
+                if payload is None or not wav.is_wav(payload):
+                    continue
+                try:
+                    _rate, _ch, _bits, frames = wav.decode(payload)
+                except wav.UnsupportedWAV:
+                    continue
+                n_silent = sum(
+                    1 for fr in frames if abs(fr[0]) < threshold)
+                out.append({"media_id": rec.media_id,
+                            "n_frames": len(frames),
+                            "n_silent": n_silent})
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_frames", "n_silent"])
+
+    return audio.mapInPandas(
+        run, schema="media_id long, n_frames long, n_silent long")
+
+
+def video_scene_stats(df: DataFrame, threshold: float = 10.0,
+                      ) -> DataFrame:
+    """Video QC: per decodable (uncompressed AVI) payload, count
+    scene cuts — consecutive-frame pairs whose mean absolute
+    luminance delta ((r+g+b) DIV 3 per pixel) exceeds ``threshold``
+    — plus the widest intra-scene and narrowest cut delta, so a
+    caller can verify the threshold separates the two populations.
+    Integer pixel sums divide to exact rationals: engine-portable.
+    mapInPandas, zero payload shuffle."""
+    from . import avi
+
+    videos = df.where(F.col("kind") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                payload = (bytes(rec.payload)
+                           if rec.payload is not None else None)
+                if payload is None or not avi.is_avi(payload):
+                    continue
+                try:
+                    w, h, _fps, frames = avi.decode(payload)
+                except avi.UnsupportedAVI:
+                    continue
+                lums = []
+                for rows in frames:
+                    lums.append([
+                        (row[3 * x] + row[3 * x + 1] + row[3 * x + 2]) // 3
+                        for row in rows for x in range(w)])
+                n_cuts = 0
+                max_intra = 0.0
+                min_cut = None
+                for t in range(1, len(frames)):
+                    d = sum(abs(a - b) for a, b in
+                            zip(lums[t], lums[t - 1])) / (w * h)
+                    if d > threshold:
+                        n_cuts += 1
+                        min_cut = d if min_cut is None else min(min_cut, d)
+                    else:
+                        max_intra = max(max_intra, d)
+                out.append({"media_id": rec.media_id,
+                            "n_frames": len(frames),
+                            "n_cuts": n_cuts,
+                            "max_intra_delta": float(max_intra),
+                            "min_cut_delta": min_cut})
+            yield pd.DataFrame(out, columns=[
+                "media_id", "n_frames", "n_cuts",
+                "max_intra_delta", "min_cut_delta"])
+
+    return videos.mapInPandas(
+        run, schema="media_id long, n_frames long, n_cuts long, "
+                    "max_intra_delta double, min_cut_delta double")
+
+
+def synthetic_avi_scene_media(spark: SparkSession,
+                              n: int = 10) -> DataFrame:
+    """AVI fixture with PLANTED scene cuts: every third frame starts
+    a new scene (pixel formulas shift by 97*scene), so within-scene
+    deltas are ~1 luma level and cut deltas are ~90 — ground truth
+    for scene-change detection: cuts at t in {3, 6, ...}."""
+    from . import avi
+    rows = []
+    for i in range(n):
+        w, h = 4 + (i % 4) * 2, 3 + (i % 3) * 2
+        fps, n_frames = 4 + i % 3, 8 + i % 5
+        frames = []
+        for t in range(n_frames):
+            scene = t // 3
+            s = i + 97 * scene
+            frames.append([
+                bytearray(((x * 31 + t + s) % 256,
+                           (y * 17 + t + s) % 256,
+                           (x * y + t + s) % 256)[c]
+                          for x in range(w) for c in range(3))
+                for y in range(h)])
+        rows.append((i, "video",
+                     bytearray(avi.encode(w, h, fps, frames)),
+                     "video/x-msvideo", {"src": f"synth-scene://{i}",
+                                         "scene_len": "3"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -140,6 +140,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dp_laplace_counts",          # r7-new: DP calibration card
     "multimodal_wav_decode",      # r7-new: real WAV codec value gate
     "multimodal_avi_decode",      # r7-new: real AVI codec value gate
+    "audio_silence_ratio",        # r7-new: WAV silence QC gate
+    "video_scene_changes",        # r7-new: AVI scene-cut QC gate
 ]
 
 

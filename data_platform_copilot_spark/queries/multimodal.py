@@ -327,3 +327,93 @@ def multimodal_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nf.alias("n_frames"),
                     rnd(F.col("duration_s"), 6).alias("duration_s"),
                     (F.col("mx") < 1e-5).alias("bands_match")))
+
+
+_N_SIL = 12
+
+
+@query("audio_silence_ratio", oracle=f"""
+WITH ids AS (SELECT unnest(range(0, {_N_SIL})) AS i),
+dims AS (SELECT i, 1000 + i * 64 AS n, 3 + (i % 5) AS step FROM ids),
+samp AS (
+    SELECT i, n,
+           CASE WHEN abs(((t * step + i * 7) % 4096) - 2048) < 256
+                THEN 1 ELSE 0 END AS silent
+    FROM dims, unnest(range(0, n)) AS u(t)
+)
+SELECT i AS media_id,
+       CAST(max(n) AS BIGINT) AS n_frames,
+       CAST(sum(silent) AS BIGINT) AS n_silent,
+       round(CAST(sum(silent) AS DOUBLE) / max(n), 6) AS silence_ratio
+FROM samp GROUP BY i
+""")
+def audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QC, value-gated end-to-end: Spark decodes the REAL WAV
+    payloads (stdlib codec) and counts sub-threshold frames; DuckDB
+    recomputes the identical counts from the generator's integer
+    waveform arithmetic — so a single mis-decoded sample anywhere in
+    the PCM parse flips the hash. The silence-trim signal every
+    audio-pretraining pipeline computes before chunking. Integer
+    comparisons and an exact integer ratio: no float boundary."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        audio_silence_stats,
+        synthetic_wav_media,
+    )
+    stats = audio_silence_stats(synthetic_wav_media(spark, n=_N_SIL),
+                                threshold=256)
+    return stats.select(
+        "media_id", "n_frames", "n_silent",
+        rnd(F.col("n_silent").cast("double") / F.col("n_frames"), 6)
+        .alias("silence_ratio"))
+
+
+_N_SCENE = 10
+
+
+@query("video_scene_changes", oracle=f"""
+WITH ids AS (SELECT unnest(range(0, {_N_SCENE})) AS i),
+dims AS (SELECT i, 4 + (i % 4) * 2 AS w, 3 + (i % 3) * 2 AS h,
+                8 + i % 5 AS n
+         FROM ids),
+lum AS (
+    SELECT i, n, w, h, t, x, y,
+           (((x*31 + t + i + 97 * (t // 3)) % 256)
+            + ((y*17 + t + i + 97 * (t // 3)) % 256)
+            + ((x*y + t + i + 97 * (t // 3)) % 256)) // 3 AS l
+    FROM dims, unnest(range(0, n)) AS ut(t),
+         unnest(range(0, h)) AS uy(y), unnest(range(0, w)) AS ux(x)
+), delta AS (
+    SELECT a.i, a.n,
+           CAST(sum(abs(a.l - b.l)) AS DOUBLE)
+               / (max(a.w) * max(a.h)) AS d
+    FROM lum a JOIN lum b
+      ON a.i = b.i AND a.x = b.x AND a.y = b.y AND b.t = a.t - 1
+    WHERE a.t > 0
+    GROUP BY a.i, a.n, a.t
+)
+SELECT i AS media_id,
+       CAST(max(n) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN d > 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cuts
+FROM delta GROUP BY i
+""")
+def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video QC, value-gated end-to-end: the fixture plants a scene
+    cut every 3 frames (pixel formulas shift by 97*scene), Spark
+    decodes the REAL AVI payloads and thresholds consecutive-frame
+    mean luminance deltas, and DuckDB recomputes the identical cut
+    counts from the generator's integer pixel arithmetic — including
+    the occasional WRAP cut (a mod-256 rollover inside a scene can
+    legitimately exceed the threshold; the replay counts exactly
+    what the decode pipeline counts, not just the planted truth).
+    The scene-segmentation signal video curation runs before
+    clip-level dedup/captioning."""
+    from ..operators.multimodal import (
+        synthetic_avi_scene_media,
+        video_scene_stats,
+    )
+    stats = video_scene_stats(synthetic_avi_scene_media(spark, n=_N_SCENE),
+                              threshold=10.0)
+    return stats.select("media_id", "n_frames", "n_cuts")
