@@ -555,3 +555,46 @@ class TestVideoFrameExtraction:
         rows = hashed.collect()
         assert len(rows) == 13  # id 0: 6 frames, id 1: 7 frames
         assert all(len(r.phash) == 64 for r in rows)
+
+
+class TestMediaDirIngest:
+    def test_binaryfile_ingest_sniffs_and_decodes(self, spark, tmp_path):
+        from data_platform_copilot_spark.operators import avi, png, wav
+        from data_platform_copilot_spark.operators.multimodal import (
+            extract_features,
+            load_media_dir,
+        )
+        # write one real file of each kind plus an opaque blob
+        pix = [bytearray((x * 9 % 256) for x in range(4 * 3))
+               for _ in range(3)]
+        (tmp_path / "a.png").write_bytes(png.encode(4, 3, 3, pix))
+        (tmp_path / "b.wav").write_bytes(
+            wav.encode(8000, 1, 16, [(t % 100 - 50,) for t in range(400)]))
+        frames = [[bytearray((t * 7 % 256) for _ in range(5 * 3))
+                   for _ in range(4)] for t in range(3)]
+        (tmp_path / "c.avi").write_bytes(avi.encode(5, 4, 5, frames))
+        (tmp_path / "d.bin").write_bytes(b"opaque payload bytes")
+
+        media = load_media_dir(spark, str(tmp_path))
+        kinds = {r.meta["src"].split("/")[-1]: r.kind
+                 for r in media.collect()}
+        assert kinds == {"a.png": "image", "b.wav": "audio",
+                         "c.avi": "video", "d.bin": "opaque"}
+        # the ingested rows decode through the real codecs
+        feats = {r.kind: r for r in extract_features(
+            media.where(F.col("kind") != "opaque")).collect()}
+        assert (feats["image"].width, feats["image"].height) == (4, 3)
+        assert feats["audio"].duration_s == 400 / 8000
+        assert feats["video"].duration_s == 3 * (1_000_000 // 5) / 1_000_000
+
+    def test_glob_filter_prunes_at_listing(self, spark, tmp_path):
+        from data_platform_copilot_spark.operators import wav
+        from data_platform_copilot_spark.operators.multimodal import (
+            load_media_dir,
+        )
+        (tmp_path / "x.wav").write_bytes(
+            wav.encode(8000, 1, 16, [(0,)] * 10))
+        (tmp_path / "y.txt").write_bytes(b"not media")
+        only_wav = load_media_dir(spark, str(tmp_path), glob="*.wav")
+        assert only_wav.count() == 1
+        assert only_wav.first().kind == "audio"
