@@ -142,6 +142,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "multimodal_avi_decode",      # r7-new: real AVI codec value gate
     "audio_silence_ratio",        # r7-new: WAV silence QC gate
     "video_scene_changes",        # r7-new: AVI scene-cut QC gate
+    "pipeline_media_curation",    # r7-new: media funnel compose
 ]
 
 

@@ -417,3 +417,77 @@ def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = video_scene_stats(synthetic_avi_scene_media(spark, n=_N_SCENE),
                               threshold=10.0)
     return stats.select("media_id", "n_frames", "n_cuts")
+
+
+@query("pipeline_media_curation", oracle=f"""
+WITH ids AS (SELECT unnest(range(0, {_N_PH})) AS i),
+dims AS (SELECT i, 8 + (i*5) % 24 AS w, 8 + (i*3) % 24 AS h FROM ids),
+pix AS (
+    SELECT i, w, h, y, x,
+           (((x*31 + i) % 256) + ((y*17 + i) % 256)
+            + ((x*y + i) % 256)) // 3 AS lum
+    FROM dims, unnest(range(0, h)) AS ty(y), unnest(range(0, w)) AS tx(x)
+), cells AS (
+    SELECT i, (y*8) // h AS cy, (x*8) // w AS cx,
+           sum(lum) AS cs, count(*) AS cc
+    FROM pix GROUP BY 1, 2, 3
+), tot AS (
+    SELECT i, sum(lum) AS ts, count(*) AS tc FROM pix GROUP BY 1
+), hashes AS (
+    SELECT c.i,
+           string_agg(CASE WHEN c.cs * t.tc > t.ts * c.cc
+                           THEN '1' ELSE '0' END, ''
+                      ORDER BY c.cy, c.cx) AS phash
+    FROM cells c JOIN tot t ON c.i = t.i GROUP BY c.i
+)
+SELECT stage, n_items FROM (
+    SELECT 0 AS stage, 'ingested' AS _n, CAST({2 * _N_PH} AS BIGINT)
+        AS n_items
+    UNION ALL
+    -- byte-distinct by construction (zlib level 6 vs 1 re-encodings)
+    SELECT 1, 'exact_distinct', CAST({2 * _N_PH} AS BIGINT)
+    UNION ALL
+    SELECT 2, 'phash_groups',
+           (SELECT CAST(count(DISTINCT phash) AS BIGINT) FROM hashes)
+    UNION ALL
+    SELECT 3, 'keepers',
+           (SELECT CAST(count(DISTINCT phash) AS BIGINT) FROM hashes)
+) t
+""")
+def pipeline_media_curation(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """End-to-end media curation funnel (the multimodal twin of
+    pipeline_curation_funnel): ingest 2n byte-distinct PNG payloads
+    (n pixel-identical pairs re-encoded at different zlib levels) →
+    exact dedup on payload sha256 (removes nothing: every file is
+    byte-unique) → perceptual-hash grouping (REAL decode + integer
+    aHash pairs the re-encodings) → keeper selection (group min).
+    The phash stage count is replayed by DuckDB from the generator's
+    pixel formulas — a codec or hash bug anywhere in the decode
+    pipeline breaks the funnel counts; the exact-dedup stage's
+    no-op is the fixture's designed property (pinned byte-distinct
+    in the codec tests). Scale: every stage is the corresponding
+    verified operator's plan — payload-local hashing, 64-char-hash
+    exchanges only."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        media_exact_duplicates,
+        perceptual_hash,
+        synthetic_png_media_dups,
+    )
+    media = synthetic_png_media_dups(spark, n=_N_PH)
+    hashed = perceptual_hash(media)
+
+    def stage(idx: int, df: DataFrame) -> DataFrame:
+        # counts stay IN the plan (agg + union), no driver-side
+        # .count() round-trips — same shape as the text funnel
+        return df.agg(F.lit(idx).cast("int").alias("stage"),
+                      F.count(F.lit(1)).cast("long").alias("n_items"))
+
+    return (stage(0, media)
+            .unionAll(stage(1, media_exact_duplicates(media)
+                            .where(~F.col("is_duplicate"))))
+            .unionAll(stage(2, hashed.select("phash").distinct()))
+            .unionAll(stage(3, hashed.groupBy("phash")
+                            .agg(F.min("media_id")))))
