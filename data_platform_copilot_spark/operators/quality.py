@@ -591,3 +591,81 @@ def normalize_unicode(df: DataFrame, text_col: str,
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
         + [f"{text_col}_norm string", "was_normal boolean"])
     return df.mapInPandas(run, schema)
+
+
+def bloom_decontaminate(df: DataFrame, id_col: str, text_col: str,
+                        eval_df: DataFrame, eval_id_col: str,
+                        eval_text_col: str, n: int = 13,
+                        m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+    """Bloom-filter-prefiltered benchmark decontamination: the exact
+    13-gram rule (``decontaminate``), restructured so the corpus
+    gram stream is screened against a Bloom filter of the eval set
+    BEFORE any exact comparison — the standard industrial shape when
+    the eval-suite gram set outgrows comfortable broadcast (a full
+    eval HARNESS — every benchmark, every split — reaches 10^8+
+    grams ≈ GBs of md5 fingerprints, while an m-bit Bloom bitmap of
+    the same set is m/8 bytes at any cardinality).
+
+    Construction (engine-portable, deterministic): a gram's
+    fingerprint is md5(shingle); its k Bloom positions are
+    conv(md5(fp || ':' || j)[:7], 16) % m for j in 0..k-1. The
+    filter is the DISTINCT position set of the eval grams. A corpus
+    gram is a CANDIDATE iff all k of its positions are set. Because
+    positions are a pure function of fp, an exact hit is always a
+    candidate (zero false negatives — the Bloom guarantee); false
+    positives are exactly the candidates the verify stage kills.
+
+    Plan: ONE pass over the corpus gram stream -> k-position explode
+    -> broadcast join against the bit set -> per-gram count==k
+    keeps candidates only -> the EXACT fingerprint join runs on
+    candidates alone (near-empty for a clean corpus). Per-doc
+    output: (id, n_candidate_grams, n_hit_ngrams, bloom_candidate,
+    contaminated, false_positive). The false-positive count is
+    deterministic given (m, k) and both engines replay it exactly —
+    which is what lets a SQL oracle value-gate a Bloom filter.
+
+    Scale: bits ≈ k * |eval grams| distinct ints (far under the
+    bitmap's information bound, broadcast-trivial); the corpus side
+    shuffles only candidate grams + one doc-keyed combine. At 100 TB
+    with a clean corpus the post-filter exchange is ~empty; the
+    whole cost is the map-side gram scan — optimal for this rule.
+    """
+    from .dedup import shingles
+
+    def pos(fp, j: int):
+        return (F.conv(F.substring(
+            F.md5(F.concat(fp, F.lit(f":{j}"))), 1, 7), 16, 10)
+            .cast("long") % m_bits)
+
+    eval_fps = (shingles(eval_df, eval_id_col, eval_text_col, n=n)
+                .select(F.md5("shingle").alias("fp")).distinct())
+    bits = (eval_fps.select(F.explode(F.array(
+                *[pos(F.col("fp"), j) for j in range(k)])).alias("p"))
+            .distinct())
+    grams = (shingles(df, id_col, text_col, n=n)
+             .select("id", F.md5("shingle").alias("fp")))
+    cand = (grams
+            .select("id", "fp", F.explode(F.array(
+                *[pos(F.col("fp"), j) for j in range(k)])).alias("p"))
+            .join(F.broadcast(bits), "p")
+            .groupBy("id", "fp").agg(F.count("*").alias("nset"))
+            .where(F.col("nset") == k))
+    verified = (cand
+                .join(F.broadcast(eval_fps).withColumn(
+                    "hit", F.lit(1)), "fp", "left")
+                .groupBy("id")
+                .agg(F.count("*").alias("n_candidate_grams"),
+                     F.count("hit").alias("n_hit_ngrams")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(verified, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_candidate_grams", F.lit(0))
+                .alias("n_candidate_grams"),
+                F.coalesce("n_hit_ngrams", F.lit(0))
+                .alias("n_hit_ngrams"))
+            .withColumn("bloom_candidate", F.col("n_candidate_grams") > 0)
+            .withColumn("contaminated", F.col("n_hit_ngrams") > 0)
+            .withColumn("false_positive",
+                        F.col("bloom_candidate")
+                        & ~F.col("contaminated")))

@@ -36,16 +36,16 @@ from . import quality  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_GATE_PRIORITY: list[str] = [
-    # r7 gate: ALL 56 registry entries that have never had a driver
-    # CORRECTNESS row (the late-r6 additions; each passed the r6
-    # judge's independent 190/190 oracle re-run and stays
-    # value-verified every run by the full-registry pytest oracle at
-    # sf0.01 + the slow sf0.1 suite). The gate window is the first
-    # 50, so exactly 6 spill: the final six names below — each a
-    # structural twin of an entry that IS driver-green (noted
-    # inline) — are the r8 residue, listed here so they lead the r8
-    # gate. The 134 entries with cumulative r1–r6 driver greens
-    # rotate out entirely this round.
+    # r7 gate: the 84 registry entries that have never had a driver
+    # CORRECTNESS row (56 late-r6 additions + 28 registered after the
+    # r6 gate snapshot; every one passes the local full-registry
+    # oracle at sf0.001/0.01/0.1 and stays value-verified every run
+    # by the parametrized pytest oracle). The gate window is the
+    # first 50, so 34 spill: everything after the "gate window ends"
+    # marker below is the r8 residue, listed never-driver-verified
+    # strictly first (oldest first) so it leads the r8 gate. The 134
+    # entries with cumulative r1–r6 driver greens rotate out
+    # entirely this round.
     # -- statistics / DQ family (twins: drift_*, dq_rule_* green r6)
     "mi_event_type_value",
     "dq_benford_first_digit",
@@ -143,6 +143,8 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "audio_silence_ratio",        # r7-new: WAV silence QC gate
     "video_scene_changes",        # r7-new: AVI scene-cut QC gate
     "pipeline_media_curation",    # r7-new: media funnel compose
+    "decontamination_bloom_prefilter",  # r7-new: value-gated Bloom
+    "full_outer_join_reconciliation",   # r7-new: FULL OUTER surface
 ]
 
 

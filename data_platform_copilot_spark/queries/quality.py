@@ -1394,3 +1394,76 @@ def output_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_toks").cast("long").alias("n_tokens"),
                  F.min("doc_id").cast("long").alias("first_doc"),
                  F.max("doc_id").cast("long").alias("last_doc")))
+
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 3
+
+_BLOOM_SQL = f"""
+WITH norm AS (
+    SELECT doc_id, {_TOKS_Q} AS t FROM documents
+), cg AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(list_slice(t, i, i + 12), ' ')) AS fp
+    FROM norm, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE len(t) >= 13
+), eg AS (
+    SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 12), ' ')) AS fp
+    FROM norm, unnest(range(1, len(t) - 11)) AS u(i)
+    WHERE doc_id % 97 = 0 AND len(t) >= 13
+), bits AS (
+    SELECT DISTINCT
+           ('0x' || substring(md5(fp || ':' || j), 1, 7))::BIGINT
+               % {_BLOOM_M} AS p
+    FROM eg, unnest([0, 1, 2]) AS tj(j)
+), pc AS (
+    SELECT doc_id, fp,
+           ('0x' || substring(md5(fp || ':' || j), 1, 7))::BIGINT
+               % {_BLOOM_M} AS p
+    FROM cg, unnest([0, 1, 2]) AS tj(j)
+), cand AS (
+    SELECT doc_id, fp FROM pc JOIN bits USING (p)
+    GROUP BY doc_id, fp HAVING count(*) = {_BLOOM_K}
+), agg AS (
+    SELECT c.doc_id,
+           count(*) AS n_cand,
+           sum(CASE WHEN eg.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+    FROM cand c LEFT JOIN eg ON c.fp = eg.fp
+    GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(n_cand, 0) AS BIGINT) AS n_candidate_grams,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit_ngrams,
+       coalesce(n_cand, 0) > 0 AS bloom_candidate,
+       coalesce(n_hit, 0) > 0 AS contaminated,
+       coalesce(n_cand, 0) > 0 AND coalesce(n_hit, 0) = 0
+           AS false_positive
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query("decontamination_bloom_prefilter", oracle=_BLOOM_SQL)
+def decontamination_bloom_prefilter(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """13-gram decontamination through a Bloom-filter prefilter
+    (operators/quality.py:bloom_decontaminate): eval split is
+    doc_id % 97 == 0; corpus grams are screened against the m=2^16,
+    k=3 position bitmap of the eval grams, and only surviving
+    candidates reach the exact fingerprint verify. Zero false
+    negatives by construction (positions are a pure function of the
+    gram fingerprint); the per-doc false-positive flags are
+    deterministic given (m, k) and the oracle replays the identical
+    md5 position formulas — a value-gated Bloom filter. The exact
+    rule's hits here must equal ``decontamination``'s hit set on the
+    same corpus (pytest cross-check), while the bitmap is 8 KB
+    against megabytes of fingerprints at full-harness scale."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import bloom_decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    out = bloom_decontaminate(docs, "doc_id", "text",
+                              eval_df, "doc_id", "text",
+                              n=13, m_bits=_BLOOM_M, k=_BLOOM_K)
+    return out.select(out["id"].alias("doc_id"), "n_candidate_grams",
+                      "n_hit_ngrams", "bloom_candidate", "contaminated",
+                      "false_positive")

@@ -583,3 +583,55 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.abs(F.col("p50_approx") - F.col("p50_exact"))
                  / F.col("p50_exact") <= eps).alias("within_eps"))
     )
+
+
+@query("full_outer_join_reconciliation", oracle="""
+WITH o AS (
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+), e AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+)
+SELECT coalesce(o.day, e.day) AS day,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN o.day IS NOT NULL AND e.day IS NOT NULL THEN 'both'
+            WHEN o.day IS NOT NULL THEN 'orders_only'
+            ELSE 'events_only' END AS side
+FROM o FULL OUTER JOIN e ON o.day = e.day
+""")
+def full_outer_join_reconciliation(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN — the one join type the rest of the pack
+    never needed: reconcile daily order volume against daily event
+    volume, keeping days present on either side only (the
+    cross-system reconciliation report every warehouse runs).
+
+    Spark-first: both fact tables collapse to |days| rows via
+    partial-agg groupBys BEFORE the full outer join, so the
+    unmatched-row preservation (the expensive part of full outer —
+    no broadcast variant exists for it; Spark forces sort-merge)
+    happens on day-cardinality inputs. Joining the RAW fact tables
+    full-outer first would shuffle 100 TB to preserve nulls;
+    aggregate-then-join is the scale-correct order of operations.
+    """
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy(F.date_format(F.col("o_orderdate").cast("date"),
+                                "yyyy-MM-dd").alias("day"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+    e = (_t(spark, sf_dir, "events")
+         .groupBy(F.date_format(F.col("ts").cast("date"),
+                                "yyyy-MM-dd").alias("day"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    return (o.join(e, "day", "full_outer")
+            .select(
+                "day",
+                F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                F.when(F.col("n_orders").isNotNull()
+                       & F.col("n_events").isNotNull(), "both")
+                .when(F.col("n_orders").isNotNull(), "orders_only")
+                .otherwise("events_only").alias("side")))

@@ -2024,3 +2024,49 @@ class TestDataCard:
             .executedPlan().toString()
         assert plan.count("Scan parquet") == 1, plan
         assert plan.count("Exchange") == 1, plan
+
+
+class TestBloomDecontamination:
+    def test_hits_equal_exact_rule_zero_false_negatives(
+            self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.quality import (
+            bloom_decontaminate, decontaminate)
+        from data_platform_copilot_spark.sources import load_table
+        docs = load_table(spark, sf_dir, "documents").limit(200)
+        eval_df = docs.where("doc_id % 97 = 0")
+        exact = {r["id"]: r["n_hit_ngrams"] for r in decontaminate(
+            docs, "doc_id", "text", eval_df, "doc_id", "text",
+            n=13).collect()}
+        bloom = {r["id"]: r for r in bloom_decontaminate(
+            docs, "doc_id", "text", eval_df, "doc_id", "text",
+            n=13).collect()}
+        assert set(bloom) == set(exact)
+        for i, n_hit in exact.items():
+            # identical exact-hit counts through the prefilter: the
+            # Bloom guarantee (no false negatives) + intact verify
+            assert bloom[i]["n_hit_ngrams"] == n_hit
+            if n_hit > 0:
+                assert bloom[i]["bloom_candidate"]
+                assert not bloom[i]["false_positive"]
+            # candidates always superset hits
+            assert bloom[i]["n_candidate_grams"] >= n_hit
+
+    def test_tiny_filter_forces_false_positives(self, spark):
+        from data_platform_copilot_spark.operators.quality import (
+            bloom_decontaminate)
+        # 8-bit filter with k=1: ~any gram collides -> candidates
+        # without hits must be flagged false_positive, never
+        # contaminated
+        train = spark.createDataFrame(
+            [(1, "one two three four five"),
+             (2, "six seven eight nine ten")],
+            "doc_id long, text string")
+        eval_df = spark.createDataFrame(
+            [(100, "eleven twelve thirteen fourteen fifteen")],
+            "doc_id long, text string")
+        rows = {r["id"]: r for r in bloom_decontaminate(
+            train, "doc_id", "text", eval_df, "doc_id", "text",
+            n=5, m_bits=2, k=1).collect()}
+        for r in rows.values():
+            assert not r["contaminated"]
+            assert r["false_positive"] == r["bloom_candidate"]
