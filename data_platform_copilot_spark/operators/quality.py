@@ -630,6 +630,7 @@ def bloom_decontaminate(df: DataFrame, id_col: str, text_col: str,
     with a clean corpus the post-filter exchange is ~empty; the
     whole cost is the map-side gram scan — optimal for this rule.
     """
+    from ..sources.registry import materialize_auto
     from .dedup import shingles
 
     def pos(fp, j: int):
@@ -637,8 +638,12 @@ def bloom_decontaminate(df: DataFrame, id_col: str, text_col: str,
             F.md5(F.concat(fp, F.lit(f":{j}"))), 1, 7), 16, 10)
             .cast("long") % m_bits)
 
-    eval_fps = (shingles(eval_df, eval_id_col, eval_text_col, n=n)
-                .select(F.md5("shingle").alias("fp")).distinct())
+    # eval fingerprints feed BOTH the bit-set build and the verify
+    # join — materialize the (tiny) frame so the eval corpus is
+    # scanned once, not re-derived per consumer
+    eval_fps = materialize_auto(
+        shingles(eval_df, eval_id_col, eval_text_col, n=n)
+        .select(F.md5("shingle").alias("fp")).distinct())
     bits = (eval_fps.select(F.explode(F.array(
                 *[pos(F.col("fp"), j) for j in range(k)])).alias("p"))
             .distinct())
