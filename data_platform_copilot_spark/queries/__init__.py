@@ -145,6 +145,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "pipeline_media_curation",    # r7-new: media funnel compose
     "decontamination_bloom_prefilter",  # r7-new: value-gated Bloom
     "full_outer_join_reconciliation",   # r7-new: FULL OUTER surface
+    "ann_recall_report",          # r7-new: value-gated recall@k audit
 ]
 
 

@@ -754,3 +754,77 @@ def embedding_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_vecs").cast("long").alias("n_vecs"),
                     (rnd(F.col("dot") / (F.col("nrm") * F.col("cnrm")),
                          4) + F.lit(0.0)).alias("cos_to_corpus")))
+
+
+def _recall_oracle(k: int, n_planes: int, tables: int,
+                   dim: int, seed: int) -> str:
+    """Recall@k of the SRP-LSH index vs exact brute force, both
+    replayed in full: the srp oracle's candidate+re-rank chain and
+    the brute-force chain run as derived tables, then the hit sets
+    join on (query, neighbor)."""
+    srp = _srp_oracle(k, n_planes, tables, dim, seed)
+    return f"""
+WITH s AS (
+    SELECT query_id, neighbor_id FROM ({srp})
+), b AS (
+    SELECT query_id, neighbor_id FROM (
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS} AS cos_raw
+            FROM embeddings q
+            JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    )
+)
+SELECT b.query_id AS query_id,
+       CAST(count(s.neighbor_id) AS BIGINT) AS n_recalled,
+       CAST({k} AS BIGINT) AS k,
+       round(count(s.neighbor_id) / CAST({k} AS DOUBLE), 4)
+           AS recall_at_k
+FROM b LEFT JOIN s
+  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@query("ann_recall_report",
+       oracle=_recall_oracle(k=10, n_planes=8, tables=4, dim=64,
+                             seed=42))
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SRP-LSH index against exact brute force,
+    measured IN the engine — the index-quality scorecard an ANN
+    deployment publishes before switching retrieval off the exact
+    path. Both arms are the verified operators (srp_lsh_topk,
+    brute_force_topk); recall = |LSH top-k ∩ exact top-k| / k per
+    query. Everything is deterministic (seeded literal hyperplanes,
+    tie-broken ranks), so the DuckDB oracle replays BOTH index
+    builds and the join — a value-gated recall measurement, not a
+    statistical one.
+
+    Scale: the expensive arm is brute force, but the scorecard only
+    needs a SAMPLE of queries (here the 5-query panel): cost is
+    |panel| x corpus dot products, map-only over the corpus with the
+    panel broadcast — the standard recall-audit shape at any corpus
+    size; the LSH arm reuses the production index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding",
+                             k=10).select("query_id", "neighbor_id")
+    approx = srp_lsh_topk(emb, queries, "vec_id", "embedding", k=10,
+                          n_planes=8, tables=4, dim=64, seed=42
+                          ).select("query_id", "neighbor_id")
+    hit = approx.withColumn("hit", F.lit(1))
+    return (exact
+            .join(hit, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("hit").cast("long").alias("n_recalled"),
+                 F.lit(10).cast("long").alias("k"),
+                 rnd(F.count("hit") / F.lit(10.0), 4)
+                 .alias("recall_at_k")))
