@@ -402,3 +402,59 @@ def heavy_hitters(df: DataFrame, text_col: str, phi: float = 0.002,
             .where(F.col("n") >= F.ceil(F.col("n_total") * phi))
             .select("tok", "n",
                     (F.col("n") / F.col("n_total")).alias("freq")))
+
+
+def cms_token_counts(df: DataFrame, text_col: str,
+                     width: int = 1024, depth: int = 3,
+                     k: int = 20) -> DataFrame:
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
+    2005) for the exact top-k tokens: the sketch is a depth x width
+    counter matrix — row j counts token instances at position
+    md5-hash_j(tok) % width — and a token's estimate is the MIN over
+    its depth cells. Estimates never undercount (every instance of
+    the token lands in all d of its cells; collisions only ADD), and
+    overcount <= eps*N with probability 1-delta for width=e/eps,
+    depth=ln(1/delta) — the sketch every streaming frequency system
+    (and the classic CM paper) ships.
+
+    The whole construction is deterministic given (width, depth) —
+    cell positions are pure md5 functions of the token — so unlike
+    most sketches the ESTIMATES themselves are value-gated exactly
+    by a SQL replay, not epsilon-gated: overcount per top-k token is
+    a reproducible integer both engines must agree on.
+
+    Plan: the sketch build is ONE map-side-combinable groupBy over
+    d x instances rows into AT MOST depth*width cells (fixed-size
+    state, like the Misra-Gries pass in ``heavy_hitters`` — the
+    distributed merge of per-partition sketches is the partial agg
+    Catalyst already does); the exact top-k (a k-row frame) then
+    probes its d cells against the broadcast-sized sketch. At 100 TB
+    the sketch stays depth*width rows regardless of vocabulary —
+    the bounded-memory answer to "how often does each of these
+    tokens appear" without a full-vocab shuffle.
+
+    Returns (tok, n_exact, n_cms, overcount), the top-k by exact
+    count (tok tiebreak).
+    """
+    toks = spread(df.select(tokens(F.col(text_col)).alias("t"))).select(
+        F.explode("t").alias("tok"))
+
+    def pos(tok, j: int):
+        return (F.conv(F.substring(
+            F.md5(F.concat(tok, F.lit(f":{j}"))), 1, 7), 16, 10)
+            .cast("long") % width)
+
+    cells = toks.select(F.posexplode(F.array(
+        *[pos(F.col("tok"), j) for j in range(depth)])).alias("j", "p"))
+    sketch = cells.groupBy("j", "p").agg(F.count("*").alias("cnt"))
+    top = (toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+           .orderBy(F.desc("n_exact"), "tok").limit(k))
+    probes = top.select("tok", "n_exact", F.posexplode(F.array(
+        *[pos(F.col("tok"), j) for j in range(depth)])).alias("j", "p"))
+    return (probes.join(F.broadcast(sketch), ["j", "p"])
+            .groupBy("tok")
+            .agg(F.min("n_exact").alias("n_exact"),
+                 F.min("cnt").alias("n_cms"))
+            .select("tok", "n_exact", "n_cms",
+                    (F.col("n_cms") - F.col("n_exact"))
+                    .alias("overcount")))

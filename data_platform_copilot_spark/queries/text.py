@@ -1400,3 +1400,43 @@ def doc_length_percentiles_by_source(spark: SparkSession,
         pct(9, 10, "p90_tokens"),
         pct(99, 100, "p99_tokens"),
         F.max("s").cast("long").alias("max_tokens"))
+
+
+@query("cms_token_estimates", oracle=f"""
+WITH t AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+), pos AS (
+    SELECT tok, j,
+           ('0x' || substring(md5(tok || ':' || j), 1, 7))::BIGINT
+               % 1024 AS p
+    FROM t, unnest([0, 1, 2]) AS tj(j)
+), sketch AS (
+    SELECT j, p, count(*) AS cnt FROM pos GROUP BY 1, 2
+), exact AS (
+    SELECT tok, count(*) AS n FROM t GROUP BY 1
+    ORDER BY n DESC, tok LIMIT 20
+), ep AS (
+    SELECT tok, n, j,
+           ('0x' || substring(md5(tok || ':' || j), 1, 7))::BIGINT
+               % 1024 AS p
+    FROM exact, unnest([0, 1, 2]) AS tj(j)
+)
+SELECT ep.tok AS tok,
+       CAST(min(ep.n) AS BIGINT) AS n_exact,
+       CAST(min(s.cnt) AS BIGINT) AS n_cms,
+       CAST(min(s.cnt) - min(ep.n) AS BIGINT) AS overcount
+FROM ep JOIN sketch s USING (j, p)
+GROUP BY ep.tok
+""")
+def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (3 x 1024) frequency estimates for the exact
+    top-20 tokens (operators/selection.py:cms_token_counts). The
+    md5-derived cell layout makes the sketch bit-reproducible, so
+    the per-token overcount — normally only bounded in expectation —
+    is here an exact integer the DuckDB replay must match: a
+    value-gated sketch, completing the engine's sketch canon (HLL
+    distincts, GK quantiles, Misra-Gries heavy hitters, MinHash /
+    SimHash / SRP similarity, Bloom membership, CMS frequency)."""
+    from ..operators.selection import cms_token_counts
+    docs = _t(spark, sf_dir, "documents")
+    return cms_token_counts(docs, "text", width=1024, depth=3, k=20)

@@ -2070,3 +2070,33 @@ class TestBloomDecontamination:
         for r in rows.values():
             assert not r["contaminated"]
             assert r["false_positive"] == r["bloom_candidate"]
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_tight_when_wide(self, spark, sf_dir):
+        from data_platform_copilot_spark.operators.selection import (
+            cms_token_counts)
+        from data_platform_copilot_spark.sources import load_table
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        rows = cms_token_counts(docs, "text", width=1 << 15,
+                                depth=4, k=10).collect()
+        assert len(rows) == 10
+        for r in rows:
+            # CMS one-sided error: estimates never undercount
+            assert r["n_cms"] >= r["n_exact"]
+            assert r["overcount"] == r["n_cms"] - r["n_exact"]
+        # a wide sketch on a small corpus should be near-exact
+        assert sum(r["overcount"] for r in rows) <= sum(
+            r["n_exact"] for r in rows) * 0.05
+
+    def test_narrow_sketch_forces_collisions(self, spark):
+        from data_platform_copilot_spark.operators.selection import (
+            cms_token_counts)
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 50} filler{i}") for i in range(200)],
+            "doc_id long, text string")
+        rows = cms_token_counts(df, "text", width=4, depth=1,
+                                k=5).collect()
+        # 250 distinct tokens into 4 cells: overcount is unavoidable
+        assert all(r["n_cms"] >= r["n_exact"] for r in rows)
+        assert any(r["overcount"] > 0 for r in rows)
