@@ -458,3 +458,79 @@ def cms_token_counts(df: DataFrame, text_col: str,
             .select("tok", "n_exact", "n_cms",
                     (F.col("n_cms") - F.col("n_exact"))
                     .alias("overcount")))
+
+
+def hll_cardinality(df: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """HyperLogLog cardinality sketch (Flajolet, Fusy, Gandouet &
+    Meunier 2007) with md5-derived 32-bit hashes: bucket = top ``b``
+    bits, rho = leading-zero count of the remaining ``32-b`` bits
+    plus one, register[bucket] = max(rho). The raw estimate is
+    ``alpha_m * m^2 / sum_j 2^-M_j`` with the small-range
+    linear-counting correction ``m * ln(m/V)`` when the raw estimate
+    is <= 2.5m and V (empty registers) > 0 — the exact estimator the
+    paper ships and every production HLL (Redis, BigQuery, Spark's
+    own approx_count_distinct) descends from.
+
+    Like ``cms_token_counts``, the md5 layout makes the sketch
+    bit-reproducible, so it is VALUE-gated, not epsilon-gated: the
+    register state is pinned by three exact integers (non-zero
+    register count, a bucket*rho checksum, and the harmonic sum
+    S = sum_j 2^(rho_max - M_j) — an exact BIGINT because every term
+    is a power of two, so no float-order drift), and the estimate is
+    a deterministic division of exact integers. A 3-sigma accuracy
+    boolean (sigma = 1.04/sqrt(m)) is additionally pinned TRUE.
+
+    Plan (100 TB): NO distinct and NO wide shuffle — the sketch is
+    one groupBy(bucket).max over at most m=2^b groups with map-side
+    combine, i.e. each partition reduces to <= m rows before the
+    exchange. That is the whole point of HLL: cardinality without
+    the count-distinct shuffle. The exact count here exists only to
+    gate the sketch and would be dropped at scale.
+
+    Returns ONE row: (m, n_exact, nonzero_registers, s_scaled,
+    register_checksum, estimate, within_3sigma).
+    """
+    m = 1 << b
+    wbits = 32 - b
+    rho_max = wbits + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    src = (df.where(F.col(col).isNotNull())
+           .select(F.col(col).cast("string").alias("v")))
+    h32 = (F.conv(F.substring(F.md5(F.col("v")), 1, 8), 16, 10)
+           .cast("long"))
+    parts = src.select(h32.alias("h32")).select(
+        F.expr(f"h32 DIV {1 << wbits}").alias("bucket"),
+        (F.col("h32") % (1 << wbits)).alias("w"))
+    rho = (F.when(F.col("w") == 0, F.lit(rho_max))
+           .otherwise(F.lit(rho_max) - F.length(F.bin(F.col("w")))))
+    regs = parts.groupBy("bucket").agg(F.max(rho).alias("rho"))
+    sk = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("nz"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_max} - rho)")),
+            F.lit(0).cast("long")).alias("s_present"),
+        F.coalesce(F.sum(F.col("bucket") * F.col("rho")),
+                   F.lit(0).cast("long")).cast("long")
+        .alias("register_checksum"))
+    ex = src.agg(F.countDistinct("v").cast("long").alias("n_exact"))
+    empty_term = F.lit(1 << rho_max).cast("long") * (m - F.col("nz"))
+    s_scaled = (F.col("s_present") + empty_term).alias("s_scaled")
+    e_raw = (F.lit(alpha * m * m * (1 << rho_max))
+             / (F.col("s_present") + empty_term))
+    e = (F.when((e_raw <= 2.5 * m) & (F.col("nz") < m),
+                F.lit(float(m)) * F.log(F.lit(float(m))
+                                        / (m - F.col("nz"))))
+         .otherwise(e_raw))
+    within = (F.when(F.col("n_exact") == 0, F.col("nz") == 0)
+              .otherwise(F.abs(e - F.col("n_exact"))
+                         / F.col("n_exact") <= 3 * 1.04 / (m ** 0.5)))
+    return (sk.crossJoin(F.broadcast(ex)).select(
+        F.lit(m).cast("long").alias("m"),
+        "n_exact",
+        F.col("nz").alias("nonzero_registers"),
+        s_scaled,
+        "register_checksum",
+        # scale-before-round = queries.core.rnd semantics (DuckDB parity)
+        (F.round(e * 100.0, 0) / 100.0).alias("estimate"),
+        within.alias("within_3sigma")))

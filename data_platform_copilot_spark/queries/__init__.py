@@ -147,6 +147,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "full_outer_join_reconciliation",   # r7-new: FULL OUTER surface
     "ann_recall_report",          # r7-new: value-gated recall@k audit
     "cms_token_estimates",        # r7-new: value-gated CMS sketch
+    "hll_user_cardinality",       # r7-new: value-gated HLL sketch
 ]
 
 

@@ -1157,3 +1157,68 @@ def dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("epsilon"),
         rnd(noise, 4).alias("noise"),
         rnd(F.col("n") + noise, 4).alias("n_noisy"))
+
+
+@query("hll_user_cardinality", oracle="""
+WITH src AS (
+    SELECT CAST(user_id AS VARCHAR) AS v FROM events
+    WHERE user_id IS NOT NULL
+), parts AS (
+    SELECT ('0x' || substring(md5(v), 1, 8))::BIGINT // 16777216
+               AS bucket,
+           ('0x' || substring(md5(v), 1, 8))::BIGINT % 16777216 AS w
+    FROM src
+), regs AS (
+    SELECT bucket,
+           max(CASE WHEN w = 0 THEN 25
+                    ELSE 25 - length(bin(w)) END) AS rho
+    FROM parts GROUP BY 1
+), sk AS (
+    SELECT CAST(count(*) AS BIGINT) AS nz,
+           CAST(coalesce(sum(1::BIGINT << (25 - rho)), 0) AS BIGINT)
+               AS s_present,
+           CAST(coalesce(sum(bucket * rho), 0) AS BIGINT)
+               AS register_checksum
+    FROM regs
+), ex AS (
+    SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_exact FROM src
+), calc AS (
+    SELECT nz, s_present, register_checksum, n_exact,
+           s_present + (256 - nz) * (1::BIGINT << 25) AS s_scaled,
+           (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * (1::BIGINT << 25)
+               / (s_present + (256 - nz) * (1::BIGINT << 25)) AS e_raw
+    FROM sk, ex
+), est AS (
+    SELECT *,
+           CASE WHEN e_raw <= 2.5 * 256 AND nz < 256
+                THEN 256 * ln(256.0 / (256 - nz))
+                ELSE e_raw END AS e
+    FROM calc
+)
+SELECT CAST(256 AS BIGINT) AS m,
+       n_exact,
+       nz AS nonzero_registers,
+       s_scaled,
+       register_checksum,
+       round(e, 2) AS estimate,
+       CASE WHEN n_exact = 0 THEN nz = 0
+            ELSE abs(e - n_exact) / n_exact <= 3 * 1.04 / sqrt(256)
+       END AS within_3sigma
+FROM est
+""")
+def hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-gated HyperLogLog (operators/selection.py:
+    hll_cardinality) over events.user_id, closing the sketch canon's
+    last epsilon gate: MinHash / SimHash / SRP (similarity), Bloom
+    (membership), CMS (frequency) were already value-gated; HLL
+    (cardinality) was only represented by the built-in
+    approx_count_distinct's epsilon bound. The md5 register layout
+    pins the full sketch state through exact integers (nonzero
+    registers, bucket*rho checksum, power-of-two harmonic sum) and
+    the paper's estimator — with its linear-counting branch, which
+    sf0.001/sf0.01 exercise (15/150 users vs the 640 threshold)
+    while sf0.1 (1500 users) takes the raw-estimate branch.
+    Scale: one <=256-group combine instead of a count-distinct
+    shuffle — THE cardinality plan for a 100 TB column."""
+    from ..operators.selection import hll_cardinality
+    return hll_cardinality(_t(spark, sf_dir, "events"), "user_id")
