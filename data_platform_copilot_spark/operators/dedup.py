@@ -859,3 +859,97 @@ def containment_pairs(sh: DataFrame, threshold: float = 0.9,
     cont = F.col("common") / F.least("size_a", "size_b")
     return (pairs.withColumn("containment", cont)
             .where(F.col("containment") >= threshold))
+
+
+def prefix_filter_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (Chaudhuri, Ganti &
+    Kaushik 2006; Bayardo, Ma & Srikant 2007 "AllPairs"; Xiao et al.
+    2008 "PPJoin") — the third candidate-generation family in the
+    dedup ladder, alongside the full inverted index
+    (``jaccard_pairs``) and MinHash LSH banding:
+
+    Under ANY common global ordering of the element universe, two
+    sets with Jaccard >= t must share an element within each set's
+    first ``|s| - ceil(t*|s|) + 1`` elements (else the overlap is
+    too small even if every remaining element matches). So only that
+    PREFIX is indexed — ordered rarest-first, so the indexed tokens
+    are the least likely to collide — and the join fans out on a
+    small, low-frequency slice instead of every posting. A length
+    filter (``t*|a| <= |b| <= |a|/t``) prunes candidates before the
+    exact-overlap verify; the verify makes the output EXACTLY the
+    threshold join, same rows the exhaustive method yields.
+
+    Input: (id, shingle) distinct. Output: (id_a, id_b, common,
+    size_a, size_b, jaccard), id_a < id_b, jaccard >= threshold.
+
+    Plan (100 TB): frequency table = one map-side-combinable groupBy
+    joined back token-keyed; per-set ordering is one window by id;
+    the candidate self-join touches only prefix rows (here ~half the
+    postings at t=0.5, and the RAREST half, which is what actually
+    bounds the join fan-out); the verify carries each candidate's
+    two shingle SETS as arrays (two keyed joins against the
+    collect_list'd sets, one array_intersect per pair — the same
+    verify shape as the MinHash-LSH entry) instead of re-exploding
+    postings, so its cost is |candidates|, not
+    |candidates| x set_size. The shingle frame feeds three subtrees
+    (frequencies, prefix index, set arrays) and is materialized once
+    — checkpoint on local masters, recomputable persist on clusters.
+    No quadratic stage, no broadcast of the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    is_local = sh.sparkSession.conf.get("spark.master",
+                                        "local").startswith("local")
+    if is_local:
+        sh = sh.localCheckpoint(eager=False)
+    else:
+        from pyspark import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "shingle")
+    pos = ranked.select(
+        "id", "shingle",
+        F.row_number().over(W.partitionBy("id").orderBy("df", "shingle"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(W.partitionBy("id")).alias("sz"))
+    prefix = pos.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    a = prefix.select(F.col("id").alias("id_a"), "shingle",
+                      F.col("pos").alias("pos_a"),
+                      F.col("sz").alias("size_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "shingle",
+                      F.col("pos").alias("pos_b"),
+                      F.col("sz").alias("size_b"))
+    # PPJoin positional filter: an occurrence at (pos_a, pos_b) can
+    # contribute at most 1 + min(size_a - pos_a, size_b - pos_b)
+    # total overlap, which must reach alpha = ceil(t/(1+t) *
+    # (size_a + size_b)) for J >= t. Necessary-condition-only (the
+    # epsilon guards the float ceil from over-pruning an exact
+    # integer boundary); the exact verify below makes the output
+    # independent of how hard these filters prune.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("size_a") + F.col("size_b")) - F.lit(1e-9))
+    cand = (a.join(b, "shingle")
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.col("size_b") >= F.ceil(F.lit(threshold) * F.col("size_a")))
+                   & (F.col("size_a") >= F.ceil(F.lit(threshold) * F.col("size_b")))
+                   & (1 + F.least(F.col("size_a") - F.col("pos_a"),
+                                  F.col("size_b") - F.col("pos_b"))
+                      >= alpha))
+            .select("id_a", "id_b", "size_a", "size_b").distinct())
+    sets_ = sh.groupBy("id").agg(F.collect_list("shingle").alias("s"))
+    common = (cand
+              .join(sets_.select(F.col("id").alias("id_a"),
+                                 F.col("s").alias("sa")), "id_a")
+              .join(sets_.select(F.col("id").alias("id_b"),
+                                 F.col("s").alias("sb")), "id_b")
+              .select("id_a", "id_b", "size_a", "size_b",
+                      F.size(F.array_intersect("sa", "sb"))
+                      .cast("long").alias("common")))
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b")
+                             - F.col("common"))
+    return (common.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "common", "size_a", "size_b",
+                    "jaccard"))

@@ -148,6 +148,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "ann_recall_report",          # r7-new: value-gated recall@k audit
     "cms_token_estimates",        # r7-new: value-gated CMS sketch
     "hll_user_cardinality",       # r7-new: value-gated HLL sketch
+    "dedup_prefix_filter_pairs",  # r7-new: AllPairs/PPJoin family
 ]
 
 
