@@ -229,3 +229,75 @@ def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
         return ranks
     finally:
         edges.unpersist()
+
+
+def triangle_stats(pairs: DataFrame, src: str = "id_a",
+                   dst: str = "id_b") -> DataFrame:
+    """Distributed triangle counting by degree-ordered edge
+    orientation (Suri & Vassilvitskii 2011's MapReduce algorithm;
+    the sequential ancestor is Chiba-Nishizeki compact-forward):
+    canonicalize to undirected simple edges, orient every edge from
+    its lower-(degree, id) endpoint to the higher, then a triangle
+    is exactly one wedge u->v, u->w (v < w in the same order) whose
+    closing edge v->w exists — each triangle counted ONCE from its
+    lowest-ordered vertex.
+
+    Why this is THE scale shape: the wedge join fans out on the
+    ORIENTED out-degree, which the degree ordering bounds by
+    O(sqrt(m)) per vertex (arboricity bound) — a hub with degree d
+    contributes d^2 wedges if you join on the raw graph but only
+    O(m) total after orientation. Two keyed self-joins, no
+    broadcast, no per-vertex state.
+
+    Returns ONE row: (n_vertices, n_edges, n_triangles, n_wedges,
+    transitivity) where n_wedges counts unordered connected triples
+    (sum over v of C(deg(v), 2)) and transitivity =
+    3 * triangles / wedges (the global clustering coefficient).
+    """
+    e = (pairs.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    # e feeds three subtrees (degrees, orientation join, closing-edge
+    # probe); materialize once so an expensive upstream (e.g. a kNN
+    # join) isn't re-executed per subtree — checkpoint locally,
+    # recomputable persist on clusters (same policy as jaccard_pairs).
+    if pairs.sparkSession.conf.get("spark.master",
+                                   "local").startswith("local"):
+        e = e.localCheckpoint(eager=False)
+    else:
+        from pyspark import StorageLevel
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (e.select(F.col("a").alias("v"))
+           .unionAll(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    lo_first = ((F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b"))
+                   & (F.col("a") < F.col("b"))))
+    oriented = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("w"))
+    w1 = oriented.select(F.col("u").alias("u"), F.col("w").alias("v1"))
+    w2 = oriented.select(F.col("u").alias("u"), F.col("w").alias("v2"))
+    wedges = (w1.join(w2, "u")
+              .where(F.col("v1") < F.col("v2")))
+    closing = oriented.select(
+        F.least("u", "w").alias("c1"), F.greatest("u", "w").alias("c2"))
+    tri = (wedges.select(F.least("v1", "v2").alias("c1"),
+                         F.greatest("v1", "v2").alias("c2"))
+           .join(closing, ["c1", "c2"])
+           .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    summary = (deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+        .alias("n_wedges")))
+    out = summary.crossJoin(F.broadcast(tri))
+    transitivity = F.when(
+        F.col("n_wedges") > 0,
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges")
+                * 10000.0, 0) / 10000.0).otherwise(F.lit(0.0))
+    return out.select("n_vertices", "n_edges", "n_triangles",
+                      "n_wedges", transitivity.alias("transitivity"))

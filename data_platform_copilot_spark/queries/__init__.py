@@ -149,6 +149,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "cms_token_estimates",        # r7-new: value-gated CMS sketch
     "hll_user_cardinality",       # r7-new: value-gated HLL sketch
     "dedup_prefix_filter_pairs",  # r7-new: AllPairs/PPJoin family
+    "knn_graph_triangles",        # r7-new: oriented triangle census
 ]
 
 

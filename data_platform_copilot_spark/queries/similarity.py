@@ -828,3 +828,53 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(10).cast("long").alias("k"),
                  rnd(F.count("hit") / F.lit(10.0), 4)
                  .alias("recall_at_k")))
+
+
+@query("knn_graph_triangles", oracle=f"""
+WITH knn AS ({_knn_join_oracle(k=3, n_planes=6, tables=4, dim=64,
+                               seed=42)}),
+e AS (
+    SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                    greatest(query_id, neighbor_id) AS b
+    FROM knn WHERE query_id <> neighbor_id
+), deg AS (
+    SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+    ) GROUP BY 1
+), tri AS (
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+       CAST(min(tri.n_triangles) AS BIGINT) AS n_triangles,
+       CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+       CASE WHEN sum(deg * (deg - 1) / 2) > 0
+            THEN round(3.0 * min(tri.n_triangles)
+                       / sum(deg * (deg - 1) / 2), 4)
+            ELSE 0.0 END AS transitivity
+FROM deg, tri
+""")
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the approximate 3-NN graph
+    (operators/graph.py:triangle_stats over the same literal-
+    hyperplane kNN join as ``knn_join_graph``): vertex/edge counts,
+    triangle count by degree-ordered orientation, wedge count, and
+    the global clustering coefficient — the structural-cohesion
+    audit run on similarity graphs before community detection or
+    graph-based label propagation (a high transitivity means the
+    near-dup neighborhoods are locally consistent rather than
+    hash-collision noise). Oracle enumerates a<b<c triangles
+    exhaustively; the Spark side must agree through the orientation
+    algebra."""
+    from ..operators.graph import triangle_stats
+    from ..operators.similarity import knn_join
+    from ..sources.registry import spread
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    knn = knn_join(emb, "vec_id", "embedding",
+                   k=3, n_planes=6, tables=4, dim=64, seed=42)
+    return triangle_stats(
+        knn.where(F.col("query_id") != F.col("neighbor_id")),
+        src="query_id", dst="neighbor_id")
