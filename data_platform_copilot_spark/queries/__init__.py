@@ -150,6 +150,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "hll_user_cardinality",       # r7-new: value-gated HLL sketch
     "dedup_prefix_filter_pairs",  # r7-new: AllPairs/PPJoin family
     "knn_graph_triangles",        # r7-new: oriented triangle census
+    "seasonal_decompose_daily",   # r7-new: MA-trend decomposition
 ]
 
 

@@ -1448,3 +1448,74 @@ def churn_label_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_types_3w",
                     F.when(F.col("seen").isNull(), 1).otherwise(0)
                     .alias("churned")))
+
+
+@query("seasonal_decompose_daily", oracle="""
+WITH daily AS (
+    SELECT d, y, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i,
+           dayofweek(d) + 1 AS dow  -- align to Spark: Sunday=1
+    FROM (SELECT CAST(ts AS DATE) AS d, avg(value) AS y
+          FROM events GROUP BY 1)
+), tr AS (
+    SELECT *, CASE WHEN count(*) OVER w7 = 7
+                   THEN avg(y) OVER w7 END AS trend
+    FROM daily
+    WINDOW w7 AS (ORDER BY i ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), sraw AS (
+    SELECT dow, avg(y - trend) AS s_raw FROM tr
+    WHERE trend IS NOT NULL GROUP BY dow
+), scent AS (
+    SELECT dow, s_raw - (SELECT avg(s_raw) FROM sraw) AS seasonal
+    FROM sraw
+)
+SELECT strftime(tr.d, '%Y-%m-%d') AS d,
+       CAST(tr.dow AS BIGINT) AS dow,
+       round(tr.y * 100) / 100 AS y,
+       round(tr.trend * 100) / 100 AS trend,
+       round(sc.seasonal * 100) / 100 AS seasonal,
+       round((tr.y - tr.trend - sc.seasonal) * 100) / 100 AS residual
+FROM tr JOIN scent sc ON sc.dow = tr.dow
+""")
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily mean
+    value (the moving-average method STL descends from, Cleveland et
+    al. 1990's baseline): trend = centered 7-day moving average
+    (NULL where the window is short), weekly seasonal index = the
+    per-day-of-week mean of the detrended series re-centered to sum
+    to zero, residual = y - trend - seasonal. The monitoring
+    decomposition behind "is this drop a real anomaly or just
+    Sunday": residuals are what the z-score/CUSUM monitors should
+    consume when traffic has a weekly cycle. Components are rounded
+    to 2dp (group-averaged floats; partial-sum order differs between
+    engines at finer precision). DOW alignment: Spark dayofweek is
+    Sunday=1, DuckDB is Sunday=0 — the oracle shifts. Scale: the
+    whole decomposition runs on the |days|-row daily aggregate, so
+    the unpartitioned window is a deliberate small-frame choice; the
+    only corpus-sized stage is the first keyed date combine."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.avg("value").alias("y"))
+             .select("d", "y",
+                     (F.row_number().over(W.orderBy("d")) - 1)
+                     .cast("long").alias("i"),
+                     F.dayofweek("d").cast("long").alias("dow")))
+    w7 = W.orderBy("i").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "dow", "y",
+        F.when(F.count(F.lit(1)).over(w7) == 7,
+               F.avg("y").over(w7)).alias("trend"))
+    sraw = (tr.where(F.col("trend").isNotNull())
+            .groupBy("dow")
+            .agg(F.avg(F.col("y") - F.col("trend")).alias("s_raw")))
+    center = sraw.agg(F.avg("s_raw").alias("s_mean"))
+    scent = (sraw.crossJoin(F.broadcast(center))
+             .select("dow", (F.col("s_raw") - F.col("s_mean"))
+                     .alias("seasonal")))
+    return (tr.join(F.broadcast(scent), "dow")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("d"),
+                    F.col("dow").cast("long").alias("dow"),
+                    rnd("y", 2).alias("y"),
+                    rnd("trend", 2).alias("trend"),
+                    rnd("seasonal", 2).alias("seasonal"),
+                    rnd(F.col("y") - F.col("trend") - F.col("seasonal"),
+                        2).alias("residual")))
