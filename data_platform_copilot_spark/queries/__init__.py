@@ -151,6 +151,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "dedup_prefix_filter_pairs",  # r7-new: AllPairs/PPJoin family
     "knn_graph_triangles",        # r7-new: oriented triangle census
     "seasonal_decompose_daily",   # r7-new: MA-trend decomposition
+    "privacy_delete_cascade_report",  # r7-new: RTBF cascade dry-run
 ]
 
 

@@ -1222,3 +1222,83 @@ def hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — THE cardinality plan for a 100 TB column."""
     from ..operators.selection import hll_cardinality
     return hll_cardinality(_t(spark, sf_dir, "events"), "user_id")
+
+
+@query("privacy_delete_cascade_report", oracle="""
+WITH forget AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), ord_hit AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM forget)
+), li_hit AS (
+    SELECT l_orderkey FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM ord_hit)
+), ev_hit AS (
+    SELECT event_id FROM events
+    WHERE user_id IN (SELECT c_custkey FROM forget)
+), per_table AS (
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS n_rows,
+           (SELECT count(*) FROM forget) AS n_deleted
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM ord_hit)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM li_hit)
+    UNION ALL
+    SELECT 'events',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM ev_hit)
+)
+SELECT table_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_deleted AS BIGINT) AS n_deleted,
+       round(10000.0 * n_deleted / n_rows) / 10000.0 AS delete_rate
+FROM per_table
+""")
+def privacy_delete_cascade_report(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a tombstone set of
+    subjects (here the deterministic c_custkey % 97 == 0 cohort),
+    walk the FK cascade customer -> orders -> lineitem plus the
+    events stream keyed by user, and report per-table row counts,
+    rows that a GDPR/CCPA erasure would delete, and the delete
+    rate — the dry-run every compliance pipeline wants before
+    issuing actual DELETEs. Spark shape: each hop is a LEFT SEMI
+    join down the FK chain (tombstones never broadcast-materialize
+    rows, only keys travel), and the four per-table counts are
+    four independent aggregates unioned into the report frame —
+    at 100 TB each table is scanned once with only its key column
+    read (column pruning) and the semi-join keys shuffled."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    forget = cust.where(F.col("c_custkey") % 97 == 0) \
+                 .select("c_custkey")
+    ord_hit = orders.join(
+        forget, orders.o_custkey == forget.c_custkey, "left_semi") \
+        .select("o_orderkey")
+    li_hit = li.join(ord_hit, li.l_orderkey == ord_hit.o_orderkey,
+                     "left_semi")
+    ev_hit = ev.join(forget, ev.user_id == forget.c_custkey,
+                     "left_semi")
+
+    def row(name: str, full: DataFrame, hit: DataFrame) -> DataFrame:
+        n = full.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        d = hit.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+        return (n.crossJoin(F.broadcast(d))
+                .select(F.lit(name).alias("table_name"), "n_rows",
+                        "n_deleted"))
+
+    rep = (row("customer", cust, forget)
+           .unionAll(row("orders", orders, ord_hit))
+           .unionAll(row("lineitem", li, li_hit))
+           .unionAll(row("events", ev, ev_hit)))
+    return rep.select(
+        "table_name", "n_rows", "n_deleted",
+        rnd(F.col("n_deleted") / F.col("n_rows"), 4)
+        .alias("delete_rate"))
