@@ -152,6 +152,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "knn_graph_triangles",        # r7-new: oriented triangle census
     "seasonal_decompose_daily",   # r7-new: MA-trend decomposition
     "privacy_delete_cascade_report",  # r7-new: RTBF cascade dry-run
+    "streaming_view_purchase_join",   # r7-new: stream-stream join
 ]
 
 

@@ -1519,3 +1519,28 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd("seasonal", 2).alias("seasonal"),
                     rnd(F.col("y") - F.col("trend") - F.col("seasonal"),
                         2).alias("residual")))
+
+
+@query("streaming_view_purchase_join", oracle="""
+SELECT v.user_id AS user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       CAST(epoch_ms(p.ts) - epoch_ms(v.ts) AS BIGINT) AS latency_ms
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""")
+def streaming_view_purchase_join(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/events.py:
+    run_streaming_interval_join): view and purchase branches of the
+    event stream, each with its own watermark, inner-joined on user
+    within a 1-hour horizon — every (view, converting purchase)
+    pair with its millisecond latency. Value-verified against the
+    batch interval join because inner stream-stream matches emit
+    exactly once on the bounded replay. The watermark + range
+    predicate pair is what bounds both join buffers in production
+    (state eviction at watermark - horizon)."""
+    from ..streaming.events import run_streaming_interval_join
+    return run_streaming_interval_join(spark, sf_dir)

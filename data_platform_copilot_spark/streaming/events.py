@@ -472,3 +472,53 @@ def run_streaming_observed_dq(spark: SparkSession, sf_dir: str,
         q.stop()
     rows = sum(b["rows"] for b in batches)
     return rows, metrics
+
+
+def run_streaming_interval_join(spark: SparkSession, sf_dir: str,
+                                horizon: str = "1 hour",
+                                watermark: str = "1 hour") -> DataFrame:
+    """STREAM-STREAM inner interval join — the attribution shape
+    (ad-impression x click, here view x purchase): two branches of
+    the event stream, each with its own watermark, joined on user
+    within ``[view.ts, view.ts + horizon]``.
+
+    This is the one streaming join Spark buffers BOTH sides for: the
+    range condition + watermarks let the engine bound each side's
+    state (a view can be evicted once the purchase-side watermark
+    passes view.ts + horizon — without the time bound the state
+    would grow forever, which is why the interval predicate is
+    mandatory for production stream-stream joins). Inner-join
+    matches emit immediately (no watermark holdback — that applies
+    to outer sides), so the bounded replay yields exactly the batch
+    interval join, which is the oracle.
+    """
+    stream = streaming_events_source(spark, sf_dir)
+    views = (stream.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_event_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", watermark))
+    purchases = (stream.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_event_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id", "purchase_event_id",
+        (F.unix_millis(F.col("p_ts").cast("timestamp_ltz"))
+         - F.unix_millis(F.col("v_ts").cast("timestamp_ltz")))
+        .alias("latency_ms"))
+    name = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

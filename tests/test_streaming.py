@@ -249,3 +249,32 @@ def test_streaming_observed_dq_matches_batch(spark, sf_dir):
     assert sum(m["nulls_user_id"] for m in metrics) == direct.nu
     assert min(m["min_value"] for m in metrics) == direct.mn
     assert max(m["max_value"] for m in metrics) == direct.mx
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Inner stream-stream interval join must emit exactly the batch
+    interval join's pairs — no duplicates (each match emits once),
+    no holdback (inner matches don't wait for the watermark)."""
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.sources.registry import load_table
+    from data_platform_copilot_spark.streaming.events import (
+        run_streaming_interval_join,
+    )
+    got = run_streaming_interval_join(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("ve"),
+        F.col("ts").alias("vt"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pe"),
+        F.col("ts").alias("pt"))
+    exp = (v.join(p, (F.col("u") == F.col("pu"))
+                  & (F.col("pt") >= F.col("vt"))
+                  & (F.col("pt") <= F.col("vt") + F.expr("INTERVAL 1 HOUR")))
+           .select("ve", "pe").toPandas())
+    got_pairs = set(zip(got.view_event_id, got.purchase_event_id))
+    exp_pairs = set(zip(exp.ve, exp.pe))
+    assert got_pairs == exp_pairs
+    assert len(got) == len(exp)  # exactly-once emission
+    assert (got.latency_ms >= 0).all() and (got.latency_ms <= 3.6e6).all()
