@@ -153,6 +153,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "seasonal_decompose_daily",   # r7-new: MA-trend decomposition
     "privacy_delete_cascade_report",  # r7-new: RTBF cascade dry-run
     "streaming_view_purchase_join",   # r7-new: stream-stream join
+    "quantile_histogram_sketch",      # r7-new: mergeable percentiles
 ]
 
 

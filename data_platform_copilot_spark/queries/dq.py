@@ -1302,3 +1302,92 @@ def privacy_delete_cascade_report(spark: SparkSession,
         "table_name", "n_rows", "n_deleted",
         rnd(F.col("n_deleted") / F.col("n_rows"), 4)
         .alias("delete_rate"))
+
+
+@query("quantile_histogram_sketch", oracle="""
+WITH b AS (
+    SELECT min(value) AS mn, max(value) AS mx,
+           CAST(count(value) AS BIGINT) AS n,
+           (max(value) - min(value)) / 256.0 AS w
+    FROM events
+), bins AS (
+    SELECT CAST(least(floor((value - b.mn) / nullif(b.w, 0)), 255)
+                AS BIGINT) AS bin,
+           count(*) AS cnt
+    FROM events, b WHERE value IS NOT NULL GROUP BY 1
+), cum AS (
+    SELECT bin, cnt,
+           sum(cnt) OVER (ORDER BY bin) AS cum,
+           sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+    FROM bins
+), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+est AS (
+    SELECT qs.q, b.n, b.w,
+           min(b.mn + b.w * (cum.bin + (qs.q * b.n - cum.cum_before)
+                             / cum.cnt)) AS est_q
+    FROM qs, b, cum
+    WHERE cum.cum >= qs.q * b.n AND cum.cum_before < qs.q * b.n
+    GROUP BY 1, 2, 3
+), ex AS (
+    SELECT unnest([0.5, 0.9, 0.99]) AS q,
+           unnest([quantile_cont(value, 0.5),
+                   quantile_cont(value, 0.9),
+                   quantile_cont(value, 0.99)]) AS exact_q
+    FROM events
+)
+SELECT est.q AS q, est.n AS n,
+       round(est.est_q * 100) / 100 AS est_q,
+       round(ex.exact_q * 100) / 100 AS exact_q,
+       abs(est.est_q - ex.exact_q) <= est.w AS within_one_bin
+FROM est JOIN ex ON ex.q = est.q
+""")
+def quantile_histogram_sketch(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Fixed-boundary histogram quantile sketch: 256 equi-width bins
+    over [min, max], quantiles by linear interpolation inside the
+    covering bin — the MERGEABLE percentile structure (per-partition
+    bin counts sum associatively, unlike exact sorts) that streaming
+    and tiered-rollup systems use where GK/t-digest's guarantees
+    aren't needed. Exact-integer bin counts make the whole sketch
+    value-gated: both engines must agree on every bin, the
+    interpolated estimate (2dp), AND the pinned-TRUE accuracy bound
+    |est - exact| <= bin width (the sketch's whole guarantee, since
+    the true quantile lies inside the covering bin). Scale: one
+    min/max/n pass + one <=256-group combine; the quantile epilogue
+    runs on the 256-row frame. Three sketch passes beat one exact
+    percentile at 100 TB because nothing ever sorts."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"),
+               F.count("value").cast("long").alias("n")).select(
+        "mn", "mx", "n", ((F.col("mx") - F.col("mn")) / 256.0).alias("w"))
+    binned = (ev.where(F.col("value").isNotNull())
+              .crossJoin(F.broadcast(b))
+              .select(F.least(F.floor((F.col("value") - F.col("mn"))
+                                      / F.nullif(F.col("w"), F.lit(0))),
+                              F.lit(255)).cast("long").alias("bin")))
+    from pyspark.sql import Window as W
+    bins = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "cnt", F.sum("cnt").over(wcum).alias("cum"),
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_before"))
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], ["q"])
+    est = (F.broadcast(qs).crossJoin(F.broadcast(b)).crossJoin(cum)
+           .where((F.col("cum") >= F.col("q") * F.col("n"))
+                  & (F.col("cum_before") < F.col("q") * F.col("n")))
+           .groupBy("q", "n", "w")
+           .agg(F.min(F.col("mn") + F.col("w")
+                      * (F.col("bin")
+                         + (F.col("q") * F.col("n") - F.col("cum_before"))
+                         / F.col("cnt"))).alias("est_q")))
+    ex = ev.agg(*[F.expr(f"percentile(value, {q})").alias(f"e{i}")
+                  for i, q in enumerate((0.5, 0.9, 0.99))])
+    exl = ex.select(F.explode(F.array(
+        *[F.struct(F.lit(q).alias("q"), F.col(f"e{i}").alias("exact_q"))
+          for i, q in enumerate((0.5, 0.9, 0.99))])).alias("s")) \
+        .select("s.q", "s.exact_q")
+    return (est.join(F.broadcast(exl), "q")
+            .select("q", "n", rnd("est_q", 2).alias("est_q"),
+                    rnd("exact_q", 2).alias("exact_q"),
+                    (F.abs(F.col("est_q") - F.col("exact_q"))
+                     <= F.col("w")).alias("within_one_bin")))
