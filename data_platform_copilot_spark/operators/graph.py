@@ -301,3 +301,48 @@ def triangle_stats(pairs: DataFrame, src: str = "id_a",
                 * 10000.0, 0) / 10000.0).otherwise(F.lit(0.0))
     return out.select("n_vertices", "n_edges", "n_triangles",
                       "n_wedges", transitivity.alias("transitivity"))
+
+
+def label_propagation(edges: DataFrame, seeds: DataFrame,
+                      rounds: int = 2) -> DataFrame:
+    """Semi-supervised label propagation over a directed neighbor
+    graph (Zhu & Ghahramani 2002's hard-label variant, the
+    graph-based classifier behind kNN pseudo-labeling): seed nodes
+    keep their label; each round, every still-unlabeled node takes
+    the MAJORITY label of its already-labeled out-neighbors
+    (ties -> lowest label; no labeled neighbors -> stays unlabeled
+    until a later round).
+
+    ``edges``: (query_id, neighbor_id) directed "I consult my k
+    nearest" adjacency. ``seeds``: (vec_id, label). Returns
+    (vec_id, label, round_assigned) with round_assigned = 0 for
+    seeds.
+
+    Deterministic by construction (count desc, label asc window), so
+    a SQL replay value-gates every assignment. Scale: each round is
+    one edge-keyed join against the current label frame + one
+    (node, label) combine — the same join-per-superstep shape as
+    ``pagerank``/``connected_components``; the label frame is
+    lineage-truncated per round so iterative plans stay flat.
+    """
+    from pyspark.sql import Window as W
+
+    labels = seeds.select("vec_id", "label",
+                          F.lit(0).alias("round_assigned"))
+    for r in range(1, rounds + 1):
+        labels = truncate_lineage(labels)
+        nbr = edges.join(
+            labels.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id")
+        unl = nbr.join(labels.select(F.col("vec_id").alias("query_id")),
+                       "query_id", "left_anti")
+        votes = (unl.groupBy("query_id", "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        win = W.partitionBy("query_id").orderBy(F.desc("c"), "label")
+        newly = (votes.select("query_id", "label",
+                              F.row_number().over(win).alias("rn"))
+                 .where(F.col("rn") == 1)
+                 .select(F.col("query_id").alias("vec_id"), "label",
+                         F.lit(r).alias("round_assigned")))
+        labels = labels.unionAll(newly)
+    return labels

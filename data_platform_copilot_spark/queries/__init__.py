@@ -154,6 +154,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "privacy_delete_cascade_report",  # r7-new: RTBF cascade dry-run
     "streaming_view_purchase_join",   # r7-new: stream-stream join
     "quantile_histogram_sketch",      # r7-new: mergeable percentiles
+    "knn_label_propagation",          # r7-new: semi-supervised LPA
 ]
 
 

@@ -878,3 +878,91 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(
         knn.where(F.col("query_id") != F.col("neighbor_id")),
         src="query_id", dst="neighbor_id")
+
+
+@query("knn_label_propagation", oracle=f"""
+WITH knn AS ({_knn_join_oracle(k=3, n_planes=6, tables=4, dim=64,
+                               seed=42)}),
+seed AS (
+    SELECT vec_id, label FROM embeddings WHERE vec_id % 5 = 0
+), r1v AS (
+    SELECT k.query_id AS vec_id, s.label, count(*) AS c
+    FROM knn k JOIN seed s ON s.vec_id = k.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM seed x WHERE x.vec_id = k.query_id)
+    GROUP BY 1, 2
+), r1 AS (
+    SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, label) AS rn
+        FROM r1v) WHERE rn = 1
+), l1 AS (
+    SELECT vec_id, label, 0 AS round_assigned FROM seed
+    UNION ALL SELECT vec_id, label, 1 FROM r1
+), r2v AS (
+    SELECT k.query_id AS vec_id, l.label, count(*) AS c
+    FROM knn k JOIN l1 l ON l.vec_id = k.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM l1 x WHERE x.vec_id = k.query_id)
+    GROUP BY 1, 2
+), r2 AS (
+    SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, label) AS rn
+        FROM r2v) WHERE rn = 1
+), fin AS (
+    SELECT * FROM l1 UNION ALL SELECT vec_id, label, 2 FROM r2
+)
+SELECT e.label AS true_label,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN f.round_assigned = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seed,
+       CAST(sum(CASE WHEN f.round_assigned > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_propagated,
+       CAST(sum(CASE WHEN f.round_assigned > 0 AND f.label = e.label
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM embeddings e LEFT JOIN fin f ON f.vec_id = e.vec_id
+GROUP BY 1
+""")
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (operators/graph.py:
+    label_propagation) over the approximate 3-NN graph: 20% of
+    vectors keep their label (vec_id % 5 == 0), every other node
+    takes the deterministic majority label of its labeled neighbors
+    for two rounds — the kNN pseudo-labeling loop used to bootstrap
+    classifiers from a small labeled pool. Report per TRUE label:
+    nodes, seeds, propagated assignments, and how many propagated
+    labels recovered the truth. The recovery rate IS the audit's
+    answer to "can labels be bootstrapped from this geometry?" — on
+    this synthetic corpus the labels are geometry-independent
+    (1-NN label agreement ~= chance), and the report surfaces
+    exactly that (~8% recovery at 10 labels), which is the signal
+    that would stop a bad pseudo-labeling run before it trains.
+    Every assignment is value-gated through the SQL replay of both
+    rounds."""
+    from ..operators.graph import label_propagation
+    from ..operators.similarity import knn_join
+    from ..sources.registry import spread
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    knn = knn_join(emb, "vec_id", "embedding",
+                   k=3, n_planes=6, tables=4, dim=64, seed=42)
+    if spark.conf.get("spark.master", "local").startswith("local"):
+        knn = knn.localCheckpoint(eager=False)
+    else:
+        from pyspark import StorageLevel
+        knn = knn.persist(StorageLevel.MEMORY_AND_DISK)
+    seeds = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "label")
+    fin = label_propagation(
+        knn.select("query_id", "neighbor_id"), seeds, rounds=2)
+    truth = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").alias("true_label"))
+    j = truth.join(fin, "vec_id", "left")
+    return (j.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum((F.col("round_assigned") == 0).cast("int")).cast("long")
+        .alias("n_seed"),
+        F.sum((F.col("round_assigned") > 0).cast("int")).cast("long")
+        .alias("n_propagated"),
+        F.sum(((F.col("round_assigned") > 0)
+               & (F.col("label") == F.col("true_label"))).cast("int"))
+        .cast("long").alias("n_correct")))
