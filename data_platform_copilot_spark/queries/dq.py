@@ -1256,7 +1256,8 @@ WITH forget AS (
 SELECT table_name,
        CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_deleted AS BIGINT) AS n_deleted,
-       round(10000.0 * n_deleted / n_rows) / 10000.0 AS delete_rate
+       round(10000.0 * n_deleted / nullif(n_rows, 0)) / 10000.0
+           AS delete_rate
 FROM per_table
 """)
 def privacy_delete_cascade_report(spark: SparkSession,
@@ -1300,7 +1301,7 @@ def privacy_delete_cascade_report(spark: SparkSession,
            .unionAll(row("events", ev, ev_hit)))
     return rep.select(
         "table_name", "n_rows", "n_deleted",
-        rnd(F.col("n_deleted") / F.col("n_rows"), 4)
+        rnd(F.col("n_deleted") / F.nullif(F.col("n_rows"), F.lit(0)), 4)
         .alias("delete_rate"))
 
 
