@@ -155,6 +155,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "streaming_view_purchase_join",   # r7-new: stream-stream join
     "quantile_histogram_sketch",      # r7-new: mergeable percentiles
     "knn_label_propagation",          # r7-new: semi-supervised LPA
+    "padding_waste_batching",         # r7-new: batch padding audit
 ]
 
 

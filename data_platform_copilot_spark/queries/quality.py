@@ -1467,3 +1467,78 @@ def decontamination_bloom_prefilter(spark: SparkSession,
     return out.select(out["id"].alias("doc_id"), "n_candidate_grams",
                       "n_hit_ngrams", "bloom_candidate", "contaminated",
                       "false_positive")
+
+
+@query("padding_waste_batching", oracle=f"""
+WITH lens AS (
+    SELECT doc_id,
+           CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), sorted_b AS (
+    SELECT 'length_sorted' AS policy, n_tokens,
+           (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32
+               AS batch_id
+    FROM lens
+), shuffled_b AS (
+    SELECT 'shuffled' AS policy, n_tokens,
+           (row_number() OVER (
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 32
+               AS batch_id
+    FROM lens
+), batches AS (
+    SELECT policy, batch_id, count(*) AS bn,
+           max(n_tokens) AS mx, sum(n_tokens) AS s
+    FROM (SELECT * FROM sorted_b UNION ALL SELECT * FROM shuffled_b)
+    GROUP BY 1, 2
+)
+SELECT policy,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(s) AS BIGINT) AS total_tokens,
+       CAST(sum(bn * mx) AS BIGINT) AS padded_tokens,
+       CAST(sum(bn * mx - s) AS BIGINT) AS wasted_tokens,
+       round(10000.0 * sum(bn * mx - s) / nullif(sum(bn * mx), 0))
+           / 10000.0 AS waste_rate
+FROM batches GROUP BY policy
+""")
+def padding_waste_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-throughput audit: padding waste of fixed-size-32
+    batches when examples are padded to the batch max, under
+    length-sorted batching vs a deterministic shuffle — the number
+    that justifies length-bucketed batching in every trainer (sorted
+    batching puts similar lengths together, so bn*max ~= sum and
+    waste collapses; shuffled batching pays the long-tail max per
+    batch). Exact integer accounting, value-gated. Scale: one token
+    count per doc + a |docs|-row window per policy; at 100 TB the
+    sort-batch would be built per output shard (window partitioned
+    by the shard key the trainer reads), making the global window
+    here the small-frame special case of the shard-local plan."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from ..functions.text import tokens
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long")
+        .alias("n_tokens"))
+    def batched(policy: str, order_cols) -> DataFrame:
+        w = W.orderBy(*order_cols)
+        return lens.select(
+            F.lit(policy).alias("policy"), "n_tokens",
+            F.floor((F.row_number().over(w) - 1) / 32).alias("batch_id"))
+    sorted_b = batched("length_sorted", [F.col("n_tokens"), F.col("doc_id")])
+    shuffled_b = batched(
+        "shuffled", [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")])
+    batches = (sorted_b.unionAll(shuffled_b)
+               .groupBy("policy", "batch_id")
+               .agg(F.count(F.lit(1)).alias("bn"),
+                    F.max("n_tokens").alias("mx"),
+                    F.sum("n_tokens").alias("s")))
+    return (batches.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("s").cast("long").alias("total_tokens"),
+        F.sum(F.col("bn") * F.col("mx")).cast("long")
+        .alias("padded_tokens"),
+        F.sum(F.col("bn") * F.col("mx") - F.col("s")).cast("long")
+        .alias("wasted_tokens"),
+        rnd(F.sum(F.col("bn") * F.col("mx") - F.col("s"))
+            / F.nullif(F.sum(F.col("bn") * F.col("mx")), F.lit(0)), 4)
+        .alias("waste_rate")))
