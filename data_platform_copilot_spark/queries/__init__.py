@@ -156,6 +156,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "quantile_histogram_sketch",      # r7-new: mergeable percentiles
     "knn_label_propagation",          # r7-new: semi-supervised LPA
     "padding_waste_batching",         # r7-new: batch padding audit
+    "bloom_runtime_filter_join",      # r7-new: runtime-filter star join
 ]
 
 

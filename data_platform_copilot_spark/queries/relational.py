@@ -635,3 +635,65 @@ def full_outer_join_reconciliation(spark: SparkSession,
                        & F.col("n_events").isNotNull(), "both")
                 .when(F.col("n_orders").isNotNull(), "orders_only")
                 .otherwise("events_only").alias("side")))
+
+
+@query("bloom_runtime_filter_join", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate <  DATE '1995-04-01'
+GROUP BY 1, 2
+""")
+def bloom_runtime_filter_join(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the fact-table side of a
+    selective star join is screened by a Bloom filter built from the
+    filtered dimension keys BEFORE the shuffle join (the pattern
+    Spark's optimizer injects as runtime row-level filtering; built
+    explicitly here with the engine's md5 Bloom layout so the plan
+    is pinned, not config- or stats-dependent). The urgent-Q1-1995
+    filter keeps ~0.7% of orders; the filter's k=3 probe runs as
+    THREE chained BroadcastHashJoin LeftSemi against the set-bit
+    table (each a map-side hash probe — no explode, no shuffle, no
+    per-row blowup), so the join exchange carries only survivors +
+    Bloom false positives and the exact join kills the false
+    positives — output identical to the plain join, which is the
+    oracle. At 100 TB this is THE difference between shuffling the
+    whole fact table and shuffling the matching fraction; unlike a
+    broadcast semi-join of the raw keys the broadcast stays O(m
+    bits) however many keys the dimension filter passes."""
+    m_bits, k = 1 << 16, 3
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (orders
+            .where((F.col("o_orderpriority") == "1-URGENT")
+                   & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                   & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date")))
+            .select("o_orderkey"))
+
+    def pos(key, j: int):
+        return (F.conv(F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f":{j}"))), 1, 7),
+            16, 10).cast("long") % m_bits)
+
+    from ..sources.registry import materialize_auto
+    keys = materialize_auto(keys)  # feeds k bit-builds + the exact join
+    bits = (keys.select(F.explode(F.array(
+        *[pos(F.col("o_orderkey"), j) for j in range(k)])).alias("p"))
+        .distinct())
+    bits = materialize_auto(bits)
+    pruned = li
+    for j in range(k):
+        pruned = pruned.join(
+            F.broadcast(bits.withColumnRenamed("p", f"p{j}")),
+            pos(F.col("l_orderkey"), j) == F.col(f"p{j}"), "left_semi")
+    return (pruned.join(keys,
+                        pruned.l_orderkey == keys.o_orderkey)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 rnd(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))

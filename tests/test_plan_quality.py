@@ -300,3 +300,15 @@ class TestLateR6PlanShapes:
         plan = plan_of(spark, sf_dir, "training_order_interleave")
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestBloomRuntimeFilterJoin:
+    def test_probe_is_broadcast_semi_chain(self, spark, sf_dir):
+        """The k=3 Bloom probe must run as map-side BroadcastHashJoin
+        LeftSemi operators (no explode of the fact table, no shuffle
+        before the pruned join)."""
+        plan = plan_of(spark, sf_dir, "bloom_runtime_filter_join")
+        import re
+        semis = re.findall(r"BroadcastHashJoin LeftSemi", plan)
+        assert len(semis) >= 3
+        assert "Generate" not in plan  # no explode on the fact side
