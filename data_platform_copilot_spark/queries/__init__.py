@@ -157,6 +157,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "knn_label_propagation",          # r7-new: semi-supervised LPA
     "padding_waste_batching",         # r7-new: batch padding audit
     "bloom_runtime_filter_join",      # r7-new: runtime-filter star join
+    "incremental_join_maintenance",   # r7-new: delta-join IVM
 ]
 
 

@@ -1392,3 +1392,54 @@ def quantile_histogram_sketch(spark: SparkSession,
                     rnd("exact_q", 2).alias("exact_q"),
                     (F.abs(F.col("est_q") - F.col("exact_q"))
                      <= F.col("w")).alias("within_one_bin")))
+
+
+@query("incremental_join_maintenance", oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+""")
+def incremental_join_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance by the delta-join algebra
+    (the classic IVM identity behind every materialized-view
+    refresh engine): with base tables split into old + newly-arrived
+    delta, the view delta of Q = A |x| B is
+
+        dQ = dA |x| B_old  U  A_old |x| dB  U  dA |x| dB
+
+    so a refresh scans ONLY delta-sized join inputs against the
+    other side — never re-joining old x old, which at 100 TB is the
+    whole point (the old join's contribution is the materialized
+    view itself). Here orders/lineitem arrive with a correlated
+    delta (orderkey % 7 == 0, so all three delta terms are
+    non-empty), each term folds to mergeable per-group partials, and
+    the partials sum with the old view's. The oracle recomputes the
+    join-aggregate from the FULL tables — a different algorithm that
+    must agree to the last bit because count/sum are commutative
+    monoids over a disjoint union of the four join quadrants."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    is_delta_o = F.col("o_orderkey") % 7 == 0
+    is_delta_l = F.col("l_orderkey") % 7 == 0
+    o_old, o_new = orders.where(~is_delta_o), orders.where(is_delta_o)
+    l_old, l_new = li.where(~is_delta_l), li.where(is_delta_l)
+
+    def part(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (o.join(l, o.o_orderkey == l.l_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("pn"),
+                     F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))).alias("ps")))
+
+    # old view (materialized in production) + the three delta terms
+    quadrants = [part(o_old, l_old), part(o_new, l_old),
+                 part(o_old, l_new), part(o_new, l_new)]
+    merged = quadrants[0]
+    for q in quadrants[1:]:
+        merged = merged.unionAll(q)
+    return (merged.groupBy("o_orderpriority")
+            .agg(F.sum("pn").cast("long").alias("n_items"),
+                 rnd(F.sum("ps"), 2).alias("revenue")))
