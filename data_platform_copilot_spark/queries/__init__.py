@@ -158,6 +158,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "padding_waste_batching",         # r7-new: batch padding audit
     "bloom_runtime_filter_join",      # r7-new: runtime-filter star join
     "incremental_join_maintenance",   # r7-new: delta-join IVM
+    "range_partition_plan",           # r7-new: sort boundary planner
 ]
 
 

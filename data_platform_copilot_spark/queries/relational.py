@@ -697,3 +697,89 @@ def bloom_runtime_filter_join(spark: SparkSession,
                  rnd(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
+
+
+@query("range_partition_plan", oracle="""
+WITH keyed AS (
+    SELECT l_extendedprice AS k,
+           ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                  || CAST(l_linenumber AS VARCHAR)),
+                              1, 6))::BIGINT % 100 < 5 AS in_sample
+    FROM lineitem
+), hist AS (
+    SELECT k, count(*) AS c FROM keyed WHERE in_sample GROUP BY k
+), cum AS (
+    SELECT k, sum(c) OVER (ORDER BY k) AS cum,
+           sum(c) OVER () AS ns
+    FROM hist
+), b AS (
+    SELECT min(CASE WHEN cum >= (1 * ns + 7) // 8 THEN k END) AS b1,
+           min(CASE WHEN cum >= (2 * ns + 7) // 8 THEN k END) AS b2,
+           min(CASE WHEN cum >= (3 * ns + 7) // 8 THEN k END) AS b3,
+           min(CASE WHEN cum >= (4 * ns + 7) // 8 THEN k END) AS b4,
+           min(CASE WHEN cum >= (5 * ns + 7) // 8 THEN k END) AS b5,
+           min(CASE WHEN cum >= (6 * ns + 7) // 8 THEN k END) AS b6,
+           min(CASE WHEN cum >= (7 * ns + 7) // 8 THEN k END) AS b7
+    FROM cum
+), assigned AS (
+    SELECT (CASE WHEN k > b1 THEN 1 ELSE 0 END
+          + CASE WHEN k > b2 THEN 1 ELSE 0 END
+          + CASE WHEN k > b3 THEN 1 ELSE 0 END
+          + CASE WHEN k > b4 THEN 1 ELSE 0 END
+          + CASE WHEN k > b5 THEN 1 ELSE 0 END
+          + CASE WHEN k > b6 THEN 1 ELSE 0 END
+          + CASE WHEN k > b7 THEN 1 ELSE 0 END) AS pid
+    FROM keyed, b
+), total AS (SELECT count(*) AS n FROM keyed)
+SELECT CAST(pid AS BIGINT) AS partition_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(10000.0 * count(*) / max(total.n)) / 10000.0 AS frac
+FROM assigned, total GROUP BY pid
+""")
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner boundary planning — what Spark's
+    RangePartitioner (and every distributed sort) does internally,
+    surfaced as an auditable plan: a deterministic ~5% md5 sample of
+    the sort key, 7 nearest-rank cut points from the sample's
+    (value, count) histogram (integer rank arithmetic — no float
+    quantiles), then every row assigned by 7 UNROLLED boundary
+    comparisons (plain codegen'd expressions, not an interpreted
+    higher-order function) and counted per partition. The frac
+    column is the skew report: balanced boundaries put ~1/8
+    everywhere, and a hot range shows up before you pay for the
+    actual sort. Scale: the sample is the only sorted thing
+    (histogram-sized window); assignment is a map-side expression
+    over the broadcast 7-value boundary row — the full-table sort
+    this plans for never runs inside the planner."""
+    li = _t(spark, sf_dir, "lineitem")
+    in_sample = (F.conv(F.substring(
+        F.md5(F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                       F.col("l_linenumber").cast("string"))), 1, 6),
+        16, 10).cast("long") % 100 < 5)
+    keyed = li.select(F.col("l_extendedprice").alias("k"),
+                      in_sample.alias("in_sample"))
+    from pyspark.sql import Window as W
+    hist = (keyed.where("in_sample").groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c")))
+    cum = hist.select(
+        "k",
+        F.sum("c").over(W.orderBy("k")
+                        .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("ns"))
+    b = cum.agg(*[
+        F.min(F.when(F.col("cum") >= F.expr(f"({i} * ns + 7) DIV 8"),
+                     F.col("k"))).alias(f"b{i}")
+        for i in range(1, 8)])
+    assigned = (keyed.crossJoin(F.broadcast(b))
+                .select(sum(
+                    [(F.col("k") > F.col(f"b{i}")).cast("int")
+                     for i in range(1, 8)],
+                    start=F.lit(0)).alias("pid")))
+    total = keyed.agg(F.count(F.lit(1)).alias("n"))
+    return (assigned.groupBy("pid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(F.broadcast(total))
+            .select(F.col("pid").cast("long").alias("partition_id"),
+                    "n_rows",
+                    rnd(F.col("n_rows") / F.col("n"), 4).alias("frac")))
