@@ -159,6 +159,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "bloom_runtime_filter_join",      # r7-new: runtime-filter star join
     "incremental_join_maintenance",   # r7-new: delta-join IVM
     "range_partition_plan",           # r7-new: sort boundary planner
+    "join_size_estimate_cms",         # r7-new: sketch join cardinality
 ]
 
 

@@ -783,3 +783,92 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("pid").cast("long").alias("partition_id"),
                     "n_rows",
                     rnd(F.col("n_rows") / F.col("n"), 4).alias("frac")))
+
+
+@query("join_size_estimate_cms", oracle="""
+WITH pos AS (SELECT unnest([0, 1, 2]) AS j),
+ca AS (
+    SELECT j, ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                 1 + 5 * j, 5))::BIGINT
+               % 262144 AS p,
+           count(*) AS cnt
+    FROM orders, pos GROUP BY 1, 2
+), cb AS (
+    SELECT j, ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+                                 1 + 5 * j, 5))::BIGINT
+               % 262144 AS p,
+           count(*) AS cnt
+    FROM lineitem, pos GROUP BY 1, 2
+), dots AS (
+    SELECT ca.j, sum(ca.cnt * cb.cnt) AS dot
+    FROM ca JOIN cb ON cb.j = ca.j AND cb.p = ca.p
+    GROUP BY 1
+), exact AS (
+    SELECT sum(a.c * b.c) AS n_join FROM
+      (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1) a
+      JOIN
+      (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1) b
+      USING (k)
+)
+SELECT CAST(min(dot) AS BIGINT) AS est_join_rows,
+       CAST(min(exact.n_join) AS BIGINT) AS exact_join_rows,
+       CAST(min(dot) - min(exact.n_join) AS BIGINT) AS overcount,
+       min(dot) >= min(exact.n_join) AS never_undercounts
+FROM dots, exact
+""")
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join: the inner
+    product of two Count-Min sketches (Cormode & Muthukrishnan 2005
+    §4.2) — |A join B| = sum_k cA(k)*cB(k) is estimated by
+    min_j sum_p CMS_A[j,p]*CMS_B[j,p], never an undercount (every
+    true key pair collides in every row; hash collisions only add),
+    and both the estimate and its overcount are EXACT integers under
+    the engine's deterministic md5 cell layout, so the whole
+    cost-model primitive is value-gated. This is the cardinality
+    oracle a planner consults before choosing shuffle vs broadcast
+    or sizing AQE partitions: each side collapses to a 3 x 2^18
+    cell table (one map-combinable groupBy per side — no join
+    executed), and the estimate is a cell-keyed join of the two
+    sparse sketches. The expected per-row collision term is
+    ||a||_1 ||b||_1 / m, so m = 2^18 keeps the overcount BELOW the
+    true cardinality at every tested SF (34 vs 6k at sf0.001, ~3.4k
+    vs 60k at sf0.01, ~0.34M vs 0.6M at sf0.1) — sized the way a
+    planner would size it. At
+    100 TB the exact column here (computed only to gate the sketch)
+    would be dropped; the sketch cost stays constant in corpus
+    size."""
+    m, d = 262144, 3
+
+    def cms(df: DataFrame, key: str) -> DataFrame:
+        from ..sources.registry import spread
+        df = spread(df.select(key))  # md5 is CPU-heavy map work
+        # one digest -> three disjoint 20-bit slices (2^20 % m == 0:
+        # zero modulo bias) = three independent cell rows per key for
+        # a third of the hashing cost
+        dig = F.md5(F.col(key).cast("string"))
+        def pos(j: int):
+            return (F.conv(F.substring(dig, 1 + 5 * j, 5), 16, 10)
+                    .cast("long") % m)
+        return (df.select(F.posexplode(F.array(
+            *[pos(j) for j in range(d)])).alias("j", "p"))
+            .groupBy("j", "p").agg(F.count(F.lit(1)).alias("cnt")))
+
+    ca = cms(_t(spark, sf_dir, "orders"), "o_orderkey")
+    cb = cms(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    dots = (ca.join(cb.withColumnRenamed("cnt", "cnt_b"), ["j", "p"])
+            .groupBy("j").agg(F.sum(F.col("cnt") * F.col("cnt_b"))
+                              .alias("dot")))
+    est = dots.agg(F.min("dot").cast("long").alias("est_join_rows"))
+    a = (_t(spark, sf_dir, "orders").groupBy("o_orderkey")
+         .agg(F.count(F.lit(1)).alias("c")))
+    b = (_t(spark, sf_dir, "lineitem").groupBy("l_orderkey")
+         .agg(F.count(F.lit(1)).alias("cb")))
+    exact = (a.join(b, a.o_orderkey == b.l_orderkey)
+             .agg(F.sum(F.col("c") * F.col("cb")).cast("long")
+                  .alias("exact_join_rows")))
+    return (est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows", "exact_join_rows",
+        (F.col("est_join_rows") - F.col("exact_join_rows"))
+        .alias("overcount"),
+        (F.col("est_join_rows") >= F.col("exact_join_rows"))
+        .alias("never_undercounts")))
