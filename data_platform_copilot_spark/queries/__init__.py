@@ -160,6 +160,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "incremental_join_maintenance",   # r7-new: delta-join IVM
     "range_partition_plan",           # r7-new: sort boundary planner
     "join_size_estimate_cms",         # r7-new: sketch join cardinality
+    "streaming_left_outer_attribution",  # r7-new: holdback outer join
 ]
 
 

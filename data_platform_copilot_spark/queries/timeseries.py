@@ -1544,3 +1544,36 @@ def streaming_view_purchase_join(spark: SparkSession,
     (state eviction at watermark - horizon)."""
     from ..streaming.events import run_streaming_interval_join
     return run_streaming_interval_join(spark, sf_dir)
+
+
+@query("streaming_left_outer_attribution", oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+j AS (
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           v.ts AS v_ts, p.ts AS p_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT user_id, view_event_id, purchase_event_id,
+       CAST(epoch_ms(p_ts) - epoch_ms(v_ts) AS BIGINT) AS latency_ms
+FROM j, mx
+WHERE purchase_event_id IS NOT NULL
+   OR v_ts < mx.m - INTERVAL 2 HOUR
+""")
+def streaming_left_outer_attribution(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (streaming/events.py:
+    run_streaming_left_outer_join): converted views carry their
+    purchase + latency, unconverted views surface as null-padded
+    rows — but only once the watermark proves no match can arrive.
+    The oracle is NOT the plain batch left join: it cuts unmatched
+    views at v_ts < max_ts - watermark - horizon (the holdback
+    boundary), pinning the semantics every naive streaming test gets
+    wrong — views inside the final holdback window correctly stay
+    in state when the bounded replay ends."""
+    from ..streaming.events import run_streaming_left_outer_join
+    return run_streaming_left_outer_join(spark, sf_dir)

@@ -522,3 +522,66 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_left_outer_join(spark: SparkSession, sf_dir: str,
+                                  horizon: str = "1 hour",
+                                  watermark: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream interval join — attribution with
+    explicit NON-conversion rows. Unlike the inner join, the
+    null-padded (view, no purchase) rows are emitted by WATERMARK
+    HOLDBACK: a view can only be declared unconverted once the
+    watermark passes ``v_ts + horizon`` (before that a matching
+    purchase could still arrive), so the final answer is not "the
+    batch left join" but the batch left join CUT at
+    ``v_ts < max_event_time - watermark - horizon`` — the
+    deterministic boundary this runner's oracle encodes. Views
+    younger than that stay in state when a bounded replay ends,
+    exactly as they would in production.
+
+    The run polls ``processAllAvailable`` until the memory sink
+    stabilizes: Spark advances the watermark and flushes outer
+    results in no-data micro-batches AFTER the last data batch
+    (``noDataMicroBatches`` policy), so a single
+    processAllAvailable call returns before the evictions land.
+    """
+    stream = streaming_events_source(spark, sf_dir)
+    views = (stream.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_event_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", watermark))
+    purchases = (stream.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_event_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id", "purchase_event_id",
+        (F.unix_millis(F.col("p_ts").cast("timestamp_ltz"))
+         - F.unix_millis(F.col("v_ts").cast("timestamp_ltz")))
+        .alias("latency_ms"))
+    import time as _time
+    name = f"stream_lo_join_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+        n_prev = -1
+        for _ in range(60):  # stabilize: no-data batches flush evictions
+            n = spark.table(name).count()
+            if n == n_prev:
+                break
+            n_prev = n
+            _time.sleep(0.2)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -278,3 +278,27 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert got_pairs == exp_pairs
     assert len(got) == len(exp)  # exactly-once emission
     assert (got.latency_ms >= 0).all() and (got.latency_ms <= 3.6e6).all()
+
+
+def test_left_outer_stream_join_holdback_boundary(spark, sf_dir):
+    """Null-padded non-conversion rows must appear ONLY for views
+    older than max_ts - watermark - horizon; younger unmatched views
+    stay held back in state when the bounded replay ends."""
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.sources.registry import load_table
+    from data_platform_copilot_spark.streaming.events import (
+        run_streaming_left_outer_join,
+    )
+    got = run_streaming_left_outer_join(spark, sf_dir).toPandas()
+    nulls = got[got.purchase_event_id.isnull()]
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    views = ev.where("event_type = 'view'").select("event_id", "ts").toPandas()
+    import datetime
+    cut = mx - datetime.timedelta(hours=2)
+    old_views = set(views[views.ts < cut].event_id)
+    assert set(nulls.view_event_id) <= old_views
+    # and every old unmatched view IS reported (nothing lost)
+    matched = set(got[got.purchase_event_id.notnull()].view_event_id)
+    assert old_views - matched == set(nulls.view_event_id)
