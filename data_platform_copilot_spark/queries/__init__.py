@@ -161,6 +161,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "range_partition_plan",           # r7-new: sort boundary planner
     "join_size_estimate_cms",         # r7-new: sketch join cardinality
     "streaming_left_outer_attribution",  # r7-new: holdback outer join
+    "hll_set_operations",             # r7-new: merged-sketch overlap
 ]
 
 

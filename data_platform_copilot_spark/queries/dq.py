@@ -1443,3 +1443,179 @@ def incremental_join_maintenance(spark: SparkSession,
     return (merged.groupBy("o_orderpriority")
             .agg(F.sum("pn").cast("long").alias("n_items"),
                  rnd(F.sum("ps"), 2).alias("revenue")))
+
+
+def _hll_regs_sql(name: str, src: str) -> str:
+    """Register CTEs for one set: md5 32-bit hash, 8-bit bucket,
+    rho over the low 24 bits — identical layout to
+    hll_user_cardinality."""
+    return f"""{name}_h AS (
+    SELECT ('0x' || substring(md5(v), 1, 8))::BIGINT AS h32
+    FROM {src}
+), {name}_regs AS (
+    SELECT h32 // 16777216 AS bucket,
+           max(CASE WHEN h32 % 16777216 = 0 THEN 25
+                    ELSE 25 - length(bin(h32 % 16777216)) END) AS rho
+    FROM {name}_h GROUP BY 1
+)"""
+
+
+# s_{n} below is the COMPLETED harmonic sum (empty-register term
+# already included by the renaming subquery)
+_HLL_EST_SQL = """
+    CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+              * (1::BIGINT << 25) / s_{n}
+              <= 2.5 * 256
+          AND nz_{n} < 256
+         THEN 256 * ln(256.0 / (256 - nz_{n}))
+         ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+              * (1::BIGINT << 25) / s_{n}
+    END"""
+
+
+@query("hll_set_operations", oracle=f"""
+WITH a_src AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+    WHERE event_type = 'purchase' AND value > 150
+      AND user_id IS NOT NULL
+), b_src AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+    WHERE event_type = 'view' AND value > 150
+      AND user_id IS NOT NULL
+), {_hll_regs_sql('a', 'a_src')}, {_hll_regs_sql('b', 'b_src')},
+u_regs AS (
+    SELECT bucket, max(rho) AS rho FROM (
+        SELECT * FROM a_regs UNION ALL SELECT * FROM b_regs
+    ) GROUP BY 1
+), sk AS (
+    SELECT
+      (SELECT count(*) FROM a_regs) AS nz_a,
+      (SELECT coalesce(sum(1::BIGINT << (25 - rho)), 0)
+       FROM a_regs) AS s_a,
+      (SELECT count(*) FROM b_regs) AS nz_b,
+      (SELECT coalesce(sum(1::BIGINT << (25 - rho)), 0)
+       FROM b_regs) AS s_b,
+      (SELECT count(*) FROM u_regs) AS nz_u,
+      (SELECT coalesce(sum(1::BIGINT << (25 - rho)), 0)
+       FROM u_regs) AS s_u,
+      (SELECT count(*) FROM a_src) AS exact_a,
+      (SELECT count(*) FROM b_src) AS exact_b,
+      (SELECT count(*) FROM (SELECT v FROM a_src UNION
+                             SELECT v FROM b_src)) AS exact_union,
+      (SELECT count(*) FROM (SELECT v FROM a_src INTERSECT
+                             SELECT v FROM b_src)) AS exact_intersection
+), est AS (
+    SELECT *,
+      {_HLL_EST_SQL.format(n='a')} AS e_a,
+      {_HLL_EST_SQL.format(n='b')} AS e_b,
+      {_HLL_EST_SQL.format(n='u')} AS e_u
+    FROM (SELECT nz_a, s_a + (256 - nz_a) * (1::BIGINT << 25) AS s_a2,
+                 nz_b, s_b + (256 - nz_b) * (1::BIGINT << 25) AS s_b2,
+                 nz_u, s_u + (256 - nz_u) * (1::BIGINT << 25) AS s_u2,
+                 exact_a, exact_b, exact_union, exact_intersection
+          FROM sk)
+         unnamed(nz_a, s_a, nz_b, s_b, nz_u, s_u,
+                 exact_a, exact_b, exact_union, exact_intersection)
+)
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(exact_intersection AS BIGINT) AS exact_intersection,
+       CAST(s_a AS BIGINT) AS s_a,
+       CAST(s_b AS BIGINT) AS s_b,
+       CAST(s_u AS BIGINT) AS s_u,
+       round(e_u * 100) / 100 AS est_union,
+       round((e_a + e_b - e_u) * 100) / 100 AS est_intersection,
+       abs(e_a + e_b - e_u - exact_intersection)
+           <= 3 * (1.04 / sqrt(256)) * (exact_a + exact_b + exact_union)
+           + 1e-9 AS intersection_within_3sigma
+FROM est
+""")
+def hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities from MERGED HyperLogLog sketches —
+    the audience-overlap primitive at sketch cost: union registers
+    are the elementwise MAX of the two sets' registers (the merge is
+    exact, not approximate — max is the sketch's monoid, the same
+    property that lets per-partition sketches combine), and
+    intersection comes by inclusion-exclusion. Sets: high-value
+    purchasers vs high-value viewers. All three register states are
+    pinned by exact BIGINT harmonic sums; the union estimate is a
+    deterministic division; the intersection estimate's error
+    compounds across three sketches, so its gate is the standard
+    3-sigma inclusion-exclusion bound over (|A|+|B|+|A u B|), pinned
+    TRUE. Scale: two filtered <=256-group combines + a 512-row
+    merge — audience overlap with no distinct, no join, mergeable
+    across days/partitions/datacenters."""
+    from pyspark.sql import Window as W  # noqa: F401
+
+    m, wbits, rho_max = 256, 24, 25
+    alpha = 0.7213 / (1 + 1.079 / m)
+    ev = _t(spark, sf_dir, "events")
+
+    def regs(cond) -> DataFrame:
+        src = (ev.where(cond & F.col("user_id").isNotNull())
+               .select(F.col("user_id").cast("string").alias("v"))
+               .distinct())
+        h32 = (F.conv(F.substring(F.md5(F.col("v")), 1, 8), 16, 10)
+               .cast("long"))
+        parts = src.select(h32.alias("h32")).select(
+            F.expr(f"h32 DIV {1 << wbits}").alias("bucket"),
+            (F.col("h32") % (1 << wbits)).alias("w"))
+        rho = (F.when(F.col("w") == 0, F.lit(rho_max))
+               .otherwise(F.lit(rho_max)
+                          - F.length(F.bin(F.col("w")))))
+        return parts.groupBy("bucket").agg(F.max(rho).alias("rho"))
+
+    is_a = (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    is_b = (F.col("event_type") == "view") & (F.col("value") > 150)
+    a_regs = regs(is_a)
+    b_regs = regs(is_b)
+    u_regs = (a_regs.unionAll(b_regs).groupBy("bucket")
+              .agg(F.max("rho").alias("rho")))
+
+    def summary(r: DataFrame, n: str) -> DataFrame:
+        return r.agg(
+            F.count(F.lit(1)).cast("long").alias(f"nz_{n}"),
+            (F.coalesce(F.sum(F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {rho_max} - rho)")),
+                F.lit(0).cast("long"))
+             + F.lit(1 << rho_max).cast("long")
+             * (m - F.count(F.lit(1)))).alias(f"s_{n}"))
+
+    def est(n: str):
+        e_raw = (F.lit(alpha * m * m * (1 << rho_max))
+                 / F.col(f"s_{n}"))
+        return (F.when((e_raw <= 2.5 * m) & (F.col(f"nz_{n}") < m),
+                       F.lit(float(m))
+                       * F.log(F.lit(float(m)) / (m - F.col(f"nz_{n}"))))
+                .otherwise(e_raw))
+
+    au = ev.where(is_a & F.col("user_id").isNotNull()) \
+           .select(F.col("user_id").cast("string").alias("v")).distinct()
+    bu = ev.where(is_b & F.col("user_id").isNotNull()) \
+           .select(F.col("user_id").cast("string").alias("v")).distinct()
+    exact = (au.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+             .crossJoin(F.broadcast(
+                 bu.agg(F.count(F.lit(1)).cast("long").alias("exact_b"))))
+             .crossJoin(F.broadcast(
+                 au.union(bu).distinct()
+                 .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))))
+             .crossJoin(F.broadcast(
+                 au.intersect(bu)
+                 .agg(F.count(F.lit(1)).cast("long")
+                      .alias("exact_intersection")))))
+    sk = (summary(a_regs, "a")
+          .crossJoin(F.broadcast(summary(b_regs, "b")))
+          .crossJoin(F.broadcast(summary(u_regs, "u")))
+          .crossJoin(F.broadcast(exact)))
+    e_int = est("a") + est("b") - est("u")
+    sigma = 1.04 / (m ** 0.5)
+    return sk.select(
+        "exact_a", "exact_b", "exact_union", "exact_intersection",
+        "s_a", "s_b", "s_u",
+        (F.round(est("u") * 100.0, 0) / 100.0).alias("est_union"),
+        (F.round(e_int * 100.0, 0) / 100.0).alias("est_intersection"),
+        (F.abs(e_int - F.col("exact_intersection"))
+         <= 3 * sigma * (F.col("exact_a") + F.col("exact_b")
+                         + F.col("exact_union")) + 1e-9)
+        .alias("intersection_within_3sigma"))
