@@ -162,6 +162,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "join_size_estimate_cms",         # r7-new: sketch join cardinality
     "streaming_left_outer_attribution",  # r7-new: holdback outer join
     "hll_set_operations",             # r7-new: merged-sketch overlap
+    "fd_discovery_report",            # r7-new: FD profiling primitive
 ]
 
 

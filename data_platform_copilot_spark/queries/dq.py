@@ -1619,3 +1619,56 @@ def hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= 3 * sigma * (F.col("exact_a") + F.col("exact_b")
                          + F.col("exact_union")) + 1e-9)
         .alias("intersection_within_3sigma"))
+
+
+_FD_CANDIDATES = [
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("events", "event_id", "user_id"),
+    ("events", "user_id", "event_type"),
+]
+
+
+@query("fd_discovery_report", oracle="\nUNION ALL\n".join(f"""
+SELECT '{t}.{lhs} -> {rhs}' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_lhs,
+       CAST(max(nrhs) AS BIGINT) AS max_rhs_per_lhs,
+       sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nrhs
+      FROM {t} WHERE {lhs} IS NOT NULL GROUP BY {lhs})
+""" for t, lhs, rhs in _FD_CANDIDATES))
+def fd_discovery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over a declared candidate set
+    (the data-profiling primitive behind key detection, normalization
+    advice, and join-integrity checks — Metanome/HyFD-style, here
+    with the candidate lattice fixed so the check is one aggregate
+    per candidate): lhs -> rhs HOLDS iff no lhs value maps to more
+    than one distinct rhs. Reports per candidate the lhs
+    cardinality, violating-lhs count, worst fan-out, and the
+    verdict — on TPC-H the key FDs hold (c_custkey -> c_nationkey,
+    n_nationkey -> n_regionkey, o_orderkey -> o_custkey,
+    event_id -> user_id) while the attribute pairs are refuted with
+    exact violation counts. Scale: each candidate is one
+    (lhs, rhs)-combine then an lhs-combine — map-side partials, no
+    row ever leaves its aggregate; candidates run as independent
+    branches of one union plan."""
+    frames = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        g = (_t(spark, sf_dir, t).where(F.col(lhs).isNotNull())
+             .groupBy(lhs).agg(F.countDistinct(rhs).alias("nrhs")))
+        frames.append(g.agg(
+            F.lit(f"{t}.{lhs} -> {rhs}").alias("candidate"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+            F.sum((F.col("nrhs") > 1).cast("int")).cast("long")
+            .alias("n_violating_lhs"),
+            F.max("nrhs").cast("long").alias("max_rhs_per_lhs"),
+            (F.sum((F.col("nrhs") > 1).cast("int")) == 0).alias("holds")))
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionAll(fdf)
+    return out
