@@ -36,16 +36,17 @@ from . import quality  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_GATE_PRIORITY: list[str] = [
-    # r7 gate: the 84 registry entries that have never had a driver
-    # CORRECTNESS row (56 late-r6 additions + 28 registered after the
-    # r6 gate snapshot; every one passes the local full-registry
-    # oracle at sf0.001/0.01/0.1 and stays value-verified every run
-    # by the parametrized pytest oracle). The gate window is the
-    # first 50, so 34 spill: everything after the "gate window ends"
-    # marker below is the r8 residue, listed never-driver-verified
-    # strictly first (oldest first) so it leads the r8 gate. The 134
-    # entries with cumulative r1–r6 driver greens rotate out
-    # entirely this round.
+    # r7 gate: the registry entries that have never had a driver
+    # CORRECTNESS row (56 late-r6 additions + everything registered
+    # after the r6 gate snapshot; every one passes the local
+    # full-registry oracle at sf0.001/0.01/0.1 and stays
+    # value-verified every run by the parametrized pytest oracle).
+    # The gate window is the first 50; everything after the "gate
+    # window ends" marker below is the r8+ residue (54 entries after
+    # the extended-r7 additions — clears across r8/r9), listed
+    # never-driver-verified strictly first (oldest first) so it
+    # leads the r8 gate. The 134 entries with cumulative r1–r6
+    # driver greens rotate out entirely this round.
     # -- statistics / DQ family (twins: drift_*, dq_rule_* green r6)
     "mi_event_type_value",
     "dq_benford_first_digit",
