@@ -346,3 +346,58 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
                          F.lit(r).alias("round_assigned")))
         labels = labels.unionAll(newly)
     return labels
+
+
+def kcore_peel(pairs: DataFrame, k: int = 3, rounds: int = 6,
+               src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """k-core peeling profile (Matula & Beck 1983's degeneracy peel,
+    the distributed variant used for community seeds and graph
+    sparsification): repeatedly delete every vertex whose CURRENT
+    degree is below k; the fixpoint is the k-core. Rather than only
+    the fixpoint, this returns the CASCADE TRAJECTORY — one row per
+    superstep with the surviving vertex/edge counts — because on
+    sparse graphs (kNN graphs especially) the interesting fact is
+    how the removal wave propagates: a 3-NN graph has min degree 3
+    by construction (k=3 removes nothing), while k=4 usually
+    cascades to empty in a few waves, and the wave shape is the
+    degeneracy evidence.
+
+    Runs a FIXED ``rounds`` supersteps so the computation is
+    deterministic and SQL-replayable regardless of input (peeling is
+    monotone, so equal counts in consecutive rounds IS the
+    fixpoint). Each round is one degree combine + two semi joins,
+    lineage-truncated — the same join-per-superstep shape as the
+    other iterative operators.
+
+    Returns rounds+1 rows: (round, n_vertices, n_edges), round 0 =
+    the input graph.
+    """
+    e = (pairs.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    e = truncate_lineage(e)
+
+    def snap(edges: DataFrame, i: int) -> DataFrame:
+        verts = (edges.select(F.col("a").alias("v"))
+                 .unionAll(edges.select(F.col("b").alias("v")))
+                 .distinct())
+        return (verts.agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_vertices"))
+                .crossJoin(F.broadcast(
+                    edges.agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_edges"))))
+                .select(F.lit(i).cast("long").alias("round"),
+                        "n_vertices", "n_edges"))
+
+    out = snap(e, 0)
+    cur = e
+    for i in range(1, rounds + 1):
+        deg = (cur.select(F.col("a").alias("v"))
+               .unionAll(cur.select(F.col("b").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.where(F.col("d") >= k).select("v")
+        cur = (cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+               .join(keep.withColumnRenamed("v", "b"), "b", "left_semi"))
+        cur = truncate_lineage(cur)
+        out = out.unionAll(snap(cur, i))
+    return out

@@ -164,6 +164,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "streaming_left_outer_attribution",  # r7-new: holdback outer join
     "hll_set_operations",             # r7-new: merged-sketch overlap
     "fd_discovery_report",            # r7-new: FD profiling primitive
+    "knn_kcore_peel_profile",         # r7-new: degeneracy cascade
 ]
 
 

@@ -966,3 +966,62 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("round_assigned") > 0)
                & (F.col("label") == F.col("true_label"))).cast("int"))
         .cast("long").alias("n_correct")))
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Peel-profile replay. Every round CTE is AS MATERIALIZED:
+    DuckDB re-inlines chained CTEs per reference, and each round
+    references the previous ~3x, so an unmaterialized chain blows
+    up 3^rounds."""
+    parts = ["""e0 AS MATERIALIZED (
+    SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                    greatest(query_id, neighbor_id) AS b
+    FROM knn WHERE query_id <> neighbor_id
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""k{i} AS MATERIALIZED (
+    SELECT v FROM (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM e{i - 1}
+            UNION ALL SELECT b AS v FROM e{i - 1}
+        ) GROUP BY 1
+    ) WHERE d >= {k}
+), e{i} AS MATERIALIZED (
+    SELECT a, b FROM e{i - 1}
+    WHERE a IN (SELECT v FROM k{i}) AND b IN (SELECT v FROM k{i})
+)""")
+    snaps = "\nUNION ALL\n".join(
+        f"""SELECT CAST({i} AS BIGINT) AS round,
+       (SELECT count(*) FROM (SELECT a AS v FROM e{i}
+        UNION SELECT b FROM e{i})) AS n_vertices,
+       (SELECT count(*) FROM e{i}) AS n_edges"""
+        for i in range(rounds + 1))
+    return ",\n".join(parts) + "\n" + snaps
+
+
+@query("knn_kcore_peel_profile", oracle=f"""
+WITH knn AS ({_knn_join_oracle(k=3, n_planes=6, tables=4, dim=64,
+                               seed=42)}),
+{_kcore_oracle(k=4, rounds=6)}
+""")
+def knn_kcore_peel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core peeling cascade over the approximate 3-NN graph
+    (operators/graph.py:kcore_peel, 6 fixed supersteps): a 3-NN
+    graph has min degree 3 by construction, so k=4 peeling strips
+    the never-chosen-as-neighbor fringe first and the removal wave
+    propagates — the per-round surviving vertex/edge counts ARE the
+    degeneracy evidence (this graph collapses entirely: its
+    degeneracy is 3). The oracle replays every peel round through
+    materialized chained CTEs (re-inlining is exponential otherwise)
+    and must match the whole trajectory, not just the fixpoint."""
+    from ..operators.graph import kcore_peel
+    from ..operators.similarity import knn_join
+    from ..sources.registry import spread
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    knn = knn_join(emb, "vec_id", "embedding",
+                   k=3, n_planes=6, tables=4, dim=64, seed=42)
+    if spark.conf.get("spark.master", "local").startswith("local"):
+        knn = knn.localCheckpoint(eager=False)
+    return kcore_peel(
+        knn.where(F.col("query_id") != F.col("neighbor_id")),
+        k=4, rounds=6, src="query_id", dst="neighbor_id")
