@@ -97,3 +97,29 @@ def test_every_entry_survives_empty_tables(spark, tmp_path_factory):
         except Exception as e:  # noqa: BLE001 — audit collects all
             failures.append((name, str(e).splitlines()[0][:120]))
     assert not failures, failures
+
+
+@pytest.mark.slow
+def test_no_entry_plans_a_python_row_udf_or_cartesian(spark):
+    """Global physical-plan invariant over the ENTIRE registry: no
+    entry may compile to a row-at-a-time Python UDF
+    (BatchEvalPython), a scalar Arrow UDF in the hot path
+    (ArrowEvalPython — the engine's Python stages are mapInPandas /
+    applyInPandas kernels, which appear as MapInPandas / FlatMap*
+    nodes), or an unconstrained CartesianProduct. This is the
+    100 TB contract enforced as a test, not a convention."""
+    from data_platform_copilot_spark.queries import QUERIES
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue  # bounded-replay harness; no batch plan to audit
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        hits = [node for node in
+                ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct")
+                if node in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
