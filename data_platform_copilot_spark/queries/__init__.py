@@ -165,6 +165,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "hll_set_operations",             # r7-new: merged-sketch overlap
     "fd_discovery_report",            # r7-new: FD profiling primitive
     "knn_kcore_peel_profile",         # r7-new: degeneracy cascade
+    "zone_map_pruning_audit",         # r7-new: skipping quantified
 ]
 
 

@@ -496,3 +496,100 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_events"),
                  F.countDistinct("user_id").cast("long")
                  .alias("n_users")))
+
+
+@query("zone_map_pruning_audit", oracle=f"""
+WITH m AS (
+    SELECT max(l_partkey) AS mx, max(l_suppkey) AS my FROM lineitem
+), zf AS (
+    SELECT ({_zbits_sql('l_partkey', 'mx', True)}
+            + {_zbits_sql('l_suppkey', 'my', False)}) // 1024 AS file_id,
+           l_partkey AS x, l_suppkey AS y
+    FROM lineitem, m
+), zs AS (
+    SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM zf GROUP BY 1
+), lf AS (
+    SELECT CAST(least(63, greatest(0,
+               floor(CAST((l_partkey - 1) AS DOUBLE) * 64
+                     / CAST(mx AS DOUBLE)))) AS BIGINT) AS file_id,
+           l_partkey AS x, l_suppkey AS y
+    FROM lineitem, m
+), ls AS (
+    SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM lf GROUP BY 1
+), stats AS (
+    SELECT 'zorder' AS layout, * FROM zs
+    UNION ALL SELECT 'sort_x' AS layout, * FROM ls
+), preds AS (
+    SELECT 'x_band' AS predicate, 0.25 * mx AS lo, 0.375 * mx AS hi,
+           'x' AS dim FROM m
+    UNION ALL
+    SELECT 'y_band', 0.25 * my, 0.375 * my, 'y' FROM m
+)
+SELECT s.layout, p.predicate,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN (p.dim = 'x' AND s.max_x >= p.lo
+                                       AND s.min_x <= p.hi)
+                       OR (p.dim = 'y' AND s.max_y >= p.lo
+                                       AND s.min_y <= p.hi)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+       round(10000.0 * sum(CASE WHEN (p.dim = 'x' AND s.max_x >= p.lo
+                                                 AND s.min_x <= p.hi)
+                              OR (p.dim = 'y' AND s.max_y >= p.lo
+                                              AND s.min_y <= p.hi)
+                           THEN 1 ELSE 0 END) / count(*)) / 10000.0
+           AS scan_fraction
+FROM stats s CROSS JOIN preds p
+GROUP BY 1, 2
+""")
+def zone_map_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping quantified: the same 64-file budget laid out by
+    the Morton curve vs a single-key sort, probed by an eighth-wide
+    band predicate on EACH dimension against the files' min/max zone
+    maps (the stats parquet/Delta readers prune with). The sorted
+    layout answers its own key nearly optimally and scans everything
+    for the other; the z-order layout prunes BOTH — the measured
+    scan fractions are the justification for multi-dimensional
+    clustering at 100 TB, where scan_fraction IS the cost. Exact
+    integer file accounting on both engines; same bucket/interleave
+    arithmetic as zorder_layout_report."""
+    from ..operators.layout import bucketize, interleave, zorder_stats
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.agg(F.max("l_partkey").alias("mx"),
+               F.max("l_suppkey").alias("my"))
+    zs = zorder_stats(li, "l_partkey", "l_suppkey", bits=8, files=64) \
+        .select(F.lit("zorder").alias("layout"), "file_id",
+                "min_x", "max_x", "min_y", "max_y")
+    lf = (li.crossJoin(F.broadcast(m))
+          .select(bucketize(F.col("l_partkey"), F.col("mx"), 6)
+                  .alias("file_id"),
+                  F.col("l_partkey").alias("x"),
+                  F.col("l_suppkey").alias("y")))
+    ls = (lf.groupBy("file_id")
+          .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+               F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+          .select(F.lit("sort_x").alias("layout"), "file_id",
+                  "min_x", "max_x", "min_y", "max_y"))
+    stats = zs.unionAll(ls)
+    preds = (m.select(F.lit("x_band").alias("predicate"),
+                      (0.25 * F.col("mx")).alias("lo"),
+                      (0.375 * F.col("mx")).alias("hi"),
+                      F.lit("x").alias("dim"))
+             .unionAll(m.select(F.lit("y_band").alias("predicate"),
+                                (0.25 * F.col("my")).alias("lo"),
+                                (0.375 * F.col("my")).alias("hi"),
+                                F.lit("y").alias("dim"))))
+    hit = F.when(F.col("dim") == "x",
+                 (F.col("max_x") >= F.col("lo"))
+                 & (F.col("min_x") <= F.col("hi"))) \
+           .otherwise((F.col("max_y") >= F.col("lo"))
+                      & (F.col("min_y") <= F.col("hi")))
+    return (stats.crossJoin(F.broadcast(preds))
+            .groupBy("layout", "predicate")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum(hit.cast("int")).cast("long").alias("n_scanned"),
+                 rnd(F.sum(hit.cast("int")) / F.count(F.lit(1)), 4)
+                 .alias("scan_fraction")))
