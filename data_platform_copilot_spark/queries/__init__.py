@@ -166,6 +166,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "fd_discovery_report",            # r7-new: FD profiling primitive
     "knn_kcore_peel_profile",         # r7-new: degeneracy cascade
     "zone_map_pruning_audit",         # r7-new: skipping quantified
+    "ab_test_cuped_adjusted",         # r7-new: CUPED variance cut
 ]
 
 

@@ -1672,3 +1672,77 @@ def fd_discovery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionAll(fdf)
     return out
+
+
+@query("ab_test_cuped_adjusted", oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6))
+               ::BIGINT % 2 AS arm,
+           sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN value END) AS x,
+           sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN value END) AS y
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+    HAVING x IS NOT NULL AND y IS NOT NULL
+), pooled AS (
+    SELECT covar_pop(x, y) / nullif(var_pop(x), 0) AS theta,
+           avg(x) AS mean_x
+    FROM per_user
+), adj AS (
+    SELECT arm, y, y - theta * (x - mean_x) AS y_adj
+    FROM per_user, pooled
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y) * 100) / 100 AS mean_y,
+       round(avg(y_adj) * 100) / 100 AS mean_y_adj,
+       round(var_pop(y) / nullif(var_pop(y_adj), 0) * 100) / 100
+           AS variance_ratio
+FROM adj GROUP BY arm
+""")
+def ab_test_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013) — the experimentation-platform standard for tightening A/B
+    confidence intervals without more traffic: each user's
+    post-period metric y is adjusted by their PRE-period covariate x
+    (theta = cov(x,y)/var(x), pooled across arms so the adjustment
+    is assignment-independent and unbiased), removing the
+    between-user variance x explains. Arms are md5-deterministic;
+    the variance_ratio column is the payoff (var(y)/var(y_adj) —
+    how many times fewer samples the adjusted test needs). On this
+    synthetic corpus user values have no persistent per-user level,
+    so pre-period x explains nothing and the ratio is correctly
+    ~1.00 — the audit telling an experimenter CUPED would not help
+    HERE is as load-bearing as a big ratio on real data. Derived
+    moments round at 2dp per the engine's cross-engine float
+    convention. Scale: one user-keyed combine + a broadcast 1-row
+    theta — the same shape at any corpus size."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cut = "2024-01-16 00:00:00"
+    per_user = (ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select((F.conv(F.substring(
+            F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 2).alias("arm"), "x", "y"))
+    pooled = per_user.agg(
+        (F.covar_pop("x", "y")
+         / F.nullif(F.var_pop("x"), F.lit(0.0))).alias("theta"),
+        F.avg("x").alias("mean_x"))
+    adj = (per_user.crossJoin(F.broadcast(pooled))
+           .select("arm", "y",
+                   (F.col("y") - F.col("theta")
+                    * (F.col("x") - F.col("mean_x"))).alias("y_adj")))
+    return (adj.groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 rnd(F.avg("y"), 2).alias("mean_y"),
+                 rnd(F.avg("y_adj"), 2).alias("mean_y_adj"),
+                 rnd(F.var_pop("y")
+                     / F.nullif(F.var_pop("y_adj"), F.lit(0.0)), 2)
+                 .alias("variance_ratio"))
+            .select(F.col("arm").cast("long").alias("arm"),
+                    "n_users", "mean_y", "mean_y_adj",
+                    "variance_ratio"))
