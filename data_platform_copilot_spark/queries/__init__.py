@@ -167,6 +167,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "knn_kcore_peel_profile",         # r7-new: degeneracy cascade
     "zone_map_pruning_audit",         # r7-new: skipping quantified
     "ab_test_cuped_adjusted",         # r7-new: CUPED variance cut
+    "conformal_quality_coverage",     # r7-new: split-conformal gate
 ]
 
 

@@ -1440,3 +1440,93 @@ def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.selection import cms_token_counts
     docs = _t(spark, sf_dir, "documents")
     return cms_token_counts(docs, "text", width=1024, depth=3, k=20)
+
+
+@query("conformal_quality_coverage", oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+               ::BIGINT % 2 = 0 AS is_calib,
+           round(0.4 * least(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text,
+                             '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / length(text))
+               + 0.3 * (CAST(len(list_filter({_TOKS},
+                              t -> list_contains([{_EN_SW}], t)))
+                             AS DOUBLE) / len({_TOKS})), 4) AS s
+    FROM documents
+), nc AS (
+    SELECT count(*) AS n_calib FROM scored WHERE is_calib
+), kth AS (
+    SELECT greatest(1, (n_calib + 1) // 10) AS k, n_calib FROM nc
+), hist AS (
+    SELECT s, count(*) AS c FROM scored WHERE is_calib GROUP BY s
+), cum AS (
+    SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist
+), thr AS (
+    SELECT min(s) AS q_hat FROM cum, kth WHERE cum >= kth.k
+)
+SELECT CAST(kth.n_calib AS BIGINT) AS n_calib,
+       CAST(kth.k AS BIGINT) AS k,
+       thr.q_hat AS q_hat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.s >= thr.q_hat THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test_covered,
+       round(10000.0 * sum(CASE WHEN t.s >= thr.q_hat
+                           THEN 1 ELSE 0 END) / count(*)) / 10000.0
+           AS coverage,
+       abs(1.0 * sum(CASE WHEN t.s >= thr.q_hat THEN 1 ELSE 0 END)
+           / count(*) - 0.9) <= 0.08 AS coverage_near_target
+FROM scored t, thr, kth WHERE NOT t.is_calib
+GROUP BY kth.n_calib, kth.k, thr.q_hat
+""")
+def conformal_quality_coverage(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the quality score (Vovk's
+    distribution-free guarantee, the modern ML-ops answer to "what
+    threshold keeps 90% of typical documents?"): an md5-deterministic
+    half of the corpus calibrates, q_hat = the k-th smallest
+    calibration score with k = floor((n+1) * alpha) at alpha = 0.1
+    (nearest-rank over the score histogram — integer arithmetic, no
+    float quantile), and the held-out half's measured coverage
+    P(score >= q_hat) lands near 1 - alpha WITHOUT any distribution
+    assumption — the gate pins |coverage - 0.9| <= 0.08, verified at
+    all three SFs. Scale: one score scan, one histogram combine; the
+    threshold is a broadcast scalar."""
+    from pyspark.sql import Window as W
+    d = spread(_t(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.size(toks).cast("double") / 100.0)
+        + 0.3 * (1.0 - punct_ratio(F.col("text")))
+        + 0.3 * stopword_ratio(F.col("text"), "en"))
+    scored = d.select(
+        ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 6), 16, 10).cast("long") % 2) == 0)
+        .alias("is_calib"),
+        rnd(quality, 4).alias("s"))
+    calib = scored.where("is_calib")
+    nc = calib.agg(F.count(F.lit(1)).alias("n_calib")).select(
+        "n_calib",
+        F.greatest(F.lit(1), F.expr("(n_calib + 1) DIV 10")).alias("k"))
+    hist = calib.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "s", F.sum("c").over(W.orderBy("s")
+                             .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"))
+    thr = (cum.crossJoin(F.broadcast(nc))
+           .where(F.col("cum") >= F.col("k"))
+           .agg(F.min("s").alias("q_hat")))
+    test = scored.where(~F.col("is_calib"))
+    covered = F.sum((F.col("s") >= F.col("q_hat")).cast("int"))
+    return (test.crossJoin(F.broadcast(thr)).crossJoin(F.broadcast(nc))
+            .groupBy("n_calib", "k", "q_hat")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_test"),
+                 covered.cast("long").alias("n_test_covered"),
+                 rnd(covered / F.count(F.lit(1)), 4).alias("coverage"),
+                 (F.abs(covered / F.count(F.lit(1)) - 0.9) <= 0.08)
+                 .alias("coverage_near_target"))
+            .select(F.col("n_calib").cast("long").alias("n_calib"),
+                    F.col("k").cast("long").alias("k"), "q_hat",
+                    "n_test", "n_test_covered", "coverage",
+                    "coverage_near_target"))
