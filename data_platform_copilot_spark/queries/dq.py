@@ -1546,8 +1546,6 @@ def hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE. Scale: two filtered <=256-group combines + a 512-row
     merge — audience overlap with no distinct, no join, mergeable
     across days/partitions/datacenters."""
-    from pyspark.sql import Window as W  # noqa: F401
-
     m, wbits, rho_max = 256, 24, 25
     alpha = 0.7213 / (1 + 1.079 / m)
     ev = _t(spark, sf_dir, "events")
