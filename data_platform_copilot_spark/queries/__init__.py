@@ -168,6 +168,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "zone_map_pruning_audit",         # r7-new: skipping quantified
     "ab_test_cuped_adjusted",         # r7-new: CUPED variance cut
     "conformal_quality_coverage",     # r7-new: split-conformal gate
+    "seasonal_adjusted_anomalies",    # r7-new: STL-residual monitor
 ]
 
 
