@@ -1025,3 +1025,95 @@ def knn_kcore_peel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(
         knn.where(F.col("query_id") != F.col("neighbor_id")),
         k=4, rounds=6, src="query_id", dst="neighbor_id")
+
+
+def _hard_negative_oracle(k: int, n_planes: int, tables: int,
+                          dim: int, seed: int) -> str:
+    bucket_cols = ",\n       ".join(
+        f"{_bucket_sql(_hyperplanes(dim, n_planes, seed + 1000 * t))} AS b{t}"
+        for t in range(tables))
+    any_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(tables))
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding, label,
+       {bucket_cols}
+    FROM embeddings
+), cand AS (
+    SELECT q.vec_id AS query_id, q.label AS anchor_label,
+           CAST(q.embedding AS DOUBLE[]) AS qv,
+           c.vec_id AS neighbor_id, c.label AS negative_label,
+           CAST(c.embedding AS DOUBLE[]) AS cv
+    FROM b q JOIN b c
+      ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+     AND c.label <> q.label AND ({any_match})
+), ranked AS (
+    SELECT query_id, anchor_label, neighbor_id, negative_label,
+           round({_COS_QC}, 4) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_QC} DESC, neighbor_id) AS BIGINT) AS rank
+    FROM cand
+)
+SELECT query_id, CAST(anchor_label AS BIGINT) AS anchor_label,
+       neighbor_id, CAST(negative_label AS BIGINT) AS negative_label,
+       cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("contrastive_hard_negatives",
+       oracle=_hard_negative_oracle(k=2, n_planes=6, tables=4,
+                                    dim=64, seed=42))
+def contrastive_hard_negatives(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """HARD-negative mining for contrastive training (the step after
+    ``contrastive_triplets``' random negatives): for each anchor,
+    the most-similar vectors with a DIFFERENT label, found through
+    the same SRP-LSH candidate generation as the ANN entries (bucket
+    match in any table, exact cosine re-rank) with the label
+    inequality pushed into the candidate join — negatives that are
+    hard because they are close, which is what makes a contrastive
+    batch informative (Robinson et al. 2021). Literal hyperplanes
+    let the oracle replay the identical candidate set; top-2 per
+    anchor. Scale: label filter applies BEFORE the re-rank, and the
+    candidate fan-out is the LSH buckets', never all-pairs."""
+    from ..operators.similarity import _bucket_expr
+    from ..functions.vectors import cosine_similarity
+    from pyspark.sql import Window as W
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = None
+    for t in range(4):
+        planes = _hyperplanes(64, 6, 42 + 1000 * t)
+        q = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("label").alias("anchor_label"),
+                           F.col("embedding").alias("qv"),
+                           _bucket_expr(F.col("embedding"), planes)
+                           .alias("bucket"))
+        c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("label").alias("negative_label"),
+                       F.col("embedding").alias("cv"),
+                       _bucket_expr(F.col("embedding"), planes)
+                       .alias("bucket"))
+        pairs = (F.broadcast(q).join(c, "bucket")
+                 .where((F.col("query_id") != F.col("neighbor_id"))
+                        & (F.col("anchor_label")
+                           != F.col("negative_label")))
+                 .select("query_id", "anchor_label", "qv",
+                         "neighbor_id", "negative_label", "cv"))
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                          "neighbor_id")
+    return (cand
+            .withColumn("cosine",
+                        cosine_similarity(F.col("qv"), F.col("cv")))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 2)
+            .select("query_id",
+                    F.col("anchor_label").cast("long")
+                    .alias("anchor_label"),
+                    "neighbor_id",
+                    F.col("negative_label").cast("long")
+                    .alias("negative_label"),
+                    rnd("cosine", 4).alias("cosine"), "rank"))
