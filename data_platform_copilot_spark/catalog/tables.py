@@ -129,6 +129,17 @@ class TableManager:
     def list(self, namespace_id: int) -> list[dict[str, Any]]:
         return self.ns.tables.filter(namespace_id=namespace_id)
 
+    def rename(self, table_id: int, new_name: str) -> dict[str, Any]:
+        """Human-facing rename; the physical ``table_name`` is stable
+        once normalized (intended behavior of reference
+        src/route/namespace_table.py:125-137, whose handler validates
+        against the *namespace* model — a pinned reference bug,
+        SURVEY.md §7; mirrors NamespaceManager.rename)."""
+        self.get(table_id)  # raises if missing
+        out = self.ns.tables.update(table_id, name=new_name)
+        assert out is not None
+        return out
+
     def delete(self, table_id: int) -> None:
         """Drop physical table + metadata (fixes the reference bug of
         deleting by namespace id, SURVEY.md §7)."""

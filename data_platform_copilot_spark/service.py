@@ -46,12 +46,19 @@ DESCRIPTION = ("PySpark-native data-platform copilot: validated NL->SQL "
 
 class CopilotService:
     def __init__(self, spark: SparkSession, provider: CompletionProvider,
-                 control_root: str) -> None:
+                 control_root: str, *, github=None, orchestrator=None,
+                 default_branch: str = "main") -> None:
         self.spark = spark
         self.provider = provider
         self.ns = NamespaceManager(spark, control_root)
         self.tables = TableManager(spark, self.ns)
         self.views = ViewManager(spark)
+        # Optional outbound integrations (reference settings.git /
+        # settings.orchestrator); injectable transports keep the
+        # handlers testable without a network (integrations.py).
+        self.github = github
+        self.orchestrator = orchestrator
+        self.default_branch = default_branch
         self._schema_docs_cache: str | None = None
 
     # -- lifecycle (A33/A34) ------------------------------------------------
@@ -172,6 +179,59 @@ class CopilotService:
             f"models/{model_name}.yml": schema_yml,
         })
 
+    # -- dbt PR composition (reference src/route/chat.py:254-275) -------------
+    async def dbt_pr(self, title: str, branch: str,
+                     files: dict[str, str],
+                     base: str | None = None) -> dict[str, Any]:
+        """Compose create-branch -> upsert-files -> open-PR over the
+        A29 GitHub client — the payoff step of the dbt workflow
+        (reference query.http:103-110). Files map repo-relative paths
+        to raw contents; this handler base64-encodes for the contents
+        API, mirroring the reference's upsert_file."""
+        import base64
+
+        if self.github is None:
+            return {"error": "GitHub integration not configured",
+                    "status": 400}
+        base_branch = base or self.default_branch
+        try:
+            await self.github.create_branch(branch, base_branch)
+            committed: dict[str, str] = {}
+            for path, body in files.items():
+                await self.github.upsert_file(
+                    branch, path,
+                    base64.b64encode(body.encode()).decode(),
+                    f"chore(dbt): add/update {path}")
+                committed[path] = "ok"
+            pr = await self.github.open_pr(
+                branch, base_branch, title,
+                "Automated PR from data_platform_copilot_spark")
+        except RuntimeError as exc:  # client-level GitHub error -> 400
+            return {"error": str(exc), "status": 400}
+        return {"branch": branch, "files_committed": committed,
+                "pr_url": pr.get("html_url", "")}
+
+    # -- orchestration (reference src/route/chat.py:373-384) ------------------
+    async def orchestrate_run(self, flow_name: str,
+                              parameters: dict[str, Any] | None = None,
+                              ) -> dict[str, Any]:
+        if self.orchestrator is None:
+            return {"error": "orchestrator not configured", "status": 400}
+        try:
+            run_id = await self.orchestrator.run_flow(flow_name, parameters)
+        except RuntimeError as exc:
+            return {"error": str(exc), "status": 400}
+        return {"run_id": run_id}
+
+    async def orchestrate_status(self, run_id: str) -> dict[str, Any]:
+        if self.orchestrator is None:
+            return {"error": "orchestrator not configured", "status": 400}
+        try:
+            state = await self.orchestrator.get_status(run_id)
+        except RuntimeError as exc:
+            return {"error": str(exc), "status": 400}
+        return {"run_id": run_id, "state": state}
+
     # -- namespaces / tables (A16-A18) -----------------------------------------
     def namespace_create(self, name: str) -> dict[str, Any]:
         return _jsonable(self.ns.create(name))
@@ -179,9 +239,37 @@ class CopilotService:
     def namespace_list(self) -> list[dict[str, Any]]:
         return [_jsonable(r) for r in self.ns.list()]
 
+    def namespace_get(self, id_: int) -> dict[str, Any]:
+        """reference src/route/namespace.py:57-60."""
+        return _jsonable(self.ns.get(id_))
+
+    def namespace_rename(self, id_: int, name: str) -> dict[str, Any]:
+        """reference src/route/namespace.py:63-74 (metadata-only
+        rename; physical schema_name stable)."""
+        return _jsonable(self.ns.rename(id_, name))
+
     def namespace_delete(self, id_: int) -> dict[str, Any]:
         self.ns.delete(id_)
         return {"deleted": id_}
+
+    def namespace_demo_upload(self, directory: str) -> dict[str, Any]:
+        """reference src/route/namespace.py:99-140: register-or-reuse
+        the demo namespace, then bulk register + upload every *.csv in
+        ``directory`` (intended behavior — the reference handler
+        crashes on missing imports, SURVEY.md §7)."""
+        from pathlib import Path
+
+        if not Path(directory).is_dir():
+            return {"error": f"demo data directory not found: {directory}",
+                    "status": 404}
+        existing = self.ns.namespaces.filter(schema_name="demo")
+        ns = existing[0] if existing else self.ns.create("demo")
+        loaded = self.tables.demo_bulk_ingest(int(ns["id"]), directory)
+        self._schema_docs_cache = None  # new tables -> docs stale
+        return {"message": "OK" if loaded else "No CSV files found",
+                "namespace": _jsonable(ns),
+                "tables": [_jsonable(t) for t in loaded],
+                "files_processed": len(loaded)}
 
     def table_register(self, namespace_id: int, name: str) -> dict[str, Any]:
         return _jsonable(self.tables.register(namespace_id, name))
@@ -190,6 +278,29 @@ class CopilotService:
         out = _jsonable(self.tables.upload_csv(table_id, csv_path))
         self._schema_docs_cache = None  # new table -> docs stale
         return out
+
+    def table_list(self, namespace_id: int) -> dict[str, Any]:
+        """reference src/route/namespace_table.py:55-65 (message +
+        rows envelope)."""
+        rows = [_jsonable(r) for r in self.tables.list(namespace_id)]
+        return {"message": "OK" if rows else "No tables created",
+                "tables": rows}
+
+    def table_get(self, table_id: int) -> dict[str, Any]:
+        """Intended behavior of reference namespace_table.py:118-122
+        (which returns the *namespace* — pinned bug, SURVEY.md §7)."""
+        return _jsonable(self.tables.get(table_id))
+
+    def table_rename(self, table_id: int, name: str) -> dict[str, Any]:
+        return _jsonable(self.tables.rename(table_id, name))
+
+    def table_delete(self, table_id: int) -> dict[str, Any]:
+        """Intended behavior of reference namespace_table.py:139-144
+        (which deletes by namespace id — pinned bug): drop the
+        physical table + metadata by TABLE id."""
+        self.tables.delete(table_id)
+        self._schema_docs_cache = None
+        return {"deleted": table_id}
 
     def table_upload_jsonl(self, table_id: int,
                            jsonl_path: str) -> dict[str, Any]:
@@ -234,10 +345,20 @@ def create_fastapi_app(service: CopilotService):
     app.post("/dbt/generate")(service.dbt_generate)
     app.post("/dbt/preview")(service.dbt_preview)
     app.post("/dbt/write")(service.dbt_write)
+    app.post("/dbt/pr")(service.dbt_pr)
+    app.post("/orchestrate/run")(service.orchestrate_run)
+    app.get("/orchestrate/status/{run_id}")(service.orchestrate_status)
     app.post("/namespace")(service.namespace_create)
     app.get("/namespace")(service.namespace_list)
+    app.get("/namespace/{id_}")(service.namespace_get)
+    app.put("/namespace/{id_}")(service.namespace_rename)
     app.delete("/namespace/{id_}")(service.namespace_delete)
+    app.post("/namespace/demo-upload")(service.namespace_demo_upload)
     app.post("/namespace/{namespace_id}/table")(service.table_register)
+    app.get("/namespace/{namespace_id}/table")(service.table_list)
+    app.get("/table/{table_id}")(service.table_get)
+    app.put("/table/{table_id}")(service.table_rename)
+    app.delete("/table/{table_id}")(service.table_delete)
     # table_upload is also the schema-docs cache invalidator — without
     # this route the HTTP surface could never refresh stale docs after
     # a new table (reference src/route/namespace_table.py).
@@ -265,8 +386,22 @@ def create_app():
     from .session import get_spark
 
     spark = get_spark("copilot-api")
+    github = orchestrator = None
+    try:  # real transports only when httpx is installed
+        from .integrations import (GitHubClient, OrchestratorClient,
+                                   http_requester)
+        req = http_requester()
+        if settings.git.github_token and settings.git.github_repo:
+            github = GitHubClient(req, settings.git.github_repo,
+                                  settings.git.github_token)
+        orchestrator = OrchestratorClient(
+            req, settings.orchestration.orchestrator_api)
+    except ImportError:
+        pass
     service = CopilotService(
         spark, make_provider(settings.llm),
-        os.environ.get("SPARK_GRAFT_CONTROL_ROOT", "/tmp/copilot_control"))
+        os.environ.get("SPARK_GRAFT_CONTROL_ROOT", "/tmp/copilot_control"),
+        github=github, orchestrator=orchestrator,
+        default_branch=settings.git.default_branch)
     service.bootstrap()
     return create_fastapi_app(service)

@@ -175,3 +175,178 @@ class TestViewRoutes:
         app = create_fastapi_app(service)
         paths = {r.path for r in app.routes}
         assert {"/views", "/views/{name}"} <= paths
+
+
+class _FakeHttp:
+    """Scripted (method, url-fragment) -> (status, body) transport
+    (same shape as tests/test_multimodal_integrations.py)."""
+
+    def __init__(self, script):
+        self.script = script
+        self.calls = []
+
+    async def __call__(self, method, url, json=None, headers=None):
+        self.calls.append((method, url, json))
+        for (m, frag), resp in self.script:
+            if m == method and frag in url:
+                return resp
+        return 404, {}
+
+
+class TestDbtPrRoute:
+    """reference src/route/chat.py:254-275 + query.http:103-110."""
+
+    def _github(self, script):
+        from data_platform_copilot_spark.integrations import GitHubClient
+        fake = _FakeHttp(script)
+        return GitHubClient(fake, "o/r", "tok"), fake
+
+    def test_compose_branch_files_pr(self, service):
+        gh, fake = self._github([
+            (("GET", "/git/ref/heads/main"),
+             (200, {"object": {"sha": "abc123"}})),
+            (("POST", "/git/refs"), (201, {})),
+            (("GET", "/contents/models/region_dim.sql"), (404, {})),
+            (("PUT", "/contents/models/region_dim.sql"), (201, {})),
+            (("GET", "/contents/models/region_dim.yml"), (404, {})),
+            (("PUT", "/contents/models/region_dim.yml"), (201, {})),
+            (("POST", "/pulls"),
+             (201, {"number": 7, "html_url": "https://gh/pr/7"})),
+        ])
+        service.github = gh
+        out = run(service.dbt_pr(
+            "Add region_dim", "feat/region-dim",
+            {"models/region_dim.sql": "SELECT 1",
+             "models/region_dim.yml": "version: 2"}))
+        assert out["pr_url"] == "https://gh/pr/7"
+        assert set(out["files_committed"]) == {
+            "models/region_dim.sql", "models/region_dim.yml"}
+        # contents are base64-encoded for the GitHub contents API
+        import base64
+        put = next(c for c in fake.calls if c[0] == "PUT")
+        assert base64.b64decode(put[2]["content"]) == b"SELECT 1"
+        # PR opened against the requested base
+        pr_call = next(c for c in fake.calls if "/pulls" in c[1])
+        assert pr_call[2]["base"] == "main"
+
+    def test_github_error_maps_to_400(self, service):
+        gh, _ = self._github([
+            (("GET", "/git/ref/heads/main"), (500, {})),
+        ])
+        service.github = gh
+        out = run(service.dbt_pr("t", "b", {"f": "x"}))
+        assert out["status"] == 400 and "ref lookup failed" in out["error"]
+
+    def test_unconfigured_maps_to_400(self, service):
+        assert run(service.dbt_pr("t", "b", {}))["status"] == 400
+
+
+class TestOrchestrateRoutes:
+    """reference src/route/chat.py:373-384 + query.http:171-181."""
+
+    def test_run_and_status(self, service):
+        from data_platform_copilot_spark.integrations import (
+            OrchestratorClient)
+        fake = _FakeHttp([
+            (("POST", "/deployments/filter"),
+             (200, {"deployments": [{"id": "dep-1"}]})),
+            (("POST", "/deployments/dep-1/create_flow_run"),
+             (201, {"id": "run-9"})),
+            (("GET", "/flow_runs/run-9"),
+             (200, {"state": {"type": "COMPLETED"}})),
+        ])
+        service.orchestrator = OrchestratorClient(fake, "http://pf/api")
+        out = run(service.orchestrate_run("daily_sales", {"days_back": 1}))
+        assert out == {"run_id": "run-9"}
+        st = run(service.orchestrate_status("run-9"))
+        assert st == {"run_id": "run-9", "state": "COMPLETED"}
+
+    def test_unknown_flow_maps_to_400(self, service):
+        from data_platform_copilot_spark.integrations import (
+            OrchestratorClient)
+        service.orchestrator = OrchestratorClient(
+            _FakeHttp([(("POST", "/deployments/filter"),
+                        (200, {"deployments": []}))]), "http://pf/api")
+        out = run(service.orchestrate_run("nope"))
+        assert out["status"] == 400
+
+    def test_unconfigured_maps_to_400(self, service):
+        assert run(service.orchestrate_run("f"))["status"] == 400
+        assert run(service.orchestrate_status("r"))["status"] == 400
+
+
+class TestTableRoutes:
+    """reference src/route/namespace_table.py:55-144 — intended
+    behavior for get/delete (the reference handlers return/delete the
+    namespace; pinned bugs, SURVEY.md §7)."""
+
+    def test_list_get_rename_delete(self, service, spark, tmp_path):
+        ns = service.namespace_create("Tbl NS")
+        assert service.table_list(ns["id"]) == {
+            "message": "No tables created", "tables": []}
+        reg = service.table_register(ns["id"], "People")
+        listed = service.table_list(ns["id"])
+        assert listed["message"] == "OK"
+        assert [t["id"] for t in listed["tables"]] == [reg["id"]]
+
+        got = service.table_get(reg["id"])
+        assert got["table_name"] == "people" and not got["is_loaded"]
+
+        renamed = service.table_rename(reg["id"], "Persons")
+        assert renamed["name"] == "Persons"
+        assert renamed["table_name"] == "people"  # physical name stable
+
+        csv = tmp_path / "p.csv"
+        csv.write_text("a,b\n1,x\n")
+        service.table_upload(reg["id"], str(csv))
+        assert spark.table("tbl_ns.people").count() == 1
+
+        service.table_delete(reg["id"])
+        assert service.table_list(ns["id"])["tables"] == []
+        assert not spark.catalog.tableExists("tbl_ns.people")
+        assert service._schema_docs_cache is None
+
+    def test_get_missing_raises(self, service):
+        from data_platform_copilot_spark.catalog.tables import TableError
+        with pytest.raises(TableError):
+            service.table_get(10_000)
+
+
+class TestNamespaceRoutes:
+    """reference src/route/namespace.py:57-74 + /demo-upload:99-140."""
+
+    def test_get_and_rename(self, service):
+        ns = service.namespace_create("Ren NS")
+        assert service.namespace_get(ns["id"])["schema_name"] == "ren_ns"
+        out = service.namespace_rename(ns["id"], "Renamed NS")
+        assert out["name"] == "Renamed NS"
+        assert out["schema_name"] == "ren_ns"  # physical name stable
+
+    def test_demo_upload(self, service, spark, tmp_path):
+        (tmp_path / "cities.csv").write_text("name,pop\nOslo,700000\n")
+        (tmp_path / "teams.csv").write_text("team\nA\nB\n")
+        out = service.namespace_demo_upload(str(tmp_path))
+        assert out["message"] == "OK" and out["files_processed"] == 2
+        assert out["namespace"]["schema_name"] == "demo"
+        assert {t["table_name"] for t in out["tables"]} == {
+            "cities", "teams"}
+        assert spark.table("demo.cities").count() == 1
+        assert spark.table("demo.teams").count() == 2
+        assert service._schema_docs_cache is None
+
+    def test_demo_upload_missing_dir_404(self, service):
+        out = service.namespace_demo_upload("/nonexistent/dir")
+        assert out["status"] == 404
+
+
+def test_http_surface_has_new_route_groups(service):
+    import importlib.util
+    if importlib.util.find_spec("fastapi") is None:
+        pytest.skip("fastapi not installed")
+    from data_platform_copilot_spark.service import create_fastapi_app
+    app = create_fastapi_app(service)
+    paths = {r.path for r in app.routes}
+    assert {"/dbt/pr", "/orchestrate/run", "/orchestrate/status/{run_id}",
+            "/namespace/{id_}", "/namespace/demo-upload",
+            "/namespace/{namespace_id}/table",
+            "/table/{table_id}"} <= paths

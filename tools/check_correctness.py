@@ -89,8 +89,9 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(sdf)} rows")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} passed"
-          + (f" (subset: {sorted(only)})" if only else ""))
+    ran = len(only & set(queries)) if only else len(queries)
+    print(f"\n{ran - len(failures)}/{ran} passed"
+          + (f" (subset of {len(queries)}: {sorted(only)})" if only else ""))
     return 1 if failures else 0
 
 
