@@ -5,7 +5,8 @@ re-export the combined QUERIES / ORACLE dicts. Parity rules for new
 entries are documented in ``core.py``'s module docstring.
 """
 
-from .core import ORACLE, QUERIES, query  # noqa: F401  (registry first)
+from .core import (EXTRA_ORACLE, ORACLE, QUERIES, query,  # noqa: F401
+                   register_oracle_udfs)
 
 from . import relational  # noqa: E402,F401
 from . import scalar  # noqa: E402,F401
@@ -121,4 +122,5 @@ def _apply_gate_order() -> None:
 
 _apply_gate_order()
 
-__all__ = ["QUERIES", "ORACLE", "query", "DRIVER_GATE_PRIORITY"]
+__all__ = ["QUERIES", "ORACLE", "EXTRA_ORACLE", "query",
+           "register_oracle_udfs", "DRIVER_GATE_PRIORITY"]

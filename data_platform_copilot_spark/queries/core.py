@@ -38,6 +38,32 @@ from ..sources import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+# Value oracles that need a Python UDF registered on the DuckDB
+# connection (register_oracle_udfs) and so CANNOT ship in ORACLE: the
+# driver's harness runs plain SQL on a vanilla connection, and an
+# oracle it cannot execute would turn the documented rows-only check
+# into a spurious failure. The local harnesses (tests/conftest.py,
+# tools/check_correctness.py) register the UDFs and value-verify
+# these entries every run.
+EXTRA_ORACLE: dict[str, str] = {}
+
+
+def register_oracle_udfs(con) -> None:
+    """Register the deterministic Python UDFs EXTRA_ORACLE entries
+    rely on. Idempotent per connection (duplicate registration is a
+    no-op error we swallow)."""
+    import zlib
+
+    def zlib_len(s: str) -> int | None:
+        b = s.encode("utf-8")
+        return len(zlib.compress(b, 6)) if b else None
+
+    try:
+        con.create_function("zlib_len", zlib_len,
+                            ["VARCHAR"], "BIGINT")
+    except Exception:
+        pass  # already registered on this connection
+
 # Prepared-plan cache: the engine's analogue of a prepared statement.
 # Registry queries are pure functions of (session, sf_dir), so the
 # DataFrame (an immutable logical plan) they build is reusable across
@@ -50,8 +76,11 @@ ORACLE: dict[str, str] = {}
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a query callable and (optionally) its DuckDB oracle."""
+def query(name: str, oracle: str | None = None,
+          extra_oracle: str | None = None):
+    """Register a query callable and (optionally) its DuckDB oracle.
+    ``extra_oracle`` registers a UDF-dependent value oracle that only
+    the local harnesses run (see EXTRA_ORACLE)."""
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -66,6 +95,9 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = cached
         if oracle is not None:
             ORACLE[name] = oracle
+        if extra_oracle is not None:
+            assert oracle is None, f"{name}: oracle XOR extra_oracle"
+            EXTRA_ORACLE[name] = extra_oracle
         return fn
     return deco
 

@@ -110,13 +110,19 @@ WHERE rnk <= 5
 def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit NULLS FIRST ordering (engines disagree on the default:
     Spark ASC = nulls first, DuckDB ASC = nulls last — the query pins
-    it explicitly on both sides)."""
+    it explicitly on both sides). Scale: only rnk <= 5 survives, so
+    the row-scale sort happens as a distributed TakeOrderedAndProject
+    (per-partition top-5, merged on the driver) and the global
+    row_number window runs over those 5 rows only — the same total
+    order, never a whole-corpus single-task window."""
     ev = _t(spark, sf_dir, "events")
     kind = F.nullif("event_type", F.lit("error"))
-    w = W.orderBy(kind.asc_nulls_first(), "event_id")
-    return (ev.select(kind.alias("kind"),
-                      F.row_number().over(w).cast("long").alias("rnk"))
-            .where(F.col("rnk") <= 5))
+    top = (ev.select(kind.alias("kind"), "event_id")
+           .orderBy(F.col("kind").asc_nulls_first(), "event_id")
+           .limit(5))
+    w = W.orderBy(F.col("kind").asc_nulls_first(), "event_id")
+    return top.select(
+        "kind", F.row_number().over(w).cast("long").alias("rnk"))
 
 
 @query("lateral_view_explode", oracle="""

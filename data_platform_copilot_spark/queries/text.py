@@ -948,16 +948,35 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("p") * F.sum("neg")), 6).alias("auc"))
 
 
-@query("compression_ratio_quality")  # oracle-less: no zlib in SQL —
-# the driver records the weaker rows-only check; the byte-exact gate
-# is the pytest zlib replay (tests/test_operators.py)
+@query("compression_ratio_quality", extra_oracle="""
+WITH cr AS (
+    SELECT lang,
+           CAST(zlib_len(text) AS DOUBLE)
+               / nullif(octet_length(encode(text)), 0) AS ratio
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ratio), 6) AS mean_ratio,
+       CAST(coalesce(sum(CASE WHEN ratio < 0.35 THEN 1 END), 0)
+            AS BIGINT) AS n_templated
+FROM cr GROUP BY lang ORDER BY lang
+""")
 def compression_ratio_quality(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Corpus compressibility profile: per-language doc counts and
     mean zlib compression ratio, plus the count of suspiciously
     compressible docs (< 0.35 — templated/repetitive boilerplate in
     FineWeb-style filtering). One Arrow kernel pass + a tiny keyed
-    combine."""
+    combine.
+
+    Value oracle: EXTRA_ORACLE — DEFLATE is deterministic for a fixed
+    (input, level) but has no SQL expression, so the local harnesses
+    register a ``zlib_len`` Python UDF on DuckDB
+    (queries/core.register_oracle_udfs) and hash-compare the full
+    result at every SF; the driver's vanilla-SQL harness keeps the
+    documented rows-only check. The byte-exact per-doc gate remains
+    the pytest zlib replay (tests/test_operators.py)."""
     from ..operators.quality import compression_ratio
     docs = spread(_t(spark, sf_dir, "documents"))
     cr = compression_ratio(docs, "doc_id", "text")
@@ -1492,7 +1511,12 @@ def conformal_quality_coverage(spark: SparkSession,
     P(score >= q_hat) lands near 1 - alpha WITHOUT any distribution
     assumption — the gate pins |coverage - 0.9| <= 0.08, verified at
     all three SFs. Scale: one score scan, one histogram combine; the
-    threshold is a broadcast scalar."""
+    threshold is a broadcast scalar. The unpartitioned cumulative
+    window (Spark warns "No Partition Defined for Window") runs over
+    the ROUNDED-SCORE HISTOGRAM — scores round to 4 decimals in
+    [0, 1], so the frame is <= 10^4 rows at any corpus size, not the
+    corpus itself; the warning is benign and the site is pinned in
+    tests/test_plan_quality.py's global-window audit."""
     from pyspark.sql import Window as W
     d = spread(_t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))

@@ -28,7 +28,10 @@ def sf_dir() -> str:
 
 @pytest.fixture(scope="session")
 def duck():
+    from data_platform_copilot_spark.queries import register_oracle_udfs
+
     con = duckdb.connect()
+    register_oracle_udfs(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     yield con

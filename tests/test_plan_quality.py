@@ -312,3 +312,82 @@ class TestBloomRuntimeFilterJoin:
         semis = re.findall(r"BroadcastHashJoin LeftSemi", plan)
         assert len(semis) >= 3
         assert "Generate" not in plan  # no explode on the fact side
+
+
+class TestGlobalWindowAudit:
+    """Every unpartitioned window (``W.orderBy`` with no
+    ``partitionBy``) forces a single-task sort of its input frame, so
+    each site must be over a BOUNDED frame (an aggregate whose row
+    count does not grow with the corpus: days, months, bins, rounded-
+    score histograms, top-k) or a documented TOTAL-ORDER operator
+    (order-defining exports and rank statistics, where one global
+    range-sort IS the semantics — the TeraSort shape). This audit
+    pins the per-file site counts; adding a global window without
+    classifying it here fails the test. Current classification
+    (r8 sweep, VERDICT r7 item 7):
+
+    - operators/sampling.py (1): largest-remainder rank over
+      |groups| rows — bounded.
+    - operators/selection.py (1): Misra-Gries heavy-hitter table,
+      O(1/phi) rows — bounded.
+    - queries/dq.py (6): KS CDF over distinct rounded values
+      (bounded histogram); Gini + Pareto rank over the per-user
+      combine and Mann-Whitney rank over the cohort rows (total-
+      order rank statistics — docstrings state the global sort);
+      calibration-bin cumulative (bounded bins).
+    - queries/extras2.py (2): month-window cumulative (bounded);
+      null_ordering rank over a TakeOrdered top-5 (bounded by
+      construction — see its docstring).
+    - queries/quality.py (2): output_shard_plan prefix sum and
+      padding_waste batching — total-order exports (docstrings).
+    - queries/relational.py (3): month cumulative/lag (bounded);
+      range-partition histogram over a 5% key sample (bounded
+      sample).
+    - queries/sampling.py (3): largest-remainder + interleave
+      position — per-source bounded / total-order export.
+    - queries/text.py (5): zipf vocab rank (vocab combine, top-100
+      kept), score-histogram cumulatives incl. the conformal
+      entry's <=10^4-row rounded-score frame (bounded).
+    - queries/timeseries.py (12): day/hour-indexed aggregates —
+      bounded by the calendar.
+    - sources/sinks.py (2): token-balanced shard writers — total-
+      order exports (docstrings).
+    """
+
+    EXPECTED = {
+        "operators/sampling.py": 1,
+        "operators/selection.py": 1,
+        "queries/dq.py": 6,
+        "queries/extras2.py": 2,
+        "queries/quality.py": 2,
+        "queries/relational.py": 3,
+        "queries/sampling.py": 3,
+        "queries/text.py": 5,
+        "queries/timeseries.py": 12,
+        "sources/sinks.py": 2,
+    }
+
+    def test_no_unclassified_global_windows(self):
+        import re
+        from pathlib import Path
+
+        pkg = Path(__file__).resolve().parent.parent / (
+            "data_platform_copilot_spark")
+        pat = re.compile(r"\bW(?:indow)?\.orderBy\(")
+        found: dict[str, int] = {}
+        for p in pkg.rglob("*.py"):
+            for line in p.read_text().splitlines():
+                if pat.search(line) and "partitionBy" not in line:
+                    rel = str(p.relative_to(pkg))
+                    found[rel] = found.get(rel, 0) + 1
+        assert found == self.EXPECTED, (
+            "global-window sites changed — classify the new/removed "
+            f"site in TestGlobalWindowAudit: {found}")
+
+    def test_null_ordering_topk_is_distributed(self, spark, sf_dir):
+        """null_ordering's corpus-scale sort must be the distributed
+        TakeOrderedAndProject, with the window only over the kept 5."""
+        from data_platform_copilot_spark.queries import QUERIES
+        plan = QUERIES["null_ordering"](
+            spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

@@ -10,8 +10,12 @@ from tests.conftest import normalize_rows
 
 def _pairs():
     import __spark_entry__ as e
+    from data_platform_copilot_spark.queries import EXTRA_ORACLE
     qs, os_ = e.queries(), e.oracle_sql()
-    return [(name, fn, os_.get(name)) for name, fn in qs.items()]
+    # UDF-dependent value oracles (EXTRA_ORACLE) verify locally what
+    # the driver's vanilla-SQL harness can only rows-check.
+    return [(name, fn, os_.get(name) or EXTRA_ORACLE.get(name))
+            for name, fn in qs.items()]
 
 
 @pytest.mark.parametrize("name,fn,oracle",

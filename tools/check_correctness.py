@@ -45,16 +45,21 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
+    from data_platform_copilot_spark.queries import (EXTRA_ORACLE,
+                                                     register_oracle_udfs)
     from data_platform_copilot_spark.session import get_spark
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
+    register_oracle_udfs(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # UDF-dependent value oracles run here but never ship to the
+    # driver's vanilla-SQL harness (queries/core.EXTRA_ORACLE).
+    oracles = {**EXTRA_ORACLE, **entrymod.oracle_sql()}
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
