@@ -48,7 +48,10 @@ def main() -> None:
     from data_platform_copilot_spark.queries import QUERIES
     from data_platform_copilot_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # SPARK_GRAFT_MASTER=spark://host:port runs the identical bench
+    # against a standalone cluster (the session layer then selects the
+    # throughput profile: AQE on, full shuffle parallelism).
+    spark = get_spark("bench", master=os.environ.get("SPARK_GRAFT_MASTER"))
 
     # Warmup: persist + materialize every table (the state a warm
     # cluster is always in — per-query timings then measure the query,
