@@ -384,6 +384,67 @@ def perceptual_hash(df: DataFrame, grid: int = 8,
     return df.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
+QC_PROFILE_SCHEMA = ("media_id long, width int, height int, n_px long, "
+                     "sum_lum long, sum_sq_lum long, phash string")
+
+
+def image_qc_profile(df: DataFrame, grid: int = 8,
+                     batch_rows: int = 256) -> DataFrame:
+    """ONE decode pass emitting everything downstream media QC needs:
+    dimensions, integer luminance moments (sum, sum of squares — so
+    contrast/variance gates stay in exact integer arithmetic the
+    DuckDB oracle replays with no float boundary), and the aHash
+    perceptual fingerprint (identical integer recipe to
+    ``perceptual_hash``). A curation funnel that needs decode-derived
+    quality stats AND near-dup grouping must not decode twice: it
+    materializes this frame once and every stage reads the profile.
+
+    Scale: mapInPandas, zero shuffle — payloads never move; only the
+    ~100-byte profile row flows downstream. Non-image payloads
+    profile to NULLs (phash NULL marks 'not decodable')."""
+    import numpy as np
+
+    def _profile_one(payload: bytes | None):
+        if payload is None:
+            return (None,) * 6
+        shaped = _image_rows(payload)
+        if shaped is None:
+            return (None,) * 6
+        w, h, ch, rows = shaped
+        arr = np.frombuffer(b"".join(bytes(r) for r in rows),
+                            dtype=np.uint8).reshape(h, w, ch)
+        if ch >= 3:
+            lum = arr[:, :, :3].astype(np.int64).sum(axis=2) // 3
+        else:
+            lum = arr[:, :, 0].astype(np.int64)
+        cy = (np.arange(h) * grid) // h
+        cx = (np.arange(w) * grid) // w
+        cells = np.zeros((grid, grid), np.int64)
+        counts = np.zeros((grid, grid), np.int64)
+        mesh = (np.repeat(cy, w), np.tile(cx, h))
+        np.add.at(cells, mesh, lum.ravel())
+        np.add.at(counts, mesh, 1)
+        total_sum, total_count = int(lum.sum()), h * w
+        bits = (cells * total_count) > (total_sum * counts)
+        phash = "".join("1" if b else "0" for b in bits.ravel())
+        return (w, h, total_count, total_sum,
+                int((lum * lum).sum()), phash)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                payload = (bytes(rec.payload)
+                           if rec.payload is not None else None)
+                w, h, n_px, s, ss, phash = _profile_one(payload)
+                out.append({"media_id": rec.media_id, "width": w,
+                            "height": h, "n_px": n_px, "sum_lum": s,
+                            "sum_sq_lum": ss, "phash": phash})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=QC_PROFILE_SCHEMA)
+
+
 RESIZE_SCHEMA = ("media_id long, kind string, target_w int, target_h int,"
                  " out_bytes long, payload binary")
 

@@ -427,6 +427,13 @@ pix AS (
            (((x*31 + i) % 256) + ((y*17 + i) % 256)
             + ((x*y + i) % 256)) // 3 AS lum
     FROM dims, unnest(range(0, h)) AS ty(y), unnest(range(0, w)) AS tx(x)
+), mom AS (
+    SELECT i, count(*) AS n_px, sum(lum) AS s, sum(lum * lum) AS ss
+    FROM pix GROUP BY 1
+), qc AS (
+    SELECT d.i FROM dims d JOIN mom m ON m.i = d.i
+    WHERE least(d.w, d.h) >= 12
+      AND m.n_px * m.ss - m.s * m.s >= 2000 * m.n_px * m.n_px
 ), cells AS (
     SELECT i, (y*8) // h AS cy, (x*8) // w AS cx,
            sum(lum) AS cs, count(*) AS cc
@@ -438,7 +445,8 @@ pix AS (
            string_agg(CASE WHEN c.cs * t.tc > t.ts * c.cc
                            THEN '1' ELSE '0' END, ''
                       ORDER BY c.cy, c.cx) AS phash
-    FROM cells c JOIN tot t ON c.i = t.i GROUP BY c.i
+    FROM cells c JOIN tot t ON c.i = t.i
+    WHERE c.i IN (SELECT i FROM qc) GROUP BY c.i
 )
 SELECT stage, n_items FROM (
     SELECT 0 AS stage, 'ingested' AS _n, CAST({2 * _N_PH} AS BIGINT)
@@ -447,10 +455,16 @@ SELECT stage, n_items FROM (
     -- byte-distinct by construction (zlib level 6 vs 1 re-encodings)
     SELECT 1, 'exact_distinct', CAST({2 * _N_PH} AS BIGINT)
     UNION ALL
-    SELECT 2, 'phash_groups',
+    -- every payload is a valid PNG: the decode gate removes nothing
+    SELECT 2, 'decoded', CAST({2 * _N_PH} AS BIGINT)
+    UNION ALL
+    SELECT 3, 'qc_pass',
+           (SELECT CAST(2 * count(*) AS BIGINT) FROM qc)
+    UNION ALL
+    SELECT 4, 'phash_groups',
            (SELECT CAST(count(DISTINCT phash) AS BIGINT) FROM hashes)
     UNION ALL
-    SELECT 3, 'keepers',
+    SELECT 5, 'keepers',
            (SELECT CAST(count(DISTINCT phash) AS BIGINT) FROM hashes)
 ) t
 """)
@@ -460,24 +474,40 @@ def pipeline_media_curation(spark: SparkSession,
     pipeline_curation_funnel): ingest 2n byte-distinct PNG payloads
     (n pixel-identical pairs re-encoded at different zlib levels) →
     exact dedup on payload sha256 (removes nothing: every file is
-    byte-unique) → perceptual-hash grouping (REAL decode + integer
-    aHash pairs the re-encodings) → keeper selection (group min).
-    The phash stage count is replayed by DuckDB from the generator's
-    pixel formulas — a codec or hash bug anywhere in the decode
-    pipeline breaks the funnel counts; the exact-dedup stage's
-    no-op is the fixture's designed property (pinned byte-distinct
-    in the codec tests). Scale: every stage is the corresponding
-    verified operator's plan — payload-local hashing, 64-char-hash
-    exchanges only."""
+    byte-unique, the fixture's designed property) → decode gate
+    (REAL stdlib PNG decode; undecodable payloads profile to NULL) →
+    quality band (min dimension >= 12 AND integer luminance variance
+    n·Σlum² − (Σlum)² >= 2000·n² — exact integer arithmetic, no
+    float boundary; both rules fire on this fixture: 8 of 12 bases
+    fail one or the other) → perceptual-hash grouping of the QC
+    survivors (integer aHash pairs the re-encodings sha256 cannot) →
+    keeper selection (group min). Every decode-derived stage count
+    is replayed by DuckDB from the generator's pixel formulas — a
+    codec, moment, or hash bug anywhere breaks the funnel hashes.
+
+    Decode-once design (mirror of pipeline_curation_funnel's shared
+    survivor frames): ONE ``image_qc_profile`` pass computes
+    dimensions + luminance moments + phash, is shared via
+    ``materialize_auto``, and every downstream stage reads the
+    ~100-byte profile rows — the payload bytes are decoded exactly
+    once and never shuffled (plan-pinned in
+    tests/test_multimodal_integrations.py)."""
     from pyspark.sql import functions as F
 
     from ..operators.multimodal import (
+        image_qc_profile,
         media_exact_duplicates,
-        perceptual_hash,
         synthetic_png_media_dups,
     )
+    from ..sources.registry import materialize_auto
     media = synthetic_png_media_dups(spark, n=_N_PH)
-    hashed = perceptual_hash(media)
+    prof = materialize_auto(image_qc_profile(media))
+    decoded = prof.where(F.col("phash").isNotNull())
+    qc = decoded.where(
+        (F.least("width", "height") >= 12)
+        & (F.col("n_px") * F.col("sum_sq_lum")
+           - F.col("sum_lum") * F.col("sum_lum")
+           >= 2000 * F.col("n_px") * F.col("n_px")))
 
     def stage(idx: int, df: DataFrame) -> DataFrame:
         # counts stay IN the plan (agg + union), no driver-side
@@ -488,6 +518,8 @@ def pipeline_media_curation(spark: SparkSession,
     return (stage(0, media)
             .unionAll(stage(1, media_exact_duplicates(media)
                             .where(~F.col("is_duplicate"))))
-            .unionAll(stage(2, hashed.select("phash").distinct()))
-            .unionAll(stage(3, hashed.groupBy("phash")
+            .unionAll(stage(2, decoded))
+            .unionAll(stage(3, qc))
+            .unionAll(stage(4, qc.select("phash").distinct()))
+            .unionAll(stage(5, qc.groupBy("phash")
                             .agg(F.min("media_id")))))
