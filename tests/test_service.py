@@ -305,6 +305,7 @@ class TestTableRoutes:
         assert service.table_list(ns["id"])["tables"] == []
         assert not spark.catalog.tableExists("tbl_ns.people")
         assert service._schema_docs_cache is None
+        service.namespace_delete(ns["id"])  # drop the physical schema
 
     def test_get_missing_raises(self, service):
         from data_platform_copilot_spark.catalog.tables import TableError
@@ -321,18 +322,25 @@ class TestNamespaceRoutes:
         out = service.namespace_rename(ns["id"], "Renamed NS")
         assert out["name"] == "Renamed NS"
         assert out["schema_name"] == "ren_ns"  # physical name stable
+        service.namespace_delete(ns["id"])
 
     def test_demo_upload(self, service, spark, tmp_path):
         (tmp_path / "cities.csv").write_text("name,pop\nOslo,700000\n")
         (tmp_path / "teams.csv").write_text("team\nA\nB\n")
         out = service.namespace_demo_upload(str(tmp_path))
-        assert out["message"] == "OK" and out["files_processed"] == 2
-        assert out["namespace"]["schema_name"] == "demo"
-        assert {t["table_name"] for t in out["tables"]} == {
-            "cities", "teams"}
-        assert spark.table("demo.cities").count() == 1
-        assert spark.table("demo.teams").count() == 2
-        assert service._schema_docs_cache is None
+        try:
+            assert out["message"] == "OK" and out["files_processed"] == 2
+            assert out["namespace"]["schema_name"] == "demo"
+            assert {t["table_name"] for t in out["tables"]} == {
+                "cities", "teams"}
+            assert spark.table("demo.cities").count() == 1
+            assert spark.table("demo.teams").count() == 2
+            assert service._schema_docs_cache is None
+        finally:
+            # the warehouse outlives the tmp-scoped control tables:
+            # drop the physical schema so reruns never hit
+            # LOCATION_ALREADY_EXISTS on the managed-table path
+            service.namespace_delete(out["namespace"]["id"])
 
     def test_demo_upload_missing_dir_404(self, service):
         out = service.namespace_demo_upload("/nonexistent/dir")
