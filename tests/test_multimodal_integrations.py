@@ -629,3 +629,46 @@ class TestMediaQcFunnel:
         assert rows[0] == rows[1] == rows[2] == 24  # byte-distinct, all decode
         assert rows[3] == 8                         # QC band survivors
         assert rows[4] == rows[5] == 4              # re-encodings paired
+
+
+class TestImageQcProfile:
+    """image_qc_profile must agree with its two independent
+    references: perceptual_hash (same aHash recipe, separate code
+    path until r8) and direct numpy moments over the decoded pixels."""
+
+    def test_phash_and_moments_consistent(self, spark):
+        import numpy as np
+
+        from data_platform_copilot_spark.operators import png
+        from data_platform_copilot_spark.operators.multimodal import (
+            image_qc_profile, perceptual_hash, synthetic_png_media_dups)
+
+        media = synthetic_png_media_dups(spark, n=6)
+        prof = {r["media_id"]: r
+                for r in image_qc_profile(media).collect()}
+        ph = {r["media_id"]: r["phash"]
+              for r in perceptual_hash(media).collect()}
+        assert set(prof) == set(ph) and len(prof) == 12
+        for mid, row in prof.items():
+            assert row["phash"] == ph[mid]
+        # moments: replay the generator's pixel math directly
+        for mid in (0, 5, 7):  # base, small, re-encoded copies
+            i = mid % 6
+            w, h = 8 + (i * 5) % 24, 8 + (i * 3) % 24
+            x, y = np.meshgrid(np.arange(w), np.arange(h))
+            lum = (((x * 31 + i) % 256) + ((y * 17 + i) % 256)
+                   + ((x * y + i) % 256)) // 3
+            row = prof[mid]
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["n_px"] == w * h
+            assert row["sum_lum"] == int(lum.sum())
+            assert row["sum_sq_lum"] == int((lum.astype(np.int64) ** 2).sum())
+
+    def test_null_and_opaque_payloads_profile_null(self, spark):
+        from data_platform_copilot_spark.operators.multimodal import (
+            image_qc_profile, synthetic_media)
+
+        # sha256-derived opaque payloads are not decodable PNGs
+        rows = image_qc_profile(synthetic_media(spark, n=6)).collect()
+        assert len(rows) == 6
+        assert all(r["phash"] is None and r["n_px"] is None for r in rows)
