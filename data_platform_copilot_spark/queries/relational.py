@@ -839,9 +839,26 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     m, d = 262144, 3
 
-    def cms(df: DataFrame, key: str) -> DataFrame:
-        from ..sources.registry import spread
-        df = spread(df.select(key))  # md5 is CPU-heavy map work
+    from ..sources.registry import materialize_auto
+
+    # Per-key combines feed BOTH the exact gate and the sketches, so
+    # build them once and share (materialize_auto): hashing then runs
+    # per DISTINCT key, not per raw row — on lineitem (~4 rows/key)
+    # that is 4x less md5 work and a 4x smaller explode into the cell
+    # combine, and the sketch cells are value-identical (summing
+    # per-key counts into a cell == counting raw rows in it). At
+    # 100 TB, where the exact column is dropped, the standalone
+    # sketch build from raw rows (one map-combinable pass, no key
+    # shuffle) remains the right shape — this entry keeps the gate,
+    # so the shared-combine plan is strictly cheaper.
+    a = materialize_auto(
+        _t(spark, sf_dir, "orders").groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c")))
+    b = materialize_auto(
+        _t(spark, sf_dir, "lineitem").groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cb")))
+
+    def cms(df: DataFrame, key: str, cnt: str) -> DataFrame:
         # one digest -> three disjoint 20-bit slices (2^20 % m == 0:
         # zero modulo bias) = three independent cell rows per key for
         # a third of the hashing cost
@@ -849,20 +866,18 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         def pos(j: int):
             return (F.conv(F.substring(dig, 1 + 5 * j, 5), 16, 10)
                     .cast("long") % m)
-        return (df.select(F.posexplode(F.array(
-            *[pos(j) for j in range(d)])).alias("j", "p"))
-            .groupBy("j", "p").agg(F.count(F.lit(1)).alias("cnt")))
+        return (df.select(F.col(cnt),
+                          F.posexplode(F.array(
+                              *[pos(j) for j in range(d)]))
+                          .alias("j", "p"))
+                .groupBy("j", "p").agg(F.sum(cnt).alias("cnt")))
 
-    ca = cms(_t(spark, sf_dir, "orders"), "o_orderkey")
-    cb = cms(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    ca = cms(a, "o_orderkey", "c")
+    cb = cms(b, "l_orderkey", "cb")
     dots = (ca.join(cb.withColumnRenamed("cnt", "cnt_b"), ["j", "p"])
             .groupBy("j").agg(F.sum(F.col("cnt") * F.col("cnt_b"))
                               .alias("dot")))
     est = dots.agg(F.min("dot").cast("long").alias("est_join_rows"))
-    a = (_t(spark, sf_dir, "orders").groupBy("o_orderkey")
-         .agg(F.count(F.lit(1)).alias("c")))
-    b = (_t(spark, sf_dir, "lineitem").groupBy("l_orderkey")
-         .agg(F.count(F.lit(1)).alias("cb")))
     exact = (a.join(b, a.o_orderkey == b.l_orderkey)
              .agg(F.sum(F.col("c") * F.col("cb")).cast("long")
                   .alias("exact_join_rows")))
