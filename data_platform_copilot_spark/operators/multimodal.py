@@ -445,6 +445,71 @@ def image_qc_profile(df: DataFrame, grid: int = 8,
     return df.mapInPandas(run, schema=QC_PROFILE_SCHEMA)
 
 
+def phash_hamming_pairs(hashed: DataFrame, radius: int = 4,
+                        grid: int = 8) -> DataFrame:
+    """Near-duplicate image pairs within a Hamming radius of the
+    perceptual hash — the step beyond ``media_phash_neardup``'s exact
+    equality grouping (pixel-identical re-encodings collide exactly;
+    resized / lightly-edited variants differ by a few aHash bits).
+
+    Pigeonhole banding (the SimHash trick, operators/dedup.py): split
+    the grid²-bit hash into ``radius + 1`` contiguous bands — any
+    pair within ``radius`` bits agrees EXACTLY on at least one band —
+    self-join per band, then re-score candidates with the exact
+    popcount distance and keep dist <= radius. Zero false negatives
+    by construction; the verify step kills band-collision false
+    positives. Distance is computed JVM-side: each 32-bit half of the
+    bit string -> conv(base 2) -> xor -> bit_count, no Python stage.
+
+    Scale: payloads are NOT inputs — this takes the (media_id, phash)
+    profile (from ``perceptual_hash`` / ``image_qc_profile``), so the
+    join exchanges carry ~70-byte rows; candidate volume is
+    O(Σ band-bucket²), the same sub-quadratic shape as the MinHash
+    and SimHash text paths, never an all-pairs product.
+
+    Input: DataFrame with ``media_id`` and ``phash`` ('0'/'1' string,
+    grid² chars; NULL phash rows — undecodable media — are dropped).
+    Output: (media_id_a, media_id_b, hamming_dist), a < b, one row
+    per qualifying pair.
+    """
+    nbits = grid * grid
+    bands = radius + 1
+    # band boundaries cover all bits (last band absorbs the remainder)
+    width = nbits // bands
+    h = hashed.where(F.col("phash").isNotNull()).select(
+        "media_id", "phash")
+    band_cols = [
+        F.substring("phash", i * width + 1,
+                    (nbits - i * width) if i == bands - 1 else width)
+        .alias(f"b{i}")
+        for i in range(bands)
+    ]
+    banded = h.select(
+        "media_id", "phash",
+        F.posexplode(F.array(*band_cols)).alias("band", "val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .select(F.col("a.media_id").alias("media_id_a"),
+                    F.col("b.media_id").alias("media_id_b"),
+                    F.col("a.phash").alias("pa"),
+                    F.col("b.phash").alias("pb"))
+            .distinct())  # a pair may co-bucket in several bands
+
+    def _half(col: str, lo: int, ln: int):
+        return F.conv(F.substring(col, lo, ln), 2, 10).cast("long")
+
+    dist = sum(
+        F.bit_count(_half("pa", i * 32 + 1, min(32, nbits - i * 32))
+                    .bitwiseXOR(_half("pb", i * 32 + 1,
+                                      min(32, nbits - i * 32))))
+        for i in range((nbits + 31) // 32))
+    return (cand.withColumn("hamming_dist", dist.cast("int"))
+            .where(F.col("hamming_dist") <= radius)
+            .select("media_id_a", "media_id_b", "hamming_dist"))
+
+
 RESIZE_SCHEMA = ("media_id long, kind string, target_w int, target_h int,"
                  " out_bytes long, payload binary")
 

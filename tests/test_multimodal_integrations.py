@@ -672,3 +672,68 @@ class TestImageQcProfile:
         rows = image_qc_profile(synthetic_media(spark, n=6)).collect()
         assert len(rows) == 6
         assert all(r["phash"] is None and r["n_px"] is None for r in rows)
+
+
+class TestPhashHammingPairs:
+    """Banded Hamming near-dup over perceptual hashes: zero false
+    negatives within the radius (pigeonhole), exact popcount
+    re-score, payload-free plan."""
+
+    def _brute(self, hashes, radius):
+        out = set()
+        ids = sorted(hashes)
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                d = sum(c1 != c2 for c1, c2 in
+                        zip(hashes[x], hashes[y]))
+                if d <= radius:
+                    out.add((x, y, d))
+        return out
+
+    def test_matches_bruteforce_on_synthetic_hashes(self, spark):
+        import random
+
+        from data_platform_copilot_spark.operators.multimodal import (
+            phash_hamming_pairs)
+
+        rng = random.Random(7)
+        base = "".join(rng.choice("01") for _ in range(64))
+
+        def flip(s, k):
+            pos = rng.sample(range(64), k)
+            return "".join(("1" if c == "0" else "0") if i in pos else c
+                           for i, c in enumerate(s))
+
+        hashes = {0: base, 1: flip(base, 2), 2: flip(base, 4),
+                  3: flip(base, 9),  # outside radius 4 of base
+                  4: "".join(rng.choice("01") for _ in range(64)),
+                  5: base}           # exact dup
+        rows = [(k, v) for k, v in hashes.items()] + [(6, None)]
+        df = spark.createDataFrame(rows, "media_id long, phash string")
+        got = {(r["media_id_a"], r["media_id_b"], r["hamming_dist"])
+               for r in phash_hamming_pairs(df, radius=4).collect()}
+        assert got == self._brute(hashes, 4)
+        assert (0, 5, 0) in got          # exact pair surfaces at dist 0
+        assert all(p[0] != 3 and p[1] != 3 or p[2] <= 4 for p in got)
+
+    def test_end_to_end_on_png_reencodings(self, spark):
+        from data_platform_copilot_spark.operators.multimodal import (
+            perceptual_hash, phash_hamming_pairs,
+            synthetic_png_media_dups)
+
+        hashed = perceptual_hash(synthetic_png_media_dups(spark, n=6))
+        pairs = phash_hamming_pairs(hashed, radius=4)
+        rows = pairs.collect()
+        # every planted re-encoding pair (j, j+6) must surface at 0
+        got = {(r["media_id_a"], r["media_id_b"]): r["hamming_dist"]
+               for r in rows}
+        for j in range(6):
+            assert got.get((j, j + 6)) == 0
+        # payload bytes are read by the ONE hash stage but never
+        # cross an exchange — only ~70-byte profile rows shuffle
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert not any("payload" in ln for ln in plan.splitlines()
+                       if "Exchange" in ln)
+        assert plan.count("MapInPandas") == 1  # the hash pass only
+        # the distance math stayed JVM-side
+        assert "BatchEvalPython" not in plan
