@@ -8,6 +8,7 @@ from .text import (
     tokens,
 )
 from .vectors import cosine_similarity, dot, l2_norm
+from .web import registered_domain, url_host, url_normalize
 
 __all__ = [
     "LANG_STOPWORDS",
@@ -18,6 +19,9 @@ __all__ = [
     "lang_scores",
     "normalize_text",
     "punct_ratio",
+    "registered_domain",
+    "url_host",
+    "url_normalize",
     "stopword_ratio",
     "tokens",
 ]

@@ -1,0 +1,72 @@
+"""URL canonicalization functions (functions/web.py): exact expected
+outputs for the tricky-variant table, recrawl-variant collapse, and
+the JVM-side plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_platform_copilot_spark.functions.web import (
+    registered_domain,
+    url_host,
+    url_normalize,
+)
+
+CASES = [
+    # (raw, normalized, host, registered_domain)
+    ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+     "http://example.com/a/b?a=1&b=2", "example.com", "example.com"),
+    ("https://example.com:443/a/",
+     "https://example.com/a", "example.com", "example.com"),
+    ("https://example.com",
+     "https://example.com/", "example.com", "example.com"),
+    ("https://example.com:8443/a",
+     "https://example.com:8443/a", "example.com", "example.com"),
+    ("https://sub.shop.example.co.uk/p?gclid=123",
+     "https://sub.shop.example.co.uk/p",
+     "sub.shop.example.co.uk", "example.co.uk"),
+    ("http://example.com/a//",
+     "http://example.com/a", "example.com", "example.com"),
+    ("https://user:pw@example.com/x",
+     "https://example.com/x", "example.com", "example.com"),
+    ("https://example.com/a?fbclid=1&utm_campaign=2",
+     "https://example.com/a", "example.com", "example.com"),
+    ("not a url", None, None, None),
+    (None, None, None, None),
+]
+
+
+def _run(spark, col_fn):
+    df = spark.createDataFrame([(c[0],) for c in CASES], "url string")
+    return [r["out"] for r in
+            df.select(col_fn("url").alias("out")).collect()]
+
+
+class TestUrlFunctions:
+    def test_normalize_expected_table(self, spark):
+        assert _run(spark, url_normalize) == [c[1] for c in CASES]
+
+    def test_host_and_registered_domain(self, spark):
+        assert _run(spark, url_host) == [c[2] for c in CASES]
+        assert _run(spark, registered_domain) == [c[3] for c in CASES]
+
+    def test_recrawl_variants_collapse_to_one_key(self, spark):
+        variants = [
+            "https://www.shop.example.com/item/42?utm_source=mail",
+            "HTTPS://shop.example.com:443/item/42",
+            "https://shop.example.com/item/42/",
+            "https://shop.example.com/item/42#reviews",
+        ]
+        df = spark.createDataFrame([(v,) for v in variants], "url string")
+        keys = (df.select(url_normalize("url").alias("k"))
+                .distinct().collect())
+        assert [r["k"] for r in keys] == [
+            "https://shop.example.com/item/42"]
+
+    def test_plan_stays_jvm_side(self, spark):
+        df = spark.createDataFrame([("https://a.example.org/x?b=1",)],
+                                   "url string")
+        plan = (df.select(url_normalize("url"), registered_domain("url"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
