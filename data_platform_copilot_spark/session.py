@@ -43,7 +43,11 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
     (DuckDB) uses naive-UTC timestamps, and the reference warehouse
     stores UTC (reference src/database/models.py:48-49).
     """
-    master = master or settings.spark.master or f"local[{DEFAULT_CPUS}]"
+    # Precedence: explicit arg > SPARK_GRAFT_MASTER env (lets every
+    # tool — bench, check_correctness, probes — run unchanged against
+    # a spark:// standalone master) > settings > local[cpus].
+    master = (master or os.environ.get("SPARK_GRAFT_MASTER")
+              or settings.spark.master or f"local[{DEFAULT_CPUS}]")
     is_local = master.startswith("local")
     # Local default: ~cpus/3 reduce tasks, floor 8. On warm cached
     # MB-GB data in one JVM, reduce stages are latency-bound, not
@@ -67,6 +71,16 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
     # headline pack. Env-overridable either way (SPARK_GRAFT_AQE).
     aqe = os.environ.get("SPARK_GRAFT_AQE",
                          "false" if is_local else "true")
+    # Non-local masters: executor-side Python workers must import this
+    # package (Arrow-stage closures reference operator modules by
+    # name), so put the repo root on their PYTHONPATH. Covers
+    # same-filesystem standalone (this box, deploy/compose.yaml, which
+    # mounts the repo into every container); a multi-node deployment
+    # without a shared image instead ships a wheel via --py-files.
+    # Found by the r8 cluster-mode oracle run: every mapInPandas codec
+    # entry failed with ModuleNotFoundError on the worker without it.
+    from pathlib import Path
+    pkg_root = str(Path(__file__).resolve().parents[1])
     builder = (
         SparkSession.builder
         .appName(app_name)
@@ -106,6 +120,11 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                settings.spark.driver_memory))
     )
+    if not is_local:
+        existing = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            pkg_root + (os.pathsep + existing if existing else ""))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

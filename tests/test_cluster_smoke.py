@@ -51,6 +51,13 @@ from data_platform_copilot_spark.queries import QUERIES
 top = QUERIES["multi_join_topk"](spark, {sf!r}).collect()
 print("TOPK|" + ";".join(
     ";".join(str(v) for v in r) for r in top))
+# Arrow closure referencing package modules must import on the
+# EXECUTOR-side Python worker (session.py ships the repo root via
+# spark.executorEnv.PYTHONPATH — the r8 cluster-mode oracle run
+# failed all 10 codec/cogroup entries without it).
+png = QUERIES["multimodal_png_decode"](spark, {sf!r}).collect()
+assert len(png) == 16 and all(r["bands_match"] for r in png), png[:2]
+print("CODEC|ok")
 spark.stop()
 """
 
@@ -132,3 +139,4 @@ def test_entry_and_shuffle_query_on_cluster(standalone_master, spark,
         ";".join(str(v) for v in r)
         for r in QUERIES["multi_join_topk"](spark, sf_dir).collect())
     assert out["TOPK"] == local_topk
+    assert out["CODEC"] == "ok"  # executor-side package import works
