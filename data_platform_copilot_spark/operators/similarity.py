@@ -288,6 +288,43 @@ def knn_join(corpus: DataFrame, id_col: str, vec_col: str,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def knn_distance_outliers(corpus: DataFrame, id_col: str, vec_col: str,
+                          k: int = 3, quantile: float = 0.95,
+                          n_planes: int | None = 6, tables: int = 4,
+                          dim: int = 64, seed: int = 42) -> DataFrame:
+    """Embedding-space outlier detection by k-NN distance — the
+    curation screen for garbage/mislabeled/off-distribution samples
+    (a vector whose k-th nearest neighbor is far away sits in no
+    cluster; Bhatia et al.-style distance-based outliers restated on
+    cosine). Score = 1 - cosine(v, k-th neighbor) from the SRP-LSH
+    ``knn_join`` graph; rows whose buckets collide with NOTHING have
+    no neighbors at all — the strongest outlier signal — and surface
+    with score 1.0 (cosine NULL). The flag threshold is the exact
+    ``quantile`` of the scores (computed on the |corpus|-row score
+    frame, a single percentile agg broadcast back).
+
+    Scale: inherits knn_join's O(sum bucket^2) bound and its
+    ``n_planes`` dial; everything downstream of the graph is
+    id-keyed (the vectors never re-shuffle). Output:
+    (id, knn_distance, is_outlier), one row per corpus vector.
+    """
+    graph = knn_join(corpus, id_col, vec_col, k=k, n_planes=n_planes,
+                     tables=tables, dim=dim, seed=seed)
+    kth = (graph.where(F.col("rank") == k)
+           .select(F.col("query_id").alias("id"),
+                   (1.0 - F.col("cosine")).alias("knn_distance")))
+    scored = (corpus.select(F.col(id_col).alias("id"))
+              .join(kth, "id", "left")
+              .select("id", F.coalesce("knn_distance", F.lit(1.0))
+                      .alias("knn_distance")))
+    thr = scored.agg(F.percentile("knn_distance",
+                                  F.lit(quantile)).alias("thr"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select("id", "knn_distance",
+                    (F.col("knn_distance") >= F.col("thr"))
+                    .alias("is_outlier")))
+
+
 def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
                  m: int = 8, ks: int = 16, iters: int = 2,
                  dim: int = 64) -> list:

@@ -172,3 +172,59 @@ class TestLabelPropagation:
                for r in label_propagation(edges, seeds, rounds=1).collect()}
         assert got[10] == 5   # majority 2:1
         assert got[11] == 2   # 1:1 tie -> lowest label
+
+
+class TestKnnDistanceOutliers:
+    """Planted-outlier recovery: two tight cosine clusters + isolated
+    vectors; the isolates must carry the top k-NN distances and the
+    quantile flag must recover exactly them."""
+
+    def _corpus(self, spark):
+        import math
+        import random
+
+        rng = random.Random(11)
+        dim = 64
+
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        c1 = unit([rng.gauss(0, 1) for _ in range(dim)])
+        c2 = unit([rng.gauss(0, 1) for _ in range(dim)])
+        rows = []
+        for i in range(40):  # cluster members: tiny jitter -> cosine ~1
+            base = c1 if i % 2 == 0 else c2
+            rows.append((i, unit([b + rng.gauss(0, 0.01) for b in base])))
+        for j in range(40, 44):  # isolates: independent random dirs
+            rows.append((j, unit([rng.gauss(0, 1) for _ in range(dim)])))
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def test_planted_isolates_flagged(self, spark):
+        from data_platform_copilot_spark.operators.similarity import (
+            knn_distance_outliers)
+
+        out = knn_distance_outliers(
+            self._corpus(spark), "vec_id", "v",
+            k=3, quantile=44 / 44 - 4 / 44,  # flag the top 4 scores
+            n_planes=4, tables=4).collect()
+        assert len(out) == 44
+        scores = {r["id"]: r["knn_distance"] for r in out}
+        flagged = {r["id"] for r in out if r["is_outlier"]}
+        # every isolate scores above every cluster member
+        worst_member = max(scores[i] for i in range(40))
+        best_isolate = min(scores[j] for j in range(40, 44))
+        assert best_isolate > worst_member
+        assert flagged == {40, 41, 42, 43}
+
+    def test_bucket_orphans_score_one(self, spark):
+        from data_platform_copilot_spark.operators.similarity import (
+            knn_distance_outliers)
+
+        # with many planes the isolates collide with nothing: no
+        # neighbors at all -> the documented score-1.0 path
+        out = {r["id"]: r["knn_distance"]
+               for r in knn_distance_outliers(
+                   self._corpus(spark), "vec_id", "v",
+                   k=3, quantile=0.9, n_planes=10, tables=2).collect()}
+        assert any(v == 1.0 for v in out.values())
