@@ -47,6 +47,15 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # Every name below passes the local full-registry oracle at
     # sf0.001/0.01 and stays value-verified every run by the parametrized
     # pytest oracle (tests/test_queries_oracle.py).
+    #
+    # r9 runway (registered only once the residue is <= 10 and the
+    # freeze lifts; operators + tests already landed in r8):
+    #   - knn_distance_outliers (operators/similarity.py) with a
+    #     literal-hyperplane SQL-replay oracle like dedup_embedding_lsh
+    #   - url_normalize / registered_domain (functions/web.py) over a
+    #     synthetic URL corpus with a DuckDB string-function oracle
+    #   - phash_hamming_pairs (operators/multimodal.py) with the
+    #     pixel-formula phash oracle extended by banded candidates
     "cohort_retention_matrix",
     "dq_value_histogram",
     "quality_band_filter_counts",
