@@ -70,3 +70,27 @@ class TestUrlFunctions:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestUrlNormalizeProperties:
+    def test_idempotent_over_generated_urls(self, spark):
+        """normalize(normalize(u)) == normalize(u): canonical URLs are
+        fixed points (generated grid of scheme/host/port/path/query/
+        fragment variants, incl. tracking params and case noise)."""
+        import itertools
+
+        schemes = ["http", "HTTPS"]
+        hosts = ["Example.com", "www.sub.example.CO.UK", "a.b.io"]
+        ports = ["", ":80", ":443", ":8080"]
+        paths = ["", "/", "/A/b", "/x/", "/x//"]
+        queries = ["", "?b=2&a=1", "?utm_source=t&a=1", "?gclid=9"]
+        frags = ["", "#frag"]
+        urls = ["".join(p) for p in itertools.product(
+            schemes, ["://"], hosts, ports, paths, queries, frags)]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(url_normalize("url").alias("n1"))
+        twice = once.select(
+            "n1", url_normalize("n1").alias("n2")).collect()
+        bad = [(r["n1"], r["n2"]) for r in twice if r["n1"] != r["n2"]]
+        assert not bad, bad[:5]
+        assert all(r["n1"] is not None for r in twice)
