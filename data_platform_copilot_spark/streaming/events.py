@@ -585,3 +585,104 @@ def run_streaming_left_outer_join(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str,
+                                      n_files: int = 8,
+                                      stop_after: int = 3,
+                                      work_dir: str | None = None) -> dict:
+    """Driver-restart recovery: run a checkpointed stream partway,
+    STOP it, restart the identical query from the same checkpoint,
+    and prove (a) the final aggregate equals the batch answer and
+    (b) every source file was processed exactly once ACROSS the two
+    runs (offsets resume; nothing re-read, nothing skipped).
+
+    This is the property none of the memory-sink smokes exercise —
+    production streams survive driver restarts only through the
+    checkpoint (offsets + state store), and side-effect sinks get
+    AT-LEAST-ONCE batch delivery: on restart Spark may replay the
+    last uncommitted batch, so a foreachBatch sink must be
+    idempotent BY batchId. Both sinks here follow that contract:
+    the aggregate snapshot is a full overwrite (naturally
+    idempotent), the batch log dedupes on batch_id at read time.
+
+    Mechanics: the events table staged as ``n_files`` parquet files,
+    ``maxFilesPerTrigger=1`` so each micro-batch consumes one file;
+    complete-mode count/sum per event_type lands in foreachBatch.
+    Returns the final agg (DataFrame), the batch log (DataFrame with
+    distinct batch_ids), and phase-1/phase-2 batch counts.
+    """
+    import time as _time
+
+    from ..sources.registry import load_table
+
+    root = Path(work_dir or tempfile.mkdtemp(prefix="ckpt_recovery_"))
+    src, ckpt = root / "src", root / "ckpt"
+    agg_out, log_out = root / "agg", root / "log"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    if not src.exists():
+        events.repartition(n_files).write.mode("overwrite").parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def build_query():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        agg = (stream.groupBy("event_type")
+               .agg(F.count("*").alias("n"),
+                    rnd(F.sum("value"), 2).alias("total_value")))
+
+        def sink(bdf: DataFrame, bid: int) -> None:
+            # snapshot overwrite: idempotent under batch replay
+            bdf.write.mode("overwrite").parquet(str(agg_out))
+            # batch log: appended, deduped by batch_id at read time
+            # (the documented at-least-once side-effect contract)
+            bdf.sparkSession.createDataFrame(
+                [(bid, bdf.count())], "batch_id long, n_groups long"
+            ).write.mode("append").parquet(str(log_out))
+
+        return (agg.writeStream.outputMode("complete")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(processingTime="300 milliseconds")
+                .foreachBatch(sink).start())
+
+    def distinct_batches() -> int:
+        try:
+            return (spark.read.parquet(str(log_out))
+                    .select("batch_id").distinct().count())
+        except Exception:
+            return 0  # log dir not created yet
+
+    # Phase 1: run until >= stop_after batches committed, then stop
+    q1 = build_query()
+    try:
+        deadline = _time.time() + 120
+        while distinct_batches() < stop_after and _time.time() < deadline:
+            _time.sleep(0.05)
+    finally:
+        q1.stop()
+    q1.awaitTermination(30)
+    phase1 = distinct_batches()
+
+    # Phase 2: identical query, same checkpoint — offsets resume
+    q2 = build_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    q2.awaitTermination(30)
+
+    log = (spark.read.parquet(str(log_out))
+           .dropDuplicates(["batch_id"]))
+    return {
+        "agg": spark.read.parquet(str(agg_out)),
+        "log": log,
+        "phase1_batches": phase1,
+        "total_batches": log.count(),
+        "n_files": n_files,
+        "batch_expected": (events.groupBy("event_type")
+                           .agg(F.count("*").alias("n"),
+                                rnd(F.sum("value"), 2)
+                                .alias("total_value"))),
+    }

@@ -302,3 +302,31 @@ def test_left_outer_stream_join_holdback_boundary(spark, sf_dir):
     # and every old unmatched view IS reported (nothing lost)
     matched = set(got[got.purchase_event_id.notnull()].view_event_id)
     assert old_views - matched == set(nulls.view_event_id)
+
+
+class TestCheckpointRecovery:
+    """Driver-restart recovery through the checkpoint: stop the
+    stream mid-way, restart the identical query, and the final state
+    must equal the batch answer with every source file processed
+    exactly once across both runs."""
+
+    def test_restart_resumes_offsets_exactly_once(self, spark, sf_dir,
+                                                  tmp_path):
+        from tests.conftest import normalize_rows
+
+        from data_platform_copilot_spark.streaming.events import (
+            run_streaming_checkpoint_recovery)
+
+        out = run_streaming_checkpoint_recovery(
+            spark, sf_dir, n_files=8, stop_after=3,
+            work_dir=str(tmp_path))
+        # phase 1 stopped mid-stream: the restart had real work left
+        assert 1 <= out["phase1_batches"] < out["n_files"], out
+        # exactly-once across BOTH runs: 8 files -> 8 distinct batches
+        assert out["total_batches"] == out["n_files"]
+        ids = sorted(r["batch_id"] for r in out["log"].collect())
+        assert ids == list(range(out["n_files"]))  # contiguous resume
+        # final snapshot == batch answer over the full source
+        got = normalize_rows(out["agg"].toPandas())
+        want = normalize_rows(out["batch_expected"].toPandas())
+        assert got == want
