@@ -1,0 +1,159 @@
+"""Manifest-versioned parquet tables — table-format-lite.
+
+Plain ``mode("overwrite")`` on a directory is NOT atomic: a reader
+listing the directory mid-write sees torn state (half the old files
+deleted, half the new written), and there is no history to audit or
+roll back. Table formats (Delta, Iceberg — neither installed in this
+container) fix this with immutable data files + an atomically
+swapped manifest; this module implements that core idea with nothing
+but parquet and a rename:
+
+- every commit writes data under a NEW immutable directory
+  ``v=<n>/`` and an immutable manifest ``manifest-<n>.json`` listing
+  the data directories composing that version (append = previous
+  list + new dir; overwrite = just the new dir);
+- ``_latest`` is a one-line pointer file written via tmp + atomic
+  ``os.replace`` — readers resolve pointer -> manifest -> files, so
+  they always see a complete, consistent version (snapshot
+  isolation for free);
+- time travel = read an older manifest; compaction = rewrite the
+  live file set as one new overwrite version (small-file repair
+  after many appends); vacuum = delete data dirs no live manifest
+  references.
+
+Scale notes: on a real object store the pointer swap maps to a
+conditional PUT / rename-if-absent, manifests stay O(versions) tiny
+JSON, and data files never mutate — the exact recipe in the Delta
+Lake paper (Armbrust et al., VLDB 2020) §3. Single-writer semantics
+(one committer at a time), which is the deployment mode of every
+batch curation pipeline this engine targets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTableError(RuntimeError):
+    pass
+
+
+def _pointer(table_dir: Path) -> Path:
+    return table_dir / "_latest"
+
+
+def _manifest_path(table_dir: Path, version: int) -> Path:
+    return table_dir / f"manifest-{version}.json"
+
+
+def latest_version(table_dir: str | Path) -> int | None:
+    p = _pointer(Path(table_dir))
+    if not p.exists():
+        return None
+    return int(p.read_text().strip())
+
+
+def _read_manifest(table_dir: Path, version: int) -> dict:
+    mp = _manifest_path(table_dir, version)
+    if not mp.exists():
+        raise VersionedTableError(f"no manifest for version {version}")
+    return json.loads(mp.read_text())
+
+
+def write_version(df: DataFrame, table_dir: str | Path,
+                  mode: str = "append") -> int:
+    """Commit ``df`` as the table's next version; returns it.
+
+    ``append`` composes the new data dir with the previous version's
+    list; ``overwrite`` replaces the list. The commit point is the
+    atomic pointer swap — a crash before it leaves only unreferenced
+    files (vacuum-able garbage), never a torn table.
+    """
+    if mode not in ("append", "overwrite"):
+        raise VersionedTableError(f"unsupported mode: {mode}")
+    root = Path(table_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    prev = latest_version(root)
+    version = 0 if prev is None else prev + 1
+    data_dir = f"v={version}"
+    df.write.mode("error").parquet(str(root / data_dir))
+
+    dirs = [data_dir]
+    if mode == "append" and prev is not None:
+        dirs = _read_manifest(root, prev)["data_dirs"] + dirs
+    manifest = {"version": version, "mode": mode, "data_dirs": dirs}
+    _manifest_path(root, version).write_text(json.dumps(manifest))
+
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest.")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer(root))  # THE commit point (atomic)
+    return version
+
+
+def read_version(spark: SparkSession, table_dir: str | Path,
+                 version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest). Resolves
+    pointer -> immutable manifest -> immutable files, so concurrent
+    commits can never tear this read."""
+    root = Path(table_dir)
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise VersionedTableError(f"not a versioned table: {root}")
+    dirs = _read_manifest(root, version)["data_dirs"]
+    return spark.read.parquet(*[str(root / d) for d in dirs])
+
+
+def history(table_dir: str | Path) -> list[dict]:
+    """All committed manifests, oldest first (the audit log)."""
+    root = Path(table_dir)
+    out = []
+    v = latest_version(root)
+    for i in range((v + 1) if v is not None else 0):
+        if _manifest_path(root, i).exists():
+            out.append(_read_manifest(root, i))
+    return out
+
+
+def compact(spark: SparkSession, table_dir: str | Path,
+            target_files: int = 8) -> int:
+    """Small-file repair: rewrite the live file set as ONE overwrite
+    version with ``target_files`` parquet files. After many appends a
+    table is a spray of small files (each append = its own dir); at
+    100 TB that means open/seek overhead dominating scans. Readers on
+    old versions are unaffected (their manifests still reference the
+    old dirs until vacuum)."""
+    df = read_version(spark, table_dir).repartition(target_files)
+    return write_version(df, table_dir, mode="overwrite")
+
+
+def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
+    """Delete data dirs referenced by NO retained manifest (the last
+    ``keep_last`` versions are retained, older manifests are dropped
+    too). Returns the deleted dir names. Time travel reaches only
+    retained versions afterwards — same contract as Delta VACUUM."""
+    root = Path(table_dir)
+    v = latest_version(root)
+    if v is None:
+        return []
+    keep_versions = [i for i in range(v + 1)
+                     if _manifest_path(root, i).exists()][-keep_last:]
+    live: set[str] = set()
+    for i in keep_versions:
+        live.update(_read_manifest(root, i)["data_dirs"])
+    deleted = []
+    for d in sorted(root.glob("v=*")):
+        if d.name not in live:
+            shutil.rmtree(d)
+            deleted.append(d.name)
+    for mp in root.glob("manifest-*.json"):
+        if int(mp.stem.split("-")[1]) not in keep_versions:
+            mp.unlink()
+    return deleted

@@ -1,0 +1,98 @@
+"""Manifest-versioned tables (sources/versioned.py): atomic commits,
+time travel, append/overwrite composition, compaction, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_platform_copilot_spark.sources.versioned import (
+    VersionedTableError,
+    compact,
+    history,
+    latest_version,
+    read_version,
+    vacuum,
+    write_version,
+)
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return tmp_path / "tbl"
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("x"))
+
+
+class TestVersionedTable:
+    def test_append_overwrite_time_travel(self, spark, tdir):
+        assert write_version(_df(spark, 0, 10), tdir) == 0
+        assert write_version(_df(spark, 10, 15), tdir, "append") == 1
+        assert read_version(spark, tdir).count() == 15
+        assert read_version(spark, tdir, version=0).count() == 10  # travel
+        assert write_version(_df(spark, 100, 102), tdir,
+                             "overwrite") == 2
+        assert read_version(spark, tdir).count() == 2
+        assert read_version(spark, tdir, version=1).count() == 15
+        assert latest_version(tdir) == 2
+        modes = [h["mode"] for h in history(tdir)]
+        assert modes == ["append", "append", "overwrite"]
+
+    def test_pointer_always_resolves_consistent_snapshot(self, spark,
+                                                         tdir):
+        """The pointer file only ever names a fully committed
+        manifest: every intermediate read during a commit sequence
+        returns a complete version's exact rows."""
+        write_version(_df(spark, 0, 5), tdir)
+        for i in range(1, 4):
+            got = read_version(spark, tdir).count()
+            assert got == 5 * i  # never a torn intermediate
+            write_version(_df(spark, 5 * i, 5 * (i + 1)), tdir, "append")
+        assert read_version(spark, tdir).count() == 20
+
+    def test_compact_preserves_rows_and_cuts_files(self, spark, tdir):
+        for i in range(5):  # 5 appends -> file spray
+            write_version(_df(spark, i * 10, (i + 1) * 10)
+                          .repartition(4), tdir, "append")
+        before = read_version(spark, tdir)
+        n_files_before = len(before.inputFiles())
+        rows_before = sorted(r["id"] for r in before.collect())
+        v = compact(spark, tdir, target_files=2)
+        after = read_version(spark, tdir)
+        assert len(after.inputFiles()) <= 2 < n_files_before
+        assert sorted(r["id"] for r in after.collect()) == rows_before
+        # pre-compaction versions still readable (until vacuum)
+        assert read_version(spark, tdir, version=v - 1).count() == 50
+
+    def test_vacuum_drops_unreferenced_dirs_only(self, spark, tdir):
+        write_version(_df(spark, 0, 10), tdir)
+        write_version(_df(spark, 10, 20), tdir, "append")
+        compact(spark, tdir, target_files=1)           # v2 = live set
+        deleted = vacuum(tdir, keep_last=1)
+        assert set(deleted) == {"v=0", "v=1"}
+        assert read_version(spark, tdir).count() == 20  # live unharmed
+        with pytest.raises(VersionedTableError):
+            read_version(spark, tdir, version=0)        # history gone
+
+    def test_crash_before_pointer_swap_leaves_table_intact(self, spark,
+                                                           tdir):
+        """A writer dying after writing data but BEFORE the pointer
+        swap leaves only unreferenced garbage — readers still see the
+        previous version."""
+        write_version(_df(spark, 0, 10), tdir)
+        # simulate the torn writer: data dir + manifest, no pointer
+        _df(spark, 90, 99).write.parquet(str(tdir / "v=1"))
+        (tdir / "manifest-1.json").write_text(
+            '{"version": 1, "mode": "append", "data_dirs": ["v=1"]}')
+        assert latest_version(tdir) == 0
+        assert read_version(spark, tdir).count() == 10
+
+    def test_reject_bad_mode_and_missing_table(self, spark, tdir):
+        with pytest.raises(VersionedTableError):
+            write_version(_df(spark, 0, 1), tdir, "merge")
+        with pytest.raises(VersionedTableError):
+            read_version(spark, tdir)
