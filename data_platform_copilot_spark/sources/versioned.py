@@ -81,13 +81,24 @@ def write_version(df: DataFrame, table_dir: str | Path,
     root.mkdir(parents=True, exist_ok=True)
     prev = latest_version(root)
     version = 0 if prev is None else prev + 1
-    data_dir = f"v={version}"
-    df.write.mode("error").parquet(str(root / data_dir))
 
-    dirs = [data_dir]
+    dirs, schema = [f"v={version}"], dict(df.dtypes)
     if mode == "append" and prev is not None:
-        dirs = _read_manifest(root, prev)["data_dirs"] + dirs
-    manifest = {"version": version, "mode": mode, "data_dirs": dirs}
+        prev_manifest = _read_manifest(root, prev)
+        prev_schema = prev_manifest.get("schema", {})
+        # evolution rule (additive-only, the Delta/Iceberg default):
+        # new columns may appear, existing columns must keep their
+        # type — a silent type change would corrupt merged reads.
+        clashes = {c: (prev_schema[c], t) for c, t in schema.items()
+                   if c in prev_schema and prev_schema[c] != t}
+        if clashes:
+            raise VersionedTableError(
+                f"incompatible column types on append: {clashes}")
+        dirs = prev_manifest["data_dirs"] + dirs
+        schema = {**prev_schema, **schema}
+    df.write.mode("error").parquet(str(root / f"v={version}"))
+    manifest = {"version": version, "mode": mode, "data_dirs": dirs,
+                "schema": schema}
     _manifest_path(root, version).write_text(json.dumps(manifest))
 
     fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest.")
@@ -108,7 +119,11 @@ def read_version(spark: SparkSession, table_dir: str | Path,
         if version is None:
             raise VersionedTableError(f"not a versioned table: {root}")
     dirs = _read_manifest(root, version)["data_dirs"]
-    return spark.read.parquet(*[str(root / d) for d in dirs])
+    # mergeSchema: additive evolution means later dirs may carry
+    # columns earlier ones lack; without it Spark takes the first
+    # file's schema and silently DROPS the added columns.
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*[str(root / d) for d in dirs]))
 
 
 def history(table_dir: str | Path) -> list[dict]:
@@ -132,6 +147,22 @@ def compact(spark: SparkSession, table_dir: str | Path,
     old dirs until vacuum)."""
     df = read_version(spark, table_dir).repartition(target_files)
     return write_version(df, table_dir, mode="overwrite")
+
+
+def merge_version(spark: SparkSession, table_dir: str | Path,
+                  updates: DataFrame, key: str) -> int:
+    """Upsert commit: rows in ``updates`` replace same-``key`` rows of
+    the latest version, new keys insert — materialized as ONE
+    overwrite version (copy-on-write MERGE, the Delta paper's
+    default). Cost is a full rewrite of the live set, which is the
+    honest cost of upserts without deletion vectors; at 100 TB the
+    rewrite is partition-pruned to the partitions holding matched
+    keys."""
+    current = read_version(spark, table_dir)
+    survivors = current.join(updates.select(key).distinct(), key,
+                             "left_anti")
+    merged = survivors.unionByName(updates, allowMissingColumns=True)
+    return write_version(merged, table_dir, mode="overwrite")
 
 
 def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:

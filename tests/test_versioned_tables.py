@@ -96,3 +96,39 @@ class TestVersionedTable:
             write_version(_df(spark, 0, 1), tdir, "merge")
         with pytest.raises(VersionedTableError):
             read_version(spark, tdir)
+
+
+class TestSchemaEvolutionAndMerge:
+    def test_additive_columns_survive_merged_reads(self, spark, tdir):
+        write_version(_df(spark, 0, 5), tdir)
+        evolved = _df(spark, 5, 10).withColumn("tag", F.lit("new"))
+        write_version(evolved, tdir, "append")
+        got = read_version(spark, tdir)
+        assert set(got.columns) == {"id", "x", "tag"}
+        tags = {r["id"]: r["tag"] for r in got.collect()}
+        assert tags[7] == "new" and tags[2] is None  # old rows -> NULL
+
+    def test_type_change_on_append_rejected(self, spark, tdir):
+        write_version(_df(spark, 0, 5), tdir)
+        bad = _df(spark, 5, 6).withColumn("x", F.col("x").cast("string"))
+        with pytest.raises(VersionedTableError, match="incompatible"):
+            write_version(bad, tdir, "append")
+        assert latest_version(tdir) == 0  # nothing committed
+
+    def test_merge_upserts_by_key(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)
+        updates = spark.createDataFrame(
+            [(3, 999), (4, 888), (50, 777)], "id long, x long")
+        v = merge_version(spark, tdir, updates, "id")
+        got = {r["id"]: r["x"] for r in
+               read_version(spark, tdir).collect()}
+        assert len(got) == 11            # 10 originals + 1 insert
+        assert got[3] == 999 and got[4] == 888 and got[50] == 777
+        assert got[5] == 10              # untouched row intact
+        # pre-merge version still time-travelable
+        old = {r["id"]: r["x"] for r in
+               read_version(spark, tdir, version=v - 1).collect()}
+        assert old[3] == 6 and 50 not in old
