@@ -4,6 +4,17 @@ from .registry import (
     register_testdata,
     warm_tables,
 )
+from .versioned import (
+    compact,
+    history,
+    latest_version,
+    merge_version,
+    read_version,
+    vacuum,
+    write_version,
+)
 
 __all__ = ["TESTDATA_TABLES", "load_table", "register_testdata",
-           "warm_tables"]
+           "warm_tables", "write_version", "read_version",
+           "merge_version", "compact", "vacuum", "history",
+           "latest_version"]
