@@ -52,7 +52,85 @@ def result_hash(rows) -> tuple[int, str]:
     return len(rows), hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
+def streaming_chaos(master: str, sf_dir: str, kill_after: float) -> int:
+    """Executor loss DURING a checkpointed stream: the state store's
+    executor-held snapshot dies with the JVM; Spark must reload state
+    from the checkpoint and retry the batch. Final aggregate must
+    equal the batch answer — at-least-once batch delivery with
+    idempotent-by-batchId sinks makes the retry invisible."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.queries.core import rnd
+    from data_platform_copilot_spark.session import get_spark
+    from data_platform_copilot_spark.sources.registry import load_table
+
+    spark = get_spark("chaos-stream", master=master)
+    root = Path(tempfile.mkdtemp(prefix="chaos_stream_"))
+    src, ckpt, agg_out = root / "src", root / "ckpt", root / "agg"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    events.repartition(16).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    agg = (stream.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                rnd(F.sum("value"), 2).alias("total_value")))
+
+    def sink(bdf, bid):
+        bdf.write.mode("overwrite").parquet(str(agg_out))
+
+    q = (agg.writeStream.outputMode("complete")
+         .option("checkpointLocation", str(ckpt))
+         .trigger(processingTime="300 milliseconds")
+         .foreachBatch(sink).start())
+    killed: list[int] = []
+
+    def assassin():
+        time.sleep(kill_after)
+        pids = executor_pids()
+        if pids:
+            os.kill(pids[0], signal.SIGKILL)
+            killed.append(pids[0])
+
+    th = threading.Thread(target=assassin)
+    th.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    th.join()
+
+    got = result_hash(spark.read.parquet(str(agg_out)).collect())
+    want = result_hash(
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             rnd(F.sum("value"), 2).alias("total_value")).collect())
+    print(f"stream-chaos: got rows={got[0]} hash={got[1]} | "
+          f"batch rows={want[0]} hash={want[1]} | "
+          f"killed_executor_pid={killed[0] if killed else None}")
+    if not killed:
+        print("VACUOUS: no executor found to kill")
+        return 2
+    if got != want:
+        print("FAIL: streaming state diverged after executor loss")
+        return 1
+    print("OK: checkpointed stream recovered executor loss; "
+          "final state == batch")
+    return 0
+
+
 def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--streaming"]
+    if "--streaming" in sys.argv[1:]:
+        return streaming_chaos(
+            args[0] if args else "spark://127.0.0.1:7091",
+            args[1] if len(args) > 1 else "/root/testdata/sf0.1",
+            float(args[2]) if len(args) > 2 else 2.0)
+    sys.argv = [sys.argv[0]] + args
     master = sys.argv[1] if len(sys.argv) > 1 else "spark://127.0.0.1:7091"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf_x10"
     qname = sys.argv[3] if len(sys.argv) > 3 else "dedup_prefix_filter_pairs"
