@@ -9,7 +9,10 @@ swapped manifest; this module implements that core idea with nothing
 but parquet and a rename:
 
 - every commit writes data under a NEW immutable directory
-  ``v=<n>/`` and an immutable manifest ``manifest-<n>.json`` listing
+  ``data-<n>/`` (deliberately NOT hive ``k=v`` style, which Spark's
+  partition discovery would misread as partition values once the
+  table itself is hive-partitioned inside each dir) and an immutable
+  manifest ``manifest-<n>.json`` listing
   the data directories composing that version (append = previous
   list + new dir; overwrite = just the new dir);
 - ``_latest`` is a one-line pointer file written via tmp + atomic
@@ -67,13 +70,21 @@ def _read_manifest(table_dir: Path, version: int) -> dict:
 
 
 def write_version(df: DataFrame, table_dir: str | Path,
-                  mode: str = "append") -> int:
+                  mode: str = "append",
+                  partition_by: list[str] | None = None) -> int:
     """Commit ``df`` as the table's next version; returns it.
 
     ``append`` composes the new data dir with the previous version's
     list; ``overwrite`` replaces the list. The commit point is the
     atomic pointer swap — a crash before it leaves only unreferenced
     files (vacuum-able garbage), never a torn table.
+
+    ``partition_by`` lays each version dir out hive-partitioned
+    (``col=value/`` subdirs), so reads with a filter on those columns
+    prune whole directories — the mechanism that keeps a 100 TB
+    versioned table scannable. The layout is recorded in the manifest
+    and must stay consistent across appends (a mixed layout would
+    silently break pruning on the merged read).
     """
     if mode not in ("append", "overwrite"):
         raise VersionedTableError(f"unsupported mode: {mode}")
@@ -82,9 +93,14 @@ def write_version(df: DataFrame, table_dir: str | Path,
     prev = latest_version(root)
     version = 0 if prev is None else prev + 1
 
-    dirs, schema = [f"v={version}"], dict(df.dtypes)
+    dirs, schema = [f"data-{version}"], dict(df.dtypes)
     if mode == "append" and prev is not None:
         prev_manifest = _read_manifest(root, prev)
+        prev_parts = prev_manifest.get("partition_by") or []
+        if (partition_by or []) != prev_parts:
+            raise VersionedTableError(
+                f"partition layout mismatch on append: "
+                f"{partition_by} vs {prev_parts}")
         prev_schema = prev_manifest.get("schema", {})
         # evolution rule (additive-only, the Delta/Iceberg default):
         # new columns may appear, existing columns must keep their
@@ -96,9 +112,12 @@ def write_version(df: DataFrame, table_dir: str | Path,
                 f"incompatible column types on append: {clashes}")
         dirs = prev_manifest["data_dirs"] + dirs
         schema = {**prev_schema, **schema}
-    df.write.mode("error").parquet(str(root / f"v={version}"))
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(root / f"data-{version}"))
     manifest = {"version": version, "mode": mode, "data_dirs": dirs,
-                "schema": schema}
+                "schema": schema, "partition_by": partition_by or []}
     _manifest_path(root, version).write_text(json.dumps(manifest))
 
     fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest.")
@@ -119,11 +138,18 @@ def read_version(spark: SparkSession, table_dir: str | Path,
         if version is None:
             raise VersionedTableError(f"not a versioned table: {root}")
     dirs = _read_manifest(root, version)["data_dirs"]
-    # mergeSchema: additive evolution means later dirs may carry
-    # columns earlier ones lack; without it Spark takes the first
-    # file's schema and silently DROPS the added columns.
-    return (spark.read.option("mergeSchema", "true")
-            .parquet(*[str(root / d) for d in dirs]))
+    # One read PER dir, unioned by name: (a) additive evolution —
+    # later dirs may carry columns earlier ones lack, and a single
+    # multi-path read takes the first file's schema and silently
+    # DROPS them (mergeSchema only merges within one discovery);
+    # (b) hive-partitioned version dirs confuse multi-path partition
+    # discovery (CONFLICTING_DIRECTORY_STRUCTURES). Filters still
+    # push into every branch, so partition pruning is unaffected.
+    parts = [spark.read.parquet(str(root / d)) for d in dirs]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def history(table_dir: str | Path) -> list[dict]:
@@ -145,8 +171,11 @@ def compact(spark: SparkSession, table_dir: str | Path,
     100 TB that means open/seek overhead dominating scans. Readers on
     old versions are unaffected (their manifests still reference the
     old dirs until vacuum)."""
+    v = latest_version(table_dir)
+    parts = _read_manifest(Path(table_dir), v).get("partition_by") or []
     df = read_version(spark, table_dir).repartition(target_files)
-    return write_version(df, table_dir, mode="overwrite")
+    return write_version(df, table_dir, mode="overwrite",
+                         partition_by=parts or None)
 
 
 def merge_version(spark: SparkSession, table_dir: str | Path,
@@ -162,7 +191,10 @@ def merge_version(spark: SparkSession, table_dir: str | Path,
     survivors = current.join(updates.select(key).distinct(), key,
                              "left_anti")
     merged = survivors.unionByName(updates, allowMissingColumns=True)
-    return write_version(merged, table_dir, mode="overwrite")
+    v = latest_version(table_dir)
+    parts = _read_manifest(Path(table_dir), v).get("partition_by") or []
+    return write_version(merged, table_dir, mode="overwrite",
+                         partition_by=parts or None)
 
 
 def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
@@ -180,7 +212,7 @@ def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
     for i in keep_versions:
         live.update(_read_manifest(root, i)["data_dirs"])
     deleted = []
-    for d in sorted(root.glob("v=*")):
+    for d in sorted(root.glob("data-*")):
         if d.name not in live:
             shutil.rmtree(d)
             deleted.append(d.name)

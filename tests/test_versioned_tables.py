@@ -73,7 +73,7 @@ class TestVersionedTable:
         write_version(_df(spark, 10, 20), tdir, "append")
         compact(spark, tdir, target_files=1)           # v2 = live set
         deleted = vacuum(tdir, keep_last=1)
-        assert set(deleted) == {"v=0", "v=1"}
+        assert set(deleted) == {"data-0", "data-1"}
         assert read_version(spark, tdir).count() == 20  # live unharmed
         with pytest.raises(VersionedTableError):
             read_version(spark, tdir, version=0)        # history gone
@@ -85,9 +85,9 @@ class TestVersionedTable:
         previous version."""
         write_version(_df(spark, 0, 10), tdir)
         # simulate the torn writer: data dir + manifest, no pointer
-        _df(spark, 90, 99).write.parquet(str(tdir / "v=1"))
+        _df(spark, 90, 99).write.parquet(str(tdir / "data-1"))
         (tdir / "manifest-1.json").write_text(
-            '{"version": 1, "mode": "append", "data_dirs": ["v=1"]}')
+            '{"version": 1, "mode": "append", "data_dirs": ["data-1"]}')
         assert latest_version(tdir) == 0
         assert read_version(spark, tdir).count() == 10
 
@@ -132,3 +132,67 @@ class TestSchemaEvolutionAndMerge:
         old = {r["id"]: r["x"] for r in
                read_version(spark, tdir, version=v - 1).collect()}
         assert old[3] == 6 and 50 not in old
+
+
+class TestPartitionedVersions:
+    def test_partition_pruning_across_versions(self, spark, tdir):
+        d1 = _df(spark, 0, 40).withColumn(
+            "part", (F.col("id") % 4).cast("string"))
+        d2 = _df(spark, 40, 80).withColumn(
+            "part", (F.col("id") % 4).cast("string"))
+        write_version(d1, tdir, partition_by=["part"])
+        write_version(d2, tdir, "append", partition_by=["part"])
+        full = read_version(spark, tdir)
+        assert full.count() == 80
+        pruned = full.where(F.col("part") == "1")
+        assert pruned.count() == 20
+        # pruning is physical: BOTH version-dir scans carry the
+        # partition filter (directory-level skipping, not a row filter)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        import re
+        pf = re.findall(r"PartitionFilters: \[[^\]]*part[^\]]*\]", plan)
+        assert len(pf) == 2, plan[:2000]
+
+    def test_layout_mismatch_on_append_rejected(self, spark, tdir):
+        d = _df(spark, 0, 8).withColumn(
+            "part", (F.col("id") % 2).cast("string"))
+        write_version(d, tdir, partition_by=["part"])
+        with pytest.raises(VersionedTableError, match="layout"):
+            write_version(d, tdir, "append")  # unpartitioned append
+
+    def test_compact_preserves_layout(self, spark, tdir):
+        d = _df(spark, 0, 40).withColumn(
+            "part", (F.col("id") % 2).cast("string"))
+        write_version(d, tdir, partition_by=["part"])
+        compact(spark, tdir, target_files=1)
+        pruned = read_version(spark, tdir).where(F.col("part") == "0")
+        assert pruned.count() == 20
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "part" in plan
+
+
+class TestConcurrentReaders:
+    def test_reader_thread_never_sees_torn_state(self, spark, tdir):
+        """Pointer-swap atomicity under concurrency: a reader loop
+        racing a committer must only ever observe counts from the
+        committed-version set."""
+        import threading
+
+        write_version(_df(spark, 0, 5), tdir)
+        valid = {5, 10, 15, 20}
+        seen, errors = set(), []
+
+        def reader():
+            for _ in range(30):
+                try:
+                    seen.add(read_version(spark, tdir).count())
+                except Exception as exc:  # torn read would surface here
+                    errors.append(exc)
+
+        th = threading.Thread(target=reader)
+        th.start()
+        for i in range(1, 4):
+            write_version(_df(spark, 5 * i, 5 * (i + 1)), tdir, "append")
+        th.join()
+        assert not errors, errors[:2]
+        assert seen <= valid and seen  # only committed snapshots
