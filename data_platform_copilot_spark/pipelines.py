@@ -44,6 +44,24 @@ def daily_sales(spark: SparkSession, sf_dir: str, out_path: str,
     return spark.read.parquet(out_path)
 
 
+def daily_sales_versioned(spark: SparkSession, sf_dir: str,
+                          table_dir: str, start: str,
+                          end: str) -> DataFrame:
+    """daily_sales committing through the versioned sink instead of a
+    raw directory overwrite: every run is an atomic snapshot commit
+    (readers mid-run keep the previous version — the torn-overwrite
+    window of ``load_output`` doesn't exist), reruns are auditable in
+    ``history()``, and a bad backfill rolls back by reading
+    ``version=n-1``. This is how the scheduled flow should land data
+    in production; the plain-path variant stays for parity with the
+    reference's flow shape."""
+    from .sources.versioned import read_version, write_version
+
+    out = transform_daily_revenue(extract_orders(spark, sf_dir, start, end))
+    write_version(out.coalesce(1), table_dir, mode="overwrite")
+    return read_version(spark, table_dir)
+
+
 def main(argv: list[str] | None = None) -> None:
     """Batch entrypoint for spark-submit (deploy/submit.sh — the
     role the reference's Prefect worker plays for flows/etl.py):
