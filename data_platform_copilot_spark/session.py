@@ -122,9 +122,18 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
     )
     if not is_local:
         existing = os.environ.get("PYTHONPATH", "")
-        builder = builder.config(
-            "spark.executorEnv.PYTHONPATH",
-            pkg_root + (os.pathsep + existing if existing else ""))
+        builder = (builder
+                   .config("spark.executorEnv.PYTHONPATH",
+                           pkg_root + (os.pathsep + existing
+                                       if existing else ""))
+                   # Straggler mitigation: at fleet scale one slow
+                   # disk/node per stage is the norm, not the
+                   # exception; speculation re-launches the slowest
+                   # tasks (quantile 0.75, multiplier 1.5 defaults)
+                   # on other executors and takes the first finisher.
+                   # Local mode skips it — every "straggler" there
+                   # shares the same CPUs, so a copy only adds load.
+                   .config("spark.speculation", "true"))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
