@@ -217,3 +217,72 @@ def test_daily_sales_versioned_flow(spark, sf_dir, tmp_path):
     h = history(t)
     assert [m["version"] for m in h] == [0, 1]
     assert read_version(spark, t, version=0).count() == v0.count()
+
+
+class TestModelBasedRandomOps:
+    """Model-based property test: a random sequence of
+    append/overwrite/merge/compact commits must track a pure-Python
+    dict model exactly (row set AND per-version history), for every
+    seed. Catches composition bugs no single-op test can."""
+
+    @pytest.mark.parametrize("seed", [1, 7, 23])
+    def test_random_op_sequence_tracks_model(self, spark, tmp_path,
+                                             seed):
+        import random
+
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        rng = random.Random(seed)
+        t = tmp_path / f"tbl_{seed}"
+        model: dict[int, int] = {}          # id -> x (live version)
+        snapshots: list[dict[int, int]] = []  # model per version
+        next_id = 0
+
+        def fresh_batch(n):
+            nonlocal next_id
+            rows = [(next_id + i, rng.randrange(1000)) for i in range(n)]
+            next_id += n
+            return rows
+
+        write_version(spark.createDataFrame(
+            fresh_batch(5), "id long, x long"), t)
+        model = dict(
+            (r, x) for r, x in spark.read.parquet(
+                str(t / "data-0")).collect())
+        snapshots.append(dict(model))
+
+        for _ in range(8):
+            op = rng.choice(["append", "overwrite", "merge", "compact"])
+            if op == "append":
+                rows = fresh_batch(rng.randrange(1, 5))
+                write_version(spark.createDataFrame(
+                    rows, "id long, x long"), t, "append")
+                model.update(dict(rows))
+            elif op == "overwrite":
+                rows = fresh_batch(rng.randrange(1, 5))
+                write_version(spark.createDataFrame(
+                    rows, "id long, x long"), t, "overwrite")
+                model = dict(rows)
+            elif op == "merge":
+                upd = [(k, rng.randrange(1000))
+                       for k in rng.sample(sorted(model),
+                                           min(2, len(model)))]
+                upd += fresh_batch(1)
+                merge_version(spark, t, spark.createDataFrame(
+                    upd, "id long, x long"), "id")
+                model.update(dict(upd))
+            else:
+                compact(spark, t, target_files=2)
+                # model unchanged: compaction is a physical rewrite
+            snapshots.append(dict(model))
+
+            got = {r["id"]: r["x"] for r in
+                   read_version(spark, t).collect()}
+            assert got == model, f"live diverged after {op}"
+
+        # every historical version still matches its snapshot
+        for v, snap in enumerate(snapshots):
+            got = {r["id"]: r["x"] for r in
+                   read_version(spark, t, version=v).collect()}
+            assert got == snap, f"time travel diverged at v{v}"
