@@ -41,15 +41,40 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from data_platform_copilot_spark.queries import (EXTRA_ORACLE,
                                                      register_oracle_udfs)
-    from data_platform_copilot_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if vanilla:
+        # Harness-variance armor: the DRIVER runs queries() on ITS
+        # session, not ours — a vanilla SparkSession (AQE on by
+        # Spark default, no UTC pin, default parallelism, none of
+        # session.py's tuning). Every entry must hash-match the
+        # oracle here too, or it silently depends on our session
+        # profile. (Only the nanos flag is set: without it Spark
+        # REFUSES to read the testdata's TIMESTAMP(NANOS) parquet at
+        # all — a capability, not a tuning choice.)
+        # driver memory is provisioning, not tuning: the Spark
+        # default 1g OOMs ~180 queries into a 244-query process and
+        # every later call cascades (seen: OutOfMemoryError in a
+        # shuffle write at stage ~3200). Everything SEMANTIC stays
+        # at Spark defaults: AQE on, 200 shuffle partitions, no UTC
+        # pin, no Arrow flag, no broadcast-threshold change.
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("correctness-check-vanilla")
+                 .config("spark.driver.memory", "8g")
+                 .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+    else:
+        from data_platform_copilot_spark.session import get_spark
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     register_oracle_udfs(con)
     for t in TABLES:
