@@ -170,6 +170,11 @@ class DataConfig(BaseModel):
     data_dir: Path | None = Field(
         default=None, description="Warehouse parquet directory "
         "(e.g. a testdata sf dir)")
+    demo_data_dir: Path = Field(
+        default=Path("demo_data"),
+        description="Server-side directory the /namespace/demo-upload "
+        "route ingests *.csv from (fixed path, never client-supplied; "
+        "reference src/config.py:17 DemoDataPath)")
 
 
 class OrchestrationConfig(BaseModel):

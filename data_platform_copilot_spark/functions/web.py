@@ -21,10 +21,14 @@ from pyspark.sql import functions as F
 
 # Tracking parameters stripped during normalization: the standard
 # analytics/click-id families every curation pipeline drops (they
-# never change page content, only attribution).
+# never change page content, only attribution). The generic `ref` is
+# deliberately NOT stripped — on code hosts and docs sites
+# `?ref=branch` selects distinct content, so stripping it would
+# collapse distinct pages into one dedup key (only the unambiguous
+# referrer-attribution spellings ref_src/ref_url are dropped).
 TRACKING_PARAM_REGEX = (
     r"^(utm_[a-z]+|gclid|gclsrc|dclid|fbclid|msclkid|mc_eid|mc_cid|"
-    r"igshid|yclid|twclid|ref|ref_src|spm|_ga|_gl)=")
+    r"igshid|yclid|twclid|ref_src|ref_url|spm|_ga|_gl)=")
 
 # Country-code second-level registries where the registrable domain
 # is three labels (example.co.uk), not two. A deterministic common

@@ -21,10 +21,19 @@ def http_requester(timeout_s: float = 30.0) -> Requester:
 
     async def request(method: str, url: str, json: dict | None = None,
                       headers: dict | None = None) -> tuple[int, dict]:
-        async with httpx.AsyncClient(timeout=timeout_s) as client:
-            r = await client.request(method, url, json=json, headers=headers)
-            body = r.json() if r.content else {}
-            return r.status_code, body
+        # Transport failures (connect refused, DNS, timeout) surface
+        # as RuntimeError so the service's uniform RuntimeError -> 400
+        # mapping holds; the default orchestrator_api points at a
+        # Prefect that may simply not be running on this box.
+        try:
+            async with httpx.AsyncClient(timeout=timeout_s) as client:
+                r = await client.request(method, url, json=json,
+                                         headers=headers)
+                body = r.json() if r.content else {}
+                return r.status_code, body
+        except (httpx.HTTPError, OSError) as exc:
+            raise RuntimeError(
+                f"{method} {url} transport failure: {exc}") from exc
     return request
 
 

@@ -291,17 +291,23 @@ def knn_join(corpus: DataFrame, id_col: str, vec_col: str,
 def knn_distance_outliers(corpus: DataFrame, id_col: str, vec_col: str,
                           k: int = 3, quantile: float = 0.95,
                           n_planes: int | None = 6, tables: int = 4,
-                          dim: int = 64, seed: int = 42) -> DataFrame:
+                          dim: int = 64, seed: int = 42,
+                          exact: bool = False) -> DataFrame:
     """Embedding-space outlier detection by k-NN distance — the
     curation screen for garbage/mislabeled/off-distribution samples
     (a vector whose k-th nearest neighbor is far away sits in no
     cluster; Bhatia et al.-style distance-based outliers restated on
-    cosine). Score = 1 - cosine(v, k-th neighbor) from the SRP-LSH
-    ``knn_join`` graph; rows whose buckets collide with NOTHING have
-    no neighbors at all — the strongest outlier signal — and surface
-    with score 1.0 (cosine NULL). The flag threshold is the exact
-    ``quantile`` of the scores (computed on the |corpus|-row score
-    frame, a single percentile agg broadcast back).
+    cosine). Score = 1 - cosine(v, farthest retained neighbor) from
+    the SRP-LSH ``knn_join`` graph: the k-th neighbor when the bucket
+    yields k, else the highest available rank (a sparse bucket with
+    1..k-1 close neighbors is NOT an orphan and keeps its real
+    distance). Only rows whose buckets collide with NOTHING — zero
+    neighbors, the strongest outlier signal — take the sentinel 1.0.
+    The flag threshold is the ``quantile`` of the scores; by default
+    ``percentile_approx`` (mergeable sketch, no single-reducer buffer
+    of the full corpus at 100 TB), ``exact=True`` switches to exact
+    ``percentile`` so a SQL oracle can replay the value bit-for-bit
+    (same dial as quality.quantile_band_filter).
 
     Scale: inherits knn_join's O(sum bucket^2) bound and its
     ``n_planes`` dial; everything downstream of the graph is
@@ -310,15 +316,18 @@ def knn_distance_outliers(corpus: DataFrame, id_col: str, vec_col: str,
     """
     graph = knn_join(corpus, id_col, vec_col, k=k, n_planes=n_planes,
                      tables=tables, dim=dim, seed=seed)
-    kth = (graph.where(F.col("rank") == k)
-           .select(F.col("query_id").alias("id"),
-                   (1.0 - F.col("cosine")).alias("knn_distance")))
+    # rank orders by desc cosine, so min(cosine) over the retained
+    # top-k rows IS the farthest available neighbor (rank k when the
+    # bucket yields k, the max available rank otherwise).
+    kth = (graph.groupBy(F.col("query_id").alias("id"))
+           .agg((1.0 - F.min("cosine")).alias("knn_distance")))
     scored = (corpus.select(F.col(id_col).alias("id"))
               .join(kth, "id", "left")
               .select("id", F.coalesce("knn_distance", F.lit(1.0))
                       .alias("knn_distance")))
-    thr = scored.agg(F.percentile("knn_distance",
-                                  F.lit(quantile)).alias("thr"))
+    pct = F.percentile if exact else F.percentile_approx
+    thr = scored.agg(pct("knn_distance",
+                         F.lit(quantile)).alias("thr"))
     return (scored.crossJoin(F.broadcast(thr))
             .select("id", "knn_distance",
                     (F.col("knn_distance") >= F.col("thr"))

@@ -984,7 +984,10 @@ def compression_ratio_quality(spark: SparkSession,
     return (joined.groupBy("lang")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  rnd(F.avg("compression_ratio"), 6).alias("mean_ratio"),
-                 F.sum((F.col("compression_ratio") < 0.35).cast("int"))
+                 F.coalesce(
+                     F.sum((F.col("compression_ratio") < 0.35)
+                           .cast("int")),
+                     F.lit(0))  # all-NULL group (every doc empty)
                  .cast("long").alias("n_templated"))
             .orderBy("lang"))
 

@@ -47,9 +47,12 @@ DESCRIPTION = ("PySpark-native data-platform copilot: validated NL->SQL "
 class CopilotService:
     def __init__(self, spark: SparkSession, provider: CompletionProvider,
                  control_root: str, *, github=None, orchestrator=None,
-                 default_branch: str = "main") -> None:
+                 default_branch: str = "main",
+                 demo_data_dir: str | None = None) -> None:
         self.spark = spark
         self.provider = provider
+        # server-side demo CSV directory; None -> settings.data value
+        self.demo_data_dir = demo_data_dir
         self.ns = NamespaceManager(spark, control_root)
         self.tables = TableManager(spark, self.ns)
         self.views = ViewManager(spark)
@@ -252,13 +255,22 @@ class CopilotService:
         self.ns.delete(id_)
         return {"deleted": id_}
 
-    def namespace_demo_upload(self, directory: str) -> dict[str, Any]:
+    def namespace_demo_upload(self) -> dict[str, Any]:
         """reference src/route/namespace.py:99-140: register-or-reuse
         the demo namespace, then bulk register + upload every *.csv in
-        ``directory`` (intended behavior — the reference handler
-        crashes on missing imports, SURVEY.md §7)."""
+        the SERVER-configured demo directory (intended behavior — the
+        reference handler crashes on missing imports, SURVEY.md §7).
+        The directory is never client-supplied: the reference ingests
+        only its fixed DemoDataPath (src/config.py:17), and accepting
+        a caller path here would expose arbitrary host CSVs over HTTP
+        (r8 advice). Configure via ``settings.data.demo_data_dir`` or
+        the Service's ``demo_data_dir`` override."""
         from pathlib import Path
 
+        from .config import settings
+
+        directory = str(self.demo_data_dir
+                        or settings.data.demo_data_dir)
         if not Path(directory).is_dir():
             return {"error": f"demo data directory not found: {directory}",
                     "status": 404}

@@ -207,7 +207,7 @@ class TestKnnDistanceOutliers:
         out = knn_distance_outliers(
             self._corpus(spark), "vec_id", "v",
             k=3, quantile=44 / 44 - 4 / 44,  # flag the top 4 scores
-            n_planes=4, tables=4).collect()
+            n_planes=4, tables=4, exact=True).collect()
         assert len(out) == 44
         scores = {r["id"]: r["knn_distance"] for r in out}
         flagged = {r["id"] for r in out if r["is_outlier"]}
@@ -216,6 +216,15 @@ class TestKnnDistanceOutliers:
         best_isolate = min(scores[j] for j in range(40, 44))
         assert best_isolate > worst_member
         assert flagged == {40, 41, 42, 43}
+        # the scale default (percentile_approx sketch) may pick a data
+        # value at-or-below the exact quantile, flagging a boundary
+        # row extra — but never misses a planted isolate
+        approx_flagged = {r["id"] for r in knn_distance_outliers(
+            self._corpus(spark), "vec_id", "v",
+            k=3, quantile=44 / 44 - 4 / 44,
+            n_planes=4, tables=4).collect() if r["is_outlier"]}
+        assert {40, 41, 42, 43} <= approx_flagged
+        assert len(approx_flagged) <= 6
 
     def test_bucket_orphans_score_one(self, spark):
         from data_platform_copilot_spark.operators.similarity import (
@@ -228,3 +237,31 @@ class TestKnnDistanceOutliers:
                    self._corpus(spark), "vec_id", "v",
                    k=3, quantile=0.9, n_planes=10, tables=2).collect()}
         assert any(v == 1.0 for v in out.values())
+
+    def test_sparse_bucket_uses_max_available_rank(self, spark):
+        """A vector with SOME but fewer than k neighbors keeps its
+        real farthest-neighbor distance; the 1.0 sentinel is reserved
+        for zero-neighbor orphans (r8 advice: sparse bucket != orphan,
+        the old rank==k filter over-flagged it as maximal)."""
+        import math
+
+        from data_platform_copilot_spark.operators.similarity import (
+            knn_distance_outliers)
+
+        dim = 64
+
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        # a 2-vector corpus: each row has exactly ONE possible
+        # neighbor, so with k=3 every row is a sparse bucket.
+        a = unit([1.0] * dim)
+        b = unit([1.0] * (dim - 1) + [3.0])  # close to a, cosine >.9
+        df = spark.createDataFrame([(0, a), (1, b)],
+                                   "vec_id long, v array<double>")
+        out = {r["id"]: r["knn_distance"]
+               for r in knn_distance_outliers(
+                   df, "vec_id", "v", k=3, quantile=0.5,
+                   n_planes=1, tables=1).collect()}
+        assert out[0] < 0.1 and out[1] < 0.1  # real distances, not 1.0

@@ -327,7 +327,11 @@ class TestNamespaceRoutes:
     def test_demo_upload(self, service, spark, tmp_path):
         (tmp_path / "cities.csv").write_text("name,pop\nOslo,700000\n")
         (tmp_path / "teams.csv").write_text("team\nA\nB\n")
-        out = service.namespace_demo_upload(str(tmp_path))
+        # the route takes NO client path: it ingests only the
+        # server-configured directory (r8 advice — a caller-supplied
+        # path would expose arbitrary host CSVs over HTTP)
+        service.demo_data_dir = str(tmp_path)
+        out = service.namespace_demo_upload()
         try:
             assert out["message"] == "OK" and out["files_processed"] == 2
             assert out["namespace"]["schema_name"] == "demo"
@@ -343,8 +347,15 @@ class TestNamespaceRoutes:
             service.namespace_delete(out["namespace"]["id"])
 
     def test_demo_upload_missing_dir_404(self, service):
-        out = service.namespace_demo_upload("/nonexistent/dir")
+        service.demo_data_dir = "/nonexistent/dir"
+        out = service.namespace_demo_upload()
         assert out["status"] == 404
+
+    def test_demo_upload_ignores_client_paths(self, service):
+        # the handler signature itself rejects a directory argument —
+        # the fixed-server-path contract is structural, not validated
+        with pytest.raises(TypeError):
+            service.namespace_demo_upload("/etc")
 
 
 def test_http_surface_has_new_route_groups(service):

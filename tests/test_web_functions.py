@@ -31,6 +31,11 @@ CASES = [
      "https://example.com/x", "example.com", "example.com"),
     ("https://example.com/a?fbclid=1&utm_campaign=2",
      "https://example.com/a", "example.com", "example.com"),
+    # generic `ref` selects content on code hosts — kept; the
+    # referrer-attribution spelling ref_src is tracking — dropped
+    ("https://git.example.com/repo/blob/f.py?ref=release&ref_src=tw",
+     "https://git.example.com/repo/blob/f.py?ref=release",
+     "git.example.com", "example.com"),
     ("not a url", None, None, None),
     (None, None, None, None),
 ]
