@@ -5,31 +5,43 @@ listing the directory mid-write sees torn state (half the old files
 deleted, half the new written), and there is no history to audit or
 roll back. Table formats (Delta, Iceberg — neither installed in this
 container) fix this with immutable data files + an atomically
-swapped manifest; this module implements that core idea with nothing
-but parquet and a rename:
+published manifest; this module implements that core idea with
+nothing but parquet and POSIX filesystem atomics:
 
-- every commit writes data under a NEW immutable directory
-  ``data-<n>/`` (deliberately NOT hive ``k=v`` style, which Spark's
-  partition discovery would misread as partition values once the
-  table itself is hive-partitioned inside each dir) and an immutable
-  manifest ``manifest-<n>.json`` listing
-  the data directories composing that version (append = previous
-  list + new dir; overwrite = just the new dir);
-- ``_latest`` is a one-line pointer file written via tmp + atomic
-  ``os.replace`` — readers resolve pointer -> manifest -> files, so
-  they always see a complete, consistent version (snapshot
-  isolation for free);
+- every commit writes data under a NEW immutable, uniquely named
+  directory ``data-<version>-<token>/`` (deliberately NOT hive
+  ``k=v`` style, which Spark's partition discovery would misread as
+  partition values once the table itself is hive-partitioned inside
+  each dir; the random token keeps concurrent writers from ever
+  sharing a directory) and an immutable manifest
+  ``manifest-<n>.json`` listing the data directories composing that
+  version (append = previous list + new dir; overwrite = just the
+  new dir; merge = new dir + carried-forward untouched partitions);
+- THE commit point is the atomic create-if-absent publish of
+  ``manifest-<n>.json`` (content written to a tmp file, then
+  ``os.link`` — which fails with EEXIST if version ``n`` is already
+  taken). This doubles as optimistic concurrency control, the Delta
+  log protocol (Armbrust et al., VLDB 2020 §3.2): concurrent
+  committers race for the same version number, exactly one wins,
+  losers re-read the new latest and retry (append/overwrite — their
+  composition commutes) or raise ``CommitConflict`` (merge — its
+  rewrite was computed against a now-stale snapshot);
+- ``_latest`` is a best-effort monotonic HINT (tmp + atomic
+  ``os.replace``), not the commit point; readers resolve
+  latest = max published manifest -> immutable manifest ->
+  immutable files, so they always see a complete, consistent
+  version (snapshot isolation for free);
 - time travel = read an older manifest; compaction = rewrite the
   live file set as one new overwrite version (small-file repair
   after many appends); vacuum = delete data dirs no live manifest
   references.
 
-Scale notes: on a real object store the pointer swap maps to a
-conditional PUT / rename-if-absent, manifests stay O(versions) tiny
+Scale notes: on a real object store the manifest publish maps to a
+conditional PUT / put-if-absent, manifests stay O(versions) tiny
 JSON, and data files never mutate — the exact recipe in the Delta
-Lake paper (Armbrust et al., VLDB 2020) §3. Single-writer semantics
-(one committer at a time), which is the deployment mode of every
-batch curation pipeline this engine targets.
+Lake paper. A writer crashing before its manifest publish leaves
+only unreferenced directories (vacuum-able garbage), never a torn
+table; a crash after publish IS a completed commit.
 """
 
 from __future__ import annotations
@@ -39,12 +51,25 @@ import os
 import shutil
 import tempfile
 from pathlib import Path
+from urllib.parse import unquote
+from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_MAX_COMMIT_RETRIES = 50
 
 
 class VersionedTableError(RuntimeError):
     pass
+
+
+class CommitConflict(VersionedTableError):
+    """A concurrent committer published this version number first and
+    the caller's composition cannot be mechanically replayed (merge:
+    the rewrite was computed against a stale snapshot). Re-run the
+    operation against the new latest."""
 
 
 def _pointer(table_dir: Path) -> Path:
@@ -56,10 +81,13 @@ def _manifest_path(table_dir: Path, version: int) -> Path:
 
 
 def latest_version(table_dir: str | Path) -> int | None:
-    p = _pointer(Path(table_dir))
-    if not p.exists():
-        return None
-    return int(p.read_text().strip())
+    """Highest PUBLISHED version: max over the manifest files (the
+    ``_latest`` pointer is only a hint — a committer can crash
+    between manifest publish and pointer advance)."""
+    root = Path(table_dir)
+    versions = [int(p.stem.split("-", 1)[1])
+                for p in root.glob("manifest-*.json")]
+    return max(versions) if versions else None
 
 
 def _read_manifest(table_dir: Path, version: int) -> dict:
@@ -69,75 +97,143 @@ def _read_manifest(table_dir: Path, version: int) -> dict:
     return json.loads(mp.read_text())
 
 
+def _publish_manifest(root: Path, manifest: dict) -> None:
+    """Atomically publish ``manifest-<version>.json`` iff that
+    version is unclaimed — the commit point AND the optimistic-
+    concurrency test (create-if-absent; losers get CommitConflict).
+    ``os.link`` from a fully written tmp file guarantees readers
+    never observe partial manifest content."""
+    version = manifest["version"]
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._manifest.")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(manifest))
+        try:
+            os.link(tmp, _manifest_path(root, version))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} was committed concurrently")
+    finally:
+        os.unlink(tmp)
+    # best-effort monotonic pointer advance (hint only)
+    cur = None
+    p = _pointer(root)
+    if p.exists():
+        try:
+            cur = int(p.read_text().strip())
+        except ValueError:
+            cur = None
+    if cur is None or cur < version:
+        fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest.")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, p)
+
+
+def _validate_append(prev_manifest: dict, schema: dict,
+                     partition_by: list[str] | None) -> dict:
+    """Additive-only evolution rule (the Delta/Iceberg default): new
+    columns may appear, existing columns must keep their type — a
+    silent type change would corrupt merged reads. Returns the merged
+    schema. The partition layout must also stay consistent across
+    composed versions (a mixed layout would silently break pruning)."""
+    prev_parts = prev_manifest.get("partition_by") or []
+    if (partition_by or []) != prev_parts:
+        raise VersionedTableError(
+            f"partition layout mismatch on append: "
+            f"{partition_by} vs {prev_parts}")
+    prev_schema = prev_manifest.get("schema", {})
+    clashes = {c: (prev_schema[c], t) for c, t in schema.items()
+               if c in prev_schema and prev_schema[c] != t}
+    if clashes:
+        raise VersionedTableError(
+            f"incompatible column types on append: {clashes}")
+    return {**prev_schema, **schema}
+
+
 def write_version(df: DataFrame, table_dir: str | Path,
                   mode: str = "append",
                   partition_by: list[str] | None = None) -> int:
     """Commit ``df`` as the table's next version; returns it.
 
     ``append`` composes the new data dir with the previous version's
-    list; ``overwrite`` replaces the list. The commit point is the
-    atomic pointer swap — a crash before it leaves only unreferenced
-    files (vacuum-able garbage), never a torn table.
+    list; ``overwrite`` replaces the list. The data is written ONCE
+    to a uniquely named directory; the commit point is the atomic
+    manifest publish. On a concurrent-commit collision the loser
+    retries the PUBLISH only (recomposing an append against the new
+    latest — appends commute; overwrite is last-writer-wins), never
+    rewriting the data.
 
     ``partition_by`` lays each version dir out hive-partitioned
     (``col=value/`` subdirs), so reads with a filter on those columns
     prune whole directories — the mechanism that keeps a 100 TB
     versioned table scannable. The layout is recorded in the manifest
-    and must stay consistent across appends (a mixed layout would
-    silently break pruning on the merged read).
+    and must stay consistent across appends.
     """
     if mode not in ("append", "overwrite"):
         raise VersionedTableError(f"unsupported mode: {mode}")
     root = Path(table_dir)
     root.mkdir(parents=True, exist_ok=True)
+    token = uuid4().hex[:8]
     prev = latest_version(root)
     version = 0 if prev is None else prev + 1
-
-    dirs, schema = [f"data-{version}"], dict(df.dtypes)
-    if mode == "append" and prev is not None:
-        prev_manifest = _read_manifest(root, prev)
-        prev_parts = prev_manifest.get("partition_by") or []
-        if (partition_by or []) != prev_parts:
-            raise VersionedTableError(
-                f"partition layout mismatch on append: "
-                f"{partition_by} vs {prev_parts}")
-        prev_schema = prev_manifest.get("schema", {})
-        # evolution rule (additive-only, the Delta/Iceberg default):
-        # new columns may appear, existing columns must keep their
-        # type — a silent type change would corrupt merged reads.
-        clashes = {c: (prev_schema[c], t) for c, t in schema.items()
-                   if c in prev_schema and prev_schema[c] != t}
-        if clashes:
-            raise VersionedTableError(
-                f"incompatible column types on append: {clashes}")
-        dirs = prev_manifest["data_dirs"] + dirs
-        schema = {**prev_schema, **schema}
+    data_dir = f"data-{version}-{token}"
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(str(root / f"data-{version}"))
-    manifest = {"version": version, "mode": mode, "data_dirs": dirs,
-                "schema": schema, "partition_by": partition_by or []}
-    _manifest_path(root, version).write_text(json.dumps(manifest))
+    writer.parquet(str(root / data_dir))
+    own_schema = dict(df.dtypes)
 
-    fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest.")
-    with os.fdopen(fd, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _pointer(root))  # THE commit point (atomic)
-    return version
+    for _ in range(_MAX_COMMIT_RETRIES):
+        dirs, schema = [data_dir], dict(own_schema)
+        if mode == "append" and prev is not None:
+            prev_manifest = _read_manifest(root, prev)
+            schema = _validate_append(prev_manifest, schema, partition_by)
+            dirs = prev_manifest["data_dirs"] + dirs
+        if version != int(data_dir.split("-")[1]):
+            # keep the dir name honest after a version bump (cosmetic:
+            # readers only ever follow manifest entries)
+            new_name = f"data-{version}-{token}"
+            os.rename(root / data_dir, root / new_name)
+            data_dir = new_name
+            dirs[-1] = new_name
+        manifest = {"version": version, "mode": mode, "data_dirs": dirs,
+                    "schema": schema, "partition_by": partition_by or []}
+        try:
+            _publish_manifest(root, manifest)
+            return version
+        except CommitConflict:
+            prev = latest_version(root)
+            version = 0 if prev is None else prev + 1
+    raise VersionedTableError(
+        f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
+
+
+def _partition_segments(entry: str) -> list[tuple[str, str | None]]:
+    """``k=v`` path segments of a manifest entry (a carried-forward
+    partition leaf like ``data-3-ab12cd34/region=EU``), decoded the
+    way Spark's hive layout encodes them."""
+    segs = []
+    for seg in Path(entry).parts[1:]:
+        if "=" not in seg:
+            continue
+        k, raw = seg.split("=", 1)
+        segs.append((k, None if raw == _HIVE_NULL else unquote(raw)))
+    return segs
 
 
 def read_version(spark: SparkSession, table_dir: str | Path,
                  version: int | None = None) -> DataFrame:
     """Read the table at ``version`` (default: latest). Resolves
-    pointer -> immutable manifest -> immutable files, so concurrent
+    latest -> immutable manifest -> immutable files, so concurrent
     commits can never tear this read."""
     root = Path(table_dir)
     if version is None:
         version = latest_version(root)
         if version is None:
             raise VersionedTableError(f"not a versioned table: {root}")
-    dirs = _read_manifest(root, version)["data_dirs"]
+    manifest = _read_manifest(root, version)
+    schema = manifest.get("schema", {})
     # One read PER dir, unioned by name: (a) additive evolution —
     # later dirs may carry columns earlier ones lack, and a single
     # multi-path read takes the first file's schema and silently
@@ -145,9 +241,26 @@ def read_version(spark: SparkSession, table_dir: str | Path,
     # (b) hive-partitioned version dirs confuse multi-path partition
     # discovery (CONFLICTING_DIRECTORY_STRUCTURES). Filters still
     # push into every branch, so partition pruning is unaffected.
-    parts = [spark.read.parquet(str(root / d)) for d in dirs]
-    out = parts[0]
-    for p in parts[1:]:
+    # Carried-forward partition-leaf entries (from partition-scoped
+    # merges) re-add their partition columns as typed literals — a
+    # filter on them constant-folds per branch, which IS the pruning.
+    frames = []
+    parts = manifest.get("partition_by") or []
+    for d in manifest["data_dirs"]:
+        df = spark.read.parquet(str(root / d))
+        for col, val in _partition_segments(d):
+            df = df.withColumn(
+                col, F.lit(val).cast(schema.get(col, "string")))
+        # hive partition discovery INFERS partition column types from
+        # the path strings (part=1 -> int); pin them back to the
+        # committed schema so every version round-trips its dtypes
+        for col in parts:
+            if col in df.columns and schema.get(col) and \
+                    dict(df.dtypes)[col] != schema[col]:
+                df = df.withColumn(col, F.col(col).cast(schema[col]))
+        frames.append(df)
+    out = frames[0]
+    for p in frames[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
 
@@ -178,30 +291,124 @@ def compact(spark: SparkSession, table_dir: str | Path,
                          partition_by=parts or None)
 
 
+def _partition_leaves(root: Path, entry: str, parts: list[str]):
+    """Enumerate the hive partition leaf dirs under a manifest entry
+    as ``(relative_path, (stringified values...))``. An entry that is
+    already a (partial) leaf contributes its own path segments."""
+    pre = _partition_segments(entry)
+    level = len(pre)
+
+    def walk(p: Path, vals: list, lvl: int):
+        if lvl == len(parts):
+            yield str(p.relative_to(root)), tuple(vals)
+            return
+        for child in sorted(p.glob(f"{parts[lvl]}=*")):
+            if child.is_dir():
+                raw = child.name.split("=", 1)[1]
+                v = None if raw == _HIVE_NULL else unquote(raw)
+                yield from walk(child, vals + [v], lvl + 1)
+
+    yield from walk(root / entry, [v for _, v in pre], level)
+
+
 def merge_version(spark: SparkSession, table_dir: str | Path,
                   updates: DataFrame, key: str) -> int:
     """Upsert commit: rows in ``updates`` replace same-``key`` rows of
-    the latest version, new keys insert — materialized as ONE
-    overwrite version (copy-on-write MERGE, the Delta paper's
-    default). Cost is a full rewrite of the live set, which is the
-    honest cost of upserts without deletion vectors; at 100 TB the
-    rewrite is partition-pruned to the partitions holding matched
-    keys."""
-    current = read_version(spark, table_dir)
-    survivors = current.join(updates.select(key).distinct(), key,
-                             "left_anti")
+    the latest version, new keys insert (copy-on-write MERGE, the
+    Delta paper's default — the honest cost of upserts without
+    deletion vectors).
+
+    Partition-scoped when the table is hive-partitioned: only the
+    partitions that hold matched keys or receive update rows are
+    rewritten into the new data dir; every untouched partition's
+    directory is carried forward BY REFERENCE in the new manifest
+    (its parquet files are not read, copied, or rewritten), so at
+    100 TB a merge touching one day of a date-partitioned table costs
+    one day's rewrite, not the table. Unpartitioned tables fall back
+    to the full-rewrite overwrite version.
+
+    Concurrency: the rewrite is computed against the snapshot read at
+    entry; if another commit lands first, the publish fails with
+    ``CommitConflict`` (no silent lost updates) — re-run the merge.
+    """
+    root = Path(table_dir)
+    v = latest_version(root)
+    if v is None:
+        raise VersionedTableError(f"not a versioned table: {root}")
+    manifest = _read_manifest(root, v)
+    parts = manifest.get("partition_by") or []
+    current = read_version(spark, table_dir, version=v)
+    keys = updates.select(key).distinct()
+
+    if not parts:
+        survivors = current.join(keys, key, "left_anti")
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
+        return write_version(merged, table_dir, mode="overwrite",
+                             partition_by=None)
+
+    # 1. the touched partition set: partitions of current rows whose
+    #    key is matched + target partitions of the update rows
+    #    (stringified exactly like the hive dir names they compare to)
+    part_str = [F.col(c).cast("string").alias(c) for c in parts]
+    touched_rows = (current.join(keys, key, "left_semi").select(*part_str)
+                    .unionByName(updates.select(*part_str))
+                    .distinct().collect())
+    touched = {tuple(r[c] for c in parts) for r in touched_rows}
+
+    # 2. rewrite frame: current rows inside touched partitions, minus
+    #    matched keys, plus the updates. The literal OR-of-ANDs
+    #    predicate is Delta's replaceWhere shape — it partition-prunes
+    #    the scan to the touched directories.
+    def tuple_pred(t):
+        conds = []
+        for c, val in zip(parts, t):
+            col = F.col(c).cast("string")
+            conds.append(col.isNull() if val is None else (col == val))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    pred = F.lit(False)
+    for t in sorted(touched, key=str):
+        pred = pred | tuple_pred(t)
+    survivors = current.where(pred).join(keys, key, "left_anti")
     merged = survivors.unionByName(updates, allowMissingColumns=True)
-    v = latest_version(table_dir)
-    parts = _read_manifest(Path(table_dir), v).get("partition_by") or []
-    return write_version(merged, table_dir, mode="overwrite",
-                         partition_by=parts or None)
+
+    token = uuid4().hex[:8]
+    version = v + 1
+    data_dir = f"data-{version}-{token}"
+    merged.write.mode("error").partitionBy(*parts).parquet(
+        str(root / data_dir))
+
+    # 3. carry forward every untouched partition leaf by reference
+    carried: list[str] = []
+    seen: set[tuple] = set()
+    for entry in manifest["data_dirs"]:
+        for leaf, vals in _partition_leaves(root, entry, parts):
+            if vals not in touched:
+                carried.append(leaf)
+                seen.add(vals)
+    schema = _validate_append(manifest, dict(updates.dtypes), parts)
+    _publish_manifest(root, {
+        "version": version, "mode": "merge",
+        "data_dirs": [data_dir] + carried,
+        "schema": schema, "partition_by": parts})
+    return version
 
 
 def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
     """Delete data dirs referenced by NO retained manifest (the last
     ``keep_last`` versions are retained, older manifests are dropped
     too). Returns the deleted dir names. Time travel reaches only
-    retained versions afterwards — same contract as Delta VACUUM."""
+    retained versions afterwards — same contract as Delta VACUUM.
+
+    A live manifest entry may be a partition SUBPATH of a data dir
+    (carried forward by a partition-scoped merge): the top-level dir
+    is then kept whole — conservative (superseded sibling partitions
+    linger as referenced-dir garbage until the dir rotates out
+    entirely), never destructive.
+    """
     root = Path(table_dir)
     v = latest_version(root)
     if v is None:
@@ -211,12 +418,13 @@ def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
     live: set[str] = set()
     for i in keep_versions:
         live.update(_read_manifest(root, i)["data_dirs"])
+    live_tops = {Path(e).parts[0] for e in live}
     deleted = []
     for d in sorted(root.glob("data-*")):
-        if d.name not in live:
+        if d.name not in live_tops:
             shutil.rmtree(d)
             deleted.append(d.name)
     for mp in root.glob("manifest-*.json"):
-        if int(mp.stem.split("-")[1]) not in keep_versions:
+        if int(mp.stem.split("-", 1)[1]) not in keep_versions:
             mp.unlink()
     return deleted

@@ -69,27 +69,38 @@ class TestVersionedTable:
         assert read_version(spark, tdir, version=v - 1).count() == 50
 
     def test_vacuum_drops_unreferenced_dirs_only(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import history
+
         write_version(_df(spark, 0, 10), tdir)
         write_version(_df(spark, 10, 20), tdir, "append")
         compact(spark, tdir, target_files=1)           # v2 = live set
+        h = {m["version"]: set(m["data_dirs"]) for m in history(tdir)}
+        dead = (h[0] | h[1]) - h[2]
+        assert len(dead) == 2                          # v0 + v1 dirs
         deleted = vacuum(tdir, keep_last=1)
-        assert set(deleted) == {"data-0", "data-1"}
+        assert set(deleted) == dead
         assert read_version(spark, tdir).count() == 20  # live unharmed
         with pytest.raises(VersionedTableError):
             read_version(spark, tdir, version=0)        # history gone
 
-    def test_crash_before_pointer_swap_leaves_table_intact(self, spark,
-                                                           tdir):
-        """A writer dying after writing data but BEFORE the pointer
-        swap leaves only unreferenced garbage — readers still see the
-        previous version."""
+    def test_crash_before_manifest_publish_leaves_table_intact(
+            self, spark, tdir):
+        """THE commit point is the atomic manifest publish. A writer
+        dying after writing data but BEFORE publishing its manifest
+        leaves only unreferenced garbage — readers still see the
+        previous version. A writer dying AFTER the publish but before
+        the pointer advance HAS committed (the pointer is a hint)."""
         write_version(_df(spark, 0, 10), tdir)
-        # simulate the torn writer: data dir + manifest, no pointer
-        _df(spark, 90, 99).write.parquet(str(tdir / "data-1"))
-        (tdir / "manifest-1.json").write_text(
-            '{"version": 1, "mode": "append", "data_dirs": ["data-1"]}')
+        # torn writer: data dir written, no manifest -> invisible
+        _df(spark, 90, 99).write.parquet(str(tdir / "data-1-deadbeef"))
         assert latest_version(tdir) == 0
         assert read_version(spark, tdir).count() == 10
+        # manifest published, pointer stale -> committed and visible
+        (tdir / "manifest-1.json").write_text(
+            '{"version": 1, "mode": "append", '
+            '"data_dirs": ["data-1-deadbeef"]}')
+        assert latest_version(tdir) == 1
+        assert read_version(spark, tdir).count() == 9
 
     def test_reject_bad_mode_and_missing_table(self, spark, tdir):
         with pytest.raises(VersionedTableError):
@@ -171,6 +182,152 @@ class TestPartitionedVersions:
         assert "PartitionFilters: [" in plan and "part" in plan
 
 
+class TestPartitionScopedMerge:
+    """merge_version on a partitioned table rewrites ONLY the touched
+    partitions; untouched partitions are carried forward by reference
+    (same files, byte-identical — the 100 TB contract)."""
+
+    def _write(self, spark, tdir):
+        d = _df(spark, 0, 40).withColumn(
+            "part", (F.col("id") % 4).cast("string"))
+        write_version(d, tdir, partition_by=["part"])
+
+    def test_untouched_partition_files_not_rewritten(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            history, merge_version)
+
+        self._write(spark, tdir)
+        before = {}  # partition -> {file: bytes}
+        root = tdir / history(tdir)[0]["data_dirs"][0]
+        for pdir in sorted(root.glob("part=*")):
+            before[pdir.name] = {f.name: f.read_bytes()
+                                 for f in pdir.glob("*.parquet")}
+        # update keys 1 and 5 (both part=1) + insert key 101 (part=1)
+        updates = spark.createDataFrame(
+            [(1, 111, "1"), (5, 555, "1"), (101, 101, "1")],
+            "id long, x long, part string")
+        merge_version(spark, tdir, updates, "id")
+        m = history(tdir)[-1]
+        assert m["mode"] == "merge"
+        # new manifest: one fresh dir + the 3 untouched leaves carried
+        carried = [e for e in m["data_dirs"] if "part=" in e]
+        assert sorted(e.split("part=")[1] for e in carried) == [
+            "0", "2", "3"]
+        for leaf in carried:
+            pname = "part=" + leaf.split("part=")[1]
+            now = {f.name: f.read_bytes()
+                   for f in (tdir / leaf).glob("*.parquet")}
+            assert now == before[pname]  # byte-identical, not rewritten
+        got = {r["id"]: (r["x"], r["part"]) for r in
+               read_version(spark, tdir).collect()}
+        assert len(got) == 41
+        assert got[1] == (111, "1") and got[101] == (101, "1")
+        assert got[2] == (4, "2")  # untouched row + partition intact
+        # time travel to pre-merge still exact
+        assert len(read_version(spark, tdir, version=0).collect()) == 40
+
+    def test_merged_read_still_prunes_partitions(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._write(spark, tdir)
+        updates = spark.createDataFrame(
+            [(1, 111, "1")], "id long, x long, part string")
+        merge_version(spark, tdir, updates, "id")
+        pruned = read_version(spark, tdir).where(F.col("part") == "2")
+        assert pruned.count() == 10
+        # physical pruning: the part=0/3 carried-leaf branches fold
+        # away entirely (their literal part column makes the filter
+        # constant-false), leaving exactly two scans — the part=2
+        # leaf, and the merge dir under a partition filter
+        import re
+        old = spark.conf.get("spark.sql.maxMetadataStringLength")
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        try:
+            plan = pruned._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.maxMetadataStringLength", old)
+        locs = re.findall(r"Location: InMemoryFileIndex[^\]]*\]", plan)
+        assert len(locs) == 2, plan[:2000]
+        assert sum(loc.rstrip("]").endswith("part=2")
+                   for loc in locs) == 1, locs
+        assert re.search(r"PartitionFilters: \[[^\]]*part[^\]]*\]",
+                         plan), plan[:2000]
+
+    def test_merge_conflict_detected(self, spark, tdir):
+        """A commit landing between a merge's snapshot read and its
+        publish fails the merge with CommitConflict — no lost update."""
+        from unittest.mock import patch
+
+        from data_platform_copilot_spark.sources import versioned
+        from data_platform_copilot_spark.sources.versioned import (
+            CommitConflict, merge_version)
+
+        self._write(spark, tdir)
+        updates = spark.createDataFrame(
+            [(1, 111, "1")], "id long, x long, part string")
+
+        real_read = versioned.read_version
+
+        def read_then_race(sp, td, version=None):
+            out = real_read(sp, td, version=version)
+            # interleave: another committer wins version 1
+            write_version(_df(spark, 900, 905).withColumn(
+                "part", F.lit("9")), tdir, "append",
+                partition_by=["part"])
+            return out
+
+        with patch.object(versioned, "read_version",
+                          side_effect=read_then_race):
+            with pytest.raises(CommitConflict):
+                merge_version(spark, tdir, updates, "id")
+        # the interleaved append is the table's latest; no lost update
+        assert latest_version(tdir) == 1
+        assert read_version(spark, tdir).count() == 45
+
+
+class TestOptimisticConcurrency:
+    def test_two_committers_both_land_distinct_versions(self, spark,
+                                                        tdir):
+        """Two threads appending concurrently: the manifest CAS gives
+        each a distinct version, both data dirs end up referenced by
+        the final manifest, nothing is orphaned or double-referenced."""
+        import threading
+
+        from data_platform_copilot_spark.sources.versioned import (
+            history)
+
+        write_version(_df(spark, 0, 5), tdir)
+        barrier = threading.Barrier(2)
+        results, errors = [], []
+
+        def committer(lo):
+            try:
+                barrier.wait()
+                results.append(write_version(
+                    _df(spark, lo, lo + 5), tdir, "append"))
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        ts = [threading.Thread(target=committer, args=(lo,))
+              for lo in (100, 200)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors, errors[:2]
+        assert sorted(results) == [1, 2]  # distinct versions, both won
+        final = history(tdir)[-1]
+        assert len(final["data_dirs"]) == 3  # v0 + both appends
+        assert len(set(final["data_dirs"])) == 3  # no double-reference
+        # no orphans: every data dir on disk is referenced
+        on_disk = {d.name for d in tdir.glob("data-*")}
+        assert on_disk == set(final["data_dirs"])
+        got = sorted(r["id"] for r in read_version(spark, tdir).collect())
+        assert got == sorted(list(range(5)) + list(range(100, 105))
+                             + list(range(200, 205)))
+
+
 class TestConcurrentReaders:
     def test_reader_thread_never_sees_torn_state(self, spark, tdir):
         """Pointer-swap atomicity under concurrency: a reader loop
@@ -248,8 +405,8 @@ class TestModelBasedRandomOps:
         write_version(spark.createDataFrame(
             fresh_batch(5), "id long, x long"), t)
         model = dict(
-            (r, x) for r, x in spark.read.parquet(
-                str(t / "data-0")).collect())
+            (r["id"], r["x"]) for r in
+            read_version(spark, t, version=0).collect())
         snapshots.append(dict(model))
 
         for _ in range(8):
