@@ -320,6 +320,39 @@ def synthetic_png_media_dups(spark: SparkSession,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_png_media_near_dups(spark: SparkSession,
+                                  n: int = 12) -> DataFrame:
+    """PNG fixture with planted NEAR-duplicate pairs: ids 0..n-1 are
+    the gradient images of ``synthetic_png_media``; ids n..2n-1 carry
+    the SAME pixels as id-n except one saturated grid cell (every
+    pixel whose 8x8 mesh cell is (d, d), d = i % 4, goes white) — a
+    lightly-edited variant whose aHash differs by a FEW bits, not
+    zero. Exact phash equality cannot pair base with variant;
+    Hamming-radius matching must. Every pixel is formula-determined,
+    so a SQL oracle replays the hashes and the exact pair set."""
+    from . import png
+    rows = []
+    for j in range(2 * n):
+        i = j % n
+        w, h = 8 + (i * 5) % 24, 8 + (i * 3) % 24
+        d = i % 4
+        pix = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                if j >= n and (x * 8) // w == d and (y * 8) // h == d:
+                    row.extend((255, 255, 255))
+                else:
+                    row.extend(((x * 31 + i) % 256, (y * 17 + i) % 256,
+                                (x * y + i) % 256))
+            pix.append(row)
+        rows.append((j, "image",
+                     bytearray(png.encode(w, h, 3, pix)),
+                     "image/png", {"src": f"synth-png-near://{j}",
+                                   "base": str(i)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 PHASH_SCHEMA = "media_id long, width int, height int, phash string"
 
 

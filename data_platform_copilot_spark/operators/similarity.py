@@ -292,7 +292,8 @@ def knn_distance_outliers(corpus: DataFrame, id_col: str, vec_col: str,
                           k: int = 3, quantile: float = 0.95,
                           n_planes: int | None = 6, tables: int = 4,
                           dim: int = 64, seed: int = 42,
-                          exact: bool = False) -> DataFrame:
+                          exact: bool = False,
+                          round_dp: int | None = None) -> DataFrame:
     """Embedding-space outlier detection by k-NN distance — the
     curation screen for garbage/mislabeled/off-distribution samples
     (a vector whose k-th nearest neighbor is far away sits in no
@@ -325,6 +326,16 @@ def knn_distance_outliers(corpus: DataFrame, id_col: str, vec_col: str,
               .join(kth, "id", "left")
               .select("id", F.coalesce("knn_distance", F.lit(1.0))
                       .alias("knn_distance")))
+    if round_dp is not None:
+        # quantize BEFORE thresholding so a cross-engine replay sees
+        # the identical score multiset (scale-then-round matches
+        # DuckDB's rounding bit-for-bit — queries/core.rnd rationale);
+        # summation-order ULP drift in raw cosines would otherwise
+        # make the percentile boundary engine-dependent
+        factor = float(10 ** round_dp)
+        scored = scored.withColumn(
+            "knn_distance",
+            F.round(F.col("knn_distance") * factor, 0) / factor)
     pct = F.percentile if exact else F.percentile_approx
     thr = scored.agg(pct("knn_distance",
                          F.lit(quantile)).alias("thr"))

@@ -104,6 +104,12 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # ---- gate window ends here (50) ----
     # un-hashable by the driver (UDF oracle lives in EXTRA_ORACLE):
     "compression_ratio_quality",
+    # r9-registered runway entries (freeze lifted once the residue
+    # cleared): never driver-gated yet -> they lead the r10 window.
+    # All three are hash-green in the local 3-SF gate.
+    "knn_distance_outliers",
+    "url_canonicalization",
+    "phash_hamming_pairs",
 ]
 
 

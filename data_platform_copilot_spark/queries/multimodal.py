@@ -198,6 +198,67 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"))
 
 
+@query("phash_hamming_pairs", oracle=f"""
+WITH ids AS (SELECT unnest(range(0, {2 * _N_PH})) AS j),
+geo AS (
+    SELECT j, j % {_N_PH} AS i,
+           8 + ((j % {_N_PH}) * 5) % 24 AS w,
+           8 + ((j % {_N_PH}) * 3) % 24 AS h,
+           (j % {_N_PH}) % 4 AS d
+    FROM ids
+), pix AS (
+    SELECT j, w, h, y, x,
+           CASE WHEN j >= {_N_PH} AND (x*8) // w = d AND (y*8) // h = d
+                THEN 255
+                ELSE (((x*31 + i) % 256) + ((y*17 + i) % 256)
+                      + ((x*y + i) % 256)) // 3 END AS lum
+    FROM geo, unnest(range(0, h)) AS ty(y), unnest(range(0, w)) AS tx(x)
+), cells AS (
+    SELECT j, (y*8) // h AS cy, (x*8) // w AS cx,
+           sum(lum) AS cs, count(*) AS cc
+    FROM pix GROUP BY 1, 2, 3
+), tot AS (
+    SELECT j, sum(lum) AS ts, count(*) AS tc FROM pix GROUP BY 1
+), hashes AS (
+    SELECT c.j AS media_id,
+           string_agg(CASE WHEN c.cs * t.tc > t.ts * c.cc
+                           THEN '1' ELSE '0' END, ''
+                      ORDER BY c.cy, c.cx) AS phash
+    FROM cells c JOIN tot t ON c.j = t.j GROUP BY c.j
+)
+SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       CAST(list_sum(list_transform(range(1, 65),
+            p -> CASE WHEN substring(a.phash, CAST(p AS INT), 1)
+                      <> substring(b.phash, CAST(p AS INT), 1)
+                 THEN 1 ELSE 0 END)) AS INT) AS hamming_dist
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE list_sum(list_transform(range(1, 65),
+      p -> CASE WHEN substring(a.phash, CAST(p AS INT), 1)
+                <> substring(b.phash, CAST(p AS INT), 1)
+           THEN 1 ELSE 0 END)) <= 4
+""")
+def phash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius perceptual near-dup pairs: the fixture plants
+    lightly-EDITED variants (one saturated 8x8 mesh cell) whose aHash
+    differs from the base by a few bits — exact phash equality
+    (media_phash_neardup) cannot pair them; pigeonhole banding +
+    exact popcount re-scoring must. The oracle replays the pixel
+    formulas to the same hashes and takes the EXACT all-pairs
+    Hamming-<=4 set; set equality with the Spark side proves the
+    banding has zero false negatives (radius+1 bands) and the JVM
+    bit_count re-score kills every band-collision false positive.
+    Scale: payloads never shuffle (hashing is mapInPandas in place);
+    the band self-join carries ~70-byte rows, O(sum band-bucket^2)
+    candidates — the SimHash shape, never all-pairs."""
+    from ..operators.multimodal import (
+        perceptual_hash,
+        phash_hamming_pairs,
+        synthetic_png_media_near_dups,
+    )
+    ph = perceptual_hash(synthetic_png_media_near_dups(spark, n=_N_PH))
+    return phash_hamming_pairs(ph, radius=4)
+
+
 _N_WAV = 16
 
 

@@ -1117,3 +1117,72 @@ def contrastive_hard_negatives(spark: SparkSession,
                     F.col("negative_label").cast("long")
                     .alias("negative_label"),
                     rnd("cosine", 4).alias("cosine"), "rank"))
+
+
+def _outlier_oracle(k: int, quantile: float, n_planes: int,
+                    tables: int, dim: int, seed: int) -> str:
+    """DuckDB replay of knn_distance_outliers: the literal-hyperplane
+    kNN graph, per-query farthest-retained-neighbor distance rounded
+    to 4dp (identical quantization on the Spark side — round_dp=4 —
+    so both engines threshold the SAME score multiset), bucket
+    orphans at the 1.0 sentinel, exact interpolated quantile."""
+    bucket_cols = ",\n       ".join(
+        f"{_bucket_sql(_hyperplanes(dim, n_planes, seed + 1000 * t))} AS b{t}"
+        for t in range(tables))
+    any_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(tables))
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+       {bucket_cols}
+    FROM embeddings
+), cand AS (
+    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+           c.vec_id AS neighbor_id, CAST(c.embedding AS DOUBLE[]) AS cv
+    FROM b q JOIN b c
+      ON c.vec_id <> q.vec_id AND ({any_match})
+), ranked AS (
+    SELECT query_id, {_COS_QC} AS cos,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_QC} DESC, neighbor_id) AS rank
+    FROM cand
+), kth AS (
+    SELECT query_id AS vec_id,
+           round(1.0 - min(cos), 4) AS knn_distance
+    FROM ranked WHERE rank <= {k} GROUP BY query_id
+), scored AS (
+    SELECT e.vec_id, coalesce(t.knn_distance, 1.0) AS knn_distance
+    FROM embeddings e LEFT JOIN kth t USING (vec_id)
+), thr AS (
+    SELECT quantile_cont(knn_distance, {quantile}) AS thr FROM scored
+)
+SELECT s.vec_id, s.knn_distance, s.knn_distance >= t.thr AS is_outlier
+FROM scored s, thr t
+"""
+
+
+@query("knn_distance_outliers",
+       oracle=_outlier_oracle(k=3, quantile=0.9, n_planes=6, tables=4,
+                              dim=64, seed=42))
+def knn_distance_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen (operators/similarity.py:
+    knn_distance_outliers): score = 1 - cosine(v, farthest retained
+    neighbor) on the literal-hyperplane 3-NN graph, sparse buckets
+    keep their real distance, zero-collision orphans take the 1.0
+    sentinel, flag = exact interpolated 0.9-quantile threshold over
+    4dp-quantized scores (exact=True + round_dp=4 — the oracle-replay
+    mode; production defaults to the mergeable percentile_approx
+    sketch with raw scores, no single-reducer corpus buffer). The
+    quantile's interpolation fraction is interior (q*(n-1) is never
+    integral at any test SF), so the threshold never lands ON a score
+    value and the flag boolean is ULP-robust across engines. Scale:
+    inherits knn_join's O(sum bucket^2) bound; everything downstream
+    of the graph is id-keyed — vectors never re-shuffle."""
+    from ..operators.similarity import knn_distance_outliers
+    from ..sources.registry import spread
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    out = knn_distance_outliers(emb, "vec_id", "embedding", k=3,
+                                quantile=0.9, n_planes=6, tables=4,
+                                dim=64, seed=42, exact=True, round_dp=4)
+    return out.select(F.col("id").cast("long").alias("vec_id"),
+                      "knn_distance", "is_outlier")

@@ -1557,3 +1557,73 @@ def conformal_quality_coverage(spark: SparkSession,
                     F.col("k").cast("long").alias("k"), "q_hat",
                     "n_test", "n_test_covered", "coverage",
                     "coverage_near_target"))
+
+
+@query("url_canonicalization", oracle="""
+WITH d AS (
+    SELECT doc_id, lang, doc_id % 6 AS i,
+           CAST(doc_id % 50 AS VARCHAR) AS hn,
+           CAST(doc_id AS VARCHAR) AS ds
+    FROM documents
+)
+SELECT doc_id,
+       CASE i
+           WHEN 0 THEN 'https://example' || hn || '.com/docs/'
+                       || lang || '/' || ds || '?a=1&b=2'
+           WHEN 1 THEN 'http://example' || hn || '.com/docs/'
+                       || lang || '/' || ds
+           WHEN 2 THEN 'https://sub.example' || hn || '.co.uk/p/'
+                       || ds || '?x=9'
+           WHEN 3 THEN 'https://example' || hn || '.com/'
+           WHEN 4 THEN 'https://example' || hn || '.com:8443/a/'
+                       || ds || '?ref=v' || ds
+       END AS url_norm,
+       CASE WHEN i = 2 THEN 'sub.example' || hn || '.co.uk'
+            WHEN i <> 5 THEN 'example' || hn || '.com' END AS host,
+       CASE WHEN i = 2 THEN 'example' || hn || '.co.uk'
+            WHEN i <> 5 THEN 'example' || hn || '.com' END AS domain
+FROM d
+""")
+def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over a synthetic recrawl corpus: each doc
+    cycles through the noisy-variant families a crawler actually
+    emits (case-shuffled scheme/host, www + default ports, tracking
+    params + unsorted query + fragment, userinfo, second-level ccTLD
+    registries, content-selecting `ref` kept vs `ref_src` stripped,
+    trailing-slash/empty-path, unparseable garbage -> NULL). The
+    Spark side must PARSE (try_parse_url expression pipeline,
+    functions/web.py — pure JVM, no Python stage); the oracle
+    CONSTRUCTS the expected canonical form analytically from the
+    same fields, so the parse->normalize pipeline is value-gated
+    end-to-end. Scale: a projection inside whole-stage codegen —
+    URL-keyed crawl dedup pays zero shuffle until its final groupBy."""
+    from ..functions.web import registered_domain, url_host, url_normalize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        (F.col("doc_id") % 6).alias("i"),
+        (F.col("doc_id") % 50).cast("string").alias("hn"),
+        F.col("doc_id").cast("string").alias("ds"))
+    raw = (
+        F.when(F.col("i") == 0, F.concat(
+            F.lit("HTTPS://WWW.Example"), F.col("hn"),
+            F.lit(".COM:443/docs/"), F.col("lang"), F.lit("/"),
+            F.col("ds"), F.lit("/?utm_source=mail&b=2&a=1#frag")))
+        .when(F.col("i") == 1, F.concat(
+            F.lit("http://example"), F.col("hn"), F.lit(".com:80/docs/"),
+            F.col("lang"), F.lit("/"), F.col("ds")))
+        .when(F.col("i") == 2, F.concat(
+            F.lit("https://user:pw@sub.example"), F.col("hn"),
+            F.lit(".co.uk/p/"), F.col("ds"), F.lit("?gclid=1&x=9")))
+        .when(F.col("i") == 3, F.concat(
+            F.lit("https://example"), F.col("hn"), F.lit(".com")))
+        .when(F.col("i") == 4, F.concat(
+            F.lit("https://example"), F.col("hn"), F.lit(".com:8443/a/"),
+            F.col("ds"), F.lit("?ref=v"), F.col("ds"),
+            F.lit("&ref_src=tw")))
+        .otherwise(F.concat(F.lit("not a url "), F.col("ds"))))
+    return d.select(
+        "doc_id",
+        url_normalize(raw).alias("url_norm"),
+        url_host(raw).alias("host"),
+        registered_domain(raw).alias("domain"))

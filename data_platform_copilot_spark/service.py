@@ -346,6 +346,25 @@ def create_fastapi_app(service: CopilotService):
     from fastapi import FastAPI  # import-gated
 
     app = FastAPI(title="data_platform_copilot_spark")
+
+    @app.middleware("http")
+    async def _time_requests(request, call_next):
+        # automatic per-route latency (reference src/main.py:43-50,
+        # prometheus-fastapi-instrumentator): every request lands in
+        # the http_request_ms histogram labeled by route template
+        # (post-routing, so /namespace/3 aggregates under
+        # /namespace/{id_}), exported with _sum/_count/_p95
+        import time
+        t0 = time.monotonic()
+        response = await call_next(request)
+        route = request.scope.get("route")
+        path = getattr(route, "path", request.url.path)
+        REGISTRY.observe_ms("http_request_ms",
+                            (time.monotonic() - t0) * 1000.0,
+                            labels={"route": path,
+                                    "status": str(response.status_code)})
+        return response
+
     app.get("/health")(service.health)
     app.get("/description")(service.description)
     app.get("/schema")(service.schema)

@@ -358,6 +358,32 @@ class TestNamespaceRoutes:
             service.namespace_demo_upload("/etc")
 
 
+def test_http_latency_middleware_times_every_route(service):
+    """reference src/main.py:43-50 parity: each request lands in the
+    http_request_ms histogram labeled by route template, exported
+    via /metrics with _sum/_count/_p95."""
+    import importlib.util
+    if (importlib.util.find_spec("fastapi") is None
+            or importlib.util.find_spec("httpx") is None):
+        pytest.skip("fastapi/httpx not installed")
+    from fastapi.testclient import TestClient
+
+    from data_platform_copilot_spark.metrics import REGISTRY
+    from data_platform_copilot_spark.service import create_fastapi_app
+
+    REGISTRY.reset()
+    client = TestClient(create_fastapi_app(service))
+    assert client.get("/health").status_code == 200
+    assert client.get("/description").status_code == 200
+    assert client.get("/health").status_code == 200
+    exported = client.get("/metrics").text
+    h = 'http_request_ms{route="/health",status="200"}'
+    d = 'http_request_ms{route="/description",status="200"}'
+    assert f"{h}_count 2" in exported
+    assert f"{h}_sum " in exported and f"{h}_p95 " in exported
+    assert f"{d}_count 1" in exported
+
+
 def test_http_surface_has_new_route_groups(service):
     import importlib.util
     if importlib.util.find_spec("fastapi") is None:
