@@ -120,12 +120,15 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                settings.spark.driver_memory))
     )
+    # SPARK_GRAFT_PYFILES=<zip[,zip...]> switches executor imports
+    # from the shared-filesystem PYTHONPATH mount to the shipped
+    # artifact (deploy/package_pyfiles.sh) — the path a multi-node
+    # cluster without a shared image uses. addPyFile distributes the
+    # zip and prepends it to every executor Python worker's sys.path,
+    # the same mechanism as spark-submit --py-files.
+    pyfiles = os.environ.get("SPARK_GRAFT_PYFILES")
     if not is_local:
-        existing = os.environ.get("PYTHONPATH", "")
         builder = (builder
-                   .config("spark.executorEnv.PYTHONPATH",
-                           pkg_root + (os.pathsep + existing
-                                       if existing else ""))
                    # Straggler mitigation: at fleet scale one slow
                    # disk/node per stage is the norm, not the
                    # exception; speculation re-launches the slowest
@@ -134,6 +137,14 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
                    # Local mode skips it — every "straggler" there
                    # shares the same CPUs, so a copy only adds load.
                    .config("spark.speculation", "true"))
+        if not pyfiles:
+            existing = os.environ.get("PYTHONPATH", "")
+            builder = builder.config(
+                "spark.executorEnv.PYTHONPATH",
+                pkg_root + (os.pathsep + existing if existing else ""))
     spark = builder.getOrCreate()
+    if pyfiles:
+        for p in pyfiles.split(","):
+            spark.sparkContext.addPyFile(p)
     spark.sparkContext.setLogLevel("WARN")
     return spark
