@@ -151,9 +151,29 @@ def _validate_append(prev_manifest: dict, schema: dict,
     return {**prev_schema, **schema}
 
 
+def _txn_committed(root: Path, upto: int | None,
+                   txn: tuple[str, int]) -> int | None:
+    """Version whose manifest already records this (app, batch)
+    transaction, or None. O(retained versions) tiny-JSON reads — the
+    same scan Delta's txn lookup does over its log; a production
+    deployment indexes the last checkpoint instead."""
+    app, batch = txn
+    if upto is None:
+        return None
+    for i in range(upto + 1):
+        mp = _manifest_path(root, i)
+        if not mp.exists():
+            continue
+        rec = json.loads(mp.read_text()).get("txn")
+        if rec and rec.get("app") == app and rec.get("batch") == batch:
+            return i
+    return None
+
+
 def write_version(df: DataFrame, table_dir: str | Path,
                   mode: str = "append",
-                  partition_by: list[str] | None = None) -> int:
+                  partition_by: list[str] | None = None,
+                  txn: tuple[str, int] | None = None) -> int:
     """Commit ``df`` as the table's next version; returns it.
 
     ``append`` composes the new data dir with the previous version's
@@ -169,6 +189,15 @@ def write_version(df: DataFrame, table_dir: str | Path,
     prune whole directories — the mechanism that keeps a 100 TB
     versioned table scannable. The layout is recorded in the manifest
     and must stay consistent across appends.
+
+    ``txn=(app_id, batch_id)`` makes the commit IDEMPOTENT per
+    transaction id (Delta's txnAppId/txnVersion recipe): if any
+    committed manifest already records the pair, the write is a
+    no-op returning that existing version — the contract a streaming
+    foreachBatch sink needs, since restart replays deliver the last
+    batch at-least-once. The check re-runs inside the CAS retry loop,
+    so even a racing duplicate commit of the same txn serializes to
+    exactly one data-bearing version.
     """
     if mode not in ("append", "overwrite"):
         raise VersionedTableError(f"unsupported mode: {mode}")
@@ -176,6 +205,10 @@ def write_version(df: DataFrame, table_dir: str | Path,
     root.mkdir(parents=True, exist_ok=True)
     token = uuid4().hex[:8]
     prev = latest_version(root)
+    if txn is not None:
+        done = _txn_committed(root, prev, txn)
+        if done is not None:
+            return done
     version = 0 if prev is None else prev + 1
     data_dir = f"data-{version}-{token}"
     writer = df.write.mode("error")
@@ -199,11 +232,20 @@ def write_version(df: DataFrame, table_dir: str | Path,
             dirs[-1] = new_name
         manifest = {"version": version, "mode": mode, "data_dirs": dirs,
                     "schema": schema, "partition_by": partition_by or []}
+        if txn is not None:
+            manifest["txn"] = {"app": txn[0], "batch": txn[1]}
         try:
             _publish_manifest(root, manifest)
             return version
         except CommitConflict:
             prev = latest_version(root)
+            if txn is not None:
+                done = _txn_committed(root, prev, txn)
+                if done is not None:
+                    # a racing replay of the SAME txn won: drop our
+                    # duplicate data dir (unreferenced) and succeed
+                    shutil.rmtree(root / data_dir, ignore_errors=True)
+                    return done
             version = 0 if prev is None else prev + 1
     raise VersionedTableError(
         f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
@@ -408,6 +450,11 @@ def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
     is then kept whole — conservative (superseded sibling partitions
     linger as referenced-dir garbage until the dir rotates out
     entirely), never destructive.
+
+    Dropping old manifests also drops their ``txn`` idempotence
+    records, so keep_last bounds how LATE a streaming-batch replay
+    stays deduplicated — the same retention caveat Delta documents
+    for txnAppId; size keep_last above the source's replay horizon.
     """
     root = Path(table_dir)
     v = latest_version(root)

@@ -686,3 +686,69 @@ def run_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str,
                                 rnd(F.sum("value"), 2)
                                 .alias("total_value"))),
     }
+
+
+def run_streaming_versioned_sink(spark: SparkSession, sf_dir: str,
+                                 n_files: int = 6,
+                                 work_dir: str | None = None) -> dict:
+    """Structured Streaming into a manifest-versioned table with
+    EXACTLY-ONCE batch commits: each micro-batch appends through
+    ``write_version(..., txn=(app, batch_id))``, so the table's own
+    atomic manifest log doubles as the idempotence ledger (the Delta
+    txnAppId/txnVersion recipe) — no side batch-log, no overwrite
+    snapshot. foreachBatch delivery is at-least-once under restart;
+    a replayed batch finds its txn in a committed manifest and
+    no-ops, leaving history linear and the row set exact.
+
+    The function proves the contract in-process: run the stream to
+    completion, then REPLAY the last micro-batch through the same
+    sink (what a driver restart would do) and return enough state
+    for the test to assert (a) versioned rows == batch answer,
+    (b) one version per micro-batch, (c) the replay added nothing.
+
+    Scale: each micro-batch is one append version (no rewrite);
+    readers stay snapshot-isolated during commits; compaction folds
+    the per-batch file spray back to ``target_files`` without
+    touching the stream.
+    """
+    from ..sources.registry import load_table
+    from ..sources.versioned import history, read_version, write_version
+
+    root = Path(work_dir or tempfile.mkdtemp(prefix="vsink_"))
+    src, ckpt, table = root / "src", root / "ckpt", root / "table"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    if not src.exists():
+        events.repartition(n_files).write.mode("overwrite").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    replay: dict = {}
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        write_version(bdf.coalesce(1), table, mode="append",
+                      txn=("events_versioned", bid))
+        replay["last"] = (bdf, bid)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream.writeStream.option("checkpointLocation", str(ckpt))
+         .foreachBatch(sink).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+
+    versions_before = len(history(table))
+    # at-least-once replay of the final batch (driver-restart shape)
+    bdf, bid = replay["last"]
+    sink(bdf, bid)
+
+    return {
+        "table": str(table),
+        "rows": read_version(spark, table),
+        "expected": events,
+        "history": history(table),
+        "versions_before_replay": versions_before,
+        "versions_after_replay": len(history(table)),
+    }

@@ -330,3 +330,31 @@ class TestCheckpointRecovery:
         got = normalize_rows(out["agg"].toPandas())
         want = normalize_rows(out["batch_expected"].toPandas())
         assert got == want
+
+
+class TestVersionedStreamSink:
+    """Streaming foreachBatch into a manifest-versioned table: the
+    table's own txn records give exactly-once batch commits (Delta
+    txnAppId/txnVersion recipe) — an at-least-once replay of the
+    last batch must be a no-op."""
+
+    def test_stream_appends_exactly_once_with_replay(self, spark, sf_dir,
+                                                     tmp_path):
+        from data_platform_copilot_spark.streaming.events import (
+            run_streaming_versioned_sink)
+
+        out = run_streaming_versioned_sink(
+            spark, sf_dir, n_files=5, work_dir=str(tmp_path))
+        # (a) versioned rows == the batch answer, exactly
+        got = sorted(r["event_id"] for r in out["rows"].collect())
+        want = sorted(r["event_id"] for r in out["expected"].collect())
+        assert got == want
+        # (b) one version per micro-batch, each carrying its txn
+        h = out["history"]
+        assert len(h) == out["versions_before_replay"] >= 2
+        txns = [(m["txn"]["app"], m["txn"]["batch"]) for m in h]
+        assert len(set(txns)) == len(txns)  # distinct batch ids
+        assert all(app == "events_versioned" for app, _ in txns)
+        # (c) the replayed final batch added NO version and NO rows
+        assert out["versions_after_replay"] == out["versions_before_replay"]
+        assert out["rows"].count() == len(want)

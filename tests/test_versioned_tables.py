@@ -328,6 +328,27 @@ class TestOptimisticConcurrency:
                              + list(range(200, 205)))
 
 
+class TestTxnIdempotence:
+    def test_same_txn_commits_once(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import history
+
+        v0 = write_version(_df(spark, 0, 5), tdir, "append",
+                           txn=("app", 0))
+        v1 = write_version(_df(spark, 5, 9), tdir, "append",
+                           txn=("app", 1))
+        # replaying batch 1 (at-least-once delivery) is a no-op that
+        # returns the originally committed version
+        again = write_version(_df(spark, 5, 9), tdir, "append",
+                              txn=("app", 1))
+        assert (v0, v1, again) == (0, 1, 1)
+        assert len(history(tdir)) == 2
+        assert read_version(spark, tdir).count() == 9
+        # a DIFFERENT app replaying batch id 1 is a distinct txn
+        v2 = write_version(_df(spark, 9, 10), tdir, "append",
+                           txn=("other", 1))
+        assert v2 == 2 and read_version(spark, tdir).count() == 10
+
+
 class TestConcurrentReaders:
     def test_reader_thread_never_sees_torn_state(self, spark, tdir):
         """Pointer-swap atomicity under concurrency: a reader loop
