@@ -475,3 +475,49 @@ def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
         if int(mp.stem.split("-", 1)[1]) not in keep_versions:
             mp.unlink()
     return deleted
+
+
+def diff_versions(spark: SparkSession, table_dir: str | Path,
+                  key: str, v_from: int, v_to: int | None = None,
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level change feed between two committed versions — the
+    audit/debug primitive table formats expose as ``table_changes``:
+    (key, change_type in insert|delete|update) computed from the two
+    immutable snapshots. Because every version is time-travelable,
+    the diff needs no change log: it is a full outer join of the two
+    reads on ``key``.
+
+    ``compare_cols`` limits the update comparison (default: every
+    shared non-key column). Scale: one key-partitioned exchange per
+    side; both scans are column-pruned to key + compared columns, and
+    with a hive-partitioned layout a partition-scoped merge's
+    untouched partitions join equal and drop out of the update set.
+    """
+    import pyspark.sql.functions as F  # local: keep module header slim
+
+    old = read_version(spark, table_dir, version=v_from)
+    new = read_version(spark, table_dir, version=v_to)
+    shared = [c for c in old.columns
+              if c in set(new.columns) and c != key]
+    cols = compare_cols if compare_cols is not None else shared
+    o = old.select(key, *[F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select(key, *[F.col(c).alias(f"__n_{c}") for c in cols])
+    j = o.join(n, key, "full_outer")
+    in_old = F.lit(False)
+    in_new = F.lit(False)
+    changed = F.lit(False)
+    # presence flags piggyback on the first compared column when one
+    # exists; otherwise use a literal marker column per side
+    if cols:
+        in_old = sum((F.col(f"__o_{c}").isNotNull().cast("int")
+                      for c in cols), F.lit(0)) > 0
+        in_new = sum((F.col(f"__n_{c}").isNotNull().cast("int")
+                      for c in cols), F.lit(0)) > 0
+        changed = ~sum((F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+                        .cast("int") for c in cols), F.lit(0)).eqNullSafe(
+            F.lit(len(cols)))
+    ct = (F.when(in_old & ~in_new, F.lit("delete"))
+          .when(in_new & ~in_old, F.lit("insert"))
+          .when(changed, F.lit("update")))
+    return (j.select(key, ct.alias("change_type"))
+            .where(F.col("change_type").isNotNull()))

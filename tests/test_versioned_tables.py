@@ -464,3 +464,46 @@ class TestModelBasedRandomOps:
             got = {r["id"]: r["x"] for r in
                    read_version(spark, t, version=v).collect()}
             assert got == snap, f"time travel diverged at v{v}"
+
+
+class TestDiffVersions:
+    """diff_versions = table_changes between two snapshots: exact
+    insert/delete/update classification from the immutable reads."""
+
+    def test_change_feed_between_versions(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            diff_versions, merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)          # v0: ids 0-9
+        updates = spark.createDataFrame(
+            [(3, 999), (50, 777)], "id long, x long")
+        merge_version(spark, tdir, updates, "id")       # v1
+        got = {r["id"]: r["change_type"] for r in
+               diff_versions(spark, tdir, "id", 0, 1).collect()}
+        assert got == {3: "update", 50: "insert"}
+        # deletes: overwrite drops ids >= 5
+        write_version(_df(spark, 0, 5), tdir, "overwrite")  # v2
+        got2 = {r["id"]: r["change_type"] for r in
+                diff_versions(spark, tdir, "id", 1, 2).collect()}
+        assert got2 == {3: "update",  # x back to 6 from 999
+                        **{i: "delete" for i in (5, 6, 7, 8, 9, 50)}}
+        # identical snapshots -> empty feed
+        assert diff_versions(spark, tdir, "id", 2, 2).count() == 0
+
+    def test_nullsafe_and_evolved_columns(self, spark, tdir):
+        from pyspark.sql import functions as F
+
+        from data_platform_copilot_spark.sources.versioned import (
+            diff_versions)
+
+        write_version(_df(spark, 0, 4), tdir)           # v0
+        evolved = (_df(spark, 2, 6)
+                   .withColumn("tag", F.when(F.col("id") % 2 == 0,
+                                             F.lit("t"))))
+        write_version(evolved, tdir, "overwrite")       # v1
+        got = {r["id"]: r["change_type"] for r in
+               diff_versions(spark, tdir, "id", 0, 1).collect()}
+        # ids 0,1 deleted; 4,5 inserted; 2,3 unchanged on shared cols
+        # (tag exists only in v1 and is not a shared column)
+        assert got == {0: "delete", 1: "delete",
+                       4: "insert", 5: "insert"}
