@@ -500,19 +500,18 @@ def diff_versions(spark: SparkSession, table_dir: str | Path,
     shared = [c for c in old.columns
               if c in set(new.columns) and c != key]
     cols = compare_cols if compare_cols is not None else shared
-    o = old.select(key, *[F.col(c).alias(f"__o_{c}") for c in cols])
-    n = new.select(key, *[F.col(c).alias(f"__n_{c}") for c in cols])
+    # explicit presence markers: a row whose compared columns are all
+    # NULL still EXISTS (piggybacking presence on value-nullability
+    # would misclassify it)
+    o = old.select(key, F.lit(1).alias("__o_present"),
+                   *[F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select(key, F.lit(1).alias("__n_present"),
+                   *[F.col(c).alias(f"__n_{c}") for c in cols])
     j = o.join(n, key, "full_outer")
-    in_old = F.lit(False)
-    in_new = F.lit(False)
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     changed = F.lit(False)
-    # presence flags piggyback on the first compared column when one
-    # exists; otherwise use a literal marker column per side
     if cols:
-        in_old = sum((F.col(f"__o_{c}").isNotNull().cast("int")
-                      for c in cols), F.lit(0)) > 0
-        in_new = sum((F.col(f"__n_{c}").isNotNull().cast("int")
-                      for c in cols), F.lit(0)) > 0
         changed = ~sum((F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
                         .cast("int") for c in cols), F.lit(0)).eqNullSafe(
             F.lit(len(cols)))

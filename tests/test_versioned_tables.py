@@ -507,3 +507,18 @@ class TestDiffVersions:
         # (tag exists only in v1 and is not a shared column)
         assert got == {0: "delete", 1: "delete",
                        4: "insert", 5: "insert"}
+
+    def test_all_null_row_presence(self, spark, tdir):
+        """A row whose every compared column is NULL still exists:
+        it must diff as update/delete, never vanish or read as an
+        insert (explicit presence markers, not value-nullability)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            diff_versions)
+
+        v0 = spark.createDataFrame([(1, None), (2, 5)], "id long, x long")
+        v1 = spark.createDataFrame([(1, 9), (3, None)], "id long, x long")
+        write_version(v0, tdir)
+        write_version(v1, tdir, "overwrite")
+        got = {r["id"]: r["change_type"] for r in
+               diff_versions(spark, tdir, "id", 0, 1).collect()}
+        assert got == {1: "update", 2: "delete", 3: "insert"}
