@@ -353,40 +353,40 @@ def _partition_leaves(root: Path, entry: str, parts: list[str]):
     yield from walk(root / entry, [v for _, v in pre], level)
 
 
-def merge_version(spark: SparkSession, table_dir: str | Path,
-                  updates: DataFrame, key: str) -> int:
-    """Upsert commit: rows in ``updates`` replace same-``key`` rows of
-    the latest version, new keys insert (copy-on-write MERGE, the
-    Delta paper's default — the honest cost of upserts without
-    deletion vectors).
-
-    Partition-scoped when the table is hive-partitioned: only the
-    partitions that hold matched keys or receive update rows are
-    rewritten into the new data dir; every untouched partition's
-    directory is carried forward BY REFERENCE in the new manifest
-    (its parquet files are not read, copied, or rewritten), so at
-    100 TB a merge touching one day of a date-partitioned table costs
-    one day's rewrite, not the table. Unpartitioned tables fall back
-    to the full-rewrite overwrite version.
-
-    Concurrency: the rewrite is computed against the snapshot read at
-    entry; if another commit lands first, the publish fails with
-    ``CommitConflict`` (no silent lost updates) — re-run the merge.
-    """
-    root = Path(table_dir)
+def _merge_once(spark: SparkSession, root: Path,
+                updates: DataFrame, key: str) -> int:
     v = latest_version(root)
     if v is None:
         raise VersionedTableError(f"not a versioned table: {root}")
     manifest = _read_manifest(root, v)
     parts = manifest.get("partition_by") or []
-    current = read_version(spark, table_dir, version=v)
+    current = read_version(spark, root, version=v)
     keys = updates.select(key).distinct()
+    token = uuid4().hex[:8]
+    version = v + 1
+    data_dir = f"data-{version}-{token}"
+    schema = _validate_append(manifest, dict(updates.dtypes),
+                              parts or None)
 
     if not parts:
+        # full copy-on-write rewrite, but with the SAME CAS contract
+        # as the partitioned path: the publish pins version v+1, so a
+        # commit interleaving between our snapshot read and the
+        # publish raises CommitConflict instead of being silently
+        # overwritten (write_version's overwrite retry is
+        # last-writer-wins BY DESIGN — wrong semantics for merge)
         survivors = current.join(keys, key, "left_anti")
         merged = survivors.unionByName(updates, allowMissingColumns=True)
-        return write_version(merged, table_dir, mode="overwrite",
-                             partition_by=None)
+        try:
+            merged.write.mode("error").parquet(str(root / data_dir))
+            _publish_manifest(root, {
+                "version": version, "mode": "merge",
+                "data_dirs": [data_dir],
+                "schema": schema, "partition_by": []})
+        except CommitConflict:
+            shutil.rmtree(root / data_dir, ignore_errors=True)
+            raise
+        return version
 
     # 1. the touched partition set: partitions of current rows whose
     #    key is matched + target partitions of the update rows
@@ -416,27 +416,60 @@ def merge_version(spark: SparkSession, table_dir: str | Path,
         pred = pred | tuple_pred(t)
     survivors = current.where(pred).join(keys, key, "left_anti")
     merged = survivors.unionByName(updates, allowMissingColumns=True)
-
-    token = uuid4().hex[:8]
-    version = v + 1
-    data_dir = f"data-{version}-{token}"
     merged.write.mode("error").partitionBy(*parts).parquet(
         str(root / data_dir))
 
     # 3. carry forward every untouched partition leaf by reference
     carried: list[str] = []
-    seen: set[tuple] = set()
     for entry in manifest["data_dirs"]:
         for leaf, vals in _partition_leaves(root, entry, parts):
             if vals not in touched:
                 carried.append(leaf)
-                seen.add(vals)
-    schema = _validate_append(manifest, dict(updates.dtypes), parts)
-    _publish_manifest(root, {
-        "version": version, "mode": "merge",
-        "data_dirs": [data_dir] + carried,
-        "schema": schema, "partition_by": parts})
+    try:
+        _publish_manifest(root, {
+            "version": version, "mode": "merge",
+            "data_dirs": [data_dir] + carried,
+            "schema": schema, "partition_by": parts})
+    except CommitConflict:
+        shutil.rmtree(root / data_dir, ignore_errors=True)
+        raise
     return version
+
+
+def merge_version(spark: SparkSession, table_dir: str | Path,
+                  updates: DataFrame, key: str,
+                  retries: int = 0) -> int:
+    """Upsert commit: rows in ``updates`` replace same-``key`` rows of
+    the latest version, new keys insert (copy-on-write MERGE, the
+    Delta paper's default — the honest cost of upserts without
+    deletion vectors).
+
+    Partition-scoped when the table is hive-partitioned: only the
+    partitions that hold matched keys or receive update rows are
+    rewritten into the new data dir; every untouched partition's
+    directory is carried forward BY REFERENCE in the new manifest
+    (its parquet files are not read, copied, or rewritten), so at
+    100 TB a merge touching one day of a date-partitioned table costs
+    one day's rewrite, not the table. Unpartitioned tables take a
+    full copy-on-write rewrite version.
+
+    Concurrency: the rewrite is computed against the snapshot read at
+    entry and the publish pins the next version number, so a commit
+    landing in between raises ``CommitConflict`` on BOTH paths — a
+    merge can never silently drop an interleaved commit.
+    ``retries > 0`` resolves conflicts the sound way Delta does by
+    default: RE-RUN the whole merge against the new latest (the
+    stale rewrite's data dir is removed; recomputation, not replay),
+    up to ``retries`` times before surfacing the conflict.
+    """
+    root = Path(table_dir)
+    last: CommitConflict | None = None
+    for _ in range(retries + 1):
+        try:
+            return _merge_once(spark, root, updates, key)
+        except CommitConflict as exc:
+            last = exc
+    raise last
 
 
 def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:

@@ -465,6 +465,20 @@ class TestModelBasedRandomOps:
                    read_version(spark, t, version=v).collect()}
             assert got == snap, f"time travel diverged at v{v}"
 
+        # the change feed between every consecutive version pair
+        # matches the model's set algebra (compaction steps -> empty)
+        from data_platform_copilot_spark.sources.versioned import (
+            diff_versions)
+        for v in range(len(snapshots) - 1):
+            a, b = snapshots[v], snapshots[v + 1]
+            want = {**{k: "insert" for k in b.keys() - a.keys()},
+                    **{k: "delete" for k in a.keys() - b.keys()},
+                    **{k: "update" for k in a.keys() & b.keys()
+                       if a[k] != b[k]}}
+            got = {r["id"]: r["change_type"] for r in
+                   diff_versions(spark, t, "id", v, v + 1).collect()}
+            assert got == want, f"change feed diverged at v{v}->v{v+1}"
+
 
 class TestDiffVersions:
     """diff_versions = table_changes between two snapshots: exact
@@ -522,3 +536,127 @@ class TestDiffVersions:
         got = {r["id"]: r["change_type"] for r in
                diff_versions(spark, tdir, "id", 0, 1).collect()}
         assert got == {1: "update", 2: "delete", 3: "insert"}
+
+
+class TestMergeConflictResolution:
+    def test_unpartitioned_merge_never_loses_interleaved_commit(
+            self, spark, tdir):
+        """The unpartitioned merge path has the same CAS contract as
+        the partitioned one: an interleaved append between the
+        merge's snapshot read and its publish raises CommitConflict
+        (previously it delegated to write_version(overwrite), whose
+        last-writer-wins retry would silently DROP the append)."""
+        from unittest.mock import patch
+
+        from data_platform_copilot_spark.sources import versioned
+        from data_platform_copilot_spark.sources.versioned import (
+            CommitConflict, merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)
+        updates = spark.createDataFrame([(3, 999)], "id long, x long")
+        real_read = versioned.read_version
+        state = {"fired": False}
+
+        def read_then_race(sp, td, version=None):
+            out = real_read(sp, td, version=version)
+            if not state["fired"]:
+                state["fired"] = True
+                write_version(_df(spark, 100, 103), tdir, "append")
+            return out
+
+        with patch.object(versioned, "read_version",
+                          side_effect=read_then_race):
+            with pytest.raises(CommitConflict):
+                merge_version(spark, tdir, updates, "id")
+        # nothing lost: the interleaved append is the latest
+        assert read_version(spark, tdir).count() == 13
+
+    def test_merge_retry_recomputes_against_new_latest(self, spark,
+                                                       tdir):
+        """retries=1 resolves the conflict the sound way: the merge
+        RE-RUNS against the post-append snapshot, so the result holds
+        both the interleaved rows and the upsert."""
+        from unittest.mock import patch
+
+        from data_platform_copilot_spark.sources import versioned
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)
+        updates = spark.createDataFrame(
+            [(3, 999), (200, 7)], "id long, x long")
+        real_read = versioned.read_version
+        state = {"fired": False}
+
+        def read_then_race(sp, td, version=None):
+            out = real_read(sp, td, version=version)
+            if not state["fired"]:
+                state["fired"] = True
+                write_version(_df(spark, 100, 103), tdir, "append")
+            return out
+
+        with patch.object(versioned, "read_version",
+                          side_effect=read_then_race):
+            v = merge_version(spark, tdir, updates, "id", retries=1)
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir).collect()}
+        assert v == 2                       # append took v1, merge v2
+        assert got[3] == 999 and got[200] == 7
+        assert all(got[i] == i * 2 for i in (100, 101, 102))  # kept
+        assert len(got) == 14
+        # no orphaned data dirs: every dir on disk is referenced by
+        # some retained manifest (the stale rewrite was cleaned up)
+        from data_platform_copilot_spark.sources.versioned import history
+        live = set()
+        for m in history(tdir):
+            live.update(p.split("/")[0] for p in m["data_dirs"])
+        assert {d.name for d in tdir.glob("data-*")} == live
+
+
+def _process_committer(args):
+    """Module-level so multiprocessing can pickle it: race N manifest
+    publishes from a separate PROCESS (no shared GIL, real cross-
+    process filesystem atomics)."""
+    table_dir, worker_id, n_commits = args
+    import sys
+    sys.path.insert(0, ".")
+    from pathlib import Path
+
+    from data_platform_copilot_spark.sources.versioned import (
+        CommitConflict, _publish_manifest, latest_version)
+
+    root = Path(table_dir)
+    won = []
+    for i in range(n_commits):
+        while True:
+            prev = latest_version(root)
+            version = 0 if prev is None else prev + 1
+            try:
+                _publish_manifest(root, {
+                    "version": version, "mode": "append",
+                    "data_dirs": [f"data-{version}-w{worker_id}-{i}"],
+                    "schema": {}, "partition_by": []})
+                won.append(version)
+                break
+            except CommitConflict:
+                continue
+    return won
+
+
+class TestCrossProcessCAS:
+    def test_manifest_cas_across_processes(self, tmp_path):
+        """4 separate PROCESSES x 10 commits racing on one table dir:
+        the os.link create-if-absent commit must hand out all 40
+        version numbers exactly once with no gaps — the cross-process
+        guarantee the threaded test cannot establish."""
+        import multiprocessing as mp
+
+        table = tmp_path / "race"
+        table.mkdir()
+        with mp.get_context("spawn").Pool(4) as pool:
+            results = pool.map(_process_committer,
+                               [(str(table), w, 10) for w in range(4)])
+        all_versions = sorted(v for r in results for v in r)
+        assert all_versions == list(range(40))  # exactly-once, no gaps
+        from data_platform_copilot_spark.sources.versioned import (
+            latest_version)
+        assert latest_version(table) == 39
