@@ -328,6 +328,35 @@ class TestOptimisticConcurrency:
                              + list(range(200, 205)))
 
 
+class TestGroupedScanFastPath:
+    def test_same_schema_appends_read_as_one_scan(self, spark, tdir):
+        """N same-schema unpartitioned appends must read as ONE
+        multi-path relation, not an N-branch union (union analysis
+        cost grows with the append count: measured 4.8 s plan build
+        at 60 appends vs 0.1 s grouped). Schema evolution starts a
+        new group and the groups union by name."""
+        import re
+
+        for i in range(6):
+            write_version(_df(spark, i * 10, (i + 1) * 10), tdir,
+                          "append")
+        r = read_version(spark, tdir)
+        plan = r._jdf.queryExecution().executedPlan().toString()
+        paths = re.findall(r"InMemoryFileIndex\((\d+) paths\)", plan)
+        assert paths == ["6"], plan[:1500]
+        assert r.count() == 60
+        # evolved append -> second group, still by-name correct
+        write_version(_df(spark, 60, 65).withColumn("tag", F.lit("t")),
+                      tdir, "append")
+        r2 = read_version(spark, tdir)
+        plan2 = r2._jdf.queryExecution().executedPlan().toString()
+        paths2 = sorted(re.findall(r"InMemoryFileIndex\((\d+) paths\)",
+                                   plan2))
+        assert paths2 == ["1", "6"], plan2[:1500]
+        got = {r_["id"]: r_["tag"] for r_ in r2.collect()}
+        assert len(got) == 65 and got[62] == "t" and got[5] is None
+
+
 class TestTxnIdempotence:
     def test_same_txn_commits_once(self, spark, tdir):
         from data_platform_copilot_spark.sources.versioned import history
