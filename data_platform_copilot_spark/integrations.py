@@ -29,11 +29,19 @@ def http_requester(timeout_s: float = 30.0) -> Requester:
             async with httpx.AsyncClient(timeout=timeout_s) as client:
                 r = await client.request(method, url, json=json,
                                          headers=headers)
-                body = r.json() if r.content else {}
-                return r.status_code, body
         except (httpx.HTTPError, OSError) as exc:
             raise RuntimeError(
                 f"{method} {url} transport failure: {exc}") from exc
+        if not r.content:
+            return r.status_code, {}
+        try:
+            body = r.json()
+        except ValueError:
+            # non-JSON body (a proxy's HTML 502 page, plain text):
+            # surface status + snippet instead of letting
+            # JSONDecodeError escape the RuntimeError -> 400 mapping
+            body = {"error": "non-JSON response", "body": r.text[:500]}
+        return r.status_code, body
     return request
 
 

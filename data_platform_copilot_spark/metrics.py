@@ -12,11 +12,24 @@ import threading
 from collections import defaultdict
 
 
+# Per-histogram sample-window bound: _sum/_count stay exact running
+# totals forever; the p95 is computed over the most recent WINDOW
+# samples so a long-running server's memory and export cost stay
+# O(series x WINDOW) instead of growing with total request count
+# (the r9 middleware observes every HTTP request).
+_HIST_WINDOW = 4096
+
+
 class LocalRegistry:
     def __init__(self) -> None:
+        from collections import deque
+
         self._lock = threading.Lock()
         self._counters: dict[str, float] = defaultdict(float)
-        self._hists: dict[str, list[float]] = defaultdict(list)
+        self._hist_sum: dict[str, float] = defaultdict(float)
+        self._hist_n: dict[str, int] = defaultdict(int)
+        self._hists: dict[str, object] = defaultdict(
+            lambda: deque(maxlen=_HIST_WINDOW))
 
     @staticmethod
     def _key(name: str, labels: dict[str, str] | None) -> str:
@@ -33,7 +46,10 @@ class LocalRegistry:
     def observe_ms(self, name: str, ms: float,
                    labels: dict[str, str] | None = None) -> None:
         with self._lock:
-            self._hists[self._key(name, labels)].append(ms)
+            k = self._key(name, labels)
+            self._hist_sum[k] += ms
+            self._hist_n[k] += 1
+            self._hists[k].append(ms)
 
     def export(self) -> str:
         lines = []
@@ -41,17 +57,20 @@ class LocalRegistry:
             for k, v in sorted(self._counters.items()):
                 lines.append(f"{k} {v}")
             for k, samples in sorted(self._hists.items()):
-                n = len(samples)
-                lines.append(f"{k}_sum {sum(samples)}")
+                n = self._hist_n[k]
+                lines.append(f"{k}_sum {self._hist_sum[k]}")
                 lines.append(f"{k}_count {n}")
-                if n:
-                    p95 = sorted(samples)[max(int(0.95 * n) - 1, 0)]
+                if samples:
+                    window = sorted(samples)
+                    p95 = window[max(int(0.95 * len(window)) - 1, 0)]
                     lines.append(f"{k}_p95 {p95}")
         return "\n".join(lines) + "\n"
 
     def reset(self) -> None:
         with self._lock:
             self._counters.clear()
+            self._hist_sum.clear()
+            self._hist_n.clear()
             self._hists.clear()
 
 

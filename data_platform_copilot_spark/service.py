@@ -358,7 +358,11 @@ def create_fastapi_app(service: CopilotService):
         t0 = time.monotonic()
         response = await call_next(request)
         route = request.scope.get("route")
-        path = getattr(route, "path", request.url.path)
+        # ONLY templated route paths become labels: an unmatched
+        # request (404 scanner hitting /a, /b, ...) must not mint one
+        # histogram series per raw URL — that is client-controlled
+        # unbounded label cardinality
+        path = getattr(route, "path", None) or "<unmatched>"
         REGISTRY.observe_ms("http_request_ms",
                             (time.monotonic() - t0) * 1000.0,
                             labels={"route": path,

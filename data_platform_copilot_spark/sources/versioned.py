@@ -173,7 +173,8 @@ def _txn_committed(root: Path, upto: int | None,
 def write_version(df: DataFrame, table_dir: str | Path,
                   mode: str = "append",
                   partition_by: list[str] | None = None,
-                  txn: tuple[str, int] | None = None) -> int:
+                  txn: tuple[str, int] | None = None,
+                  expected_latest: int | None = None) -> int:
     """Commit ``df`` as the table's next version; returns it.
 
     ``append`` composes the new data dir with the previous version's
@@ -198,6 +199,14 @@ def write_version(df: DataFrame, table_dir: str | Path,
     batch at-least-once. The check re-runs inside the CAS retry loop,
     so even a racing duplicate commit of the same txn serializes to
     exactly one data-bearing version.
+
+    ``expected_latest`` pins the commit to prev == that version: a
+    commit interleaving after the caller's snapshot read raises
+    CommitConflict instead of being retried (the caller's ``df`` was
+    DERIVED from that snapshot, so a blind retry would drop the
+    interleaved rows — the read-compute-overwrite shape compact()
+    uses; plain overwrite callers replacing the table with external
+    data keep last-writer-wins).
     """
     if mode not in ("append", "overwrite"):
         raise VersionedTableError(f"unsupported mode: {mode}")
@@ -205,6 +214,9 @@ def write_version(df: DataFrame, table_dir: str | Path,
     root.mkdir(parents=True, exist_ok=True)
     token = uuid4().hex[:8]
     prev = latest_version(root)
+    if expected_latest is not None and prev != expected_latest:
+        raise CommitConflict(
+            f"expected latest {expected_latest}, found {prev}")
     if txn is not None:
         done = _txn_committed(root, prev, txn)
         if done is not None:
@@ -256,6 +268,12 @@ def write_version(df: DataFrame, table_dir: str | Path,
                     # duplicate data dir (unreferenced) and succeed
                     shutil.rmtree(root / data_dir, ignore_errors=True)
                     return done
+            if expected_latest is not None:
+                # the caller's df was derived from expected_latest's
+                # snapshot; a blind republish would drop the
+                # interleaved commit — surface the conflict instead
+                shutil.rmtree(root / data_dir, ignore_errors=True)
+                raise
             version = 0 if prev is None else prev + 1
     raise VersionedTableError(
         f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
@@ -346,18 +364,34 @@ def history(table_dir: str | Path) -> list[dict]:
 
 
 def compact(spark: SparkSession, table_dir: str | Path,
-            target_files: int = 8) -> int:
+            target_files: int = 8, retries: int = 0) -> int:
     """Small-file repair: rewrite the live file set as ONE overwrite
     version with ``target_files`` parquet files. After many appends a
     table is a spray of small files (each append = its own dir); at
     100 TB that means open/seek overhead dominating scans. Readers on
     old versions are unaffected (their manifests still reference the
-    old dirs until vacuum)."""
-    v = latest_version(table_dir)
-    parts = _read_manifest(Path(table_dir), v).get("partition_by") or []
-    df = read_version(spark, table_dir).repartition(target_files)
-    return write_version(df, table_dir, mode="overwrite",
-                         partition_by=parts or None)
+    old dirs until vacuum).
+
+    Concurrency: the rewrite is pinned to the snapshot it read
+    (``expected_latest``) — a commit interleaving mid-compaction
+    raises CommitConflict rather than being silently dropped by the
+    overwrite's last-writer-wins retry (the same read-compute-publish
+    contract as merge). ``retries > 0`` re-runs the compaction
+    against the new latest."""
+    last: CommitConflict | None = None
+    for _ in range(retries + 1):
+        v = latest_version(table_dir)
+        parts = (_read_manifest(Path(table_dir), v).get("partition_by")
+                 or [])
+        df = (read_version(spark, table_dir, version=v)
+              .repartition(target_files))
+        try:
+            return write_version(df, table_dir, mode="overwrite",
+                                 partition_by=parts or None,
+                                 expected_latest=v)
+        except CommitConflict as exc:
+            last = exc
+    raise last
 
 
 def _partition_leaves(root: Path, entry: str, parts: list[str]):
@@ -388,7 +422,14 @@ def _merge_once(spark: SparkSession, root: Path,
     manifest = _read_manifest(root, v)
     parts = manifest.get("partition_by") or []
     current = read_version(spark, root, version=v)
-    keys = updates.select(key).distinct()
+    # keys is consumed by TWO subtrees (touched-partition semi join /
+    # survivor anti join) — share it. `current` deliberately is NOT
+    # materialized: its consumers read DIFFERENT pruned projections
+    # (key+partition columns for the touched set; full rows of only
+    # the touched partitions for survivors), and caching the full
+    # scan would defeat both column and partition pruning.
+    from .registry import materialize_auto
+    keys = materialize_auto(updates.select(key).distinct())
     token = uuid4().hex[:8]
     version = v + 1
     data_dir = f"data-{version}-{token}"
@@ -500,11 +541,21 @@ def merge_version(spark: SparkSession, table_dir: str | Path,
     raise last
 
 
-def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
+def vacuum(table_dir: str | Path, keep_last: int = 1,
+           min_age_s: float = 3600.0) -> list[str]:
     """Delete data dirs referenced by NO retained manifest (the last
     ``keep_last`` versions are retained, older manifests are dropped
     too). Returns the deleted dir names. Time travel reaches only
     retained versions afterwards — same contract as Delta VACUUM.
+
+    ``min_age_s`` is the retention guard for IN-FLIGHT writers: a
+    concurrent committer writes its data dir BEFORE publishing the
+    manifest, so an unreferenced-but-fresh dir may be a commit in
+    progress, not garbage — deleting it would let the commit publish
+    a manifest pointing at a missing directory. Only dirs whose
+    mtime is older than ``min_age_s`` are removed (Delta's retention
+    window, defaulted to one hour here vs Delta's seven days);
+    pass 0 only when no writer can be active.
 
     A live manifest entry may be a partition SUBPATH of a data dir
     (carried forward by a partition-scoped merge): the top-level dir
@@ -517,6 +568,8 @@ def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
     stays deduplicated — the same retention caveat Delta documents
     for txnAppId; size keep_last above the source's replay horizon.
     """
+    import time as _time
+
     root = Path(table_dir)
     v = latest_version(root)
     if v is None:
@@ -527,9 +580,11 @@ def vacuum(table_dir: str | Path, keep_last: int = 1) -> list[str]:
     for i in keep_versions:
         live.update(_read_manifest(root, i)["data_dirs"])
     live_tops = {Path(e).parts[0] for e in live}
+    now = _time.time()
     deleted = []
     for d in sorted(root.glob("data-*")):
-        if d.name not in live_tops:
+        if d.name not in live_tops \
+                and now - d.stat().st_mtime >= min_age_s:
             shutil.rmtree(d)
             deleted.append(d.name)
     for mp in root.glob("manifest-*.json"):
@@ -554,8 +609,6 @@ def diff_versions(spark: SparkSession, table_dir: str | Path,
     with a hive-partitioned layout a partition-scoped merge's
     untouched partitions join equal and drop out of the update set.
     """
-    import pyspark.sql.functions as F  # local: keep module header slim
-
     old = read_version(spark, table_dir, version=v_from)
     new = read_version(spark, table_dir, version=v_to)
     shared = [c for c in old.columns

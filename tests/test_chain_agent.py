@@ -147,6 +147,27 @@ class TestMetrics:
         assert "lat_ms_count 5" in out
         assert "lat_ms_p95 40.0" in out  # sorted[int(0.95*5)-1] = idx 3
 
+    def test_histogram_memory_is_bounded(self):
+        """_sum/_count stay exact running totals while the per-series
+        sample buffer is a fixed window (a long-running server's
+        request-latency histogram must not grow with total request
+        count); p95 comes from the most recent window."""
+        from data_platform_copilot_spark.metrics import (
+            _HIST_WINDOW, LocalRegistry)
+
+        reg = LocalRegistry()
+        n = _HIST_WINDOW + 500
+        for i in range(n):
+            reg.observe_ms("lat_ms", float(i))
+        out = reg.export()
+        assert f"lat_ms_count {n}" in out            # exact, not windowed
+        assert f"lat_ms_sum {float(sum(range(n)))}" in out
+        assert len(reg._hists["lat_ms"]) == _HIST_WINDOW  # bounded
+        # p95 over the window (last _HIST_WINDOW values: 500..n-1)
+        window = list(range(500, n))
+        p95 = float(sorted(window)[int(0.95 * len(window)) - 1])
+        assert f"lat_ms_p95 {p95}" in out
+
 
 class TestProviderFactory:
     def test_stub_dispatch(self):

@@ -77,7 +77,12 @@ class TestVersionedTable:
         h = {m["version"]: set(m["data_dirs"]) for m in history(tdir)}
         dead = (h[0] | h[1]) - h[2]
         assert len(dead) == 2                          # v0 + v1 dirs
-        deleted = vacuum(tdir, keep_last=1)
+        # retention guard first: unreferenced dirs FRESHER than
+        # min_age_s are protected (they may be a commit in progress —
+        # data lands before the manifest publish)
+        assert vacuum(tdir, keep_last=1) == []
+        assert dead <= {d.name for d in tdir.glob("data-*")}
+        deleted = vacuum(tdir, keep_last=1, min_age_s=0)
         assert set(deleted) == dead
         assert read_version(spark, tdir).count() == 20  # live unharmed
         with pytest.raises(VersionedTableError):
@@ -689,3 +694,45 @@ class TestCrossProcessCAS:
         from data_platform_copilot_spark.sources.versioned import (
             latest_version)
         assert latest_version(table) == 39
+
+
+class TestCompactConflict:
+    def test_compact_never_loses_interleaved_append(self, spark, tdir):
+        """compact() is read-compute-publish like merge: a commit
+        interleaving mid-compaction must raise CommitConflict, not be
+        silently dropped by overwrite's last-writer-wins retry; with
+        retries=1 the compaction re-runs over the new latest."""
+        from unittest.mock import patch
+
+        from data_platform_copilot_spark.sources import versioned
+        from data_platform_copilot_spark.sources.versioned import (
+            CommitConflict, compact)
+
+        write_version(_df(spark, 0, 10).repartition(4), tdir)
+        write_version(_df(spark, 10, 20).repartition(4), tdir, "append")
+        real_read = versioned.read_version
+        state = {"n": 0}
+
+        def read_then_race(sp, td, version=None):
+            out = real_read(sp, td, version=version)
+            if state["n"] == 0:
+                state["n"] += 1
+                write_version(_df(spark, 100, 105), tdir, "append")
+            return out
+
+        with patch.object(versioned, "read_version",
+                          side_effect=read_then_race):
+            with pytest.raises(CommitConflict):
+                compact(spark, tdir, target_files=1)
+        assert read_version(spark, tdir).count() == 25  # nothing lost
+
+        state["n"] = 0
+        with patch.object(versioned, "read_version",
+                          side_effect=read_then_race):
+            v = compact(spark, tdir, target_files=1, retries=1)
+        got = read_version(spark, tdir)
+        # second interleaved append (ids 100-104 again -> dup rows by
+        # design: append semantics) + compaction of everything
+        assert got.count() == 30
+        assert len(got.inputFiles()) == 1
+        assert latest_version(tdir) == v
