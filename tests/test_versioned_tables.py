@@ -432,9 +432,10 @@ def test_daily_sales_versioned_flow(spark, sf_dir, tmp_path):
 
 
 class TestModelBasedRandomOps:
-    """Model-based property test: a random sequence of
-    append/overwrite/merge/compact commits must track a pure-Python
-    dict model exactly (row set AND per-version history), for every
+    """Model-based property test: a random sequence of append /
+    overwrite / merge / compact / idempotent-txn-append / vacuum
+    operations must track a pure-Python dict model exactly (row set,
+    per-version history, change feed, retention horizon), for every
     seed. Catches composition bugs no single-op test can."""
 
     @pytest.mark.parametrize("seed", [1, 7, 23])
@@ -443,13 +444,15 @@ class TestModelBasedRandomOps:
         import random
 
         from data_platform_copilot_spark.sources.versioned import (
-            merge_version)
+            merge_version, vacuum)
 
         rng = random.Random(seed)
         t = tmp_path / f"tbl_{seed}"
         model: dict[int, int] = {}          # id -> x (live version)
         snapshots: list[dict[int, int]] = []  # model per version
+        oldest_readable = 0                 # retention horizon
         next_id = 0
+        batch_no = 0
 
         def fresh_batch(n):
             nonlocal next_id
@@ -464,8 +467,9 @@ class TestModelBasedRandomOps:
             read_version(spark, t, version=0).collect())
         snapshots.append(dict(model))
 
-        for _ in range(8):
-            op = rng.choice(["append", "overwrite", "merge", "compact"])
+        for _ in range(10):
+            op = rng.choice(["append", "overwrite", "merge", "compact",
+                             "txn_append", "vacuum"])
             if op == "append":
                 rows = fresh_batch(rng.randrange(1, 5))
                 write_version(spark.createDataFrame(
@@ -484,6 +488,26 @@ class TestModelBasedRandomOps:
                 merge_version(spark, t, spark.createDataFrame(
                     upd, "id long, x long"), "id")
                 model.update(dict(upd))
+            elif op == "txn_append":
+                rows = fresh_batch(rng.randrange(1, 4))
+                df = spark.createDataFrame(rows, "id long, x long")
+                v1 = write_version(df, t, "append",
+                                   txn=("model", batch_no))
+                # at-least-once replay: MUST be a no-op version-wise
+                v2 = write_version(df, t, "append",
+                                   txn=("model", batch_no))
+                assert v1 == v2
+                batch_no += 1
+                model.update(dict(rows))
+            elif op == "vacuum":
+                vacuum(t, keep_last=3, min_age_s=0)
+                oldest_readable = max(oldest_readable,
+                                      len(snapshots) - 3, 0)
+                # no version created; live rows must be untouched
+                got = {r["id"]: r["x"] for r in
+                       read_version(spark, t).collect()}
+                assert got == model, "vacuum harmed the live set"
+                continue
             else:
                 compact(spark, t, target_files=2)
                 # model unchanged: compaction is a physical rewrite
@@ -493,17 +517,22 @@ class TestModelBasedRandomOps:
                    read_version(spark, t).collect()}
             assert got == model, f"live diverged after {op}"
 
-        # every historical version still matches its snapshot
+        # every RETAINED version still matches its snapshot; versions
+        # behind the retention horizon must raise, not misread
         for v, snap in enumerate(snapshots):
+            if v < oldest_readable:
+                with pytest.raises(VersionedTableError):
+                    read_version(spark, t, version=v)
+                continue
             got = {r["id"]: r["x"] for r in
                    read_version(spark, t, version=v).collect()}
             assert got == snap, f"time travel diverged at v{v}"
 
-        # the change feed between every consecutive version pair
+        # the change feed between every retained consecutive pair
         # matches the model's set algebra (compaction steps -> empty)
         from data_platform_copilot_spark.sources.versioned import (
             diff_versions)
-        for v in range(len(snapshots) - 1):
+        for v in range(oldest_readable, len(snapshots) - 1):
             a, b = snapshots[v], snapshots[v + 1]
             want = {**{k: "insert" for k in b.keys() - a.keys()},
                     **{k: "delete" for k in a.keys() - b.keys()},
