@@ -595,7 +595,8 @@ def vacuum(table_dir: str | Path, keep_last: int = 1,
 
 def diff_versions(spark: SparkSession, table_dir: str | Path,
                   key: str, v_from: int, v_to: int | None = None,
-                  compare_cols: list[str] | None = None) -> DataFrame:
+                  compare_cols: list[str] | None = None,
+                  include_values: bool = False) -> DataFrame:
     """Row-level change feed between two committed versions — the
     audit/debug primitive table formats expose as ``table_changes``:
     (key, change_type in insert|delete|update) computed from the two
@@ -604,10 +605,15 @@ def diff_versions(spark: SparkSession, table_dir: str | Path,
     reads on ``key``.
 
     ``compare_cols`` limits the update comparison (default: every
-    shared non-key column). Scale: one key-partitioned exchange per
-    side; both scans are column-pruned to key + compared columns, and
-    with a hive-partitioned layout a partition-scoped merge's
-    untouched partitions join equal and drop out of the update set.
+    shared non-key column). ``include_values=True`` additionally
+    emits ``old_<c>`` / ``new_<c>`` for every compared column —
+    Delta's Change Data Feed shape, which is exactly what downstream
+    incremental view maintenance needs (refresh an aggregate with
+    +new −old deltas instead of rescanning the table). Scale: one
+    key-partitioned exchange per side; both scans are column-pruned
+    to key + compared columns, and with a hive-partitioned layout a
+    partition-scoped merge's untouched partitions join equal and
+    drop out of the update set.
     """
     old = read_version(spark, table_dir, version=v_from)
     new = read_version(spark, table_dir, version=v_to)
@@ -632,5 +638,12 @@ def diff_versions(spark: SparkSession, table_dir: str | Path,
     ct = (F.when(in_old & ~in_new, F.lit("delete"))
           .when(in_new & ~in_old, F.lit("insert"))
           .when(changed, F.lit("update")))
-    return (j.select(key, ct.alias("change_type"))
+    out_cols = [F.col(key), ct.alias("change_type")]
+    if include_values:
+        for c in cols:
+            out_cols.append(F.when(in_old, F.col(f"__o_{c}"))
+                            .alias(f"old_{c}"))
+            out_cols.append(F.when(in_new, F.col(f"__n_{c}"))
+                            .alias(f"new_{c}"))
+    return (j.select(*out_cols)
             .where(F.col("change_type").isNotNull()))

@@ -765,3 +765,74 @@ class TestCompactConflict:
         assert got.count() == 30
         assert len(got.inputFiles()) == 1
         assert latest_version(tdir) == v
+
+
+class TestChangeDataFeedRefresh:
+    """include_values=True turns the diff into a Change Data Feed;
+    an aggregate refreshes from the feed's +new/-old deltas and must
+    equal a full recompute — incremental view maintenance over
+    versioned snapshots without rescanning the table."""
+
+    def test_cdf_values_and_incremental_agg_refresh(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            diff_versions, merge_version)
+
+        base = spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)],
+            "id long, grp long, val double")
+        write_version(base, tdir)                             # v0
+        updates = spark.createDataFrame(
+            [(4, 1, 100.0),    # update: grp 1, val 4 -> 100
+             (50, 2, 7.0)],    # insert into grp 2
+            "id long, grp long, val double")
+        merge_version(spark, tdir, updates, "id")             # v1
+
+        cdf = diff_versions(spark, tdir, "id", 0, 1,
+                            include_values=True)
+        got = {r["id"]: r.asDict() for r in cdf.collect()}
+        assert set(got) == {4, 50}
+        assert got[4]["change_type"] == "update"
+        assert (got[4]["old_val"], got[4]["new_val"]) == (4.0, 100.0)
+        assert got[50]["change_type"] == "insert"
+        assert got[50]["old_val"] is None and got[50]["new_val"] == 7.0
+
+        # incremental refresh: v0 aggregate + feed deltas == v1 agg
+        agg0 = (read_version(spark, tdir, version=0)
+                .groupBy("grp").agg(F.sum("val").alias("s"),
+                                    F.count("*").alias("n")))
+        delta = (cdf.select(
+            F.coalesce("new_grp", "old_grp").alias("grp"),
+            (F.coalesce("new_val", F.lit(0.0))
+             - F.coalesce("old_val", F.lit(0.0))).alias("ds"),
+            (F.col("new_val").isNotNull().cast("long")
+             - F.col("old_val").isNotNull().cast("long")).alias("dn"))
+            .groupBy("grp").agg(F.sum("ds").alias("ds"),
+                                F.sum("dn").alias("dn")))
+        refreshed = (agg0.join(delta, "grp", "full_outer")
+                     .select("grp",
+                             (F.coalesce("s", F.lit(0.0))
+                              + F.coalesce("ds", F.lit(0.0))).alias("s"),
+                             (F.coalesce("n", F.lit(0))
+                              + F.coalesce("dn", F.lit(0))).alias("n")))
+        recomputed = (read_version(spark, tdir, version=1)
+                      .groupBy("grp").agg(F.sum("val").alias("s"),
+                                          F.count("*").alias("n")))
+        assert sorted(map(tuple, refreshed.collect())) == \
+            sorted(map(tuple, recomputed.collect()))
+
+    def test_cdf_update_moving_groups(self, spark, tdir):
+        """An update that MOVES a row between groups must show both
+        sides in the feed (old grp decremented, new grp incremented
+        through old_/new_ columns)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            diff_versions, merge_version)
+
+        write_version(spark.createDataFrame(
+            [(1, 10, 5.0), (2, 20, 6.0)],
+            "id long, grp long, val double"), tdir)
+        merge_version(spark, tdir, spark.createDataFrame(
+            [(1, 20, 5.0)], "id long, grp long, val double"), "id")
+        row = diff_versions(spark, tdir, "id", 0, 1,
+                            include_values=True).collect()
+        assert len(row) == 1 and row[0]["change_type"] == "update"
+        assert (row[0]["old_grp"], row[0]["new_grp"]) == (10, 20)
