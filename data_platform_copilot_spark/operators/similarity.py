@@ -334,13 +334,12 @@ def knn_distance_outliers(corpus: DataFrame, id_col: str, vec_col: str,
     if round_dp is not None:
         # quantize BEFORE thresholding so a cross-engine replay sees
         # the identical score multiset (scale-then-round matches
-        # DuckDB's rounding bit-for-bit — queries/core.rnd rationale);
-        # summation-order ULP drift in raw cosines would otherwise
-        # make the percentile boundary engine-dependent
-        factor = float(10 ** round_dp)
+        # DuckDB's rounding bit-for-bit); summation-order ULP drift
+        # in raw cosines would otherwise make the percentile boundary
+        # engine-dependent
+        from ..functions.numeric import rnd
         scored = scored.withColumn(
-            "knn_distance",
-            F.round(F.col("knn_distance") * factor, 0) / factor)
+            "knn_distance", rnd("knn_distance", round_dp))
     pct = F.percentile if exact else F.percentile_approx
     thr = scored.agg(pct("knn_distance",
                          F.lit(quantile)).alias("thr"))

@@ -106,19 +106,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def rnd(c, n: int):
-    """DuckDB-compatible rounding: round(x * 10^n) / 10^n.
-
-    Spark's round() applies HALF_UP to the EXACT binary value of x;
-    DuckDB scales first, so a value whose scaled double lands exactly
-    on .5 (e.g. 0.49824999... * 1e4 == 4982.5) rounds differently.
-    Scaling before Spark's round reproduces DuckDB bit-for-bit
-    (verified over 200k random values at n=2,4,6) — required for the
-    value-hash oracle comparison at every scale factor.
-    """
-    factor = float(10 ** n)
-    col = F.col(c) if isinstance(c, str) else c
-    return F.round(col * factor, 0) / factor
+# DuckDB-compatible rounding — canonical definition lives in
+# functions/numeric.py (a leaf module) so operators can share it
+# without importing the query pack; re-exported here because every
+# query module spells it `from .core import rnd`.
+from ..functions.numeric import rnd  # noqa: F401,E402
 
 
 def epoch_s(c):

@@ -356,18 +356,22 @@ def create_fastapi_app(service: CopilotService):
         # /namespace/{id_}), exported with _sum/_count/_p95
         import time
         t0 = time.monotonic()
-        response = await call_next(request)
-        route = request.scope.get("route")
-        # ONLY templated route paths become labels: an unmatched
-        # request (404 scanner hitting /a, /b, ...) must not mint one
-        # histogram series per raw URL — that is client-controlled
-        # unbounded label cardinality
-        path = getattr(route, "path", None) or "<unmatched>"
-        REGISTRY.observe_ms("http_request_ms",
-                            (time.monotonic() - t0) * 1000.0,
-                            labels={"route": path,
-                                    "status": str(response.status_code)})
-        return response
+        status = "500"  # an uncaught handler exception IS a 500 —
+        try:            # failing requests must land in the series too
+            response = await call_next(request)
+            status = str(response.status_code)
+            return response
+        finally:
+            route = request.scope.get("route")
+            # ONLY templated route paths become labels: an unmatched
+            # request (404 scanner hitting /a, /b, ...) must not mint
+            # one histogram series per raw URL — that is
+            # client-controlled unbounded label cardinality
+            path = getattr(route, "path", None) or "<unmatched>"
+            REGISTRY.observe_ms("http_request_ms",
+                                (time.monotonic() - t0) * 1000.0,
+                                labels={"route": path,
+                                        "status": status})
 
     app.get("/health")(service.health)
     app.get("/description")(service.description)

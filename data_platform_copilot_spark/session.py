@@ -144,7 +144,10 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
                 pkg_root + (os.pathsep + existing if existing else ""))
     spark = builder.getOrCreate()
     if pyfiles:
-        for p in pyfiles.split(","):
-            spark.sparkContext.addPyFile(p)
+        # tolerate trailing commas / spaces in the env value — a
+        # stray '' would crash addPyFile at every entrypoint
+        for p in (s.strip() for s in pyfiles.split(",")):
+            if p:
+                spark.sparkContext.addPyFile(p)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -5,7 +5,10 @@ from .registry import (
     warm_tables,
 )
 from .versioned import (
+    CommitConflict,
+    VersionedTableError,
     compact,
+    diff_versions,
     history,
     latest_version,
     merge_version,
@@ -17,4 +20,5 @@ from .versioned import (
 __all__ = ["TESTDATA_TABLES", "load_table", "register_testdata",
            "warm_tables", "write_version", "read_version",
            "merge_version", "compact", "vacuum", "history",
-           "latest_version"]
+           "latest_version", "diff_versions", "CommitConflict",
+           "VersionedTableError"]

@@ -222,19 +222,33 @@ def write_version(df: DataFrame, table_dir: str | Path,
         if done is not None:
             return done
     version = 0 if prev is None else prev + 1
+    own_schema = dict(df.dtypes)
+    if mode == "append" and prev is not None:
+        # validate BEFORE paying the data write: a layout/type
+        # mismatch must not cost a full dataset write that then gets
+        # orphaned (the retry loop re-validates against whatever the
+        # new latest is, with cleanup)
+        _validate_append(_read_manifest(root, prev), dict(own_schema),
+                         partition_by)
     data_dir = f"data-{version}-{token}"
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(root / data_dir))
-    own_schema = dict(df.dtypes)
 
     for _ in range(_MAX_COMMIT_RETRIES):
         dirs, schema = [data_dir], dict(own_schema)
         dir_schemas = {data_dir: own_schema}
         if mode == "append" and prev is not None:
             prev_manifest = _read_manifest(root, prev)
-            schema = _validate_append(prev_manifest, schema, partition_by)
+            try:
+                schema = _validate_append(prev_manifest, schema,
+                                          partition_by)
+            except VersionedTableError:
+                # a post-conflict re-validation failed against the
+                # NEW latest: don't leave the written data as orphan
+                shutil.rmtree(root / data_dir, ignore_errors=True)
+                raise
             dirs = prev_manifest["data_dirs"] + dirs
             dir_schemas = {**prev_manifest.get("dir_schemas", {}),
                            data_dir: own_schema}
@@ -430,6 +444,13 @@ def _merge_once(spark: SparkSession, root: Path,
     # scan would defeat both column and partition pruning.
     from .registry import materialize_auto
     keys = materialize_auto(updates.select(key).distinct())
+    if keys.isEmpty():
+        # empty upsert batch (routine in CDC): a no-op returning the
+        # current version. Publishing would be worse than useless on
+        # the partitioned path — partitionBy of a 0-row frame writes
+        # a dir with no parquet files, and a manifest referencing it
+        # poisons every subsequent read (UNABLE_TO_INFER_SCHEMA).
+        return v
     token = uuid4().hex[:8]
     version = v + 1
     data_dir = f"data-{version}-{token}"

@@ -714,8 +714,17 @@ def run_streaming_versioned_sink(spark: SparkSession, sf_dir: str,
     from ..sources.registry import load_table
     from ..sources.versioned import history, read_version, write_version
 
-    root = Path(work_dir or tempfile.mkdtemp(prefix="vsink_"))
+    # default work dir is deterministic per sf_dir (same pattern as
+    # the other staging sites in this module) so repeated invocations
+    # reuse one slot instead of leaking a fresh mkdtemp copy of the
+    # events table per call; the run-scoped state (checkpoint, table)
+    # resets each run, the staged source is content-stable and reused
+    import shutil as _shutil
+    root = Path(work_dir) if work_dir else (
+        Path(tempfile.gettempdir()) / f"vsink_{abs(hash(sf_dir))}")
     src, ckpt, table = root / "src", root / "ckpt", root / "table"
+    for run_scoped in (ckpt, table):
+        _shutil.rmtree(run_scoped, ignore_errors=True)
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     if not src.exists():
