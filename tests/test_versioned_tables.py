@@ -601,6 +601,41 @@ class TestDiffVersions:
         assert got == {1: "update", 2: "delete", 3: "insert"}
 
 
+class TestEmptyMergeGuard:
+    def test_empty_updates_is_a_noop_on_both_paths(self, spark, tdir):
+        """An empty upsert batch must return the current version and
+        publish NOTHING — on a partitioned table, partitionBy of a
+        0-row frame writes a parquet-less dir, and a manifest over it
+        would poison every later read (UNABLE_TO_INFER_SCHEMA)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            history, merge_version)
+
+        empty = spark.createDataFrame([], "id long, x long, part string")
+        d = _df(spark, 0, 8).withColumn(
+            "part", (F.col("id") % 2).cast("string"))
+        write_version(d, tdir, partition_by=["part"])
+        assert merge_version(spark, tdir, empty, "id") == 0
+        assert len(history(tdir)) == 1
+        assert read_version(spark, tdir).count() == 8  # still readable
+
+        flat = tdir.parent / "flat"
+        write_version(_df(spark, 0, 8), flat)
+        assert merge_version(spark, flat,
+                             empty.drop("part"), "id") == 0
+        assert len(history(flat)) == 1
+
+    def test_append_validation_failure_leaves_no_orphan_dir(
+            self, spark, tdir):
+        d = _df(spark, 0, 8).withColumn(
+            "part", (F.col("id") % 2).cast("string"))
+        write_version(d, tdir, partition_by=["part"])
+        n_dirs = len(list(tdir.glob("data-*")))
+        with pytest.raises(VersionedTableError, match="layout"):
+            write_version(_df(spark, 8, 12), tdir, "append")
+        # validation ran BEFORE the data write: nothing new on disk
+        assert len(list(tdir.glob("data-*"))) == n_dirs
+
+
 class TestMergeConflictResolution:
     def test_unpartitioned_merge_never_loses_interleaved_commit(
             self, spark, tdir):
