@@ -39,7 +39,12 @@ nothing but parquet and POSIX filesystem atomics:
 Scale notes: on a real object store the manifest publish maps to a
 conditional PUT / put-if-absent, manifests stay O(versions) tiny
 JSON, and data files never mutate — the exact recipe in the Delta
-Lake paper. A writer crashing before its manifest publish leaves
+Lake paper. Every ``_CHECKPOINT_INTERVAL`` commits the log state
+(snapshot manifest + per-app txn high-water) rolls up into
+``checkpoint-<n>.json`` (Delta §3.1), so txn-idempotent commits read
+O(interval) manifests regardless of table age — a month-old
+streaming sink at one version per micro-batch pays the same commit
+cost as a fresh table. A writer crashing before its manifest publish leaves
 only unreferenced directories (vacuum-able garbage), never a torn
 table; a crash after publish IS a completed commit.
 """
@@ -59,6 +64,10 @@ from pyspark.sql import functions as F
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _MAX_COMMIT_RETRIES = 50
+# Write a checkpoint every N commits (the Delta log checkpoint recipe,
+# Armbrust et al. VLDB 2020 §3.1: 10 commits there too). Keeps txn
+# lookups O(interval) manifest reads instead of O(versions).
+_CHECKPOINT_INTERVAL = 10
 
 
 class VersionedTableError(RuntimeError):
@@ -97,6 +106,62 @@ def _read_manifest(table_dir: Path, version: int) -> dict:
     return json.loads(mp.read_text())
 
 
+def _checkpoint_path(table_dir: Path, version: int) -> Path:
+    return table_dir / f"checkpoint-{version}.json"
+
+
+def _latest_checkpoint(root: Path,
+                       upto: int | None = None) -> tuple[int, dict] | None:
+    """Newest committed checkpoint (version, payload) with version <=
+    ``upto``, or None. One directory glob + one JSON read — this is
+    what keeps txn lookups O(1) in table age."""
+    versions = [int(p.stem.split("-", 1)[1])
+                for p in root.glob("checkpoint-*.json")]
+    if upto is not None:
+        versions = [v for v in versions if v <= upto]
+    for v in sorted(versions, reverse=True):
+        try:
+            return v, json.loads(_checkpoint_path(root, v).read_text())
+        except (OSError, ValueError):
+            continue  # racing vacuum/crash mid-replace: fall back
+    return None
+
+
+def _write_checkpoint(root: Path, version: int) -> None:
+    """Roll up the log state as of ``version`` into
+    ``checkpoint-<version>.json``: the snapshot manifest (live dir
+    list + merged schema) and the per-app txn high-water map
+    ``{app: {"batch": B, "version": V}}``. Derived data, rebuilt from
+    the previous checkpoint + the manifest tail (O(interval) reads,
+    amortized O(1) per commit); failures are swallowed — a missing
+    checkpoint only costs the reader a longer tail scan."""
+    try:
+        prev = _latest_checkpoint(root, version - 1)
+        txn_map: dict[str, dict] = dict(prev[1].get("txn", {})) if prev \
+            else {}
+        start = prev[0] + 1 if prev else 0
+        for i in range(start, version + 1):
+            mp = _manifest_path(root, i)
+            if not mp.exists():
+                continue
+            rec = json.loads(mp.read_text()).get("txn")
+            if rec:
+                cur = txn_map.get(rec["app"])
+                if cur is None or rec["batch"] >= cur["batch"]:
+                    txn_map[rec["app"]] = {"batch": rec["batch"],
+                                           "version": i}
+        payload = {"version": version, "txn": txn_map,
+                   "manifest": _read_manifest(root, version)}
+        fd, tmp = tempfile.mkstemp(dir=root, prefix="._checkpoint.")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(payload))
+        # last-writer-wins replace is fine: two racers at the same
+        # version compute identical content
+        os.replace(tmp, _checkpoint_path(root, version))
+    except (OSError, ValueError, VersionedTableError):
+        pass
+
+
 def _publish_manifest(root: Path, manifest: dict) -> None:
     """Atomically publish ``manifest-<version>.json`` iff that
     version is unclaimed — the commit point AND the optimistic-
@@ -115,7 +180,13 @@ def _publish_manifest(root: Path, manifest: dict) -> None:
                 f"version {version} was committed concurrently")
     finally:
         os.unlink(tmp)
-    # best-effort monotonic pointer advance (hint only)
+    if version and version % _CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(root, version)
+    # best-effort monotonic pointer advance (hint only). The advance
+    # itself is check-then-replace, so two racing committers can
+    # regress the pointer to the lower version — TOLERATED by design:
+    # readers resolve latest via the manifest glob (latest_version),
+    # never via this hint; do not "fix" reads to trust the pointer.
     cur = None
     p = _pointer(root)
     if p.exists():
@@ -154,20 +225,50 @@ def _validate_append(prev_manifest: dict, schema: dict,
 def _txn_committed(root: Path, upto: int | None,
                    txn: tuple[str, int]) -> int | None:
     """Version whose manifest already records this (app, batch)
-    transaction, or None. O(retained versions) tiny-JSON reads — the
-    same scan Delta's txn lookup does over its log; a production
-    deployment indexes the last checkpoint instead."""
+    transaction, or None. Reads the newest checkpoint's per-app txn
+    high-water plus only the manifest TAIL after it (newest-to-oldest,
+    early exit) — O(checkpoint interval) tiny-JSON reads per commit
+    regardless of table age, the Delta log checkpoint recipe. Without
+    a checkpoint (young table) it scans all manifests, newest first.
+
+    When the exact pair's manifest predates the checkpoint, the scan
+    from checkpoint down to 0 resolves it; if vacuum dropped those
+    manifests but the checkpoint's high-water for the app covers the
+    batch (``batch <= high-water``), the txn is reported committed at
+    the high-water's version — Delta's txnVersion contract, which
+    assumes per-app batch ids are monotone (true for the streaming
+    foreachBatch sink this exists for)."""
     app, batch = txn
     if upto is None:
         return None
-    for i in range(upto + 1):
+    ckpt = _latest_checkpoint(root, upto)
+    floor = ckpt[0] + 1 if ckpt else 0
+    for i in range(upto, floor - 1, -1):
         mp = _manifest_path(root, i)
         if not mp.exists():
             continue
         rec = json.loads(mp.read_text()).get("txn")
         if rec and rec.get("app") == app and rec.get("batch") == batch:
             return i
-    return None
+    if ckpt is None:
+        return None
+    hw = ckpt[1].get("txn", {}).get(app)
+    if hw is None or batch > hw["batch"]:
+        return None
+    if batch == hw["batch"]:
+        return hw["version"]
+    # older-than-high-water replay (rare): exact version needs the
+    # pre-checkpoint scan the fast path normally skips
+    for i in range(ckpt[0], -1, -1):
+        mp = _manifest_path(root, i)
+        if not mp.exists():
+            continue
+        rec = json.loads(mp.read_text()).get("txn")
+        if rec and rec.get("app") == app and rec.get("batch") == batch:
+            return i
+    # manifests vacuumed from under the pair, but the checkpoint
+    # proves a later batch committed for this app: duplicate
+    return hw["version"]
 
 
 def write_version(df: DataFrame, table_dir: str | Path,
@@ -584,10 +685,19 @@ def vacuum(table_dir: str | Path, keep_last: int = 1,
     linger as referenced-dir garbage until the dir rotates out
     entirely), never destructive.
 
-    Dropping old manifests also drops their ``txn`` idempotence
-    records, so keep_last bounds how LATE a streaming-batch replay
-    stays deduplicated — the same retention caveat Delta documents
-    for txnAppId; size keep_last above the source's replay horizon.
+    Dropping old manifests drops their per-pair ``txn`` idempotence
+    records, so vacuum first rolls a fresh checkpoint at the snapshot
+    latest: the checkpoint's per-app HIGH-WATER batch map keeps
+    streaming replays of any already-committed batch deduplicated
+    past vacuum (Delta's txnAppId retention recipe); only the exact
+    version a sub-high-water batch committed at degrades to the
+    high-water version.
+
+    Concurrency: manifests are deleted only when STRICTLY OLDER than
+    the retained window's floor — a version published by a concurrent
+    committer after ``keep_versions`` was snapshotted is necessarily
+    newer than the snapshot latest, so it can never be unlinked (the
+    ``min_age_s`` guard protects its data dirs the same way).
     """
     import time as _time
 
@@ -595,6 +705,8 @@ def vacuum(table_dir: str | Path, keep_last: int = 1,
     v = latest_version(root)
     if v is None:
         return []
+    # preserve txn idempotence memory before manifests drop
+    _write_checkpoint(root, v)
     keep_versions = [i for i in range(v + 1)
                      if _manifest_path(root, i).exists()][-keep_last:]
     live: set[str] = set()
@@ -608,9 +720,18 @@ def vacuum(table_dir: str | Path, keep_last: int = 1,
                 and now - d.stat().st_mtime >= min_age_s:
             shutil.rmtree(d)
             deleted.append(d.name)
+    floor = keep_versions[0]
     for mp in root.glob("manifest-*.json"):
-        if int(mp.stem.split("-", 1)[1]) not in keep_versions:
+        if int(mp.stem.split("-", 1)[1]) < floor:
             mp.unlink()
+    # checkpoints are derived data: keep only the newest one at or
+    # below the snapshot latest (it carries the merged txn high-water
+    # map forward); never touch concurrently published newer ones
+    ckpts = sorted(int(p.stem.split("-", 1)[1])
+                   for p in root.glob("checkpoint-*.json") if
+                   int(p.stem.split("-", 1)[1]) <= v)
+    for c in ckpts[:-1]:
+        _checkpoint_path(root, c).unlink(missing_ok=True)
     return deleted
 
 

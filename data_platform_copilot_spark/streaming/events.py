@@ -21,6 +21,7 @@ deployments use append + downstream upsert.
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 import uuid
 from pathlib import Path
@@ -29,6 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.core import rnd
+
+
+def _slot(sf_dir: str) -> str:
+    """Stable per-sf_dir staging slot id. ``hash(str)`` is salted per
+    interpreter (PYTHONHASHSEED), so it only deduplicates staging dirs
+    in-process — every new process would leak another staged copy of
+    the table under /tmp; a content digest reuses one slot across
+    processes."""
+    return hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
 
 
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +53,7 @@ def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource requires a directory; testdata ships one file.
     # Stage a symlink dir (no data copy) under /tmp.
-    stage = Path(tempfile.gettempdir()) / f"stream_events_{abs(hash(sf_dir))}"
+    stage = Path(tempfile.gettempdir()) / f"stream_events_{_slot(sf_dir)}"
     stage.mkdir(exist_ok=True)
     link = stage / "events.parquet"
     if not link.exists():
@@ -218,7 +228,7 @@ def streaming_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick as the events source; documents carry no timestamps, so no
     type repair is needed)."""
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stage = Path(tempfile.gettempdir()) / f"stream_docs_{abs(hash(sf_dir))}"
+    stage = Path(tempfile.gettempdir()) / f"stream_docs_{_slot(sf_dir)}"
     stage.mkdir(exist_ok=True)
     link = stage / "documents.parquet"
     if not link.exists():
@@ -381,7 +391,7 @@ def run_streaming_incremental_rollup(spark: SparkSession, sf_dir: str,
     from ..sources.registry import load_table
 
     stage = (Path(tempfile.gettempdir())
-             / f"stream_events_split{n_splits}_{abs(hash(sf_dir))}")
+             / f"stream_events_split{n_splits}_{_slot(sf_dir)}")
     if not (stage / "_SUCCESS").exists():
         (load_table(spark, sf_dir, "events")
          .repartition(n_splits)
@@ -721,7 +731,7 @@ def run_streaming_versioned_sink(spark: SparkSession, sf_dir: str,
     # resets each run, the staged source is content-stable and reused
     import shutil as _shutil
     root = Path(work_dir) if work_dir else (
-        Path(tempfile.gettempdir()) / f"vsink_{abs(hash(sf_dir))}")
+        Path(tempfile.gettempdir()) / f"vsink_{_slot(sf_dir)}")
     src, ckpt, table = root / "src", root / "ckpt", root / "table"
     for run_scoped in (ckpt, table):
         _shutil.rmtree(run_scoped, ignore_errors=True)
