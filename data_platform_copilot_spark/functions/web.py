@@ -16,6 +16,9 @@ dedup.)
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,10 +33,60 @@ TRACKING_PARAM_REGEX = (
     r"^(utm_[a-z]+|gclid|gclsrc|dclid|fbclid|msclkid|mc_eid|mc_cid|"
     r"igshid|yclid|twclid|ref_src|ref_url|spm|_ga|_gl)=")
 
+# Public Suffix List snapshot shipped with the package (subset of
+# publicsuffix.org covering every rule form + the high-traffic
+# registries; regenerate/extend with tools/fetch_psl.py or point
+# SPARK_GRAFT_PSL_FILE at a full public_suffix_list.dat download).
+_PSL_SNAPSHOT = Path(__file__).parent / "data" / "public_suffix_snapshot.dat"
+_PSL_ENV = "SPARK_GRAFT_PSL_FILE"
+_psl_cache: dict[str, tuple | None] = {}
+
+
+def load_psl(path: str | Path) -> tuple[
+        frozenset[str], frozenset[str], frozenset[str]]:
+    """Parse a Public Suffix List file (the official format:
+    ``//`` comments, blank lines, plain rules, ``*.`` wildcard rules,
+    ``!`` exception rules; ICANN and private sections both included,
+    as the official algorithm defaults to). Returns
+    ``(exact, wildcard_tails, exceptions)`` — wildcard rules are
+    stored as their tail (``*.kawasaki.jp`` -> ``kawasaki.jp``).
+
+    IDN labels are matched as written (the PSL publishes both U-label
+    and punycode forms in the full file; the snapshot subset is
+    ASCII-only). Hosts should be lowercased before matching —
+    ``url_host`` already does this."""
+    exact, wild, exc = set(), set(), set()
+    for line in Path(path).read_text(encoding="utf-8").splitlines():
+        rule = line.strip()
+        if not rule or rule.startswith("//"):
+            continue
+        # the official file ends rules at the first whitespace
+        rule = rule.split()[0].lower()
+        if rule.startswith("!"):
+            exc.add(rule[1:])
+        elif rule.startswith("*."):
+            wild.add(rule[2:])
+        else:
+            exact.add(rule)
+    return frozenset(exact), frozenset(wild), frozenset(exc)
+
+
+def _psl_rules() -> tuple | None:
+    """Cached rule sets: $SPARK_GRAFT_PSL_FILE if set, else the
+    packaged snapshot; None (heuristic fallback) when neither file is
+    readable."""
+    path = os.environ.get(_PSL_ENV) or str(_PSL_SNAPSHOT)
+    if path not in _psl_cache:
+        try:
+            _psl_cache[path] = load_psl(path)
+        except OSError:
+            _psl_cache[path] = None
+    return _psl_cache[path]
+
+
 # Country-code second-level registries where the registrable domain
-# is three labels (example.co.uk), not two. A deterministic common
-# subset — the full public-suffix list is a data file a production
-# deployment would broadcast-join instead (documented trade).
+# is three labels (example.co.uk), not two. The deterministic
+# fallback used only when no PSL file is readable.
 _SECOND_LEVEL_TLDS = (
     "co.uk", "org.uk", "gov.uk", "ac.uk", "net.uk",
     "com.au", "net.au", "org.au", "gov.au",
@@ -46,17 +99,88 @@ _SECOND_LEVEL_TLDS = (
 )
 
 
+def _raw_host(c: Column | str) -> Column:
+    """Lowercased host as parsed (userinfo removed, ``www.`` kept)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.lower(F.try_parse_url(F.trim(col), F.lit("HOST")))
+
+
 def url_host(c: Column | str) -> Column:
     """Lowercased host with any ``www.`` prefix and userinfo removed."""
-    col = F.col(c) if isinstance(c, str) else c
-    host = F.lower(F.try_parse_url(F.trim(col), F.lit("HOST")))
-    return F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(_raw_host(c), r"^www\.", "")
 
 
-def registered_domain(c: Column | str) -> Column:
-    """Registrable domain of the URL's host: the last two labels, or
-    the last three when the two-label suffix is a known second-level
-    registry (``example.co.uk``). NULL for unparseable URLs."""
+def _in_set(col: Column, values: frozenset[str]) -> Column:
+    """Literal membership probe. Catalyst rewrites In over >10
+    literals to InSet (hash-set probe, whole-stage codegen), so even
+    the full ~10k-rule PSL costs O(1) per candidate with no join, no
+    broadcast exchange, and no Python stage."""
+    if not values:
+        return F.lit(False)
+    return col.isin(*sorted(values))
+
+
+def _psl_registered_domain(host: Column, rules: tuple) -> Column:
+    """Public Suffix List algorithm (publicsuffix.org/list/) as a pure
+    Column expression. For a host of n labels, build the n dot-joined
+    suffix candidates (shortest first), probe each against the rule
+    sets, and take the registrable domain one label above the winning
+    public suffix:
+
+    - exception rule match at k labels -> public suffix is k-1 labels,
+      registrable domain is the matching candidate itself;
+    - else the longest match wins among exact rules (suffix length k)
+      and wildcard rules (tail match at k-1 -> suffix length k), with
+      the implicit ``*`` rule (suffix length 1) as the floor;
+    - a host that IS a public suffix (n == suffix length) has no
+      registrable domain -> NULL, per the official algorithm (this is
+      the one divergence from the pre-PSL heuristic, which returned
+      single-label hosts unchanged).
+
+    Everything is array/InSet codegen — ~n^2 tiny string joins per row
+    for n = label count (<=5 in practice), zero shuffle."""
+    exact, wild, exc = rules
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    ks = F.sequence(F.lit(1), n)
+    cands = F.transform(
+        ks, lambda k: F.array_join(F.slice(parts, n - k + 1, k), "."))
+    exc_k = F.array_max(F.transform(
+        ks, lambda k: F.when(_in_set(F.element_at(cands, k), exc), k)
+        .otherwise(F.lit(0))))
+    exact_k = F.array_max(F.transform(
+        ks, lambda k: F.when(_in_set(F.element_at(cands, k), exact), k)
+        .otherwise(F.lit(0))))
+    wild_k = F.array_max(F.transform(
+        ks, lambda k: F.when(
+            (k > 1) & _in_set(F.element_at(cands, k - 1), wild), k)
+        .otherwise(F.lit(0))))
+    ps_len = F.when(exc_k > 0, exc_k - 1).otherwise(
+        F.greatest(exact_k, wild_k, F.lit(1)))
+    return F.when(host.isNull() | (host == ""), F.lit(None)).otherwise(
+        F.when(n > ps_len, F.try_element_at(cands, ps_len + 1))
+        .otherwise(F.lit(None)))
+
+
+def registered_domain(c: Column | str, *, use_psl: bool = True) -> Column:
+    """Registrable domain of the URL's host per the Public Suffix List
+    algorithm, backed by the packaged PSL snapshot (override with
+    $SPARK_GRAFT_PSL_FILE pointing at a full public_suffix_list.dat).
+    Handles multi-label registries (``example.co.uk``,
+    ``example.com.br``), wildcard rules (``*.kawasaki.jp``, ``*.bd``),
+    exception rules (``!city.kawasaki.jp``), and private-section
+    boundaries (``user.github.io``). NULL for unparseable URLs and for
+    hosts that are themselves public suffixes. Falls back to the
+    two/three-label heuristic when no PSL file is readable (or with
+    ``use_psl=False``)."""
+    rules = _psl_rules() if use_psl else None
+    if rules is not None:
+        # match on the TRUE host (www. kept): registration boundaries
+        # are defined on the real name — e.g. the PSL exception rule
+        # !www.ck makes www.ck itself registrable; stripping www first
+        # would mis-resolve it, and for every ordinary host the extra
+        # www label changes nothing (ps_len stays the same).
+        return _psl_registered_domain(_raw_host(c), rules)
     host = url_host(c)
     parts = F.split(host, r"\.")
     n = F.size(parts)

@@ -77,6 +77,78 @@ class TestUrlFunctions:
         assert "ArrowEvalPython" not in plan
 
 
+class TestPublicSuffixList:
+    """registered_domain is PSL-backed (packaged snapshot): every rule
+    form of the official algorithm — plain multi-label registries,
+    wildcard rules, exception rules, the private section, the implicit
+    * fallback, and hosts that ARE public suffixes (-> NULL)."""
+
+    PSL_CASES = [
+        # (url, expected registrable domain)
+        ("https://example.com/x", "example.com"),
+        ("https://www.sub.example.co.uk/", "example.co.uk"),
+        ("https://a.b.example.com.br/", "example.com.br"),
+        ("https://shop.example.gov.uk/", "example.gov.uk"),
+        # wildcard *.bd: every 2nd-level label is a public suffix
+        ("https://foo.bar.bd/", "foo.bar.bd"),
+        ("https://deep.foo.bar.bd/", "foo.bar.bd"),
+        # wildcard + exception family (*.kawasaki.jp / !city.kawasaki.jp)
+        ("https://city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("https://ward.city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("https://other.kawasaki.jp/", None),  # is a public suffix
+        ("https://x.other.kawasaki.jp/", "x.other.kawasaki.jp"),
+        # exception under *.ck
+        ("https://www.ck/", "www.ck"),
+        ("https://anything.www.ck/", "www.ck"),
+        # private-domains section: hosting-platform boundaries
+        ("https://user.github.io/repo", "user.github.io"),
+        ("https://app-1.herokuapp.com/", "app-1.herokuapp.com"),
+        # a public suffix itself has no registrable domain
+        ("https://co.uk/", None),
+        ("https://com/", None),
+        # implicit * rule: unknown TLD -> last two labels
+        ("https://a.b.unknowntld/", "b.unknowntld"),
+        ("https://localhost/", None),
+        ("not a url", None),
+        (None, None),
+    ]
+
+    def test_psl_expected_table(self, spark):
+        df = spark.createDataFrame(
+            [(c[0],) for c in self.PSL_CASES], "url string")
+        got = [r["d"] for r in
+               df.select(registered_domain("url").alias("d")).collect()]
+        assert got == [c[1] for c in self.PSL_CASES]
+
+    def test_psl_plan_stays_jvm_side(self, spark):
+        df = spark.createDataFrame([("https://a.example.co.uk/x",)],
+                                   "url string")
+        plan = (df.select(registered_domain("url"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # no join/broadcast: pure projection
+
+    def test_heuristic_fallback_still_available(self, spark):
+        df = spark.createDataFrame(
+            [("https://a.example.co.uk/x",), ("https://b.example.com/",)],
+            "url string")
+        got = [r["d"] for r in df.select(
+            registered_domain("url", use_psl=False).alias("d")).collect()]
+        assert got == ["example.co.uk", "example.com"]
+
+    def test_parser_rule_forms(self, tmp_path):
+        from data_platform_copilot_spark.functions.web import load_psl
+
+        f = tmp_path / "psl.dat"
+        f.write_text("// comment\n\ncom\nco.uk\n*.bd\n!city.kawasaki.jp\n"
+                     "GitHub.IO  // trailing junk after whitespace\n")
+        exact, wild, exc = load_psl(f)
+        assert exact == {"com", "co.uk", "github.io"}
+        assert wild == {"bd"}
+        assert exc == {"city.kawasaki.jp"}
+
+
 class TestUrlNormalizeProperties:
     def test_idempotent_over_generated_urls(self, spark):
         """normalize(normalize(u)) == normalize(u): canonical URLs are
