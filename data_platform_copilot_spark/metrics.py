@@ -30,6 +30,15 @@ class LocalRegistry:
         self._hist_n: dict[str, int] = defaultdict(int)
         self._hists: dict[str, object] = defaultdict(
             lambda: deque(maxlen=_HIST_WINDOW))
+        self._external_exporter = None
+
+    def set_external_exporter(self, fn) -> None:
+        """Register a zero-arg callable returning a Prometheus text
+        payload (e.g. ``generate_latest(...)`` from an ASGI
+        instrumentator); ``export`` prepends it to the local series
+        (reference src/metrics.py:54-68). A failing or empty exporter
+        degrades to local-only output, never an export error."""
+        self._external_exporter = fn
 
     @staticmethod
     def _key(name: str, labels: dict[str, str] | None) -> str:
@@ -52,6 +61,12 @@ class LocalRegistry:
             self._hists[k].append(ms)
 
     def export(self) -> str:
+        external = ""
+        if self._external_exporter is not None:
+            try:
+                external = self._external_exporter() or ""
+            except Exception:
+                external = ""
         lines = []
         with self._lock:
             for k, v in sorted(self._counters.items()):
@@ -64,7 +79,13 @@ class LocalRegistry:
                     window = sorted(samples)
                     p95 = window[max(int(0.95 * len(window)) - 1, 0)]
                     lines.append(f"{k}_p95 {p95}")
-        return "\n".join(lines) + "\n"
+        local = "\n".join(lines) + "\n"
+        if not external.strip():
+            return local
+        # Prometheus text format tolerates two families in one payload
+        # as long as names don't collide; the external block leads, as
+        # in the reference merge.
+        return external.rstrip() + "\n" + local
 
     def reset(self) -> None:
         with self._lock:

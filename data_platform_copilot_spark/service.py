@@ -373,6 +373,21 @@ def create_fastapi_app(service: CopilotService):
                                 labels={"route": path,
                                         "status": status})
 
+    # A32 parity: when a Prometheus ASGI instrumentator is installed,
+    # its registry dump is merged ahead of the local series on every
+    # /metrics export (reference src/main.py:43-50, src/metrics.py:
+    # 54-68). Absent the packages, the native middleware above already
+    # provides the per-route timing, local-only.
+    try:  # import-gated: neither package is a hard dependency
+        from prometheus_client import generate_latest
+        from prometheus_fastapi_instrumentator import Instrumentator
+
+        _inst = Instrumentator().instrument(app)
+        REGISTRY.set_external_exporter(
+            lambda: generate_latest(_inst.registry).decode("utf-8"))
+    except ImportError:
+        pass
+
     app.get("/health")(service.health)
     app.get("/description")(service.description)
     app.get("/schema")(service.schema)

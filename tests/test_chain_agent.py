@@ -168,6 +168,25 @@ class TestMetrics:
         p95 = float(sorted(window)[int(0.95 * len(window)) - 1])
         assert f"lat_ms_p95 {p95}" in out
 
+    def test_external_exporter_merge(self):
+        """A32 parity (reference src/metrics.py:54-68): a registered
+        external exporter's payload leads the export, local series
+        follow; empty or raising exporters degrade to local-only."""
+        reg = LocalRegistry()
+        reg.inc("local_req")
+        reg.set_external_exporter(
+            lambda: "http_requests_total{handler=\"/x\"} 3.0\n")
+        out = reg.export()
+        assert out.startswith('http_requests_total{handler="/x"} 3.0\n')
+        assert "local_req 1.0" in out
+        assert out.index("http_requests_total") < out.index("local_req")
+        reg.set_external_exporter(lambda: "   ")
+        assert reg.export() == "local_req 1.0\n"
+        def _boom():
+            raise RuntimeError("exporter down")
+        reg.set_external_exporter(_boom)
+        assert reg.export() == "local_req 1.0\n"
+
 
 class TestProviderFactory:
     def test_stub_dispatch(self):
