@@ -88,6 +88,26 @@ class TestNoPythonInHotPath:
         assert "FlatMapCoGroupsInPandas" in plan
         assert "BatchEvalPython" not in plan
 
+    def test_embedding_lsh_warm_view_is_pure_lazy_plan_reuse(
+            self, spark, sf_dir):
+        """dedup_embedding_lsh registers its pipeline as a warm VIEW
+        (plan reuse — the py4j rebuild of the mapInPandas chain costs
+        ~0.2 s/call): repeated calls must return the same analyzed
+        plan, and that plan must be pure-lazy — no InMemoryRelation,
+        no checkpoint RDD scan — so every execution re-runs the full
+        tag + shuffle + gemm pipeline (plan caching, never result
+        caching)."""
+        df1 = QUERIES["dedup_embedding_lsh"](spark, sf_dir)
+        df2 = QUERIES["dedup_embedding_lsh"](spark, sf_dir)
+        assert df1 is df2  # memo hit: one analyzed plan per (app, sf)
+        plan = df1._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df1._jdf.queryExecution(), "formatted")
+        assert "InMemoryRelation" not in plan
+        assert "InMemoryTableScan" not in plan
+        assert "Scan ExistingRDD" not in plan  # no checkpoint reuse
+        assert df1.storageLevel.useMemory is False
+        assert df1.storageLevel.useDisk is False
+
     def test_embedding_dedup_never_collects_to_driver(self, spark, sf_dir,
                                                       monkeypatch):
         # Building the blocked all-pairs plan must be fully lazy: no

@@ -7,7 +7,11 @@ Usage: python tools/proxy_bench.py [sf_dir]
 Prints one line per headline query (spark_s, duckdb_s, ratio) plus
 totals. DuckDB numbers are warm min-of-3 (first run pays file
 registration), matching the judge's min-of-3 warm proxy; Spark
-numbers come from the same min-of-5 noop-sink loop bench.py uses.
+numbers come from the same min-of-5 collect() loop bench.py uses —
+both sides materialize their (<=5k-row) results, apples-to-apples
+(r10 change: the former noop sink rebuilt a QueryExecution per save,
+a fixed +0.2-0.3 s/query harness tax DuckDB's fetchall never paid;
+see bench.py docstring for the same-commit measurements).
 """
 
 from __future__ import annotations
@@ -63,8 +67,7 @@ def main() -> None:
         runs = []
         for _ in range(5):
             t0 = time.perf_counter()
-            QUERIES[n](spark, sf_dir).write.format("noop") \
-                .mode("overwrite").save()
+            QUERIES[n](spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         ours[n] = min(runs)
 
