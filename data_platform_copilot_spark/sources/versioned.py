@@ -33,8 +33,15 @@ nothing but parquet and POSIX filesystem atomics:
   version (snapshot isolation for free);
 - time travel = read an older manifest; compaction = rewrite the
   live file set as one new overwrite version (small-file repair
-  after many appends); vacuum = delete data dirs no live manifest
-  references.
+  after many appends); vacuum = delete data (and tombstone) dirs no
+  live manifest references;
+- upserts carry BOTH write-amplification contracts: copy-on-write
+  (default; partition-scoped rewrite, zero read overhead) and
+  merge-on-read deletion vectors (``merge_version(strategy="mor")``:
+  update rows + a key-tombstone sidecar, a positional vector masks
+  earlier dirs via broadcast anti-join at read — O(update bytes)
+  merges for CDC tails of huge partitions; compact()/the next CoW
+  merge folds vectors back into plain files).
 
 Scale notes: on a real object store the manifest publish maps to a
 conditional PUT / put-if-absent, manifests stay O(versions) tiny
@@ -340,6 +347,7 @@ def write_version(df: DataFrame, table_dir: str | Path,
     for _ in range(_MAX_COMMIT_RETRIES):
         dirs, schema = [data_dir], dict(own_schema)
         dir_schemas = {data_dir: own_schema}
+        delete_vectors = None
         if mode == "append" and prev is not None:
             prev_manifest = _read_manifest(root, prev)
             try:
@@ -353,6 +361,11 @@ def write_version(df: DataFrame, table_dir: str | Path,
             dirs = prev_manifest["data_dirs"] + dirs
             dir_schemas = {**prev_manifest.get("dir_schemas", {}),
                            data_dir: own_schema}
+            # carry live deletion vectors: appending at the END keeps
+            # every vector's after_index prefix valid, and the new
+            # rows land after every merge point, so they are never
+            # masked (a re-inserted key survives)
+            delete_vectors = prev_manifest.get("delete_vectors")
         if version != int(data_dir.split("-")[1]):
             # keep the dir name honest after a version bump (cosmetic:
             # readers only ever follow manifest entries)
@@ -369,6 +382,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
                     # a 60-branch union costing seconds of analysis)
                     "dir_schemas": {d: dir_schemas[d] for d in dirs
                                     if d in dir_schemas}}
+        if delete_vectors:
+            manifest["delete_vectors"] = delete_vectors
         if txn is not None:
             manifest["txn"] = {"app": txn[0], "batch": txn[1]}
         try:
@@ -407,32 +422,26 @@ def _partition_segments(entry: str) -> list[tuple[str, str | None]]:
     return segs
 
 
-def read_version(spark: SparkSession, table_dir: str | Path,
-                 version: int | None = None) -> DataFrame:
-    """Read the table at ``version`` (default: latest). Resolves
-    latest -> immutable manifest -> immutable files, so concurrent
-    commits can never tear this read."""
-    root = Path(table_dir)
-    if version is None:
-        version = latest_version(root)
-        if version is None:
-            raise VersionedTableError(f"not a versioned table: {root}")
-    manifest = _read_manifest(root, version)
+def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
+               manifest: dict) -> DataFrame:
+    """Union the given manifest entries into one frame.
+
+    One read PER dir, unioned by name: (a) additive evolution —
+    later dirs may carry columns earlier ones lack, and a single
+    multi-path read takes the first file's schema and silently
+    DROPS them (mergeSchema only merges within one discovery);
+    (b) hive-partitioned version dirs confuse multi-path partition
+    discovery (CONFLICTING_DIRECTORY_STRUCTURES). Filters still
+    push into every branch, so partition pruning is unaffected.
+    Carried-forward partition-leaf entries (from partition-scoped
+    merges) re-add their partition columns as typed literals — a
+    filter on them constant-folds per branch, which IS the pruning.
+    """
     schema = manifest.get("schema", {})
-    # One read PER dir, unioned by name: (a) additive evolution —
-    # later dirs may carry columns earlier ones lack, and a single
-    # multi-path read takes the first file's schema and silently
-    # DROPS them (mergeSchema only merges within one discovery);
-    # (b) hive-partitioned version dirs confuse multi-path partition
-    # discovery (CONFLICTING_DIRECTORY_STRUCTURES). Filters still
-    # push into every branch, so partition pruning is unaffected.
-    # Carried-forward partition-leaf entries (from partition-scoped
-    # merges) re-add their partition columns as typed literals — a
-    # filter on them constant-folds per branch, which IS the pruning.
     frames = []
     parts = manifest.get("partition_by") or []
     dir_schemas = manifest.get("dir_schemas") or {}
-    if not parts and all(d in dir_schemas for d in manifest["data_dirs"]):
+    if not parts and all(d in dir_schemas for d in dirs):
         # Fast path (the streaming-append shape): dirs with IDENTICAL
         # file schemas collapse into ONE multi-path relation — one
         # file index, one scan, O(1) plan nodes instead of an
@@ -441,13 +450,13 @@ def read_version(spark: SparkSession, table_dir: str | Path,
         # count as a union; 0.1 s as grouped scans). Schema-evolution
         # boundaries start a new group; groups still union by name.
         groups: dict[tuple, list[str]] = {}
-        for d in manifest["data_dirs"]:
+        for d in dirs:
             fp = tuple(sorted(dir_schemas[d].items()))
             groups.setdefault(fp, []).append(d)
         frames = [spark.read.parquet(*[str(root / d) for d in g])
                   for g in groups.values()]
     else:
-        for d in manifest["data_dirs"]:
+        for d in dirs:
             df = spark.read.parquet(str(root / d))
             for col, val in _partition_segments(d):
                 df = df.withColumn(
@@ -461,6 +470,53 @@ def read_version(spark: SparkSession, table_dir: str | Path,
                         dict(df.dtypes)[col] != schema[col]:
                     df = df.withColumn(col, F.col(col).cast(schema[col]))
             frames.append(df)
+    out = frames[0]
+    for p in frames[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def read_version(spark: SparkSession, table_dir: str | Path,
+                 version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest). Resolves
+    latest -> immutable manifest -> immutable files, so concurrent
+    commits can never tear this read.
+
+    Deletion vectors (merge-on-read, ``merge_version(strategy=
+    "mor")``): each vector masks — by key anti-join — only the data
+    dirs that come BEFORE its paired update dir in the manifest's
+    ordered list, so a later append that re-inserts a masked key is
+    never swallowed. Dirs between two merge points share the same
+    applicable vector suffix, so the plan gains one broadcast
+    anti-join per MoR merge segment, not per dir; compact() folds
+    vectors away entirely."""
+    root = Path(table_dir)
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise VersionedTableError(f"not a versioned table: {root}")
+    manifest = _read_manifest(root, version)
+    dirs = manifest["data_dirs"]
+    dvs = manifest.get("delete_vectors") or []
+    if not dvs:
+        return _read_dirs(spark, root, dirs, manifest)
+    bounds = sorted({dv["after_index"] for dv in dvs} | {0, len(dirs)})
+    segments = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if a < b]
+    frames = []
+    for a, b in segments:
+        seg = _read_dirs(spark, root, dirs[a:b], manifest)
+        applicable = [dv for dv in dvs if dv["after_index"] >= b]
+        by_key: dict[str, list[dict]] = {}
+        for dv in applicable:
+            by_key.setdefault(dv["key"], []).append(dv)
+        for key_col, group in by_key.items():
+            tomb = spark.read.parquet(
+                *[str(root / dv["dir"]) for dv in group])
+            # tombstones are one merge batch's distinct keys — small
+            # next to the table; broadcast keeps the masked scan
+            # shuffle-free (the same reason Delta broadcasts DVs)
+            seg = seg.join(F.broadcast(tomb), key_col, "left_anti")
+        frames.append(seg)
     out = frames[0]
     for p in frames[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
@@ -558,6 +614,29 @@ def _merge_once(spark: SparkSession, root: Path,
     schema = _validate_append(manifest, dict(updates.dtypes),
                               parts or None)
 
+    if parts and manifest.get("delete_vectors"):
+        # A CoW merge over live deletion vectors FOLDS them: the
+        # partition-scoped carry-forward references raw partition
+        # leaves, which would resurrect masked rows (and the merge
+        # reorders data_dirs, breaking the vectors' positional
+        # semantics) — so this one merge pays a full rewrite of the
+        # masked snapshot and publishes a vector-free manifest.
+        # Alternate MoR/CoW freely; only the first CoW after a MoR
+        # run costs the fold.
+        survivors = current.join(keys, key, "left_anti")
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
+        try:
+            merged.write.mode("error").partitionBy(*parts).parquet(
+                str(root / data_dir))
+            _publish_manifest(root, {
+                "version": version, "mode": "merge",
+                "data_dirs": [data_dir],
+                "schema": schema, "partition_by": parts})
+        except CommitConflict:
+            shutil.rmtree(root / data_dir, ignore_errors=True)
+            raise
+        return version
+
     if not parts:
         # full copy-on-write rewrite, but with the SAME CAS contract
         # as the partitioned path: the publish pins version v+1, so a
@@ -627,9 +706,84 @@ def _merge_once(spark: SparkSession, root: Path,
     return version
 
 
+def _merge_mor(spark: SparkSession, root: Path,
+               updates: DataFrame, key: str) -> int:
+    """Merge-on-read upsert: write ONLY the update rows plus a
+    key-tombstone sidecar (``delete-<v>-<token>``); nothing of the
+    existing table is read, copied, or rewritten. The published
+    deletion vector masks same-key rows of every EARLIER data dir at
+    read time (positional ``after_index`` semantics —
+    ``read_version``); merge cost is O(update bytes), the 100 TB
+    point of deletion vectors.
+
+    Concurrency: unlike the CoW merge, this commit is computed from
+    NOTHING but the update batch — the mask is defined relative to
+    whatever precedes it — so a CAS loss recomposes against the new
+    latest and retries exactly like an append (upsert semantics stay
+    last-committer-wins per key; an interleaved append of a masked
+    key that serializes BEFORE this merge is correctly masked, one
+    that serializes after correctly survives). It can never raise
+    ``CommitConflict``."""
+    prev = latest_version(root)
+    if prev is None:
+        raise VersionedTableError(f"not a versioned table: {root}")
+    manifest = _read_manifest(root, prev)
+    parts = manifest.get("partition_by") or []
+    own_schema = dict(updates.dtypes)
+    _validate_append(manifest, dict(own_schema), parts or None)
+    from .registry import materialize_auto
+    keys = materialize_auto(updates.select(key).distinct())
+    if keys.isEmpty():
+        return prev  # routine empty CDC batch: no-op (see _merge_once)
+    token = uuid4().hex[:8]
+    version = prev + 1
+    data_dir = f"data-{version}-{token}"
+    del_dir = f"delete-{version}-{token}"
+    writer = updates.write.mode("error")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(str(root / data_dir))
+    keys.write.mode("error").parquet(str(root / del_dir))
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        prev_manifest = _read_manifest(root, prev)
+        try:
+            schema = _validate_append(prev_manifest, dict(own_schema),
+                                      parts or None)
+        except VersionedTableError:
+            # post-conflict re-validation failed against the new
+            # latest (e.g. an overwrite changed the layout): the
+            # written files must not linger as orphans
+            shutil.rmtree(root / data_dir, ignore_errors=True)
+            shutil.rmtree(root / del_dir, ignore_errors=True)
+            raise
+        dirs = prev_manifest["data_dirs"] + [data_dir]
+        dvs = list(prev_manifest.get("delete_vectors") or [])
+        dvs.append({"dir": del_dir, "key": key,
+                    "after_index": len(prev_manifest["data_dirs"])})
+        dir_schemas = {**prev_manifest.get("dir_schemas", {}),
+                       data_dir: own_schema}
+        out = {"version": version, "mode": "merge-mor",
+               "data_dirs": dirs, "schema": schema,
+               "partition_by": parts,
+               "dir_schemas": {d: dir_schemas[d] for d in dirs
+                               if d in dir_schemas},
+               "delete_vectors": dvs}
+        try:
+            _publish_manifest(root, out)
+            return version
+        except CommitConflict:
+            prev = latest_version(root)
+            version = prev + 1
+            # dir names keep the stale version number after a bump —
+            # cosmetic only; readers follow manifest entries
+    raise VersionedTableError(
+        f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
+
+
 def merge_version(spark: SparkSession, table_dir: str | Path,
                   updates: DataFrame, key: str,
-                  retries: int = 0) -> int:
+                  retries: int = 0, strategy: str = "cow") -> int:
     """Upsert commit: rows in ``updates`` replace same-``key`` rows of
     the latest version, new keys insert (copy-on-write MERGE, the
     Delta paper's default — the honest cost of upserts without
@@ -652,8 +806,24 @@ def merge_version(spark: SparkSession, table_dir: str | Path,
     default: RE-RUN the whole merge against the new latest (the
     stale rewrite's data dir is removed; recomputation, not replay),
     up to ``retries`` times before surfacing the conflict.
+
+    ``strategy="mor"`` (merge-on-read, the deletion-vector option):
+    writes only the update rows plus a key-tombstone sidecar and
+    publishes a deletion vector instead of rewriting anything —
+    merge cost O(update bytes) vs CoW's O(touched-partition bytes),
+    read cost one broadcast anti-join per MoR merge until compact()
+    folds the vectors back into plain files. Choose MoR for
+    frequent small upserts into huge partitions (CDC tails), CoW for
+    read-hot tables where scan-time masking is unwelcome; the first
+    CoW merge (or compact) after a MoR run folds its vectors. MoR
+    conflicts self-recompose like appends, so ``retries`` is not
+    consulted.
     """
     root = Path(table_dir)
+    if strategy == "mor":
+        return _merge_mor(spark, root, updates, key)
+    if strategy != "cow":
+        raise VersionedTableError(f"unknown merge strategy: {strategy!r}")
     last: CommitConflict | None = None
     for _ in range(retries + 1):
         try:
@@ -711,11 +881,13 @@ def vacuum(table_dir: str | Path, keep_last: int = 1,
                      if _manifest_path(root, i).exists()][-keep_last:]
     live: set[str] = set()
     for i in keep_versions:
-        live.update(_read_manifest(root, i)["data_dirs"])
+        m = _read_manifest(root, i)
+        live.update(m["data_dirs"])
+        live.update(dv["dir"] for dv in m.get("delete_vectors") or [])
     live_tops = {Path(e).parts[0] for e in live}
     now = _time.time()
     deleted = []
-    for d in sorted(root.glob("data-*")):
+    for d in sorted([*root.glob("data-*"), *root.glob("delete-*")]):
         if d.name not in live_tops \
                 and now - d.stat().st_mtime >= min_age_s:
             shutil.rmtree(d)

@@ -996,3 +996,189 @@ class TestCheckpoints:
         assert (V.Path(tdir) / f"manifest-{snap + 1}.json").exists()
         # and the retained window floor still held for old manifests
         assert not (V.Path(tdir) / "manifest-0.json").exists()
+
+
+class TestMergeOnRead:
+    """merge_version(strategy="mor"): deletion-vector upserts — write
+    only the update rows + a key-tombstone sidecar; earlier dirs are
+    masked at read time by position (after_index), never rewritten."""
+
+    def _write(self, spark, tdir):
+        d = _df(spark, 0, 40).withColumn(
+            "part", (F.col("id") % 4).cast("string"))
+        write_version(d, tdir, partition_by=["part"])
+
+    @staticmethod
+    def _dir_bytes(p):
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+    def test_mor_merge_rewrites_nothing_and_upserts(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._write(spark, tdir)
+        root = tdir / history(tdir)[0]["data_dirs"][0]
+        before = {f: f.read_bytes() for f in root.rglob("*.parquet")}
+        updates = spark.createDataFrame(
+            [(1, 111, "1"), (5, 555, "1"), (101, 101, "1")],
+            "id long, x long, part string")
+        v = merge_version(spark, tdir, updates, "id", strategy="mor")
+        m = history(tdir)[-1]
+        assert m["mode"] == "merge-mor"
+        assert len(m["delete_vectors"]) == 1
+        dv = m["delete_vectors"][0]
+        assert dv["key"] == "id" and dv["after_index"] == 1
+        # v0's files byte-identical: NOTHING was rewritten
+        assert {f: f.read_bytes() for f in root.rglob("*.parquet")} \
+            == before
+        # merge bytes = update rows + tombstone keys only
+        merge_bytes = (self._dir_bytes(tdir / m["data_dirs"][-1])
+                       + self._dir_bytes(tdir / dv["dir"]))
+        assert merge_bytes < self._dir_bytes(root)
+        got = {r["id"]: (r["x"], r["part"]) for r in
+               read_version(spark, tdir).collect()}
+        assert len(got) == 41
+        assert got[1] == (111, "1") and got[5] == (555, "1")
+        assert got[101] == (101, "1")
+        assert got[2] == (4, "2")  # unmatched keys untouched
+        # time travel to pre-merge unaffected by the vector
+        assert len(read_version(spark, tdir, version=0).collect()) == 40
+        assert v == 1
+
+    def test_stacked_mor_merges_latest_wins(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._write(spark, tdir)
+        u1 = spark.createDataFrame(
+            [(1, 111, "1"), (2, 222, "2")], "id long, x long, part string")
+        u2 = spark.createDataFrame(
+            [(2, 2222, "2"), (3, 3333, "3")],
+            "id long, x long, part string")
+        merge_version(spark, tdir, u1, "id", strategy="mor")
+        merge_version(spark, tdir, u2, "id", strategy="mor")
+        rows = read_version(spark, tdir).collect()
+        got = {r["id"]: r["x"] for r in rows}
+        assert len(rows) == len(got) == 40  # exactly one row per key
+        assert got[1] == 111          # u1's update survives
+        assert got[2] == 2222         # u2 overrides u1 (latest wins)
+        assert got[3] == 3333
+
+    def test_append_after_mor_is_never_masked(self, spark, tdir):
+        """Positional semantics: a vector masks only dirs BEFORE its
+        merge point — a later append re-inserting a masked key must
+        survive (and the pre-merge row of that key must stay dead)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)
+        merge_version(
+            spark, tdir,
+            spark.createDataFrame([(3, 999)], "id long, x long"),
+            "id", strategy="mor")
+        write_version(
+            spark.createDataFrame([(3, 42)], "id long, x long"),
+            tdir, "append")
+        rows = sorted((r["id"], r["x"]) for r in
+                      read_version(spark, tdir).collect())
+        threes = [x for i, x in rows if i == 3]
+        assert sorted(threes) == [42, 999]  # merge row AND appended row
+        assert (3, 6) not in rows           # original stays masked
+        assert len(rows) == 11
+
+    def test_compact_folds_delete_vectors(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._write(spark, tdir)
+        merge_version(
+            spark, tdir,
+            spark.createDataFrame([(1, 111, "1")],
+                                  "id long, x long, part string"),
+            "id", strategy="mor")
+        want = sorted((r["id"], r["x"]) for r in
+                      read_version(spark, tdir).collect())
+        compact(spark, tdir)
+        m = history(tdir)[-1]
+        assert "delete_vectors" not in m
+        assert sorted((r["id"], r["x"]) for r in
+                      read_version(spark, tdir).collect()) == want
+
+    def test_cow_merge_folds_delete_vectors(self, spark, tdir):
+        """Alternating strategies is legal: the first CoW merge after
+        a MoR run pays a full rewrite and publishes a vector-free
+        manifest (the partition-scoped carry-forward would resurrect
+        masked rows, so it must not be used over live vectors)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._write(spark, tdir)
+        merge_version(
+            spark, tdir,
+            spark.createDataFrame([(1, 111, "1")],
+                                  "id long, x long, part string"),
+            "id", strategy="mor")
+        merge_version(
+            spark, tdir,
+            spark.createDataFrame([(2, 222, "2")],
+                                  "id long, x long, part string"),
+            "id")  # CoW
+        m = history(tdir)[-1]
+        assert m["mode"] == "merge" and "delete_vectors" not in m
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir).collect()}
+        assert len(got) == 40
+        assert got[1] == 111 and got[2] == 222  # both upserts held
+
+    def test_vacuum_keeps_live_tombstones_drops_folded(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._write(spark, tdir)
+        merge_version(
+            spark, tdir,
+            spark.createDataFrame([(1, 111, "1")],
+                                  "id long, x long, part string"),
+            "id", strategy="mor")
+        vacuum(tdir, keep_last=1, min_age_s=0)
+        # the vector's sidecar is referenced by the retained manifest
+        dv_dir = history(tdir)[-1]["delete_vectors"][0]["dir"]
+        assert (tdir / dv_dir).exists()
+        assert {r["id"] for r in read_version(spark, tdir).collect()} \
+            == set(range(40)) | {101} - {101}  # still 40 keys
+        compact(spark, tdir)
+        vacuum(tdir, keep_last=1, min_age_s=0)
+        assert not list(tdir.glob("delete-*"))  # folded -> collected
+
+    def test_mor_conflict_recomposes_like_append(self, spark, tdir,
+                                                 monkeypatch):
+        """A commit interleaving between the MoR merge's snapshot and
+        its publish must NOT raise CommitConflict: the mask is defined
+        relative to whatever precedes it, so the merge recomposes
+        against the new latest (append serialized first -> its rows
+        of non-updated keys survive; the updated key still resolves to
+        the merge)."""
+        from data_platform_copilot_spark.sources import versioned as V
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)
+        state = {"fired": False}
+        real = V._validate_append
+
+        def validate_then_race(prev_manifest, schema, partition_by):
+            out = real(prev_manifest, schema, partition_by)
+            if not state["fired"]:
+                state["fired"] = True
+                write_version(_df(spark, 100, 103), tdir, "append")
+            return out
+
+        monkeypatch.setattr(V, "_validate_append", validate_then_race)
+        v = merge_version(
+            spark, tdir,
+            spark.createDataFrame([(3, 999)], "id long, x long"),
+            "id", strategy="mor")
+        monkeypatch.undo()
+        assert v == 2  # append took 1, merge recomposed onto 2
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir).collect()}
+        assert len(got) == 13      # 10 base + 3 interleaved, 1 upserted
+        assert got[3] == 999 and got[100] == 200
