@@ -55,7 +55,9 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "knn_distance_outliers",
     "url_canonicalization",
     "phash_hamming_pairs",
-    # ---- backfill 4-50: longest-rotated driver-green entries ----
+    # ---- registered r10 (never gated): PSL matcher value gate ----
+    "registered_domain_rollup",
+    # ---- backfill 5-50: longest-rotated driver-green entries ----
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_pq_topk",

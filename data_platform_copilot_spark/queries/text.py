@@ -1627,3 +1627,71 @@ def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_normalize(raw).alias("url_norm"),
         url_host(raw).alias("host"),
         registered_domain(raw).alias("domain"))
+
+
+@query("registered_domain_rollup", oracle="""
+WITH d AS (
+    SELECT doc_id, doc_id % 8 AS i,
+           CAST(doc_id % 50 AS VARCHAR) AS hn
+    FROM documents
+), dom AS (
+    SELECT doc_id,
+           CASE i
+               WHEN 0 THEN 'example' || hn || '.com'
+               WHEN 1 THEN 'example' || hn || '.co.uk'
+               WHEN 2 THEN 'example' || hn || '.com.br'
+               WHEN 3 THEN 'user' || hn || '.github.io'
+               WHEN 4 THEN 'city.kawasaki.jp'
+               WHEN 5 THEN 'x' || hn || '.other.kawasaki.jp'
+               WHEN 6 THEN 'foo' || hn || '.bar.bd'
+           END AS domain
+    FROM d
+)
+SELECT domain,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc
+FROM dom GROUP BY domain
+""")
+def registered_domain_rollup(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup over a synthetic crawl whose hosts
+    cycle through every Public Suffix List rule FORM: plain gTLD,
+    multi-label ccTLD registries (.co.uk, .com.br), the private
+    section (user github.io subdomains are registration boundaries),
+    an exception rule (!city.kawasaki.jp), a wildcard rule
+    (*.kawasaki.jp -> x.other.kawasaki.jp is itself registrable), a
+    wildcard-only TLD (*.bd), and unparseable garbage (-> NULL
+    group). The Spark side PARSES with the packaged-PSL
+    ``registered_domain`` matcher (functions/web.py — pure InSet
+    codegen, no join/Python stage); the oracle CONSTRUCTS the
+    expected registrable domain analytically per family, so the full
+    official algorithm (longest match + exception override +
+    implicit *) is value-gated end-to-end. Scale: per-domain crawl
+    budgeting/dedup keying is one codegen projection + one groupBy —
+    the only shuffle is the final rollup."""
+    from ..functions.web import registered_domain
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("i"),
+        (F.col("doc_id") % 50).cast("string").alias("hn"))
+    url = (
+        F.when(F.col("i") == 0, F.concat(
+            F.lit("https://www.Example"), F.col("hn"), F.lit(".COM/a")))
+        .when(F.col("i") == 1, F.concat(
+            F.lit("https://sub.example"), F.col("hn"), F.lit(".co.uk/p")))
+        .when(F.col("i") == 2, F.concat(
+            F.lit("http://a.example"), F.col("hn"), F.lit(".com.br/")))
+        .when(F.col("i") == 3, F.concat(
+            F.lit("https://user"), F.col("hn"), F.lit(".github.io/repo")))
+        .when(F.col("i") == 4, F.lit("https://ward.city.kawasaki.jp/x"))
+        .when(F.col("i") == 5, F.concat(
+            F.lit("https://x"), F.col("hn"),
+            F.lit(".other.kawasaki.jp/")))
+        .when(F.col("i") == 6, F.concat(
+            F.lit("https://deep.foo"), F.col("hn"), F.lit(".bar.bd/")))
+        .otherwise(F.concat(F.lit("nota url "), F.col("doc_id"))))
+    return (d.select("doc_id", registered_domain(url).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))

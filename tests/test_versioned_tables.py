@@ -433,10 +433,12 @@ def test_daily_sales_versioned_flow(spark, sf_dir, tmp_path):
 
 class TestModelBasedRandomOps:
     """Model-based property test: a random sequence of append /
-    overwrite / merge / compact / idempotent-txn-append / vacuum
-    operations must track a pure-Python dict model exactly (row set,
-    per-version history, change feed, retention horizon), for every
-    seed. Catches composition bugs no single-op test can."""
+    overwrite / merge / merge-on-read / compact / idempotent-txn-
+    append / vacuum operations must track a pure-Python dict model
+    exactly (row set, per-version history, change feed, retention
+    horizon), for every seed. Catches composition bugs no single-op
+    test can — e.g. a MoR vector surviving an overwrite, or a CoW
+    merge resurrecting vector-masked rows."""
 
     @pytest.mark.parametrize("seed", [1, 7, 23])
     def test_random_op_sequence_tracks_model(self, spark, tmp_path,
@@ -468,8 +470,8 @@ class TestModelBasedRandomOps:
         snapshots.append(dict(model))
 
         for _ in range(10):
-            op = rng.choice(["append", "overwrite", "merge", "compact",
-                             "txn_append", "vacuum"])
+            op = rng.choice(["append", "overwrite", "merge", "merge_mor",
+                             "compact", "txn_append", "vacuum"])
             if op == "append":
                 rows = fresh_batch(rng.randrange(1, 5))
                 write_version(spark.createDataFrame(
@@ -480,13 +482,15 @@ class TestModelBasedRandomOps:
                 write_version(spark.createDataFrame(
                     rows, "id long, x long"), t, "overwrite")
                 model = dict(rows)
-            elif op == "merge":
+            elif op in ("merge", "merge_mor"):
                 upd = [(k, rng.randrange(1000))
                        for k in rng.sample(sorted(model),
                                            min(2, len(model)))]
                 upd += fresh_batch(1)
-                merge_version(spark, t, spark.createDataFrame(
-                    upd, "id long, x long"), "id")
+                merge_version(
+                    spark, t, spark.createDataFrame(
+                        upd, "id long, x long"), "id",
+                    strategy="mor" if op == "merge_mor" else "cow")
                 model.update(dict(upd))
             elif op == "txn_append":
                 rows = fresh_batch(rng.randrange(1, 4))
