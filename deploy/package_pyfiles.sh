@@ -16,6 +16,12 @@ out = sys.argv[1]
 with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
     for p in Path("data_platform_copilot_spark").rglob("*.py"):
         z.write(p, p)
+    # package data (e.g. the PSL snapshot). Only the DRIVER resolves
+    # it today (registered_domain bakes InSet literals into the plan),
+    # but the artifact must stay import-complete for executor-side
+    # code that gains data files later.
+    for p in Path("data_platform_copilot_spark").rglob("*.dat"):
+        z.write(p, p)
     z.write("__spark_entry__.py")
 print(f"wrote {out}")
 PY
