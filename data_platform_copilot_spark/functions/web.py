@@ -42,9 +42,9 @@ _PSL_ENV = "SPARK_GRAFT_PSL_FILE"
 _psl_cache: dict[str, tuple | None] = {}
 
 
-def load_psl(path: str | Path) -> tuple[
+def parse_psl(text: str) -> tuple[
         frozenset[str], frozenset[str], frozenset[str]]:
-    """Parse a Public Suffix List file (the official format:
+    """Parse Public Suffix List text (the official format:
     ``//`` comments, blank lines, plain rules, ``*.`` wildcard rules,
     ``!`` exception rules; ICANN and private sections both included,
     as the official algorithm defaults to). Returns
@@ -56,7 +56,7 @@ def load_psl(path: str | Path) -> tuple[
     ASCII-only). Hosts should be lowercased before matching —
     ``url_host`` already does this."""
     exact, wild, exc = set(), set(), set()
-    for line in Path(path).read_text(encoding="utf-8").splitlines():
+    for line in text.splitlines():
         rule = line.strip()
         if not rule or rule.startswith("//"):
             continue
@@ -71,17 +71,35 @@ def load_psl(path: str | Path) -> tuple[
     return frozenset(exact), frozenset(wild), frozenset(exc)
 
 
+def load_psl(path: str | Path) -> tuple[
+        frozenset[str], frozenset[str], frozenset[str]]:
+    """``parse_psl`` over a filesystem file (a downloaded
+    public_suffix_list.dat)."""
+    return parse_psl(Path(path).read_text(encoding="utf-8"))
+
+
 def _psl_rules() -> tuple | None:
     """Cached rule sets: $SPARK_GRAFT_PSL_FILE if set, else the
-    packaged snapshot; None (heuristic fallback) when neither file is
-    readable."""
-    path = os.environ.get(_PSL_ENV) or str(_PSL_SNAPSHOT)
-    if path not in _psl_cache:
+    packaged snapshot via importlib.resources — which resolves inside
+    a --py-files zip too, where a Path(__file__)-relative read raises
+    NotADirectoryError and would silently flip registered_domain to
+    the weaker heuristic (r10 review). None (heuristic fallback) when
+    nothing is readable."""
+    key = os.environ.get(_PSL_ENV) or "<packaged>"
+    if key not in _psl_cache:
         try:
-            _psl_cache[path] = load_psl(path)
-        except OSError:
-            _psl_cache[path] = None
-    return _psl_cache[path]
+            if key == "<packaged>":
+                from importlib import resources
+                text = (resources.files("data_platform_copilot_spark"
+                                        ".functions")
+                        .joinpath("data/public_suffix_snapshot.dat")
+                        .read_text(encoding="utf-8"))
+                _psl_cache[key] = parse_psl(text)
+            else:
+                _psl_cache[key] = load_psl(key)
+        except (OSError, ModuleNotFoundError):
+            _psl_cache[key] = None
+    return _psl_cache[key]
 
 
 # Country-code second-level registries where the registrable domain

@@ -104,8 +104,12 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "warehouse_view_revenue",
     "ab_test_welch_t",
     "approx_distinct_counts",
-    "approx_percentiles",
     # ---- gate window ends here (50) ----
+    # approx_percentiles was position 51 after registered_domain_rollup
+    # took slot 4 (one slot per never-gated entry, review-caught
+    # off-by-one): it falls out of THIS window and leads the r11
+    # backfill queue instead.
+    "approx_percentiles",
     # un-hashable by the driver (UDF oracle lives in EXTRA_ORACLE):
     "compression_ratio_quality",
 ]

@@ -378,14 +378,22 @@ def create_fastapi_app(service: CopilotService):
     # /metrics export (reference src/main.py:43-50, src/metrics.py:
     # 54-68). Absent the packages, the native middleware above already
     # provides the per-route timing, local-only.
+    # Broad except: beyond ImportError, instrument() raises
+    # "Duplicated timeseries" ValueError when a SECOND app is built in
+    # one process (its default collectors live in the process-global
+    # prometheus registry) — app creation must survive that, keeping
+    # the first wiring. The exporter reads the process-global registry
+    # (prometheus_client.REGISTRY) rather than an instrumentator
+    # attribute, which older instrumentator versions don't expose.
     try:  # import-gated: neither package is a hard dependency
-        from prometheus_client import generate_latest
+        import prometheus_client
         from prometheus_fastapi_instrumentator import Instrumentator
 
-        _inst = Instrumentator().instrument(app)
+        Instrumentator().instrument(app)
         REGISTRY.set_external_exporter(
-            lambda: generate_latest(_inst.registry).decode("utf-8"))
-    except ImportError:
+            lambda: prometheus_client.generate_latest(
+                prometheus_client.REGISTRY).decode("utf-8"))
+    except Exception:  # noqa: BLE001 — optional-feature degradation
         pass
 
     app.get("/health")(service.health)

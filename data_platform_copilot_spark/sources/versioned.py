@@ -134,14 +134,16 @@ def _latest_checkpoint(root: Path,
     return None
 
 
-def _write_checkpoint(root: Path, version: int) -> None:
+def _write_checkpoint(root: Path, version: int) -> bool:
     """Roll up the log state as of ``version`` into
-    ``checkpoint-<version>.json``: the snapshot manifest (live dir
-    list + merged schema) and the per-app txn high-water map
+    ``checkpoint-<version>.json``: the per-app txn high-water map
     ``{app: {"batch": B, "version": V}}``. Derived data, rebuilt from
     the previous checkpoint + the manifest tail (O(interval) reads,
-    amortized O(1) per commit); failures are swallowed — a missing
-    checkpoint only costs the reader a longer tail scan."""
+    amortized O(1) per commit); failures are swallowed on the COMMIT
+    path — a missing checkpoint only costs the reader a longer tail
+    scan — but reported via the return value so vacuum (which is
+    about to DELETE the manifests the rollup summarizes) can refuse
+    to drop history whose txn memory was never persisted."""
     try:
         prev = _latest_checkpoint(root, version - 1)
         txn_map: dict[str, dict] = dict(prev[1].get("txn", {})) if prev \
@@ -157,16 +159,20 @@ def _write_checkpoint(root: Path, version: int) -> None:
                 if cur is None or rec["batch"] >= cur["batch"]:
                     txn_map[rec["app"]] = {"batch": rec["batch"],
                                            "version": i}
-        payload = {"version": version, "txn": txn_map,
-                   "manifest": _read_manifest(root, version)}
+        # only the txn high-water map is consumed (by _txn_committed
+        # and the next incremental rollup); the snapshot manifest
+        # itself stays where it lives — embedding it here doubled
+        # checkpoint I/O for a field nothing read (r10 review)
+        payload = {"version": version, "txn": txn_map}
         fd, tmp = tempfile.mkstemp(dir=root, prefix="._checkpoint.")
         with os.fdopen(fd, "w") as f:
             f.write(json.dumps(payload))
         # last-writer-wins replace is fine: two racers at the same
         # version compute identical content
         os.replace(tmp, _checkpoint_path(root, version))
+        return True
     except (OSError, ValueError, VersionedTableError):
-        pass
+        return False
 
 
 def _publish_manifest(root: Path, manifest: dict) -> None:
@@ -266,16 +272,21 @@ def _txn_committed(root: Path, upto: int | None,
         return hw["version"]
     # older-than-high-water replay (rare): exact version needs the
     # pre-checkpoint scan the fast path normally skips
+    gap = False
     for i in range(ckpt[0], -1, -1):
         mp = _manifest_path(root, i)
         if not mp.exists():
+            gap = True  # vacuum dropped history below the checkpoint
             continue
         rec = json.loads(mp.read_text()).get("txn")
         if rec and rec.get("app") == app and rec.get("batch") == batch:
             return i
-    # manifests vacuumed from under the pair, but the checkpoint
-    # proves a later batch committed for this app: duplicate
-    return hw["version"]
+    # the vacuumed-history fallback applies ONLY when manifests are
+    # actually missing: with the full log intact, a sub-high-water
+    # batch that no manifest records was genuinely never committed
+    # (a batch-id skip/reset), and swallowing it as a duplicate would
+    # silently drop its data (r10 review)
+    return hw["version"] if gap else None
 
 
 def write_version(df: DataFrame, table_dir: str | Path,
@@ -875,13 +886,27 @@ def vacuum(table_dir: str | Path, keep_last: int = 1,
     v = latest_version(root)
     if v is None:
         return []
-    # preserve txn idempotence memory before manifests drop
-    _write_checkpoint(root, v)
-    keep_versions = [i for i in range(v + 1)
-                     if _manifest_path(root, i).exists()][-keep_last:]
+    # preserve txn idempotence memory before manifests drop. If the
+    # checkpoint cannot be persisted (ENOSPC, a corrupt manifest in
+    # the rollup range), deleting the manifests would erase the only
+    # copy of the per-app txn records and a streaming replay would
+    # double-commit — so manifests are retained (data-dir collection
+    # below still proceeds; it depends only on live references).
+    ckpt_ok = _write_checkpoint(root, v)
+    all_versions = [i for i in range(v + 1)
+                    if _manifest_path(root, i).exists()]
+    keep_versions = all_versions[-keep_last:]
     live: set[str] = set()
-    for i in keep_versions:
-        m = _read_manifest(root, i)
+    # a failed checkpoint retains ALL manifests (txn memory lives only
+    # there) — their data dirs must then stay live too, or retained
+    # manifests would dangle
+    for i in (keep_versions if ckpt_ok else all_versions):
+        try:
+            m = _read_manifest(root, i)
+        except (VersionedTableError, ValueError):
+            if i in keep_versions:
+                raise  # a RETAINED version must be readable to vacuum
+            continue  # corrupt old manifest: nothing to pin
         live.update(m["data_dirs"])
         live.update(dv["dir"] for dv in m.get("delete_vectors") or [])
     live_tops = {Path(e).parts[0] for e in live}
@@ -893,9 +918,10 @@ def vacuum(table_dir: str | Path, keep_last: int = 1,
             shutil.rmtree(d)
             deleted.append(d.name)
     floor = keep_versions[0]
-    for mp in root.glob("manifest-*.json"):
-        if int(mp.stem.split("-", 1)[1]) < floor:
-            mp.unlink()
+    if ckpt_ok:
+        for mp in root.glob("manifest-*.json"):
+            if int(mp.stem.split("-", 1)[1]) < floor:
+                mp.unlink()
     # checkpoints are derived data: keep only the newest one at or
     # below the snapshot latest (it carries the merged txn high-water
     # map forward); never touch concurrently published newer ones

@@ -41,6 +41,27 @@ def _slot(sf_dir: str) -> str:
     return hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
 
 
+def _stage_atomically(target: Path, write_to) -> None:
+    """Publish an immutable staged dataset at ``target`` safely across
+    processes sharing the slot: write to a unique sibling tmp dir,
+    then atomically rename into place. A racer that loses the rename
+    simply uses the winner's (identical, content-stable) copy — no
+    process ever writes INTO ``target`` directly, so readers can
+    never observe a torn directory (r10 review: the bare
+    exists-then-overwrite had a write/write race once slots became
+    cross-process)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    tmp = target.with_name(f"{target.name}.tmp-{_uuid.uuid4().hex[:8]}")
+    write_to(str(tmp))
+    try:
+        _os.rename(tmp, target)
+    except OSError:
+        _shutil.rmtree(tmp, ignore_errors=True)  # a racer published first
+
+
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a streaming source (schema from a batch peek).
 
@@ -57,7 +78,10 @@ def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage.mkdir(exist_ok=True)
     link = stage / "events.parquet"
     if not link.exists():
-        link.symlink_to(f"{sf_dir}/events.parquet")
+        try:
+            link.symlink_to(f"{sf_dir}/events.parquet")
+        except FileExistsError:
+            pass  # cross-process slot: a racer created the same link
     stream = (spark.readStream.schema(raw_schema)
               .parquet(str(stage)))
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -232,7 +256,10 @@ def streaming_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage.mkdir(exist_ok=True)
     link = stage / "documents.parquet"
     if not link.exists():
-        link.symlink_to(f"{sf_dir}/documents.parquet")
+        try:
+            link.symlink_to(f"{sf_dir}/documents.parquet")
+        except FileExistsError:
+            pass  # cross-process slot: a racer created the same link
     return spark.readStream.schema(schema).parquet(str(stage))
 
 
@@ -393,9 +420,12 @@ def run_streaming_incremental_rollup(spark: SparkSession, sf_dir: str,
     stage = (Path(tempfile.gettempdir())
              / f"stream_events_split{n_splits}_{_slot(sf_dir)}")
     if not (stage / "_SUCCESS").exists():
-        (load_table(spark, sf_dir, "events")
-         .repartition(n_splits)
-         .write.mode("overwrite").parquet(str(stage)))
+        import shutil as _shutil
+        _shutil.rmtree(stage, ignore_errors=True)  # legacy torn copy
+        _stage_atomically(
+            stage, lambda tmp: (load_table(spark, sf_dir, "events")
+                                .repartition(n_splits)
+                                .write.mode("overwrite").parquet(tmp)))
     schema = spark.read.parquet(str(stage)).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
@@ -729,16 +759,26 @@ def run_streaming_versioned_sink(spark: SparkSession, sf_dir: str,
     # reuse one slot instead of leaking a fresh mkdtemp copy of the
     # events table per call; the run-scoped state (checkpoint, table)
     # resets each run, the staged source is content-stable and reused
+    import os as _os
     import shutil as _shutil
     root = Path(work_dir) if work_dir else (
         Path(tempfile.gettempdir()) / f"vsink_{_slot(sf_dir)}")
-    src, ckpt, table = root / "src", root / "ckpt", root / "table"
+    # run-scoped state is PER-PROCESS: two processes sharing the slot
+    # must not rmtree each other's in-flight checkpoint/table (r10
+    # review); only the content-stable staged source is shared
+    run = root / f"run_{_os.getpid()}"
+    src, ckpt, table = root / "src", run / "ckpt", run / "table"
     for run_scoped in (ckpt, table):
         _shutil.rmtree(run_scoped, ignore_errors=True)
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    if not src.exists():
-        events.repartition(n_files).write.mode("overwrite").parquet(str(src))
+    if not (src / "_SUCCESS").exists():
+        # a _SUCCESS-less src can only be a legacy torn copy (the
+        # atomic-rename publish below never exposes partial state)
+        _shutil.rmtree(src, ignore_errors=True)
+        _stage_atomically(
+            src, lambda tmp: (events.repartition(n_files)
+                              .write.mode("overwrite").parquet(tmp)))
     schema = spark.read.parquet(str(src)).schema
 
     replay: dict = {}

@@ -1186,3 +1186,61 @@ class TestMergeOnRead:
         got = {r["id"]: r["x"] for r in read_version(spark, tdir).collect()}
         assert len(got) == 13      # 10 base + 3 interleaved, 1 upserted
         assert got[3] == 999 and got[100] == 200
+
+
+class TestVacuumCheckpointGuard:
+    def test_failed_checkpoint_blocks_manifest_deletion(
+            self, spark, tdir, monkeypatch):
+        """vacuum must not erase the only copy of txn records: when
+        the checkpoint roll fails (ENOSPC, corrupt manifest in range),
+        manifests are retained — and their data dirs stay live so
+        nothing dangles — while a later healthy vacuum trims as
+        usual."""
+        from data_platform_copilot_spark.sources import versioned as V
+
+        for i in range(4):
+            write_version(_df(spark, i * 10, i * 10 + 5), tdir,
+                          "append" if i else "overwrite",
+                          txn=("guard", i))
+        monkeypatch.setattr(V, "_write_checkpoint",
+                            lambda root, v: False)
+        deleted = vacuum(tdir, keep_last=1, min_age_s=0)
+        monkeypatch.undo()
+        assert deleted == []  # every dir referenced by SOME manifest
+        for i in range(4):
+            assert (V.Path(tdir) / f"manifest-{i}.json").exists()
+        # txn memory intact: a replay is still a no-op
+        v = write_version(_df(spark, 0, 5), tdir, "append",
+                          txn=("guard", 1))
+        assert v == 1
+        # healthy vacuum afterwards trims normally
+        vacuum(tdir, keep_last=1, min_age_s=0)
+        assert not (V.Path(tdir) / "manifest-0.json").exists()
+
+    def test_txn_fallback_requires_vacuumed_gap(self, spark, tdir):
+        """With the FULL manifest history intact, a sub-high-water
+        batch no manifest records was genuinely never committed —
+        _txn_committed must return None (commit proceeds), not
+        swallow it as a duplicate; after vacuum opens a real gap the
+        high-water fallback applies."""
+        from data_platform_copilot_spark.sources.versioned import (
+            _txn_committed, latest_version)
+        from data_platform_copilot_spark.sources import versioned as V
+
+        batches = [b for b in range(13) if b != 5]
+        for j, b in enumerate(batches):
+            write_version(_df(spark, j * 10, j * 10 + 3), tdir,
+                          "append" if j else "overwrite",
+                          txn=("gap", b))
+        root = V.Path(tdir)
+        assert list(root.glob("checkpoint-*.json"))  # interval crossed
+        v = latest_version(root)
+        # full history: the skipped batch is NOT reported committed
+        assert _txn_committed(root, v, ("gap", 5)) is None
+        # a real committed batch resolves exactly
+        assert _txn_committed(root, v, ("gap", 3)) == 3
+        vacuum(tdir, keep_last=1, min_age_s=0)
+        # history vacuumed: sub-high-water unknowns degrade to the
+        # high-water version (the documented Delta-style contract)
+        got = _txn_committed(root, latest_version(root), ("gap", 5))
+        assert got is not None
