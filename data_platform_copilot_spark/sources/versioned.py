@@ -165,11 +165,22 @@ def _write_checkpoint(root: Path, version: int) -> bool:
         # checkpoint I/O for a field nothing read (r10 review)
         payload = {"version": version, "txn": txn_map}
         fd, tmp = tempfile.mkstemp(dir=root, prefix="._checkpoint.")
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(payload))
-        # last-writer-wins replace is fine: two racers at the same
-        # version compute identical content
-        os.replace(tmp, _checkpoint_path(root, version))
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(payload))
+            # create-if-absent, NOT last-writer-wins: a committer whose
+            # rollup raced a concurrent vacuum may have scanned a
+            # partially deleted manifest range — but manifests only go
+            # missing AFTER vacuum's own complete checkpoint at this
+            # (or a later) version landed, so the first publish is
+            # always the complete one and must never be clobbered
+            # (r10 second review: the replace here could regress the
+            # high-water map after the manifests were already gone).
+            os.link(tmp, _checkpoint_path(root, version))
+        except FileExistsError:
+            return True  # a complete checkpoint at this version exists
+        finally:
+            os.unlink(tmp)  # never leak the tmp (ENOSPC path included)
         return True
     except (OSError, ValueError, VersionedTableError):
         return False
@@ -521,6 +532,15 @@ def read_version(spark: SparkSession, table_dir: str | Path,
         for dv in applicable:
             by_key.setdefault(dv["key"], []).append(dv)
         for key_col, group in by_key.items():
+            if key_col not in seg.columns:
+                # a MoR merge keyed on a column this segment's dirs
+                # never carried (additive evolution): none of these
+                # rows can hold a masked key, and the anti-join would
+                # fail to resolve — semantically and mechanically the
+                # mask does not apply (r10 second review). Dirs that
+                # have the column with NULLs are handled by the join
+                # itself (NULL never matches a tombstone key).
+                continue
             tomb = spark.read.parquet(
                 *[str(root / dv["dir"]) for dv in group])
             # tombstones are one merge batch's distinct keys — small

@@ -49,17 +49,31 @@ def _stage_atomically(target: Path, write_to) -> None:
     process ever writes INTO ``target`` directly, so readers can
     never observe a torn directory (r10 review: the bare
     exists-then-overwrite had a write/write race once slots became
-    cross-process)."""
+    cross-process).
+
+    Legacy torn copies (pre-atomic code wrote INTO the slot and could
+    die mid-write, leaving no _SUCCESS) are cleared HERE, at
+    rename-failure time with a fresh _SUCCESS re-check — clearing at
+    the caller's exists-check raced a concurrent publish landing in
+    the window and could delete a complete copy another process's
+    stream was reading (r10 second review). A fresh publish carries
+    _SUCCESS inside the renamed dir, so exists-without-_SUCCESS at
+    this point can only be legacy debris."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
     tmp = target.with_name(f"{target.name}.tmp-{_uuid.uuid4().hex[:8]}")
     write_to(str(tmp))
-    try:
-        _os.rename(tmp, target)
-    except OSError:
-        _shutil.rmtree(tmp, ignore_errors=True)  # a racer published first
+    for _ in range(2):
+        try:
+            _os.rename(tmp, target)
+            return
+        except OSError:
+            if (target / "_SUCCESS").exists():
+                break  # a racer published a complete copy: use theirs
+            _shutil.rmtree(target, ignore_errors=True)  # legacy torn
+    _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,8 +434,6 @@ def run_streaming_incremental_rollup(spark: SparkSession, sf_dir: str,
     stage = (Path(tempfile.gettempdir())
              / f"stream_events_split{n_splits}_{_slot(sf_dir)}")
     if not (stage / "_SUCCESS").exists():
-        import shutil as _shutil
-        _shutil.rmtree(stage, ignore_errors=True)  # legacy torn copy
         _stage_atomically(
             stage, lambda tmp: (load_table(spark, sf_dir, "events")
                                 .repartition(n_splits)
@@ -770,12 +782,21 @@ def run_streaming_versioned_sink(spark: SparkSession, sf_dir: str,
     src, ckpt, table = root / "src", run / "ckpt", run / "table"
     for run_scoped in (ckpt, table):
         _shutil.rmtree(run_scoped, ignore_errors=True)
+    # sweep DEAD processes' run dirs (bounded leak otherwise — one
+    # checkpoint + table copy per pid, r10 second review); the 1h age
+    # guard is the same in-flight protection versioned.vacuum uses
+    import time as _time
+    now = _time.time()
+    for stale in root.glob("run_*"):
+        if stale != run:
+            try:
+                if now - stale.stat().st_mtime >= 3600.0:
+                    _shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass  # racing sweeper/owner: someone else handled it
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     if not (src / "_SUCCESS").exists():
-        # a _SUCCESS-less src can only be a legacy torn copy (the
-        # atomic-rename publish below never exposes partial state)
-        _shutil.rmtree(src, ignore_errors=True)
         _stage_atomically(
             src, lambda tmp: (events.repartition(n_files)
                               .write.mode("overwrite").parquet(tmp)))

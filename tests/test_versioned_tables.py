@@ -1148,7 +1148,7 @@ class TestMergeOnRead:
         dv_dir = history(tdir)[-1]["delete_vectors"][0]["dir"]
         assert (tdir / dv_dir).exists()
         assert {r["id"] for r in read_version(spark, tdir).collect()} \
-            == set(range(40)) | {101} - {101}  # still 40 keys
+            == set(range(40))  # still exactly the 40 original keys
         compact(spark, tdir)
         vacuum(tdir, keep_last=1, min_age_s=0)
         assert not list(tdir.glob("delete-*"))  # folded -> collected
@@ -1244,3 +1244,35 @@ class TestVacuumCheckpointGuard:
         # high-water version (the documented Delta-style contract)
         got = _txn_committed(root, latest_version(root), ("gap", 5))
         assert got is not None
+
+
+class TestMorEvolvedKey:
+    def test_mor_merge_on_column_older_dirs_never_had(self, spark, tdir):
+        """A MoR merge keyed on an additively-evolved column must not
+        poison reads: segments whose dirs never carried the key have
+        no maskable rows (the anti-join is skipped there), rows with
+        a NULL key survive via join semantics, and same-key rows in
+        NEWER dirs still mask correctly."""
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 5), tdir)  # columns (id, x)
+        u1 = spark.createDataFrame(
+            [(100, 1, "u-a"), (101, 2, "u-b")], "id long, x long, uid string")
+        merge_version(spark, tdir, u1, "uid", strategy="mor")
+        got = {r["id"]: (r["x"], r["uid"]) for r in
+               read_version(spark, tdir).collect()}
+        assert len(got) == 7                     # nothing masked
+        assert got[2] == (4, None)               # old rows: NULL uid
+        assert got[100] == (1, "u-a")
+        # a second MoR merge re-keying an existing uid masks u1's row
+        u2 = spark.createDataFrame(
+            [(200, 9, "u-a")], "id long, x long, uid string")
+        merge_version(spark, tdir, u2, "uid", strategy="mor")
+        got = {r["uid"]: r["id"] for r in
+               read_version(spark, tdir).collect() if r["uid"]}
+        assert got == {"u-a": 200, "u-b": 101}   # latest u-a wins
+        # compact folds cleanly despite the evolved key: 5 originals
+        # + u1's surviving u-b + u2's u-a (u1's u-a row stays masked)
+        compact(spark, tdir)
+        assert read_version(spark, tdir).count() == 7
