@@ -738,7 +738,8 @@ def _merge_once(spark: SparkSession, root: Path,
 
 
 def _merge_mor(spark: SparkSession, root: Path,
-               updates: DataFrame, key: str) -> int:
+               updates: DataFrame, key: str,
+               txn: tuple[str, int] | None = None) -> int:
     """Merge-on-read upsert: write ONLY the update rows plus a
     key-tombstone sidecar (``delete-<v>-<token>``); nothing of the
     existing table is read, copied, or rewritten. The published
@@ -754,10 +755,22 @@ def _merge_mor(spark: SparkSession, root: Path,
     last-committer-wins per key; an interleaved append of a masked
     key that serializes BEFORE this merge is correctly masked, one
     that serializes after correctly survives). It can never raise
-    ``CommitConflict``."""
+    ``CommitConflict``.
+
+    ``txn=(app, batch)`` gives the merge the same idempotence
+    contract as ``write_version`` (manifest txn record; a replayed
+    batch is a version-level no-op) — the contract a streaming CDC
+    foreachBatch upsert sink needs. Note a replayed MoR merge is
+    value-idempotent even WITHOUT txn (the replay's vector masks the
+    original's rows, same keys win), but txn avoids the version/file
+    bloat and keeps history honest."""
     prev = latest_version(root)
     if prev is None:
         raise VersionedTableError(f"not a versioned table: {root}")
+    if txn is not None:
+        done = _txn_committed(root, prev, txn)
+        if done is not None:
+            return done
     manifest = _read_manifest(root, prev)
     parts = manifest.get("partition_by") or []
     own_schema = dict(updates.dtypes)
@@ -800,11 +813,21 @@ def _merge_mor(spark: SparkSession, root: Path,
                "dir_schemas": {d: dir_schemas[d] for d in dirs
                                if d in dir_schemas},
                "delete_vectors": dvs}
+        if txn is not None:
+            out["txn"] = {"app": txn[0], "batch": txn[1]}
         try:
             _publish_manifest(root, out)
             return version
         except CommitConflict:
             prev = latest_version(root)
+            if txn is not None:
+                done = _txn_committed(root, prev, txn)
+                if done is not None:
+                    # a racing replay of the SAME txn won: drop our
+                    # duplicate files (unreferenced) and succeed
+                    shutil.rmtree(root / data_dir, ignore_errors=True)
+                    shutil.rmtree(root / del_dir, ignore_errors=True)
+                    return done
             version = prev + 1
             # dir names keep the stale version number after a bump —
             # cosmetic only; readers follow manifest entries
@@ -814,7 +837,8 @@ def _merge_mor(spark: SparkSession, root: Path,
 
 def merge_version(spark: SparkSession, table_dir: str | Path,
                   updates: DataFrame, key: str,
-                  retries: int = 0, strategy: str = "cow") -> int:
+                  retries: int = 0, strategy: str = "cow",
+                  txn: tuple[str, int] | None = None) -> int:
     """Upsert commit: rows in ``updates`` replace same-``key`` rows of
     the latest version, new keys insert (copy-on-write MERGE, the
     Delta paper's default — the honest cost of upserts without
@@ -848,13 +872,20 @@ def merge_version(spark: SparkSession, table_dir: str | Path,
     read-hot tables where scan-time masking is unwelcome; the first
     CoW merge (or compact) after a MoR run folds its vectors. MoR
     conflicts self-recompose like appends, so ``retries`` is not
-    consulted.
+    consulted; ``txn=(app, batch)`` (MoR only) makes the merge
+    idempotent per transaction id — the streaming CDC upsert-sink
+    contract.
     """
     root = Path(table_dir)
     if strategy == "mor":
-        return _merge_mor(spark, root, updates, key)
+        return _merge_mor(spark, root, updates, key, txn=txn)
     if strategy != "cow":
         raise VersionedTableError(f"unknown merge strategy: {strategy!r}")
+    if txn is not None:
+        raise VersionedTableError(
+            "txn idempotence is supported on strategy='mor' only (a "
+            "CoW merge rewrite is snapshot-derived; replay it via "
+            "retries against the new latest instead)")
     last: CommitConflict | None = None
     for _ in range(retries + 1):
         try:

@@ -1276,3 +1276,57 @@ class TestMorEvolvedKey:
         # + u1's surviving u-b + u2's u-a (u1's u-a row stays masked)
         compact(spark, tdir)
         assert read_version(spark, tdir).count() == 7
+
+
+class TestMorTxnIdempotence:
+    def test_replayed_mor_merge_is_version_noop(self, spark, tdir):
+        """txn=(app,batch) on a MoR merge: an at-least-once foreachBatch
+        replay must add NO version, NO data dir, NO vector (without txn
+        a replay is value-idempotent but bloats history)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            latest_version, merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)
+        u = spark.createDataFrame([(3, 999), (50, 777)],
+                                  "id long, x long")
+        v1 = merge_version(spark, tdir, u, "id", strategy="mor",
+                           txn=("cdc", 0))
+        v2 = merge_version(spark, tdir, u, "id", strategy="mor",
+                           txn=("cdc", 0))
+        assert v1 == v2 == 1
+        assert latest_version(tdir) == 1
+        m = history(tdir)[-1]
+        assert len(m["delete_vectors"]) == 1
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir).collect()}
+        assert len(got) == 11 and got[3] == 999
+        # next batch commits normally
+        v3 = merge_version(
+            spark, tdir,
+            spark.createDataFrame([(4, 888)], "id long, x long"),
+            "id", strategy="mor", txn=("cdc", 1))
+        assert v3 == 2
+
+    def test_txn_on_cow_merge_rejected(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 5), tdir)
+        with pytest.raises(VersionedTableError, match="mor"):
+            merge_version(spark, tdir, _df(spark, 0, 1), "id",
+                          txn=("cdc", 0))
+
+    def test_masked_read_uses_broadcast_anti_join(self, spark, tdir):
+        """The 100 TB read contract: the deletion-vector mask must be
+        a BroadcastHashJoin LeftAnti (tombstones broadcast), never a
+        shuffled join of the full table."""
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 20), tdir)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(3, 9)], "id long, x long"),
+                      "id", strategy="mor")
+        plan = (read_version(spark, tdir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
