@@ -832,3 +832,108 @@ def run_streaming_versioned_sink(spark: SparkSession, sf_dir: str,
         "versions_before_replay": versions_before,
         "versions_after_replay": len(history(table)),
     }
+
+
+def run_streaming_mor_upsert_sink(spark: SparkSession, sf_dir: str,
+                                  n_files: int = 6, n_entities: int = 64,
+                                  work_dir: str | None = None) -> dict:
+    """Streaming CDC UPSERT into a versioned table via merge-on-read
+    deletion vectors, exactly-once: each micro-batch folds to one row
+    per entity (``entity = event_id % n_entities``, value = the
+    batch's running max) and upserts it with
+    ``merge_version(strategy="mor", txn=(app, batch_id))`` — write
+    cost O(batch), never a partition rewrite, and a replayed batch is
+    a version-level no-op through the manifest txn ledger.
+
+    The per-entity fold is a MONOTONE max, so the final table state
+    is independent of how the stream slices into micro-batches:
+    final == batch ``events.groupBy(entity).agg(max(value))`` — the
+    stream==batch equality a test can hash, regardless of file
+    ordering. Every batch re-touches hot entities, so the vector
+    stack exercises the positional masking hard; ``compact`` at the
+    end folds it away and must preserve the answer.
+
+    Scale: this is the shape of a CDC tail landing in a 100 TB
+    entity table — per-batch bytes written are the batch's entity
+    count, reads pay one broadcast anti-join per outstanding vector,
+    and periodic compaction bounds the stack.
+    """
+    from ..sources.registry import load_table
+    from ..sources.versioned import (
+        compact, history, merge_version, read_version, write_version)
+
+    import os as _os
+    import shutil as _shutil
+    root = Path(work_dir) if work_dir else (
+        Path(tempfile.gettempdir()) / f"vsink_{_slot(sf_dir)}")
+    run = root / f"run_mor_{_os.getpid()}"
+    src, ckpt, table = root / "src", run / "ckpt", run / "table"
+    for run_scoped in (ckpt, table):
+        _shutil.rmtree(run_scoped, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    if not (src / "_SUCCESS").exists():
+        _stage_atomically(
+            src, lambda tmp: (events.repartition(n_files)
+                              .write.mode("overwrite").parquet(tmp)))
+    schema = spark.read.parquet(str(src)).schema
+
+    replay: dict = {}
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        batch_state = (bdf
+                       .groupBy((F.col("event_id") % n_entities)
+                                .alias("entity"))
+                       .agg(F.max("value").alias("value")))
+        if bid == 0:
+            # seed version: the MoR merge needs a table to mask
+            write_version(batch_state, table, mode="overwrite",
+                          txn=("events_mor", bid))
+        else:
+            # read-modify-write CDC apply: fold the batch into the
+            # CURRENT table state (a masked read mid-stream — the MoR
+            # read path is exercised inside the pipeline, not just at
+            # the end), then upsert the folded rows. An upsert
+            # REPLACES per key, so batch-slicing independence comes
+            # from folding against state, not from the batch alone.
+            cur = read_version(spark, table).select(
+                "entity", F.col("value").alias("cur_value"))
+            folded = (batch_state.join(cur, "entity", "left")
+                      .select("entity",
+                              F.greatest("value", "cur_value")
+                              .alias("value")))
+            merge_version(spark, table, folded, "entity",
+                          strategy="mor", txn=("events_mor", bid))
+        replay["last"] = (bdf, bid)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream.writeStream.option("checkpointLocation", str(ckpt))
+         .foreachBatch(sink).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+
+    versions_before = len(history(table))
+    bdf, bid = replay["last"]
+    sink(bdf, bid)  # at-least-once replay: must be a no-op
+    versions_after = len(history(table))
+
+    expected = (events
+                .groupBy((F.col("event_id") % n_entities).alias("entity"))
+                .agg(F.max("value").alias("value")))
+    pre_compact = read_version(spark, table)
+    n_vectors = len(history(table)[-1].get("delete_vectors") or [])
+    compact(spark, table)
+    return {
+        "table": str(table),
+        "rows": read_version(spark, table),
+        "rows_pre_compact": pre_compact,
+        "expected": expected,
+        "n_vectors": n_vectors,
+        "versions_before_replay": versions_before,
+        "versions_after_replay": versions_after,
+        "history": history(table),
+    }

@@ -358,3 +358,35 @@ class TestVersionedStreamSink:
         # (c) the replayed final batch added NO version and NO rows
         assert out["versions_after_replay"] == out["versions_before_replay"]
         assert out["rows"].count() == len(want)
+
+
+class TestMorUpsertStreamSink:
+    """Streaming CDC upsert through merge-on-read deletion vectors:
+    per-batch monotone (max) entity folds make the final state
+    batch-slicing independent, so stream == batch groupBy(max) holds
+    exactly; a replayed batch is a version-level no-op through the
+    same manifest txn ledger; compact folds the vector stack without
+    changing the answer."""
+
+    def test_mor_upsert_stream_equals_batch_and_replays_noop(
+            self, spark, sf_dir, tmp_path):
+        from data_platform_copilot_spark.streaming.events import (
+            run_streaming_mor_upsert_sink)
+
+        out = run_streaming_mor_upsert_sink(
+            spark, sf_dir, n_files=5, n_entities=32,
+            work_dir=str(tmp_path))
+        want = {(r["entity"], r["value"])
+                for r in out["expected"].collect()}
+        # pre-compact masked read AND post-compact folded read both
+        # equal the batch answer
+        assert {(r["entity"], r["value"])
+                for r in out["rows_pre_compact"].collect()} == want
+        assert {(r["entity"], r["value"])
+                for r in out["rows"].collect()} == want
+        # the vector stack really accumulated (one per upsert batch)
+        assert out["n_vectors"] >= 2
+        # replay added no version; compact cleared the vectors
+        assert (out["versions_after_replay"]
+                == out["versions_before_replay"])
+        assert "delete_vectors" not in out["history"][-1]
