@@ -52,28 +52,83 @@ def _stage_atomically(target: Path, write_to) -> None:
     cross-process).
 
     Legacy torn copies (pre-atomic code wrote INTO the slot and could
-    die mid-write, leaving no _SUCCESS) are cleared HERE, at
-    rename-failure time with a fresh _SUCCESS re-check — clearing at
-    the caller's exists-check raced a concurrent publish landing in
-    the window and could delete a complete copy another process's
-    stream was reading (r10 second review). A fresh publish carries
-    _SUCCESS inside the renamed dir, so exists-without-_SUCCESS at
-    this point can only be legacy debris."""
+    die mid-write, leaving no _SUCCESS) are cleared at rename-failure
+    time by STEALING the occupant — rename it aside to a unique name
+    first, then inspect it. Exactly one racer wins the steal, so no
+    two processes ever delete the same path, and if the stolen dir
+    turns out COMPLETE (a publish landed in the check window — the
+    r10 third-review TOCTOU), it is renamed straight back instead of
+    deleted, preserving the part-file paths a concurrent reader may
+    already have listed. Persistent failure raises instead of
+    silently leaving the slot empty."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
     tmp = target.with_name(f"{target.name}.tmp-{_uuid.uuid4().hex[:8]}")
     write_to(str(tmp))
-    for _ in range(2):
+    last: OSError | None = None
+    for _ in range(3):
         try:
             _os.rename(tmp, target)
             return
-        except OSError:
+        except OSError as exc:
+            last = exc
             if (target / "_SUCCESS").exists():
-                break  # a racer published a complete copy: use theirs
-            _shutil.rmtree(target, ignore_errors=True)  # legacy torn
+                _shutil.rmtree(tmp, ignore_errors=True)
+                return  # a racer published a complete copy: use theirs
+            stolen = target.with_name(
+                f"{target.name}.dead-{_uuid.uuid4().hex[:8]}")
+            try:
+                _os.rename(target, stolen)
+            except OSError:
+                continue  # another racer stole it (or it vanished)
+            if (stolen / "_SUCCESS").exists():
+                # raced a publish between the check and the steal:
+                # restore the complete copy, byte- and path-identical
+                try:
+                    _os.rename(stolen, target)
+                    _shutil.rmtree(tmp, ignore_errors=True)
+                    return
+                except OSError:
+                    pass  # someone republished meanwhile: ours retries
+            _shutil.rmtree(stolen, ignore_errors=True)  # legacy torn
     _shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(
+        f"could not publish staged dataset at {target}") from last
+
+
+def _vsink_run_workspace(root: Path, prefix: str) -> Path:
+    """Fresh per-process run dir ``<root>/<prefix>_<pid>`` inside a
+    shared slot, plus a sweep of DEAD processes' run dirs (any
+    prefix): a dir is collected only when its owning pid is not alive
+    (``os.kill(pid, 0)``; slots are machine-local so pid liveness is
+    decisive) AND it is over an hour old (guards pid reuse and
+    just-started owners). mtime alone is NOT proof of death — a
+    long-running stream never touches its run dir's mtime after
+    start (r10 third review)."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    run = root / f"{prefix}_{_os.getpid()}"
+    _shutil.rmtree(run, ignore_errors=True)
+    now = _time.time()
+    for stale in root.glob("run*_*"):
+        if stale == run:
+            continue
+        try:
+            pid = int(stale.name.rsplit("_", 1)[1])
+            _os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            try:
+                if now - stale.stat().st_mtime >= 3600.0:
+                    _shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass  # racing sweeper: someone else handled it
+        except PermissionError:
+            pass  # pid alive under another user: leave it
+    return run
 
 
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,29 +826,13 @@ def run_streaming_versioned_sink(spark: SparkSession, sf_dir: str,
     # reuse one slot instead of leaking a fresh mkdtemp copy of the
     # events table per call; the run-scoped state (checkpoint, table)
     # resets each run, the staged source is content-stable and reused
-    import os as _os
-    import shutil as _shutil
     root = Path(work_dir) if work_dir else (
         Path(tempfile.gettempdir()) / f"vsink_{_slot(sf_dir)}")
     # run-scoped state is PER-PROCESS: two processes sharing the slot
     # must not rmtree each other's in-flight checkpoint/table (r10
     # review); only the content-stable staged source is shared
-    run = root / f"run_{_os.getpid()}"
+    run = _vsink_run_workspace(root, "run")
     src, ckpt, table = root / "src", run / "ckpt", run / "table"
-    for run_scoped in (ckpt, table):
-        _shutil.rmtree(run_scoped, ignore_errors=True)
-    # sweep DEAD processes' run dirs (bounded leak otherwise — one
-    # checkpoint + table copy per pid, r10 second review); the 1h age
-    # guard is the same in-flight protection versioned.vacuum uses
-    import time as _time
-    now = _time.time()
-    for stale in root.glob("run_*"):
-        if stale != run:
-            try:
-                if now - stale.stat().st_mtime >= 3600.0:
-                    _shutil.rmtree(stale, ignore_errors=True)
-            except OSError:
-                pass  # racing sweeper/owner: someone else handled it
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     if not (src / "_SUCCESS").exists():
@@ -862,14 +901,10 @@ def run_streaming_mor_upsert_sink(spark: SparkSession, sf_dir: str,
     from ..sources.versioned import (
         compact, history, merge_version, read_version, write_version)
 
-    import os as _os
-    import shutil as _shutil
     root = Path(work_dir) if work_dir else (
         Path(tempfile.gettempdir()) / f"vsink_{_slot(sf_dir)}")
-    run = root / f"run_mor_{_os.getpid()}"
+    run = _vsink_run_workspace(root, "run_mor")
     src, ckpt, table = root / "src", run / "ckpt", run / "table"
-    for run_scoped in (ckpt, table):
-        _shutil.rmtree(run_scoped, ignore_errors=True)
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     if not (src / "_SUCCESS").exists():
