@@ -225,6 +225,78 @@ def _publish_manifest(root: Path, manifest: dict) -> None:
         os.replace(tmp, p)
 
 
+def _harvest_stats(root: Path, data_dir: str) -> dict[str, list]:
+    """Zone-map stats for one committed data dir: per-column
+    [min, max] aggregated over every parquet footer's row-group
+    statistics — read from the files just written, NO extra Spark
+    job (the Delta recipe: stats ride the commit for free). Only
+    JSON-faithful orderable types are kept (ints, floats, strings,
+    bools); a column missing statistics in ANY row group is dropped
+    (pruning must never be optimistic). Failure returns {} — stats
+    are an optimization, never required for correctness."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover — pyarrow ships with Spark
+        return {}
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    seen_files = 0
+    try:
+        for f in sorted((root / data_dir).rglob("*.parquet")):
+            seen_files += 1
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for j, name in enumerate(names):
+                    st = row.column(j).statistics
+                    if (st is None or not st.has_min_max
+                            or not isinstance(st.min, (int, float, str,
+                                                       bool))
+                            or not isinstance(st.max, (int, float, str,
+                                                       bool))):
+                        lo[name] = hi[name] = None  # poisoned: drop
+                        continue
+                    if lo.get(name, st.min) is None:
+                        continue
+                    lo[name] = min(lo.get(name, st.min), st.min)
+                    hi[name] = max(hi.get(name, st.max), st.max)
+    except (OSError, ValueError):
+        return {}
+    if not seen_files:
+        return {}
+    return {c: [lo[c], hi[c]] for c in lo
+            if lo[c] is not None and hi[c] is not None}
+
+
+_SKIP_OPS = {
+    "=": lambda lo, hi, v: lo <= v <= hi,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def _dir_may_match(stats: dict | None, skip: list[tuple]) -> bool:
+    """Can a dir's zone map satisfy every predicate? Missing stats or
+    unknown columns keep the dir (pruning is only ever a proof of
+    emptiness)."""
+    if not stats:
+        return True
+    for col, op, val in skip:
+        rng = stats.get(col)
+        fn = _SKIP_OPS.get(op)
+        if rng is None or fn is None:
+            continue
+        try:
+            if not fn(rng[0], rng[1], val):
+                return False
+        except TypeError:
+            continue  # incomparable literal: keep the dir
+    return True
+
+
 def _validate_append(prev_manifest: dict, schema: dict,
                      partition_by: list[str] | None) -> dict:
     """Additive-only evolution rule (the Delta/Iceberg default): new
@@ -365,10 +437,12 @@ def write_version(df: DataFrame, table_dir: str | Path,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(root / data_dir))
+    own_stats = _harvest_stats(root, data_dir)
 
     for _ in range(_MAX_COMMIT_RETRIES):
         dirs, schema = [data_dir], dict(own_schema)
         dir_schemas = {data_dir: own_schema}
+        dir_stats = {data_dir: own_stats} if own_stats else {}
         delete_vectors = None
         if mode == "append" and prev is not None:
             prev_manifest = _read_manifest(root, prev)
@@ -383,6 +457,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
             dirs = prev_manifest["data_dirs"] + dirs
             dir_schemas = {**prev_manifest.get("dir_schemas", {}),
                            data_dir: own_schema}
+            dir_stats = {**prev_manifest.get("dir_stats", {}),
+                         **dir_stats}
             # carry live deletion vectors: appending at the END keeps
             # every vector's after_index prefix valid, and the new
             # rows land after every merge point, so they are never
@@ -394,6 +470,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
             new_name = f"data-{version}-{token}"
             os.rename(root / data_dir, root / new_name)
             dir_schemas[new_name] = dir_schemas.pop(data_dir)
+            if data_dir in dir_stats:
+                dir_stats[new_name] = dir_stats.pop(data_dir)
             data_dir = new_name
             dirs[-1] = new_name
         manifest = {"version": version, "mode": mode, "data_dirs": dirs,
@@ -404,6 +482,12 @@ def write_version(df: DataFrame, table_dir: str | Path,
                     # a 60-branch union costing seconds of analysis)
                     "dir_schemas": {d: dir_schemas[d] for d in dirs
                                     if d in dir_schemas}}
+        if dir_stats:
+            # zone maps: per-dir column [min,max] from the parquet
+            # footers — read_version(skip=...) drops dirs these prove
+            # empty for a predicate, before any Spark plan is built
+            manifest["dir_stats"] = {d: dir_stats[d] for d in dirs
+                                     if d in dir_stats}
         if delete_vectors:
             manifest["delete_vectors"] = delete_vectors
         if txn is not None:
@@ -498,8 +582,15 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
     return out
 
 
+def _empty_frame(spark: SparkSession, manifest: dict) -> DataFrame:
+    ddl = ", ".join(f"`{c}` {t}"
+                    for c, t in manifest.get("schema", {}).items())
+    return spark.createDataFrame([], ddl or "__empty__ int")
+
+
 def read_version(spark: SparkSession, table_dir: str | Path,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 skip: list[tuple] | None = None) -> DataFrame:
     """Read the table at ``version`` (default: latest). Resolves
     latest -> immutable manifest -> immutable files, so concurrent
     commits can never tear this read.
@@ -511,7 +602,19 @@ def read_version(spark: SparkSession, table_dir: str | Path,
     never swallowed. Dirs between two merge points share the same
     applicable vector suffix, so the plan gains one broadcast
     anti-join per MoR merge segment, not per dir; compact() folds
-    vectors away entirely."""
+    vectors away entirely.
+
+    ``skip``: zone-map data skipping — a list of ``(col, op, value)``
+    predicates (ops ``= < <= > >=``, AND semantics). Dirs whose
+    committed footer stats prove they cannot match are dropped from
+    the plan BEFORE Spark sees them (the Delta file-skipping recipe,
+    one manifest-level decision per dir), and the same predicates are
+    applied as a row filter so the result is exactly
+    ``read_version(...).where(...)``. Dirs without stats for a
+    column are always kept — skipping is only ever a proof of
+    emptiness. At 100 TB this is the difference between scanning one
+    hour of an append-only log and scanning its whole history when
+    the query carries a range predicate on an ingest-ordered column."""
     root = Path(table_dir)
     if version is None:
         version = latest_version(root)
@@ -520,13 +623,34 @@ def read_version(spark: SparkSession, table_dir: str | Path,
     manifest = _read_manifest(root, version)
     dirs = manifest["data_dirs"]
     dvs = manifest.get("delete_vectors") or []
+    stats = manifest.get("dir_stats") or {}
+
+    def keep(d: str) -> bool:
+        return not skip or _dir_may_match(stats.get(d), skip)
+
+    def residual(df: DataFrame) -> DataFrame:
+        for col, op, val in skip or []:
+            c = F.col(col)
+            conds = {"=": c == val, "<": c < val, "<=": c <= val,
+                     ">": c > val, ">=": c >= val}
+            if op not in conds:
+                raise VersionedTableError(f"unsupported skip op: {op!r}")
+            df = df.where(conds[op])
+        return df
+
     if not dvs:
-        return _read_dirs(spark, root, dirs, manifest)
+        live = [d for d in dirs if keep(d)]
+        if not live:
+            return residual(_empty_frame(spark, manifest))
+        return residual(_read_dirs(spark, root, live, manifest))
     bounds = sorted({dv["after_index"] for dv in dvs} | {0, len(dirs)})
     segments = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if a < b]
     frames = []
     for a, b in segments:
-        seg = _read_dirs(spark, root, dirs[a:b], manifest)
+        seg_dirs = [d for d in dirs[a:b] if keep(d)]
+        if not seg_dirs:
+            continue
+        seg = _read_dirs(spark, root, seg_dirs, manifest)
         applicable = [dv for dv in dvs if dv["after_index"] >= b]
         by_key: dict[str, list[dict]] = {}
         for dv in applicable:
@@ -548,10 +672,12 @@ def read_version(spark: SparkSession, table_dir: str | Path,
             # shuffle-free (the same reason Delta broadcasts DVs)
             seg = seg.join(F.broadcast(tomb), key_col, "left_anti")
         frames.append(seg)
+    if not frames:
+        return residual(_empty_frame(spark, manifest))
     out = frames[0]
     for p in frames[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    return residual(out)
 
 
 def history(table_dir: str | Path) -> list[dict]:
@@ -659,10 +785,13 @@ def _merge_once(spark: SparkSession, root: Path,
         try:
             merged.write.mode("error").partitionBy(*parts).parquet(
                 str(root / data_dir))
-            _publish_manifest(root, {
-                "version": version, "mode": "merge",
-                "data_dirs": [data_dir],
-                "schema": schema, "partition_by": parts})
+            m = {"version": version, "mode": "merge",
+                 "data_dirs": [data_dir],
+                 "schema": schema, "partition_by": parts}
+            st = _harvest_stats(root, data_dir)
+            if st:
+                m["dir_stats"] = {data_dir: st}
+            _publish_manifest(root, m)
         except CommitConflict:
             shutil.rmtree(root / data_dir, ignore_errors=True)
             raise
@@ -679,11 +808,14 @@ def _merge_once(spark: SparkSession, root: Path,
         merged = survivors.unionByName(updates, allowMissingColumns=True)
         try:
             merged.write.mode("error").parquet(str(root / data_dir))
-            _publish_manifest(root, {
-                "version": version, "mode": "merge",
-                "data_dirs": [data_dir],
-                "schema": schema, "partition_by": [],
-                "dir_schemas": {data_dir: schema}})
+            m = {"version": version, "mode": "merge",
+                 "data_dirs": [data_dir],
+                 "schema": schema, "partition_by": [],
+                 "dir_schemas": {data_dir: schema}}
+            st = _harvest_stats(root, data_dir)
+            if st:
+                m["dir_stats"] = {data_dir: st}
+            _publish_manifest(root, m)
         except CommitConflict:
             shutil.rmtree(root / data_dir, ignore_errors=True)
             raise
@@ -727,10 +859,16 @@ def _merge_once(spark: SparkSession, root: Path,
             if vals not in touched:
                 carried.append(leaf)
     try:
-        _publish_manifest(root, {
-            "version": version, "mode": "merge",
-            "data_dirs": [data_dir] + carried,
-            "schema": schema, "partition_by": parts})
+        m = {"version": version, "mode": "merge",
+             "data_dirs": [data_dir] + carried,
+             "schema": schema, "partition_by": parts}
+        # stats only for the fresh rewrite dir: carried entries are
+        # partition-leaf SUBPATHS whose prior top-dir stats no longer
+        # key them — they stay stat-less (always kept by skip, safe)
+        st = _harvest_stats(root, data_dir)
+        if st:
+            m["dir_stats"] = {data_dir: st}
+        _publish_manifest(root, m)
     except CommitConflict:
         shutil.rmtree(root / data_dir, ignore_errors=True)
         raise
@@ -807,12 +945,19 @@ def _merge_mor(spark: SparkSession, root: Path,
                     "after_index": len(prev_manifest["data_dirs"])})
         dir_schemas = {**prev_manifest.get("dir_schemas", {}),
                        data_dir: own_schema}
+        dir_stats = dict(prev_manifest.get("dir_stats") or {})
+        st = _harvest_stats(root, data_dir)
+        if st:
+            dir_stats[data_dir] = st
         out = {"version": version, "mode": "merge-mor",
                "data_dirs": dirs, "schema": schema,
                "partition_by": parts,
                "dir_schemas": {d: dir_schemas[d] for d in dirs
                                if d in dir_schemas},
                "delete_vectors": dvs}
+        if dir_stats:
+            out["dir_stats"] = {d: dir_stats[d] for d in dirs
+                                if d in dir_stats}
         if txn is not None:
             out["txn"] = {"app": txn[0], "batch": txn[1]}
         try:

@@ -1330,3 +1330,74 @@ class TestMorTxnIdempotence:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestZoneMapSkipping:
+    """Zone-map data skipping: per-dir [min,max] column stats harvested
+    from parquet footers at commit time (no extra Spark job), consumed
+    by read_version(skip=[(col, op, value)]) as a manifest-level dir
+    pruner + exact row filter."""
+
+    def _appends(self, spark, tdir, n=4, width=10):
+        for i in range(n):
+            write_version(_df(spark, i * width, (i + 1) * width), tdir,
+                          "append" if i else "overwrite")
+
+    def test_stats_recorded_per_dir(self, spark, tdir):
+        self._appends(spark, tdir)
+        m = history(tdir)[-1]
+        assert set(m["dir_stats"]) == set(m["data_dirs"])
+        spans = sorted(tuple(s["id"]) for s in m["dir_stats"].values())
+        assert spans == [(0, 9), (10, 19), (20, 29), (30, 39)]
+
+    def test_skip_prunes_dirs_and_matches_plain_filter(self, spark, tdir):
+        self._appends(spark, tdir)
+        skipped = read_version(spark, tdir, skip=[("id", ">=", 25)])
+        plain = read_version(spark, tdir).where(F.col("id") >= 25)
+        assert sorted(r["id"] for r in skipped.collect()) \
+            == sorted(r["id"] for r in plain.collect())
+        # the pruned plan touches only the 2 dirs that can match
+        dirs_hit = {f.split("/data-")[1].split("/")[0]
+                    for f in skipped.inputFiles()}
+        assert len(dirs_hit) == 2
+        assert len({f.split("/data-")[1].split("/")[0]
+                    for f in plain.inputFiles()}) == 4
+        # empty-proof predicate: zero dirs, correct empty schema
+        none = read_version(spark, tdir, skip=[("id", ">", 1000)])
+        assert none.count() == 0
+        assert set(none.columns) == {"id", "x"}
+
+    def test_skip_is_exact_not_just_dir_level(self, spark, tdir):
+        self._appends(spark, tdir)
+        # 25 lands inside dir 2 (20..29): dir kept, rows filtered
+        got = sorted(r["id"] for r in read_version(
+            spark, tdir, skip=[("id", "=", 25)]).collect())
+        assert got == [25]
+
+    def test_statless_dirs_are_always_kept(self, spark, tdir):
+        from data_platform_copilot_spark.sources import versioned as V
+
+        write_version(_df(spark, 0, 10), tdir)
+        # simulate a writer whose stats harvest failed (returns {})
+        orig = V._harvest_stats
+        V._harvest_stats = lambda root, d: {}
+        try:
+            write_version(_df(spark, 100, 110), tdir, "append")
+        finally:
+            V._harvest_stats = orig
+        got = sorted(r["id"] for r in read_version(
+            spark, tdir, skip=[("id", ">=", 100)]).collect())
+        assert got == list(range(100, 110))  # stat-less dir survived
+
+    def test_skip_composes_with_deletion_vectors(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._appends(spark, tdir, n=3)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 555), (25, 2525)],
+                                            "id long, x long"),
+                      "id", strategy="mor")
+        got = {r["id"]: r["x"] for r in read_version(
+            spark, tdir, skip=[("id", "<", 10)]).collect()}
+        assert got == {**{i: 2 * i for i in range(10) if i != 5}, 5: 555}
