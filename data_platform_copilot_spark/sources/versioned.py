@@ -225,6 +225,49 @@ def _publish_manifest(root: Path, manifest: dict) -> None:
         os.replace(tmp, p)
 
 
+def _harvest_file_stats(root: Path, data_dir: str) -> dict[str, dict]:
+    """Per-FILE zone maps for one committed (unpartitioned) data dir:
+    ``{relative_file: {col: [min, max]}}`` from each parquet footer.
+    Recorded when the writer declared ``sort_by`` — that is when files
+    carry disjoint ranges and file-granular skipping pays (unsorted
+    files all span the same range, so dir-level stats already say
+    everything). Same type/None discipline as ``_harvest_stats``."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return {}
+    out: dict[str, dict] = {}
+    try:
+        for f in sorted((root / data_dir).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name
+                     for j in range(md.num_columns)]
+            lo: dict[str, object] = {}
+            hi: dict[str, object] = {}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for j, name in enumerate(names):
+                    st = row.column(j).statistics
+                    if (st is None or not st.has_min_max
+                            or not isinstance(st.min, (int, float, str,
+                                                       bool))
+                            or not isinstance(st.max, (int, float, str,
+                                                       bool))):
+                        lo[name] = hi[name] = None
+                        continue
+                    if lo.get(name, st.min) is None:
+                        continue
+                    lo[name] = min(lo.get(name, st.min), st.min)
+                    hi[name] = max(hi.get(name, st.max), st.max)
+            stats = {c: [lo[c], hi[c]] for c in lo
+                     if lo[c] is not None and hi[c] is not None}
+            if stats:
+                out[f.name] = stats
+    except (OSError, ValueError):
+        return {}
+    return out
+
+
 def _harvest_stats(root: Path, data_dir: str) -> dict[str, list]:
     """Zone-map stats for one committed data dir: per-column
     [min, max] aggregated over every parquet footer's row-group
@@ -376,7 +419,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
                   mode: str = "append",
                   partition_by: list[str] | None = None,
                   txn: tuple[str, int] | None = None,
-                  expected_latest: int | None = None) -> int:
+                  expected_latest: int | None = None,
+                  sort_by: list[str] | None = None) -> int:
     """Commit ``df`` as the table's next version; returns it.
 
     ``append`` composes the new data dir with the previous version's
@@ -409,9 +453,21 @@ def write_version(df: DataFrame, table_dir: str | Path,
     interleaved rows — the read-compute-overwrite shape compact()
     uses; plain overwrite callers replacing the table with external
     data keep last-writer-wins).
+
+    ``sort_by`` clusters the written files on the given columns
+    (range-partition + in-file sort) so their zone maps carry
+    DISJOINT ranges, and records per-FILE stats in the manifest:
+    ``read_version(skip=...)`` then prunes at file granularity — a
+    point/range read of a sorted commit touches one file, not the
+    dir. Unpartitioned tables only (hive layouts already cluster by
+    the partition columns).
     """
     if mode not in ("append", "overwrite"):
         raise VersionedTableError(f"unsupported mode: {mode}")
+    if sort_by and partition_by:
+        raise VersionedTableError(
+            "sort_by applies to unpartitioned tables (hive layouts "
+            "already cluster by the partition columns)")
     root = Path(table_dir)
     root.mkdir(parents=True, exist_ok=True)
     token = uuid4().hex[:8]
@@ -433,16 +489,24 @@ def write_version(df: DataFrame, table_dir: str | Path,
         _validate_append(_read_manifest(root, prev), dict(own_schema),
                          partition_by)
     data_dir = f"data-{version}-{token}"
+    if sort_by:
+        # range-cluster across files + sort inside each: every file's
+        # zone map becomes a disjoint slice of the sort key space
+        df = (df.repartitionByRange(*[F.col(c) for c in sort_by])
+              .sortWithinPartitions(*sort_by))
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(root / data_dir))
     own_stats = _harvest_stats(root, data_dir)
+    own_file_stats = (_harvest_file_stats(root, data_dir)
+                      if sort_by else {})
 
     for _ in range(_MAX_COMMIT_RETRIES):
         dirs, schema = [data_dir], dict(own_schema)
         dir_schemas = {data_dir: own_schema}
         dir_stats = {data_dir: own_stats} if own_stats else {}
+        file_stats = {data_dir: own_file_stats} if own_file_stats else {}
         delete_vectors = None
         if mode == "append" and prev is not None:
             prev_manifest = _read_manifest(root, prev)
@@ -459,6 +523,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
                            data_dir: own_schema}
             dir_stats = {**prev_manifest.get("dir_stats", {}),
                          **dir_stats}
+            file_stats = {**prev_manifest.get("file_stats", {}),
+                          **file_stats}
             # carry live deletion vectors: appending at the END keeps
             # every vector's after_index prefix valid, and the new
             # rows land after every merge point, so they are never
@@ -472,6 +538,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
             dir_schemas[new_name] = dir_schemas.pop(data_dir)
             if data_dir in dir_stats:
                 dir_stats[new_name] = dir_stats.pop(data_dir)
+            if data_dir in file_stats:
+                file_stats[new_name] = file_stats.pop(data_dir)
             data_dir = new_name
             dirs[-1] = new_name
         manifest = {"version": version, "mode": mode, "data_dirs": dirs,
@@ -488,6 +556,11 @@ def write_version(df: DataFrame, table_dir: str | Path,
             # empty for a predicate, before any Spark plan is built
             manifest["dir_stats"] = {d: dir_stats[d] for d in dirs
                                      if d in dir_stats}
+        if file_stats:
+            # file-granular zone maps for sort_by commits: disjoint
+            # per-file ranges -> skip selects individual files
+            manifest["file_stats"] = {d: file_stats[d] for d in dirs
+                                      if d in file_stats}
         if delete_vectors:
             manifest["delete_vectors"] = delete_vectors
         if txn is not None:
@@ -529,7 +602,9 @@ def _partition_segments(entry: str) -> list[tuple[str, str | None]]:
 
 
 def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
-               manifest: dict) -> DataFrame:
+               manifest: dict,
+               paths_override: dict[str, list[str]] | None = None
+               ) -> DataFrame:
     """Union the given manifest entries into one frame.
 
     One read PER dir, unioned by name: (a) additive evolution —
@@ -547,6 +622,12 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
     frames = []
     parts = manifest.get("partition_by") or []
     dir_schemas = manifest.get("dir_schemas") or {}
+
+    def paths(d: str) -> list[str]:
+        override = (paths_override or {}).get(d)
+        return ([str(root / p) for p in override] if override
+                else [str(root / d)])
+
     if not parts and all(d in dir_schemas for d in dirs):
         # Fast path (the streaming-append shape): dirs with IDENTICAL
         # file schemas collapse into ONE multi-path relation — one
@@ -559,11 +640,12 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
         for d in dirs:
             fp = tuple(sorted(dir_schemas[d].items()))
             groups.setdefault(fp, []).append(d)
-        frames = [spark.read.parquet(*[str(root / d) for d in g])
+        frames = [spark.read.parquet(
+                      *[p for d in g for p in paths(d)])
                   for g in groups.values()]
     else:
         for d in dirs:
-            df = spark.read.parquet(str(root / d))
+            df = spark.read.parquet(*paths(d))
             for col, val in _partition_segments(d):
                 df = df.withColumn(
                     col, F.lit(val).cast(schema.get(col, "string")))
@@ -608,7 +690,9 @@ def read_version(spark: SparkSession, table_dir: str | Path,
     predicates (ops ``= < <= > >=``, AND semantics). Dirs whose
     committed footer stats prove they cannot match are dropped from
     the plan BEFORE Spark sees them (the Delta file-skipping recipe,
-    one manifest-level decision per dir), and the same predicates are
+    one manifest-level decision per dir — and per FILE inside dirs
+    committed with ``sort_by``, whose files carry disjoint ranges),
+    and the same predicates are
     applied as a row filter so the result is exactly
     ``read_version(...).where(...)``. Dirs without stats for a
     column are always kept — skipping is only ever a proof of
@@ -624,9 +708,33 @@ def read_version(spark: SparkSession, table_dir: str | Path,
     dirs = manifest["data_dirs"]
     dvs = manifest.get("delete_vectors") or []
     stats = manifest.get("dir_stats") or {}
+    file_stats = manifest.get("file_stats") or {}
 
     def keep(d: str) -> bool:
         return not skip or _dir_may_match(stats.get(d), skip)
+
+    def file_select(kept_dirs: list[str]) -> dict[str, list[str]]:
+        """File-granular pruning for sort_by commits: within a kept
+        dir, keep only files whose zone maps may match. Applies ONLY
+        when the recorded stats cover every parquet file actually in
+        the dir (a file missing stats must never be dropped); a dir
+        whose every file is pruned drops out entirely (handled by the
+        caller seeing an empty override)."""
+        if not skip:
+            return {}
+        out: dict[str, list[str]] = {}
+        for d in kept_dirs:
+            fs = file_stats.get(d)
+            if not fs:
+                continue
+            actual = {p.name for p in (root / d).glob("*.parquet")}
+            if set(fs) != actual:
+                continue  # stats don't cover the dir: no file pruning
+            kept = [f"{d}/{f}" for f in sorted(fs)
+                    if _dir_may_match(fs[f], skip)]
+            if len(kept) < len(fs):
+                out[d] = kept
+        return out
 
     def residual(df: DataFrame) -> DataFrame:
         for col, op, val in skip or []:
@@ -640,17 +748,23 @@ def read_version(spark: SparkSession, table_dir: str | Path,
 
     if not dvs:
         live = [d for d in dirs if keep(d)]
+        overrides = file_select(live)
+        live = [d for d in live if overrides.get(d) != []]
         if not live:
             return residual(_empty_frame(spark, manifest))
-        return residual(_read_dirs(spark, root, live, manifest))
+        return residual(_read_dirs(spark, root, live, manifest,
+                                   paths_override=overrides))
     bounds = sorted({dv["after_index"] for dv in dvs} | {0, len(dirs)})
     segments = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if a < b]
     frames = []
     for a, b in segments:
         seg_dirs = [d for d in dirs[a:b] if keep(d)]
+        seg_overrides = file_select(seg_dirs)
+        seg_dirs = [d for d in seg_dirs if seg_overrides.get(d) != []]
         if not seg_dirs:
             continue
-        seg = _read_dirs(spark, root, seg_dirs, manifest)
+        seg = _read_dirs(spark, root, seg_dirs, manifest,
+                         paths_override=seg_overrides)
         applicable = [dv for dv in dvs if dv["after_index"] >= b]
         by_key: dict[str, list[dict]] = {}
         for dv in applicable:

@@ -1401,3 +1401,62 @@ class TestZoneMapSkipping:
         got = {r["id"]: r["x"] for r in read_version(
             spark, tdir, skip=[("id", "<", 10)]).collect()}
         assert got == {**{i: 2 * i for i in range(10) if i != 5}, 5: 555}
+
+
+class TestSortByFileSkipping:
+    """write_version(sort_by=[col]) range-clusters files so their zone
+    maps carry disjoint ranges; read_version(skip=...) then prunes at
+    FILE granularity inside the dir."""
+
+    def test_sorted_commit_records_disjoint_file_stats(self, spark, tdir):
+        write_version(_df(spark, 0, 1000).repartition(8), tdir,
+                      "overwrite", sort_by=["id"])
+        m = history(tdir)[-1]
+        d = m["data_dirs"][0]
+        fs = m["file_stats"][d]
+        spans = sorted(tuple(st["id"]) for st in fs.values())
+        assert len(spans) >= 2
+        for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+            assert ahi < blo  # disjoint, ordered ranges
+        assert spans[0][0] == 0 and spans[-1][1] == 999
+
+    def test_point_range_read_touches_one_file(self, spark, tdir):
+        write_version(_df(spark, 0, 1000).repartition(8), tdir,
+                      "overwrite", sort_by=["id"])
+        m = history(tdir)[-1]
+        n_files = len(m["file_stats"][m["data_dirs"][0]])
+        assert n_files >= 4
+        skipped = read_version(spark, tdir,
+                               skip=[("id", ">=", 5), ("id", "<=", 7)])
+        assert len(skipped.inputFiles()) == 1  # one disjoint slice
+        assert sorted(r["id"] for r in skipped.collect()) == [5, 6, 7]
+        # equality with the plain filter
+        plain = (read_version(spark, tdir)
+                 .where((F.col("id") >= 5) & (F.col("id") <= 7)))
+        assert len(plain.inputFiles()) == n_files
+        assert sorted(r["id"] for r in plain.collect()) == [5, 6, 7]
+
+    def test_uncovered_file_disables_file_pruning_only(self, spark, tdir):
+        """A parquet file missing from the recorded file stats must
+        disable FILE pruning for that dir (never drop unknown data) —
+        dir-level pruning still applies."""
+        import json as _json
+
+        write_version(_df(spark, 0, 1000).repartition(8), tdir,
+                      "overwrite", sort_by=["id"])
+        mp = tdir / "manifest-0.json"
+        m = _json.loads(mp.read_text())
+        d = m["data_dirs"][0]
+        m["file_stats"][d].popitem()  # stats no longer cover the dir
+        mp.write_text(_json.dumps(m))
+        skipped = read_version(spark, tdir, skip=[("id", "<=", 3)])
+        assert sorted(r["id"] for r in skipped.collect()) == [0, 1, 2, 3]
+        # all files scanned: file pruning correctly disabled
+        n_files = len(list((tdir / d).glob("*.parquet")))
+        assert len(skipped.inputFiles()) == n_files
+
+    def test_sort_by_with_partition_by_rejected(self, spark, tdir):
+        with pytest.raises(VersionedTableError, match="sort_by"):
+            write_version(
+                _df(spark, 0, 10).withColumn("p", F.lit("a")), tdir,
+                "overwrite", partition_by=["p"], sort_by=["id"])
