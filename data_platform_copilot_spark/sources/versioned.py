@@ -225,35 +225,58 @@ def _publish_manifest(root: Path, manifest: dict) -> None:
         os.replace(tmp, p)
 
 
-def _harvest_file_stats(root: Path, data_dir: str) -> dict[str, dict]:
-    """Per-FILE zone maps for one committed (unpartitioned) data dir:
-    ``{relative_file: {col: [min, max]}}`` from each parquet footer.
-    Recorded when the writer declared ``sort_by`` — that is when files
-    carry disjoint ranges and file-granular skipping pays (unsorted
-    files all span the same range, so dir-level stats already say
-    everything). Same type/None discipline as ``_harvest_stats``."""
+def _stat_value_ok(v) -> bool:
+    """A zone-map bound must be a JSON-faithful ORDERABLE value: int,
+    float (never NaN — Spark's parquet writer emits max=NaN when a NaN
+    is present, and NaN breaks both Python's fold and the pruning
+    comparison, silently dropping matching rows), str, or bool."""
+    import math
+    if isinstance(v, float) and math.isnan(v):
+        return False
+    return isinstance(v, (int, float, str, bool))
+
+
+def _harvest_all(root: Path, data_dir: str
+                 ) -> tuple[dict[str, dict], dict[str, list]]:
+    """One footer pass over a just-committed data dir -> (per-file
+    zone maps, folded dir-level zone map). NO extra Spark job (the
+    Delta recipe: stats ride the commit for free).
+
+    Per file: ``{col: [min, max]}`` folded over its row groups,
+    keyed by TOP-LEVEL column path only — nested leaves (``s.id``)
+    are skipped, because keying by leaf NAME would collide a struct
+    field with a same-named top-level column and merge (or worse,
+    type-clash) their ranges. A column whose stats are missing,
+    non-orderable, or NaN in ANY row group is dropped for that file
+    (pruning must never be optimistic); an empty file (0 rows)
+    contributes an empty map — present for coverage, prunable never.
+
+    Dir level: the per-file maps folded with INTERSECTION semantics
+    over the files that actually hold rows. Failure returns
+    ``({}, {})`` — stats are an optimization, never required for
+    correctness."""
     try:
         import pyarrow.parquet as pq
-    except ImportError:  # pragma: no cover
-        return {}
-    out: dict[str, dict] = {}
+    except ImportError:  # pragma: no cover — pyarrow ships with Spark
+        return {}, {}
+    files: dict[str, dict] = {}
+    rowful: list[dict] = []
     try:
-        for f in sorted((root / data_dir).glob("*.parquet")):
+        for f in sorted((root / data_dir).rglob("*.parquet")):
             md = pq.ParquetFile(f).metadata
-            names = [md.schema.column(j).name
-                     for j in range(md.num_columns)]
+            cols = [(j, md.schema.column(j).path)
+                    for j in range(md.num_columns)]
+            cols = [(j, p) for j, p in cols if "." not in p]
             lo: dict[str, object] = {}
             hi: dict[str, object] = {}
             for rg in range(md.num_row_groups):
                 row = md.row_group(rg)
-                for j, name in enumerate(names):
+                for j, name in cols:
                     st = row.column(j).statistics
                     if (st is None or not st.has_min_max
-                            or not isinstance(st.min, (int, float, str,
-                                                       bool))
-                            or not isinstance(st.max, (int, float, str,
-                                                       bool))):
-                        lo[name] = hi[name] = None
+                            or not _stat_value_ok(st.min)
+                            or not _stat_value_ok(st.max)):
+                        lo[name] = hi[name] = None  # poisoned: drop
                         continue
                     if lo.get(name, st.min) is None:
                         continue
@@ -261,55 +284,25 @@ def _harvest_file_stats(root: Path, data_dir: str) -> dict[str, dict]:
                     hi[name] = max(hi.get(name, st.max), st.max)
             stats = {c: [lo[c], hi[c]] for c in lo
                      if lo[c] is not None and hi[c] is not None}
-            if stats:
-                out[f.name] = stats
-    except (OSError, ValueError):
-        return {}
-    return out
+            files[str(f.relative_to(root / data_dir))] = stats
+            if md.num_rows > 0:
+                rowful.append(stats)
+    except (OSError, ValueError, TypeError):
+        return {}, {}
+    if not rowful:
+        return files, {}
+    shared = set(rowful[0])
+    for s in rowful[1:]:
+        shared &= set(s)
+    dir_stats = {c: [min(s[c][0] for s in rowful),
+                     max(s[c][1] for s in rowful)] for c in shared}
+    return files, dir_stats
 
 
 def _harvest_stats(root: Path, data_dir: str) -> dict[str, list]:
-    """Zone-map stats for one committed data dir: per-column
-    [min, max] aggregated over every parquet footer's row-group
-    statistics — read from the files just written, NO extra Spark
-    job (the Delta recipe: stats ride the commit for free). Only
-    JSON-faithful orderable types are kept (ints, floats, strings,
-    bools); a column missing statistics in ANY row group is dropped
-    (pruning must never be optimistic). Failure returns {} — stats
-    are an optimization, never required for correctness."""
-    try:
-        import pyarrow.parquet as pq
-    except ImportError:  # pragma: no cover — pyarrow ships with Spark
-        return {}
-    lo: dict[str, object] = {}
-    hi: dict[str, object] = {}
-    seen_files = 0
-    try:
-        for f in sorted((root / data_dir).rglob("*.parquet")):
-            seen_files += 1
-            md = pq.ParquetFile(f).metadata
-            names = [md.schema.column(j).name for j in range(md.num_columns)]
-            for rg in range(md.num_row_groups):
-                row = md.row_group(rg)
-                for j, name in enumerate(names):
-                    st = row.column(j).statistics
-                    if (st is None or not st.has_min_max
-                            or not isinstance(st.min, (int, float, str,
-                                                       bool))
-                            or not isinstance(st.max, (int, float, str,
-                                                       bool))):
-                        lo[name] = hi[name] = None  # poisoned: drop
-                        continue
-                    if lo.get(name, st.min) is None:
-                        continue
-                    lo[name] = min(lo.get(name, st.min), st.min)
-                    hi[name] = max(hi.get(name, st.max), st.max)
-    except (OSError, ValueError):
-        return {}
-    if not seen_files:
-        return {}
-    return {c: [lo[c], hi[c]] for c in lo
-            if lo[c] is not None and hi[c] is not None}
+    """Dir-level zone map only (merge paths, where file granularity
+    has no sort_by to make it pay)."""
+    return _harvest_all(root, data_dir)[1]
 
 
 _SKIP_OPS = {
@@ -420,7 +413,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
                   partition_by: list[str] | None = None,
                   txn: tuple[str, int] | None = None,
                   expected_latest: int | None = None,
-                  sort_by: list[str] | None = None) -> int:
+                  sort_by: list[str] | None = None,
+                  sort_files: int | None = None) -> int:
     """Commit ``df`` as the table's next version; returns it.
 
     ``append`` composes the new data dir with the previous version's
@@ -459,8 +453,11 @@ def write_version(df: DataFrame, table_dir: str | Path,
     DISJOINT ranges, and records per-FILE stats in the manifest:
     ``read_version(skip=...)`` then prunes at file granularity — a
     point/range read of a sorted commit touches one file, not the
-    dir. Unpartitioned tables only (hive layouts already cluster by
-    the partition columns).
+    dir. ``sort_files`` controls the sorted file count (default: the
+    session's shuffle-partition setting — size it like any output
+    file count; compact() repairs a spray but drops the clustering).
+    Unpartitioned tables only (hive layouts already cluster by the
+    partition columns).
     """
     if mode not in ("append", "overwrite"):
         raise VersionedTableError(f"unsupported mode: {mode}")
@@ -492,15 +489,17 @@ def write_version(df: DataFrame, table_dir: str | Path,
     if sort_by:
         # range-cluster across files + sort inside each: every file's
         # zone map becomes a disjoint slice of the sort key space
-        df = (df.repartitionByRange(*[F.col(c) for c in sort_by])
-              .sortWithinPartitions(*sort_by))
+        cols = [F.col(c) for c in sort_by]
+        df = (df.repartitionByRange(sort_files, *cols) if sort_files
+              else df.repartitionByRange(*cols))
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(root / data_dir))
-    own_stats = _harvest_stats(root, data_dir)
-    own_file_stats = (_harvest_file_stats(root, data_dir)
-                      if sort_by else {})
+    own_file_stats, own_stats = _harvest_all(root, data_dir)
+    if not sort_by:
+        own_file_stats = {}  # file granularity pays only when sorted
 
     for _ in range(_MAX_COMMIT_RETRIES):
         dirs, schema = [data_dir], dict(own_schema)
@@ -1063,6 +1062,11 @@ def _merge_mor(spark: SparkSession, root: Path,
         st = _harvest_stats(root, data_dir)
         if st:
             dir_stats[data_dir] = st
+        # file_stats carry forward too: the prior dirs' files are
+        # untouched by a MoR merge, so their sorted-commit coverage
+        # stays valid (dropping it would permanently disable
+        # file-granular pruning after the first MoR merge)
+        file_stats = dict(prev_manifest.get("file_stats") or {})
         out = {"version": version, "mode": "merge-mor",
                "data_dirs": dirs, "schema": schema,
                "partition_by": parts,
@@ -1072,6 +1076,9 @@ def _merge_mor(spark: SparkSession, root: Path,
         if dir_stats:
             out["dir_stats"] = {d: dir_stats[d] for d in dirs
                                 if d in dir_stats}
+        if file_stats:
+            out["file_stats"] = {d: file_stats[d] for d in dirs
+                                 if d in file_stats}
         if txn is not None:
             out["txn"] = {"app": txn[0], "batch": txn[1]}
         try:

@@ -1378,13 +1378,13 @@ class TestZoneMapSkipping:
         from data_platform_copilot_spark.sources import versioned as V
 
         write_version(_df(spark, 0, 10), tdir)
-        # simulate a writer whose stats harvest failed (returns {})
-        orig = V._harvest_stats
-        V._harvest_stats = lambda root, d: {}
+        # simulate a writer whose stats harvest failed (returns empty)
+        orig = V._harvest_all
+        V._harvest_all = lambda root, d: ({}, {})
         try:
             write_version(_df(spark, 100, 110), tdir, "append")
         finally:
-            V._harvest_stats = orig
+            V._harvest_all = orig
         got = sorted(r["id"] for r in read_version(
             spark, tdir, skip=[("id", ">=", 100)]).collect())
         assert got == list(range(100, 110))  # stat-less dir survived
@@ -1460,3 +1460,73 @@ class TestSortByFileSkipping:
             write_version(
                 _df(spark, 0, 10).withColumn("p", F.lit("a")), tdir,
                 "overwrite", partition_by=["p"], sort_by=["id"])
+
+
+class TestZoneMapEdgeCases:
+    """Review-found stats hazards: NaN bounds, nested-leaf name
+    collisions, file-stats survival across MoR merges."""
+
+    def test_nan_column_never_prunes_matching_rows(self, spark, tdir):
+        """Spark's parquet writer emits max=NaN when a NaN is present;
+        a NaN bound must poison that column's zone map (pruning with
+        it silently drops the finite matching rows)."""
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, float("nan"))], "id long, x double")
+        write_version(df, tdir, "overwrite")
+        m = history(tdir)[-1]
+        d = m["data_dirs"][0]
+        assert "x" not in m.get("dir_stats", {}).get(d, {})
+        assert "id" in m["dir_stats"][d]  # clean column still mapped
+        got = sorted(r["id"] for r in read_version(
+            spark, tdir, skip=[("x", ">", 1.5)]).collect())
+        # == plain .where semantics: Spark orders NaN ABOVE all values,
+        # so both the finite 2.0 row and the NaN row match — pruning on
+        # a NaN-poisoned bound would have dropped the whole dir
+        plain = sorted(r["id"] for r in read_version(spark, tdir)
+                       .where(F.col("x") > 1.5).collect())
+        assert got == plain == [2, 3]
+
+    def test_nested_struct_leaf_does_not_collide_or_crash(self, spark,
+                                                          tdir):
+        """A struct field sharing its leaf name with a top-level column
+        of a different type must neither crash the commit (TypeError in
+        the min/max fold) nor pollute the top-level column's range."""
+        df = spark.sql(
+            "SELECT id, named_struct('id', CAST(id AS STRING)) AS s "
+            "FROM range(5, 15)")
+        v = write_version(df, tdir, "overwrite")
+        assert v == 0
+        m = history(tdir)[-1]
+        st = m["dir_stats"][m["data_dirs"][0]]
+        assert st["id"] == [5, 14]  # top-level range, unpolluted
+        assert "s" not in st and "s.id" not in st
+        got = sorted(r["id"] for r in read_version(
+            spark, tdir, skip=[("id", ">=", 10)]).collect())
+        assert got == list(range(10, 15))
+
+    def test_file_stats_survive_mor_merge(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 1000).repartition(8), tdir,
+                      "overwrite", sort_by=["id"], sort_files=8)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 555)], "id long, x long"),
+                      "id", strategy="mor")
+        m = history(tdir)[-1]
+        assert m["data_dirs"][0] in m.get("file_stats", {})
+        skipped = read_version(spark, tdir,
+                               skip=[("id", ">=", 900)])
+        # sorted dir contributes 1 file; the merge's update dir adds
+        # its own (tiny, unsorted) scan
+        sorted_dir_files = [f for f in skipped.inputFiles()
+                            if m["data_dirs"][0] in f]
+        assert len(sorted_dir_files) == 1
+        assert sorted(r["id"] for r in skipped.collect()) \
+            == list(range(900, 1000))
+
+    def test_sort_files_controls_file_count(self, spark, tdir):
+        write_version(_df(spark, 0, 100), tdir, "overwrite",
+                      sort_by=["id"], sort_files=4)
+        m = history(tdir)[-1]
+        assert len(m["file_stats"][m["data_dirs"][0]]) == 4
