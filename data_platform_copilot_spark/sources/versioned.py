@@ -59,6 +59,7 @@ table; a crash after publish IS a completed commit.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import tempfile
@@ -230,7 +231,6 @@ def _stat_value_ok(v) -> bool:
     float (never NaN — Spark's parquet writer emits max=NaN when a NaN
     is present, and NaN breaks both Python's fold and the pruning
     comparison, silently dropping matching rows), str, or bool."""
-    import math
     if isinstance(v, float) and math.isnan(v):
         return False
     return isinstance(v, (int, float, str, bool))
@@ -291,11 +291,16 @@ def _harvest_all(root: Path, data_dir: str
         return {}, {}
     if not rowful:
         return files, {}
-    shared = set(rowful[0])
-    for s in rowful[1:]:
-        shared &= set(s)
-    dir_stats = {c: [min(s[c][0] for s in rowful),
-                     max(s[c][1] for s in rowful)] for c in shared}
+    try:
+        shared = set(rowful[0])
+        for s in rowful[1:]:
+            shared &= set(s)
+        dir_stats = {c: [min(s[c][0] for s in rowful),
+                         max(s[c][1] for s in rowful)] for c in shared}
+    except TypeError:
+        # cross-file incomparable bounds (exotic footer): degrade to
+        # stat-less, never crash a commit whose data already landed
+        return files, {}
     return files, dir_stats
 
 
@@ -324,6 +329,12 @@ def _dir_may_match(stats: dict | None, skip: list[tuple]) -> bool:
         rng = stats.get(col)
         fn = _SKIP_OPS.get(op)
         if rng is None or fn is None:
+            continue
+        if isinstance(val, float) and math.isnan(val):
+            # a NaN literal never proves emptiness: Python comparisons
+            # to NaN are all False while Spark orders NaN above every
+            # value — pruning on it would diverge from .where; the
+            # residual filter alone carries the (pathological) query
             continue
         try:
             if not fn(rng[0], rng[1], val):
@@ -465,6 +476,9 @@ def write_version(df: DataFrame, table_dir: str | Path,
         raise VersionedTableError(
             "sort_by applies to unpartitioned tables (hive layouts "
             "already cluster by the partition columns)")
+    if sort_files is not None and (not sort_by or sort_files < 1):
+        raise VersionedTableError(
+            "sort_files requires sort_by and a positive file count")
     root = Path(table_dir)
     root.mkdir(parents=True, exist_ok=True)
     token = uuid4().hex[:8]

@@ -1530,3 +1530,25 @@ class TestZoneMapEdgeCases:
                       sort_by=["id"], sort_files=4)
         m = history(tdir)[-1]
         assert len(m["file_stats"][m["data_dirs"][0]]) == 4
+
+
+class TestSkipPredicateValidation:
+    def test_nan_predicate_value_never_prunes(self, spark, tdir):
+        """Pruning must not fire on a NaN literal (Python comparisons
+        to NaN are all False; Spark orders NaN above everything) —
+        result stays exactly == plain .where."""
+        write_version(_df(spark, 0, 10).withColumn(
+            "x", F.col("x").cast("double")), tdir, "overwrite")
+        nan = float("nan")
+        got = read_version(spark, tdir, skip=[("x", "<", nan)]).count()
+        plain = (read_version(spark, tdir)
+                 .where(F.col("x") < nan).count())
+        assert got == plain  # both honor Spark NaN semantics
+
+    def test_sort_files_without_sort_by_rejected(self, spark, tdir):
+        with pytest.raises(VersionedTableError, match="sort_files"):
+            write_version(_df(spark, 0, 10), tdir, "overwrite",
+                          sort_files=4)
+        with pytest.raises(VersionedTableError, match="sort_files"):
+            write_version(_df(spark, 0, 10), tdir, "overwrite",
+                          sort_by=["id"], sort_files=0)
