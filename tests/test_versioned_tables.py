@@ -1552,3 +1552,59 @@ class TestSkipPredicateValidation:
         with pytest.raises(VersionedTableError, match="sort_files"):
             write_version(_df(spark, 0, 10), tdir, "overwrite",
                           sort_by=["id"], sort_files=0)
+
+
+def _process_mor_merger(args):
+    """Module-level for multiprocessing: run N MoR merges from a
+    separate PROCESS with its own SparkSession — real cross-process
+    CAS recomposition, not a monkeypatched race."""
+    table_dir, worker_id, n_merges = args
+    import sys
+    sys.path.insert(0, ".")
+    from pyspark.sql import SparkSession
+
+    from data_platform_copilot_spark.sources.versioned import (
+        merge_version)
+
+    spark = (SparkSession.builder.master("local[2]")
+             .appName(f"mor-race-{worker_id}")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "2")
+             .getOrCreate())
+    won = []
+    try:
+        for i in range(n_merges):
+            upd = spark.createDataFrame(
+                [(worker_id * 100 + i, 1000 * worker_id + i)],
+                "id long, x long")
+            won.append(merge_version(spark, table_dir, upd, "id",
+                                     strategy="mor"))
+    finally:
+        spark.stop()
+    return won
+
+
+class TestCrossProcessMorRace:
+    def test_racing_mor_merges_across_processes(self, spark, tmp_path):
+        """2 separate PROCESSES x 3 MoR merges racing on one table:
+        every merge must land exactly once on its own version (the
+        recompose-on-conflict loop under real cross-process CAS), and
+        the final read must hold every upsert plus the untouched
+        originals — no lost updates, no duplicate rows."""
+        import multiprocessing as mp
+
+        t = tmp_path / "mor_race"
+        write_version(_df(spark, 0, 20), t)
+        with mp.get_context("spawn").Pool(2) as pool:
+            results = pool.map(_process_mor_merger,
+                               [(str(t), w, 3) for w in range(2)])
+        versions = sorted(v for r in results for v in r)
+        assert versions == [1, 2, 3, 4, 5, 6]  # exactly-once, no gaps
+        assert latest_version(t) == 6
+        got = {r["id"]: r["x"] for r in read_version(spark, t).collect()}
+        want = {i: 2 * i for i in range(20)}
+        want.update({w * 100 + i: 1000 * w + i
+                     for w in range(2) for i in range(3)})
+        assert got == want
+        m = history(t)[-1]
+        assert len(m["delete_vectors"]) == 6
