@@ -819,13 +819,21 @@ def history(table_dir: str | Path) -> list[dict]:
 
 
 def compact(spark: SparkSession, table_dir: str | Path,
-            target_files: int = 8, retries: int = 0) -> int:
+            target_files: int = 8, retries: int = 0,
+            sort_by: list[str] | None = None) -> int:
     """Small-file repair: rewrite the live file set as ONE overwrite
     version with ``target_files`` parquet files. After many appends a
     table is a spray of small files (each append = its own dir); at
     100 TB that means open/seek overhead dominating scans. Readers on
     old versions are unaffected (their manifests still reference the
     old dirs until vacuum).
+
+    ``sort_by`` re-clusters the rewrite (OPTIMIZE-with-ZORDER's
+    single-key shape): the compacted files carry disjoint ranges and
+    per-file zone maps, so the MoR operating recipe — upsert tail +
+    periodic compact — keeps file-granular skipping instead of losing
+    the clustering at every repair. Unpartitioned tables only, like
+    write_version(sort_by=...).
 
     Concurrency: the rewrite is pinned to the snapshot it read
     (``expected_latest``) — a commit interleaving mid-compaction
@@ -838,12 +846,15 @@ def compact(spark: SparkSession, table_dir: str | Path,
         v = latest_version(table_dir)
         parts = (_read_manifest(Path(table_dir), v).get("partition_by")
                  or [])
-        df = (read_version(spark, table_dir, version=v)
-              .repartition(target_files))
+        df = read_version(spark, table_dir, version=v)
+        if not sort_by:
+            df = df.repartition(target_files)
         try:
-            return write_version(df, table_dir, mode="overwrite",
-                                 partition_by=parts or None,
-                                 expected_latest=v)
+            return write_version(
+                df, table_dir, mode="overwrite",
+                partition_by=parts or None, expected_latest=v,
+                sort_by=sort_by,
+                sort_files=target_files if sort_by else None)
         except CommitConflict as exc:
             last = exc
     raise last

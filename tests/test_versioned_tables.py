@@ -1608,3 +1608,31 @@ class TestCrossProcessMorRace:
         assert got == want
         m = history(t)[-1]
         assert len(m["delete_vectors"]) == 6
+
+
+class TestCompactSortBy:
+    def test_compact_recluster_keeps_file_skipping(self, spark, tdir):
+        """compact(sort_by=...) re-clusters the repair rewrite: the
+        compacted commit carries disjoint per-file zone maps, so the
+        MoR recipe (upsert tail + periodic compact) keeps 1-of-N
+        file-granular reads instead of losing clustering per repair."""
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 1000).repartition(8), tdir,
+                      "overwrite", sort_by=["id"], sort_files=8)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 555)], "id long, x long"),
+                      "id", strategy="mor")
+        want = sorted((r["id"], r["x"]) for r in
+                      read_version(spark, tdir).collect())
+        compact(spark, tdir, target_files=8, sort_by=["id"])
+        m = history(tdir)[-1]
+        d = m["data_dirs"][0]
+        assert "delete_vectors" not in m          # folded
+        assert len(m["file_stats"][d]) == 8        # re-clustered
+        skipped = read_version(spark, tdir, skip=[("id", ">=", 990)])
+        assert len(skipped.inputFiles()) == 1      # 1 file of 8
+        assert sorted((r["id"], r["x"]) for r in
+                      read_version(spark, tdir).collect()) == want
+        assert {r["id"]: r["x"] for r in skipped.collect()}[990] == 1980
