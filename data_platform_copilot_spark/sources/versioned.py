@@ -226,14 +226,16 @@ def _publish_manifest(root: Path, manifest: dict) -> None:
         os.replace(tmp, p)
 
 
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
 def _stat_value_ok(v) -> bool:
     """A zone-map bound must be a JSON-faithful ORDERABLE value: int,
     float (never NaN — Spark's parquet writer emits max=NaN when a NaN
     is present, and NaN breaks both Python's fold and the pruning
     comparison, silently dropping matching rows), str, or bool."""
-    if isinstance(v, float) and math.isnan(v):
-        return False
-    return isinstance(v, (int, float, str, bool))
+    return not _is_nan(v) and isinstance(v, (int, float, str, bool))
 
 
 def _harvest_all(root: Path, data_dir: str
@@ -330,7 +332,7 @@ def _dir_may_match(stats: dict | None, skip: list[tuple]) -> bool:
         fn = _SKIP_OPS.get(op)
         if rng is None or fn is None:
             continue
-        if isinstance(val, float) and math.isnan(val):
+        if _is_nan(val):
             # a NaN literal never proves emptiness: Python comparisons
             # to NaN are all False while Spark orders NaN above every
             # value — pruning on it would diverge from .where; the
@@ -844,6 +846,9 @@ def compact(spark: SparkSession, table_dir: str | Path,
     last: CommitConflict | None = None
     for _ in range(retries + 1):
         v = latest_version(table_dir)
+        if v is None:
+            raise VersionedTableError(
+                f"not a versioned table: {table_dir}")
         parts = (_read_manifest(Path(table_dir), v).get("partition_by")
                  or [])
         df = read_version(spark, table_dir, version=v)

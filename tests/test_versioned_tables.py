@@ -1560,7 +1560,11 @@ def _process_mor_merger(args):
     CAS recomposition, not a monkeypatched race."""
     table_dir, worker_id, n_merges = args
     import sys
-    sys.path.insert(0, ".")
+    from pathlib import Path as _P
+    # absolute repo root, not cwd: spawn children inherit sys.path,
+    # but pin it explicitly so the helper never depends on pytest's
+    # invocation directory
+    sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
     from pyspark.sql import SparkSession
 
     from data_platform_copilot_spark.sources.versioned import (
