@@ -37,13 +37,12 @@ from . import quality  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_GATE_PRIORITY: list[str] = [
-    # r10 gate. Positions 1-3: the three r9-registered entries
-    # (knn_distance_outliers, url_canonicalization, phash_hamming_pairs)
-    # were never driver-gated; the r9 verdict ordered them to lead so
-    # every driver-hashable entry (246/247) gets a hash-green row in
-    # some CORRECTNESS_r*.json. Positions 4-50: backfill with the
-    # LONGEST-rotated entries (last hash-green r5/r6, computed from the
-    # union of CORRECTNESS_r01..r09) so the oldest evidence refreshes.
+    # r11 gate. Position 1: approx_percentiles, as ordered by the r10
+    # verdict (it was position 51 in the r10 window after the
+    # review-caught off-by-one). Positions 2-50: the LONGEST-rotated
+    # entries by last hash-green round, computed from the union of
+    # CORRECTNESS_r01..r10 (all 49 backfill slots land on last-green-r6
+    # entries; ties broken alphabetically for determinism).
     # compression_ratio_quality stays parked BELOW position 50
     # permanently: its oracle needs a zlib UDF the driver's vanilla-SQL
     # DuckDB cannot register (r8 artifact burned a slot on
@@ -51,65 +50,59 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # in the local harnesses + a byte-exact pytest. Every name below
     # passes the local full-registry oracle at sf0.001/0.01 and stays
     # value-verified every run by tests/test_queries_oracle.py.
-    # ---- never-driver-gated (registered r9): 3 entries ----
-    "knn_distance_outliers",
-    "url_canonicalization",
-    "phash_hamming_pairs",
-    # ---- registered r10 (never gated): PSL matcher value gate ----
-    "registered_domain_rollup",
-    # ---- backfill 5-50: longest-rotated driver-green entries ----
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_srp_lsh_topk",
-    "argmax_aggregates",
-    "asof_join_purchase_click",
-    "bm25_topk_docs",
-    "chunk_packing",
-    "corpus_datacard_by_lang",
-    "decontamination",
-    "decontamination_fuzzy",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_incremental",
-    "dedup_keeper_selection",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_spans",
-    "deterministic_hash_sample",
-    "doc_chunking",
-    "domain_mix_sample_counts",
-    "dq_rule_freshness_ts",
-    "dsir_importance_resample",
-    "events_gap_fill",
-    "group_by_all_syntax",
-    "hopping_window_15m",
-    "multimodal_features",
-    "per_group_reservoir_sample",
-    "pii_redaction",
-    "quality_filter_gopher",
-    "range_join_price_bands",
-    "rolling_zscore_anomalies",
-    "sessionization_gaps",
-    "snapshot_diff_documents",
-    "stratified_sample_counts",
-    "temperature_mix_counts",
-    "text_quality_score",
-    "text_repetition_signals",
-    "text_token_stats",
-    "tumbling_window_1h",
-    "unigram_logprob_score",
-    "warehouse_view_revenue",
-    "ab_test_welch_t",
-    "approx_distinct_counts",
-    # ---- gate window ends here (50) ----
-    # approx_percentiles was position 51 after registered_domain_rollup
-    # took slot 4 (one slot per never-gated entry, review-caught
-    # off-by-one): it falls out of THIS window and leads the r11
-    # backfill queue instead.
+    # ---- ordered first per the r10 verdict ----
     "approx_percentiles",
+    # ---- backfill 2-50: longest-rotated (last hash-green r6) ----
+    "attribution_last_touch",
+    "bigram_logprob_score",
+    "bootstrap_ci_mean_value",
+    "bpe_fertility_by_lang",
+    "bpe_merge_table",
+    "bpe_segment_lengths",
+    "contrastive_triplets",
+    "decontamination_embedding",
+    "decontamination_substring",
+    "dedup_bias_source_mix",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_simhash",
+    "dedup_substring_pairs",
+    "dedup_winnowing_fingerprints",
+    "dq_profile_text_length",
+    "dq_rule_anomaly_zscore_value",
+    "dq_rule_not_null_user_id",
+    "dq_rule_range_value",
+    "dq_rule_unique_event_id",
+    "dq_top_values_event_type",
+    "drift_ks_value",
+    "drift_psi_value",
+    "embedding_covariance_dims",
+    "embedding_quantize_int8",
+    "ewma_value_per_user",
+    "fim_transform_documents",
+    "heavy_hitter_tokens",
+    "json_extract_props",
+    "json_schema_inference",
+    "knn_join_graph",
+    "lateral_correlated_topk",
+    "lateral_view_explode",
+    "pipeline_curation_funnel",
+    "pmi_cooccurrence_pairs",
+    "privacy_k_anonymity_report",
+    "recursive_cte_date_spine",
+    "sampler_where_limit",
+    "streaming_decontamination_gate",
+    "streaming_drift_psi",
+    "survival_km_user_lifetime",
+    "text_lang_id",
+    "tfidf_keywords_per_doc",
+    "token_budget_allocation",
+    "trend_slope_by_event_type",
+    "window_distribution_funcs",
+    "zorder_layout_report",
+    "ab_test_mann_whitney",
+    "acf_daily_value",
+    # ---- gate window ends here (50) ----
     # un-hashable by the driver (UDF oracle lives in EXTRA_ORACLE):
     "compression_ratio_quality",
 ]
