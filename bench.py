@@ -27,6 +27,10 @@ the DuckDB proxy this bench is graded against materializes via
 fetchall() — so collect() is both the fair twin and the honest
 steady-state measure. BASELINE.md records the same-commit totals
 under both sinks.
+
+The methodology is FROZEN — see BENCH.md (the bench contract): any
+sink/headline/timing change requires a same-commit before/after
+decomposition recorded in BASELINE.md.
 """
 
 from __future__ import annotations

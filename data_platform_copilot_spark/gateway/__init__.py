@@ -5,6 +5,12 @@ from .sql_runner import (
     sql_run,
     validate_sql,
 )
+from .time_travel import (
+    register_versioned_table,
+    registered_versioned_tables,
+    rewrite_as_of,
+    table_history,
+)
 
 __all__ = [
     "IncorrectQuestionError",
@@ -12,4 +18,8 @@ __all__ = [
     "is_safe",
     "sql_run",
     "validate_sql",
+    "register_versioned_table",
+    "registered_versioned_tables",
+    "rewrite_as_of",
+    "table_history",
 ]

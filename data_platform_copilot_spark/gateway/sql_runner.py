@@ -118,6 +118,10 @@ def sql_run(spark: SparkSession, outer_sql: str,
     watchdog thread; Spark interrupts the running tasks.
     """
     sql = validate_sql(outer_sql)
+    # time travel: resolve FOR VERSION/TIMESTAMP AS OF suffixes on
+    # registered versioned tables into pinned snapshot views
+    from .time_travel import rewrite_as_of
+    sql = rewrite_as_of(spark, sql)
     df = spark.sql(sql).limit(row_limit)
     plan = _explain_formatted(df)
 

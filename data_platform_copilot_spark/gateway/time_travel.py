@@ -1,0 +1,135 @@
+"""Time travel through the SQL gateway.
+
+The versioned-table format (``sources/versioned.py``) is a library
+API; this module exposes it to the query surface the way Delta and
+Iceberg do — ``FOR VERSION AS OF n`` / ``FOR TIMESTAMP AS OF 'ts'``
+table suffixes in plain SELECTs, resolved against the table's
+immutable manifest log. The reference has no equivalent surface
+(nothing to cite); this is the control-plane feature the table
+format exists to serve (r10 verdict item 5).
+
+Mechanics: tables are registered once (name -> table directory);
+``rewrite_as_of`` scans validated SQL for ``<name> FOR ... AS OF
+<literal>``, resolves each to a pinned version, materializes that
+snapshot as a session temp view (``<name>__asof_<v>`` — cheap: the
+view is a LAZY plan over the immutable manifest's file list, nothing
+is copied), and substitutes the view name. ``TIMESTAMP AS OF``
+resolves to the newest version whose ``committed_at`` stamp is <=
+the literal — exactly Delta's semantics. The gated executor
+(``sql_run``) applies the rewrite after validation, so every chat /
+dbt / service query can ask "revenue as of version N / yesterday"
+with zero changes elsewhere.
+
+Scale: resolution reads O(versions) tiny manifest JSONs (no data);
+the snapshot view plans prune/push down like any read_version frame.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from ..sources.versioned import (VersionedTableError, history,
+                                 latest_version, read_version)
+from .sql_runner import IncorrectQuestionError
+
+# name -> table_dir for tables opted into the SQL surface
+_VERSIONED_TABLES: dict[str, str] = {}
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+AS_OF_RE = re.compile(
+    rf"\b({_IDENT})\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"('[^']*'|\d+)", re.IGNORECASE)
+
+
+def register_versioned_table(spark: SparkSession, name: str,
+                             table_dir: str | Path) -> int:
+    """Expose a versioned table to the SQL surface under ``name``:
+    records the mapping for AS OF rewrites and publishes the LATEST
+    snapshot as a temp view of that name (so plain ``SELECT .. FROM
+    name`` works too). Returns the latest version. Re-registering
+    refreshes the latest-view."""
+    if not re.fullmatch(_IDENT, name):
+        raise VersionedTableError(f"invalid table name: {name!r}")
+    v = latest_version(table_dir)
+    if v is None:
+        raise VersionedTableError(f"not a versioned table: {table_dir}")
+    read_version(spark, table_dir).createOrReplaceTempView(name)
+    _VERSIONED_TABLES[name] = str(table_dir)
+    return v
+
+
+def registered_versioned_tables() -> dict[str, str]:
+    return dict(_VERSIONED_TABLES)
+
+
+def table_history(name: str) -> list[dict]:
+    """Manifest log of a registered table, oldest first, trimmed to
+    the audit fields (the /versioned/{name}/history payload)."""
+    if name not in _VERSIONED_TABLES:
+        raise VersionedTableError(f"unknown versioned table: {name!r}")
+    out = []
+    for m in history(_VERSIONED_TABLES[name]):
+        out.append({"version": m["version"], "mode": m.get("mode"),
+                    "committed_at": m.get("committed_at"),
+                    "n_data_dirs": len(m.get("data_dirs") or []),
+                    "n_delete_vectors": len(m.get("delete_vectors")
+                                            or [])})
+    return out
+
+
+def _resolve_timestamp(table_dir: str, literal: str) -> int:
+    """Newest version whose commit stamp is <= the literal (Delta's
+    TIMESTAMP AS OF contract). Naive literals are taken as UTC."""
+    try:
+        ts = datetime.fromisoformat(literal)
+    except ValueError as exc:
+        raise IncorrectQuestionError(
+            f"bad TIMESTAMP AS OF literal: {literal!r}") from exc
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    best = None
+    for m in history(table_dir):
+        stamp = m.get("committed_at")
+        if stamp is None:
+            continue
+        if datetime.fromisoformat(stamp) <= ts:
+            best = m["version"]
+    if best is None:
+        raise IncorrectQuestionError(
+            f"no version committed at or before {literal}")
+    return best
+
+
+def rewrite_as_of(spark: SparkSession, sql: str) -> str:
+    """Substitute every ``<registered-table> FOR VERSION|TIMESTAMP AS
+    OF <literal>`` with a temp view pinned to the resolved snapshot.
+    SQL without AS OF clauses passes through untouched; AS OF on an
+    unregistered name is an explicit gateway error (better than a
+    Spark parse failure leaking out)."""
+
+    def _sub(m: re.Match) -> str:
+        name, kind, literal = m.group(1), m.group(2).upper(), m.group(3)
+        tdir = _VERSIONED_TABLES.get(name)
+        if tdir is None:
+            raise IncorrectQuestionError(
+                f"{name!r} is not a registered versioned table")
+        if kind == "VERSION":
+            if not literal.isdigit():
+                raise IncorrectQuestionError(
+                    f"VERSION AS OF needs an integer, got {literal}")
+            version = int(literal)
+        else:
+            version = _resolve_timestamp(tdir, literal.strip("'"))
+        view = f"{name}__asof_{version}"
+        try:
+            read_version(spark, tdir, version=version) \
+                .createOrReplaceTempView(view)
+        except VersionedTableError as exc:
+            raise IncorrectQuestionError(str(exc)) from exc
+        return view
+
+    return AS_OF_RE.sub(_sub, sql)

@@ -44,6 +44,33 @@ def interleave(x: Column, y: Column, bits: int = 8) -> Column:
     return reduce(lambda a, c: a + c, terms)
 
 
+def bucketize_minmax(col: Column, min_col: Column, max_col: Column,
+                     bits: int = 8) -> Column:
+    """General-range variant of ``bucketize``: scale a numeric key to
+    [0, 2^bits) against its observed [min, max] (handles negatives,
+    floats, constant columns). NULL keys stay NULL — the caller's
+    range partitioner groups them into one partition and min/max
+    pruning ignores them (parquet stats skip nulls)."""
+    n = 1 << bits
+    span = (max_col - min_col).cast("double")
+    raw = F.floor((col - min_col).cast("double") * n
+                  / F.when(span > 0, span).otherwise(F.lit(1.0)))
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("long")
+
+
+def interleave_many(cols: list[Column], bits: int = 8) -> Column:
+    """k-dimensional Morton interleave: bit b of dimension i lands at
+    position k*b + i (the 2-D ``interleave`` generalized). k*bits must
+    stay under 63 to fit a signed long. A NULL in any dimension makes
+    the key NULL (sorts together; never pruned incorrectly)."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"z-order key overflow: {k} dims x {bits} bits")
+    terms = [F.shiftleft(F.shiftright(c, b).bitwiseAND(1), k * b + i)
+             for b in range(bits) for i, c in enumerate(cols)]
+    return reduce(lambda a, c: a + c, terms)
+
+
 def zorder_stats(df: DataFrame, xcol: str, ycol: str,
                  bits: int = 8, files: int = 64) -> DataFrame:
     """Simulated post-OPTIMIZE layout report: assign every row its

@@ -599,3 +599,60 @@ def zone_map_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(hit.cast("int")).cast("long").alias("n_scanned"),
                  rnd(F.sum(hit.cast("int")) / F.count(F.lit(1)), 4)
                  .alias("scan_fraction")))
+
+
+@query("time_travel_as_of", oracle="""
+WITH v0 AS (
+    SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL
+), v1 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang
+    FROM documents WHERE lang IS NOT NULL
+), o AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v0 GROUP BY lang
+), n AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v1 GROUP BY lang
+)
+SELECT coalesce(o.lang, n.lang) AS lang,
+       coalesce(o.n, 0) AS n_v0,
+       coalesce(n.n, 0) AS n_v1
+FROM o FULL OUTER JOIN n ON o.lang = n.lang
+""")
+def time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the SQL gateway end-to-end: commit the
+    documents (doc_id, lang) projection as a versioned table, MoR-
+    merge a deterministic CDC batch (every 13th doc re-langed 'xx'),
+    register the table, and run ONE SQL statement whose FROM clauses
+    pin BOTH snapshots via ``FOR VERSION AS OF`` — per-lang counts
+    before and after the merge, side by side. DuckDB replays the
+    merge relationally; equality proves the AS OF rewrite resolves
+    the manifest log correctly AND that the old snapshot is immutable
+    under MoR masking. (No reference equivalent — the table format's
+    control-plane feature, r10 verdict item 5.)"""
+    import tempfile
+    from pathlib import Path
+
+    from ..gateway.time_travel import (register_versioned_table,
+                                       rewrite_as_of)
+    from ..sources.versioned import merge_version, write_version
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull())
+            .select("doc_id", "lang"))
+    tdir = Path(tempfile.mkdtemp(prefix="tt_asof_")) / "docs_v"
+    write_version(docs.coalesce(4), tdir, "overwrite")
+    updates = (docs.where(F.col("doc_id") % 13 == 0)
+               .withColumn("lang", F.lit("xx")))
+    merge_version(spark, tdir, updates, "doc_id", strategy="mor")
+    register_versioned_table(spark, "tt_docs", tdir)
+    sql = rewrite_as_of(spark, """
+        SELECT coalesce(o.lang, n.lang) AS lang,
+               coalesce(o.n, CAST(0 AS BIGINT)) AS n_v0,
+               coalesce(n.n, CAST(0 AS BIGINT)) AS n_v1
+        FROM (SELECT lang, count(*) AS n
+              FROM tt_docs FOR VERSION AS OF 0 GROUP BY lang) o
+        FULL OUTER JOIN
+             (SELECT lang, count(*) AS n
+              FROM tt_docs FOR VERSION AS OF 1 GROUP BY lang) n
+        ON o.lang = n.lang""")
+    return spark.sql(sql)

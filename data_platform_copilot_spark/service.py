@@ -35,9 +35,12 @@ from .dq.sampler import fetch_table_sample
 from .gateway import (
     IncorrectQuestionError,
     extract_sql_from_markdown,
+    register_versioned_table,
     sql_run,
+    table_history,
 )
 from .metrics import REGISTRY
+from .sources.versioned import VersionedTableError
 
 DESCRIPTION = ("PySpark-native data-platform copilot: validated NL->SQL "
                "over a Spark SQL warehouse, data-quality checks, catalog "
@@ -324,6 +327,29 @@ class CopilotService:
 
     # -- demo seed (reference query.http:164-169; handler absent there,
     #    intended behavior implemented) --------------------------------------
+    # -- versioned tables: time travel surface (r11; the reference has
+    #    no equivalent — this is the control-plane feature the table
+    #    format exists to serve) ---------------------------------------
+    def versioned_register(self, name: str,
+                           table_dir: str) -> dict[str, Any]:
+        """Expose a versioned table to the SQL surface: plain SELECTs
+        see the latest snapshot; ``FOR VERSION|TIMESTAMP AS OF``
+        resolves through the manifest log (gateway/time_travel.py)."""
+        try:
+            v = register_versioned_table(self.spark, name, table_dir)
+        except VersionedTableError as exc:
+            return {"error": str(exc), "status": 400}
+        self._schema_docs_cache = None  # the latest-view shows in docs
+        return {"name": name, "table_dir": str(table_dir), "latest": v}
+
+    def versioned_history(self, name: str) -> dict[str, Any]:
+        """The table's audit log (version, mode, committed_at, dir and
+        deletion-vector counts) — the /table/{t}/history payload."""
+        try:
+            return {"name": name, "history": table_history(name)}
+        except VersionedTableError as exc:
+            return {"error": str(exc), "status": 400}
+
     def demo_seed_events(self, rows: int = 150_000) -> dict[str, Any]:
         """Seed the deterministic demo ``events`` table at ``rows``
         rows and register it in the session catalog."""
@@ -432,6 +458,8 @@ def create_fastapi_app(service: CopilotService):
     app.post("/views/{name}")(service.view_create)
     app.get("/views")(service.view_list)
     app.delete("/views/{name}")(service.view_delete)
+    app.post("/versioned/{name}/register")(service.versioned_register)
+    app.get("/versioned/{name}/history")(service.versioned_history)
     return app
 
 

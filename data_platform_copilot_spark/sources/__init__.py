@@ -9,6 +9,7 @@ from .versioned import (
     VersionedTableError,
     compact,
     diff_versions,
+    evolve_partitioning,
     history,
     latest_version,
     merge_version,
@@ -20,5 +21,6 @@ from .versioned import (
 __all__ = ["TESTDATA_TABLES", "load_table", "register_testdata",
            "warm_tables", "write_version", "read_version",
            "merge_version", "compact", "vacuum", "history",
-           "latest_version", "diff_versions", "CommitConflict",
+           "latest_version", "diff_versions", "evolve_partitioning",
+           "CommitConflict",
            "VersionedTableError"]

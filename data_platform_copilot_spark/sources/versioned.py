@@ -63,6 +63,7 @@ import math
 import os
 import shutil
 import tempfile
+from datetime import datetime, timezone
 from pathlib import Path
 from urllib.parse import unquote
 from uuid import uuid4
@@ -194,6 +195,12 @@ def _publish_manifest(root: Path, manifest: dict) -> None:
     ``os.link`` from a fully written tmp file guarantees readers
     never observe partial manifest content."""
     version = manifest["version"]
+    # commit wall-clock (UTC): what TIMESTAMP AS OF resolves against.
+    # Stamped at publish so every commit path (write/merge/compact)
+    # carries it; losers re-publish with a fresh stamp.
+    manifest.setdefault(
+        "committed_at",
+        datetime.now(timezone.utc).isoformat(timespec="microseconds"))
     fd, tmp = tempfile.mkstemp(dir=root, prefix="._manifest.")
     try:
         with os.fdopen(fd, "w") as f:
@@ -421,13 +428,61 @@ def _txn_committed(root: Path, upto: int | None,
     return hw["version"] if gap else None
 
 
+_ZORDER_NUMERIC = {"tinyint", "smallint", "int", "bigint",
+                   "float", "double"}
+
+
+def _apply_clustering(df: DataFrame, sort_by: list[str],
+                      sort_files: int | None, mode: str) -> DataFrame:
+    """Physical clustering for a sorted commit.
+
+    ``range``: range-partition + lexicographic in-file sort —
+    per-file zone maps are DISJOINT slices of the leading column (a
+    point read touches one file) but carry no locality for trailing
+    columns. ``zorder``: bucketize each dimension to 8 bits against
+    its observed [min, max] (one tiny extra aggregate, broadcast into
+    the write) and Morton-interleave (``operators/layout.py``) — every
+    listed column gets NARROW per-file ranges, so a two-column range
+    predicate prunes files on either/both columns instead of only the
+    leading one. Pure JVM expressions; the curve key is dropped
+    before writing."""
+    if mode == "range":
+        cols = [F.col(c) for c in sort_by]
+        df = (df.repartitionByRange(sort_files, *cols) if sort_files
+              else df.repartitionByRange(*cols))
+        return df.sortWithinPartitions(*sort_by)
+    from ..operators.layout import bucketize_minmax, interleave_many
+    dtypes = dict(df.dtypes)
+    bad = [c for c in sort_by
+           if dtypes.get(c, "").split("(")[0] not in _ZORDER_NUMERIC]
+    if bad:
+        raise VersionedTableError(
+            f"z-order clustering needs numeric sort_by columns, got "
+            f"{bad}; pass cluster='range' for lexicographic layout")
+    aggs = []
+    for i, c in enumerate(sort_by):
+        aggs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}")]
+    helpers = [f"__{p}{i}" for i in range(len(sort_by))
+               for p in ("mn", "mx")]
+    dims = [bucketize_minmax(F.col(c), F.col(f"__mn{i}"),
+                             F.col(f"__mx{i}"))
+            for i, c in enumerate(sort_by)]
+    df = (df.join(F.broadcast(df.agg(*aggs)))
+          .withColumn("__zkey", interleave_many(dims))
+          .drop(*helpers))
+    df = (df.repartitionByRange(sort_files, F.col("__zkey"))
+          if sort_files else df.repartitionByRange(F.col("__zkey")))
+    return df.sortWithinPartitions("__zkey").drop("__zkey")
+
+
 def write_version(df: DataFrame, table_dir: str | Path,
                   mode: str = "append",
                   partition_by: list[str] | None = None,
                   txn: tuple[str, int] | None = None,
                   expected_latest: int | None = None,
                   sort_by: list[str] | None = None,
-                  sort_files: int | None = None) -> int:
+                  sort_files: int | None = None,
+                  cluster: str = "auto") -> int:
     """Commit ``df`` as the table's next version; returns it.
 
     ``append`` composes the new data dir with the previous version's
@@ -471,6 +526,15 @@ def write_version(df: DataFrame, table_dir: str | Path,
     file count; compact() repairs a spray but drops the clustering).
     Unpartitioned tables only (hive layouts already cluster by the
     partition columns).
+
+    ``cluster`` picks the multi-column layout: ``"auto"`` (default)
+    is lexicographic range clustering for one sort column and Morton
+    z-order interleaving for two or more (numeric columns only —
+    Delta/Iceberg OPTIMIZE ZORDER); ``"range"`` forces lexicographic,
+    ``"zorder"`` forces the curve. Under lexicographic sort a range
+    predicate on a TRAILING column reads every file; z-order gives
+    every listed dimension narrow per-file zone maps — see
+    ``_apply_clustering``.
     """
     if mode not in ("append", "overwrite"):
         raise VersionedTableError(f"unsupported mode: {mode}")
@@ -481,6 +545,11 @@ def write_version(df: DataFrame, table_dir: str | Path,
     if sort_files is not None and (not sort_by or sort_files < 1):
         raise VersionedTableError(
             "sort_files requires sort_by and a positive file count")
+    if cluster not in ("auto", "range", "zorder"):
+        raise VersionedTableError(f"unknown cluster mode: {cluster!r}")
+    if cluster == "zorder" and (not sort_by or len(sort_by) < 2):
+        raise VersionedTableError(
+            "cluster='zorder' needs at least two sort_by columns")
     root = Path(table_dir)
     root.mkdir(parents=True, exist_ok=True)
     token = uuid4().hex[:8]
@@ -502,13 +571,11 @@ def write_version(df: DataFrame, table_dir: str | Path,
         _validate_append(_read_manifest(root, prev), dict(own_schema),
                          partition_by)
     data_dir = f"data-{version}-{token}"
+    cluster_mode = None
     if sort_by:
-        # range-cluster across files + sort inside each: every file's
-        # zone map becomes a disjoint slice of the sort key space
-        cols = [F.col(c) for c in sort_by]
-        df = (df.repartitionByRange(sort_files, *cols) if sort_files
-              else df.repartitionByRange(*cols))
-        df = df.sortWithinPartitions(*sort_by)
+        cluster_mode = ("zorder" if len(sort_by) > 1 else "range") \
+            if cluster == "auto" else cluster
+        df = _apply_clustering(df, sort_by, sort_files, cluster_mode)
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -523,8 +590,13 @@ def write_version(df: DataFrame, table_dir: str | Path,
         dir_stats = {data_dir: own_stats} if own_stats else {}
         file_stats = {data_dir: own_file_stats} if own_file_stats else {}
         delete_vectors = None
+        carried_sort = carried_cluster = None
+        dir_partition_map = None
         if mode == "append" and prev is not None:
             prev_manifest = _read_manifest(root, prev)
+            carried_sort = prev_manifest.get("sort_by")
+            carried_cluster = prev_manifest.get("cluster")
+            dir_partition_map = prev_manifest.get("dir_partition_by")
             try:
                 schema = _validate_append(prev_manifest, schema,
                                           partition_by)
@@ -565,6 +637,25 @@ def write_version(df: DataFrame, table_dir: str | Path,
                     # a 60-branch union costing seconds of analysis)
                     "dir_schemas": {d: dir_schemas[d] for d in dirs
                                     if d in dir_schemas}}
+        # clustering intent: recorded when this commit sorts, carried
+        # forward on append (the table stays "meant to be clustered
+        # on X" even though one appended tail dir isn't — file_stats
+        # presence marks which dirs actually are); an unsorted
+        # overwrite clears it (new layout)
+        if sort_by:
+            manifest["sort_by"] = list(sort_by)
+            manifest["cluster"] = cluster_mode
+        elif carried_sort:
+            manifest["sort_by"] = carried_sort
+            if carried_cluster:
+                manifest["cluster"] = carried_cluster
+        if dir_partition_map is not None:
+            # evolved table: per-dir layout map rides every append,
+            # with the new dir recorded under the CURRENT spec
+            evolved = dict(dir_partition_map)
+            if partition_by:
+                evolved[data_dir] = list(partition_by)
+            manifest["dir_partition_by"] = evolved
         if dir_stats:
             # zone maps: per-dir column [min,max] from the parquet
             # footers — read_version(skip=...) drops dirs these prove
@@ -632,10 +723,25 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
     Carried-forward partition-leaf entries (from partition-scoped
     merges) re-add their partition columns as typed literals — a
     filter on them constant-folds per branch, which IS the pruning.
+
+    Partition evolution (``evolve_partitioning``): a manifest
+    carrying ``dir_partition_by`` records each dir's OWN layout;
+    the branch reads below then span layout generations — hive
+    discovery prunes each old dir on its own keys, new dirs read
+    under the current spec, and the union merges by name (a column
+    a generation no longer partitions by simply arrives as data, or
+    as NULL where it never existed — Iceberg's spec-per-manifest
+    contract).
     """
     schema = manifest.get("schema", {})
     frames = []
     parts = manifest.get("partition_by") or []
+    dir_parts = manifest.get("dir_partition_by")
+
+    def parts_of(d: str) -> list[str]:
+        if dir_parts is not None:
+            return dir_parts.get(d) or []
+        return parts
     dir_schemas = manifest.get("dir_schemas") or {}
 
     def paths(d: str) -> list[str]:
@@ -643,7 +749,8 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
         return ([str(root / p) for p in override] if override
                 else [str(root / d)])
 
-    if not parts and all(d in dir_schemas for d in dirs):
+    if (not parts and not any(parts_of(d) for d in dirs)
+            and all(d in dir_schemas for d in dirs)):
         # Fast path (the streaming-append shape): dirs with IDENTICAL
         # file schemas collapse into ONE multi-path relation — one
         # file index, one scan, O(1) plan nodes instead of an
@@ -667,8 +774,8 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
             # hive partition discovery INFERS partition column types
             # from the path strings (part=1 -> int); pin them back to
             # the committed schema so every version round-trips its
-            # dtypes
-            for col in parts:
+            # dtypes (per-dir layout when the table has evolved)
+            for col in parts_of(d):
                 if col in df.columns and schema.get(col) and \
                         dict(df.dtypes)[col] != schema[col]:
                     df = df.withColumn(col, F.col(col).cast(schema[col]))
@@ -685,12 +792,144 @@ def _empty_frame(spark: SparkSession, manifest: dict) -> DataFrame:
     return spark.createDataFrame([], ddl or "__empty__ int")
 
 
+try:  # subclass hook needs the classic (py4j) DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame as _BaseFrame
+except ImportError:  # pragma: no cover — older layout
+    _BaseFrame = DataFrame
+
+_SKIP_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+_SKIP_EXPR_OPS = {"EqualTo": "=", "LessThan": "<",
+                  "LessThanOrEqual": "<=", "GreaterThan": ">",
+                  "GreaterThanOrEqual": ">="}
+# zone-map bounds are only ever int/float/str/bool (_stat_value_ok),
+# so only literals of these types can prove a dir empty
+_SKIP_LITERAL_TYPES = {"integer", "long", "short", "byte", "double",
+                       "float", "string", "boolean"}
+
+
+def _skip_literal(e):
+    """Resolved Catalyst ``Literal`` (possibly under value-preserving
+    numeric/string ``Cast``s the analyzer inserted) -> the Python value
+    the ``skip=`` API takes, or None when the shape/type can never
+    match a zone-map bound."""
+    while e.getClass().getSimpleName() == "Cast":
+        if e.dataType().typeName() not in _SKIP_LITERAL_TYPES:
+            return None  # e.g. string->timestamp: not stats-comparable
+        e = e.child()
+    if e.getClass().getSimpleName() != "Literal":
+        return None
+    t = e.dataType().typeName()
+    if t not in _SKIP_LITERAL_TYPES:
+        return None
+    v = e.value()
+    if v is None:
+        return None
+    if t == "string":
+        return v.toString()  # UTF8String -> str
+    if t == "boolean":
+        return bool(v)
+    if t in ("double", "float"):
+        return float(v)
+    return int(v)
+
+
+def _extract_skip_preds(filtered: DataFrame) -> list[tuple]:
+    """Walk the analyzed plan's top Filter condition and collect the
+    conjunctive ``col op literal`` predicates ``_dir_may_match`` can
+    prune on. Anything else — OR branches, casts/expressions on the
+    column side, multi-column terms — contributes nothing; the caller
+    always re-applies the FULL condition as a row filter, so
+    extraction is a pure optimization and never changes results."""
+    out: list[tuple] = []
+    try:
+        plan = filtered._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "Filter":
+            return []
+        stack = [plan.condition()]
+        while stack:
+            e = stack.pop()
+            name = e.getClass().getSimpleName()
+            if name == "And":
+                stack += [e.left(), e.right()]
+                continue
+            op = _SKIP_EXPR_OPS.get(name)
+            if op is None:
+                continue
+            left, right = e.left(), e.right()
+            if left.getClass().getSimpleName() == "AttributeReference":
+                val = _skip_literal(right)
+                if val is not None:
+                    out.append((str(left.name()), op, val))
+            elif right.getClass().getSimpleName() == "AttributeReference":
+                val = _skip_literal(left)
+                if val is not None:
+                    out.append((str(right.name()), _SKIP_FLIP[op], val))
+    except Exception:  # py4j surface drift: never break a filter
+        return []
+    return out
+
+
+class _AutoSkipFrame(_BaseFrame):
+    """What ``read_version`` returns: a plain DataFrame except that
+    ``.where``/``.filter`` re-derives the manifest-level skip list
+    from the predicate and re-plans the read over the pruned dir/file
+    set — zone-map skipping fires for normal query code, not just
+    callers that hand-pass ``skip=``. Pruning only ever drops
+    dirs/files whose committed footer stats PROVE them empty under
+    the extracted conjuncts, and the full original condition is
+    re-applied as a row filter, so semantics are exactly
+    ``DataFrame.filter``. Falls back to a plain filter when the
+    condition cannot be re-bound to the re-planned read (e.g. it
+    references another DataFrame's resolved attributes)."""
+
+    def __new__(cls, *args, **kwargs):
+        # the abstract pyspark DataFrame overrides __new__ to dispatch
+        # classic vs connect from (jdf, session) args; bypass it — the
+        # class is already the classic subclass
+        return object.__new__(cls)
+
+    def __init__(self, df: DataFrame, reread, skip: list[tuple],
+                 conds: list):
+        super().__init__(df._jdf, df.sparkSession)
+        self._vt_reread = reread
+        self._vt_skip = list(skip)
+        self._vt_conds = list(conds)
+
+    def filter(self, condition):
+        plain = super().filter(condition)
+        conds = self._vt_conds + [condition]
+        preds = [p for p in _extract_skip_preds(plain)
+                 if p not in self._vt_skip]
+        if preds:
+            skip = self._vt_skip + preds
+            try:
+                out = self._vt_reread(skip)
+                for c in conds:
+                    out = out.filter(c)
+                return _AutoSkipFrame(out, self._vt_reread, skip, conds)
+            except Exception:
+                pass  # un-rebindable condition: keep the plain path
+        return _AutoSkipFrame(plain, self._vt_reread,
+                              self._vt_skip, conds)
+
+    where = filter
+
+
 def read_version(spark: SparkSession, table_dir: str | Path,
                  version: int | None = None,
                  skip: list[tuple] | None = None) -> DataFrame:
     """Read the table at ``version`` (default: latest). Resolves
     latest -> immutable manifest -> immutable files, so concurrent
     commits can never tear this read.
+
+    The returned frame AUTO-DERIVES zone-map skipping from plain
+    ``.where(...)`` / ``.filter(...)`` calls: conjunctive ``col op
+    literal`` predicates are extracted from the analyzed filter
+    condition and the read is re-planned over the pruned dir/file set
+    (the Delta/Iceberg contract — stats prune for normal query code,
+    nobody hand-passes ``skip=``). The full original condition is
+    always re-applied as a row filter, so results are exactly
+    ``DataFrame.filter`` semantics; see ``_AutoSkipFrame``.
 
     Deletion vectors (merge-on-read, ``merge_version(strategy=
     "mor")``): each vector masks — by key anti-join — only the data
@@ -719,6 +958,19 @@ def read_version(spark: SparkSession, table_dir: str | Path,
         version = latest_version(root)
         if version is None:
             raise VersionedTableError(f"not a versioned table: {root}")
+    df = _read_version_at(spark, root, version, skip)
+
+    def reread(skiplist: list[tuple]) -> DataFrame:
+        return _read_version_at(spark, root, version, skiplist)
+
+    try:
+        return _AutoSkipFrame(df, reread, skip or [], [])
+    except Exception:  # pragma: no cover — non-classic session
+        return df
+
+
+def _read_version_at(spark: SparkSession, root: Path, version: int,
+                     skip: list[tuple] | None) -> DataFrame:
     manifest = _read_manifest(root, version)
     dirs = manifest["data_dirs"]
     dvs = manifest.get("delete_vectors") or []
@@ -822,7 +1074,8 @@ def history(table_dir: str | Path) -> list[dict]:
 
 def compact(spark: SparkSession, table_dir: str | Path,
             target_files: int = 8, retries: int = 0,
-            sort_by: list[str] | None = None) -> int:
+            sort_by: list[str] | None = None,
+            cluster: str = "auto") -> int:
     """Small-file repair: rewrite the live file set as ONE overwrite
     version with ``target_files`` parquet files. After many appends a
     table is a spray of small files (each append = its own dir); at
@@ -859,10 +1112,72 @@ def compact(spark: SparkSession, table_dir: str | Path,
                 df, table_dir, mode="overwrite",
                 partition_by=parts or None, expected_latest=v,
                 sort_by=sort_by,
-                sort_files=target_files if sort_by else None)
+                sort_files=target_files if sort_by else None,
+                cluster=cluster)
         except CommitConflict as exc:
             last = exc
     raise last
+
+
+def evolve_partitioning(table_dir: str | Path,
+                        partition_by: list[str] | None) -> int:
+    """Iceberg-style partition-spec evolution: change the layout for
+    FUTURE commits without rewriting a byte of data. Publishes a
+    METADATA-ONLY commit (mode ``evolve-partitions``, same data dirs,
+    schema, stats and deletion vectors as the previous version) that
+    sets the table's ``partition_by`` going forward and records every
+    existing dir's OWN layout in ``dir_partition_by`` — readers span
+    layout generations branch-by-branch (``_read_dirs``): each old
+    dir still hive-prunes on its old keys, new dirs prune on the new
+    spec, and a column one generation partitioned by arrives from
+    other generations as plain data (or NULL where it never existed).
+
+    Contracts on an evolved (mixed-layout) table:
+    - appends/overwrites/MoR merges work normally under the CURRENT
+      spec (the map rides every commit);
+    - a partitioned CoW merge falls back to a full rewrite under the
+      current spec (see ``_merge_once``), which — like ``compact()``
+      and any overwrite — HEALS the table to a uniform layout and
+      drops the map;
+    - sort_by clustering intent is dropped when evolving TO a
+      partitioned spec (sort_by is unpartitioned-only).
+
+    At 100 TB this is the difference between re-ingesting a year of
+    history because the ingest-date grain changed and a one-manifest
+    commit (the Iceberg partition-evolution pitch; Delta requires a
+    full rewrite here)."""
+    root = Path(table_dir)
+    new_parts = list(partition_by or [])
+    for _ in range(_MAX_COMMIT_RETRIES):
+        prev = latest_version(root)
+        if prev is None:
+            raise VersionedTableError(f"not a versioned table: {root}")
+        m = _read_manifest(root, prev)
+        cur = m.get("partition_by") or []
+        if new_parts == cur:
+            return prev  # spec unchanged: no-op
+        dmap = m.get("dir_partition_by")
+        if dmap is None:
+            dmap = ({d: cur for d in m["data_dirs"]} if cur else {})
+        out = {k: v for k, v in m.items()
+               if k not in ("txn", "committed_at")}
+        out["version"] = prev + 1
+        out["mode"] = "evolve-partitions"
+        out["partition_by"] = new_parts
+        if dmap:
+            out["dir_partition_by"] = dmap
+        else:
+            out.pop("dir_partition_by", None)
+        if new_parts:
+            out.pop("sort_by", None)
+            out.pop("cluster", None)
+        try:
+            _publish_manifest(root, out)
+            return out["version"]
+        except CommitConflict:
+            continue  # re-derive against the new latest
+    raise VersionedTableError(
+        f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
 
 
 def _partition_leaves(root: Path, entry: str, parts: list[str]):
@@ -914,7 +1229,8 @@ def _merge_once(spark: SparkSession, root: Path,
     schema = _validate_append(manifest, dict(updates.dtypes),
                               parts or None)
 
-    if parts and manifest.get("delete_vectors"):
+    if parts and (manifest.get("delete_vectors")
+                  or manifest.get("dir_partition_by")):
         # A CoW merge over live deletion vectors FOLDS them: the
         # partition-scoped carry-forward references raw partition
         # leaves, which would resurrect masked rows (and the merge
@@ -922,7 +1238,11 @@ def _merge_once(spark: SparkSession, root: Path,
         # semantics) — so this one merge pays a full rewrite of the
         # masked snapshot and publishes a vector-free manifest.
         # Alternate MoR/CoW freely; only the first CoW after a MoR
-        # run costs the fold.
+        # run costs the fold. The same fallback covers a partition-
+        # EVOLVED table (mixed per-dir layouts): the carry-forward
+        # assumes every dir is hive-laid under the current spec, so
+        # the merge rewrites once under it — healing the table to a
+        # uniform layout as a side effect.
         survivors = current.join(keys, key, "left_anti")
         merged = survivors.unionByName(updates, allowMissingColumns=True)
         try:
@@ -1103,6 +1423,17 @@ def _merge_mor(spark: SparkSession, root: Path,
                "dir_schemas": {d: dir_schemas[d] for d in dirs
                                if d in dir_schemas},
                "delete_vectors": dvs}
+        if prev_manifest.get("sort_by"):
+            # clustering intent survives MoR merges (auto-compaction
+            # uses it to re-cluster instead of losing file skipping)
+            out["sort_by"] = prev_manifest["sort_by"]
+            if prev_manifest.get("cluster"):
+                out["cluster"] = prev_manifest["cluster"]
+        if prev_manifest.get("dir_partition_by") is not None:
+            evolved = dict(prev_manifest["dir_partition_by"])
+            if parts:
+                evolved[data_dir] = list(parts)
+            out["dir_partition_by"] = evolved
         if dir_stats:
             out["dir_stats"] = {d: dir_stats[d] for d in dirs
                                 if d in dir_stats}
@@ -1131,10 +1462,41 @@ def _merge_mor(spark: SparkSession, root: Path,
         f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
 
 
+def _maybe_auto_compact(spark: SparkSession, root: Path,
+                        version: int, threshold: int) -> None:
+    """MoR auto-compaction policy: after a MoR merge commits, fold the
+    stacked deletion vectors back into plain files once their count
+    reaches ``threshold``. Each stacked vector adds one broadcast
+    anti-join to every masked scan (~0.17 s/scan each at sf0.1 —
+    BASELINE.md dv_probe), so unbounded CDC stacking degrades readers
+    linearly with merge count; this turns the operational recipe
+    (upsert tail + periodic ``compact``) into engine behavior. The
+    compaction re-clusters on the table's recorded ``sort_by`` intent
+    so file-granular skipping survives the repair. Maintenance must
+    never fail the already-committed merge: a compaction lost to an
+    interleaved commit is skipped — the next merge past the threshold
+    re-evaluates. Emits ``versioned_auto_compact_total`` /
+    ``..._conflict_total`` counters."""
+    from ..metrics import REGISTRY
+    if version != latest_version(root):
+        return  # replayed-txn no-op or already-raced commit: the
+        # next merge past the threshold re-evaluates
+    manifest = _read_manifest(root, version)
+    if len(manifest.get("delete_vectors") or []) < threshold:
+        return
+    try:
+        compact(spark, root, sort_by=manifest.get("sort_by"),
+                cluster=manifest.get("cluster") or "auto")
+        REGISTRY.inc("versioned_auto_compact_total")
+    except CommitConflict:
+        REGISTRY.inc("versioned_auto_compact_conflict_total")
+
+
 def merge_version(spark: SparkSession, table_dir: str | Path,
                   updates: DataFrame, key: str,
                   retries: int = 0, strategy: str = "cow",
-                  txn: tuple[str, int] | None = None) -> int:
+                  txn: tuple[str, int] | None = None,
+                  auto_compact_vectors: int | None = 10) -> int:
     """Upsert commit: rows in ``updates`` replace same-``key`` rows of
     the latest version, new keys insert (copy-on-write MERGE, the
     Delta paper's default — the honest cost of upserts without
@@ -1171,10 +1533,20 @@ def merge_version(spark: SparkSession, table_dir: str | Path,
     consulted; ``txn=(app, batch)`` (MoR only) makes the merge
     idempotent per transaction id — the streaming CDC upsert-sink
     contract.
+
+    ``auto_compact_vectors`` (MoR only; default 10, None disables):
+    once this merge leaves at least that many stacked deletion
+    vectors, a compaction is triggered as a follow-up commit — see
+    ``_maybe_auto_compact``. The returned version is always the
+    MERGE's commit; the compaction, if it fires, is the version
+    after it.
     """
     root = Path(table_dir)
     if strategy == "mor":
-        return _merge_mor(spark, root, updates, key, txn=txn)
+        v = _merge_mor(spark, root, updates, key, txn=txn)
+        if auto_compact_vectors:
+            _maybe_auto_compact(spark, root, v, auto_compact_vectors)
+        return v
     if strategy != "cow":
         raise VersionedTableError(f"unknown merge strategy: {strategy!r}")
     if txn is not None:

@@ -1360,8 +1360,9 @@ class TestZoneMapSkipping:
         dirs_hit = {f.split("/data-")[1].split("/")[0]
                     for f in skipped.inputFiles()}
         assert len(dirs_hit) == 2
+        # the plain .where path now prunes too (auto pushdown, r11)
         assert len({f.split("/data-")[1].split("/")[0]
-                    for f in plain.inputFiles()}) == 4
+                    for f in plain.inputFiles()}) == 2
         # empty-proof predicate: zero dirs, correct empty schema
         none = read_version(spark, tdir, skip=[("id", ">", 1000)])
         assert none.count() == 0
@@ -1430,10 +1431,11 @@ class TestSortByFileSkipping:
                                skip=[("id", ">=", 5), ("id", "<=", 7)])
         assert len(skipped.inputFiles()) == 1  # one disjoint slice
         assert sorted(r["id"] for r in skipped.collect()) == [5, 6, 7]
-        # equality with the plain filter
+        # equality with the plain filter, which now prunes to the
+        # same single file via auto pushdown (r11)
         plain = (read_version(spark, tdir)
                  .where((F.col("id") >= 5) & (F.col("id") <= 7)))
-        assert len(plain.inputFiles()) == n_files
+        assert len(plain.inputFiles()) == 1
         assert sorted(r["id"] for r in plain.collect()) == [5, 6, 7]
 
     def test_uncovered_file_disables_file_pruning_only(self, spark, tdir):
@@ -1640,3 +1642,368 @@ class TestCompactSortBy:
         assert sorted((r["id"], r["x"]) for r in
                       read_version(spark, tdir).collect()) == want
         assert {r["id"]: r["x"] for r in skipped.collect()}[990] == 1980
+
+
+class TestAutoSkipPushdown:
+    """read_version(...).where(...) — no skip= — must prune via zone
+    maps automatically: the returned frame extracts conjunctive
+    ``col op literal`` predicates from the analyzed filter condition
+    and re-plans the read (r10 verdict item 1)."""
+
+    def _appends(self, spark, tdir, n=24, width=10):
+        for i in range(n):
+            write_version(_df(spark, i * width, (i + 1) * width), tdir,
+                          "append" if i else "overwrite")
+
+    @staticmethod
+    def _dirs_hit(df):
+        return {f.split("/data-")[1].split("/")[0]
+                for f in df.inputFiles()}
+
+    def test_plain_where_scans_one_dir_of_24(self, spark, tdir):
+        self._appends(spark, tdir, n=24)
+        base = read_version(spark, tdir)
+        assert len(self._dirs_hit(base)) == 24
+        pruned = base.where(F.col("id") >= 235)
+        assert len(self._dirs_hit(pruned)) == 1
+        want = [(i, 2 * i) for i in range(235, 240)]
+        assert sorted((r["id"], r["x"]) for r in pruned.collect()) == want
+
+    def test_string_condition_and_chained_where(self, spark, tdir):
+        self._appends(spark, tdir, n=8)
+        df = read_version(spark, tdir).where("id >= 20").where("id < 40")
+        assert len(self._dirs_hit(df)) == 2
+        assert sorted(r["id"] for r in df.collect()) == list(range(20, 40))
+
+    def test_mixed_condition_prunes_on_extractable_conjunct(
+            self, spark, tdir):
+        self._appends(spark, tdir, n=8)
+        # id >= 70 prunes; the x % 4 term rides along as row filter
+        df = read_version(spark, tdir).where(
+            (F.col("id") >= 70) & (F.col("x") % 4 == 0))
+        assert len(self._dirs_hit(df)) == 1
+        assert sorted(r["id"] for r in df.collect()) == [70, 72, 74, 76, 78]
+
+    def test_or_condition_never_prunes_but_stays_correct(self, spark,
+                                                         tdir):
+        self._appends(spark, tdir, n=4)
+        df = read_version(spark, tdir).where(
+            (F.col("id") < 5) | (F.col("id") >= 35))
+        assert len(self._dirs_hit(df)) == 4
+        assert sorted(r["id"] for r in df.collect()) \
+            == list(range(5)) + list(range(35, 40))
+
+    def test_matches_manual_skip_and_plain_filter(self, spark, tdir):
+        self._appends(spark, tdir, n=6)
+        auto = read_version(spark, tdir).where(F.col("id") > 31)
+        manual = read_version(spark, tdir, skip=[("id", ">", 31)])
+        assert self._dirs_hit(auto) == self._dirs_hit(manual)
+        assert sorted(r["id"] for r in auto.collect()) \
+            == sorted(r["id"] for r in manual.collect())
+
+    def test_composes_with_deletion_vectors(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._appends(spark, tdir, n=3)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 555), (25, 2525)],
+                                            "id long, x long"),
+                      "id", strategy="mor")
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir)
+               .where(F.col("id") < 10).collect()}
+        assert got == {**{i: 2 * i for i in range(10) if i != 5}, 5: 555}
+
+    def test_foreign_bound_column_falls_back_cleanly(self, spark, tdir):
+        self._appends(spark, tdir, n=4)
+        df = read_version(spark, tdir)
+        got = df.where(df["id"] >= 25)
+        assert sorted(r["id"] for r in got.collect()) == list(range(25, 40))
+
+    def test_file_granular_pruning_via_where(self, spark, tdir):
+        write_version(_df(spark, 0, 1000).repartition(8), tdir,
+                      "overwrite", sort_by=["id"], sort_files=8)
+        df = read_version(spark, tdir).where(F.col("id") >= 990)
+        assert len(df.inputFiles()) == 1
+        assert sorted(r["id"] for r in df.collect()) \
+            == list(range(990, 1000))
+
+    def test_time_travel_read_pins_its_version(self, spark, tdir):
+        self._appends(spark, tdir, n=4)
+        old = read_version(spark, tdir, version=1)
+        write_version(_df(spark, 100, 110), tdir, "append")
+        got = old.where(F.col("id") >= 0)  # reread must stay at v1
+        assert sorted(r["id"] for r in got.collect()) == list(range(20))
+
+
+class TestMorAutoCompact:
+    """merge_version(strategy="mor") auto-compaction policy (r10
+    verdict item 2): the k-th stacked merge past the vector-count
+    threshold triggers compact() as a follow-up commit — the upsert
+    tail + periodic repair recipe becomes engine behavior."""
+
+    def _merge(self, spark, tdir, i, **kw):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+        return merge_version(
+            spark, tdir,
+            spark.createDataFrame([(i, 1000 + i)], "id long, x long"),
+            "id", strategy="mor", **kw)
+
+    def test_threshold_merge_folds_vectors(self, spark, tdir):
+        write_version(_df(spark, 0, 100), tdir)
+        for i in range(2):
+            self._merge(spark, tdir, i, auto_compact_vectors=3)
+        assert len(history(tdir)[-1]["delete_vectors"]) == 2
+        v = self._merge(spark, tdir, 2, auto_compact_vectors=3)
+        m = history(tdir)[-1]
+        assert m["version"] == v + 1          # merge commit, then repair
+        assert m["mode"] == "overwrite" and "delete_vectors" not in m
+        plan = (read_version(spark, tdir)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "LeftAnti" not in plan          # scan cost restored
+        got = {r["id"]: r["x"] for r in
+               read_version(spark, tdir).collect()}
+        want = {i: 2 * i for i in range(100)}
+        want.update({i: 1000 + i for i in range(3)})
+        assert got == want
+
+    def test_none_disables_policy(self, spark, tdir):
+        write_version(_df(spark, 0, 20), tdir)
+        for i in range(11):
+            self._merge(spark, tdir, i, auto_compact_vectors=None)
+        assert len(history(tdir)[-1]["delete_vectors"]) == 11
+
+    def test_metric_emitted(self, spark, tdir):
+        from data_platform_copilot_spark.metrics import REGISTRY
+        write_version(_df(spark, 0, 10), tdir)
+        for i in range(2):
+            self._merge(spark, tdir, i, auto_compact_vectors=2)
+        assert "versioned_auto_compact_total" in REGISTRY.export()
+
+    def test_recluster_intent_survives_auto_compact(self, spark, tdir):
+        write_version(_df(spark, 0, 1000).repartition(8), tdir,
+                      "overwrite", sort_by=["id"], sort_files=8)
+        for i in range(3):
+            self._merge(spark, tdir, i, auto_compact_vectors=3)
+        m = history(tdir)[-1]
+        assert "delete_vectors" not in m
+        assert m.get("sort_by") == ["id"]       # intent carried + kept
+        d = m["data_dirs"][0]
+        assert m["file_stats"][d]                # clustered rewrite
+        skipped = read_version(spark, tdir, skip=[("id", ">=", 990)])
+        assert len(skipped.inputFiles()) == 1    # file skipping survives
+        assert sorted(r["id"] for r in skipped.collect()) \
+            == list(range(990, 1000))
+
+    def test_txn_replay_noop_after_auto_compact(self, spark, tdir):
+        write_version(_df(spark, 0, 10), tdir)
+        v1 = self._merge(spark, tdir, 1, txn=("app", 7),
+                         auto_compact_vectors=1)  # merge then fold
+        latest = latest_version(tdir)
+        assert latest == v1 + 1
+        v2 = self._merge(spark, tdir, 1, txn=("app", 7),
+                         auto_compact_vectors=1)  # replay: version no-op
+        assert v2 == v1 and latest_version(tdir) == latest
+
+
+class TestZOrderClustering:
+    """Multi-column sort_by interleaves (Morton z-order) instead of
+    lexicographic-sorting (r10 verdict item 4): a range predicate on
+    the TRAILING column reads strictly fewer files under z-order than
+    under lexicographic layout of the same commit."""
+
+    def _grid(self, spark, n=64):
+        return (spark.range(n * n)
+                .select((F.col("id") % n).alias("a"),
+                        (F.col("id") / n).cast("long").alias("b"),
+                        F.col("id").alias("v")))
+
+    def test_trailing_column_reads_fewer_files_than_lex(self, spark,
+                                                        tmp_path):
+        df = self._grid(spark)
+        lex, zo = tmp_path / "lex", tmp_path / "zo"
+        write_version(df, lex, "overwrite", sort_by=["a", "b"],
+                      sort_files=16, cluster="range")
+        write_version(df, zo, "overwrite", sort_by=["a", "b"],
+                      sort_files=16)  # auto: >=2 cols -> zorder
+        assert history(lex)[-1]["cluster"] == "range"
+        assert history(zo)[-1]["cluster"] == "zorder"
+        pred = [("b", ">=", 10), ("b", "<=", 13)]
+        n_lex = len(read_version(spark, lex, skip=pred).inputFiles())
+        n_zo = len(read_version(spark, zo, skip=pred).inputFiles())
+        assert n_zo < n_lex  # the point of the curve
+        want = sorted((r["a"], r["b"], r["v"]) for r in df.where(
+            (F.col("b") >= 10) & (F.col("b") <= 13)).collect())
+        for t in (lex, zo):  # value equality on both layouts
+            got = sorted((r["a"], r["b"], r["v"]) for r in
+                         read_version(spark, t, skip=pred).collect())
+            assert got == want
+
+    def test_leading_column_still_prunes_under_zorder(self, spark,
+                                                      tmp_path):
+        zo = tmp_path / "zo"
+        write_version(self._grid(spark), zo, "overwrite",
+                      sort_by=["a", "b"], sort_files=16)
+        df = read_version(spark, zo).where(
+            (F.col("a") >= 10) & (F.col("a") <= 13))  # auto pushdown
+        assert len(df.inputFiles()) < 16
+        assert df.count() == 4 * 64
+
+    def test_zorder_validation(self, spark, tmp_path):
+        df = self._grid(spark).withColumn("s", F.lit("x"))
+        with pytest.raises(VersionedTableError, match="numeric"):
+            write_version(df, tmp_path / "t1", "overwrite",
+                          sort_by=["a", "s"])
+        with pytest.raises(VersionedTableError, match="two sort_by"):
+            write_version(df, tmp_path / "t2", "overwrite",
+                          sort_by=["a"], cluster="zorder")
+        with pytest.raises(VersionedTableError, match="cluster mode"):
+            write_version(df, tmp_path / "t3", "overwrite",
+                          sort_by=["a"], cluster="hilbert")
+
+    def test_compact_recluster_to_zorder(self, spark, tdir):
+        write_version(self._grid(spark), tdir, "overwrite")
+        compact(spark, tdir, target_files=16, sort_by=["a", "b"])
+        m = history(tdir)[-1]
+        assert m["cluster"] == "zorder"
+        assert len(m["file_stats"][m["data_dirs"][0]]) == 16
+        got = len(read_version(spark, tdir,
+                               skip=[("b", "=", 7)]).inputFiles())
+        assert got < 16
+
+    def test_auto_compact_preserves_zorder_intent(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(self._grid(spark), tdir, "overwrite",
+                      sort_by=["a", "b"], sort_files=8)
+        for i in range(2):
+            merge_version(
+                spark, tdir,
+                spark.createDataFrame([(i, i, 9999)],
+                                      "a long, b long, v long"),
+                "v", strategy="mor", auto_compact_vectors=2)
+        m = history(tdir)[-1]
+        assert "delete_vectors" not in m
+        assert m.get("cluster") == "zorder" and m.get("sort_by") \
+            == ["a", "b"]
+
+
+class TestPartitionEvolution:
+    """evolve_partitioning (r10 verdict item 8, implemented): a
+    metadata-only commit re-partitions the table going forward;
+    readers span layout generations, pruning per generation."""
+
+    def _old(self, spark, lo, hi):
+        return _df(spark, lo, hi).withColumn(
+            "p", (F.col("id") % 2).cast("string"))
+
+    def test_evolve_append_read_spans_generations(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_partitioning)
+
+        write_version(self._old(spark, 0, 20), tdir,
+                      partition_by=["p"])
+        v = evolve_partitioning(tdir, ["q"])
+        assert v == 1
+        m = history(tdir)[-1]
+        assert m["mode"] == "evolve-partitions"
+        assert m["partition_by"] == ["q"]
+        assert set(m["dir_partition_by"]) == set(m["data_dirs"])
+        # old spec now rejected, new spec accepted
+        with pytest.raises(VersionedTableError, match="layout"):
+            write_version(self._old(spark, 20, 30), tdir, "append",
+                          partition_by=["p"])
+        new = _df(spark, 100, 110).withColumn(
+            "q", (F.col("id") % 3).cast("string"))
+        write_version(new, tdir, "append", partition_by=["q"])
+        got = read_version(spark, tdir)
+        assert got.count() == 30
+        rows = {r["id"]: (r["p"], r["q"]) for r in got.collect()}
+        assert rows[5] == ("1", None)      # old generation: q is NULL
+        assert rows[105] == (None, "0")    # new generation: p is NULL
+
+    def test_each_generation_prunes_on_its_own_keys(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_partitioning)
+        import re
+
+        write_version(self._old(spark, 0, 20), tdir,
+                      partition_by=["p"])
+        evolve_partitioning(tdir, ["q"])
+        new = _df(spark, 100, 120).withColumn(
+            "q", (F.col("id") % 2).cast("string"))
+        write_version(new, tdir, "append", partition_by=["q"])
+        pruned = read_version(spark, tdir).where(F.col("p") == "1")
+        assert sorted(r["id"] for r in pruned.collect()) \
+            == [i for i in range(20) if i % 2 == 1]
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # the OLD dir scans under a partition filter on p; the new
+        # generation (no p at all) contributes no matching rows
+        assert re.search(r"PartitionFilters: \[[^\]]*p#[^\]]*\]",
+                         plan), plan[:2000]
+        qpruned = read_version(spark, tdir).where(F.col("q") == "1")
+        assert sorted(r["id"] for r in qpruned.collect()) \
+            == [i for i in range(100, 120) if i % 2 == 1]
+
+    def test_evolve_to_unpartitioned_and_back(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_partitioning)
+
+        write_version(self._old(spark, 0, 10), tdir,
+                      partition_by=["p"])
+        evolve_partitioning(tdir, None)
+        write_version(_df(spark, 50, 60), tdir, "append")  # plain dir
+        assert read_version(spark, tdir).count() == 20
+        evolve_partitioning(tdir, ["p"])
+        write_version(self._old(spark, 90, 95), tdir, "append",
+                      partition_by=["p"])
+        got = read_version(spark, tdir)
+        assert got.count() == 25
+        # no-op evolve returns current version, publishes nothing
+        latest = latest_version(tdir)
+        assert evolve_partitioning(tdir, ["p"]) == latest
+        assert latest_version(tdir) == latest
+
+    def test_cow_merge_heals_evolved_table(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_partitioning, merge_version)
+
+        write_version(self._old(spark, 0, 20), tdir,
+                      partition_by=["p"])
+        evolve_partitioning(tdir, ["q"])
+        new = _df(spark, 100, 110).withColumn(
+            "q", (F.col("id") % 2).cast("string"))
+        write_version(new, tdir, "append", partition_by=["q"])
+        upd = spark.createDataFrame([(5, 555, "1")],
+                                    "id long, x long, q string")
+        merge_version(spark, tdir, upd, "id")
+        m = history(tdir)[-1]
+        assert "dir_partition_by" not in m       # healed to uniform
+        assert m["partition_by"] == ["q"]
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir)
+               .collect()}
+        assert got[5] == 555 and len(got) == 30
+
+    def test_mor_merge_and_compact_on_evolved_table(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_partitioning, merge_version)
+
+        write_version(self._old(spark, 0, 20), tdir,
+                      partition_by=["p"])
+        evolve_partitioning(tdir, None)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 555)],
+                                            "id long, x long"),
+                      "id", strategy="mor")
+        m = history(tdir)[-1]
+        assert m["dir_partition_by"]              # map rides the merge
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir)
+               .collect()}
+        assert got[5] == 555 and len(got) == 20
+        compact(spark, tdir)
+        m = history(tdir)[-1]
+        assert "dir_partition_by" not in m        # compact heals
+        assert {r["id"]: r["x"] for r in read_version(spark, tdir)
+                .collect()} == got
