@@ -445,7 +445,22 @@ def _apply_clustering(df: DataFrame, sort_by: list[str],
     listed column gets NARROW per-file ranges, so a two-column range
     predicate prunes files on either/both columns instead of only the
     leading one. Pure JVM expressions; the curve key is dropped
-    before writing."""
+    before writing.
+
+    The default file count is pinned to the session's
+    shuffle-partition setting EXPLICITLY: an argless
+    repartitionByRange participates in AQE partition coalescing,
+    which on an AQE-on session (cluster masters) folds a small sorted
+    commit into one file — silently discarding the disjoint per-file
+    zone maps the caller asked for (found by the r11 cluster-mode
+    suite run). An explicit count bypasses AQE and keeps the
+    documented contract on every master."""
+    if sort_files is None:
+        try:
+            sort_files = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):  # exotic conf ("auto"):
+            sort_files = None            # let the engine decide
     if mode == "range":
         cols = [F.col(c) for c in sort_by]
         df = (df.repartitionByRange(sort_files, *cols) if sort_files
