@@ -640,19 +640,22 @@ def time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("lang").isNotNull())
             .select("doc_id", "lang"))
     tdir = Path(tempfile.mkdtemp(prefix="tt_asof_")) / "docs_v"
-    write_version(docs.coalesce(4), tdir, "overwrite")
+    v0 = write_version(docs.coalesce(4), tdir, "overwrite")
     updates = (docs.where(F.col("doc_id") % 13 == 0)
                .withColumn("lang", F.lit("xx")))
-    merge_version(spark, tdir, updates, "doc_id", strategy="mor")
+    # v1 == v0 on a zero-row input (an empty CDC batch is a version
+    # no-op by contract): both AS OF clauses then pin the same empty
+    # snapshot — the query must execute, not assume rows exist
+    v1 = merge_version(spark, tdir, updates, "doc_id", strategy="mor")
     register_versioned_table(spark, "tt_docs", tdir)
-    sql = rewrite_as_of(spark, """
+    sql = rewrite_as_of(spark, f"""
         SELECT coalesce(o.lang, n.lang) AS lang,
                coalesce(o.n, CAST(0 AS BIGINT)) AS n_v0,
                coalesce(n.n, CAST(0 AS BIGINT)) AS n_v1
         FROM (SELECT lang, count(*) AS n
-              FROM tt_docs FOR VERSION AS OF 0 GROUP BY lang) o
+              FROM tt_docs FOR VERSION AS OF {v0} GROUP BY lang) o
         FULL OUTER JOIN
              (SELECT lang, count(*) AS n
-              FROM tt_docs FOR VERSION AS OF 1 GROUP BY lang) n
+              FROM tt_docs FOR VERSION AS OF {v1} GROUP BY lang) n
         ON o.lang = n.lang""")
     return spark.sql(sql)

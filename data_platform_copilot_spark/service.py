@@ -350,6 +350,46 @@ class CopilotService:
         except VersionedTableError as exc:
             return {"error": str(exc), "status": 400}
 
+    def _versioned_dir(self, name: str) -> str:
+        from .gateway import registered_versioned_tables
+        tdir = registered_versioned_tables().get(name)
+        if tdir is None:
+            raise VersionedTableError(
+                f"unknown versioned table: {name!r}")
+        return tdir
+
+    def versioned_compact(self, name: str,
+                          target_files: int = 8) -> dict[str, Any]:
+        """Small-file repair on a registered table (re-clusters on the
+        recorded sort_by intent, folds deletion vectors) and refreshes
+        the latest-view."""
+        from .sources.versioned import (_read_manifest, compact,
+                                        latest_version)
+        from pathlib import Path
+        try:
+            tdir = self._versioned_dir(name)
+            m = _read_manifest(Path(tdir), latest_version(tdir))
+            v = compact(self.spark, tdir, target_files=target_files,
+                        sort_by=m.get("sort_by"),
+                        cluster=m.get("cluster") or "auto")
+            register_versioned_table(self.spark, name, tdir)
+        except VersionedTableError as exc:
+            return {"error": str(exc), "status": 400}
+        REGISTRY.inc("versioned_service_compactions")
+        return {"name": name, "version": v}
+
+    def versioned_vacuum(self, name: str, keep_last: int = 1,
+                         min_age_s: float = 3600.0) -> dict[str, Any]:
+        """Retention cleanup on a registered table; returns the dirs
+        deleted (time travel reaches only retained versions after)."""
+        from .sources.versioned import vacuum
+        try:
+            deleted = vacuum(self._versioned_dir(name),
+                             keep_last=keep_last, min_age_s=min_age_s)
+        except VersionedTableError as exc:
+            return {"error": str(exc), "status": 400}
+        return {"name": name, "deleted": deleted}
+
     def demo_seed_events(self, rows: int = 150_000) -> dict[str, Any]:
         """Seed the deterministic demo ``events`` table at ``rows``
         rows and register it in the session catalog."""
@@ -460,6 +500,8 @@ def create_fastapi_app(service: CopilotService):
     app.delete("/views/{name}")(service.view_delete)
     app.post("/versioned/{name}/register")(service.versioned_register)
     app.get("/versioned/{name}/history")(service.versioned_history)
+    app.post("/versioned/{name}/compact")(service.versioned_compact)
+    app.post("/versioned/{name}/vacuum")(service.versioned_vacuum)
     return app
 
 

@@ -319,6 +319,64 @@ def _harvest_stats(root: Path, data_dir: str) -> dict[str, list]:
     return _harvest_all(root, data_dir)[1]
 
 
+_PART_INT = {"tinyint", "smallint", "int", "bigint"}
+_PART_FLOAT = {"float", "double"}
+
+
+def _harvest_partition_stats(root: Path, data_dir: str,
+                             parts: list[str],
+                             schema: dict) -> dict[str, list]:
+    """Zone-map bounds for PARTITION columns of a hive-laid dir,
+    folded from the ``k=v`` path segments (values never reach parquet
+    footers, so ``_harvest_all`` cannot see them). Lets ``skip=`` /
+    auto-pushdown drop a whole version dir at the MANIFEST level —
+    before Spark even lists its (possibly thousands of) partition
+    leaves — the per-dir analogue of Delta's partition-value stats.
+
+    NULL leaves (``__HIVE_DEFAULT_PARTITION__``) are excluded from
+    the fold, which is sound for the comparison predicates pruning
+    supports: NULL satisfies none of them, so a dir whose non-null
+    values prove empty holds no matching rows either. A value that
+    fails to parse under the committed type poisons that column's
+    stats for the dir (kept, never pruned)."""
+    out: dict[str, list] = {}
+    try:
+        for col in parts:
+            t = (schema.get(col) or "string").split("(")[0]
+            vals = set()
+            poisoned = False
+            for p in (root / data_dir).rglob(f"{col}=*"):
+                if not p.is_dir():
+                    continue
+                if p.name.split("=", 1)[1] == _HIVE_NULL:
+                    continue
+                raw = unquote(p.name.split("=", 1)[1])
+                try:
+                    if t in _PART_INT:
+                        vals.add(int(raw))
+                    elif t in _PART_FLOAT:
+                        v = float(raw)
+                        if _is_nan(v):
+                            poisoned = True
+                            break
+                        vals.add(v)
+                    elif t == "boolean":
+                        vals.add(raw == "true")
+                    elif t == "string":
+                        vals.add(raw)
+                    else:  # date/timestamp/decimal: not stat types
+                        poisoned = True
+                        break
+                except ValueError:
+                    poisoned = True
+                    break
+            if vals and not poisoned:
+                out[col] = [min(vals), max(vals)]
+    except OSError:
+        return {}
+    return out
+
+
 _SKIP_OPS = {
     "=": lambda lo, hi, v: lo <= v <= hi,
     "<": lambda lo, hi, v: lo < v,
@@ -598,6 +656,12 @@ def write_version(df: DataFrame, table_dir: str | Path,
     own_file_stats, own_stats = _harvest_all(root, data_dir)
     if not sort_by:
         own_file_stats = {}  # file granularity pays only when sorted
+    if partition_by:
+        # partition values live in path segments, not footers: fold
+        # them into the dir zone map so skip/auto-pushdown can drop
+        # whole version dirs before listing their partition leaves
+        own_stats = {**own_stats, **_harvest_partition_stats(
+            root, data_dir, partition_by, own_schema)}
 
     for _ in range(_MAX_COMMIT_RETRIES):
         dirs, schema = [data_dir], dict(own_schema)
@@ -1266,7 +1330,9 @@ def _merge_once(spark: SparkSession, root: Path,
             m = {"version": version, "mode": "merge",
                  "data_dirs": [data_dir],
                  "schema": schema, "partition_by": parts}
-            st = _harvest_stats(root, data_dir)
+            st = {**_harvest_stats(root, data_dir),
+                  **_harvest_partition_stats(root, data_dir, parts,
+                                             schema)}
             if st:
                 m["dir_stats"] = {data_dir: st}
             _publish_manifest(root, m)
@@ -1343,7 +1409,8 @@ def _merge_once(spark: SparkSession, root: Path,
         # stats only for the fresh rewrite dir: carried entries are
         # partition-leaf SUBPATHS whose prior top-dir stats no longer
         # key them — they stay stat-less (always kept by skip, safe)
-        st = _harvest_stats(root, data_dir)
+        st = {**_harvest_stats(root, data_dir),
+              **_harvest_partition_stats(root, data_dir, parts, schema)}
         if st:
             m["dir_stats"] = {data_dir: st}
         _publish_manifest(root, m)
@@ -1425,6 +1492,9 @@ def _merge_mor(spark: SparkSession, root: Path,
                        data_dir: own_schema}
         dir_stats = dict(prev_manifest.get("dir_stats") or {})
         st = _harvest_stats(root, data_dir)
+        if parts:
+            st = {**st, **_harvest_partition_stats(root, data_dir,
+                                                   parts, own_schema)}
         if st:
             dir_stats[data_dir] = st
         # file_stats carry forward too: the prior dirs' files are

@@ -152,3 +152,25 @@ class TestServiceTimeTravel:
     def test_unknown_history_is_400(self, client):
         out = client.get("/versioned/never_registered/history").json()
         assert out["status"] == 400
+
+    def test_handlers_compact_and_vacuum(self, spark, service, tdir):
+        _commit_two_versions(spark, tdir)
+        service.versioned_register("tt_m", str(tdir))
+        out = service.versioned_compact("tt_m", target_files=2)
+        assert out == {"name": "tt_m", "version": 2}
+        hist = service.versioned_history("tt_m")["history"]
+        assert hist[-1]["mode"] == "overwrite"
+        assert hist[-1]["n_delete_vectors"] == 0    # folded
+        # latest-view refreshed: plain SELECT sees the compacted table
+        run = sql_run(spark, "SELECT sum(x) AS s FROM tt_m")
+        assert run.preview[0]["s"] \
+            == sum(2 * i for i in range(3, 10)) + 3 * 999
+        out = service.versioned_vacuum("tt_m", keep_last=1,
+                                       min_age_s=0.0)
+        assert set(out["deleted"])                  # old dirs dropped
+        # retained snapshot still exact after vacuum
+        run = sql_run(spark, "SELECT sum(x) AS s FROM tt_m")
+        assert run.preview[0]["s"] \
+            == sum(2 * i for i in range(3, 10)) + 3 * 999
+        assert service.versioned_compact("nope")["status"] == 400
+        assert service.versioned_vacuum("nope")["status"] == 400

@@ -241,10 +241,12 @@ class TestPartitionScopedMerge:
         merge_version(spark, tdir, updates, "id")
         pruned = read_version(spark, tdir).where(F.col("part") == "2")
         assert pruned.count() == 10
-        # physical pruning: the part=0/3 carried-leaf branches fold
-        # away entirely (their literal part column makes the filter
-        # constant-false), leaving exactly two scans — the part=2
-        # leaf, and the merge dir under a partition filter
+        # physical pruning, strengthened twice: the part=0/3
+        # carried-leaf branches fold away (their literal part column
+        # makes the filter constant-false), and since r11 the merge
+        # dir itself — whose manifest partition-value stats prove it
+        # holds only part=1 — is dropped MANIFEST-level by auto
+        # pushdown, leaving exactly ONE scan: the part=2 leaf
         import re
         old = spark.conf.get("spark.sql.maxMetadataStringLength")
         spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
@@ -253,11 +255,8 @@ class TestPartitionScopedMerge:
         finally:
             spark.conf.set("spark.sql.maxMetadataStringLength", old)
         locs = re.findall(r"Location: InMemoryFileIndex[^\]]*\]", plan)
-        assert len(locs) == 2, plan[:2000]
-        assert sum(loc.rstrip("]").endswith("part=2")
-                   for loc in locs) == 1, locs
-        assert re.search(r"PartitionFilters: \[[^\]]*part[^\]]*\]",
-                         plan), plan[:2000]
+        assert len(locs) == 1, plan[:2000]
+        assert locs[0].rstrip("]").endswith("part=2"), locs
 
     def test_merge_conflict_detected(self, spark, tdir):
         """A commit landing between a merge's snapshot read and its
@@ -2007,3 +2006,62 @@ class TestPartitionEvolution:
         assert "dir_partition_by" not in m        # compact heals
         assert {r["id"]: r["x"] for r in read_version(spark, tdir)
                 .collect()} == got
+
+
+class TestPartitionValueStats:
+    """Partition columns live in path segments, not parquet footers;
+    _harvest_partition_stats folds them into the dir zone map so
+    skip/auto-pushdown drops whole version dirs at the MANIFEST level
+    — before Spark lists their partition leaves (r11)."""
+
+    def test_partitioned_append_log_prunes_manifest_level(self, spark,
+                                                          tdir):
+        for i in range(4):  # day-partitioned append log
+            df = _df(spark, i * 10, (i + 1) * 10).withColumn(
+                "day", F.lit(i))
+            write_version(df, tdir, "append" if i else "overwrite",
+                          partition_by=["day"])
+        m = history(tdir)[-1]
+        assert all(m["dir_stats"][d]["day"] == [i, i]
+                   for i, d in enumerate(m["data_dirs"]))
+        skipped = read_version(spark, tdir, skip=[("day", "=", 2)])
+        dirs = {f.split("/data-")[1].split("/")[0]
+                for f in skipped.inputFiles()}
+        assert len(dirs) == 1
+        assert sorted(r["id"] for r in skipped.collect()) \
+            == list(range(20, 30))
+        auto = read_version(spark, tdir).where(F.col("day") >= 3)
+        assert len({f.split("/data-")[1].split("/")[0]
+                    for f in auto.inputFiles()}) == 1
+        assert sorted(r["id"] for r in auto.collect()) \
+            == list(range(30, 40))
+
+    def test_string_partitions_null_leaf_excluded(self, spark, tdir):
+        df = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)],
+                                   "id long, g string")
+        write_version(df, tdir, "overwrite", partition_by=["g"])
+        m = history(tdir)[-1]
+        assert m["dir_stats"][m["data_dirs"][0]]["g"] == ["a", "b"]
+        # bounds prove emptiness for a never-present value (the NULL
+        # leaf cannot match a comparison predicate, so dropping the
+        # dir is sound)
+        assert read_version(spark, tdir,
+                            skip=[("g", "=", "zz")]).count() == 0
+        got = {r["id"] for r in read_version(
+            spark, tdir, skip=[("g", "=", "a")]).collect()}
+        assert got == {1}
+
+    def test_mor_merge_dir_carries_partition_stats(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        df = _df(spark, 0, 20).withColumn(
+            "day", (F.col("id") / 10).cast("int"))
+        write_version(df, tdir, "overwrite", partition_by=["day"])
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 555, 0)],
+                                            "id long, x long, day int"),
+                      "id", strategy="mor")
+        m = history(tdir)[-1]
+        upd_dir = m["data_dirs"][-1]
+        assert m["dir_stats"][upd_dir]["day"] == [0, 0]
