@@ -368,7 +368,11 @@ class CopilotService:
         from pathlib import Path
         try:
             tdir = self._versioned_dir(name)
-            m = _read_manifest(Path(tdir), latest_version(tdir))
+            latest = latest_version(tdir)
+            if latest is None:
+                raise VersionedTableError(
+                    f"not a versioned table: {tdir}")
+            m = _read_manifest(Path(tdir), latest)
             v = compact(self.spark, tdir, target_files=target_files,
                         sort_by=m.get("sort_by"),
                         cluster=m.get("cluster") or "auto")
@@ -389,6 +393,24 @@ class CopilotService:
         except VersionedTableError as exc:
             return {"error": str(exc), "status": 400}
         return {"name": name, "deleted": deleted}
+
+    def versioned_diff(self, name: str, key: str, v_from: int,
+                       v_to: int | None = None,
+                       include_values: bool = False,
+                       limit: int = 200) -> dict[str, Any]:
+        """Row-level change feed between two versions (Delta
+        table_changes shape) — capped preview through HTTP."""
+        from .sources.versioned import diff_versions
+        try:
+            df = diff_versions(self.spark, self._versioned_dir(name),
+                               key, v_from, v_to,
+                               include_values=include_values)
+            rows = [_jsonable(r.asDict()) for r in
+                    df.limit(limit).collect()]
+        except VersionedTableError as exc:
+            return {"error": str(exc), "status": 400}
+        return {"name": name, "v_from": v_from, "v_to": v_to,
+                "changes": rows}
 
     def demo_seed_events(self, rows: int = 150_000) -> dict[str, Any]:
         """Seed the deterministic demo ``events`` table at ``rows``
@@ -502,6 +524,7 @@ def create_fastapi_app(service: CopilotService):
     app.get("/versioned/{name}/history")(service.versioned_history)
     app.post("/versioned/{name}/compact")(service.versioned_compact)
     app.post("/versioned/{name}/vacuum")(service.versioned_vacuum)
+    app.get("/versioned/{name}/diff")(service.versioned_diff)
     return app
 
 

@@ -1541,8 +1541,15 @@ def _merge_mor(spark: SparkSession, root: Path,
                     shutil.rmtree(root / del_dir, ignore_errors=True)
                     return done
             version = prev + 1
-            # dir names keep the stale version number after a bump —
-            # cosmetic only; readers follow manifest entries
+            # keep dir names honest after the version bump (same as
+            # write_version's rename; readers only ever follow
+            # manifest entries, and the dirs are unpublished + young,
+            # so neither readers nor vacuum can observe the rename)
+            new_data = f"data-{version}-{token}"
+            new_del = f"delete-{version}-{token}"
+            os.rename(root / data_dir, root / new_data)
+            os.rename(root / del_dir, root / new_del)
+            data_dir, del_dir = new_data, new_del
     raise VersionedTableError(
         f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
 

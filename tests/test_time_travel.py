@@ -174,3 +174,14 @@ class TestServiceTimeTravel:
             == sum(2 * i for i in range(3, 10)) + 3 * 999
         assert service.versioned_compact("nope")["status"] == 400
         assert service.versioned_vacuum("nope")["status"] == 400
+
+    def test_handler_diff_change_feed(self, spark, service, tdir):
+        _commit_two_versions(spark, tdir)
+        service.versioned_register("tt_d", str(tdir))
+        out = service.versioned_diff("tt_d", key="id", v_from=0,
+                                     v_to=1, include_values=True)
+        changed = {c["id"]: c for c in out["changes"]}
+        assert set(changed) == {0, 1, 2}
+        assert all(c["change_type"] == "update"
+                   and c["new_x"] == 999 for c in changed.values())
+        assert service.versioned_diff("nope", "id", 0)["status"] == 400

@@ -2065,3 +2065,40 @@ class TestPartitionValueStats:
         m = history(tdir)[-1]
         upd_dir = m["data_dirs"][-1]
         assert m["dir_stats"][upd_dir]["day"] == [0, 0]
+
+
+class TestMorCasLossRename:
+    def test_mor_cas_loss_renames_dirs_honestly(self, spark, tdir,
+                                                monkeypatch):
+        """A MoR merge losing the version CAS to an interleaved append
+        retries under the bumped version AND renames its staged dirs
+        to match (r10 verdict wart closed — dir names no longer keep
+        the stale number; readers were always correct either way)."""
+        from data_platform_copilot_spark.sources import versioned as V
+
+        write_version(_df(spark, 0, 10), tdir)
+        orig = V._publish_manifest
+        state = {"stolen": False}
+
+        def interpose(root, manifest):
+            if not state["stolen"] and manifest.get("mode") == "merge-mor":
+                state["stolen"] = True
+                write_version(_df(spark, 100, 105), tdir, "append")
+            return orig(root, manifest)
+
+        monkeypatch.setattr(V, "_publish_manifest", interpose)
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+        v = merge_version(spark, tdir,
+                          spark.createDataFrame([(5, 555)],
+                                                "id long, x long"),
+                          "id", strategy="mor")
+        assert v == 2
+        m = history(tdir)[-1]
+        assert m["data_dirs"][-1].startswith("data-2-")
+        assert m["delete_vectors"][0]["dir"].startswith("delete-2-")
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir)
+               .collect()}
+        want = {i: 2 * i for i in list(range(10)) + list(range(100, 105))}
+        want[5] = 555
+        assert got == want

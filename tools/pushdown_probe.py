@@ -1,0 +1,75 @@
+"""Auto-pushdown probe at x10 (r11): the r10 zone-map probe shape —
+a 1M-row, 24-append ingest log — but driven through PLAIN ``.where``
+instead of a hand-passed ``skip=`` list. Measures dirs scanned + warm
+time for (a) pre-r11 behavior (no manifest pruning), (b) manual
+``skip=``, (c) plain ``.where`` via the r11 auto-derivation, and
+checks all three return identical rows.
+
+Usage: python tools/pushdown_probe.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def dirs_of(df) -> int:
+    return len({f.split("/data-")[1].split("/")[0]
+                for f in df.inputFiles()})
+
+
+def warm_time(make, runs: int = 5) -> float:
+    make().collect()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        make().collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from data_platform_copilot_spark.session import get_spark
+    from data_platform_copilot_spark.sources import versioned as V
+
+    spark = get_spark("pushdown-probe")
+    import tempfile
+    tdir = Path(tempfile.mkdtemp(prefix="pushdown_probe_")) / "log"
+    n, appends = 1_000_000, 24
+    width = n // appends
+    for i in range(appends):
+        df = (spark.range(i * width, (i + 1) * width)
+              .select(F.col("id"),
+                      (F.col("id") % 7).alias("v"),
+                      (F.col("id") * 3).alias("x")))
+        V.write_version(df, tdir, "append" if i else "overwrite")
+    lo = (appends - 1) * width  # one-dir tail predicate
+    pred = [("id", ">=", lo)]
+
+    unpruned = lambda: V._read_version_at(          # noqa: E731
+        spark, tdir, V.latest_version(tdir), None) \
+        .where(F.col("id") >= lo)
+    manual = lambda: V.read_version(spark, tdir, skip=pred)  # noqa: E731
+    auto = lambda: V.read_version(spark, tdir) \
+        .where(F.col("id") >= lo)                    # noqa: E731
+
+    rows = {k: sorted(r["id"] for r in fn().collect())
+            for k, fn in (("unpruned", unpruned), ("manual", manual),
+                          ("auto", auto))}
+    assert rows["unpruned"] == rows["manual"] == rows["auto"]
+    assert len(rows["auto"]) == width
+    print(f"rows: {width} identical across all three paths")
+    for k, fn in (("unpruned", unpruned), ("manual", manual),
+                  ("auto", auto)):
+        print(f"{k:9s} dirs={dirs_of(fn()):2d} "
+              f"warm={warm_time(fn):.3f}s")
+
+
+if __name__ == "__main__":
+    main()
