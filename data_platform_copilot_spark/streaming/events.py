@@ -875,7 +875,9 @@ def run_streaming_versioned_sink(spark: SparkSession, sf_dir: str,
 
 def run_streaming_mor_upsert_sink(spark: SparkSession, sf_dir: str,
                                   n_files: int = 6, n_entities: int = 64,
-                                  work_dir: str | None = None) -> dict:
+                                  work_dir: str | None = None,
+                                  auto_compact_vectors: int | None = 10
+                                  ) -> dict:
     """Streaming CDC UPSERT into a versioned table via merge-on-read
     deletion vectors, exactly-once: each micro-batch folds to one row
     per entity (``entity = event_id % n_entities``, value = the
@@ -895,7 +897,8 @@ def run_streaming_mor_upsert_sink(spark: SparkSession, sf_dir: str,
     Scale: this is the shape of a CDC tail landing in a 100 TB
     entity table — per-batch bytes written are the batch's entity
     count, reads pay one broadcast anti-join per outstanding vector,
-    and periodic compaction bounds the stack.
+    and ``auto_compact_vectors`` (engine-triggered MoR auto-
+    compaction, r11) bounds the stack without operator intervention.
     """
     from ..sources.registry import load_table
     from ..sources.versioned import (
@@ -938,7 +941,8 @@ def run_streaming_mor_upsert_sink(spark: SparkSession, sf_dir: str,
                               F.greatest("value", "cur_value")
                               .alias("value")))
             merge_version(spark, table, folded, "entity",
-                          strategy="mor", txn=("events_mor", bid))
+                          strategy="mor", txn=("events_mor", bid),
+                          auto_compact_vectors=auto_compact_vectors)
         replay["last"] = (bdf, bid)
 
     stream = (spark.readStream.schema(schema)

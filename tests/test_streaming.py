@@ -390,3 +390,32 @@ class TestMorUpsertStreamSink:
         assert (out["versions_after_replay"]
                 == out["versions_before_replay"])
         assert "delete_vectors" not in out["history"][-1]
+
+
+class TestMorStreamAutoCompact:
+    def test_mid_stream_auto_compaction_keeps_equality(
+            self, spark, sf_dir, tmp_path):
+        """The sink with a small auto_compact_vectors threshold lets
+        the ENGINE trigger compaction mid-stream (r11): vectors never
+        stack past the threshold, the final state still equals the
+        batch answer, and the replayed batch stays a version no-op."""
+        from data_platform_copilot_spark.streaming.events import (
+            run_streaming_mor_upsert_sink)
+
+        out = run_streaming_mor_upsert_sink(
+            spark, sf_dir, n_files=6, n_entities=32,
+            work_dir=str(tmp_path), auto_compact_vectors=2)
+        want = {(r["entity"], r["value"])
+                for r in out["expected"].collect()}
+        assert {(r["entity"], r["value"])
+                for r in out["rows_pre_compact"].collect()} == want
+        assert {(r["entity"], r["value"])
+                for r in out["rows"].collect()} == want
+        # the policy fired: the stack was folded mid-stream, so the
+        # final outstanding count is bounded by the threshold (not
+        # the 5 merges the stream performed)
+        assert out["n_vectors"] < 5
+        assert any(m["mode"] == "overwrite" and m["version"] > 0
+                   for m in out["history"])
+        assert (out["versions_after_replay"]
+                == out["versions_before_replay"])

@@ -2102,3 +2102,71 @@ class TestMorCasLossRename:
         want = {i: 2 * i for i in list(range(10)) + list(range(100, 105))}
         want[5] = 555
         assert got == want
+
+
+class TestOperatingRecipeEndToEnd:
+    def test_full_table_lifecycle_story(self, spark, tdir):
+        """The whole r11 table-format feature set in ONE realistic
+        sequence — a day-partitioned ingest log that takes CDC
+        upserts, evolves its partition grain, answers time-travel
+        SQL, auto-compacts, and survives retention cleanup — with
+        value checks at every step."""
+        from data_platform_copilot_spark.gateway import (
+            register_versioned_table, sql_run, table_history)
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_partitioning, merge_version, vacuum)
+
+        # 1. three daily partitioned appends
+        for day in range(3):
+            df = (spark.range(day * 100, (day + 1) * 100)
+                  .select(F.col("id"), (F.col("id") % 5).alias("v"),
+                          F.lit(day).alias("day")))
+            write_version(df, tdir, "append" if day else "overwrite",
+                          partition_by=["day"])
+        # partition-value stats prune a day query to 1 of 3 dirs
+        one_day = read_version(spark, tdir).where(F.col("day") == 1)
+        assert len({f.split("/data-")[1].split("/")[0]
+                    for f in one_day.inputFiles()}) == 1
+        assert one_day.count() == 100
+
+        # 2. CDC tail: MoR upserts, auto-compaction folds at 2
+        for i in range(2):
+            merge_version(
+                spark, tdir,
+                spark.createDataFrame([(i, 99, 0)],
+                                      "id long, v long, day int"),
+                "id", strategy="mor", auto_compact_vectors=2)
+        m = history(tdir)[-1]
+        assert "delete_vectors" not in m          # engine folded
+        assert m["mode"] == "overwrite"
+        got = {r["id"]: r["v"] for r in
+               read_version(spark, tdir).collect()}
+        assert got[0] == got[1] == 99 and len(got) == 300
+
+        # 3. grain change: re-partition by v going forward, no rewrite
+        evolve_partitioning(tdir, ["v"])
+        new = (spark.range(300, 350)
+               .select(F.col("id"), (F.col("id") % 5).alias("v"),
+                       F.lit(9).alias("day")))
+        write_version(new, tdir, "append", partition_by=["v"])
+        assert read_version(spark, tdir).count() == 350
+
+        # 4. time travel through SQL: state before the evolution
+        register_versioned_table(spark, "recipe_log", tdir)
+        hist = table_history("recipe_log")
+        pre_evolve = [h["version"] for h in hist
+                      if h["mode"] == "overwrite"][-1]
+        run = sql_run(spark, f"SELECT count(*) AS n FROM recipe_log "
+                             f"FOR VERSION AS OF {pre_evolve}")
+        assert run.preview[0]["n"] == 300
+        run = sql_run(spark, "SELECT count(*) AS n FROM recipe_log")
+        assert run.preview[0]["n"] == 350
+
+        # 5. retention: vacuum to the latest snapshot only; current
+        # reads stay exact, old versions are gone
+        deleted = vacuum(tdir, keep_last=1, min_age_s=0.0)
+        assert deleted
+        assert read_version(spark, tdir).count() == 350
+        got = {r["id"]: r["v"] for r in
+               read_version(spark, tdir).collect()}
+        assert got[0] == 99 and got[320] == 320 % 5
