@@ -36,13 +36,18 @@ from ..sources.versioned import (VersionedTableError, history,
                                  latest_version, read_version)
 from .sql_runner import IncorrectQuestionError
 
-# name -> table_dir for tables opted into the SQL surface
+# lowercased name -> table_dir (Spark SQL identifiers are
+# case-insensitive; the lookup must match the resolver's semantics)
 _VERSIONED_TABLES: dict[str, str] = {}
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
 AS_OF_RE = re.compile(
     rf"\b({_IDENT})\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
     r"('[^']*'|\d+)", re.IGNORECASE)
+# spans the rewrite must never touch: quoted string literals (''
+# escapes included) and line comments — an AS OF phrase INSIDE a
+# literal is data, not syntax
+_QUOTED_OR_COMMENT_RE = re.compile(r"'(?:[^']|'')*'|--[^\n]*")
 
 
 def register_versioned_table(spark: SparkSession, name: str,
@@ -58,7 +63,7 @@ def register_versioned_table(spark: SparkSession, name: str,
     if v is None:
         raise VersionedTableError(f"not a versioned table: {table_dir}")
     read_version(spark, table_dir).createOrReplaceTempView(name)
-    _VERSIONED_TABLES[name] = str(table_dir)
+    _VERSIONED_TABLES[name.lower()] = str(table_dir)
     return v
 
 
@@ -69,10 +74,10 @@ def registered_versioned_tables() -> dict[str, str]:
 def table_history(name: str) -> list[dict]:
     """Manifest log of a registered table, oldest first, trimmed to
     the audit fields (the /versioned/{name}/history payload)."""
-    if name not in _VERSIONED_TABLES:
+    if name.lower() not in _VERSIONED_TABLES:
         raise VersionedTableError(f"unknown versioned table: {name!r}")
     out = []
-    for m in history(_VERSIONED_TABLES[name]):
+    for m in history(_VERSIONED_TABLES[name.lower()]):
         out.append({"version": m["version"], "mode": m.get("mode"),
                     "committed_at": m.get("committed_at"),
                     "n_data_dirs": len(m.get("data_dirs") or []),
@@ -109,11 +114,23 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
     OF <literal>`` with a temp view pinned to the resolved snapshot.
     SQL without AS OF clauses passes through untouched; AS OF on an
     unregistered name is an explicit gateway error (better than a
-    Spark parse failure leaking out)."""
+    Spark parse failure leaking out). Matches inside quoted string
+    literals or ``--`` comments are data, not syntax, and are never
+    rewritten (block comments are already rejected upstream by
+    ``is_safe``). Names resolve case-insensitively, matching Spark's
+    identifier semantics."""
+    protected = [m.span() for m in _QUOTED_OR_COMMENT_RE.finditer(sql)]
 
-    def _sub(m: re.Match) -> str:
+    def _in_protected(start: int) -> bool:
+        # only the match START matters: a TIMESTAMP AS OF match ends
+        # in its own quoted literal, which is part of the syntax —
+        # what must never rewrite is a phrase BEGINNING inside a
+        # string/comment
+        return any(s <= start < e for s, e in protected)
+
+    def _resolve(m: re.Match) -> str:
         name, kind, literal = m.group(1), m.group(2).upper(), m.group(3)
-        tdir = _VERSIONED_TABLES.get(name)
+        tdir = _VERSIONED_TABLES.get(name.lower())
         if tdir is None:
             raise IncorrectQuestionError(
                 f"{name!r} is not a registered versioned table")
@@ -124,7 +141,7 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
             version = int(literal)
         else:
             version = _resolve_timestamp(tdir, literal.strip("'"))
-        view = f"{name}__asof_{version}"
+        view = f"{name.lower()}__asof_{version}"
         try:
             read_version(spark, tdir, version=version) \
                 .createOrReplaceTempView(view)
@@ -132,4 +149,12 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
             raise IncorrectQuestionError(str(exc)) from exc
         return view
 
-    return AS_OF_RE.sub(_sub, sql)
+    out, last = [], 0
+    for m in AS_OF_RE.finditer(sql):
+        if _in_protected(m.start()):
+            continue
+        out.append(sql[last:m.start()])
+        out.append(_resolve(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)

@@ -34,14 +34,13 @@ def bucketize(col: Column, max_col: Column, bits: int = 8) -> Column:
 
 def interleave(x: Column, y: Column, bits: int = 8) -> Column:
     """Morton interleave: bit b of x lands at position 2b, bit b of
-    y at 2b+1. A sum of 2*bits shift/mask terms — whole-stage
-    codegen folds it into straight-line long arithmetic."""
-    terms = []
-    for b in range(bits):
-        terms.append(F.shiftleft(F.shiftright(x, b).bitwiseAND(1), 2 * b))
-        terms.append(F.shiftleft(F.shiftright(y, b).bitwiseAND(1),
-                                 2 * b + 1))
-    return reduce(lambda a, c: a + c, terms)
+    y at 2b+1 — the 2-D case of ``interleave_many`` (single bit-math
+    implementation; the oracle SQL replays this exact layout).
+    Whole-stage codegen folds the terms into straight-line long
+    arithmetic. (``bucketize`` deliberately does NOT delegate to
+    ``bucketize_minmax``: its 1-based max-only scaling is pinned
+    bit-for-bit by the zorder oracle entries.)"""
+    return interleave_many([x, y], bits)
 
 
 def bucketize_minmax(col: Column, min_col: Column, max_col: Column,

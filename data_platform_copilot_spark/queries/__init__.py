@@ -41,8 +41,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # verdict (it was position 51 in the r10 window after the
     # review-caught off-by-one). Positions 2-50: the LONGEST-rotated
     # entries by last hash-green round, computed from the union of
-    # CORRECTNESS_r01..r10 (all 49 backfill slots land on last-green-r6
-    # entries; ties broken alphabetically for determinism).
+    # CORRECTNESS_r01..r10 — 47 backfill slots land on last-green-r6
+    # entries (all that remain besides approx_percentiles itself),
+    # the final two on the alphabetically-first last-green-r7 entries
+    # (ab_test_mann_whitney, acf_daily_value); ties broken
+    # alphabetically for determinism.
     # compression_ratio_quality stays parked BELOW position 50
     # permanently: its oracle needs a zlib UDF the driver's vanilla-SQL
     # DuckDB cannot register (r8 artifact burned a slot on

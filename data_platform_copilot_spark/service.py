@@ -352,7 +352,7 @@ class CopilotService:
 
     def _versioned_dir(self, name: str) -> str:
         from .gateway import registered_versioned_tables
-        tdir = registered_versioned_tables().get(name)
+        tdir = registered_versioned_tables().get(name.lower())
         if tdir is None:
             raise VersionedTableError(
                 f"unknown versioned table: {name!r}")
@@ -388,8 +388,14 @@ class CopilotService:
         deleted (time travel reaches only retained versions after)."""
         from .sources.versioned import vacuum
         try:
-            deleted = vacuum(self._versioned_dir(name),
-                             keep_last=keep_last, min_age_s=min_age_s)
+            tdir = self._versioned_dir(name)
+            # refresh the latest-view FIRST: the registered view's
+            # plan is pinned to the version current at registration;
+            # vacuuming while it references an older snapshot would
+            # leave a view over deleted files (review finding)
+            register_versioned_table(self.spark, name, tdir)
+            deleted = vacuum(tdir, keep_last=keep_last,
+                             min_age_s=min_age_s)
         except VersionedTableError as exc:
             return {"error": str(exc), "status": 400}
         return {"name": name, "deleted": deleted}

@@ -646,8 +646,18 @@ def write_version(df: DataFrame, table_dir: str | Path,
     data_dir = f"data-{version}-{token}"
     cluster_mode = None
     if sort_by:
-        cluster_mode = ("zorder" if len(sort_by) > 1 else "range") \
-            if cluster == "auto" else cluster
+        if cluster == "auto":
+            # z-order needs numeric dimensions; a multi-column
+            # sort_by with a string column keeps the pre-r11
+            # lexicographic behavior instead of erroring (only an
+            # EXPLICIT cluster='zorder' raises on non-numeric)
+            dtypes = dict(df.dtypes)
+            numeric = all(dtypes.get(c, "").split("(")[0]
+                          in _ZORDER_NUMERIC for c in sort_by)
+            cluster_mode = ("zorder" if len(sort_by) > 1 and numeric
+                            else "range")
+        else:
+            cluster_mode = cluster
         df = _apply_clustering(df, sort_by, sort_files, cluster_mode)
     writer = df.write.mode("error")
     if partition_by:
@@ -948,6 +958,27 @@ def _extract_skip_preds(filtered: DataFrame) -> list[tuple]:
     return out
 
 
+def _prospective_selection(manifest: dict, skip: list[tuple]):
+    """Cheap (pure-manifest, no disk IO) fingerprint of what a skip
+    list would keep: the surviving dir tuple plus the file-level
+    prunes the recorded stats would allow. Used to decide whether a
+    new ``.where`` actually changes the physical selection — if not,
+    the auto-pushdown frame skips the re-plan entirely, so
+    non-pruning filters (the common case) cost nothing over a plain
+    ``DataFrame.filter``. Slightly optimistic about file pruning
+    (the real read re-checks stats coverage against the dir's actual
+    files), which can only cause a harmless extra re-plan."""
+    dirs = manifest["data_dirs"]
+    stats = manifest.get("dir_stats") or {}
+    fstats = manifest.get("file_stats") or {}
+    kept = tuple(d for d in dirs
+                 if not skip or _dir_may_match(stats.get(d), skip))
+    pruned_files = tuple(sorted(
+        (d, f) for d in kept for f, st in (fstats.get(d) or {}).items()
+        if skip and not _dir_may_match(st, skip)))
+    return kept, pruned_files
+
+
 class _AutoSkipFrame(_BaseFrame):
     """What ``read_version`` returns: a plain DataFrame except that
     ``.where``/``.filter`` re-derives the manifest-level skip list
@@ -968,11 +999,12 @@ class _AutoSkipFrame(_BaseFrame):
         return object.__new__(cls)
 
     def __init__(self, df: DataFrame, reread, skip: list[tuple],
-                 conds: list):
+                 conds: list, manifest: dict | None = None):
         super().__init__(df._jdf, df.sparkSession)
         self._vt_reread = reread
         self._vt_skip = list(skip)
         self._vt_conds = list(conds)
+        self._vt_manifest = manifest
 
     def filter(self, condition):
         plain = super().filter(condition)
@@ -981,15 +1013,26 @@ class _AutoSkipFrame(_BaseFrame):
                  if p not in self._vt_skip]
         if preds:
             skip = self._vt_skip + preds
-            try:
-                out = self._vt_reread(skip)
-                for c in conds:
-                    out = out.filter(c)
-                return _AutoSkipFrame(out, self._vt_reread, skip, conds)
-            except Exception:
-                pass  # un-rebindable condition: keep the plain path
+            # re-plan ONLY when the extended skip list changes the
+            # physical selection; otherwise a chained .where costs
+            # exactly a plain filter (no manifest re-read, no
+            # relation rebuild — review finding on O(n^2) chains)
+            m = self._vt_manifest
+            if m is None or (_prospective_selection(m, skip)
+                             != _prospective_selection(m, self._vt_skip)):
+                try:
+                    out = self._vt_reread(skip)
+                    for c in conds:
+                        out = out.filter(c)
+                    return _AutoSkipFrame(out, self._vt_reread, skip,
+                                          conds, m)
+                except Exception:
+                    pass  # un-rebindable condition: keep plain path
+            else:
+                return _AutoSkipFrame(plain, self._vt_reread, skip,
+                                      conds, m)
         return _AutoSkipFrame(plain, self._vt_reread,
-                              self._vt_skip, conds)
+                              self._vt_skip, conds, self._vt_manifest)
 
     where = filter
 
@@ -1043,7 +1086,8 @@ def read_version(spark: SparkSession, table_dir: str | Path,
         return _read_version_at(spark, root, version, skiplist)
 
     try:
-        return _AutoSkipFrame(df, reread, skip or [], [])
+        return _AutoSkipFrame(df, reread, skip or [], [],
+                              _read_manifest(root, version))
     except Exception:  # pragma: no cover — non-classic session
         return df
 

@@ -73,6 +73,32 @@ class TestGatewayTimeTravel:
         sql = "SELECT 1 AS one"
         assert rewrite_as_of(spark, sql) == sql
 
+    def test_as_of_inside_string_literal_is_data_not_syntax(
+            self, spark, tdir):
+        _commit_two_versions(spark, tdir)
+        register_versioned_table(spark, "tt_lit", tdir)
+        # a literal mentioning an AS OF phrase must survive verbatim
+        # — registered name, unregistered name, and comment forms
+        sql = "SELECT 'tt_lit FOR VERSION AS OF 1' AS note"
+        assert rewrite_as_of(spark, sql) == sql
+        run = sql_run(spark, sql)
+        assert run.preview[0]["note"] == "tt_lit FOR VERSION AS OF 1"
+        sql = "SELECT 'see foo FOR VERSION AS OF 2' AS note"
+        assert rewrite_as_of(spark, sql) == sql
+        sql = ("SELECT sum(x) AS s FROM tt_lit FOR VERSION AS OF 0 "
+               "-- nope FOR VERSION AS OF 9")
+        assert "tt_lit__asof_0" in rewrite_as_of(spark, sql)
+        assert "nope FOR VERSION AS OF 9" in rewrite_as_of(spark, sql)
+
+    def test_table_names_resolve_case_insensitively(self, spark, tdir):
+        _commit_two_versions(spark, tdir)
+        register_versioned_table(spark, "tt_Case", tdir)
+        run = sql_run(spark, "SELECT sum(x) AS s "
+                             "FROM TT_CASE FOR VERSION AS OF 0")
+        assert run.preview[0]["s"] == sum(2 * i for i in range(10))
+        assert [h["version"] for h in table_history("TT_case")] \
+            == [0, 1]
+
     def test_register_validates(self, spark, tmp_path):
         with pytest.raises(VersionedTableError, match="not a versioned"):
             register_versioned_table(spark, "empty", tmp_path / "none")

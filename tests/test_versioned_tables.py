@@ -1851,9 +1851,15 @@ class TestZOrderClustering:
 
     def test_zorder_validation(self, spark, tmp_path):
         df = self._grid(spark).withColumn("s", F.lit("x"))
+        # auto + non-numeric column: falls back to the pre-r11
+        # lexicographic layout (no API break for existing callers)
+        write_version(df, tmp_path / "t1", "overwrite",
+                      sort_by=["s", "a"], sort_files=4)
+        assert history(tmp_path / "t1")[-1]["cluster"] == "range"
+        # only an EXPLICIT zorder request raises on non-numeric
         with pytest.raises(VersionedTableError, match="numeric"):
-            write_version(df, tmp_path / "t1", "overwrite",
-                          sort_by=["a", "s"])
+            write_version(df, tmp_path / "t1b", "overwrite",
+                          sort_by=["a", "s"], cluster="zorder")
         with pytest.raises(VersionedTableError, match="two sort_by"):
             write_version(df, tmp_path / "t2", "overwrite",
                           sort_by=["a"], cluster="zorder")
