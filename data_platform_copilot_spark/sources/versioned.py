@@ -339,42 +339,38 @@ def _harvest_partition_stats(root: Path, data_dir: str,
     values prove empty holds no matching rows either. A value that
     fails to parse under the committed type poisons that column's
     stats for the dir (kept, never pruned)."""
-    out: dict[str, list] = {}
+    vals: dict[str, set] = {c: set() for c in parts}
+    poisoned: set[str] = set()
     try:
-        for col in parts:
+        for p in (root / data_dir).rglob("*=*"):  # ONE tree walk
+            if not p.is_dir():
+                continue
+            col, seg = p.name.split("=", 1)
+            if col not in vals or col in poisoned or seg == _HIVE_NULL:
+                continue
+            raw = unquote(seg)
             t = (schema.get(col) or "string").split("(")[0]
-            vals = set()
-            poisoned = False
-            for p in (root / data_dir).rglob(f"{col}=*"):
-                if not p.is_dir():
-                    continue
-                if p.name.split("=", 1)[1] == _HIVE_NULL:
-                    continue
-                raw = unquote(p.name.split("=", 1)[1])
-                try:
-                    if t in _PART_INT:
-                        vals.add(int(raw))
-                    elif t in _PART_FLOAT:
-                        v = float(raw)
-                        if _is_nan(v):
-                            poisoned = True
-                            break
-                        vals.add(v)
-                    elif t == "boolean":
-                        vals.add(raw == "true")
-                    elif t == "string":
-                        vals.add(raw)
-                    else:  # date/timestamp/decimal: not stat types
-                        poisoned = True
-                        break
-                except ValueError:
-                    poisoned = True
-                    break
-            if vals and not poisoned:
-                out[col] = [min(vals), max(vals)]
+            try:
+                if t in _PART_INT:
+                    vals[col].add(int(raw))
+                elif t in _PART_FLOAT:
+                    v = float(raw)
+                    if _is_nan(v):
+                        poisoned.add(col)
+                    else:
+                        vals[col].add(v)
+                elif t == "boolean":
+                    vals[col].add(raw == "true")
+                elif t == "string":
+                    vals[col].add(raw)
+                else:  # date/timestamp/decimal: not stat types
+                    poisoned.add(col)
+            except ValueError:
+                poisoned.add(col)
     except OSError:
         return {}
-    return out
+    return {c: [min(v), max(v)] for c, v in vals.items()
+            if v and c not in poisoned}
 
 
 _SKIP_OPS = {
@@ -491,8 +487,12 @@ _ZORDER_NUMERIC = {"tinyint", "smallint", "int", "bigint",
 
 
 def _apply_clustering(df: DataFrame, sort_by: list[str],
-                      sort_files: int | None, mode: str) -> DataFrame:
-    """Physical clustering for a sorted commit.
+                      sort_files: int | None,
+                      cluster: str) -> tuple[DataFrame, str]:
+    """Physical clustering for a sorted commit; returns the clustered
+    frame and the RESOLVED mode (``auto`` picks z-order for >=2
+    all-numeric columns, else the pre-r11 lexicographic layout — only
+    an EXPLICIT ``zorder`` raises on non-numeric columns).
 
     ``range``: range-partition + lexicographic in-file sort —
     per-file zone maps are DISJOINT slices of the leading column (a
@@ -519,19 +519,22 @@ def _apply_clustering(df: DataFrame, sort_by: list[str],
                 "spark.sql.shuffle.partitions"))
         except (ValueError, TypeError):  # exotic conf ("auto"):
             sort_files = None            # let the engine decide
+    dtypes = dict(df.dtypes)
+    bad = [c for c in sort_by
+           if dtypes.get(c, "").split("(")[0] not in _ZORDER_NUMERIC]
+    mode = cluster
+    if cluster == "auto":
+        mode = "zorder" if len(sort_by) > 1 and not bad else "range"
     if mode == "range":
         cols = [F.col(c) for c in sort_by]
         df = (df.repartitionByRange(sort_files, *cols) if sort_files
               else df.repartitionByRange(*cols))
-        return df.sortWithinPartitions(*sort_by)
-    from ..operators.layout import bucketize_minmax, interleave_many
-    dtypes = dict(df.dtypes)
-    bad = [c for c in sort_by
-           if dtypes.get(c, "").split("(")[0] not in _ZORDER_NUMERIC]
+        return df.sortWithinPartitions(*sort_by), mode
     if bad:
         raise VersionedTableError(
             f"z-order clustering needs numeric sort_by columns, got "
             f"{bad}; pass cluster='range' for lexicographic layout")
+    from ..operators.layout import bucketize_minmax, interleave_many
     aggs = []
     for i, c in enumerate(sort_by):
         aggs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}")]
@@ -545,7 +548,7 @@ def _apply_clustering(df: DataFrame, sort_by: list[str],
           .drop(*helpers))
     df = (df.repartitionByRange(sort_files, F.col("__zkey"))
           if sort_files else df.repartitionByRange(F.col("__zkey")))
-    return df.sortWithinPartitions("__zkey").drop("__zkey")
+    return df.sortWithinPartitions("__zkey").drop("__zkey"), mode
 
 
 def write_version(df: DataFrame, table_dir: str | Path,
@@ -646,19 +649,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
     data_dir = f"data-{version}-{token}"
     cluster_mode = None
     if sort_by:
-        if cluster == "auto":
-            # z-order needs numeric dimensions; a multi-column
-            # sort_by with a string column keeps the pre-r11
-            # lexicographic behavior instead of erroring (only an
-            # EXPLICIT cluster='zorder' raises on non-numeric)
-            dtypes = dict(df.dtypes)
-            numeric = all(dtypes.get(c, "").split("(")[0]
-                          in _ZORDER_NUMERIC for c in sort_by)
-            cluster_mode = ("zorder" if len(sort_by) > 1 and numeric
-                            else "range")
-        else:
-            cluster_mode = cluster
-        df = _apply_clustering(df, sort_by, sort_files, cluster_mode)
+        df, cluster_mode = _apply_clustering(df, sort_by, sort_files,
+                                             cluster)
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -1080,21 +1072,23 @@ def read_version(spark: SparkSession, table_dir: str | Path,
         version = latest_version(root)
         if version is None:
             raise VersionedTableError(f"not a versioned table: {root}")
-    df = _read_version_at(spark, root, version, skip)
+    manifest = _read_manifest(root, version)
+    df = _read_version_at(spark, root, version, skip, manifest)
 
     def reread(skiplist: list[tuple]) -> DataFrame:
         return _read_version_at(spark, root, version, skiplist)
 
     try:
-        return _AutoSkipFrame(df, reread, skip or [], [],
-                              _read_manifest(root, version))
+        return _AutoSkipFrame(df, reread, skip or [], [], manifest)
     except Exception:  # pragma: no cover — non-classic session
         return df
 
 
 def _read_version_at(spark: SparkSession, root: Path, version: int,
-                     skip: list[tuple] | None) -> DataFrame:
-    manifest = _read_manifest(root, version)
+                     skip: list[tuple] | None,
+                     manifest: dict | None = None) -> DataFrame:
+    if manifest is None:
+        manifest = _read_manifest(root, version)
     dirs = manifest["data_dirs"]
     dvs = manifest.get("delete_vectors") or []
     stats = manifest.get("dir_stats") or {}
