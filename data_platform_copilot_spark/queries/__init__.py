@@ -39,12 +39,15 @@ from . import quality  # noqa: E402,F401
 DRIVER_GATE_PRIORITY: list[str] = [
     # r11 gate. Position 1: approx_percentiles, as ordered by the r10
     # verdict (it was position 51 in the r10 window after the
-    # review-caught off-by-one). Positions 2-50: the LONGEST-rotated
-    # entries by last hash-green round, computed from the union of
-    # CORRECTNESS_r01..r10 — 47 backfill slots land on last-green-r6
-    # entries (all that remain besides approx_percentiles itself),
-    # the final two on the alphabetically-first last-green-r7 entries
-    # (ab_test_mann_whitney, acf_daily_value); ties broken
+    # review-caught off-by-one). Position 2: time_travel_as_of, the
+    # r11-registered entry (never driver-gated — same slot policy as
+    # r10's registered_domain_rollup). Positions 3-50: the
+    # LONGEST-rotated entries by last hash-green round, computed from
+    # the union of CORRECTNESS_r01..r10 — 47 backfill slots land on
+    # last-green-r6 entries (all that remain besides
+    # approx_percentiles itself), the final slot on the
+    # alphabetically-first last-green-r7 entry (ab_test_mann_whitney;
+    # acf_daily_value was displaced to the r12 queue); ties broken
     # alphabetically for determinism.
     # compression_ratio_quality stays parked BELOW position 50
     # permanently: its oracle needs a zlib UDF the driver's vanilla-SQL
@@ -55,7 +58,9 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # value-verified every run by tests/test_queries_oracle.py.
     # ---- ordered first per the r10 verdict ----
     "approx_percentiles",
-    # ---- backfill 2-50: longest-rotated (last hash-green r6) ----
+    # ---- registered r11 (never driver-gated): time travel entry ----
+    "time_travel_as_of",
+    # ---- backfill 3-50: longest-rotated (last hash-green r6) ----
     "attribution_last_touch",
     "bigram_logprob_score",
     "bootstrap_ci_mean_value",
@@ -104,8 +109,9 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "window_distribution_funcs",
     "zorder_layout_report",
     "ab_test_mann_whitney",
-    "acf_daily_value",
     # ---- gate window ends here (50) ----
+    # displaced to the r12 backfill queue by the r11-registered entry:
+    "acf_daily_value",
     # un-hashable by the driver (UDF oracle lives in EXTRA_ORACLE):
     "compression_ratio_quality",
 ]
