@@ -379,6 +379,10 @@ _SKIP_OPS = {
     "<=": lambda lo, hi, v: lo <= v,
     ">": lambda lo, hi, v: hi > v,
     ">=": lambda lo, hi, v: hi >= v,
+    # IN-list: the dir may match iff ANY listed value falls inside
+    # its bounds (day IN (…) on an ingest log is the bread-and-butter
+    # multi-partition read)
+    "in": lambda lo, hi, vs: any(lo <= v <= hi for v in vs),
 }
 
 
@@ -393,11 +397,13 @@ def _dir_may_match(stats: dict | None, skip: list[tuple]) -> bool:
         fn = _SKIP_OPS.get(op)
         if rng is None or fn is None:
             continue
-        if _is_nan(val):
+        if _is_nan(val) or (op == "in"
+                            and any(_is_nan(v) for v in val)):
             # a NaN literal never proves emptiness: Python comparisons
             # to NaN are all False while Spark orders NaN above every
-            # value — pruning on it would diverge from .where; the
-            # residual filter alone carries the (pathological) query
+            # value (and treats NaN = NaN inside IN) — pruning on it
+            # would diverge from .where; the residual filter alone
+            # carries the (pathological) query
             continue
         try:
             if not fn(rng[0], rng[1], val):
@@ -914,6 +920,31 @@ def _skip_literal(e):
     return int(v)
 
 
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _unwrap_attr(e):
+    """AttributeReference possibly under EXACT-widening casts the
+    analyzer inserted (integer-family upcasts, float->double), or
+    None. Lossy widenings (long->float/double can round) and
+    narrowings are unsafe to see through — a predicate on the cast
+    value is then not a predicate on the stored bounds."""
+    while e.getClass().getSimpleName() == "Cast":
+        child = e.child()
+        try:
+            t = e.dataType().typeName()
+            ct = child.dataType().typeName()
+        except Exception:
+            return None
+        int_widen = (t in _INT_RANK and ct in _INT_RANK
+                     and _INT_RANK[t] >= _INT_RANK[ct])
+        if not (int_widen or (ct == "float" and t == "double")):
+            return None
+        e = child
+    return e if e.getClass().getSimpleName() == "AttributeReference" \
+        else None
+
+
 def _extract_skip_preds(filtered: DataFrame) -> list[tuple]:
     """Walk the analyzed plan's top Filter condition and collect the
     conjunctive ``col op literal`` predicates ``_dir_may_match`` can
@@ -933,18 +964,29 @@ def _extract_skip_preds(filtered: DataFrame) -> list[tuple]:
             if name == "And":
                 stack += [e.left(), e.right()]
                 continue
+            if name == "In":  # col IN (literal, ...)
+                attr = _unwrap_attr(e.value())
+                if attr is None:
+                    continue
+                lst = e.list()
+                vals = [_skip_literal(lst.apply(i))
+                        for i in range(lst.size())]
+                if vals and all(v is not None for v in vals):
+                    out.append((str(attr.name()), "in", tuple(vals)))
+                continue
             op = _SKIP_EXPR_OPS.get(name)
             if op is None:
                 continue
             left, right = e.left(), e.right()
-            if left.getClass().getSimpleName() == "AttributeReference":
+            lattr, rattr = _unwrap_attr(left), _unwrap_attr(right)
+            if lattr is not None:
                 val = _skip_literal(right)
                 if val is not None:
-                    out.append((str(left.name()), op, val))
-            elif right.getClass().getSimpleName() == "AttributeReference":
+                    out.append((str(lattr.name()), op, val))
+            elif rattr is not None:
                 val = _skip_literal(left)
                 if val is not None:
-                    out.append((str(right.name()), _SKIP_FLIP[op], val))
+                    out.append((str(rattr.name()), _SKIP_FLIP[op], val))
     except Exception:  # py4j surface drift: never break a filter
         return []
     return out
@@ -1123,11 +1165,16 @@ def _read_version_at(spark: SparkSession, root: Path, version: int,
     def residual(df: DataFrame) -> DataFrame:
         for col, op, val in skip or []:
             c = F.col(col)
-            conds = {"=": c == val, "<": c < val, "<=": c <= val,
-                     ">": c > val, ">=": c >= val}
-            if op not in conds:
-                raise VersionedTableError(f"unsupported skip op: {op!r}")
-            df = df.where(conds[op])
+            if op == "in":
+                cond = c.isin(*val)
+            else:
+                conds = {"=": c == val, "<": c < val, "<=": c <= val,
+                         ">": c > val, ">=": c >= val}
+                if op not in conds:
+                    raise VersionedTableError(
+                        f"unsupported skip op: {op!r}")
+                cond = conds[op]
+            df = df.where(cond)
         return df
 
     if not dvs:

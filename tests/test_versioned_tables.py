@@ -2176,3 +2176,60 @@ class TestOperatingRecipeEndToEnd:
         got = {r["id"]: r["v"] for r in
                read_version(spark, tdir).collect()}
         assert got[0] == 99 and got[320] == 320 % 5
+
+
+class TestInListSkipping:
+    """skip op "in" + auto-derivation from .isin(...) (r11): the
+    bread-and-butter multi-partition read (day IN (...)) prunes at
+    the manifest level."""
+
+    def _appends(self, spark, tdir, n=4, width=10):
+        for i in range(n):
+            write_version(_df(spark, i * width, (i + 1) * width), tdir,
+                          "append" if i else "overwrite")
+
+    @staticmethod
+    def _dirs(df):
+        return {f.split("/data-")[1].split("/")[0]
+                for f in df.inputFiles()}
+
+    def test_manual_in_skip_prunes(self, spark, tdir):
+        self._appends(spark, tdir)
+        got = read_version(spark, tdir, skip=[("id", "in", [5, 35])])
+        assert len(self._dirs(got)) == 2
+        assert sorted(r["id"] for r in got.collect()) == [5, 35]
+        none = read_version(spark, tdir,
+                            skip=[("id", "in", [1000, 2000])])
+        assert none.count() == 0
+
+    def test_auto_isin_prunes_and_matches_plain(self, spark, tdir):
+        self._appends(spark, tdir)
+        auto = read_version(spark, tdir).where(
+            F.col("id").isin(5, 6, 35))
+        assert len(self._dirs(auto)) == 2
+        assert sorted(r["id"] for r in auto.collect()) == [5, 6, 35]
+        # composes with a comparison conjunct
+        both = read_version(spark, tdir).where(
+            F.col("id").isin(5, 35) & (F.col("id") >= 30))
+        assert len(self._dirs(both)) == 1
+        assert sorted(r["id"] for r in both.collect()) == [35]
+
+    def test_nan_in_list_never_prunes(self, spark, tdir):
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, float("nan"))], "id long, v double")
+        write_version(df, tdir, "overwrite")
+        got = read_version(spark, tdir,
+                           skip=[("v", "in", [float("nan")])])
+        # the NaN literal must not prove emptiness; residual decides
+        assert got.count() == read_version(spark, tdir).where(
+            F.col("v").isin(float("nan"))).count()
+
+    def test_in_on_partition_values(self, spark, tdir):
+        for i in range(4):
+            df = _df(spark, i * 10, (i + 1) * 10).withColumn(
+                "day", F.lit(i))
+            write_version(df, tdir, "append" if i else "overwrite",
+                          partition_by=["day"])
+        got = read_version(spark, tdir).where(F.col("day").isin(1, 3))
+        assert len(self._dirs(got)) == 2
+        assert got.count() == 20
