@@ -78,11 +78,17 @@ def table_history(name: str) -> list[dict]:
         raise VersionedTableError(f"unknown versioned table: {name!r}")
     out = []
     for m in history(_VERSIONED_TABLES[name.lower()]):
+        rows = None  # exact-or-absent (see sources.versioned.table_rows)
+        if not m.get("delete_vectors"):
+            dr = m.get("dir_rows") or {}
+            if all(d in dr for d in m["data_dirs"]):
+                rows = sum(dr[d] for d in m["data_dirs"])
         out.append({"version": m["version"], "mode": m.get("mode"),
                     "committed_at": m.get("committed_at"),
                     "n_data_dirs": len(m.get("data_dirs") or []),
                     "n_delete_vectors": len(m.get("delete_vectors")
-                                            or [])})
+                                            or []),
+                    "rows": rows})
     return out
 
 

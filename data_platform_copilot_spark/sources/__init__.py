@@ -14,6 +14,7 @@ from .versioned import (
     latest_version,
     merge_version,
     read_version,
+    table_rows,
     vacuum,
     write_version,
 )
@@ -23,4 +24,4 @@ __all__ = ["TESTDATA_TABLES", "load_table", "register_testdata",
            "merge_version", "compact", "vacuum", "history",
            "latest_version", "diff_versions", "evolve_partitioning",
            "CommitConflict",
-           "VersionedTableError"]
+           "table_rows", "VersionedTableError"]

@@ -245,6 +245,21 @@ def _stat_value_ok(v) -> bool:
     return not _is_nan(v) and isinstance(v, (int, float, str, bool))
 
 
+def _harvest_rows(root: Path, data_dir: str) -> int | None:
+    """Exact row count of a committed dir from parquet footer
+    metadata (no Spark job, no data read). None when any footer is
+    unreadable — a row-count entry must be exact or absent."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in (root / data_dir).rglob("*.parquet"))
+    except (OSError, ValueError):
+        return None
+
+
 def _harvest_all(root: Path, data_dir: str
                  ) -> tuple[dict[str, dict], dict[str, list]]:
     """One footer pass over a just-committed data dir -> (per-file
@@ -670,12 +685,14 @@ def write_version(df: DataFrame, table_dir: str | Path,
         # whole version dirs before listing their partition leaves
         own_stats = {**own_stats, **_harvest_partition_stats(
             root, data_dir, partition_by, own_schema)}
+    own_rows = _harvest_rows(root, data_dir)
 
     for _ in range(_MAX_COMMIT_RETRIES):
         dirs, schema = [data_dir], dict(own_schema)
         dir_schemas = {data_dir: own_schema}
         dir_stats = {data_dir: own_stats} if own_stats else {}
         file_stats = {data_dir: own_file_stats} if own_file_stats else {}
+        dir_rows = {data_dir: own_rows} if own_rows is not None else {}
         delete_vectors = None
         carried_sort = carried_cluster = None
         dir_partition_map = None
@@ -699,6 +716,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
                          **dir_stats}
             file_stats = {**prev_manifest.get("file_stats", {}),
                           **file_stats}
+            dir_rows = {**prev_manifest.get("dir_rows", {}),
+                        **dir_rows}
             # carry live deletion vectors: appending at the END keeps
             # every vector's after_index prefix valid, and the new
             # rows land after every merge point, so they are never
@@ -714,6 +733,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
                 dir_stats[new_name] = dir_stats.pop(data_dir)
             if data_dir in file_stats:
                 file_stats[new_name] = file_stats.pop(data_dir)
+            if data_dir in dir_rows:
+                dir_rows[new_name] = dir_rows.pop(data_dir)
             data_dir = new_name
             dirs[-1] = new_name
         manifest = {"version": version, "mode": mode, "data_dirs": dirs,
@@ -754,6 +775,12 @@ def write_version(df: DataFrame, table_dir: str | Path,
             # per-file ranges -> skip selects individual files
             manifest["file_stats"] = {d: file_stats[d] for d in dirs
                                       if d in file_stats}
+        if dir_rows:
+            # exact per-dir row counts from footers: table_rows()
+            # answers COUNT(*) from metadata, and the MoR masked-
+            # ratio auto-compaction policy reads its denominator here
+            manifest["dir_rows"] = {d: dir_rows[d] for d in dirs
+                                    if d in dir_rows}
         if delete_vectors:
             manifest["delete_vectors"] = delete_vectors
         if txn is not None:
@@ -1225,6 +1252,31 @@ def _read_version_at(spark: SparkSession, root: Path, version: int,
     return residual(out)
 
 
+def table_rows(table_dir: str | Path,
+               version: int | None = None) -> int | None:
+    """COUNT(*) answered from manifest metadata alone — zero data
+    read, zero Spark job (per-dir footer row counts recorded at
+    commit). Returns None when the metadata cannot answer EXACTLY:
+    outstanding deletion vectors (a tombstone masks 0..n rows — only
+    a scan can say), or a dir without a recorded count (e.g. carried
+    partition leaves, whose prior top-dir counts no longer key them).
+    At 100 TB this is the difference between a metadata lookup and a
+    full-table count for the most common dashboard query there is."""
+    root = Path(table_dir)
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise VersionedTableError(f"not a versioned table: {root}")
+    m = _read_manifest(root, version)
+    if m.get("delete_vectors"):
+        return None
+    rows = m.get("dir_rows") or {}
+    dirs = m["data_dirs"]
+    if any(d not in rows for d in dirs):
+        return None
+    return sum(rows[d] for d in dirs)
+
+
 def history(table_dir: str | Path) -> list[dict]:
     """All committed manifests, oldest first (the audit log)."""
     root = Path(table_dir)
@@ -1420,6 +1472,9 @@ def _merge_once(spark: SparkSession, root: Path,
                                              schema)}
             if st:
                 m["dir_stats"] = {data_dir: st}
+            n_rows = _harvest_rows(root, data_dir)
+            if n_rows is not None:
+                m["dir_rows"] = {data_dir: n_rows}
             _publish_manifest(root, m)
         except CommitConflict:
             shutil.rmtree(root / data_dir, ignore_errors=True)
@@ -1444,6 +1499,9 @@ def _merge_once(spark: SparkSession, root: Path,
             st = _harvest_stats(root, data_dir)
             if st:
                 m["dir_stats"] = {data_dir: st}
+            n_rows = _harvest_rows(root, data_dir)
+            if n_rows is not None:
+                m["dir_rows"] = {data_dir: n_rows}
             _publish_manifest(root, m)
         except CommitConflict:
             shutil.rmtree(root / data_dir, ignore_errors=True)
@@ -1498,6 +1556,12 @@ def _merge_once(spark: SparkSession, root: Path,
               **_harvest_partition_stats(root, data_dir, parts, schema)}
         if st:
             m["dir_stats"] = {data_dir: st}
+        n_rows = _harvest_rows(root, data_dir)
+        if n_rows is not None:
+            # rewrite dir only: carried partition leaves have no
+            # recorded counts, so table_rows() returns None for this
+            # shape rather than a wrong number
+            m["dir_rows"] = {data_dir: n_rows}
         _publish_manifest(root, m)
     except CommitConflict:
         shutil.rmtree(root / data_dir, ignore_errors=True)
@@ -1571,8 +1635,12 @@ def _merge_mor(spark: SparkSession, root: Path,
             raise
         dirs = prev_manifest["data_dirs"] + [data_dir]
         dvs = list(prev_manifest.get("delete_vectors") or [])
-        dvs.append({"dir": del_dir, "key": key,
-                    "after_index": len(prev_manifest["data_dirs"])})
+        dv = {"dir": del_dir, "key": key,
+              "after_index": len(prev_manifest["data_dirs"])}
+        dv_rows = _harvest_rows(root, del_dir)
+        if dv_rows is not None:
+            dv["rows"] = dv_rows  # masked-ratio policy numerator
+        dvs.append(dv)
         dir_schemas = {**prev_manifest.get("dir_schemas", {}),
                        data_dir: own_schema}
         dir_stats = dict(prev_manifest.get("dir_stats") or {})
@@ -1582,6 +1650,10 @@ def _merge_mor(spark: SparkSession, root: Path,
                                                    parts, own_schema)}
         if st:
             dir_stats[data_dir] = st
+        dir_rows = dict(prev_manifest.get("dir_rows") or {})
+        n_rows = _harvest_rows(root, data_dir)
+        if n_rows is not None:
+            dir_rows[data_dir] = n_rows
         # file_stats carry forward too: the prior dirs' files are
         # untouched by a MoR merge, so their sorted-commit coverage
         # stays valid (dropping it would permanently disable
@@ -1610,6 +1682,9 @@ def _merge_mor(spark: SparkSession, root: Path,
         if file_stats:
             out["file_stats"] = {d: file_stats[d] for d in dirs
                                  if d in file_stats}
+        if dir_rows:
+            out["dir_rows"] = {d: dir_rows[d] for d in dirs
+                               if d in dir_rows}
         if txn is not None:
             out["txn"] = {"app": txn[0], "batch": txn[1]}
         try:
@@ -1640,7 +1715,8 @@ def _merge_mor(spark: SparkSession, root: Path,
 
 
 def _maybe_auto_compact(spark: SparkSession, root: Path,
-                        version: int, threshold: int) -> None:
+                        version: int, threshold: int | None,
+                        masked_ratio: float | None = None) -> None:
     """MoR auto-compaction policy: after a MoR merge commits, fold the
     stacked deletion vectors back into plain files once their count
     reaches ``threshold``. Each stacked vector adds one broadcast
@@ -1659,7 +1735,22 @@ def _maybe_auto_compact(spark: SparkSession, root: Path,
         return  # replayed-txn no-op or already-raced commit: the
         # next merge past the threshold re-evaluates
     manifest = _read_manifest(root, version)
-    if len(manifest.get("delete_vectors") or []) < threshold:
+    dvs = manifest.get("delete_vectors") or []
+    fire = threshold is not None and len(dvs) >= threshold
+    if not fire and masked_ratio is not None:
+        # masked-row ratio: tombstone rows over recorded table rows
+        # (an upper bound on the masked fraction — a tombstone key
+        # masks at most its matching rows). Both sides come from
+        # footer metadata recorded at commit; absent counts never
+        # fire the policy.
+        masked = sum(dv.get("rows") or 0 for dv in dvs)
+        total = manifest.get("dir_rows") or {}
+        known = [total[d] for d in manifest["data_dirs"]
+                 if d in total]
+        denom = sum(known) if len(known) == len(
+            manifest["data_dirs"]) else 0
+        fire = denom > 0 and masked / denom >= masked_ratio
+    if not fire:
         return
     try:
         compact(spark, root, sort_by=manifest.get("sort_by"),
@@ -1673,7 +1764,9 @@ def merge_version(spark: SparkSession, table_dir: str | Path,
                   updates: DataFrame, key: str,
                   retries: int = 0, strategy: str = "cow",
                   txn: tuple[str, int] | None = None,
-                  auto_compact_vectors: int | None = 10) -> int:
+                  auto_compact_vectors: int | None = 10,
+                  auto_compact_masked_ratio: float | None = None
+                  ) -> int:
     """Upsert commit: rows in ``updates`` replace same-``key`` rows of
     the latest version, new keys insert (copy-on-write MERGE, the
     Delta paper's default — the honest cost of upserts without
@@ -1714,15 +1807,20 @@ def merge_version(spark: SparkSession, table_dir: str | Path,
     ``auto_compact_vectors`` (MoR only; default 10, None disables):
     once this merge leaves at least that many stacked deletion
     vectors, a compaction is triggered as a follow-up commit — see
-    ``_maybe_auto_compact``. The returned version is always the
-    MERGE's commit; the compaction, if it fires, is the version
-    after it.
+    ``_maybe_auto_compact``. ``auto_compact_masked_ratio`` (None
+    disables) additionally fires the policy when the tombstone-row
+    sum reaches that fraction of the table's recorded row count —
+    the bytes-based trigger for few-but-huge CDC batches that a
+    vector COUNT threshold never sees. The returned version is
+    always the MERGE's commit; the compaction, if it fires, is the
+    version after it.
     """
     root = Path(table_dir)
     if strategy == "mor":
         v = _merge_mor(spark, root, updates, key, txn=txn)
-        if auto_compact_vectors:
-            _maybe_auto_compact(spark, root, v, auto_compact_vectors)
+        if auto_compact_vectors or auto_compact_masked_ratio:
+            _maybe_auto_compact(spark, root, v, auto_compact_vectors,
+                                auto_compact_masked_ratio)
         return v
     if strategy != "cow":
         raise VersionedTableError(f"unknown merge strategy: {strategy!r}")

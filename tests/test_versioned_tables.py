@@ -2233,3 +2233,72 @@ class TestInListSkipping:
         got = read_version(spark, tdir).where(F.col("day").isin(1, 3))
         assert len(self._dirs(got)) == 2
         assert got.count() == 20
+
+
+class TestRowCountMetadata:
+    """Per-dir footer row counts recorded at commit: table_rows()
+    answers COUNT(*) from metadata, and the masked-ratio auto-compact
+    trigger reads its numerator/denominator there (r11)."""
+
+    def test_table_rows_exact_across_commits(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version, table_rows)
+
+        write_version(_df(spark, 0, 100), tdir)
+        write_version(_df(spark, 100, 150), tdir, "append")
+        assert table_rows(tdir) == 150
+        assert table_rows(tdir, version=0) == 100
+        # deletion vectors outstanding: metadata cannot answer
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 9)], "id long, x long"),
+                      "id", strategy="mor", auto_compact_vectors=None)
+        assert table_rows(tdir) is None
+        compact(spark, tdir)
+        assert table_rows(tdir) == 150
+        assert table_rows(tdir) == read_version(spark, tdir).count()
+
+    def test_table_rows_partitioned_and_cow_merge(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version, table_rows)
+
+        df = _df(spark, 0, 40).withColumn(
+            "part", (F.col("id") % 4).cast("string"))
+        write_version(df, tdir, partition_by=["part"])
+        assert table_rows(tdir) == 40
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(1, 111, "1")],
+                                            "id long, x long, part string"),
+                      "id")
+        # partition-scoped merge carries leaves without counts:
+        # exact-or-absent contract returns None, never a wrong number
+        assert table_rows(tdir) is None
+        assert read_version(spark, tdir).count() == 40
+
+    def test_masked_ratio_triggers_compaction(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 100), tdir)
+        # one merge masking 30% of keys: count threshold (10) never
+        # fires, the ratio trigger does
+        upd = spark.createDataFrame([(i, 1000 + i) for i in range(30)],
+                                    "id long, x long")
+        merge_version(spark, tdir, upd, "id", strategy="mor",
+                      auto_compact_masked_ratio=0.2)
+        m = history(tdir)[-1]
+        assert m["mode"] == "overwrite"         # folded immediately
+        assert "delete_vectors" not in m
+        got = {r["id"]: r["x"] for r in read_version(spark, tdir)
+               .collect()}
+        assert got[0] == 1000 and got[99] == 198 and len(got) == 100
+
+    def test_small_ratio_does_not_fire(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(_df(spark, 0, 100), tdir)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(1, 9)], "id long, x long"),
+                      "id", strategy="mor",
+                      auto_compact_masked_ratio=0.2)
+        assert len(history(tdir)[-1]["delete_vectors"]) == 1
