@@ -71,6 +71,11 @@ def validate_sql(sql: str) -> str:
     sql = (sql or "").strip().rstrip(";").strip()
     if not sql:
         raise IncorrectQuestionError("Empty SQL")
+    # aligned with is_safe (ADVICE r11): a block comment containing an
+    # unpaired quote would desynchronize the AS OF rewriter's
+    # quote/comment span tracking downstream
+    if "/*" in sql or "*/" in sql:
+        raise IncorrectQuestionError("Block comments are not allowed")
     if not SELECT_RE.match(sql):
         raise IncorrectQuestionError("Only SELECT statements are allowed")
     if FORBIDDEN.search(sql):

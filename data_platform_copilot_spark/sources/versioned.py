@@ -979,12 +979,24 @@ def _extract_skip_preds(filtered: DataFrame) -> list[tuple]:
     column side, multi-column terms — contributes nothing; the caller
     always re-applies the FULL condition as a row filter, so
     extraction is a pure optimization and never changes results."""
-    out: list[tuple] = []
     try:
         plan = filtered._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "Filter":
             return []
-        stack = [plan.condition()]
+        return _skip_preds_from_condition(plan.condition())
+    except Exception:  # py4j surface drift: never break a filter
+        return []
+
+
+def _skip_preds_from_condition(condition) -> list[tuple]:
+    """Conjunctive ``(col, op, literal)`` skip predicates from a
+    catalyst boolean expression (works on analyzed AND optimized plan
+    conditions — both carry AttributeReferences). Shared by
+    ``_AutoSkipFrame`` and the gateway's SQL-surface pruning
+    (``gateway.time_travel``)."""
+    out: list[tuple] = []
+    try:
+        stack = [condition]
         while stack:
             e = stack.pop()
             name = e.getClass().getSimpleName()
@@ -1040,6 +1052,72 @@ def _prospective_selection(manifest: dict, skip: list[tuple]):
     return kept, pruned_files
 
 
+def _attr_simple_name(node) -> str | None:
+    """Simple (single-part, unqualified) name of an UnresolvedAttribute
+    ColumnNode, else None. Qualified refs (``t.a``) bail — within a
+    single-table frame they name another lineage."""
+    try:
+        if node.getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        parts = node.nameParts()
+        if parts.size() != 1:
+            return None
+        return str(parts.apply(0))
+    except Exception:
+        return None
+
+
+def _col_source(c) -> tuple[str | None, str | None]:
+    """(output_name, source_attr_name) for a select/withColumn/drop
+    argument. ``source_attr_name`` is None when the expression is
+    computed (anything but a direct, possibly-aliased, attribute
+    reference) — such an output can never drive zone-map pruning.
+    ``output_name`` is None when it cannot be determined statically
+    (callers treat that output as untracked, which is safe: auto-named
+    computed columns get parenthesised names that cannot collide with
+    identifier keys). Spark 4 ColumnNode API (``Column.node``)."""
+    if isinstance(c, str):
+        return c, c
+    try:
+        node = c._jc.node()
+        cls = node.getClass().getSimpleName()
+        if cls == "Alias":
+            names = node.name()
+            out = str(names.apply(0)) if names.size() == 1 else None
+            return out, _attr_simple_name(node.child())
+        if cls == "UnresolvedAttribute":
+            n = _attr_simple_name(node)
+            return n, n
+        return None, None
+    except Exception:
+        return None, None
+
+
+_SELECTEXPR_IDENT_RE = None  # built lazily; kept module-level for tests
+
+
+def _selectexpr_source(expr_str: str) -> tuple[str | None, str | None]:
+    """(output_name, source_name) for a ``selectExpr`` string when it
+    is a bare identifier or ``ident AS alias``; (None, None) for
+    anything computed."""
+    import re as _re
+    global _SELECTEXPR_IDENT_RE
+    if _SELECTEXPR_IDENT_RE is None:
+        ident = r"[A-Za-z_][A-Za-z_0-9]*"
+        _SELECTEXPR_IDENT_RE = (
+            _re.compile(rf"^\s*({ident})\s*$"),
+            _re.compile(rf"^\s*({ident})\s+as\s+({ident})\s*$",
+                        _re.IGNORECASE))
+    bare, aliased = _SELECTEXPR_IDENT_RE
+    m = bare.match(expr_str)
+    if m:
+        return m.group(1), m.group(1)
+    m = aliased.match(expr_str)
+    if m:
+        return m.group(2), m.group(1)
+    return None, None
+
+
 class _AutoSkipFrame(_BaseFrame):
     """What ``read_version`` returns: a plain DataFrame except that
     ``.where``/``.filter`` re-derives the manifest-level skip list
@@ -1049,9 +1127,24 @@ class _AutoSkipFrame(_BaseFrame):
     dirs/files whose committed footer stats PROVE them empty under
     the extracted conjuncts, and the full original condition is
     re-applied as a row filter, so semantics are exactly
-    ``DataFrame.filter``. Falls back to a plain filter when the
-    condition cannot be re-bound to the re-planned read (e.g. it
-    references another DataFrame's resolved attributes)."""
+    ``DataFrame.filter``.
+
+    Pruning survives projection chaining (r11 verdict item 2):
+    ``select`` / ``selectExpr`` / ``withColumn`` / ``withColumnRenamed``
+    / ``drop`` return auto-skip frames carrying (a) the replay list of
+    operations applied so far and (b) a column map from current output
+    names to STORED column names, maintained only through direct
+    (possibly aliased/renamed) attribute references — a computed or
+    shadowed output is dropped from the map, so a later filter on it
+    can never prune against the wrong stored column's stats. On a
+    pruning re-plan the stored table is re-read with the extended skip
+    list and the full op chain is replayed on top.
+
+    Falls back to a plain filter when the chain cannot be re-bound to
+    the re-planned read (e.g. a condition references another
+    DataFrame's resolved attributes); every such fallback increments
+    the ``versioned_pushdown_fallback`` counter so the test suite can
+    pin fallback count == 0 over the supported surface."""
 
     def __new__(cls, *args, **kwargs):
         # the abstract pyspark DataFrame overrides __new__ to dispatch
@@ -1060,18 +1153,125 @@ class _AutoSkipFrame(_BaseFrame):
         return object.__new__(cls)
 
     def __init__(self, df: DataFrame, reread, skip: list[tuple],
-                 conds: list, manifest: dict | None = None):
+                 ops: list, manifest: dict | None = None,
+                 colmap: dict[str, str] | None = None):
         super().__init__(df._jdf, df.sparkSession)
         self._vt_reread = reread
         self._vt_skip = list(skip)
-        self._vt_conds = list(conds)
+        self._vt_ops = list(ops)
         self._vt_manifest = manifest
+        if colmap is None:
+            colmap = {c.lower(): c for c in df.columns}
+        self._vt_colmap = dict(colmap)
 
+    # -- lineage-preserving projections ---------------------------------
+    def _vt_child(self, plain: DataFrame, colmap: dict[str, str],
+                  replay) -> "DataFrame":
+        try:
+            return _AutoSkipFrame(plain, self._vt_reread, self._vt_skip,
+                                  self._vt_ops + [replay],
+                                  self._vt_manifest, colmap)
+        except Exception:  # pragma: no cover — defensive
+            return plain
+
+    def select(self, *cols):
+        plain = super().select(*cols)
+        out_names: list[str] = []
+        newmap: dict[str, str] = {}
+        for c in cols:
+            if isinstance(c, str) and c == "*":
+                out_names.extend(self._vt_colmap.keys())
+                for k, v in self._vt_colmap.items():
+                    newmap.setdefault(k, v)
+                continue
+            out, src = _col_source(c)
+            if out is None:
+                continue
+            out_names.append(out.lower())
+            stored = self._vt_colmap.get(src.lower()) if src else None
+            if stored is not None:
+                newmap[out.lower()] = stored
+        # duplicate output names are ambiguous to a later filter —
+        # never prune through them
+        from collections import Counter
+        for n, k in Counter(out_names).items():
+            if k > 1:
+                newmap.pop(n, None)
+        return self._vt_child(plain, newmap,
+                              lambda df: df.select(*cols))
+
+    def selectExpr(self, *expr):
+        plain = super().selectExpr(*expr)
+        out_names: list[str] = []
+        newmap: dict[str, str] = {}
+        for s in expr:
+            out, src = _selectexpr_source(s)
+            if out is None:
+                continue
+            out_names.append(out.lower())
+            stored = self._vt_colmap.get(src.lower()) if src else None
+            if stored is not None:
+                newmap[out.lower()] = stored
+        from collections import Counter
+        for n, k in Counter(out_names).items():
+            if k > 1:
+                newmap.pop(n, None)
+        return self._vt_child(plain, newmap,
+                              lambda df: df.selectExpr(*expr))
+
+    def withColumn(self, colName, col):
+        plain = super().withColumn(colName, col)
+        newmap = dict(self._vt_colmap)
+        _, src = _col_source(col)
+        stored = self._vt_colmap.get(src.lower()) if src else None
+        if stored is not None:
+            newmap[colName.lower()] = stored
+        else:
+            newmap.pop(colName.lower(), None)
+        return self._vt_child(plain, newmap,
+                              lambda df: df.withColumn(colName, col))
+
+    def withColumnRenamed(self, existing, new):
+        plain = super().withColumnRenamed(existing, new)
+        newmap = dict(self._vt_colmap)
+        src = newmap.pop(existing.lower(), None)
+        if new.lower() in newmap:
+            # rename onto an existing output name -> duplicate columns;
+            # ambiguous to a later filter, drop both
+            newmap.pop(new.lower(), None)
+        elif src is not None:
+            newmap[new.lower()] = src
+        return self._vt_child(
+            plain, newmap,
+            lambda df: df.withColumnRenamed(existing, new))
+
+    def drop(self, *cols):
+        plain = super().drop(*cols)
+        dropped = set()
+        for c in cols:
+            name = c if isinstance(c, str) else _col_source(c)[0]
+            if name:
+                dropped.add(name.lower())
+        # a stale key for an undetermined drop is harmless: a later
+        # filter on a missing column fails analysis in super().filter
+        # before any pruning decision is taken
+        newmap = {k: v for k, v in self._vt_colmap.items()
+                  if k not in dropped}
+        return self._vt_child(plain, newmap,
+                              lambda df: df.drop(*cols))
+
+    # -- pruning filter -------------------------------------------------
     def filter(self, condition):
         plain = super().filter(condition)
-        conds = self._vt_conds + [condition]
-        preds = [p for p in _extract_skip_preds(plain)
-                 if p not in self._vt_skip]
+        ops = self._vt_ops + [lambda df: df.filter(condition)]
+        preds = []
+        for name, op, val in _extract_skip_preds(plain):
+            stored = self._vt_colmap.get(name.lower())
+            if stored is None:
+                continue  # computed/shadowed output: never prunable
+            p = (stored, op, val)
+            if p not in self._vt_skip and p not in preds:
+                preds.append(p)
         if preds:
             skip = self._vt_skip + preds
             # re-plan ONLY when the extended skip list changes the
@@ -1083,17 +1283,20 @@ class _AutoSkipFrame(_BaseFrame):
                              != _prospective_selection(m, self._vt_skip)):
                 try:
                     out = self._vt_reread(skip)
-                    for c in conds:
-                        out = out.filter(c)
+                    for op_fn in ops:
+                        out = op_fn(out)
                     return _AutoSkipFrame(out, self._vt_reread, skip,
-                                          conds, m)
+                                          ops, m, self._vt_colmap)
                 except Exception:
-                    pass  # un-rebindable condition: keep plain path
+                    # un-rebindable chain: keep plain path; counted so
+                    # the suite can pin fallbacks == 0
+                    from ..metrics import REGISTRY
+                    REGISTRY.inc("versioned_pushdown_fallback")
             else:
                 return _AutoSkipFrame(plain, self._vt_reread, skip,
-                                      conds, m)
-        return _AutoSkipFrame(plain, self._vt_reread,
-                              self._vt_skip, conds, self._vt_manifest)
+                                      ops, m, self._vt_colmap)
+        return _AutoSkipFrame(plain, self._vt_reread, self._vt_skip,
+                              ops, self._vt_manifest, self._vt_colmap)
 
     where = filter
 

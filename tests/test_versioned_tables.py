@@ -1735,6 +1735,119 @@ class TestAutoSkipPushdown:
         assert sorted(r["id"] for r in got.collect()) == list(range(20))
 
 
+class TestProjectionChainedPushdown:
+    """Pruning must survive projection chaining (r11 verdict item 2):
+    ``read_version(t).select(...).where(...)`` re-plans over the
+    pruned dir/file set exactly like a direct ``.where``. The column
+    map only ever traces direct (possibly aliased/renamed) attribute
+    references, so a computed or shadowed output can never prune
+    against the wrong stored column's stats."""
+
+    def _appends(self, spark, tdir, n=16, width=10):
+        for i in range(n):
+            write_version(_df(spark, i * width, (i + 1) * width), tdir,
+                          "append" if i else "overwrite")
+
+    @staticmethod
+    def _dirs_hit(df):
+        return {f.split("/data-")[1].split("/")[0]
+                for f in df.inputFiles()}
+
+    @staticmethod
+    def _fallbacks():
+        from data_platform_copilot_spark.metrics import REGISTRY
+        return REGISTRY._counters.get("versioned_pushdown_fallback", 0.0)
+
+    def test_select_then_where_prunes(self, spark, tdir):
+        self._appends(spark, tdir)
+        before = self._fallbacks()
+        df = read_version(spark, tdir).select("id").where(
+            F.col("id") >= 150)
+        assert len(self._dirs_hit(df)) == 1
+        assert sorted(r["id"] for r in df.collect()) \
+            == list(range(150, 160))
+        assert self._fallbacks() == before  # no silent fallback
+
+    def test_alias_rename_drop_chain_prunes(self, spark, tdir):
+        self._appends(spark, tdir)
+        before = self._fallbacks()
+        df = (read_version(spark, tdir)
+              .select(F.col("id").alias("doc"), "x")
+              .withColumnRenamed("doc", "d")
+              .drop("x")
+              .where(F.col("d") >= 150))
+        assert len(self._dirs_hit(df)) == 1
+        assert sorted(r["d"] for r in df.collect()) \
+            == list(range(150, 160))
+        assert self._fallbacks() == before
+
+    def test_selectexpr_and_withcolumn_prune(self, spark, tdir):
+        self._appends(spark, tdir)
+        df = (read_version(spark, tdir)
+              .selectExpr("id as key", "x")
+              .withColumn("y", F.col("x") * 2)
+              .where("key >= 150"))
+        assert len(self._dirs_hit(df)) == 1
+        assert sorted((r["key"], r["y"]) for r in df.collect()) \
+            == [(i, 4 * i) for i in range(150, 160)]
+
+    def test_computed_shadow_never_misprunes(self, spark, tdir):
+        self._appends(spark, tdir)
+        # output 'id' is COMPUTED (id % 10): pruning on stored id's
+        # stats would wrongly drop every dir but the first — the map
+        # must refuse to trace it
+        df = (read_version(spark, tdir)
+              .select((F.col("id") % 10).alias("id"), "x")
+              .where(F.col("id") < 3))
+        assert len(self._dirs_hit(df)) == 16      # nothing pruned
+        assert df.count() == 3 * 16
+
+    def test_alias_swap_prunes_on_true_source(self, spark, tdir):
+        self._appends(spark, tdir)
+        # 'x' output is stored id (x = 2*id stored): filter x >= 150
+        # must prune on ID's stats (rows 150..159), not stored x's
+        df = (read_version(spark, tdir)
+              .select(F.col("id").alias("x"))
+              .where(F.col("x") >= 150))
+        assert len(self._dirs_hit(df)) == 1
+        assert sorted(r["x"] for r in df.collect()) \
+            == list(range(150, 160))
+
+    def test_projection_after_filter_keeps_frame(self, spark, tdir):
+        self._appends(spark, tdir)
+        df = (read_version(spark, tdir)
+              .where(F.col("id") >= 100)
+              .select("id")
+              .where(F.col("id") < 110))
+        assert len(self._dirs_hit(df)) == 1
+        assert sorted(r["id"] for r in df.collect()) \
+            == list(range(100, 110))
+
+    def test_chain_composes_with_mor_vectors(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        self._appends(spark, tdir, n=4)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 555), (35, 3535)],
+                                            "id long, x long"),
+                      "id", strategy="mor")
+        got = {r["k"]: r["x"] for r in
+               (read_version(spark, tdir)
+                .withColumnRenamed("id", "k")
+                .where(F.col("k") < 10)).collect()}
+        assert got == {**{i: 2 * i for i in range(10) if i != 5}, 5: 555}
+
+    def test_fallback_counter_zero_on_supported_surface(self, spark,
+                                                       tdir):
+        self._appends(spark, tdir, n=4)
+        before = self._fallbacks()
+        df = read_version(spark, tdir)
+        (df.select("id", "x").where("id >= 20")
+         .withColumn("z", F.lit(1)).where(F.col("x") < 70)).collect()
+        assert self._fallbacks() == before
+
+
 class TestMorAutoCompact:
     """merge_version(strategy="mor") auto-compaction policy (r10
     verdict item 2): the k-th stacked merge past the vector-count
