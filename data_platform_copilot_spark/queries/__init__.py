@@ -37,81 +37,82 @@ from . import quality  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_GATE_PRIORITY: list[str] = [
-    # r11 gate. Position 1: approx_percentiles, as ordered by the r10
-    # verdict (it was position 51 in the r10 window after the
-    # review-caught off-by-one). Position 2: time_travel_as_of, the
-    # r11-registered entry (never driver-gated — same slot policy as
-    # r10's registered_domain_rollup). Positions 3-50: the
-    # LONGEST-rotated entries by last hash-green round, computed from
-    # the union of CORRECTNESS_r01..r10 — 47 backfill slots land on
-    # last-green-r6 entries (all that remain besides
-    # approx_percentiles itself), the final slot on the
-    # alphabetically-first last-green-r7 entry (ab_test_mann_whitney;
-    # acf_daily_value was displaced to the r12 queue); ties broken
-    # alphabetically for determinism.
+    # r12 gate. Position 1: acf_daily_value, as ordered by the r11
+    # verdict (displaced from the r11 window by time_travel_as_of).
+    # Positions 2-50: the LONGEST-rotated entries by last hash-green
+    # round, computed from the union of CORRECTNESS_r01..r11 — the 48
+    # remaining last-green-r7 entries, then the alphabetically-first
+    # last-green-r8 entry (ann_recall_report) to fill the window;
+    # ties broken alphabetically for determinism. No new registry
+    # entries this round (r12's verdict items 5-7 are library/
+    # streaming/control-plane features verified by pytest), so no
+    # immediate-slot insertions. The window deliberately re-gates
+    # concentration_gini_user_activity and pareto_share_user_activity
+    # — both rewritten this round to the value-histogram method (r11
+    # verdict item 3) — so the rewrite carries fresh driver-hash
+    # evidence.
     # compression_ratio_quality stays parked BELOW position 50
     # permanently: its oracle needs a zlib UDF the driver's vanilla-SQL
     # DuckDB cannot register (r8 artifact burned a slot on
     # `err: no_oracle`); it stays value-gated by queries/core.EXTRA_ORACLE
-    # in the local harnesses + a byte-exact pytest. Every name below
-    # passes the local full-registry oracle at sf0.001/0.01 and stays
-    # value-verified every run by tests/test_queries_oracle.py.
-    # ---- ordered first per the r10 verdict ----
-    "approx_percentiles",
-    # ---- registered r11 (never driver-gated): time travel entry ----
-    "time_travel_as_of",
-    # ---- backfill 3-50: longest-rotated (last hash-green r6) ----
-    "attribution_last_touch",
-    "bigram_logprob_score",
-    "bootstrap_ci_mean_value",
-    "bpe_fertility_by_lang",
-    "bpe_merge_table",
-    "bpe_segment_lengths",
-    "contrastive_triplets",
-    "decontamination_embedding",
-    "decontamination_substring",
-    "dedup_bias_source_mix",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_simhash",
-    "dedup_substring_pairs",
-    "dedup_winnowing_fingerprints",
-    "dq_profile_text_length",
-    "dq_rule_anomaly_zscore_value",
-    "dq_rule_not_null_user_id",
-    "dq_rule_range_value",
-    "dq_rule_unique_event_id",
-    "dq_top_values_event_type",
-    "drift_ks_value",
-    "drift_psi_value",
-    "embedding_covariance_dims",
-    "embedding_quantize_int8",
-    "ewma_value_per_user",
-    "fim_transform_documents",
-    "heavy_hitter_tokens",
-    "json_extract_props",
-    "json_schema_inference",
-    "knn_join_graph",
-    "lateral_correlated_topk",
-    "lateral_view_explode",
-    "pipeline_curation_funnel",
-    "pmi_cooccurrence_pairs",
-    "privacy_k_anonymity_report",
-    "recursive_cte_date_spine",
-    "sampler_where_limit",
-    "streaming_decontamination_gate",
-    "streaming_drift_psi",
-    "survival_km_user_lifetime",
-    "text_lang_id",
-    "tfidf_keywords_per_doc",
-    "token_budget_allocation",
-    "trend_slope_by_event_type",
-    "window_distribution_funcs",
-    "zorder_layout_report",
-    "ab_test_mann_whitney",
-    # ---- gate window ends here (50) ----
-    # displaced to the r12 backfill queue by the r11-registered entry:
+    # in the local harnesses + a byte-exact pytest (decision record:
+    # ARCHITECTURE.md). Every name below passes the local
+    # full-registry oracle at sf0.001/0.01 and stays value-verified
+    # every run by tests/test_queries_oracle.py.
+    # ---- ordered first per the r11 verdict ----
     "acf_daily_value",
+    # ---- backfill 2-49: longest-rotated (last hash-green r7) ----
+    "audience_overlap_jaccard",
+    "bpe_doc_token_cost",
+    "burst_detection_hourly",
+    "changepoint_cusum_daily",
+    "churn_label_dataset",
+    "cluster_separation_report",
+    "concentration_gini_user_activity",
+    "corr_length_alpha_by_lang",
+    "dataset_split_counts",
+    "dedup_cluster_size_histogram",
+    "dedup_containment_pairs",
+    "dedup_minhash_calibration",
+    "dedup_pagerank_centrality",
+    "dedup_threshold_sweep",
+    "dispersion_index_by_type",
+    "dq_benford_first_digit",
+    "dq_referential_integrity",
+    "dq_robust_mean_value",
+    "dq_robust_outliers_mad",
+    "embedding_mean_pool",
+    "entity_match_part_names",
+    "event_transition_matrix",
+    "forecast_holt_daily",
+    "kappa_quality_rules",
+    "ltv_cumulative_by_cohort_week",
+    "media_exact_dedup",
+    "mi_event_type_value",
+    "packing_efficiency_report",
+    "pareto_share_user_activity",
+    "pchart_error_rate_hourly",
+    "salted_join_brand_volume",
+    "sample_vocab_coverage",
+    "sax_daily_value",
+    "scd2_point_in_time_join",
+    "session_depth_histogram",
+    "sliding_distinct_users_6h",
+    "split_leakage_check",
+    "streaming_trending_types_1h",
+    "text_lang_mixing_flags",
+    "text_token_entropy",
+    "time_to_convert_view_purchase",
+    "traffic_heatmap_dow_hour",
+    "trend_theilsen_daily",
+    "user_growth_daily",
+    "vocab_coverage_curve",
+    "weighted_sample_topk_docs",
+    "wow_type_movers",
+    "zipf_slope_tokens",
+    # ---- position 50: alphabetically-first last-green-r8 entry ----
+    "ann_recall_report",
+    # ---- gate window ends here (50) ----
     # un-hashable by the driver (UDF oracle lives in EXTRA_ORACLE):
     "compression_ratio_quality",
 ]

@@ -743,24 +743,36 @@ def concentration_gini_user_activity(spark: SparkSession,
     """Gini coefficient of per-user event-count concentration — the
     inequality measure corpus builders also run on per-domain token
     mass (a Gini near 1 means a handful of users/domains dominate
-    the data, the precursor to domain-mix reweighting). One user
-    combine, one ordered window with a deterministic (count, id)
-    total order, closed-form Gini from the rank-weighted sum."""
+    the data, the precursor to domain-mix reweighting).
+
+    Scale (r11 verdict item 3 — no global rank over every user): the
+    rank-weighted sum is computed by the VALUE-HISTOGRAM method (as
+    ``roc_auc_score``): group users by activity count x (bounded
+    cardinality — distinct per-user counts, not users), take the
+    exclusive cumulative user count rprev over that histogram, and
+    use the closed form for a tie run of c users at value x
+    occupying ranks rprev+1..rprev+c: sum(i*x) contribution =
+    x*(c*rprev + c*(c+1)/2) — which user gets which rank inside a
+    tie never changes the sum, so the result is EXACTLY the
+    (x, user_id)-ordered row_number formulation the oracle keeps as
+    an independent spec. The only window runs over the aggregated
+    histogram; all arithmetic stays in longs."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
     ev = _t(spark, sf_dir, "events")
     ua = ev.groupBy("user_id").agg(F.count("*").alias("x"))
-    wr = W.orderBy("x", "user_id")
-    wall = W.partitionBy()
-    ranked = ua.select(
-        "x", F.row_number().over(wr).alias("i"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("x").over(wall).alias("sx"))
-    return ranked.agg(
-        F.max("n").cast("long").alias("n_users"),
-        rnd(2.0 * F.sum(F.col("i") * F.col("x"))
-            / (F.max("n") * F.max("sx"))
-            - (F.max("n") + 1.0) / F.max("n"), 6).alias("gini"))
+    hist = ua.groupBy("x").agg(F.count("*").alias("c"))
+    wexc = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "x", "c",
+        F.coalesce(F.sum("c").over(wexc), F.lit(0)).alias("rprev"))
+    terms = cum.select(
+        "c", (F.col("x") * F.col("c")).alias("xc"),
+        F.expr("x * (c * rprev + (c * (c + 1)) div 2)").alias("ix"))
+    return terms.agg(
+        F.sum("c").cast("long").alias("n_users"),
+        rnd(2.0 * F.sum("ix") / (F.sum("c") * F.sum("xc"))
+            - (F.sum("c") + 1.0) / F.sum("c"), 6).alias("gini"))
 
 
 @query("dq_robust_mean_value", oracle="""
@@ -824,29 +836,45 @@ def pareto_share_user_activity(spark: SparkSession,
     """Pareto concentration readout: the share of all events produced
     by the top 1% / 10% / 50% of users — the interpretable companion
     to the Gini entry (corpus builders run the identical report on
-    per-domain token mass before deciding to cap domains). One user
-    combine + one ordered cumulative window + a 3-row threshold
-    join."""
+    per-domain token mass before deciding to cap domains).
+
+    Scale (r11 verdict item 3 — no global rank over every user): the
+    top-k cumulative share comes from the VALUE-HISTOGRAM method:
+    group users by activity count x, cumulate user counts and event
+    mass DESCENDING over that bounded histogram, then for each
+    threshold k = max(1, ceil(frac*n)) locate the single histogram
+    row straddling rank k (rprev < k <= rcum) and interpolate the
+    tie run: top-k events = cprev + (k - rprev)*x. Ties at the
+    boundary all share the same x, so this is EXACTLY the
+    (x desc, user_id) row_number formulation the oracle keeps as an
+    independent spec. Windows run over the aggregated histogram; the
+    3-row threshold frame joins it with a broadcast non-equi join."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
     ev = _t(spark, sf_dir, "events")
     ua = ev.groupBy("user_id").agg(F.count("*").alias("x"))
-    wr = W.orderBy(F.desc("x"), "user_id")
-    wall = W.partitionBy()
-    wcum = W.orderBy("r").rowsBetween(W.unboundedPreceding, 0)
-    ranked = ua.select("x", F.row_number().over(wr).alias("r"),
-                       F.count("*").over(wall).alias("n"),
-                       F.sum("x").over(wall).alias("sx"))
-    cum = ranked.select("r", "n", "sx",
-                        F.sum("x").over(wcum).alias("cx"))
+    hist = ua.groupBy("x").agg(F.count("*").alias("c"))
+    wexc = W.orderBy(F.desc("x")).rowsBetween(W.unboundedPreceding, -1)
+    winc = W.orderBy(F.desc("x")).rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "x",
+        F.coalesce(F.sum("c").over(wexc), F.lit(0)).alias("rprev"),
+        F.sum("c").over(winc).alias("rcum"),
+        F.coalesce(F.sum(F.col("x") * F.col("c")).over(wexc),
+                   F.lit(0)).alias("cprev"))
+    tot = ua.agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
     th = ua.sparkSession.createDataFrame(
         [(0.01,), (0.1,), (0.5,)], "frac double")
-    return (F.broadcast(th).join(
-        cum, F.col("r") <= F.greatest(
-            F.lit(1), F.ceil(F.col("frac") * F.col("n"))))
-        .groupBy(F.col("frac").alias("top_frac"))
-        .agg(F.max("r").cast("long").alias("n_top_users"),
-             rnd(F.max("cx") / F.max("sx"), 6).alias("share_of_events")))
+    k = F.greatest(F.lit(1), F.ceil(F.col("frac") * F.col("n")))
+    return (F.broadcast(th).crossJoin(F.broadcast(tot))
+            .withColumn("k", k)
+            .join(cum, (F.col("rprev") < F.col("k"))
+                  & (F.col("k") <= F.col("rcum")))
+            .select(F.col("frac").alias("top_frac"),
+                    F.col("k").cast("long").alias("n_top_users"),
+                    rnd((F.col("cprev")
+                         + (F.col("k") - F.col("rprev")) * F.col("x"))
+                        / F.col("sx"), 6).alias("share_of_events")))
 
 
 @query("dq_referential_integrity", oracle="""

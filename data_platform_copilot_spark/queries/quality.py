@@ -1373,22 +1373,51 @@ def output_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     output file lands near the target size regardless of doc-length
     skew. shard_id = floor(exclusive-prefix-sum / target): a doc
     straddling a boundary stays in the shard it started in
-    (first-fit, standard shard-writer semantics). Scale: ONE global
-    range-sort on doc_id (the TeraSort shape Spark is engineered
-    for) feeding a running sum; everything else is per-row
-    arithmetic plus a shard-keyed agg. The plan's single wide
-    exchange IS the minimum for order-preserving sharding."""
+    (first-fit, standard shard-writer semantics).
+
+    Scale (r11 verdict item 3 — no global unpartitioned window): the
+    global running sum is a TWO-PHASE DISTRIBUTED PREFIX SUM. Docs
+    are bucketed by deterministic fixed-width doc_id ranges (P value
+    buckets from one broadcast min/max row — deterministic across
+    branch re-evaluations, unlike repartitionByRange's per-job
+    boundary sampling), phase 1 computes the P per-bucket token
+    subtotals (a P-row aggregate; its exclusive cumsum window runs
+    over P ROWS, not the table), phase 2 broadcasts those offsets
+    back and finishes with a PER-BUCKET running-sum window
+    (partitionBy bucket — every partition bounded by the bucket
+    width). Identical output to the single-window formulation for
+    any input; the oracle keeps the naive global-window SQL as an
+    independent spec."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..functions.text import token_count
+    _P = 32
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_toks"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    assigned = d.select(
-        "doc_id", "n_toks",
-        F.floor((F.sum("n_toks").over(w) - F.col("n_toks"))
-                / _SHARD_TOKENS).cast("long").alias("shard_id"))
+    bounds = d.agg(F.min("doc_id").alias("lo"),
+                   F.max("doc_id").alias("hi"))
+    bucket = F.expr(  # integer div: exact at any id magnitude
+        f"least({_P - 1}, (doc_id - lo) * {_P} div (hi - lo + 1))")
+    db = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "n_toks", bucket.alias("b"))
+    # phase 1: per-bucket subtotals -> exclusive offsets (P rows)
+    offs = (db.groupBy("b").agg(F.sum("n_toks").alias("bt"))
+            .select("b", F.coalesce(
+                F.sum("bt").over(
+                    Window.orderBy("b")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)).alias("off")))
+    # phase 2: per-bucket running sum + broadcast offset
+    wloc = (Window.partitionBy("b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    assigned = (db.join(F.broadcast(offs), "b")
+                .select("doc_id", "n_toks",
+                        F.floor((F.col("off")
+                                 + F.sum("n_toks").over(wloc)
+                                 - F.col("n_toks"))
+                                / _SHARD_TOKENS).cast("long")
+                        .alias("shard_id")))
     return (assigned.groupBy("shard_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("n_toks").cast("long").alias("n_tokens"),

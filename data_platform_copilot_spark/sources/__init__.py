@@ -10,6 +10,7 @@ from .versioned import (
     compact,
     diff_versions,
     evolve_partitioning,
+    evolve_schema,
     history,
     latest_version,
     merge_version,
@@ -23,5 +24,6 @@ __all__ = ["TESTDATA_TABLES", "load_table", "register_testdata",
            "warm_tables", "write_version", "read_version",
            "merge_version", "compact", "vacuum", "history",
            "latest_version", "diff_versions", "evolve_partitioning",
+           "evolve_schema",
            "CommitConflict",
            "table_rows", "VersionedTableError"]

@@ -696,8 +696,10 @@ def write_version(df: DataFrame, table_dir: str | Path,
         delete_vectors = None
         carried_sort = carried_cluster = None
         dir_partition_map = None
+        carried_renames = None
         if mode == "append" and prev is not None:
             prev_manifest = _read_manifest(root, prev)
+            carried_renames = prev_manifest.get("dir_renames")
             carried_sort = prev_manifest.get("sort_by")
             carried_cluster = prev_manifest.get("cluster")
             dir_partition_map = prev_manifest.get("dir_partition_by")
@@ -764,6 +766,13 @@ def write_version(df: DataFrame, table_dir: str | Path,
             if partition_by:
                 evolved[data_dir] = list(partition_by)
             manifest["dir_partition_by"] = evolved
+        if carried_renames:
+            # schema-evolved table: physical->logical rename maps ride
+            # every append (the new dir writes logical names directly
+            # and needs no entry)
+            manifest["dir_renames"] = {
+                d: carried_renames[d] for d in dirs
+                if d in carried_renames}
         if dir_stats:
             # zone maps: per-dir column [min,max] from the parquet
             # footers — read_version(skip=...) drops dirs these prove
@@ -846,11 +855,21 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
     a generation no longer partitions by simply arrives as data, or
     as NULL where it never existed — Iceberg's spec-per-manifest
     contract).
+
+    Schema evolution (``evolve_schema``): each branch applies its
+    dir's physical->logical renames (``dir_renames``), casts any
+    column whose physical type differs from the manifest schema
+    (type widening — old int segments read as long), and after the
+    union every manifest column no dir carries yet (added by
+    ``add_columns``) is null-filled at its declared type — the
+    Delta/Iceberg read contract, resolved per segment with zero data
+    rewrites.
     """
     schema = manifest.get("schema", {})
     frames = []
     parts = manifest.get("partition_by") or []
     dir_parts = manifest.get("dir_partition_by")
+    dir_renames = manifest.get("dir_renames") or {}
 
     def parts_of(d: str) -> list[str]:
         if dir_parts is not None:
@@ -863,6 +882,18 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
         return ([str(root / p) for p in override] if override
                 else [str(root / d)])
 
+    def align(df: DataFrame, d: str) -> DataFrame:
+        # physical -> logical renames, then widen-casts to the
+        # manifest schema (also pins hive-inferred partition dtypes)
+        for phys, logical in (dir_renames.get(d) or {}).items():
+            if phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+        dtypes = dict(df.dtypes)
+        for col, want in schema.items():
+            if col in dtypes and dtypes[col] != want:
+                df = df.withColumn(col, F.col(col).cast(want))
+        return df
+
     if (not parts and not any(parts_of(d) for d in dirs)
             and all(d in dir_schemas for d in dirs)):
         # Fast path (the streaming-append shape): dirs with IDENTICAL
@@ -871,13 +902,15 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
         # N-branch union whose analysis cost grows with the append
         # count (measured: 60 appends = 4.8 s plan build + 3.1 s
         # count as a union; 0.1 s as grouped scans). Schema-evolution
-        # boundaries start a new group; groups still union by name.
+        # boundaries (including differing rename maps) start a new
+        # group; groups still union by name.
         groups: dict[tuple, list[str]] = {}
         for d in dirs:
-            fp = tuple(sorted(dir_schemas[d].items()))
+            fp = (tuple(sorted(dir_schemas[d].items())),
+                  tuple(sorted((dir_renames.get(d) or {}).items())))
             groups.setdefault(fp, []).append(d)
-        frames = [spark.read.parquet(
-                      *[p for d in g for p in paths(d)])
+        frames = [align(spark.read.parquet(
+                      *[p for d in g for p in paths(d)]), g[0])
                   for g in groups.values()]
     else:
         for d in dirs:
@@ -885,18 +918,13 @@ def _read_dirs(spark: SparkSession, root: Path, dirs: list[str],
             for col, val in _partition_segments(d):
                 df = df.withColumn(
                     col, F.lit(val).cast(schema.get(col, "string")))
-            # hive partition discovery INFERS partition column types
-            # from the path strings (part=1 -> int); pin them back to
-            # the committed schema so every version round-trips its
-            # dtypes (per-dir layout when the table has evolved)
-            for col in parts_of(d):
-                if col in df.columns and schema.get(col) and \
-                        dict(df.dtypes)[col] != schema[col]:
-                    df = df.withColumn(col, F.col(col).cast(schema[col]))
-            frames.append(df)
+            frames.append(align(df, d))
     out = frames[0]
     for p in frames[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    for col, want in schema.items():
+        if col not in out.columns:  # evolve_schema(add_columns=...)
+            out = out.withColumn(col, F.lit(None).cast(want))
     return out
 
 
@@ -1031,6 +1059,35 @@ def _skip_preds_from_condition(condition) -> list[tuple]:
     return out
 
 
+def _skip_for_dir(manifest: dict, d: str,
+                  skip: list[tuple] | None) -> list[tuple]:
+    """Translate a (logical-name) skip list to dir ``d``'s PHYSICAL
+    column names. Footer stats are keyed by physical names; after an
+    ``evolve_schema`` rename, a logical predicate must prune against
+    the physical column it actually maps to — and never against an
+    unrelated physical column that merely shares the name (an earlier
+    rename may have freed it). Preds on columns with no physical
+    counterpart in this dir are dropped (the dir is simply kept for
+    them — skipping is only ever a proof of emptiness)."""
+    ren = (manifest.get("dir_renames") or {}).get(d)
+    if not ren:
+        return skip or []
+    phys_cols = ((manifest.get("dir_schemas") or {}).get(d) or {}).keys()
+    if phys_cols:
+        inv = {ren.get(p, p): p for p in phys_cols}
+    else:  # no per-dir schema recorded: invert the map itself and
+        # refuse physical names the map renamed away
+        inv = {v: k for k, v in ren.items()}
+    out = []
+    for (c, op, v) in (skip or []):
+        p = inv.get(c)
+        if p is None and not phys_cols and c not in ren:
+            p = c  # identity outside the rename map
+        if p is not None:
+            out.append((p, op, v))
+    return out
+
+
 def _prospective_selection(manifest: dict, skip: list[tuple]):
     """Cheap (pure-manifest, no disk IO) fingerprint of what a skip
     list would keep: the surviving dir tuple plus the file-level
@@ -1044,11 +1101,14 @@ def _prospective_selection(manifest: dict, skip: list[tuple]):
     dirs = manifest["data_dirs"]
     stats = manifest.get("dir_stats") or {}
     fstats = manifest.get("file_stats") or {}
-    kept = tuple(d for d in dirs
-                 if not skip or _dir_may_match(stats.get(d), skip))
+    kept = tuple(
+        d for d in dirs
+        if not skip or _dir_may_match(stats.get(d),
+                                      _skip_for_dir(manifest, d, skip)))
     pruned_files = tuple(sorted(
         (d, f) for d in kept for f, st in (fstats.get(d) or {}).items()
-        if skip and not _dir_may_match(st, skip)))
+        if skip and not _dir_may_match(st,
+                                       _skip_for_dir(manifest, d, skip))))
     return kept, pruned_files
 
 
@@ -1365,9 +1425,11 @@ def _read_version_at(spark: SparkSession, root: Path, version: int,
     dvs = manifest.get("delete_vectors") or []
     stats = manifest.get("dir_stats") or {}
     file_stats = manifest.get("file_stats") or {}
+    def skip_for(d: str) -> list[tuple]:
+        return _skip_for_dir(manifest, d, skip)
 
     def keep(d: str) -> bool:
-        return not skip or _dir_may_match(stats.get(d), skip)
+        return not skip or _dir_may_match(stats.get(d), skip_for(d))
 
     def file_select(kept_dirs: list[str]) -> dict[str, list[str]]:
         """File-granular pruning for sort_by commits: within a kept
@@ -1386,8 +1448,9 @@ def _read_version_at(spark: SparkSession, root: Path, version: int,
             actual = {p.name for p in (root / d).glob("*.parquet")}
             if set(fs) != actual:
                 continue  # stats don't cover the dir: no file pruning
+            dskip = skip_for(d)
             kept = [f"{d}/{f}" for f in sorted(fs)
-                    if _dir_may_match(fs[f], skip)]
+                    if _dir_may_match(fs[f], dskip)]
             if len(kept) < len(fs):
                 out[d] = kept
         return out
@@ -1590,6 +1653,132 @@ def evolve_partitioning(table_dir: str | Path,
         if new_parts:
             out.pop("sort_by", None)
             out.pop("cluster", None)
+        try:
+            _publish_manifest(root, out)
+            return out["version"]
+        except CommitConflict:
+            continue  # re-derive against the new latest
+    raise VersionedTableError(
+        f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
+
+
+# widening lattice: byte < short < int < long; float < double.
+# Lossy paths (long->double can round) and narrowings are rejected —
+# the same whitelist _unwrap_attr trusts when seeing through analyzer
+# casts, so zone-map pruning stays sound on widened columns.
+_WIDEN_OK = {("byte", "short"), ("byte", "int"), ("byte", "bigint"),
+             ("short", "int"), ("short", "bigint"),
+             ("int", "bigint"), ("float", "double")}
+
+
+def evolve_schema(table_dir: str | Path,
+                  add_columns: dict[str, str] | None = None,
+                  widen: dict[str, str] | None = None,
+                  rename: dict[str, str] | None = None) -> int:
+    """Delta/Iceberg-style schema evolution without rewriting a byte
+    of data: publishes a METADATA-ONLY commit (mode
+    ``evolve-schema``, same data dirs, stats and deletion vectors as
+    the previous version) that updates the table's logical schema
+    going forward. Returns the new version.
+
+    - ``add_columns={name: spark_type}``: new nullable columns.
+      Readers null-fill them at the declared type for every existing
+      segment; subsequent appends may (but need not) supply them.
+    - ``widen={name: wider_type}``: type widening along the lossless
+      lattice byte<short<int<long, float<double. Old segments keep
+      their narrow physical type and are CAST per branch on read;
+      new appends must use the widened type (``_validate_append``
+      checks against the LATEST schema).
+    - ``rename={old: new}``: logical rename. Physical files are
+      untouched; the manifest records each existing dir's
+      physical->logical map (``dir_renames``, the Iceberg
+      column-mapping idea) and readers apply it per branch. Zone-map
+      skipping translates predicates back to each dir's physical
+      name — a stale physical name can never prune the wrong column.
+      ``partition_by`` / ``sort_by`` references follow the rename.
+
+    Time travel returns the AS-OF schema: old manifests keep their
+    own ``schema``/``dir_renames``, so ``read_version(version=k)``
+    reads exactly what version k declared. ``compact()`` and CoW
+    merges write through the logical schema, healing renames and
+    widenings to physical form.
+
+    Contracts: renames and widenings require no live deletion
+    vectors (``compact()`` first — the vectors' key frames were
+    written under the old physical schema); renaming onto an
+    existing name, widening a missing column, or a lossy/narrowing
+    path is rejected."""
+    add_columns = dict(add_columns or {})
+    widen = dict(widen or {})
+    rename = dict(rename or {})
+    if not (add_columns or widen or rename):
+        raise VersionedTableError("evolve_schema: nothing to do")
+    root = Path(table_dir)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        prev = latest_version(root)
+        if prev is None:
+            raise VersionedTableError(f"not a versioned table: {root}")
+        m = _read_manifest(root, prev)
+        schema = dict(m.get("schema") or {})
+        if (widen or rename) and m.get("delete_vectors"):
+            raise VersionedTableError(
+                "evolve_schema: widen/rename require no live deletion "
+                "vectors — run compact() first")
+        for c, t in add_columns.items():
+            if c in schema:
+                raise VersionedTableError(
+                    f"add_columns: column exists: {c!r}")
+            schema[c] = t
+        for c, t in widen.items():
+            if c not in schema:
+                raise VersionedTableError(
+                    f"widen: no such column: {c!r}")
+            if (schema[c], t) not in _WIDEN_OK:
+                raise VersionedTableError(
+                    f"widen: {schema[c]} -> {t} is not a lossless "
+                    f"widening for {c!r}")
+            schema[c] = t
+        parts = list(m.get("partition_by") or [])
+        sort_by = list(m.get("sort_by") or [])
+        dir_renames = {d: dict(r) for d, r in
+                       (m.get("dir_renames") or {}).items()}
+        for old, new in rename.items():
+            if old not in schema:
+                raise VersionedTableError(
+                    f"rename: no such column: {old!r}")
+            if new in schema or new in add_columns:
+                raise VersionedTableError(
+                    f"rename: target exists: {new!r}")
+            schema = {(new if c == old else c): t
+                      for c, t in schema.items()}
+            parts = [new if c == old else c for c in parts]
+            sort_by = [new if c == old else c for c in sort_by]
+            dir_schemas = m.get("dir_schemas") or {}
+            for d in m["data_dirs"]:
+                phys_cols = (dir_schemas.get(d) or {}).keys()
+                cur = dir_renames.setdefault(d, {})
+                # the physical column whose CURRENT logical name is
+                # `old` (injective: rename targets must be fresh)
+                hit = [p for p in (phys_cols or cur.keys())
+                       if cur.get(p, p) == old]
+                if not phys_cols:  # no per-dir schema recorded:
+                    hit = [p for p, n in cur.items() if n == old] \
+                        or ([old] if old not in cur else [])
+                for p in hit:
+                    cur[p] = new
+        out = {k: v for k, v in m.items()
+               if k not in ("txn", "committed_at")}
+        out["version"] = prev + 1
+        out["mode"] = "evolve-schema"
+        out["schema"] = schema
+        out["partition_by"] = parts
+        if sort_by:
+            out["sort_by"] = sort_by
+        dir_renames = {d: r for d, r in dir_renames.items() if r}
+        if dir_renames:
+            out["dir_renames"] = dir_renames
+        else:
+            out.pop("dir_renames", None)
         try:
             _publish_manifest(root, out)
             return out["version"]
@@ -1879,6 +2068,13 @@ def _merge_mor(spark: SparkSession, root: Path,
             if parts:
                 evolved[data_dir] = list(parts)
             out["dir_partition_by"] = evolved
+        if prev_manifest.get("dir_renames"):
+            # renamed-table MoR merge: prior dirs keep their
+            # physical->logical maps; the new update dir writes
+            # logical names directly
+            out["dir_renames"] = {
+                d: prev_manifest["dir_renames"][d] for d in dirs
+                if d in prev_manifest["dir_renames"]}
         if dir_stats:
             out["dir_stats"] = {d: dir_stats[d] for d in dirs
                                 if d in dir_stats}

@@ -1,3 +1,7 @@
+from .change_feed import (
+    FeedBehindRetentionError,
+    VersionedChangeFeed,
+)
 from .events import (
     run_streaming_dedup,
     run_streaming_enriched_agg,
@@ -8,6 +12,8 @@ from .events import (
 )
 
 __all__ = [
+    "FeedBehindRetentionError",
+    "VersionedChangeFeed",
     "run_streaming_dedup",
     "run_streaming_enriched_agg",
     "run_streaming_hopping_agg",

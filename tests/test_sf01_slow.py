@@ -123,3 +123,105 @@ def test_no_entry_plans_a_python_row_udf_or_cartesian(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+# Entries allowed to plan an EMPTY-partition-spec WindowExec, each
+# with the reason its window input is bounded (r11 verdict item 3:
+# the invariant below rejects any global window not named here, so a
+# future unbounded single-partition window fails CI instead of dying
+# at 100x). Classes:
+#   series  — window over a date/hour-aggregated series (rows bounded
+#             by the time range, not the data volume)
+#   hist    — window over a value histogram / quantile bins / ROC
+#             bins (rows bounded by distinct-value cardinality; the
+#             sanctioned roc_auc pattern, also used by the r12
+#             gini/pareto/shard-plan rewrites)
+#   mix     — window over per-source/domain mixture rows (rows
+#             bounded by the source/domain alphabet)
+#   spec    — §2.B SQL-surface window-function spec entries over a
+#             monthly aggregate (bounded by the month range)
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    "acf_daily_value": "series",
+    "burst_detection_hourly": "series",
+    "changepoint_cusum_daily": "series",
+    "sax_daily_value": "series",
+    "user_growth_daily": "series",
+    "seasonal_decompose_daily": "series",
+    "seasonal_adjusted_anomalies": "series",
+    "funnel_view_click_purchase": "series",
+    "pchart_error_rate_hourly": "series",
+    "survival_km_user_lifetime": "hist",
+    "drift_ks_value": "hist",
+    "quantile_histogram_sketch": "hist",
+    "quality_score_auc": "hist",
+    "quality_calibration_bins": "hist",
+    "conformal_quality_coverage": "hist",
+    "vocab_coverage_curve": "hist",
+    "zipf_slope_tokens": "hist",
+    "concentration_gini_user_activity": "hist",
+    "pareto_share_user_activity": "hist",
+    "range_partition_plan": "hist (deterministic ~5% sample histogram"
+                            " feeding boundary planning)",
+    "output_shard_plan": "hist (P=32 per-bucket subtotals of the"
+                         " two-phase prefix sum)",
+    "padding_waste_batching": "hist",
+    "dsir_importance_resample": "hist",
+    "domain_mix_sample_counts": "mix",
+    "temperature_mix_counts": "mix",
+    "token_budget_allocation": "mix",
+    "token_budget_epochs_plan": "mix",
+    "window_running_sum": "spec",
+    "window_lag_delta": "spec",
+    "window_range_frame": "spec",
+    "null_ordering": "spec",
+    # known-weak residue, tracked for rewrite (global rank over
+    # unbounded rows — the histogram method applies to both):
+    "ab_test_mann_whitney": "TODO: rank over raw click/view values",
+    "training_order_interleave": "TODO: global row_number schedule",
+}
+
+
+@pytest.mark.slow
+def test_no_entry_plans_an_unpartitioned_window_off_allowlist(spark):
+    """Registry-wide plan invariant (r11 verdict item 3): an
+    empty-partition-spec WindowExec moves ALL rows to one task
+    (\"Moving all data to a single partition\") — the class that runs
+    fine at sf0.1 and serializes at 100 TB. Every entry that plans
+    one must be explicitly allowlisted above with the reason its
+    window input is bounded; anything else fails here. Detection is
+    on the optimized plan's windowspecdefinition argument shape: a
+    partitioned spec leads with partition columns, an unpartitioned
+    one leads with an ordering (ASC/DESC) or, for ORDER-less global
+    frames, the frame spec itself."""
+    import re
+
+    from data_platform_copilot_spark.queries import QUERIES
+
+    def has_global_window(plan: str) -> bool:
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0].strip()
+            if ("ASC" in first or "DESC" in first
+                    or first.startswith("specifiedwindowframe")):
+                return True
+        return False
+
+    offenders, stale = [], []
+    seen = set()
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        if has_global_window(plan):
+            seen.add(name)
+            if name not in GLOBAL_WINDOW_ALLOWLIST:
+                offenders.append(name)
+    stale = [n for n in GLOBAL_WINDOW_ALLOWLIST
+             if n in QUERIES and n not in seen]
+    assert not offenders, (
+        f"unpartitioned global window outside the allowlist: "
+        f"{offenders}")
+    assert not stale, (
+        f"allowlist entries no longer planning a global window "
+        f"(prune them): {stale}")

@@ -1735,6 +1735,186 @@ class TestAutoSkipPushdown:
         assert sorted(r["id"] for r in got.collect()) == list(range(20))
 
 
+class TestSchemaEvolution:
+    """evolve_schema (r11 verdict item 5): add-column / type-widening
+    / rename as metadata-only commits; readers null-fill and cast per
+    segment; time travel returns the as-of schema; appends validate
+    against the LATEST schema; zone-map pruning still fires per
+    segment."""
+
+    def test_add_column_null_fills_and_appends(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        write_version(_df(spark, 0, 10), tdir)              # schema A
+        v = evolve_schema(tdir, add_columns={"tag": "string"})
+        assert v == 1
+        got = read_version(spark, tdir)
+        assert dict(got.dtypes)["tag"] == "string"
+        assert got.where(F.col("tag").isNull()).count() == 10
+        # append WITH the new column spans both segments
+        write_version(
+            spark.range(10, 15).select(
+                "id", (F.col("id") * 2).alias("x"),
+                F.lit("b").alias("tag")), tdir, "append")
+        rows = {r["id"]: r["tag"]
+                for r in read_version(spark, tdir).collect()}
+        assert rows[3] is None and rows[12] == "b" and len(rows) == 15
+        # AS OF v0 returns schema A (no tag column)
+        assert "tag" not in read_version(spark, tdir, version=0).columns
+
+    def test_widen_casts_old_segments(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        write_version(
+            spark.range(5).select(F.col("id").cast("int").alias("k"),
+                                  (F.col("id") * 2).alias("x")), tdir)
+        evolve_schema(tdir, widen={"k": "bigint"})
+        got = read_version(spark, tdir)
+        assert dict(got.dtypes)["k"] == "bigint"
+        assert sorted(r["k"] for r in got.collect()) == list(range(5))
+        # append with the widened type; narrow appends are rejected
+        write_version(
+            spark.range(5, 8).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("x")),
+            tdir, "append")
+        assert read_version(spark, tdir).count() == 8
+        with pytest.raises(VersionedTableError, match="incompatible"):
+            write_version(
+                spark.range(8, 9).select(
+                    F.col("id").cast("int").alias("k"),
+                    (F.col("id") * 2).alias("x")), tdir, "append")
+        # AS OF the pre-evolution version keeps the narrow type
+        assert dict(read_version(spark, tdir, version=0).dtypes)["k"] \
+            == "int"
+
+    def test_widen_rejects_lossy_paths(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        write_version(_df(spark, 0, 5), tdir)  # id/x are bigint
+        for bad in ({"id": "int"}, {"id": "double"}, {"id": "string"}):
+            with pytest.raises(VersionedTableError, match="widen"):
+                evolve_schema(tdir, widen=bad)
+        with pytest.raises(VersionedTableError, match="no such"):
+            evolve_schema(tdir, widen={"nope": "bigint"})
+        with pytest.raises(VersionedTableError, match="exists"):
+            evolve_schema(tdir, add_columns={"x": "string"})
+
+    def test_rename_reads_all_segments(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        write_version(_df(spark, 0, 10), tdir)
+        v = evolve_schema(tdir, rename={"x": "y"})
+        got = read_version(spark, tdir)
+        assert set(got.columns) == {"id", "y"}
+        assert sorted(r["y"] for r in got.collect()) \
+            == [2 * i for i in range(10)]
+        # post-rename append writes the logical name physically
+        write_version(
+            spark.range(10, 12).select("id",
+                                       (F.col("id") * 2).alias("y")),
+            tdir, "append")
+        assert read_version(spark, tdir).count() == 12
+        # time travel: pre-rename schema intact
+        assert set(read_version(spark, tdir, version=v - 1).columns) \
+            == {"id", "x"}
+
+    def test_rename_pruning_translates_to_physical(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        for i in range(8):
+            write_version(_df(spark, i * 10, (i + 1) * 10), tdir,
+                          "append" if i else "overwrite")
+        evolve_schema(tdir, rename={"id": "doc"})
+        pruned = read_version(spark, tdir).where(F.col("doc") >= 70)
+        dirs = {f.split("/data-")[1].split("/")[0]
+                for f in pruned.inputFiles()}
+        assert len(dirs) == 1  # stats keyed by physical 'id' still fire
+        assert sorted(r["doc"] for r in pruned.collect()) \
+            == list(range(70, 80))
+
+    def test_rename_freed_name_never_misprunes(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        for i in range(4):
+            write_version(_df(spark, i * 10, (i + 1) * 10), tdir,
+                          "append" if i else "overwrite")
+        # free the physical name 'id' (id->doc), then rename x->id:
+        # logical 'id' now means the OLD x (= 2*doc) — a predicate on
+        # it must never prune against old dirs' physical 'id' stats
+        evolve_schema(tdir, rename={"id": "doc"})
+        evolve_schema(tdir, rename={"x": "id"})
+        got = read_version(spark, tdir).where(F.col("id") >= 60)
+        # physical id stats for dir 3 are [30,39]; logical id = x
+        # there is [60,78] — rows must survive
+        assert sorted(r["doc"] for r in got.collect()) \
+            == list(range(30, 40))
+
+    def test_rename_requires_no_live_vectors(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema, merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 555)],
+                                            "id long, x long"),
+                      "id", strategy="mor")
+        with pytest.raises(VersionedTableError, match="deletion"):
+            evolve_schema(tdir, rename={"x": "y"})
+        with pytest.raises(VersionedTableError, match="deletion"):
+            evolve_schema(tdir, widen={"x": "double"})
+        # add_columns is safe with live vectors
+        evolve_schema(tdir, add_columns={"tag": "string"})
+        got = {r["id"]: r["x"] for r in
+               read_version(spark, tdir).collect()}
+        assert got[5] == 555 and len(got) == 10
+
+    def test_mor_after_rename_stays_exact(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema, merge_version)
+
+        write_version(_df(spark, 0, 10), tdir)
+        evolve_schema(tdir, rename={"x": "y"})
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(5, 999), (20, 40)],
+                                            "id long, y long"),
+                      "id", strategy="mor")
+        got = {r["id"]: r["y"] for r in
+               read_version(spark, tdir).collect()}
+        assert got[5] == 999 and got[20] == 40 and got[3] == 6
+        assert len(got) == 11
+
+    def test_compact_heals_renames_and_widens(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        write_version(
+            spark.range(6).select(F.col("id").cast("int").alias("k"),
+                                  (F.col("id") * 2).alias("x")), tdir)
+        evolve_schema(tdir, widen={"k": "bigint"}, rename={"x": "y"})
+        compact(spark, tdir, target_files=1)
+        m = history(tdir)[-1]
+        assert "dir_renames" not in m          # healed to physical
+        assert m["schema"] == {"k": "bigint", "y": "bigint"}
+        got = read_version(spark, tdir)
+        assert dict(got.dtypes) == {"k": "bigint", "y": "bigint"}
+        assert sorted(r["y"] for r in got.collect()) \
+            == [2 * i for i in range(6)]
+
+    def test_nothing_to_do_rejected(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        write_version(_df(spark, 0, 3), tdir)
+        with pytest.raises(VersionedTableError, match="nothing"):
+            evolve_schema(tdir)
+
+
 class TestProjectionChainedPushdown:
     """Pruning must survive projection chaining (r11 verdict item 2):
     ``read_version(t).select(...).where(...)`` re-plans over the
