@@ -26,14 +26,39 @@ EVENTS_DESCRIPTIONS = {
 
 def build_markdown(spark: SparkSession, database: str | None = None,
                    include_temp_views: bool = True) -> str:
-    """Render `# Warehouse schema` markdown from the live catalog."""
+    """Render `# Warehouse schema` markdown from the live catalog.
+
+    Registered versioned tables (r11 verdict item 7) get their
+    current version and exact metadata row count appended to the
+    section header — the NL->SQL prompt can then target them (and
+    their ``FOR VERSION AS OF`` surface) like any warehouse table.
+    Versioned snapshot views materialized by the gateway rewriter
+    (``__asof_`` / ``__v<N>`` suffixes) are implementation detail and
+    are skipped."""
+    from ..gateway.time_travel import registered_versioned_tables
+    from ..sources.versioned import latest_version, table_rows
+
+    versioned = registered_versioned_tables()
     lines = ["# Warehouse schema", ""]
     tables = spark.catalog.listTables(database or
                                       spark.catalog.currentDatabase())
     for t in sorted(tables, key=lambda x: x.name):
         if t.tableType == "TEMPORARY" and not include_temp_views:
             continue
-        lines += [f"## {t.name}", "",
+        name_l = t.name.lower()
+        if "__asof_" in name_l or (
+                "__v" in name_l
+                and name_l.split("__v")[0] in versioned):
+            continue  # gateway-internal snapshot views
+        header = f"## {t.name}"
+        if name_l in versioned:
+            tdir = versioned[name_l]
+            v = latest_version(tdir)
+            rows = table_rows(tdir)
+            header += (f" (versioned, v{v}"
+                       + (f", {rows} rows" if rows is not None else "")
+                       + " — supports FOR VERSION/TIMESTAMP AS OF)")
+        lines += [header, "",
                   "| column | type | nullable | description |",
                   "|---|---|---|---|"]
         schema = spark.table(t.name).schema

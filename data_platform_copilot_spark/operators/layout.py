@@ -47,14 +47,20 @@ def bucketize_minmax(col: Column, min_col: Column, max_col: Column,
                      bits: int = 8) -> Column:
     """General-range variant of ``bucketize``: scale a numeric key to
     [0, 2^bits) against its observed [min, max] (handles negatives,
-    floats, constant columns). NULL keys stay NULL — the caller's
-    range partitioner groups them into one partition and min/max
-    pruning ignores them (parquet stats skip nulls)."""
+    floats, constant columns). NULL keys stay NULL — guarded
+    explicitly (ADVICE r11: Spark's greatest/least SKIP nulls, so an
+    unguarded clamp would map NULL to bucket 0 and cluster null rows
+    with minimum-value rows); ``interleave_many``'s NULL-key contract
+    then groups them into one partition, and min/max pruning ignores
+    them (parquet stats skip nulls)."""
     n = 1 << bits
     span = (max_col - min_col).cast("double")
     raw = F.floor((col - min_col).cast("double") * n
                   / F.when(span > 0, span).otherwise(F.lit(1.0)))
-    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("long")
+    clamped = F.least(F.lit(n - 1),
+                      F.greatest(F.lit(0), raw)).cast("long")
+    return F.when(col.isNull(), F.lit(None).cast("long")) \
+        .otherwise(clamped)
 
 
 def interleave_many(cols: list[Column], bits: int = 8) -> Column:

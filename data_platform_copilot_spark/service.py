@@ -51,11 +51,18 @@ class CopilotService:
     def __init__(self, spark: SparkSession, provider: CompletionProvider,
                  control_root: str, *, github=None, orchestrator=None,
                  default_branch: str = "main",
-                 demo_data_dir: str | None = None) -> None:
+                 demo_data_dir: str | None = None,
+                 versioned_data_root: str | None = None) -> None:
         self.spark = spark
         self.provider = provider
         # server-side demo CSV directory; None -> settings.data value
         self.demo_data_dir = demo_data_dir
+        # ADVICE r11: when set, /versioned/{name}/register only
+        # accepts table dirs under this root — an HTTP caller cannot
+        # point the SQL surface at arbitrary filesystem paths.
+        # create_app() wires it from SPARK_GRAFT_VERSIONED_ROOT;
+        # library embedders opt in explicitly.
+        self.versioned_data_root = versioned_data_root
         self.ns = NamespaceManager(spark, control_root)
         self.tables = TableManager(spark, self.ns)
         self.views = ViewManager(spark)
@@ -334,7 +341,28 @@ class CopilotService:
                            table_dir: str) -> dict[str, Any]:
         """Expose a versioned table to the SQL surface: plain SELECTs
         see the latest snapshot; ``FOR VERSION|TIMESTAMP AS OF``
-        resolves through the manifest log (gateway/time_travel.py)."""
+        resolves through the manifest log (gateway/time_travel.py).
+
+        Guards (ADVICE r11): with ``versioned_data_root`` configured,
+        ``table_dir`` must resolve under it (no path traversal out of
+        the data area); registering a name that would SHADOW an
+        existing non-versioned catalog view (e.g. ``documents``) is
+        refused — createOrReplaceTempView would silently redirect
+        every query against that view."""
+        from pathlib import Path
+
+        from .gateway import registered_versioned_tables
+
+        if self.versioned_data_root is not None:
+            root = Path(self.versioned_data_root).resolve()
+            target = Path(table_dir).resolve()
+            if not target.is_relative_to(root):
+                return {"error": f"table_dir must live under "
+                                 f"{root}", "status": 400}
+        if (name.lower() not in registered_versioned_tables()
+                and self.spark.catalog.tableExists(name)):
+            return {"error": f"{name!r} would shadow an existing "
+                             f"catalog view", "status": 400}
         try:
             v = register_versioned_table(self.spark, name, table_dir)
         except VersionedTableError as exc:
@@ -563,6 +591,8 @@ def create_app():
         spark, make_provider(settings.llm),
         os.environ.get("SPARK_GRAFT_CONTROL_ROOT", "/tmp/copilot_control"),
         github=github, orchestrator=orchestrator,
-        default_branch=settings.git.default_branch)
+        default_branch=settings.git.default_branch,
+        versioned_data_root=os.environ.get(
+            "SPARK_GRAFT_VERSIONED_ROOT"))
     service.bootstrap()
     return create_fastapi_app(service)

@@ -1733,6 +1733,27 @@ class TestLateR6EdgeCases:
         assert sum(r["n_rows"] for r in rep) == 100
         assert all(r["min_x"] == 5 and r["max_x"] == 5 for r in rep)
 
+    def test_bucketize_minmax_null_stays_null(self, spark):
+        """ADVICE r11: greatest/least skip NULLs, so the clamp alone
+        would send a NULL key to bucket 0; the guard must keep it
+        NULL so interleave_many's NULL-key contract engages and null
+        rows cluster in their own partition, not with minimum-value
+        rows."""
+        from data_platform_copilot_spark.operators.layout import (
+            bucketize_minmax, interleave_many)
+        df = spark.createDataFrame(
+            [(0,), (50,), (100,), (None,)], "v long")
+        got = df.select(
+            bucketize_minmax(F.col("v"), F.lit(0), F.lit(100),
+                             bits=4).alias("b")).collect()
+        vals = [r["b"] for r in got]
+        assert vals.count(None) == 1           # NULL stays NULL
+        assert set(v for v in vals if v is not None) <= set(range(16))
+        z = df.select(interleave_many(
+            [bucketize_minmax(F.col("v"), F.lit(0), F.lit(100), 4),
+             F.lit(3)], bits=4).alias("z")).collect()
+        assert [r["z"] for r in z].count(None) == 1  # contract engages
+
 
 class TestContainment:
     def test_short_in_long_detected(self, spark):

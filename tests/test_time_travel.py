@@ -329,6 +329,63 @@ class TestServiceTimeTravel:
         assert service.versioned_compact("nope")["status"] == 400
         assert service.versioned_vacuum("nope")["status"] == 400
 
+    def test_versioned_table_in_schema_docs_and_agent_query(
+            self, spark, sf_dir, tdir, tmp_path):
+        """r11 verdict item 7: a registered versioned table appears in
+        the generated schema docs (with version + row count + AS OF
+        hint) so the NL->SQL prompt can target it — and an agent
+        query against it answers."""
+        import asyncio
+
+        from data_platform_copilot_spark.chain.provider import (
+            StubProvider)
+        from data_platform_copilot_spark.service import CopilotService
+
+        _commit_two_versions(spark, tdir)
+        canned = {"tt_docs_q": "```sql\nSELECT sum(x) AS s "
+                               "FROM tt_docs_tbl\n```"}
+        svc = CopilotService(spark, StubProvider(canned=canned),
+                             str(tmp_path / "control"))
+        svc.bootstrap()
+        svc.versioned_register("tt_docs_tbl", str(tdir))
+        md = svc.schema_docs(refresh=True)
+        assert "## tt_docs_tbl (versioned, v1" in md
+        assert "FOR VERSION/TIMESTAMP AS OF" in md
+        # internal snapshot views never leak into the docs
+        sql_run(spark, "SELECT * FROM tt_docs_tbl FOR VERSION AS OF 0")
+        md2 = svc.schema_docs(refresh=True)
+        assert "__asof_" not in md2 and "__v1" not in md2
+        out = asyncio.run(svc.chat("tt_docs_q"))
+        assert out["rows"][0]["s"] \
+            == sum(2 * i for i in range(3, 10)) + 3 * 999
+
+    def test_register_guards_root_and_shadowing(self, spark, sf_dir,
+                                                tdir, tmp_path):
+        """ADVICE r11: with a configured data root, register refuses
+        paths outside it; registering over an existing non-versioned
+        catalog view is always refused."""
+        from data_platform_copilot_spark.service import CopilotService
+        from data_platform_copilot_spark.sources import (
+            register_testdata)
+        from tests.test_service import StubProvider
+
+        register_testdata(spark, sf_dir)
+        _commit_two_versions(spark, tdir)
+        svc = CopilotService(spark, StubProvider(canned={},
+                                                 fallback="x"),
+                             str(tmp_path / "control"),
+                             versioned_data_root=str(tdir.parent))
+        svc.bootstrap()
+        ok = svc.versioned_register("tt_guard", str(tdir))
+        assert ok["latest"] == 1
+        out = svc.versioned_register("tt_outside", "/root/testdata")
+        assert out["status"] == 400 and "under" in out["error"]
+        out = svc.versioned_register("documents", str(tdir))
+        assert out["status"] == 400 and "shadow" in out["error"]
+        # re-registering an already-versioned name stays allowed
+        assert svc.versioned_register("tt_guard", str(tdir))[
+            "latest"] == 1
+
     def test_handler_diff_change_feed(self, spark, service, tdir):
         _commit_two_versions(spark, tdir)
         service.versioned_register("tt_d", str(tdir))
