@@ -38,7 +38,14 @@ def build_markdown(spark: SparkSession, database: str | None = None,
     from ..gateway.time_travel import registered_versioned_tables
     from ..sources.versioned import latest_version, table_rows
 
+    import re
+
     versioned = registered_versioned_tables()
+    # exact gateway view-name shapes only (<name>__asof_<v> /
+    # <name>__v<N>, optionally __p<hash>-pruned) so a user table that
+    # merely contains "__v" is never hidden (review r12)
+    snapshot_re = re.compile(
+        r"^(.*?)__(?:asof_|v)\d+(?:__p[0-9a-f]{8})?$")
     lines = ["# Warehouse schema", ""]
     tables = spark.catalog.listTables(database or
                                       spark.catalog.currentDatabase())
@@ -46,9 +53,8 @@ def build_markdown(spark: SparkSession, database: str | None = None,
         if t.tableType == "TEMPORARY" and not include_temp_views:
             continue
         name_l = t.name.lower()
-        if "__asof_" in name_l or (
-                "__v" in name_l
-                and name_l.split("__v")[0] in versioned):
+        sm = snapshot_re.match(name_l)
+        if sm and sm.group(1) in versioned:
             continue  # gateway-internal snapshot views
         header = f"## {t.name}"
         if name_l in versioned:

@@ -255,6 +255,28 @@ def _preds_hash(preds: list[tuple]) -> str:
     return hashlib.md5(repr(sorted(preds)).encode()).hexdigest()[:8]
 
 
+# Gateway-created snapshot/pruned view names, FIFO-bounded: pruned
+# views are keyed by predicate-set hash, so a long-lived session
+# issuing many distinct WHERE clauses would otherwise accumulate
+# catalog entries without bound (review r12). Eviction only touches
+# views created >= _VIEW_CAP statements ago — far outside any
+# rewrite->spark.sql resolution window.
+_VIEW_CAP = 512
+_CREATED_VIEWS: list[str] = []
+
+
+def _remember_view(spark: SparkSession, view: str) -> None:
+    if view in _CREATED_VIEWS:
+        _CREATED_VIEWS.remove(view)
+    _CREATED_VIEWS.append(view)
+    while len(_CREATED_VIEWS) > _VIEW_CAP:
+        old = _CREATED_VIEWS.pop(0)
+        try:
+            spark.catalog.dropTempView(old)
+        except Exception:
+            pass
+
+
 def rewrite_as_of(spark: SparkSession, sql: str) -> str:
     """Gateway rewrite over validated SQL, three passes:
 
@@ -266,7 +288,12 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
        outright rather than mis-captured.
     2. every bare registered name after ``FROM`` / ``JOIN`` becomes a
        fresh latest-snapshot view (``<name>__v<latest>``) resolved at
-       query time — library-side commits are never stale here.
+       query time — library-side commits are never stale for ANSI
+       join syntax. Known limitation: a comma-join reference
+       (``FROM other, name``) is textually indistinguishable from a
+       select-list column and keeps the registration-time view
+       (refreshed by re-register and every service maintenance
+       route); the product surfaces generate ANSI joins.
     3. manifest pruning: the Filter conjuncts Catalyst pushes onto
        each versioned relation (intersected across instances of the
        same table) re-materialize that view via ``read_version(...,
@@ -308,6 +335,7 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
                 .createOrReplaceTempView(view)
         except VersionedTableError as exc:
             raise IncorrectQuestionError(str(exc)) from exc
+        _remember_view(spark, view)
         views_used[view] = (tdir, version)
         return view
 
@@ -339,7 +367,12 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
                         f"versioned table {name!r} has no committed "
                         "version")
                 view = f"{name}__v{v}"
-                read_version(spark, tdir).createOrReplaceTempView(view)
+                # pin to the resolved version: an unpinned read racing
+                # a concurrent commit would desynchronize this view
+                # from the pass-3 pruned replacement (review r12)
+                read_version(spark, tdir, version=v) \
+                    .createOrReplaceTempView(view)
+                _remember_view(spark, view)
                 views_used[view] = (tdir, v)
                 made[name] = view
             return f"{m.group(1)} {made[name]}"
@@ -372,7 +405,20 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
             read_version(spark, tdir, version=version,
                          skip=sorted(preds)) \
                 .createOrReplaceTempView(pruned)
-            sql = re.sub(rf"\b{re.escape(view)}\b", pruned, sql)
+            _remember_view(spark, pruned)
+            # substitute outside quoted/comment spans only — a string
+            # literal that happens to contain the view name is data
+            # (review r12; same discipline as passes 1-2)
+            spans3 = _protected_spans(sql)
+            out3, last3 = [], 0
+            for vm in re.finditer(rf"\b{re.escape(view)}\b", sql):
+                if _in_spans(spans3, vm.start()):
+                    continue
+                out3.append(sql[last3:vm.start()])
+                out3.append(pruned)
+                last3 = vm.end()
+            out3.append(sql[last3:])
+            sql = "".join(out3)
     except Exception:
         pass
     return sql

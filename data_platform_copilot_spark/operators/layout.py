@@ -76,6 +76,47 @@ def interleave_many(cols: list[Column], bits: int = 8) -> Column:
     return reduce(lambda a, c: a + c, terms)
 
 
+def add_range_bucket(df: DataFrame, key: str, n_buckets: int,
+                     extra_aggs: list[Column] | None = None
+                     ) -> DataFrame:
+    """Deterministic fixed-width value bucketing for two-phase
+    distributed prefix sums/ranks (shared by
+    ``queries.quality.output_shard_plan`` and
+    ``queries.sampling.training_order_interleave`` — r12): adds a
+    ``__rb`` bucket id in [0, n_buckets) from ONE broadcast min/max
+    row over the integer ``key``. Unlike ``repartitionByRange``, the
+    bucket boundaries are a pure function of the data — re-evaluating
+    the frame in a second branch of the same plan yields identical
+    buckets, so subtotal offsets computed in one branch can be joined
+    back in another. Integer ``div`` arithmetic: exact at any key
+    magnitude. ``extra_aggs`` ride along on the broadcast bounds row
+    (e.g. a total count) so callers need no second pass."""
+    aggs = [F.min(key).alias("__rb_lo"), F.max(key).alias("__rb_hi")]
+    aggs += list(extra_aggs or [])
+    bucket = F.expr(
+        f"least({n_buckets - 1}, "
+        f"({key} - __rb_lo) * {n_buckets} div (__rb_hi - __rb_lo + 1))")
+    return (df.crossJoin(F.broadcast(df.agg(*aggs)))
+            .withColumn("__rb", bucket)
+            .drop("__rb_lo", "__rb_hi"))
+
+
+def bucket_offsets(bucketed: DataFrame, weight: Column) -> DataFrame:
+    """Phase-1 companion to ``add_range_bucket``: per-bucket totals of
+    ``weight`` reduced to an EXCLUSIVE running offset per bucket —
+    an n_buckets-row frame (the only unpartitioned window in the
+    pattern runs over these aggregated rows). Broadcast-join it back
+    and add a per-bucket (partitioned, bounded) running sum/rank for
+    the exact global prefix."""
+    from pyspark.sql import Window as W
+    return (bucketed.groupBy("__rb").agg(F.sum(weight).alias("__rb_w"))
+            .select("__rb", F.coalesce(
+                F.sum("__rb_w").over(
+                    W.orderBy("__rb")
+                    .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)).alias("__rb_off")))
+
+
 def zorder_stats(df: DataFrame, xcol: str, ycol: str,
                  bits: int = 8, files: int = 64) -> DataFrame:
     """Simulated post-OPTIMIZE layout report: assign every row its

@@ -862,7 +862,10 @@ def pareto_share_user_activity(spark: SparkSession,
         F.sum("c").over(winc).alias("rcum"),
         F.coalesce(F.sum(F.col("x") * F.col("c")).over(wexc),
                    F.lit(0)).alias("cprev"))
-    tot = ua.agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+    # totals derived from the tiny histogram, not a second per-user
+    # shuffle over events (review r12): n = sum(c), sx = sum(x*c)
+    tot = hist.agg(F.sum("c").alias("n"),
+                   F.sum(F.col("x") * F.col("c")).alias("sx"))
     th = ua.sparkSession.createDataFrame(
         [(0.01,), (0.1,), (0.5,)], "frac double")
     k = F.greatest(F.lit(1), F.ceil(F.col("frac") * F.col("n")))
@@ -941,29 +944,37 @@ FROM s
 def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U between the click and view cohorts — the
     nonparametric companion to the Welch entry (rank-based, so a
-    heavy-tailed metric can't fake a mean shift). Tied values get
-    their average rank via min/max row-number windows over a total
-    order; U from the rank sum, normal z approximation (tie
-    correction omitted and stated — ties here are measure-zero
-    doubles). One global sort window over the two cohorts."""
+    heavy-tailed metric can't fake a mean shift). Normal z
+    approximation (tie correction omitted and stated — ties here are
+    measure-zero doubles).
+
+    Scale (r12, retiring the global-rank residue): the tie-averaged
+    rank sum comes from the VALUE-HISTOGRAM method — for the c rows
+    sharing value v after rprev smaller rows, every one carries
+    avg_rank = rprev + (c+1)/2 regardless of cohort, so
+    r_a = sum(a_v * (rprev_v + (c_v+1)/2)) over the bounded distinct-
+    value histogram; computed as the EXACT long 2*r_a =
+    sum(a*(2*rprev+c+1)) so both engines round identical doubles.
+    Identical to the oracle's (value, event_id) row_number
+    formulation (which stays as the independent spec); the only
+    window runs over the aggregated histogram."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
     ev = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view"))
     lab = ev.select("value", (F.col("event_type") == "click")
-                    .cast("int").alias("is_a"), "event_id")
-    rn = F.row_number().over(W.orderBy("value", "event_id"))
-    base = lab.select("is_a", "value", rn.alias("rn"))
-    wv = W.partitionBy("value")
-    rk = base.select(
-        "is_a",
-        ((F.min("rn").over(wv) + F.max("rn").over(wv)) / 2.0)
-        .alias("avg_rank"))
-    s = rk.agg(
-        F.sum(F.when(F.col("is_a") == 1, F.col("avg_rank"))).alias("r_a"),
-        F.sum("is_a").alias("na"),
-        F.sum(1 - F.col("is_a")).alias("nb"))
-    u = F.col("r_a") - F.col("na") * (F.col("na") + 1) / 2.0
+                    .cast("int").alias("is_a"))
+    hist = lab.groupBy("value").agg(F.count("*").alias("c"),
+                                    F.sum("is_a").alias("a"))
+    wexc = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "c", "a",
+        F.coalesce(F.sum("c").over(wexc), F.lit(0)).alias("rprev"))
+    s = cum.agg(
+        F.sum(F.expr("a * (2 * rprev + c + 1)")).alias("r2"),
+        F.sum("a").alias("na"),
+        F.sum(F.expr("c - a")).alias("nb"))
+    u = (F.col("r2") - F.col("na") * (F.col("na") + 1)) / 2.0
     z = (u - F.col("na") * F.col("nb") / 2.0) / F.sqrt(
         F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1)
         / 12.0)

@@ -1392,28 +1392,17 @@ def output_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..functions.text import token_count
-    _P = 32
+    from ..operators.layout import add_range_bucket, bucket_offsets
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_toks"))
-    bounds = d.agg(F.min("doc_id").alias("lo"),
-                   F.max("doc_id").alias("hi"))
-    bucket = F.expr(  # integer div: exact at any id magnitude
-        f"least({_P - 1}, (doc_id - lo) * {_P} div (hi - lo + 1))")
-    db = d.crossJoin(F.broadcast(bounds)).select(
-        "doc_id", "n_toks", bucket.alias("b"))
-    # phase 1: per-bucket subtotals -> exclusive offsets (P rows)
-    offs = (db.groupBy("b").agg(F.sum("n_toks").alias("bt"))
-            .select("b", F.coalesce(
-                F.sum("bt").over(
-                    Window.orderBy("b")
-                    .rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0)).alias("off")))
+    db = add_range_bucket(d, "doc_id", 32)
+    offs = bucket_offsets(db, F.col("n_toks"))
     # phase 2: per-bucket running sum + broadcast offset
-    wloc = (Window.partitionBy("b").orderBy("doc_id")
+    wloc = (Window.partitionBy("__rb").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, 0))
-    assigned = (db.join(F.broadcast(offs), "b")
+    assigned = (db.join(F.broadcast(offs), "__rb")
                 .select("doc_id", "n_toks",
-                        F.floor((F.col("off")
+                        F.floor((F.col("__rb_off")
                                  + F.sum("n_toks").over(wloc)
                                  - F.col("n_toks"))
                                 / _SHARD_TOKENS).cast("long")

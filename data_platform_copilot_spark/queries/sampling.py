@@ -503,23 +503,37 @@ def training_order_interleave(spark: SparkSession,
     starts (a source bunching into one decile means mixture drift
     mid-epoch). The interleave key is INTEGER stride arithmetic
     (rn * 10^6 DIV share), md5-ranked within source, so both engines
-    produce the identical total order with no float boundary. Scale:
-    the per-source rank and the final position are range-sort shapes
-    (the TeraSort pattern); in production the sorted stream feeds the
-    shard sink directly (see output_shard_plan) and positions come
-    from per-shard offsets, so the single wide exchange here is the
-    minimum an order-producing operator can do."""
+    produce the identical total order with no float boundary.
+
+    Scale (r12, retiring the global-rank residue): the global
+    position is a TWO-PHASE DISTRIBUTED RANK, the same shape as
+    output_shard_plan — rows bucket by deterministic fixed-width
+    ranges of the leading sort key k (one broadcast min/max row, no
+    per-job boundary sampling), phase 1 counts each bucket (the
+    exclusive-cumsum window runs over B=32 aggregated rows), phase 2
+    ranks WITHIN each bucket (partitioned window, bounded by the
+    bucket width) and adds the broadcast offset. Equal keys always
+    share a bucket, so the result is EXACTLY the single global
+    row_number the oracle keeps as the independent spec. The
+    remaining unpartitioned windows run over the per-SOURCE
+    apportionment frame (bounded by the source alphabet)."""
     from pyspark.sql import Window as W
 
+    from ..operators.layout import add_range_bucket, bucket_offsets
     from ..operators.sampling import interleave_schedule_keys
     docs = _t(spark, sf_dir, "documents")
     keyed = interleave_schedule_keys(
         docs.select("source", "doc_id"), "source", "doc_id",
         temperature=0.7).select("source", "rn", "k")
-    pos = keyed.select(
-        "source", "rn", "k",
-        F.row_number().over(W.orderBy("k", "source", "rn")).alias("gpos"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("total"))
+    kb = add_range_bucket(
+        keyed, "k", 32,
+        extra_aggs=[F.count(F.lit(1)).alias("total")])
+    offs = bucket_offsets(kb, F.lit(1))
+    wloc = W.partitionBy("__rb").orderBy("k", "source", "rn")
+    pos = (kb.join(F.broadcast(offs), "__rb")
+           .select("source", "total",
+                   (F.col("__rb_off") + F.row_number().over(wloc))
+                   .alias("gpos")))
     return (pos.groupBy(
                 "source",
                 F.expr("CAST(((gpos - 1) * 10) DIV total AS BIGINT)")

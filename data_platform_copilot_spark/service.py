@@ -353,6 +353,13 @@ class CopilotService:
 
         from .gateway import registered_versioned_tables
 
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", name):
+            # validate BEFORE tableExists: a malformed identifier
+            # would raise ParseException there instead of a clean 400
+            return {"error": f"invalid table name: {name!r}",
+                    "status": 400}
         if self.versioned_data_root is not None:
             root = Path(self.versioned_data_root).resolve()
             target = Path(table_dir).resolve()

@@ -1662,13 +1662,24 @@ def evolve_partitioning(table_dir: str | Path,
         f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
 
 
-# widening lattice: byte < short < int < long; float < double.
-# Lossy paths (long->double can round) and narrowings are rejected —
-# the same whitelist _unwrap_attr trusts when seeing through analyzer
-# casts, so zone-map pruning stays sound on widened columns.
-_WIDEN_OK = {("byte", "short"), ("byte", "int"), ("byte", "bigint"),
-             ("short", "int"), ("short", "bigint"),
-             ("int", "bigint"), ("float", "double")}
+# widening lattice: tinyint < smallint < int < bigint; float <
+# double. Lossy paths (bigint->double can round) and narrowings are
+# rejected — the same whitelist _unwrap_attr trusts when seeing
+# through analyzer casts, so zone-map pruning stays sound on widened
+# columns. Manifest schemas store df.dtypes simpleString spellings
+# (tinyint/smallint/int/bigint — review r12); user-facing aliases
+# normalize to them.
+_INT_WIDEN_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_TYPE_ALIASES = {"byte": "tinyint", "short": "smallint",
+                 "integer": "int", "long": "bigint"}
+
+
+def _widen_ok(cur: str, new: str) -> bool:
+    cur = _TYPE_ALIASES.get(cur, cur)
+    new = _TYPE_ALIASES.get(new, new)
+    if cur in _INT_WIDEN_RANK and new in _INT_WIDEN_RANK:
+        return _INT_WIDEN_RANK[new] > _INT_WIDEN_RANK[cur]
+    return (cur, new) == ("float", "double")
 
 
 def evolve_schema(table_dir: str | Path,
@@ -1733,11 +1744,11 @@ def evolve_schema(table_dir: str | Path,
             if c not in schema:
                 raise VersionedTableError(
                     f"widen: no such column: {c!r}")
-            if (schema[c], t) not in _WIDEN_OK:
+            if not _widen_ok(schema[c], t):
                 raise VersionedTableError(
                     f"widen: {schema[c]} -> {t} is not a lossless "
                     f"widening for {c!r}")
-            schema[c] = t
+            schema[c] = _TYPE_ALIASES.get(t, t)
         parts = list(m.get("partition_by") or [])
         sort_by = list(m.get("sort_by") or [])
         dir_renames = {d: dict(r) for d, r in

@@ -171,10 +171,16 @@ class VersionedChangeFeed:
                               strategy="mor", txn=(app_id, version))
             else:
                 # delete-bearing batch: rebuild the masked snapshot
-                # as one pinned commit (rare on append/upsert feeds)
+                # as one pinned commit (rare on append/upsert feeds).
+                # Anti-join on EVERY touched key — deletes AND
+                # upserts — or a key updated in the same batch would
+                # survive with its old value next to the new one
+                # (review r12)
                 cur = read_version(self.spark, dest_dir)
-                keys = deletes.select(F.col(self.key))
-                merged = (cur.join(keys, self.key, "left_anti")
+                touched = (deletes.select(F.col(self.key))
+                           .unionByName(upserts.select(F.col(self.key)))
+                           .distinct())
+                merged = (cur.join(touched, self.key, "left_anti")
                           .unionByName(upserts,
                                        allowMissingColumns=True))
                 write_version(merged, dest_dir, "overwrite",

@@ -120,8 +120,11 @@ class TestChangeFeedSource:
         feed = VersionedChangeFeed(spark, tdir, "id",
                                    tmp_path / "ckpt")
         feed.pipe_to_versioned(dest, app_id="feed-a")
-        got = {r["id"]: r["x"] for r in
-               read_version(spark, dest).collect()}
+        rows = read_version(spark, dest).collect()
+        # v2's batch both updates id 3 AND deletes others: the rebuild
+        # must not leave the stale pre-update row next to the new one
+        assert len(rows) == len({r["id"] for r in rows})  # no dupes
+        got = {r["id"]: r["x"] for r in rows}
         want = {r["id"]: r["x"] for r in
                 read_version(spark, tdir).collect()}
         assert got == want

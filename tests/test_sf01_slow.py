@@ -174,10 +174,12 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "window_lag_delta": "spec",
     "window_range_frame": "spec",
     "null_ordering": "spec",
-    # known-weak residue, tracked for rewrite (global rank over
-    # unbounded rows — the histogram method applies to both):
-    "ab_test_mann_whitney": "TODO: rank over raw click/view values",
-    "training_order_interleave": "TODO: global row_number schedule",
+    # both rewritten r12 (global rank residue retired): remaining
+    # global windows are over bounded frames only
+    "ab_test_mann_whitney": "hist (tie-averaged rank sums over the"
+                            " distinct-value histogram)",
+    "training_order_interleave": "mix (apportionment frame + B=32"
+                                 " bucket offsets; rank is two-phase)",
 }
 
 

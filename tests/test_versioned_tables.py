@@ -1802,6 +1802,24 @@ class TestSchemaEvolution:
         with pytest.raises(VersionedTableError, match="exists"):
             evolve_schema(tdir, add_columns={"x": "string"})
 
+    def test_widen_tinyint_and_long_alias(self, spark, tdir):
+        """Manifest schemas store df.dtypes spellings (tinyint/
+        smallint/bigint); user-facing aliases (byte/short/long) must
+        normalize rather than be rejected (review r12)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema)
+
+        write_version(
+            spark.range(4).select(
+                F.col("id").cast("tinyint").alias("t"),
+                F.col("id").cast("int").alias("k")), tdir)
+        evolve_schema(tdir, widen={"t": "int"})
+        evolve_schema(tdir, widen={"k": "long"})   # alias for bigint
+        got = read_version(spark, tdir)
+        assert dict(got.dtypes) == {"t": "int", "k": "bigint"}
+        assert sorted((r["t"], r["k"]) for r in got.collect()) \
+            == [(i, i) for i in range(4)]
+
     def test_rename_reads_all_segments(self, spark, tdir):
         from data_platform_copilot_spark.sources.versioned import (
             evolve_schema)
