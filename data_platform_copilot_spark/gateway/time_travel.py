@@ -160,6 +160,24 @@ def _in_spans(spans: list[tuple[int, int]], start: int) -> bool:
     return any(s <= start < e for s, e in spans)
 
 
+def _sub_outside_literals(sql: str, pattern: re.Pattern,
+                          repl) -> str:
+    """Regex substitution that never touches quoted string literals
+    or ``--`` comments (matches BEGINNING inside one are data, not
+    syntax) — the one rewrite discipline all three gateway passes
+    share. ``repl`` is a callable over the match."""
+    spans = _protected_spans(sql)
+    out, last = [], 0
+    for m in pattern.finditer(sql):
+        if _in_spans(spans, m.start()):
+            continue
+        out.append(sql[last:m.start()])
+        out.append(repl(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _table_root(tdir: str) -> str:
     return str(Path(tdir).resolve())
 
@@ -339,22 +357,13 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
         views_used[view] = (tdir, version)
         return view
 
-    out, last = [], 0
-    for m in AS_OF_RE.finditer(sql):
-        if _in_spans(spans, m.start()):
-            continue
-        out.append(sql[last:m.start()])
-        out.append(_resolve(m))
-        last = m.end()
-    out.append(sql[last:])
-    sql = "".join(out)
+    sql = _sub_outside_literals(sql, AS_OF_RE, _resolve)
 
     # pass 2: bare registered names after FROM/JOIN -> fresh latest
     if _VERSIONED_TABLES:
         names = "|".join(re.escape(n) for n in _VERSIONED_TABLES)
         bare_re = re.compile(
             rf"\b(FROM|JOIN)\s+({names})(?![\w.`])", re.IGNORECASE)
-        spans = _protected_spans(sql)
         made: dict[str, str] = {}
 
         def _fresh(m: re.Match) -> str:
@@ -377,15 +386,7 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
                 made[name] = view
             return f"{m.group(1)} {made[name]}"
 
-        out, last = [], 0
-        for m in bare_re.finditer(sql):
-            if _in_spans(spans, m.start()):
-                continue
-            out.append(sql[last:m.start()])
-            out.append(_fresh(m))
-            last = m.end()
-        out.append(sql[last:])
-        sql = "".join(out)
+        sql = _sub_outside_literals(sql, bare_re, _fresh)
 
     if not views_used:
         return sql
@@ -406,19 +407,11 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
                          skip=sorted(preds)) \
                 .createOrReplaceTempView(pruned)
             _remember_view(spark, pruned)
-            # substitute outside quoted/comment spans only — a string
-            # literal that happens to contain the view name is data
-            # (review r12; same discipline as passes 1-2)
-            spans3 = _protected_spans(sql)
-            out3, last3 = [], 0
-            for vm in re.finditer(rf"\b{re.escape(view)}\b", sql):
-                if _in_spans(spans3, vm.start()):
-                    continue
-                out3.append(sql[last3:vm.start()])
-                out3.append(pruned)
-                last3 = vm.end()
-            out3.append(sql[last3:])
-            sql = "".join(out3)
+            # same literal-protection discipline as passes 1-2: a
+            # string literal containing the view name is data
+            sql = _sub_outside_literals(
+                sql, re.compile(rf"\b{re.escape(view)}\b"),
+                lambda m, _p=pruned: _p)
     except Exception:
         pass
     return sql

@@ -353,21 +353,22 @@ class CopilotService:
 
         from .gateway import registered_versioned_tables
 
-        import re as _re
-
-        if not _re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", name):
-            # validate BEFORE tableExists: a malformed identifier
-            # would raise ParseException there instead of a clean 400
-            return {"error": f"invalid table name: {name!r}",
-                    "status": 400}
         if self.versioned_data_root is not None:
             root = Path(self.versioned_data_root).resolve()
             target = Path(table_dir).resolve()
             if not target.is_relative_to(root):
                 return {"error": f"table_dir must live under "
                                  f"{root}", "status": 400}
-        if (name.lower() not in registered_versioned_tables()
-                and self.spark.catalog.tableExists(name)):
+        try:
+            # a malformed identifier makes tableExists raise
+            # ParseException; treat it as "no shadow" and let
+            # register_versioned_table's own name validation produce
+            # the clean 400 below
+            exists = self.spark.catalog.tableExists(name)
+        except Exception:
+            exists = False
+        if (exists
+                and name.lower() not in registered_versioned_tables()):
             return {"error": f"{name!r} would shadow an existing "
                              f"catalog view", "status": 400}
         try:

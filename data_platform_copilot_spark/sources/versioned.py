@@ -61,6 +61,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import tempfile
 from datetime import datetime, timezone
@@ -1153,26 +1154,20 @@ def _col_source(c) -> tuple[str | None, str | None]:
         return None, None
 
 
-_SELECTEXPR_IDENT_RE = None  # built lazily; kept module-level for tests
+_SE_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+_SE_BARE_RE = re.compile(rf"^\s*({_SE_IDENT})\s*$")
+_SE_ALIAS_RE = re.compile(rf"^\s*({_SE_IDENT})\s+as\s+({_SE_IDENT})\s*$",
+                          re.IGNORECASE)
 
 
 def _selectexpr_source(expr_str: str) -> tuple[str | None, str | None]:
     """(output_name, source_name) for a ``selectExpr`` string when it
     is a bare identifier or ``ident AS alias``; (None, None) for
     anything computed."""
-    import re as _re
-    global _SELECTEXPR_IDENT_RE
-    if _SELECTEXPR_IDENT_RE is None:
-        ident = r"[A-Za-z_][A-Za-z_0-9]*"
-        _SELECTEXPR_IDENT_RE = (
-            _re.compile(rf"^\s*({ident})\s*$"),
-            _re.compile(rf"^\s*({ident})\s+as\s+({ident})\s*$",
-                        _re.IGNORECASE))
-    bare, aliased = _SELECTEXPR_IDENT_RE
-    m = bare.match(expr_str)
+    m = _SE_BARE_RE.match(expr_str)
     if m:
         return m.group(1), m.group(1)
-    m = aliased.match(expr_str)
+    m = _SE_ALIAS_RE.match(expr_str)
     if m:
         return m.group(2), m.group(1)
     return None, None
@@ -1770,9 +1765,11 @@ def evolve_schema(table_dir: str | Path,
                 cur = dir_renames.setdefault(d, {})
                 # the physical column whose CURRENT logical name is
                 # `old` (injective: rename targets must be fresh)
-                hit = [p for p in (phys_cols or cur.keys())
-                       if cur.get(p, p) == old]
-                if not phys_cols:  # no per-dir schema recorded:
+                if phys_cols:
+                    hit = [p for p in phys_cols
+                           if cur.get(p, p) == old]
+                else:  # no per-dir schema recorded: invert the map,
+                    # identity for names it never renamed away
                     hit = [p for p, n in cur.items() if n == old] \
                         or ([old] if old not in cur else [])
                 for p in hit:

@@ -154,14 +154,13 @@ class VersionedChangeFeed:
         from ..sources.versioned import merge_version, write_version
 
         def apply(df: DataFrame, version: int) -> None:
-            rows = df  # lazy; the sink triggers execution
-            upserts = (rows.where(F.col("change_type")
-                                  .isin("insert", "update"))
+            upserts = (df.where(F.col("change_type")
+                                .isin("insert", "update"))
                        .select(F.col(self.key),
                                *[F.col(c).alias(c.removeprefix("new_"))
-                                 for c in rows.columns
+                                 for c in df.columns
                                  if c.startswith("new_")]))
-            deletes = rows.where(F.col("change_type") == "delete")
+            deletes = df.where(F.col("change_type") == "delete")
             n_del = deletes.limit(1).count()
             if latest_version(dest_dir) is None:
                 write_version(upserts, dest_dir, "overwrite",
