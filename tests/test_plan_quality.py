@@ -350,21 +350,26 @@ class TestGlobalWindowAudit:
       |groups| rows — bounded.
     - operators/selection.py (1): Misra-Gries heavy-hitter table,
       O(1/phi) rows — bounded.
+    - operators/layout.py (1, r12): bucket_offsets exclusive cumsum
+      over the B-row per-bucket subtotal frame of the shared
+      two-phase prefix pattern — bounded by construction.
     - queries/dq.py (6): KS CDF over distinct rounded values
-      (bounded histogram); Gini + Pareto rank over the per-user
-      combine and Mann-Whitney rank over the cohort rows (total-
-      order rank statistics — docstrings state the global sort);
-      calibration-bin cumulative (bounded bins).
+      (bounded histogram); Gini + Pareto + Mann-Whitney cumulatives
+      over distinct-value histograms (r12 value-histogram rewrites —
+      bounded by value cardinality, no longer per-user/per-row
+      ranks); calibration-bin cumulative (bounded bins).
     - queries/extras2.py (2): month-window cumulative (bounded);
       null_ordering rank over a TakeOrdered top-5 (bounded by
       construction — see its docstring).
-    - queries/quality.py (2): output_shard_plan prefix sum and
-      padding_waste batching — total-order exports (docstrings).
+    - queries/quality.py (1): padding_waste batching — total-order
+      export (docstring; output_shard_plan moved to the two-phase
+      layout helper in r12).
     - queries/relational.py (3): month cumulative/lag (bounded);
       range-partition histogram over a 5% key sample (bounded
       sample).
-    - queries/sampling.py (3): largest-remainder + interleave
-      position — per-source bounded / total-order export.
+    - queries/sampling.py (2): largest-remainder apportionment —
+      per-source bounded (the interleave position is the two-phase
+      layout helper since r12).
     - queries/text.py (5): zipf vocab rank (vocab combine, top-100
       kept), score-histogram cumulatives incl. the conformal
       entry's <=10^4-row rounded-score frame (bounded).
@@ -377,11 +382,12 @@ class TestGlobalWindowAudit:
     EXPECTED = {
         "operators/sampling.py": 1,
         "operators/selection.py": 1,
+        "operators/layout.py": 1,
         "queries/dq.py": 6,
         "queries/extras2.py": 2,
-        "queries/quality.py": 2,
+        "queries/quality.py": 1,
         "queries/relational.py": 3,
-        "queries/sampling.py": 3,
+        "queries/sampling.py": 2,
         "queries/text.py": 5,
         "queries/timeseries.py": 12,
         "sources/sinks.py": 2,

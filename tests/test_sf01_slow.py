@@ -149,7 +149,6 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "seasonal_decompose_daily": "series",
     "seasonal_adjusted_anomalies": "series",
     "funnel_view_click_purchase": "series",
-    "pchart_error_rate_hourly": "series",
     "survival_km_user_lifetime": "hist",
     "drift_ks_value": "hist",
     "quantile_histogram_sketch": "hist",
