@@ -1,9 +1,12 @@
-"""Auto-pushdown probe at x10 (r11): the r10 zone-map probe shape —
-a 1M-row, 24-append ingest log — but driven through PLAIN ``.where``
-instead of a hand-passed ``skip=`` list. Measures dirs scanned + warm
-time for (a) pre-r11 behavior (no manifest pruning), (b) manual
-``skip=``, (c) plain ``.where`` via the r11 auto-derivation, and
-checks all three return identical rows.
+"""Auto-pushdown probe at x10 (r11, extended r12): the r10 zone-map
+probe shape — a 1M-row, 24-append ingest log — driven through every
+pruning entry point. Measures dirs scanned + warm time for (a)
+pre-r11 behavior (no manifest pruning), (b) manual ``skip=``, (c)
+plain ``.where`` via the r11 auto-derivation, and — r12 — (d) a
+projection CHAIN (``select().where()``, verdict item 2) and (e) the
+SQL SURFACE through the gateway rewrite (registered table + WHERE,
+verdict item 1). Checks all five return identical rows and that
+d/e scan the same pruned dir set as the manual skip list.
 
 Usage: python tools/pushdown_probe.py
 """
@@ -52,23 +55,36 @@ def main() -> None:
     lo = (appends - 1) * width  # one-dir tail predicate
     pred = [("id", ">=", lo)]
 
+    from data_platform_copilot_spark.gateway.time_travel import (
+        register_versioned_table, rewrite_as_of)
+    register_versioned_table(spark, "probe_log", tdir)
+
     unpruned = lambda: V._read_version_at(          # noqa: E731
         spark, tdir, V.latest_version(tdir), None) \
         .where(F.col("id") >= lo)
     manual = lambda: V.read_version(spark, tdir, skip=pred)  # noqa: E731
     auto = lambda: V.read_version(spark, tdir) \
         .where(F.col("id") >= lo)                    # noqa: E731
+    chained = lambda: V.read_version(spark, tdir) \
+        .select("id", "x").where(F.col("id") >= lo) \
+        .select("id")                                # noqa: E731
+    sql_stmt = f"SELECT id FROM probe_log WHERE id >= {lo}"
+    surface = lambda: spark.sql(                     # noqa: E731
+        rewrite_as_of(spark, sql_stmt))
 
+    paths = (("unpruned", unpruned), ("manual", manual),
+             ("auto", auto), ("chained", chained),
+             ("sql_surface", surface))
     rows = {k: sorted(r["id"] for r in fn().collect())
-            for k, fn in (("unpruned", unpruned), ("manual", manual),
-                          ("auto", auto))}
-    assert rows["unpruned"] == rows["manual"] == rows["auto"]
+            for k, fn in paths}
+    assert all(v == rows["unpruned"] for v in rows.values())
     assert len(rows["auto"]) == width
-    print(f"rows: {width} identical across all three paths")
-    for k, fn in (("unpruned", unpruned), ("manual", manual),
-                  ("auto", auto)):
-        print(f"{k:9s} dirs={dirs_of(fn()):2d} "
+    print(f"rows: {width} identical across all five paths")
+    for k, fn in paths:
+        print(f"{k:11s} dirs={dirs_of(fn()):2d} "
               f"warm={warm_time(fn):.3f}s")
+    assert dirs_of(chained()) == dirs_of(manual())
+    assert dirs_of(surface()) == dirs_of(manual())
 
 
 if __name__ == "__main__":
