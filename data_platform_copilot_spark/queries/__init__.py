@@ -39,14 +39,15 @@ from . import quality  # noqa: E402,F401
 DRIVER_GATE_PRIORITY: list[str] = [
     # r12 gate. Position 1: acf_daily_value, as ordered by the r11
     # verdict (displaced from the r11 window by time_travel_as_of).
-    # Positions 2-50: the LONGEST-rotated entries by last hash-green
-    # round, computed from the union of CORRECTNESS_r01..r11 — the 48
-    # remaining last-green-r7 entries, then the alphabetically-first
-    # last-green-r8 entry (ann_recall_report) to fill the window;
-    # ties broken alphabetically for determinism. No new registry
-    # entries this round (r12's verdict items 5-7 are library/
-    # streaming/control-plane features verified by pytest), so no
-    # immediate-slot insertions. The window deliberately re-gates
+    # Position 2: schema_evolution_read, the r12-registered entry
+    # (never driver-gated — the pinned immediate-slot policy, same as
+    # r11's time_travel_as_of). Positions 3-50: the LONGEST-rotated
+    # entries by last hash-green round, computed from the union of
+    # CORRECTNESS_r01..r11 — the 48 remaining last-green-r7 entries;
+    # ties broken alphabetically for determinism. ann_recall_report
+    # (alphabetically-first last-green-r8) was displaced to the
+    # residue by the r12 registration and leads the r13 backfill.
+    # The window deliberately re-gates
     # concentration_gini_user_activity and pareto_share_user_activity
     # — both rewritten this round to the value-histogram method (r11
     # verdict item 3) — so the rewrite carries fresh driver-hash
@@ -61,7 +62,9 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # every run by tests/test_queries_oracle.py.
     # ---- ordered first per the r11 verdict ----
     "acf_daily_value",
-    # ---- backfill 2-49: longest-rotated (last hash-green r7) ----
+    # ---- registered r12 (never driver-gated): schema evolution ----
+    "schema_evolution_read",
+    # ---- backfill 3-50: longest-rotated (last hash-green r7) ----
     "audience_overlap_jaccard",
     "bpe_doc_token_cost",
     "burst_detection_hourly",
@@ -110,9 +113,9 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "weighted_sample_topk_docs",
     "wow_type_movers",
     "zipf_slope_tokens",
-    # ---- position 50: alphabetically-first last-green-r8 entry ----
-    "ann_recall_report",
     # ---- gate window ends here (50) ----
+    # displaced to the r13 backfill queue by the r12 registration:
+    "ann_recall_report",
     # un-hashable by the driver (UDF oracle lives in EXTRA_ORACLE):
     "compression_ratio_quality",
 ]

@@ -601,6 +601,71 @@ def zone_map_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("scan_fraction")))
 
 
+@query("schema_evolution_read", oracle="""
+WITH v0 AS (
+    SELECT doc_id, lang AS language, CAST(NULL AS VARCHAR) AS tier,
+           CAST(doc_id % 100 AS BIGINT) AS score
+    FROM documents WHERE lang IS NOT NULL
+), v1 AS (
+    SELECT doc_id, 'und' AS language, 'backfill' AS tier,
+           CAST(doc_id % 100 AS BIGINT) AS score
+    FROM documents WHERE lang IS NOT NULL AND doc_id % 10 = 0
+), u AS (
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1
+)
+SELECT language, tier, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(score) AS BIGINT) AS score_sum
+FROM u GROUP BY 1, 2
+""")
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end (r12): commit the documents
+    (doc_id, lang, score:int) projection as a versioned table, then
+    ``evolve_schema`` all three ways in ONE metadata-only commit —
+    rename lang->language, add tier:string, widen score int->bigint —
+    append a batch under the NEW schema, and aggregate across both
+    segment generations. The old segment arrives renamed, null-filled
+    and widen-cast per branch (``_read_dirs``); DuckDB replays the
+    two generations relationally, so hash equality proves the
+    per-segment read contract (Delta/Iceberg column-mapping +
+    type-widening semantics) with zero data rewrites. (No reference
+    equivalent — table-format control plane, r11 verdict item 5.)"""
+    import json
+    import os
+    import re as _re
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.versioned import (evolve_schema, read_version,
+                                     write_version)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull())
+            .select("doc_id", "lang",
+                    (F.col("doc_id") % 100).cast("int").alias("score")))
+    # deterministic slot per sf_dir + pid, reused across invocations
+    # (same leak-avoidance contract as time_travel_as_of below)
+    slot = _re.sub(r"\W+", "_", str(sf_dir))
+    tdir = (Path(tempfile.gettempdir())
+            / f"tt_evo_{slot}_{os.getpid()}" / "docs_evo")
+    marker = tdir / "_evo_done.json"
+    if not marker.exists():
+        write_version(docs.coalesce(4), tdir, "overwrite")
+        evolve_schema(tdir, rename={"lang": "language"},
+                      add_columns={"tier": "string"},
+                      widen={"score": "bigint"})
+        appended = (docs.where(F.col("doc_id") % 10 == 0)
+                    .select("doc_id",
+                            F.lit("und").alias("language"),
+                            F.lit("backfill").alias("tier"),
+                            F.col("score").cast("bigint")))
+        write_version(appended, tdir, "append")
+        marker.write_text(json.dumps({"done": True}))
+    return (read_version(spark, tdir)
+            .groupBy("language", "tier")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("score").cast("long").alias("score_sum")))
+
+
 @query("time_travel_as_of", oracle="""
 WITH v0 AS (
     SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL

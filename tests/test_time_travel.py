@@ -232,6 +232,41 @@ class TestSqlSurfacePruning:
             sql_run(spark, "SELECT 'x' /* don't */ AS a WHERE 'b' = "
                            "'tt_docs FOR VERSION AS OF 1'")
 
+    def test_pruned_substitution_never_touches_literals(self, spark,
+                                                        tdir):
+        """Review r12: pass-3's pruned-view substitution must skip
+        string literals — a literal that happens to spell the
+        generated view name is data."""
+        self._four_commits(spark, tdir)
+        register_versioned_table(spark, "tt_lit3", tdir)
+        v = sql_run(spark, "SELECT 1").sql  # warm; no-op
+        lit = f"tt_lit3__v3"
+        sql = (f"SELECT id, '{lit}' AS tag FROM tt_lit3 "
+               f"WHERE id >= 350")
+        got = sql_run(spark, sql, row_limit=1000, preview_rows=1000)
+        assert all(r["tag"] == lit for r in got.preview)
+        assert sorted(r["id"] for r in got.preview) \
+            == list(range(350, 400))
+
+    def test_fresh_view_is_pinned_to_resolved_version(self, spark,
+                                                      tdir):
+        """Review r12: the pass-2 fresh-latest view must be pinned to
+        the version its name records — a commit landing between name
+        resolution and execution must not leak into the result."""
+        self._four_commits(spark, tdir)
+        register_versioned_table(spark, "tt_pin", tdir)
+        sql = rewrite_as_of(spark, "SELECT count(*) AS n FROM tt_pin")
+        # commit AFTER the rewrite resolved latest; the already-
+        # rewritten statement must still answer over the old snapshot
+        write_version(
+            spark.range(5000, 5100)
+            .select("id", (F.col("id") * 2).alias("x")),
+            tdir, "append")
+        assert spark.sql(sql).collect()[0]["n"] == 400
+        # ...and the NEXT gateway query sees the new commit
+        got = sql_run(spark, "SELECT count(*) AS n FROM tt_pin")
+        assert got.preview[0]["n"] == 500
+
     def test_or_predicate_never_prunes_but_stays_exact(self, spark,
                                                        tdir):
         self._four_commits(spark, tdir)
