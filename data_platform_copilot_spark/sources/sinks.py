@@ -106,21 +106,38 @@ def export_document_shards(docs: DataFrame, path: str,
     ``target_tokens`` whitespace tokens regardless of doc-length
     skew, and a sequential reader sees docs in corpus order.
 
-    Two wide exchanges, both necessary: the global range-sort that
-    defines the running sum (TeraSort shape), then the repartition ON
-    shard_id that gives each shard a single writer (no tiny-file
-    spray). Rows inside each file stay sorted by doc_id via a
-    task-local sort.
+    Scale (r12 — same rewrite as the output_shard_plan twin): the
+    running sum is the TWO-PHASE DISTRIBUTED PREFIX SUM over
+    deterministic fixed-width doc_id buckets
+    (operators/layout.add_range_bucket): phase 1 reduces each bucket
+    to a token subtotal (the only unpartitioned window runs over the
+    64 aggregated subtotal rows), phase 2 broadcasts the exclusive
+    offsets back and finishes with a per-bucket running sum — no
+    single-task WindowExec over the corpus. The remaining wide
+    stages are the phase-1 reduce and the repartition ON shard_id
+    that gives each shard a single writer (no tiny-file spray); rows
+    inside each file stay sorted by doc_id via a task-local sort.
+    The two token_count scans (subtotal + assignment) are the
+    standard two-pass prefix trade.
     """
     from pyspark.sql import Window
 
     from ..functions.text import token_count
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    n_toks = token_count(F.col("text")).cast("long")
-    assigned = docs.withColumn(
-        "shard_id",
-        F.floor((F.sum(n_toks).over(w) - n_toks) / target_tokens)
-         .cast("long"))
+    from ..operators.layout import add_range_bucket, bucket_offsets
+    d = docs.withColumn("__nt",
+                        token_count(F.col("text")).cast("long"))
+    db = add_range_bucket(d, "doc_id", 64)
+    offs = bucket_offsets(db, F.col("__nt"))
+    wloc = (Window.partitionBy("__rb").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    assigned = (db.join(F.broadcast(offs), "__rb")
+                .withColumn(
+                    "shard_id",
+                    F.floor((F.col("__rb_off")
+                             + F.sum("__nt").over(wloc)
+                             - F.col("__nt")) / target_tokens)
+                    .cast("long"))
+                .drop("__rb", "__rb_off", "__nt"))
     (assigned
      .repartition("shard_id")
      .sortWithinPartitions("doc_id")
@@ -144,23 +161,37 @@ def export_interleaved_shards(docs: DataFrame, path: str,
     ORDER. A sequential reader walking shard 0, 1, 2, ... consumes
     the exact training mixture with ~``target_tokens`` per file —
     the end-to-end compose of the interleave audit entry and the
-    prefix-sum shard planner. Wide stages: the schedule range-sort
-    and the single-writer-per-shard repartition, both inherent to an
+    prefix-sum shard planner.
+
+    Scale (r12): the schedule-order running sum is the two-phase
+    distributed prefix sum over fixed-width buckets of the integer
+    interleave key k (equal keys always share a bucket, so the
+    per-bucket (k, group, rn) window plus broadcast offsets equals
+    the single global window exactly); no single-task WindowExec
+    over the corpus. Wide stages: the phase-1 reduce and the
+    single-writer-per-shard repartition, both inherent to an
     order-defining export.
     """
     from pyspark.sql import Window
 
     from ..functions.text import token_count
+    from ..operators.layout import add_range_bucket, bucket_offsets
     from ..operators.sampling import interleave_schedule_keys
     keyed = interleave_schedule_keys(docs, group_col, id_col,
-                                     temperature=temperature)
-    w = (Window.orderBy("k", group_col, "rn")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    n_toks = token_count(F.col(text_col)).cast("long")
-    assigned = keyed.withColumn(
-        "shard_id",
-        F.floor((F.sum(n_toks).over(w) - n_toks) / target_tokens)
-         .cast("long"))
+                                     temperature=temperature) \
+        .withColumn("__nt", token_count(F.col(text_col)).cast("long"))
+    kb = add_range_bucket(keyed, "k", 64)
+    offs = bucket_offsets(kb, F.col("__nt"))
+    wloc = (Window.partitionBy("__rb").orderBy("k", group_col, "rn")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    assigned = (kb.join(F.broadcast(offs), "__rb")
+                .withColumn(
+                    "shard_id",
+                    F.floor((F.col("__rb_off")
+                             + F.sum("__nt").over(wloc)
+                             - F.col("__nt")) / target_tokens)
+                    .cast("long"))
+                .drop("__rb", "__rb_off", "__nt"))
     (assigned
      .repartition("shard_id")
      .sortWithinPartitions("k", group_col, "rn")

@@ -375,8 +375,10 @@ class TestGlobalWindowAudit:
       entry's <=10^4-row rounded-score frame (bounded).
     - queries/timeseries.py (12): day/hour-indexed aggregates —
       bounded by the calendar.
-    - sources/sinks.py (2): token-balanced shard writers — total-
-      order exports (docstrings).
+    - sources/sinks.py (0 since r12): the token-balanced shard
+      writers now use the two-phase layout helper — their only
+      unpartitioned window is bucket_offsets' 64-row subtotal frame,
+      counted under operators/layout.py.
     """
 
     EXPECTED = {
@@ -390,7 +392,6 @@ class TestGlobalWindowAudit:
         "queries/sampling.py": 2,
         "queries/text.py": 5,
         "queries/timeseries.py": 12,
-        "sources/sinks.py": 2,
     }
 
     def test_no_unclassified_global_windows(self):
