@@ -2,6 +2,10 @@ from .change_feed import (
     FeedBehindRetentionError,
     VersionedChangeFeed,
 )
+from .stream_source import (
+    VersionedStreamDataSource,
+    register_stream_source,
+)
 from .events import (
     run_streaming_dedup,
     run_streaming_enriched_agg,
@@ -14,6 +18,8 @@ from .events import (
 __all__ = [
     "FeedBehindRetentionError",
     "VersionedChangeFeed",
+    "VersionedStreamDataSource",
+    "register_stream_source",
     "run_streaming_dedup",
     "run_streaming_enriched_agg",
     "run_streaming_hopping_agg",

@@ -1,0 +1,166 @@
+"""True Structured Streaming source over versioned tables
+(streaming/stream_source.py): Spark-managed offsets over the
+manifest log, append-only tailing with Delta readStream semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_platform_copilot_spark.sources.versioned import (
+    evolve_schema,
+    merge_version,
+    write_version,
+)
+from data_platform_copilot_spark.streaming import register_stream_source
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return tmp_path / "src"
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("x"))
+
+
+def _reader(spark, tdir, **options):
+    register_stream_source(spark)
+    reader = (spark.readStream.format("versioned_stream")
+              .option("path", str(tdir)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def _drain_memory(spark, tdir, name, **options):
+    q = (_reader(spark, tdir, **options)
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _drain_files(spark, tdir, out, ckpt, **options):
+    """File sink (checkpoint-recoverable, exactly-once): returns the
+    CUMULATIVE output — resume semantics show up as the absence of
+    duplicates across drains."""
+    q = (_reader(spark, tdir, **options)
+         .writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.read.parquet(str(out))
+
+
+class TestVersionedStreamSource:
+    def test_stream_equals_batch(self, spark, tdir):
+        for i in range(3):
+            write_version(_df(spark, i * 10, (i + 1) * 10), tdir,
+                          "append" if i else "overwrite")
+        got = _drain_memory(spark, tdir, "vs_eq")
+        rows = sorted((r["id"], r["x"]) for r in got.collect())
+        assert rows == [(i, 2 * i) for i in range(30)]
+
+    def test_checkpoint_resume_is_exactly_once(self, spark, tdir,
+                                               tmp_path):
+        out, ck = tmp_path / "out", tmp_path / "ck"
+        write_version(_df(spark, 0, 10), tdir)
+        got = _drain_files(spark, tdir, out, ck)
+        assert got.count() == 10
+        write_version(_df(spark, 10, 15), tdir, "append")
+        got = _drain_files(spark, tdir, out, ck)
+        # cumulative output holds each id exactly ONCE: the resumed
+        # query processed only the new append
+        ids = sorted(r["id"] for r in got.collect())
+        assert ids == list(range(15))
+        # nothing pending -> third drain adds nothing
+        got = _drain_files(spark, tdir, out, ck)
+        assert got.count() == 15
+
+    def test_change_commit_fails_loudly(self, spark, tdir, tmp_path):
+        out, ck = tmp_path / "out", tmp_path / "ck"
+        write_version(_df(spark, 0, 10), tdir)
+        _drain_files(spark, tdir, out, ck)
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(3, 999)],
+                                            "id long, x long"), "id")
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException)
+        with pytest.raises(StreamingQueryException,
+                           match="append-only|change"):
+            _drain_files(spark, tdir, out, ck)
+
+    def test_skip_change_commits_passes_over(self, spark, tdir,
+                                             tmp_path):
+        out, ck = tmp_path / "out", tmp_path / "ck"
+        write_version(_df(spark, 0, 10), tdir)
+        _drain_files(spark, tdir, out, ck, skipChangeCommits="true")
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(3, 999)],
+                                            "id long, x long"), "id")
+        write_version(_df(spark, 100, 105), tdir, "append")
+        got = _drain_files(spark, tdir, out, ck,
+                           skipChangeCommits="true")
+        # the merge version contributes no rows; the append lands once
+        ids = sorted(r["id"] for r in got.collect())
+        assert ids == list(range(10)) + list(range(100, 105))
+
+    def test_starting_version_skips_history(self, spark, tdir):
+        for i in range(3):
+            write_version(_df(spark, i * 10, (i + 1) * 10), tdir,
+                          "append" if i else "overwrite")
+        got = _drain_memory(spark, tdir, "vs_sv", startingVersion="2")
+        # version 2's batch is the FULL snapshot at v2 (Delta
+        # startingVersion semantics for the first processed version)
+        assert got.count() == 30
+
+    def test_initial_snapshot_aligns_evolved_segments(self, spark,
+                                                      tdir):
+        """A stream started AFTER evolve_schema must read old
+        segments through the rename map, null-fill added columns and
+        widen-cast narrow physical types — per file, in the
+        worker."""
+        write_version(
+            spark.range(5).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") * 2).alias("x")), tdir)
+        evolve_schema(tdir, rename={"x": "y"},
+                      add_columns={"tag": "string"},
+                      widen={"k": "bigint"})
+        write_version(
+            spark.range(5, 8).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("y"),
+                F.lit("new").alias("tag")), tdir, "append",)
+        got = _drain_memory(spark, tdir, "vs_evo",
+                            skipChangeCommits="true")
+        assert dict(got.dtypes) == {"k": "bigint", "y": "bigint",
+                                    "tag": "string"}
+        rows = {r["k"]: (r["y"], r["tag"]) for r in got.collect()}
+        assert rows[2] == (4, None) and rows[6] == (12, "new")
+        assert len(rows) == 8
+
+    def test_evolve_partitions_noop_and_hive_value_injection(
+            self, spark, tdir, tmp_path):
+        """evolve-partitions is metadata-only (no rows) — silently
+        passed over; a subsequent HIVE-PARTITIONED append streams
+        with its partition values injected from the path segments
+        (the layout stores them outside the parquet footers)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_partitioning)
+
+        out, ck = tmp_path / "out", tmp_path / "ck"
+        write_version(_df(spark, 0, 10)
+                      .withColumn("p", F.col("id") % 2), tdir)
+        _drain_files(spark, tdir, out, ck)
+        evolve_partitioning(tdir, ["p"])   # metadata-only commit
+        write_version(_df(spark, 10, 14)
+                      .withColumn("p", F.col("id") % 2), tdir,
+                      "append", partition_by=["p"])
+        got = _drain_files(spark, tdir, out, ck)
+        rows = {r["id"]: r["p"] for r in got.collect()}
+        assert sorted(rows) == list(range(14))
+        assert all(rows[i] == i % 2 for i in range(14))
