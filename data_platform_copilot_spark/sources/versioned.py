@@ -687,7 +687,80 @@ def write_version(df: DataFrame, table_dir: str | Path,
         own_stats = {**own_stats, **_harvest_partition_stats(
             root, data_dir, partition_by, own_schema)}
     own_rows = _harvest_rows(root, data_dir)
+    return _publish_data_dir(root, data_dir, token, version, prev,
+                             mode, own_schema, own_stats,
+                             own_file_stats, own_rows, partition_by,
+                             txn, expected_latest, sort_by,
+                             cluster_mode)
 
+
+def commit_staged_files(table_dir: str | Path,
+                        staged_names: list[str], schema: dict,
+                        txn: tuple[str, int] | None = None) -> int:
+    """Commit parquet files already staged under
+    ``<table_dir>/_stage`` as the table's next APPEND version — the
+    driver half of the streaming SINK format
+    (``streaming/stream_source.py``): executors write their
+    partitions' files with pyarrow, and this composes/publishes the
+    manifest through the identical CAS/txn protocol as
+    ``write_version`` (``_publish_data_dir``), Spark-free. An empty
+    batch (no staged files) commits nothing and returns the current
+    latest (idempotent under replay by construction). ``txn`` makes
+    the commit exactly-once per (app, batch): a replayed or racing
+    duplicate unlinks its stage and returns the recorded version."""
+    root = Path(table_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    stage = root / "_stage"
+    paths = [stage / n for n in staged_names]
+    prev = latest_version(root)
+    if not paths:
+        return prev if prev is not None else -1
+    if txn is not None:
+        done = _txn_committed(root, prev, txn)
+        if done is not None:
+            for p in paths:
+                p.unlink(missing_ok=True)
+            return done
+    own_schema = dict(schema)
+    if prev is not None:
+        try:
+            _validate_append(_read_manifest(root, prev), own_schema,
+                             None)
+        except VersionedTableError:
+            for p in paths:
+                p.unlink(missing_ok=True)
+            raise
+    version = 0 if prev is None else prev + 1
+    token = uuid4().hex[:8]
+    data_dir = f"data-{version}-{token}"
+    (root / data_dir).mkdir()
+    for i, p in enumerate(paths):
+        os.replace(p, root / data_dir / f"part-{i:05d}.parquet")
+    own_file_stats, own_stats = _harvest_all(root, data_dir)
+    own_rows = _harvest_rows(root, data_dir)
+    return _publish_data_dir(root, data_dir, token, version, prev,
+                             "append", own_schema, own_stats,
+                             {},  # unsorted files: no file stats
+                             own_rows, None, txn, None, None, None)
+
+
+def _publish_data_dir(root: Path, data_dir: str, token: str,
+                      version: int, prev: int | None, mode: str,
+                      own_schema: dict, own_stats: dict,
+                      own_file_stats: dict, own_rows: int | None,
+                      partition_by: list[str] | None,
+                      txn: tuple[str, int] | None,
+                      expected_latest: int | None,
+                      sort_by: list[str] | None,
+                      cluster_mode: str | None) -> int:
+    """Compose-and-publish half of a data commit (extracted verbatim
+    from ``write_version`` r12 so the streaming SINK format can
+    commit worker-staged files through the identical CAS/txn/carry
+    protocol): given an already-written ``data_dir`` and its
+    harvested stats, compose the next manifest against the current
+    latest and publish with conflict retries. On a CAS loss the
+    still-unpublished dir is renamed to the bumped version (readers
+    only ever follow manifest entries)."""
     for _ in range(_MAX_COMMIT_RETRIES):
         dirs, schema = [data_dir], dict(own_schema)
         dir_schemas = {data_dir: own_schema}
@@ -816,6 +889,8 @@ def write_version(df: DataFrame, table_dir: str | Path,
             version = 0 if prev is None else prev + 1
     raise VersionedTableError(
         f"commit contention: gave up after {_MAX_COMMIT_RETRIES} retries")
+
+
 
 
 def _partition_segments(entry: str) -> list[tuple[str, str | None]]:

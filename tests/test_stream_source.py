@@ -143,6 +143,84 @@ class TestVersionedStreamSource:
         assert rows[2] == (4, None) and rows[6] == (12, "new")
         assert len(rows) == 8
 
+    def test_sink_format_end_to_end_exactly_once(self, spark, tdir,
+                                                 tmp_path):
+        """readStream(A) -> writeStream(B), both through the
+        versioned_stream format: B's manifest log accumulates one
+        append version per micro-batch, and re-draining with the
+        same checkpoint adds nothing (Spark offsets) while a
+        REPLAYED batch (same txn) dedupes inside B's commit."""
+        from data_platform_copilot_spark.sources.versioned import (
+            history, read_version)
+
+        dest, ck = tmp_path / "dest", tmp_path / "ck"
+        for i in range(2):
+            write_version(_df(spark, i * 10, (i + 1) * 10), tdir,
+                          "append" if i else "overwrite")
+
+        def drain():
+            q = (_reader(spark, tdir)
+                 .writeStream.format("versioned_stream")
+                 .option("path", str(dest))
+                 .option("appId", "e2e-test")
+                 .option("checkpointLocation", str(ck))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        drain()
+        got = {r["id"]: r["x"] for r in
+               read_version(spark, dest).collect()}
+        assert got == {i: 2 * i for i in range(20)}
+        n_versions = len(history(dest))
+        drain()  # nothing pending: no new dest version
+        assert len(history(dest)) == n_versions
+        write_version(_df(spark, 20, 25), tdir, "append")
+        drain()
+        got = {r["id"]: r["x"] for r in
+               read_version(spark, dest).collect()}
+        assert got == {i: 2 * i for i in range(25)}  # no dupes
+
+    def test_sink_commit_replay_dedupes(self, spark, tdir, tmp_path):
+        """Crash-after-commit-before-checkpoint: the replayed batch
+        re-stages files and calls commit with the SAME (app, batch)
+        txn — the destination records exactly one data-bearing
+        version."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_platform_copilot_spark.sources.versioned import (
+            commit_staged_files, history, read_version)
+
+        dest = tmp_path / "dest"
+        write_version(_df(spark, 0, 5), dest)
+
+        def stage(name):
+            st = dest / "_stage"
+            st.mkdir(exist_ok=True)
+            pq.write_table(
+                pa.table({"id": pa.array([100, 101], pa.int64()),
+                          "x": pa.array([200, 202], pa.int64())}),
+                st / name)
+            return name
+
+        schema = {"id": "bigint", "x": "bigint"}
+        v1 = commit_staged_files(dest, [stage("a.parquet")], schema,
+                                 txn=("app", 7))
+        v2 = commit_staged_files(dest, [stage("b.parquet")], schema,
+                                 txn=("app", 7))  # replay
+        assert v1 == v2 and len(history(dest)) == 2
+        assert read_version(spark, dest).count() == 7
+        assert not list((dest / "_stage").glob("*.parquet"))
+        # empty batch: no staged files -> no version
+        assert commit_staged_files(dest, [], schema,
+                                   txn=("app", 8)) == v1
+        # incompatible schema append rejected, stage cleaned
+        with pytest.raises(Exception, match="incompatible"):
+            commit_staged_files(dest, [stage("c.parquet")],
+                                {"id": "bigint", "x": "string"},
+                                txn=("app", 9))
+        assert not list((dest / "_stage").glob("*.parquet"))
+
     def test_evolve_partitions_noop_and_hive_value_injection(
             self, spark, tdir, tmp_path):
         """evolve-partitions is metadata-only (no rows) — silently
