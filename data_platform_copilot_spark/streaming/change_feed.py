@@ -3,7 +3,11 @@ item 6): tail the manifest log and process each committed version
 exactly once — the standard way downstream jobs consume a versioned
 table (Delta's ``readChangeFeed`` / Iceberg's incremental read),
 built as a foreachBatch-style driver over ``diff_versions`` slices
-with a checkpointed high-water mark.
+with a checkpointed high-water mark. (Two consumption paths, Delta's
+split exactly: APPEND-ONLY tailing belongs to the true Structured
+Streaming format — ``spark.readStream.format("versioned_stream")``,
+``streaming/stream_source.py`` — while THIS feed is the CDF path
+that also carries updates and deletes as old/new value rows.)
 
 Semantics: one micro-batch PER VERSION. Version 0 (or the configured
 ``starting_version``) arrives as an initial insert-only snapshot;
