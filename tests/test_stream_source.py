@@ -221,6 +221,135 @@ class TestVersionedStreamSource:
                                 txn=("app", 9))
         assert not list((dest / "_stage").glob("*.parquet"))
 
+    def test_sink_writer_is_arrow_vectorized(self):
+        """r12 verdict item 1: the sink must be the Arrow writer —
+        batches stream into an incremental ParquetWriter; no
+        ``list(iterator)`` buffering, no per-row pickling."""
+        import inspect
+
+        from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+        from data_platform_copilot_spark.streaming.stream_source import (
+            VersionedStreamWriter)
+
+        assert issubclass(VersionedStreamWriter,
+                          DataSourceStreamArrowWriter)
+        src = inspect.getsource(VersionedStreamWriter.write)
+        assert "list(iterator)" not in src
+        assert "ParquetWriter" in src
+
+    def test_max_versions_per_batch_bounds_catchup(
+            self, spark, tdir, tmp_path):
+        """r12 verdict item 2: a 10-version backlog with
+        maxVersionsPerBatch=4 must catch up in >= 3 bounded
+        micro-batches (not one giant batch), completing exactly."""
+        import time
+
+        for i in range(10):
+            write_version(_df(spark, i * 5, (i + 1) * 5), tdir,
+                          "append" if i else "overwrite")
+        out, ck = tmp_path / "out", tmp_path / "ck"
+        q = (_reader(spark, tdir, maxVersionsPerBatch=4)
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ck))
+             .trigger(processingTime="50 milliseconds").start())
+        deadline = time.time() + 150
+        done = False
+        while time.time() < deadline and not done:
+            try:
+                done = spark.read.parquet(str(out)).count() == 50
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        got = spark.read.parquet(str(out)).collect()
+        assert sorted(r["id"] for r in got) == list(range(50))
+        batches = len(list((ck / "offsets").glob("[0-9]*")))
+        assert batches >= 3          # ceil(10 / 4) bounded slices
+
+    def test_restart_mid_backlog_resumes_exactly_once(
+            self, spark, tdir, tmp_path):
+        """Kill a capped catch-up after its first slice; the restart
+        must resume from the checkpoint with no duplicate and no
+        missing rows (the exactly-once half of verdict item 2)."""
+        import time
+
+        for i in range(10):
+            write_version(_df(spark, i * 5, (i + 1) * 5), tdir,
+                          "append" if i else "overwrite")
+        out, ck = tmp_path / "out", tmp_path / "ck"
+
+        def _start():
+            return (_reader(spark, tdir, maxVersionsPerBatch=3)
+                    .writeStream.format("parquet")
+                    .option("path", str(out))
+                    .option("checkpointLocation", str(ck))
+                    .trigger(processingTime="50 milliseconds")
+                    .start())
+
+        q = _start()
+        deadline = time.time() + 150
+        first = 0
+        while time.time() < deadline and first == 0:
+            try:
+                first = spark.read.parquet(str(out)).count()
+            except Exception:
+                time.sleep(0.3)
+        q.stop()                      # mid-backlog
+        q.awaitTermination(60)
+        assert 0 < first < 50
+        q = _start()
+        deadline = time.time() + 150
+        total = first
+        while time.time() < deadline and total < 50:
+            try:
+                total = spark.read.parquet(str(out)).count()
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        got = spark.read.parquet(str(out)).collect()
+        ids = sorted(r["id"] for r in got)
+        assert ids == list(range(50))  # complete AND duplicate-free
+
+    def test_initial_snapshot_with_delete_vectors_fails_loudly(
+            self, spark, tdir):
+        """ADVICE r12 (high): live MoR deletion vectors at the
+        stream's STARTING version would re-emit deleted/stale rows
+        through raw file reads — refuse loudly, like every other
+        non-representable state, pointing at compact()/the CDF."""
+        write_version(_df(spark, 0, 10), tdir)
+        merge_version(
+            spark, tdir,
+            spark.createDataFrame([(1, 999)], "id long, x long"),
+            "id", strategy="mor")
+        with pytest.raises(Exception, match="deletion vectors"):
+            _drain_memory(spark, tdir, "dv_snap", startingVersion=1)
+
+    def test_carried_partition_leaf_streams_its_value(
+            self, spark, tdir):
+        """ADVICE r12 (medium): a partition-scoped CoW merge carries
+        untouched partition LEAVES by reference (data-0-x/p=0) — the
+        initial snapshot must parse the partition value from the
+        ENTRY path itself, not silently null-fill the column."""
+        write_version(
+            _df(spark, 0, 10).withColumn("p", F.col("id") % 2),
+            tdir, partition_by=["p"])
+        # touch only p=1: p=0's leaf is carried by reference
+        merge_version(
+            spark, tdir,
+            spark.createDataFrame([(1, 999, 1)],
+                                  "id long, x long, p long"),
+            "id")
+        got = _drain_memory(spark, tdir, "leafp", startingVersion=1)
+        rows = {r["id"]: (r["x"], r["p"]) for r in got.collect()}
+        assert sorted(rows) == list(range(10))
+        assert rows[1] == (999, 1)
+        assert all(rows[i][1] == i % 2 for i in rows)
+
     def test_evolve_partitions_noop_and_hive_value_injection(
             self, spark, tdir, tmp_path):
         """evolve-partitions is metadata-only (no rows) — silently
