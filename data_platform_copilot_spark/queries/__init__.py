@@ -37,21 +37,16 @@ from . import quality  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_GATE_PRIORITY: list[str] = [
-    # r12 gate. Position 1: acf_daily_value, as ordered by the r11
-    # verdict (displaced from the r11 window by time_travel_as_of).
-    # Position 2: schema_evolution_read, the r12-registered entry
-    # (never driver-gated — the pinned immediate-slot policy, same as
-    # r11's time_travel_as_of). Positions 3-50: the LONGEST-rotated
-    # entries by last hash-green round, computed from the union of
-    # CORRECTNESS_r01..r11 — the 48 remaining last-green-r7 entries;
-    # ties broken alphabetically for determinism. ann_recall_report
-    # (alphabetically-first last-green-r8) was displaced to the
-    # residue by the r12 registration and leads the r13 backfill.
-    # The window deliberately re-gates
-    # concentration_gini_user_activity and pareto_share_user_activity
-    # — both rewritten this round to the value-histogram method (r11
-    # verdict item 3) — so the rewrite carries fresh driver-hash
-    # evidence.
+    # r13 gate (verdict item 3). Position 1: batch_source_read, the
+    # r13-registered entry (never driver-gated — the pinned
+    # immediate-slot policy: it end-to-ends the new Catalyst
+    # pushFilters DataSource, sources/batch_source.py). Positions
+    # 2-50: the ENTIRE last-green-r8 cohort — the 49 entries whose
+    # newest driver hash is CORRECTNESS_r08.json in the union of
+    # r01..r12 artifacts — alphabetical for determinism;
+    # ann_recall_report (displaced from the r12 window by
+    # schema_evolution_read) is naturally among them. 1 + 49 = 50
+    # exactly: no residue queue this round.
     # compression_ratio_quality stays parked BELOW position 50
     # permanently: its oracle needs a zlib UDF the driver's vanilla-SQL
     # DuckDB cannot register (r8 artifact burned a slot on
@@ -60,62 +55,59 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # ARCHITECTURE.md). Every name below passes the local
     # full-registry oracle at sf0.001/0.01 and stays value-verified
     # every run by tests/test_queries_oracle.py.
-    # ---- ordered first per the r11 verdict ----
-    "acf_daily_value",
-    # ---- registered r12 (never driver-gated): schema evolution ----
-    "schema_evolution_read",
-    # ---- backfill 3-50: longest-rotated (last hash-green r7) ----
-    "audience_overlap_jaccard",
-    "bpe_doc_token_cost",
-    "burst_detection_hourly",
-    "changepoint_cusum_daily",
-    "churn_label_dataset",
-    "cluster_separation_report",
-    "concentration_gini_user_activity",
-    "corr_length_alpha_by_lang",
-    "dataset_split_counts",
-    "dedup_cluster_size_histogram",
-    "dedup_containment_pairs",
-    "dedup_minhash_calibration",
-    "dedup_pagerank_centrality",
-    "dedup_threshold_sweep",
-    "dispersion_index_by_type",
-    "dq_benford_first_digit",
-    "dq_referential_integrity",
-    "dq_robust_mean_value",
-    "dq_robust_outliers_mad",
-    "embedding_mean_pool",
-    "entity_match_part_names",
-    "event_transition_matrix",
-    "forecast_holt_daily",
-    "kappa_quality_rules",
-    "ltv_cumulative_by_cohort_week",
-    "media_exact_dedup",
-    "mi_event_type_value",
-    "packing_efficiency_report",
-    "pareto_share_user_activity",
-    "pchart_error_rate_hourly",
-    "salted_join_brand_volume",
-    "sample_vocab_coverage",
-    "sax_daily_value",
-    "scd2_point_in_time_join",
-    "session_depth_histogram",
-    "sliding_distinct_users_6h",
-    "split_leakage_check",
-    "streaming_trending_types_1h",
-    "text_lang_mixing_flags",
-    "text_token_entropy",
-    "time_to_convert_view_purchase",
-    "traffic_heatmap_dow_hour",
-    "trend_theilsen_daily",
-    "user_growth_daily",
-    "vocab_coverage_curve",
-    "weighted_sample_topk_docs",
-    "wow_type_movers",
-    "zipf_slope_tokens",
-    # ---- gate window ends here (50) ----
-    # displaced to the r13 backfill queue by the r12 registration:
+    # ---- registered r13 (never driver-gated): batch DataSource ----
+    "batch_source_read",
+    # ---- backfill 2-50: the last-green-r8 cohort, alphabetical ----
     "ann_recall_report",
+    "audio_silence_ratio",
+    "bloom_runtime_filter_join",
+    "ccnet_perplexity_buckets",
+    "cms_token_estimates",
+    "cohort_retention_matrix",
+    "corpus_data_card_stats",
+    "decontamination_bloom_prefilter",
+    "dedup_cross_source_matrix",
+    "dedup_prefix_filter_pairs",
+    "doc_length_percentiles_by_source",
+    "domain_unigram_js",
+    "dp_laplace_counts",
+    "dq_value_histogram",
+    "dq_winsorized_value_stats",
+    "embedding_domain_drift",
+    "embedding_stats_by_dim",
+    "full_outer_join_reconciliation",
+    "funnel_view_click_purchase",
+    "hll_user_cardinality",
+    "html_text_extract",
+    "incremental_agg_maintenance",
+    "incremental_join_maintenance",
+    "knn_graph_triangles",
+    "knn_label_propagation",
+    "lang_id_prf_report",
+    "media_phash_neardup",
+    "multimodal_avi_decode",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "ngram_diversity_by_source",
+    "ngram_novelty_deciles",
+    "output_shard_plan",
+    "padding_waste_batching",
+    "pipeline_media_curation",
+    "privacy_delete_cascade_report",
+    "quality_band_filter_counts",
+    "quality_calibration_bins",
+    "quality_score_auc",
+    "quantile_histogram_sketch",
+    "range_partition_plan",
+    "seasonal_decompose_daily",
+    "streaming_incremental_rollup",
+    "streaming_view_purchase_join",
+    "text_distinctiveness",
+    "token_budget_epochs_plan",
+    "training_order_interleave",
+    "unicode_nfc_normalization",
+    "video_scene_changes",
+    # ---- gate window ends here (50) ----
     # un-hashable by the driver (UDF oracle lives in EXTRA_ORACLE):
     "compression_ratio_quality",
 ]

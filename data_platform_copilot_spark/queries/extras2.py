@@ -666,6 +666,63 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("score").cast("long").alias("score_sum")))
 
 
+@query("batch_source_read", oracle="""
+WITH src AS (
+    SELECT doc_id, lang AS language
+    FROM documents WHERE lang IS NOT NULL
+)
+SELECT language, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM src WHERE doc_id >= 500
+GROUP BY language
+""")
+def batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-native batch read of a versioned table (r12 verdict
+    item 5): commit the documents (doc_id, lang) projection as FOUR
+    range-banded appends, ``evolve_schema``-rename lang->language,
+    then read through ``spark.read.format("versioned")`` — the Spark
+    4.1 Python DataSource whose ``pushFilters`` receives the
+    ``doc_id >= 500`` conjunct from Catalyst and plans the zone-map-
+    pruned file set (``sources/batch_source.py``); old segments
+    arrive renamed per file (``sources/arrow_io.py``). DuckDB replays
+    the read relationally, so hash equality proves the DataSource
+    path end-to-end: pushdown never changes results, it only prunes.
+    (No reference equivalent — versioned storage control plane.)"""
+    import json
+    import os
+    import re as _re
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.batch_source import register_batch_source
+    from ..sources.versioned import evolve_schema, write_version
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("lang").isNotNull())
+            .select("doc_id", "lang"))
+    slot = _re.sub(r"\W+", "_", str(sf_dir))
+    tdir = (Path(tempfile.gettempdir())
+            / f"tt_bsrc_{slot}_{os.getpid()}" / "docs_banded")
+    marker = tdir / "_bands_done.json"
+    if not marker.exists():
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        edges = [0] + [(hi * (i + 1)) // 4 + 1 for i in range(4)]
+        for i in range(4):
+            band = docs.where((F.col("doc_id") >= edges[i])
+                              & (F.col("doc_id") < edges[i + 1]))
+            write_version(band.coalesce(2), tdir,
+                          "overwrite" if i == 0 else "append")
+        evolve_schema(tdir, rename={"lang": "language"})
+        marker.write_text(json.dumps({"done": True}))
+    register_batch_source(spark)
+    return (spark.read.format("versioned")
+            .option("path", str(tdir)).load()
+            .where(F.col("doc_id") >= 500)
+            .groupBy("language")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("doc_id").cast("long").alias("id_sum")))
+
+
 @query("time_travel_as_of", oracle="""
 WITH v0 AS (
     SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL

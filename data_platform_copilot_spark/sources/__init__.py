@@ -1,3 +1,7 @@
+from .batch_source import (
+    VersionedBatchDataSource,
+    register_batch_source,
+)
 from .registry import (
     TESTDATA_TABLES,
     load_table,
@@ -26,4 +30,5 @@ __all__ = ["TESTDATA_TABLES", "load_table", "register_testdata",
            "latest_version", "diff_versions", "evolve_partitioning",
            "evolve_schema",
            "CommitConflict",
+           "VersionedBatchDataSource", "register_batch_source",
            "table_rows", "VersionedTableError"]

@@ -1,0 +1,197 @@
+"""Catalyst-native BATCH read of versioned tables: a Spark 4.1
+Python DataSource with ``pushFilters`` (r12 verdict item 5) —
+
+    register_batch_source(spark)                     # once per session
+    spark.read.format("versioned").option("path", table_dir) \\
+         .option("version", 3).load().where("id >= 350")
+
+Catalyst plans the scan, collects the pushable conjuncts of every
+filter above it, and hands them to ``pushFilters`` — the reader
+translates the supported ``col op literal`` shapes into the table's
+zone-map skip predicates and plans one input partition per SURVIVING
+parquet file (manifest dir-level stats, then file-level stats for
+``sort_by`` commits — the same two-tier pruning as
+``read_version(skip=...)``). Every filter is returned as residual, so
+Spark re-applies the full condition row-wise: pruning stays a pure
+proof-of-emptiness optimization and results are exactly
+``read_version(...).where(...)``.
+
+Division of labor (decision record in ARCHITECTURE.md §"Batch
+DataSource vs gateway rewrite"): this format is the DataFrame-API
+door where CATALYST drives manifest pruning natively — no optimizer
+re-pass, no view re-materialization. The gateway's SQL-surface
+rewrite (``gateway/time_travel.py``) stays the text-SQL door because
+it must also resolve AS OF literals, latest-at-query-time names and
+MoR deletion vectors, which the file-level reader refuses by design
+(vectors need the anti-join plan only ``read_version`` builds).
+
+Scale: planning is O(manifest JSON) on the driver; reads are one
+immutable file per task via pyarrow (``sources/arrow_io.py``), Arrow
+batches straight into the plan — the same executor path the
+streaming source uses. Reference: no counterpart (the reference has
+no versioned storage); parity target is Delta's DSv2 scan +
+``SupportsPushDownFilters`` contract.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    EqualTo, Filter, GreaterThan,
+                                    GreaterThanOrEqual, In,
+                                    InputPartition, LessThan,
+                                    LessThanOrEqual)
+from pyspark.sql.types import StructType
+
+from .arrow_io import hive_constants, read_parquet_aligned
+
+_PUSH_OPS = {EqualTo: "=", GreaterThan: ">",
+             GreaterThanOrEqual: ">=", LessThan: "<",
+             LessThanOrEqual: "<="}
+# zone-map bounds are only ever int/float/str/bool (mirrors
+# versioned._SKIP_LITERAL_TYPES); anything else rides the residual
+_PUSH_VALUE_TYPES = (int, float, str, bool)
+
+
+class _BatchFilePartition(InputPartition):
+    def __init__(self, path: str, renames: dict[str, str],
+                 constants: list[tuple[str, str | None]] = ()):  # noqa: B006
+        self.path = path
+        self.renames = renames
+        self.constants = list(constants)
+
+
+def _resolve_version(table_dir: str, options) -> int:
+    from .versioned import VersionedTableError, latest_version
+    raw = options.get("version")
+    if raw is not None:
+        return int(raw)
+    v = latest_version(table_dir)
+    if v is None:
+        raise VersionedTableError(
+            f"not a versioned table: {table_dir}")
+    return v
+
+
+class VersionedBatchReader(DataSourceReader):
+    """One query's scan state: the version is pinned at plan time
+    (immutable manifest — concurrent commits can never tear the
+    read), ``pushFilters`` accumulates skip predicates, and
+    ``partitions`` plans the pruned file set."""
+
+    def __init__(self, schema: StructType, options):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError(
+                "format('versioned') requires option 'path'")
+        self.version = _resolve_version(self.table_dir, options)
+        self.schema = schema
+        self.skip: list[tuple] = []
+
+    # -- Catalyst hands us the pushable conjuncts --------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            op = _PUSH_OPS.get(type(f))
+            if (op is not None and len(f.attribute) == 1
+                    and isinstance(f.value, _PUSH_VALUE_TYPES)):
+                self.skip.append((f.attribute[0], op, f.value))
+            elif (isinstance(f, In) and len(f.attribute) == 1
+                    and f.value
+                    and all(isinstance(v, _PUSH_VALUE_TYPES)
+                            for v in f.value)):
+                self.skip.append(
+                    (f.attribute[0], "in", tuple(f.value)))
+        # EVERYTHING stays residual: zone maps prove absence, they
+        # don't evaluate predicates — Spark re-filters row-wise
+        return iter(filters)
+
+    # -- planning (driver-side Python worker) ------------------------
+    def partitions(self) -> list[_BatchFilePartition]:
+        from .versioned import (VersionedTableError, _dir_may_match,
+                                _read_manifest, _skip_for_dir)
+        root = Path(self.table_dir)
+        manifest = _read_manifest(root, self.version)
+        if manifest.get("delete_vectors"):
+            raise VersionedTableError(
+                "format('versioned') reads raw files and cannot "
+                "apply MoR deletion vectors — use read_version() "
+                "(applies them as anti-joins) or compact() first")
+        stats = manifest.get("dir_stats") or {}
+        file_stats = manifest.get("file_stats") or {}
+        renames_all = manifest.get("dir_renames") or {}
+        out: list[_BatchFilePartition] = []
+        for d in manifest["data_dirs"]:
+            dskip = _skip_for_dir(manifest, d, self.skip)
+            if self.skip and not _dir_may_match(stats.get(d), dskip):
+                continue  # whole dir proven empty
+            ren = renames_all.get(d) or {}
+            droot = root / d
+            files = sorted(str(p) for p in droot.rglob("*.parquet"))
+            fs = file_stats.get(d)
+            if (self.skip and fs
+                    and set(fs) == {Path(f).name for f in files}):
+                # file-granular zone maps (sort_by commits)
+                files = [f for f in files
+                         if _dir_may_match(fs[Path(f).name], dskip)]
+            for f in files:
+                out.append(_BatchFilePartition(
+                    f, ren, hive_constants(self.table_dir, d, f)))
+        if not out:
+            # a scan needs >= 1 partition; the marker reads nothing
+            out.append(_BatchFilePartition("", {}))
+        return out
+
+    # -- executor-side read ------------------------------------------
+    def read(self, partition: _BatchFilePartition) -> Iterator:
+        if not partition.path:
+            return  # empty marker
+        yield from read_parquet_aligned(
+            partition.path, partition.renames, partition.constants,
+            self.schema)
+
+
+class VersionedBatchDataSource(DataSource):
+    """``spark.dataSource.register(VersionedBatchDataSource)`` (or
+    ``register_batch_source``), then
+    ``spark.read.format("versioned")`` — Catalyst-driven manifest
+    pruning with zero gateway machinery."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned"
+
+    def _pin_version(self) -> None:
+        # resolve "latest" exactly once per scan: schema() and
+        # reader() racing a concurrent commit must not see different
+        # versions (manifests are immutable, the version pin is the
+        # whole torn-read story)
+        if self.options.get("version") is None:
+            table_dir = self.options.get("path")
+            if not table_dir:
+                raise ValueError(
+                    "format('versioned') requires option 'path'")
+            self.options["version"] = str(
+                _resolve_version(table_dir, self.options))
+
+    def schema(self) -> str:
+        from .versioned import _read_manifest
+        self._pin_version()
+        m = _read_manifest(Path(self.options["path"]),
+                           int(self.options["version"]))
+        return ", ".join(f"`{c}` {t}" for c, t in m["schema"].items())
+
+    def reader(self, schema: StructType) -> VersionedBatchReader:
+        self._pin_version()
+        return VersionedBatchReader(schema, self.options)
+
+
+def register_batch_source(spark) -> None:
+    from ..shipping import ensure_package_shipped
+    ensure_package_shipped(spark)  # workers unpickle us by reference
+    spark.dataSource.register(VersionedBatchDataSource)
+    # runtime-settable and off by default in Spark 4.1: without it,
+    # planning fails loudly (DATA_SOURCE_PUSHDOWN_DISABLED) for any
+    # reader implementing pushFilters
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
