@@ -178,6 +178,60 @@ def _sub_outside_literals(sql: str, pattern: re.Pattern,
     return "".join(out)
 
 
+_FROM_CLAUSE_STOP = {"WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+                     "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT"}
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _comma_table_spans(sql: str,
+                       names: set[str]) -> list[tuple[int, int, str]]:
+    """Spans of bare registered names referenced as COMMA-separated
+    FROM-list items (``FROM other, name`` — old-style joins), the one
+    textual form pass 2's FROM/JOIN regex cannot see (r12 verdict
+    item 6). A real parse of the clause, not a comma regex: a bare
+    ``, name`` elsewhere is a select-list/GROUP BY column, so the
+    scan walks each FROM clause tracking paren depth — commas inside
+    subqueries, function args or IN-lists sit at depth > 0, and the
+    clause ends at its subquery's closing paren or a top-level
+    clause keyword. Quoted literals and comments are opaque."""
+    spans = _protected_spans(sql)
+    out: list[tuple[int, int, str]] = []
+    for fm in re.finditer(r"\bFROM\b", sql, re.IGNORECASE):
+        if _in_spans(spans, fm.start()):
+            continue
+        i, depth = fm.end(), 0
+        while i < len(sql):
+            lit_end = next((e for s, e in spans if s <= i < e), None)
+            if lit_end is not None:
+                i = lit_end
+                continue
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break  # this FROM belongs to a closed subquery
+                depth -= 1
+            elif depth == 0 and ch == ",":
+                j = i + 1
+                while j < len(sql) and sql[j].isspace():
+                    j += 1
+                m = _IDENT_RE.match(sql, j)
+                if (m and m.group(0).lower() in names
+                        and (m.end() >= len(sql)
+                             or sql[m.end()] not in ".(`")):
+                    out.append((m.start(), m.end(),
+                                m.group(0).lower()))
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                m = _IDENT_RE.match(sql, i)
+                if m and m.group(0).upper() in _FROM_CLAUSE_STOP:
+                    break
+                i = m.end() if m else i + 1
+                continue
+            i += 1
+    return out
+
+
 def _table_root(tdir: str) -> str:
     return str(Path(tdir).resolve())
 
@@ -289,8 +343,12 @@ _VIEW_CAP = 512
 _CREATED_VIEWS: list[str] = []
 
 
-def _have_view(view: str) -> bool:
-    return view in _CREATED_VIEWS
+def _have_view(spark: SparkSession, view: str) -> bool:
+    # temp views are per-SparkSession but the cache is module-global:
+    # validate hits against the live catalog so a session restart (or
+    # an external dropTempView) re-materializes instead of handing
+    # spark.sql a VIEW_NOT_FOUND name (ADVICE r12)
+    return view in _CREATED_VIEWS and spark.catalog.tableExists(view)
 
 
 def _remember_view(spark: SparkSession, view: str) -> None:
@@ -314,14 +372,13 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
        error (better than a Spark parse failure leaking out), and
        qualified (``db.name``) or backquoted forms are rejected
        outright rather than mis-captured.
-    2. every bare registered name after ``FROM`` / ``JOIN`` becomes a
-       fresh latest-snapshot view (``<name>__v<latest>``) resolved at
-       query time — library-side commits are never stale for ANSI
-       join syntax. Known limitation: a comma-join reference
-       (``FROM other, name``) is textually indistinguishable from a
-       select-list column and keeps the registration-time view
-       (refreshed by re-register and every service maintenance
-       route); the product surfaces generate ANSI joins.
+    2. every bare registered name referenced as a FROM-clause item —
+       after ``FROM`` / ``JOIN`` (regex) or as an old-style
+       comma-join item (``FROM other, name`` — a depth-tracking
+       clause scan, ``_comma_table_spans``; r12 verdict item 6) —
+       becomes a fresh latest-snapshot view (``<name>__v<latest>``)
+       resolved at query time, so library-side commits are never
+       stale for either join syntax.
     3. manifest pruning: the Filter conjuncts Catalyst pushes onto
        each versioned relation (intersected across instances of the
        same table) re-materialize that view via ``read_version(...,
@@ -362,7 +419,7 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
         # version must produce the clean gateway error below, not a
         # FileNotFound at scan time through a stale cached view
         from ..sources.versioned import _manifest_path
-        if not (_have_view(view)
+        if not (_have_view(spark, view)
                 and _manifest_path(Path(tdir), version).exists()):
             try:
                 read_version(spark, tdir, version=version) \
@@ -382,8 +439,7 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
             rf"\b(FROM|JOIN)\s+({names})(?![\w.`])", re.IGNORECASE)
         made: dict[str, str] = {}
 
-        def _fresh(m: re.Match) -> str:
-            name = m.group(2).lower()
+        def _latest_view(name: str) -> str:
             if name not in made:
                 tdir = _VERSIONED_TABLES[name]
                 v = latest_version(tdir)
@@ -392,7 +448,7 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
                         f"versioned table {name!r} has no committed "
                         "version")
                 view = f"{name}__v{v}"
-                if not _have_view(view):
+                if not _have_view(spark, view):
                     # pin to the resolved version: an unpinned read
                     # racing a concurrent commit would desynchronize
                     # this view from the pass-3 pruned replacement
@@ -402,9 +458,19 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
                 _remember_view(spark, view)
                 views_used[view] = (tdir, v)
                 made[name] = view
-            return f"{m.group(1)} {made[name]}"
+            return made[name]
+
+        def _fresh(m: re.Match) -> str:
+            return f"{m.group(1)} {_latest_view(m.group(2).lower())}"
 
         sql = _sub_outside_literals(sql, bare_re, _fresh)
+        # pass 2b: old-style comma joins (`FROM other, name`) resolve
+        # to the SAME fresh views — previously the one silently-stale
+        # textual form (r12 verdict item 6). Reverse order keeps the
+        # collected spans valid while splicing.
+        for start, end, name in reversed(
+                _comma_table_spans(sql, set(_VERSIONED_TABLES))):
+            sql = sql[:start] + _latest_view(name) + sql[end:]
 
     if not views_used:
         return sql
@@ -421,7 +487,7 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
             if not preds:
                 continue
             pruned = f"{view}__p{_preds_hash(preds)}"
-            if not _have_view(pruned):
+            if not _have_view(spark, pruned):
                 read_version(spark, tdir, version=version,
                              skip=sorted(preds)) \
                     .createOrReplaceTempView(pruned)
@@ -432,5 +498,10 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
                 sql, re.compile(rf"\b{re.escape(view)}\b"),
                 lambda m, _p=pruned: _p)
     except Exception:
-        pass
+        # unpruned is always CORRECT — but degrade loudly, not
+        # silently: the suite pins this counter == 0 so a regression
+        # in the extractor re-opens as a test failure, not a quiet
+        # 16-vs-4-files performance hole (r12 verdict)
+        from ..metrics import REGISTRY
+        REGISTRY.inc("gateway_pruning_fallback")
     return sql

@@ -88,14 +88,27 @@ def add_range_bucket(df: DataFrame, key: str, n_buckets: int,
     bucket boundaries are a pure function of the data — re-evaluating
     the frame in a second branch of the same plan yields identical
     buckets, so subtotal offsets computed in one branch can be joined
-    back in another. Integer ``div`` arithmetic: exact at any key
-    magnitude. ``extra_aggs`` ride along on the broadcast bounds row
-    (e.g. a total count) so callers need no second pass."""
+    back in another. ``extra_aggs`` ride along on the broadcast bounds
+    row (e.g. a total count) so callers need no second pass.
+
+    NULL keys land in bucket 0 (ADVICE r12: the global-window
+    formulation this replaces kept NULL-key rows, sorted first — an
+    unguarded NULL ``__rb`` would silently drop them at the callers'
+    inner join). Arithmetic is div-FIRST — ``(key - lo) div width``
+    with ``width = ceil(span / n_buckets)`` — so nothing multiplies
+    the key span: exact and overflow-free for any span that itself
+    fits in a long (the ``key - lo`` contract; the replaced
+    ``(key - lo) * n_buckets`` form overflowed ANSI longs n_buckets
+    times earlier)."""
     aggs = [F.min(key).alias("__rb_lo"), F.max(key).alias("__rb_hi")]
     aggs += list(extra_aggs or [])
+    # width = ceil((hi - lo + 1) / n) computed as (hi-lo) div n + 1
+    # (exact for integers, and >= 1 even when hi == lo);
+    # coalesce maps NULL keys to lo -> bucket 0
     bucket = F.expr(
         f"least({n_buckets - 1}, "
-        f"({key} - __rb_lo) * {n_buckets} div (__rb_hi - __rb_lo + 1))")
+        f"(coalesce({key}, __rb_lo) - __rb_lo) div "
+        f"((__rb_hi - __rb_lo) div {n_buckets} + 1))")
     return (df.crossJoin(F.broadcast(df.agg(*aggs)))
             .withColumn("__rb", bucket)
             .drop("__rb_lo", "__rb_hi"))

@@ -442,12 +442,19 @@ def _validate_append(prev_manifest: dict, schema: dict,
             f"partition layout mismatch on append: "
             f"{partition_by} vs {prev_parts}")
     prev_schema = prev_manifest.get("schema", {})
+    # compare through the canonical type spellings (defense in depth:
+    # manifests written by evolve_schema normalize aliases, but an
+    # externally-supplied schema dict may still say 'long'/'integer')
+    def _canon(t: str) -> str:
+        return _TYPE_ALIASES.get(t, t)
     clashes = {c: (prev_schema[c], t) for c, t in schema.items()
-               if c in prev_schema and prev_schema[c] != t}
+               if c in prev_schema and _canon(prev_schema[c]) != _canon(t)}
     if clashes:
         raise VersionedTableError(
             f"incompatible column types on append: {clashes}")
-    return {**prev_schema, **schema}
+    # existing columns keep the manifest's spelling; new ones land
+    # canonicalized (so the stored schema never carries an alias)
+    return {**{c: _canon(t) for c, t in schema.items()}, **prev_schema}
 
 
 def _txn_committed(root: Path, upto: int | None,
@@ -1809,7 +1816,11 @@ def evolve_schema(table_dir: str | Path,
             if c in schema:
                 raise VersionedTableError(
                     f"add_columns: column exists: {c!r}")
-            schema[c] = t
+            # normalize user-facing aliases to df.dtypes' canonical
+            # spelling, like widen below — add_columns={'x': 'long'}
+            # must not make a later bigint append look like a type
+            # change (ADVICE r12)
+            schema[c] = _TYPE_ALIASES.get(t, t)
         for c, t in widen.items():
             if c not in schema:
                 raise VersionedTableError(

@@ -1754,6 +1754,29 @@ class TestLateR6EdgeCases:
              F.lit(3)], bits=4).alias("z")).collect()
         assert [r["z"] for r in z].count(None) == 1  # contract engages
 
+    def test_add_range_bucket_null_keys_and_extreme_span(self, spark):
+        """ADVICE r12: NULL keys must land in bucket 0 (the replaced
+        global-window formulation kept them, sorted first — a NULL
+        ``__rb`` would vanish at the callers' inner join), and the
+        div-first arithmetic must survive a key span where the old
+        ``(key - lo) * n_buckets`` form overflowed ANSI longs."""
+        from data_platform_copilot_spark.operators.layout import (
+            add_range_bucket, bucket_offsets)
+        big = (1 << 61)  # span 2^62 fits a long; *64 would not
+        df = spark.createDataFrame(
+            [(None,), (-big,), (0,), (big,)], "k long")
+        got = add_range_bucket(df, "k", 64)
+        rows = {r["k"]: r["__rb"] for r in got.collect()}
+        assert rows[None] == 0                  # kept, first bucket
+        assert rows[-big] == 0
+        assert 0 <= rows[0] <= rows[big] < 64   # monotone, in range
+        # offsets join keeps every row (the inner-join contract)
+        offs = bucket_offsets(got, F.lit(1))
+        joined = got.join(offs, "__rb")
+        assert joined.count() == 4
+        total = joined.agg(F.sum(F.lit(1))).collect()[0][0]
+        assert total == 4
+
 
 class TestContainment:
     def test_short_in_long_detected(self, spark):

@@ -5,6 +5,7 @@ and the /versioned register + history HTTP surface."""
 from __future__ import annotations
 
 import importlib.util
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -113,6 +114,88 @@ class TestGatewayTimeTravel:
         assert hist[1]["mode"] == "merge-mor"
         assert hist[1]["n_delete_vectors"] == 1
         assert all(h["committed_at"] for h in hist)
+
+
+class TestCommaJoinResolution:
+    """r12 verdict item 6: old-style comma joins (`FROM other, name`)
+    were the one textual form that kept the registration-time view —
+    silently stale after library-side commits. Pass 2b resolves them
+    through a depth-tracking FROM-clause scan."""
+
+    def test_comma_join_sees_library_commit(self, spark, tdir):
+        write_version(
+            spark.range(10).select("id", (F.col("id") * 2).alias("x")),
+            tdir, "overwrite")
+        register_versioned_table(spark, "tt_cj", tdir)
+        # library-side commit AFTER registration
+        write_version(
+            spark.range(10, 20).select(
+                "id", (F.col("id") * 2).alias("x")), tdir, "append")
+        run = sql_run(spark, "SELECT count(*) AS c "
+                             "FROM (SELECT 1 AS one) s, tt_cj")
+        assert run.preview[0]["c"] == 20          # fresh, not stale 10
+        # and inside a subquery's own FROM clause
+        run = sql_run(spark, "SELECT c FROM (SELECT count(*) AS c "
+                             "FROM (SELECT 1 AS one) s, tt_cj) q")
+        assert run.preview[0]["c"] == 20
+
+    def test_select_list_and_group_by_columns_untouched(
+            self, spark, tdir):
+        """A COLUMN that happens to share a registered table's name —
+        select list, GROUP BY, ORDER BY, IN-list commas — must never
+        be rewritten (they are exactly what made a bare comma regex
+        unsafe)."""
+        write_version(
+            spark.range(5).select("id", (F.col("id") * 2).alias("x")),
+            tdir, "overwrite")
+        register_versioned_table(spark, "tt_cn", tdir)
+        spark.range(6).select(
+            (F.col("id") % 2).alias("a"),
+            F.col("id").alias("tt_cn")).createOrReplaceTempView(
+                "plain_t")
+        sql = ("SELECT a, tt_cn FROM plain_t "
+               "WHERE tt_cn IN (0, 1, 2, 3) "
+               "GROUP BY a, tt_cn ORDER BY a, tt_cn")
+        rewritten = rewrite_as_of(spark, sql)
+        assert rewritten == sql                   # byte-identical
+        run = sql_run(spark, sql, row_limit=100, preview_rows=100)
+        assert len(run.preview) == 4
+
+    def test_comma_join_mixed_with_as_of(self, spark, tdir):
+        """`FROM a, name` where `a` itself is an AS OF reference:
+        pass 1 rewrites the AS OF item, pass 2b the comma item."""
+        _commit_two_versions(spark, tdir)
+        register_versioned_table(spark, "tt_cm", tdir)
+        run = sql_run(spark,
+                      "SELECT count(*) AS c FROM "
+                      "tt_cm FOR VERSION AS OF 0, tt_cm")
+        assert run.preview[0]["c"] == 100         # 10 x 10 cross
+
+
+class TestViewCacheSelfHeal:
+    def test_external_drop_temp_view_self_heals(self, spark, tdir):
+        """ADVICE r12: the materialization cache is module-global but
+        temp views are per-session — a cache hit whose view is gone
+        (session restart, external dropTempView) must re-materialize,
+        not hand spark.sql a VIEW_NOT_FOUND name."""
+        _commit_two_versions(spark, tdir)
+        register_versioned_table(spark, "tt_heal", tdir)
+        first = sql_run(spark, "SELECT count(*) AS c FROM tt_heal "
+                               "FOR VERSION AS OF 0")
+        assert first.preview[0]["c"] == 10
+        for t in spark.catalog.listTables():
+            if t.name.startswith("tt_heal__"):
+                spark.catalog.dropTempView(t.name)
+        again = sql_run(spark, "SELECT count(*) AS c FROM tt_heal "
+                               "FOR VERSION AS OF 0")
+        assert again.preview[0]["c"] == 10
+        latest = sql_run(spark, "SELECT count(*) AS c FROM tt_heal")
+        assert latest.preview[0]["c"] == 10
+
+
+def _pruning_fallbacks() -> float:
+    from data_platform_copilot_spark.metrics import REGISTRY
+    return REGISTRY._counters.get("gateway_pruning_fallback", 0.0)
 
 
 class TestSqlSurfacePruning:
@@ -277,6 +360,39 @@ class TestSqlSurfacePruning:
         assert sorted(r["id"] for r in got.preview) \
             == list(range(5)) + list(range(395, 400))
 
+    def test_pruning_fallback_counter_pinned_zero(self, spark, tdir):
+        """r12 verdict: pass 3 degrading to the unpruned statement is
+        CORRECT but must be loud — across real pruned statements the
+        fallback counter stays exactly zero."""
+        base = _pruning_fallbacks()
+        self._four_commits(spark, tdir)
+        register_versioned_table(spark, "tt_fb0", tdir)
+        assert self._files(
+            spark, "SELECT id, x FROM tt_fb0 WHERE id >= 350") == 4
+        got = sql_run(spark, "SELECT count(*) AS n FROM tt_fb0 "
+                             "WHERE id >= 350")
+        assert got.preview[0]["n"] == 50
+        assert _pruning_fallbacks() == base
+
+    def test_broken_extractor_trips_fallback_counter(
+            self, spark, tdir, monkeypatch):
+        """A deliberately-broken predicate extractor must (a) leave
+        results exact via the unpruned statement and (b) trip the
+        counter — proving the pin above actually guards pass 3."""
+        import data_platform_copilot_spark.gateway.time_travel as tt
+
+        def boom(*a, **k):
+            raise RuntimeError("broken extractor (test)")
+
+        self._four_commits(spark, tdir)
+        register_versioned_table(spark, "tt_fbx", tdir)
+        base = _pruning_fallbacks()
+        monkeypatch.setattr(tt, "_pushed_skip_preds", boom)
+        got = sql_run(spark, "SELECT count(*) AS n FROM tt_fbx "
+                             "WHERE id >= 350")
+        assert got.preview[0]["n"] == 50          # still exact
+        assert _pruning_fallbacks() == base + 1   # and loud
+
 
 class TestServiceTimeTravel:
     @pytest.fixture()
@@ -431,3 +547,87 @@ class TestServiceTimeTravel:
         assert all(c["change_type"] == "update"
                    and c["new_x"] == 999 for c in changed.values())
         assert service.versioned_diff("nope", "id", 0)["status"] == 400
+
+
+class TestStreamPipes:
+    """r12 verdict item 7: service control plane for versioned_stream
+    pipes — start a source->sink query, watch the downstream table's
+    version advance on upstream commits, status from Spark's own
+    progress, stop. Handler-level (the container has no fastapi; the
+    routes are one-line wrappers pinned in create_fastapi_app)."""
+
+    @pytest.fixture()
+    def service(self, spark, sf_dir, tmp_path):
+        from data_platform_copilot_spark.service import CopilotService
+        from data_platform_copilot_spark.sources import (
+            register_testdata)
+        from tests.test_service import StubProvider
+
+        register_testdata(spark, sf_dir)
+        svc = CopilotService(spark, StubProvider(canned={},
+                                                 fallback="x"),
+                             str(tmp_path / "control"),
+                             versioned_data_root=str(tmp_path / "vr"))
+        svc.bootstrap()
+        return svc
+
+    def test_pipe_lifecycle_end_to_end(self, spark, service, tdir):
+        import time
+
+        from data_platform_copilot_spark.sources.versioned import (
+            latest_version, read_version)
+
+        write_version(
+            spark.range(10).select("id", (F.col("id") * 2).alias("x")),
+            tdir, "overwrite")
+        register_versioned_table(spark, "tt_pipe_src", tdir)
+        res = service.stream_start("p1", "tt_pipe_src", "pipe_dest",
+                                   trigger_seconds=0.1)
+        assert res.get("status") is None and res["active"]
+        dest = Path(service.versioned_data_root) / "pipe_dest"
+
+        def _rows():
+            try:
+                return read_version(spark, dest).count()
+            except Exception:
+                return 0
+
+        deadline = time.time() + 120
+        while time.time() < deadline and _rows() < 10:
+            time.sleep(0.5)
+        v_snapshot = latest_version(dest)
+        assert _rows() == 10 and v_snapshot is not None
+        # upstream commit -> downstream version advances
+        write_version(
+            spark.range(10, 20).select(
+                "id", (F.col("id") * 2).alias("x")), tdir, "append")
+        deadline = time.time() + 120
+        while time.time() < deadline and _rows() < 20:
+            time.sleep(0.5)
+        assert latest_version(dest) > v_snapshot
+        st = service.stream_status("p1")
+        assert st["active"] and st["exception"] is None
+        # a second start under the same name is refused
+        dup = service.stream_start("p1", "tt_pipe_src", "pipe_dest")
+        assert dup["status"] == 409
+        assert [s["name"] for s in
+                service.stream_list()["streams"]] == ["p1"]
+        stop = service.stream_stop("p1")
+        assert stop["stopped"]
+        ids = sorted(r["id"] for r in
+                     read_version(spark, dest).select("id").collect())
+        assert ids == list(range(20))      # exactly-once end to end
+        assert service.stream_status("p1")["status"] == 404
+        assert service.stream_stop("p1")["status"] == 404
+
+    def test_pipe_guards(self, spark, service, tdir):
+        # unknown source table
+        bad = service.stream_start("g1", "no_such_table", "dest")
+        assert bad["status"] == 400 and "unknown" in bad["error"]
+        # destination escaping versioned_data_root
+        write_version(
+            spark.range(3).select("id", (F.col("id") * 2).alias("x")),
+            tdir, "overwrite")
+        register_versioned_table(spark, "tt_pipe_g", tdir)
+        esc = service.stream_start("g2", "tt_pipe_g", "../outside")
+        assert esc["status"] == 400 and "under" in esc["error"]

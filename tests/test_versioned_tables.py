@@ -1802,6 +1802,26 @@ class TestSchemaEvolution:
         with pytest.raises(VersionedTableError, match="exists"):
             evolve_schema(tdir, add_columns={"x": "string"})
 
+    def test_add_columns_alias_normalizes_for_later_append(
+            self, spark, tdir):
+        """ADVICE r12: add_columns={'x': 'long'} must store the
+        canonical 'bigint' spelling — a later append that SUPPLIES x
+        validates its df.dtypes ('bigint') against the stored type
+        and would otherwise be rejected as an incompatible change."""
+        from data_platform_copilot_spark.sources.versioned import (
+            evolve_schema, read_version)
+
+        write_version(_df(spark, 0, 5), tdir)
+        evolve_schema(tdir, add_columns={"extra": "long"})
+        # the append that used to raise VersionedTableError
+        write_version(
+            spark.range(5, 8).select(
+                "id", (F.col("id") * 2).alias("x"),
+                (F.col("id") + 100).alias("extra")), tdir, "append")
+        got = {r["id"]: r["extra"]
+               for r in read_version(spark, tdir).collect()}
+        assert got[6] == 106 and got[1] is None and len(got) == 8
+
     def test_widen_tinyint_and_long_alias(self, spark, tdir):
         """Manifest schemas store df.dtypes spellings (tinyint/
         smallint/bigint); user-facing aliases (byte/short/long) must
