@@ -179,7 +179,16 @@ def _sub_outside_literals(sql: str, pattern: re.Pattern,
 
 
 _FROM_CLAUSE_STOP = {"WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
-                     "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT"}
+                     "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT",
+                     # Spark-specific clause heads that also carry
+                     # comma lists of COLUMN identifiers (review r13:
+                     # DISTRIBUTE/CLUSTER/SORT BY, LATERAL VIEW ...
+                     # AS a, b), set-op MINUS, and FROM-first SELECT.
+                     # Stopping early is always safe: a missed item
+                     # degrades to the pass-2 regex behavior, never
+                     # to a corrupted statement.
+                     "DISTRIBUTE", "CLUSTER", "SORT", "LATERAL",
+                     "MINUS", "SELECT"}
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
@@ -466,10 +475,13 @@ def rewrite_as_of(spark: SparkSession, sql: str) -> str:
         sql = _sub_outside_literals(sql, bare_re, _fresh)
         # pass 2b: old-style comma joins (`FROM other, name`) resolve
         # to the SAME fresh views — previously the one silently-stale
-        # textual form (r12 verdict item 6). Reverse order keeps the
-        # collected spans valid while splicing.
-        for start, end, name in reversed(
-                _comma_table_spans(sql, set(_VERSIONED_TABLES))):
+        # textual form (r12 verdict item 6). Splice DESCENDING BY
+        # POSITION (spans are emitted grouped by FROM clause, so
+        # nested subqueries make them non-monotonic — review r13) so
+        # earlier offsets stay valid.
+        for start, end, name in sorted(
+                _comma_table_spans(sql, set(_VERSIONED_TABLES)),
+                reverse=True):
             sql = sql[:start] + _latest_view(name) + sql[end:]
 
     if not views_used:

@@ -104,11 +104,15 @@ def add_range_bucket(df: DataFrame, key: str, n_buckets: int,
     aggs += list(extra_aggs or [])
     # width = ceil((hi - lo + 1) / n) computed as (hi-lo) div n + 1
     # (exact for integers, and >= 1 even when hi == lo);
-    # coalesce maps NULL keys to lo -> bucket 0
+    # coalesce maps NULL keys to lo -> bucket 0. The all-NULL-column
+    # frame needs the explicit if(): min/max are then NULL and
+    # Spark's null-SKIPPING least(63, NULL) would return 63, not the
+    # documented bucket 0 (review r13).
     bucket = F.expr(
+        f"if(__rb_lo is null, cast(0 as bigint), "
         f"least({n_buckets - 1}, "
         f"(coalesce({key}, __rb_lo) - __rb_lo) div "
-        f"((__rb_hi - __rb_lo) div {n_buckets} + 1))")
+        f"((__rb_hi - __rb_lo) div {n_buckets} + 1)))")
     return (df.crossJoin(F.broadcast(df.agg(*aggs)))
             .withColumn("__rb", bucket)
             .drop("__rb_lo", "__rb_hi"))

@@ -553,10 +553,16 @@ class CopilotService:
         if q is None:
             return {"error": f"unknown stream: {name!r}",
                     "status": 404}
-        q.stop()
-        q.awaitTermination(60)
+        error: str | None = None
+        try:
+            q.stop()
+            q.awaitTermination(60)
+        except Exception as exc:  # a pipe that already DIED with an
+            # error re-raises from awaitTermination — stopping a dead
+            # pipe must still deregister it, not 500 forever
+            error = str(exc)
         self._streams.pop(name, None)
-        return {"name": name, "stopped": True,
+        return {"name": name, "stopped": True, "error": error,
                 "progress": q.lastProgress}
 
     def demo_seed_events(self, rows: int = 150_000) -> dict[str, Any]:

@@ -452,9 +452,14 @@ def _validate_append(prev_manifest: dict, schema: dict,
     if clashes:
         raise VersionedTableError(
             f"incompatible column types on append: {clashes}")
-    # existing columns keep the manifest's spelling; new ones land
-    # canonicalized (so the stored schema never carries an alias)
-    return {**{c: _canon(t) for c, t in schema.items()}, **prev_schema}
+    # existing columns keep the manifest's spelling AND the table's
+    # established column ORDER (the manifest schema drives reader
+    # alignment and SELECT * order — an append's projection order
+    # must never reorder it; review r13); new columns land
+    # canonicalized (the stored schema never carries an alias)
+    return {**prev_schema,
+            **{c: _canon(t) for c, t in schema.items()
+               if c not in prev_schema}}
 
 
 def _txn_committed(root: Path, upto: int | None,

@@ -290,6 +290,15 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                     writer = pq.ParquetWriter(stage / fname, target)
                 writer.write_table(tbl)
                 rows += tbl.num_rows
+        except BaseException:
+            # a task that dies mid-iteration (upstream error, executor
+            # retry) must not orphan its half-written stage file —
+            # abort() only sees files from SUCCEEDED tasks and nothing
+            # else ever GCs _stage (review r13)
+            if writer is not None:
+                writer.close()
+                (stage / fname).unlink(missing_ok=True)
+            raise
         finally:
             if writer is not None:
                 writer.close()

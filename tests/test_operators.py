@@ -1776,6 +1776,13 @@ class TestLateR6EdgeCases:
         assert joined.count() == 4
         total = joined.agg(F.sum(F.lit(1))).collect()[0][0]
         assert total == 4
+        # all-NULL key column: least() skips NULLs, so an unguarded
+        # expression would emit n_buckets-1 — the contract is 0
+        # (review r13)
+        all_null = spark.createDataFrame([(None,), (None,)], "k long")
+        vals = {r["__rb"] for r in
+                add_range_bucket(all_null, "k", 64).collect()}
+        assert vals == {0}
 
 
 class TestContainment:

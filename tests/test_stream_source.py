@@ -315,6 +315,29 @@ class TestVersionedStreamSource:
         ids = sorted(r["id"] for r in got)
         assert ids == list(range(50))  # complete AND duplicate-free
 
+    def test_sink_write_failure_unlinks_stage_file(self, tmp_path):
+        """Review r13: a task dying mid-iteration must not orphan its
+        half-written stage file — abort() only sees commit messages
+        from SUCCEEDED tasks and nothing else GCs _stage."""
+        import pyarrow as pa
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from data_platform_copilot_spark.streaming.stream_source import (
+            VersionedStreamWriter)
+
+        w = VersionedStreamWriter(
+            StructType([StructField("id", LongType())]),
+            {"path": str(tmp_path / "t")})
+
+        def batches():
+            yield pa.record_batch([pa.array([1, 2])], names=["id"])
+            raise RuntimeError("upstream died")
+
+        with pytest.raises(RuntimeError, match="upstream died"):
+            w.write(batches())
+        stage = tmp_path / "t" / "_stage"
+        assert list(stage.glob("*.parquet")) == []
+
     def test_initial_snapshot_with_delete_vectors_fails_loudly(
             self, spark, tdir):
         """ADVICE r12 (high): live MoR deletion vectors at the

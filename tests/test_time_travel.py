@@ -161,6 +161,44 @@ class TestCommaJoinResolution:
         run = sql_run(spark, sql, row_limit=100, preview_rows=100)
         assert len(run.preview) == 4
 
+    def test_nested_comma_joins_splice_correctly(self, spark, tdir):
+        """Review r13: spans are emitted grouped by FROM clause, so a
+        comma item in a NESTED subquery precedes the outer one in the
+        list but follows it positionally — splicing must go by
+        descending position or the statement corrupts."""
+        write_version(
+            spark.range(4).select("id", (F.col("id") * 2).alias("x")),
+            tdir, "overwrite")
+        register_versioned_table(spark, "tt_nest", tdir)
+        sql = ("SELECT count(*) AS c FROM "
+               "(SELECT s.id FROM (SELECT 1 AS one) z, tt_nest s) q, "
+               "tt_nest")
+        rewritten = rewrite_as_of(spark, sql)
+        assert "tt_nest__v0" in rewritten and "tt_nesttt" not in \
+            rewritten
+        run = sql_run(spark, sql)
+        assert run.preview[0]["c"] == 16          # 4 x 4
+
+    def test_spark_clause_heads_not_rewritten(self, spark, tdir):
+        """Review r13: DISTRIBUTE/CLUSTER/SORT BY, LATERAL VIEW ...
+        AS, MINUS and FROM-first SELECT carry comma lists of COLUMN
+        identifiers inside the FROM region — the scan must stop at
+        them, never splicing a column that shares a table name."""
+        write_version(
+            spark.range(4).select("id", (F.col("id") * 2).alias("x")),
+            tdir, "overwrite")
+        register_versioned_table(spark, "tt_kw", tdir)
+        for sql in (
+                "SELECT * FROM plain_kw DISTRIBUTE BY a, tt_kw",
+                "SELECT * FROM plain_kw CLUSTER BY a, tt_kw",
+                "SELECT * FROM plain_kw SORT BY a, tt_kw",
+                "SELECT * FROM plain_kw LATERAL VIEW explode(m) t "
+                "AS k, tt_kw",
+                "SELECT a, tt_kw FROM plain_kw MINUS "
+                "SELECT a, tt_kw FROM plain_kw",
+                "FROM plain_kw SELECT a, tt_kw"):
+            assert rewrite_as_of(spark, sql) == sql, sql
+
     def test_comma_join_mixed_with_as_of(self, spark, tdir):
         """`FROM a, name` where `a` itself is an AS OF reference:
         pass 1 rewrites the AS OF item, pass 2b the comma item."""
@@ -619,6 +657,37 @@ class TestStreamPipes:
         assert ids == list(range(20))      # exactly-once end to end
         assert service.stream_status("p1")["status"] == 404
         assert service.stream_stop("p1")["status"] == 404
+
+    def test_stop_of_dead_pipe_deregisters(self, spark, service,
+                                           tdir):
+        """Review r13: a pipe that DIED with an error re-raises from
+        awaitTermination — stop must still deregister it (surfacing
+        the error), not 500 forever."""
+        import time
+
+        from data_platform_copilot_spark.sources.versioned import (
+            merge_version)
+
+        write_version(
+            spark.range(5).select("id", (F.col("id") * 2).alias("x")),
+            tdir, "overwrite")
+        register_versioned_table(spark, "tt_pipe_dead", tdir)
+        res = service.stream_start("pd", "tt_pipe_dead", "dead_dest",
+                                   trigger_seconds=0.1)
+        assert res.get("status") is None
+        # poison the source: a change commit kills append-only tailing
+        merge_version(spark, tdir,
+                      spark.createDataFrame([(1, 9)], "id long, x long"),
+                      "id")
+        deadline = time.time() + 120
+        while time.time() < deadline and \
+                service.stream_status("pd")["active"]:
+            time.sleep(0.5)
+        st = service.stream_status("pd")
+        assert not st["active"] and st["exception"]
+        out = service.stream_stop("pd")
+        assert out["stopped"]                    # no 500, deregistered
+        assert service.stream_status("pd")["status"] == 404
 
     def test_pipe_guards(self, spark, service, tdir):
         # unknown source table

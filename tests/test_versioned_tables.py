@@ -1822,6 +1822,24 @@ class TestSchemaEvolution:
                for r in read_version(spark, tdir).collect()}
         assert got[6] == 106 and got[1] is None and len(got) == 8
 
+    def test_append_projection_order_keeps_table_order(
+            self, spark, tdir):
+        """Review r13: the manifest schema drives reader alignment
+        and SELECT * order — an append whose DataFrame happens to
+        project columns in a different order must not reorder the
+        table's established schema."""
+        from data_platform_copilot_spark.sources.versioned import (
+            read_version)
+
+        write_version(_df(spark, 0, 3), tdir)       # (id, x)
+        write_version(
+            spark.range(3, 5).select(
+                (F.col("id") * 2).alias("x"), "id"), tdir, "append")
+        got = read_version(spark, tdir)
+        assert got.columns == ["id", "x"]
+        assert {r["id"]: r["x"] for r in got.collect()} \
+            == {i: 2 * i for i in range(5)}
+
     def test_widen_tinyint_and_long_alias(self, spark, tdir):
         """Manifest schemas store df.dtypes spellings (tinyint/
         smallint/bigint); user-facing aliases (byte/short/long) must
