@@ -673,7 +673,7 @@ WITH src AS (
 )
 SELECT language, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
-FROM src WHERE doc_id >= 500
+FROM src WHERE doc_id >= 130
 GROUP BY language
 """)
 def batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,7 +682,8 @@ def batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-banded appends, ``evolve_schema``-rename lang->language,
     then read through ``spark.read.format("versioned")`` — the Spark
     4.1 Python DataSource whose ``pushFilters`` receives the
-    ``doc_id >= 500`` conjunct from Catalyst and plans the zone-map-
+    ``doc_id >= 130`` conjunct from Catalyst (non-empty at every sf;
+    prunes the low band wherever the band width allows) and plans the zone-map-
     pruned file set (``sources/batch_source.py``); old segments
     arrive renamed per file (``sources/arrow_io.py``). DuckDB replays
     the read relationally, so hash equality proves the DataSource
@@ -717,7 +718,7 @@ def batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_batch_source(spark)
     return (spark.read.format("versioned")
             .option("path", str(tdir)).load()
-            .where(F.col("doc_id") >= 500)
+            .where(F.col("doc_id") >= 130)
             .groupBy("language")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum("doc_id").cast("long").alias("id_sum")))

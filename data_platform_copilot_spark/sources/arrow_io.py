@@ -16,7 +16,25 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Iterator
 
+from pyspark.sql.datasource import InputPartition
+
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class FilePartition(InputPartition):
+    """One immutable parquet file + its alignment metadata — the
+    input-partition shape BOTH DataSources plan (streaming source and
+    batch source)."""
+
+    def __init__(self, path: str, renames: dict[str, str],
+                 constants: list[tuple[str, str | None]] = ()):  # noqa: B006
+        self.path = path
+        self.renames = renames
+        # hive partition values parsed from the file's path segments
+        # (col, raw-string-or-None) — injected as typed constant
+        # columns at read (the hive layout stores them in the path,
+        # not the parquet footer)
+        self.constants = list(constants)
 
 
 def hive_constants(table_dir: str, entry: str, file_path: str

@@ -40,12 +40,12 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     EqualTo, Filter, GreaterThan,
-                                    GreaterThanOrEqual, In,
-                                    InputPartition, LessThan,
+                                    GreaterThanOrEqual, In, LessThan,
                                     LessThanOrEqual)
 from pyspark.sql.types import StructType
 
-from .arrow_io import hive_constants, read_parquet_aligned
+from .arrow_io import (FilePartition, hive_constants,
+                       read_parquet_aligned)
 
 _PUSH_OPS = {EqualTo: "=", GreaterThan: ">",
              GreaterThanOrEqual: ">=", LessThan: "<",
@@ -53,14 +53,6 @@ _PUSH_OPS = {EqualTo: "=", GreaterThan: ">",
 # zone-map bounds are only ever int/float/str/bool (mirrors
 # versioned._SKIP_LITERAL_TYPES); anything else rides the residual
 _PUSH_VALUE_TYPES = (int, float, str, bool)
-
-
-class _BatchFilePartition(InputPartition):
-    def __init__(self, path: str, renames: dict[str, str],
-                 constants: list[tuple[str, str | None]] = ()):  # noqa: B006
-        self.path = path
-        self.renames = renames
-        self.constants = list(constants)
 
 
 def _resolve_version(table_dir: str, options) -> int:
@@ -108,7 +100,7 @@ class VersionedBatchReader(DataSourceReader):
         return iter(filters)
 
     # -- planning (driver-side Python worker) ------------------------
-    def partitions(self) -> list[_BatchFilePartition]:
+    def partitions(self) -> list[FilePartition]:
         from .versioned import (VersionedTableError, _dir_may_match,
                                 _read_manifest, _skip_for_dir)
         root = Path(self.table_dir)
@@ -121,7 +113,7 @@ class VersionedBatchReader(DataSourceReader):
         stats = manifest.get("dir_stats") or {}
         file_stats = manifest.get("file_stats") or {}
         renames_all = manifest.get("dir_renames") or {}
-        out: list[_BatchFilePartition] = []
+        out: list[FilePartition] = []
         for d in manifest["data_dirs"]:
             dskip = _skip_for_dir(manifest, d, self.skip)
             if self.skip and not _dir_may_match(stats.get(d), dskip):
@@ -136,15 +128,15 @@ class VersionedBatchReader(DataSourceReader):
                 files = [f for f in files
                          if _dir_may_match(fs[Path(f).name], dskip)]
             for f in files:
-                out.append(_BatchFilePartition(
+                out.append(FilePartition(
                     f, ren, hive_constants(self.table_dir, d, f)))
         if not out:
             # a scan needs >= 1 partition; the marker reads nothing
-            out.append(_BatchFilePartition("", {}))
+            out.append(FilePartition("", {}))
         return out
 
     # -- executor-side read ------------------------------------------
-    def read(self, partition: _BatchFilePartition) -> Iterator:
+    def read(self, partition: FilePartition) -> Iterator:
         if not partition.path:
             return  # empty marker
         yield from read_parquet_aligned(

@@ -56,29 +56,17 @@ from typing import Iterator
 from pyspark.sql.datasource import (DataSource,
                                     DataSourceStreamArrowWriter,
                                     DataSourceStreamReader,
-                                    InputPartition,
                                     WriterCommitMessage)
 from pyspark.sql.types import StructType
 
-from ..sources.arrow_io import (hive_constants as _hive_constants,
+from ..sources.arrow_io import (FilePartition as _FilePartition,
+                                hive_constants as _hive_constants,
                                 read_parquet_aligned)
 
 _APPEND_MODES = {"append"}
 # metadata-only commits that add no rows and do not change existing
 # ones; safe to pass over silently even without skipChangeCommits
 _NOOP_MODES = {"evolve-partitions"}
-
-
-class _FilePartition(InputPartition):
-    def __init__(self, path: str, renames: dict[str, str],
-                 constants: list[tuple[str, str | None]] = ()):  # noqa: B006
-        self.path = path
-        self.renames = renames
-        # hive partition values parsed from the file's path segments
-        # (col, raw-string-or-None) — injected as typed constant
-        # columns at read (the hive layout stores them in the path,
-        # not the parquet footer)
-        self.constants = list(constants)
 
 
 def _read_manifest_dict(table_dir: str, version: int) -> dict:
