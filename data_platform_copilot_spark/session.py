@@ -136,7 +136,18 @@ def get_spark(app_name: str = "data_platform_copilot_spark",
                    # on other executors and takes the first finisher.
                    # Local mode skips it — every "straggler" there
                    # shares the same CPUs, so a copy only adds load.
-                   .config("spark.speculation", "true"))
+                   .config("spark.speculation", "true")
+                   # Standalone's 1g executor default is a trap: a
+                   # 32-core executor runs 32 concurrent tasks in one
+                   # 1 GiB heap and dies with exit 52 (JVM OOM) on
+                   # the first wide shuffle (r13: the chaos probe hit
+                   # exactly this). 4g fits every topology the repo's
+                   # recipes boot (the 4g smoke worker exactly; the
+                   # 24g bench worker with room to spare) — real
+                   # deployments size via SPARK_GRAFT_EXECUTOR_MEM.
+                   .config("spark.executor.memory",
+                           os.environ.get("SPARK_GRAFT_EXECUTOR_MEM",
+                                          "4g")))
         if not pyfiles:
             existing = os.environ.get("PYTHONPATH", "")
             builder = builder.config(

@@ -86,6 +86,27 @@ def main() -> None:
     assert dirs_of(chained()) == dirs_of(manual())
     assert dirs_of(surface()) == dirs_of(manual())
 
+    # r13 path (f): the batch Python DataSource — Catalyst pushes the
+    # filter into pushFilters; pruning is proven at the reader level
+    # (a Python DS scan exposes no inputFiles) plus row identity and
+    # warm timing end to end.
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from data_platform_copilot_spark.sources.batch_source import (
+        VersionedBatchReader, register_batch_source)
+    register_batch_source(spark)
+    dsrc = lambda: (spark.read.format("versioned")       # noqa: E731
+                    .option("path", str(tdir)).load()
+                    .where(F.col("id") >= lo).select("id"))
+    assert sorted(r["id"] for r in dsrc().collect()) == rows["unpruned"]
+    rdr = VersionedBatchReader(None, {"path": str(tdir)})
+    list(rdr.pushFilters([GreaterThanOrEqual(("id",), lo)]))
+    planned = {Path(p.path).parent.name
+               for p in rdr.partitions() if p.path}
+    print(f"datasource  dirs={len(planned):2d} "
+          f"warm={warm_time(dsrc):.3f}s (reader-planned dirs)")
+    assert len(planned) == dirs_of(manual())
+
 
 if __name__ == "__main__":
     main()
