@@ -4,6 +4,9 @@ Python DataSource with ``pushFilters`` (r12 verdict item 5) —
     register_batch_source(spark)                     # once per session
     spark.read.format("versioned").option("path", table_dir) \\
          .option("version", 3).load().where("id >= 350")
+    # or time travel by commit stamp (same contract as the gateway's
+    # FOR TIMESTAMP AS OF; naive literals are UTC):
+    #    .option("timestampAsOf", "2026-08-16T12:00:00")
 
 Catalyst plans the scan, collects the pushable conjuncts of every
 filter above it, and hands them to ``pushFilters`` — the reader
@@ -56,10 +59,31 @@ _PUSH_VALUE_TYPES = (int, float, str, bool)
 
 
 def _resolve_version(table_dir: str, options) -> int:
-    from .versioned import VersionedTableError, latest_version
+    from .versioned import VersionedTableError, history, latest_version
     raw = options.get("version")
     if raw is not None:
         return int(raw)
+    ts = options.get("timestampasof")
+    if ts is not None:
+        # same resolution rule as the gateway's FOR TIMESTAMP AS OF
+        # (gateway/time_travel._resolve_timestamp): newest version
+        # committed at or before the literal. Re-stated here rather
+        # than imported — the gateway raises its HTTP-flavored error
+        # type and sits a layer above sources.
+        from datetime import datetime, timezone
+        want = datetime.fromisoformat(str(ts).strip())
+        if want.tzinfo is None:  # naive literals are UTC, like AS OF
+            want = want.replace(tzinfo=timezone.utc)
+        best = None
+        for m in history(table_dir):
+            stamp = m.get("committed_at")
+            if stamp is not None \
+                    and datetime.fromisoformat(stamp) <= want:
+                best = m["version"]
+        if best is None:
+            raise VersionedTableError(
+                f"no version committed at or before {ts}")
+        return best
     v = latest_version(table_dir)
     if v is None:
         raise VersionedTableError(

@@ -98,6 +98,10 @@ class VersionedStreamReader(DataSourceStreamReader):
         self.max_versions = int(raw) if raw else None
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("maxVersionsPerBatch must be >= 1")
+        raw = options.get("maxrowsperbatch")
+        self.max_rows = int(raw) if raw else None
+        if self.max_rows is not None and self.max_rows < 1:
+            raise ValueError("maxRowsPerBatch must be >= 1")
         # The newest version this reader has planned/committed through
         # — the base the admission cap counts from. On a RESTART the
         # Scala stream (an ``AcceptsLatestSeenOffset``) forwards the
@@ -134,10 +138,30 @@ class VersionedStreamReader(DataSourceStreamReader):
             raise RuntimeError(
                 f"not a versioned table: {self.table_dir}")
         end = max(v, self.starting - 1)
+        base = self._pos if self._pos is not None \
+            else self.starting - 1
         if self.max_versions is not None:
-            base = self._pos if self._pos is not None \
-                else self.starting - 1
             end = min(end, base + self.max_versions)
+        if self.max_rows is not None and end > base:
+            # size-based admission (Delta's maxBytesPerTrigger idea at
+            # row granularity, from the manifests' recorded dir_rows):
+            # admit versions until the row budget is spent — always at
+            # least one per batch, or a single oversized commit would
+            # stall the stream. Unrecorded dirs count 0 (admission is
+            # advisory; correctness never depends on it).
+            admitted, seen = base, 0
+            while admitted < end:
+                m = _read_manifest_dict(self.table_dir, admitted + 1)
+                rows = (m.get("dir_rows") or {})
+                added = sum(rows.get(d, 0)
+                            for d in self._new_dirs(admitted + 1))
+                if admitted > base and seen + added > self.max_rows:
+                    break
+                seen += added
+                admitted += 1
+                if seen >= self.max_rows:
+                    break
+            end = admitted
         return {"version": end}
 
     # -- planning --------------------------------------------------------

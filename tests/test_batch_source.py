@@ -98,6 +98,23 @@ class TestBatchSourcePushdown:
         assert _load(spark, tdir, version=0).count() == 100
         assert _load(spark, tdir).count() == 400
 
+    def test_timestamp_as_of_option(self, spark, tdir):
+        """timestampAsOf resolves like the gateway's FOR TIMESTAMP AS
+        OF: newest version committed at or before the literal; naive
+        literals are UTC; too-early literals fail loudly."""
+        from data_platform_copilot_spark.sources.versioned import (
+            history)
+
+        _commits(spark, tdir, n=2)
+        stamps = [m["committed_at"] for m in history(tdir)]
+        assert (_load(spark, tdir, timestampAsOf=stamps[0]).count()
+                == 100)
+        assert (_load(spark, tdir, timestampAsOf=stamps[1]).count()
+                == 200)
+        with pytest.raises(Exception, match="at or before"):
+            _load(spark, tdir,
+                  timestampAsOf="1999-01-01T00:00:00").count()
+
     def test_schema_evolution_aligns_old_segments(self, spark, tdir):
         _commits(spark, tdir, n=2)
         evolve_schema(tdir, rename={"x": "y"},

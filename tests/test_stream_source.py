@@ -269,6 +269,37 @@ class TestVersionedStreamSource:
         batches = len(list((ck / "offsets").glob("[0-9]*")))
         assert batches >= 3          # ceil(10 / 4) bounded slices
 
+    def test_max_rows_per_batch_bounds_slices(self, spark, tdir,
+                                              tmp_path):
+        """Row-budget admission (manifest dir_rows): an 8-version,
+        40-row backlog with maxRowsPerBatch=10 consumes in >= 4
+        bounded micro-batches, completing exactly."""
+        import time
+
+        for i in range(8):
+            write_version(_df(spark, i * 5, (i + 1) * 5), tdir,
+                          "append" if i else "overwrite")
+        out, ck = tmp_path / "out", tmp_path / "ck"
+        q = (_reader(spark, tdir, maxRowsPerBatch=10)
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ck))
+             .trigger(processingTime="50 milliseconds").start())
+        deadline = time.time() + 150
+        done = False
+        while time.time() < deadline and not done:
+            try:
+                done = spark.read.parquet(str(out)).count() == 40
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        got = spark.read.parquet(str(out)).collect()
+        assert sorted(r["id"] for r in got) == list(range(40))
+        batches = len(list((ck / "offsets").glob("[0-9]*")))
+        assert batches >= 4          # ceil(40 rows / 10-row budget)
+
     def test_restart_mid_backlog_resumes_exactly_once(
             self, spark, tdir, tmp_path):
         """Kill a capped catch-up after its first slice; the restart
