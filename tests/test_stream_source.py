@@ -269,6 +269,48 @@ class TestVersionedStreamSource:
         batches = len(list((ck / "offsets").glob("[0-9]*")))
         assert batches >= 3          # ceil(10 / 4) bounded slices
 
+    def test_clean_restart_catchup_stays_capped(self, spark, tdir,
+                                                 tmp_path):
+        """The restart half of admission control: after a CLEAN stop,
+        versions accumulate, and the restarted query must consume the
+        gap in capped slices — this only works because Spark's
+        AcceptsLatestSeenOffset handshake replays the checkpoint
+        offset as a no-op partitions(X, X) call before the first
+        latestOffset (pinned here: if that handshake ever vanished,
+        the first post-restart batch would be uncapped and the
+        offset-entry count below would drop)."""
+        import time
+
+        write_version(_df(spark, 0, 5), tdir, "overwrite")
+        out, ck = tmp_path / "out", tmp_path / "ck"
+        _drain_files(spark, tdir, out, ck, maxVersionsPerBatch=2)
+        pre = len(list((ck / "offsets").glob("[0-9]*")))
+        # downtime: 6 more versions land while no stream runs
+        for i in range(1, 7):
+            write_version(_df(spark, i * 5, (i + 1) * 5), tdir,
+                          "append")
+        q = (_reader(spark, tdir, maxVersionsPerBatch=2)
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ck))
+             .trigger(processingTime="50 milliseconds").start())
+        deadline = time.time() + 150
+        done = False
+        while time.time() < deadline and not done:
+            try:
+                done = spark.read.parquet(str(out)).count() == 35
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        got = spark.read.parquet(str(out)).collect()
+        assert sorted(r["id"] for r in got) == list(range(35))
+        post = len(list((ck / "offsets").glob("[0-9]*")))
+        assert post - pre >= 3       # 6-version gap / cap 2: no
+        #                              uncapped first batch after a
+        #                              clean restart
+
     def test_max_rows_per_batch_bounds_slices(self, spark, tdir,
                                               tmp_path):
         """Row-budget admission (manifest dir_rows): an 8-version,
