@@ -16,6 +16,13 @@ package's ``*.py`` tree once per process and ``addPyFile`` it —
 archives on every Python worker's path, local or cluster. Idempotent
 per SparkContext (Spark ignores re-adds of the same path with a
 warning, so even re-registration is harmless).
+
+Relation to ``deploy/package_pyfiles.sh`` / ``SPARK_GRAFT_PYFILES``:
+that is the OPERATOR-driven artifact for spark-submit deployments
+(includes ``*.dat`` package data and ``__spark_entry__.py``); this
+module is the AUTOMATIC just-in-time equivalent that DataSource
+registration must not depend on an operator having run — both feed
+the same addPyFile mechanism and coexist harmlessly.
 """
 
 from __future__ import annotations
