@@ -27,7 +27,8 @@ class FilePartition(InputPartition):
     batch source)."""
 
     def __init__(self, path: str, renames: dict[str, str],
-                 constants: list[tuple[str, str | None]] = ()):  # noqa: B006
+                 constants: list[tuple[str, str | None]] = (),  # noqa: B006
+                 tombstones: list[tuple[str, str]] = ()):  # noqa: B006
         self.path = path
         self.renames = renames
         # hive partition values parsed from the file's path segments
@@ -35,6 +36,11 @@ class FilePartition(InputPartition):
         # columns at read (the hive layout stores them in the path,
         # not the parquet footer)
         self.constants = list(constants)
+        # MoR deletion vectors applicable to this file's dir:
+        # (key_column, tombstone_dir_path) pairs — the batch source
+        # masks matching keys worker-side (streaming never sets this:
+        # append-only tailing refuses DV tables)
+        self.tombstones = list(tombstones)
 
 
 def hive_constants(table_dir: str, entry: str, file_path: str

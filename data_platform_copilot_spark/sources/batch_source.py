@@ -19,14 +19,20 @@ Spark re-applies the full condition row-wise: pruning stays a pure
 proof-of-emptiness optimization and results are exactly
 ``read_version(...).where(...)``.
 
+MoR deletion vectors are applied worker-side (r13): each file
+partition carries its dir's applicable tombstone dirs (positional
+``after_index`` rule — vectors never mask a later re-insert) and the
+reader drops matching keys per Arrow batch, so results equal
+``read_version`` on MoR tables too.
+
 Division of labor (decision record in ARCHITECTURE.md §"Batch
 DataSource vs gateway rewrite"): this format is the DataFrame-API
 door where CATALYST drives manifest pruning natively — no optimizer
 re-pass, no view re-materialization. The gateway's SQL-surface
 rewrite (``gateway/time_travel.py``) stays the text-SQL door because
-it must also resolve AS OF literals, latest-at-query-time names and
-MoR deletion vectors, which the file-level reader refuses by design
-(vectors need the anti-join plan only ``read_version`` builds).
+it must also resolve AS OF literals and latest-at-query-time names,
+and its ``read_version`` views scan native parquet with column
+pruning + codegen.
 
 Scale: planning is O(manifest JSON) on the driver; reads are one
 immutable file per task via pyarrow (``sources/arrow_io.py``), Arrow
@@ -125,23 +131,26 @@ class VersionedBatchReader(DataSourceReader):
 
     # -- planning (driver-side Python worker) ------------------------
     def partitions(self) -> list[FilePartition]:
-        from .versioned import (VersionedTableError, _dir_may_match,
-                                _read_manifest, _skip_for_dir)
+        from .versioned import (_dir_may_match, _read_manifest,
+                                _skip_for_dir)
         root = Path(self.table_dir)
         manifest = _read_manifest(root, self.version)
-        if manifest.get("delete_vectors"):
-            raise VersionedTableError(
-                "format('versioned') reads raw files and cannot "
-                "apply MoR deletion vectors — use read_version() "
-                "(applies them as anti-joins) or compact() first")
+        dvs = manifest.get("delete_vectors") or []
         stats = manifest.get("dir_stats") or {}
         file_stats = manifest.get("file_stats") or {}
         renames_all = manifest.get("dir_renames") or {}
         out: list[FilePartition] = []
-        for d in manifest["data_dirs"]:
+        for i, d in enumerate(manifest["data_dirs"]):
             dskip = _skip_for_dir(manifest, d, self.skip)
             if self.skip and not _dir_may_match(stats.get(d), dskip):
                 continue  # whole dir proven empty
+            # MoR deletion vectors mask only dirs BEFORE their paired
+            # update dir (read_version's positional after_index rule,
+            # applied per dir: a vector with after_index j masks dir
+            # position i iff j > i — a later re-insert of a masked
+            # key is never swallowed)
+            tombs = [(dv["key"], str(root / dv["dir"]))
+                     for dv in dvs if dv["after_index"] > i]
             ren = renames_all.get(d) or {}
             droot = root / d
             files = sorted(str(p) for p in droot.rglob("*.parquet"))
@@ -153,7 +162,8 @@ class VersionedBatchReader(DataSourceReader):
                          if _dir_may_match(fs[Path(f).name], dskip)]
             for f in files:
                 out.append(FilePartition(
-                    f, ren, hive_constants(self.table_dir, d, f)))
+                    f, ren, hive_constants(self.table_dir, d, f),
+                    tombs))
         if not out:
             # a scan needs >= 1 partition; the marker reads nothing
             out.append(FilePartition("", {}))
@@ -163,9 +173,47 @@ class VersionedBatchReader(DataSourceReader):
     def read(self, partition: FilePartition) -> Iterator:
         if not partition.path:
             return  # empty marker
-        yield from read_parquet_aligned(
+        batches = read_parquet_aligned(
             partition.path, partition.renames, partition.constants,
             self.schema)
+        if not partition.tombstones:
+            yield from batches
+            return
+        # apply this dir's deletion vectors: drop rows whose key is
+        # in any applicable tombstone set. Tombstone files are one
+        # merge batch's distinct keys — small by construction (the
+        # same reason read_version broadcasts them) — and the masked
+        # read stays embarrassingly parallel per file. NULL keys
+        # never match a tombstone (anti-join semantics); a dir that
+        # predates the key column arrives null-filled and is left
+        # intact, matching read_version's column-missing rule.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        keysets: dict[str, list] = {}
+        for key_col, tdir in partition.tombstones:
+            for f in sorted(Path(tdir).rglob("*.parquet")):
+                t = pq.read_table(f, columns=[key_col])
+                keysets.setdefault(key_col, []).append(
+                    t.column(key_col))
+        masks = {k: pa.concat_arrays(
+                     [c for chunked in v for c in chunked.chunks])
+                 for k, v in keysets.items()}
+        for b in batches:
+            keep = None
+            for key_col, keys in masks.items():
+                idx = b.schema.get_field_index(key_col)
+                if idx < 0:
+                    continue
+                col = b.column(idx)
+                if col.type != keys.type:
+                    col = pc.cast(col, keys.type)
+                hit = pc.fill_null(
+                    pc.is_in(col, value_set=keys), False)
+                k = pc.invert(hit)
+                keep = k if keep is None else pc.and_(keep, k)
+            yield b.filter(keep) if keep is not None else b
 
 
 class VersionedBatchDataSource(DataSource):

@@ -142,14 +142,56 @@ class TestBatchSourcePushdown:
         rows = {r["id"]: r["p"] for r in _load(spark, tdir).collect()}
         assert all(rows[i] == i % 2 for i in range(10))
 
-    def test_mor_delete_vectors_refused(self, spark, tdir):
-        _commits(spark, tdir, n=1)
+    def test_mor_delete_vectors_applied(self, spark, tdir):
+        """r13: the reader masks MoR tombstones worker-side — exact
+        read_version equality, including the positional rule (a
+        LATER append re-inserting a masked key must survive)."""
+        from data_platform_copilot_spark.sources.versioned import (
+            read_version)
+
+        _commits(spark, tdir, n=2)
         merge_version(spark, tdir,
-                      spark.createDataFrame([(1, 999)],
+                      spark.createDataFrame([(1, 999), (150, 111)],
                                             "id long, x long"),
                       "id", strategy="mor")
-        with pytest.raises(Exception, match="deletion vectors"):
-            _load(spark, tdir).collect()
+        # later append RE-INSERTS a masked key: vector must not
+        # swallow it (after_index semantics)
+        write_version(
+            spark.createDataFrame([(1, 42)], "id long, x long"),
+            tdir, "append")
+        got = sorted(map(tuple, _load(spark, tdir)
+                         .select("id", "x").collect()))
+        want = sorted(map(tuple, read_version(spark, tdir)
+                          .select("id", "x").collect()))
+        assert got == want
+        by_key = {}
+        for i, x in got:
+            by_key.setdefault(i, []).append(x)
+        assert sorted(by_key[1]) == [42, 999]     # upsert + re-insert
+        assert by_key[150] == [111]               # upserted in place
+        assert by_key[5] == [10]                  # untouched
+        # 200 original rows (two upserts are net-zero) + the re-insert
+        assert len(got) == 201
+
+    def test_mor_masking_composes_with_pushdown(self, spark, tdir):
+        from data_platform_copilot_spark.sources.versioned import (
+            read_version)
+
+        _commits(spark, tdir, n=4)
+        merge_version(spark, tdir,
+                      spark.createDataFrame(
+                          [(360, 1), (5, 2)], "id long, x long"),
+                      "id", strategy="mor")
+        got = {r["id"]: r["x"] for r in
+               _load(spark, tdir).where("id >= 350").collect()}
+        want = {r["id"]: r["x"] for r in
+                read_version(spark, tdir).where("id >= 350").collect()}
+        assert got == want
+        assert got[360] == 1 and got[350] == 700 and len(got) == 50
+        # pruning still fires on the masked read: only the tail dir's
+        # files (+ the merge's own update dir) survive planning
+        kept = _plan_files(tdir, [GreaterThanOrEqual(("id",), 350)])
+        assert 0 < len(kept) < len(_plan_files(tdir, []))
 
     def test_file_level_pruning_on_sorted_commit(self, spark, tdir):
         write_version(
