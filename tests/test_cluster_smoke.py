@@ -58,6 +58,51 @@ print("TOPK|" + ";".join(
 png = QUERIES["multimodal_png_decode"](spark, {sf!r}).collect()
 assert len(png) == 16 and all(r["bands_match"] for r in png), png[:2]
 print("CODEC|ok")
+# r13: the Python DataSources on REAL separate-JVM executors — the
+# package-shipping path (addPyFile zip + planner-env PYTHONPATH),
+# not the cwd accident local mode enjoys. Batch: pushdown + MoR
+# masking; streaming: source -> exactly-once sink round trip.
+import tempfile
+from pathlib import Path as _P
+from pyspark.sql import functions as F
+from data_platform_copilot_spark.sources.versioned import (
+    merge_version, read_version, write_version)
+from data_platform_copilot_spark.sources.batch_source import (
+    register_batch_source)
+from data_platform_copilot_spark.streaming import (
+    register_stream_source)
+td = _P(tempfile.mkdtemp()) / "t"
+write_version(spark.range(100).select(
+    "id", (F.col("id") * 2).alias("x")), td, "overwrite")
+write_version(spark.range(100, 200).select(
+    "id", (F.col("id") * 2).alias("x")), td, "append")
+merge_version(spark, td,
+              spark.createDataFrame([(150, 1)], "id long, x long"),
+              "id", strategy="mor")
+register_batch_source(spark)
+got = sorted((r["id"], r["x"]) for r in
+             spark.read.format("versioned").option("path", str(td))
+             .load().where("id >= 140").collect())
+want = sorted((r["id"], r["x"]) for r in
+              read_version(spark, td).where("id >= 140").collect())
+assert got == want and dict(got)[150] == 1 and len(got) == 60, \\
+    (len(got), got[:3])
+print("BATCHDS|ok")
+src2 = _P(tempfile.mkdtemp()) / "s2"
+dst = _P(tempfile.mkdtemp()) / "d"
+ck = _P(tempfile.mkdtemp()) / "ck"
+write_version(spark.range(50).select("id"), src2, "overwrite")
+register_stream_source(spark)
+q = (spark.readStream.format("versioned_stream")
+     .option("path", str(src2)).load()
+     .writeStream.format("versioned_stream")
+     .option("path", str(dst)).option("appId", "smoke")
+     .option("checkpointLocation", str(ck))
+     .trigger(availableNow=True).start())
+q.awaitTermination(120)
+assert sorted(r["id"] for r in read_version(spark, dst).collect()) \\
+    == list(range(50))
+print("STREAMDS|ok")
 spark.stop()
 """
 
@@ -140,3 +185,8 @@ def test_entry_and_shuffle_query_on_cluster(standalone_master, spark,
         for r in QUERIES["multi_join_topk"](spark, sf_dir).collect())
     assert out["TOPK"] == local_topk
     assert out["CODEC"] == "ok"  # executor-side package import works
+    # r13: both Python DataSources executed on real executors —
+    # batch pushdown + MoR masking, and the streaming source->sink
+    # exactly-once round trip (proves the package-shipping path)
+    assert out["BATCHDS"] == "ok"
+    assert out["STREAMDS"] == "ok"
