@@ -72,7 +72,13 @@ def read_parquet_aligned(path: str, renames: dict[str, str],
     """Yield arrow ``RecordBatch``es of one parquet file aligned to
     the Spark ``StructType`` ``schema``: rename physical->logical,
     inject hive partition constants, null-fill columns the file
-    predates, cast to the declared arrow types."""
+    predates, cast to the declared arrow types.
+
+    Streams the file row-group-wise (``ParquetFile.iter_batches``)
+    and aligns per batch, so reader memory stays batch-sized no
+    matter how large the file — the read-side twin of the sink's
+    incremental ParquetWriter (r13; ``pq.read_table`` materialized
+    the whole file per task, the wrong shape for GB-scale files)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -80,27 +86,28 @@ def read_parquet_aligned(path: str, renames: dict[str, str],
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
-    table = pq.read_table(path)
-    if renames:
-        table = table.rename_columns(
-            [renames.get(c, c) for c in table.column_names])
     consts = dict(constants)
-    cols = []
-    for field in target:
-        if field.name in table.column_names:
-            col = table.column(field.name)
-            if col.type != field.type:
-                col = pc.cast(col, field.type)
-        elif field.name in consts:  # hive partition value
-            raw = consts[field.name]
-            if raw is None:
+    pf = pq.ParquetFile(path)
+    for rb in pf.iter_batches():
+        table = pa.Table.from_batches([rb])
+        if renames:
+            table = table.rename_columns(
+                [renames.get(c, c) for c in table.column_names])
+        cols = []
+        for field in target:
+            if field.name in table.column_names:
+                col = table.column(field.name)
+                if col.type != field.type:
+                    col = pc.cast(col, field.type)
+            elif field.name in consts:  # hive partition value
+                raw = consts[field.name]
+                if raw is None:
+                    col = pa.nulls(table.num_rows, type=field.type)
+                else:
+                    col = pc.cast(
+                        pa.array([raw] * table.num_rows,
+                                 type=pa.string()), field.type)
+            else:  # added by evolve_schema after this file was
                 col = pa.nulls(table.num_rows, type=field.type)
-            else:
-                col = pc.cast(
-                    pa.array([raw] * table.num_rows,
-                             type=pa.string()), field.type)
-        else:  # added by evolve_schema after this file was written
-            col = pa.nulls(table.num_rows, type=field.type)
-        cols.append(col)
-    aligned = pa.table(cols, schema=target)
-    yield from aligned.to_batches()
+            cols.append(col)
+        yield from pa.table(cols, schema=target).to_batches()
