@@ -1,7 +1,7 @@
 """Catalyst-native batch DataSource over versioned tables
 (sources/batch_source.py, r12 verdict item 5): pushFilters-driven
 manifest pruning, hash equality vs read_version, version pinning,
-MoR refusal."""
+worker-side MoR deletion-vector masking."""
 
 from __future__ import annotations
 
@@ -203,3 +203,24 @@ class TestBatchSourcePushdown:
         assert len(kept) < len(all_files)
         got = _load(spark, tdir).where("id >= 390").count()
         assert got == 10
+
+
+class TestArrowIoUnits:
+    def test_hive_constants_entry_and_encoded_values(self):
+        """Direct contract of the shared path parser: entry-level
+        segments (carried partition leaves), deeper file segments,
+        URL-encoded values, and the hive NULL marker."""
+        from data_platform_copilot_spark.sources.arrow_io import (
+            hive_constants)
+
+        out = hive_constants(
+            "/t", "data-1-ab/region=EU",
+            "/t/data-1-ab/region=EU/city=New%20York/f.parquet")
+        assert out == [("region", "EU"), ("city", "New York")]
+        out = hive_constants(
+            "/t", "data-2-cd",
+            "/t/data-2-cd/p=__HIVE_DEFAULT_PARTITION__/f.parquet")
+        assert out == [("p", None)]
+        # no k=v anywhere -> no constants
+        assert hive_constants("/t", "data-3-ef",
+                              "/t/data-3-ef/f.parquet") == []

@@ -2151,3 +2151,31 @@ class TestCountMinSketch:
         # 250 distinct tokens into 4 cells: overcount is unavoidable
         assert all(r["n_cms"] >= r["n_exact"] for r in rows)
         assert any(r["overcount"] > 0 for r in rows)
+
+
+class TestRangeBucketProperties:
+    def test_bucket_monotone_and_in_range(self, spark):
+        """Property battery for the two-phase prefix foundation:
+        over adversarial key sets (extremes, negatives, ties, tiny
+        spans) the bucket id is within [0, n) and monotone
+        nondecreasing in the key — the only two facts the callers'
+        offset joins rely on."""
+        from data_platform_copilot_spark.operators.layout import (
+            add_range_bucket)
+        cases = [
+            [0, 1, 2, 3],
+            [-5, -5, -5],                      # constant
+            [7],                               # singleton
+            [-(1 << 61), 0, (1 << 61)],        # extreme span
+            [-(1 << 61), -(1 << 61) + 1],      # extreme, tiny span
+            list(range(-20, 20, 3)) * 2,       # ties
+        ]
+        for n in (1, 2, 64):
+            for keys in cases:
+                df = spark.createDataFrame([(k,) for k in keys],
+                                           "k long")
+                got = sorted((r["k"], r["__rb"]) for r in
+                             add_range_bucket(df, "k", n).collect())
+                assert all(0 <= b < n for _, b in got), (n, got)
+                bs = [b for _, b in got]
+                assert bs == sorted(bs), (n, got)  # monotone in key

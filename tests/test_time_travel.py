@@ -199,6 +199,21 @@ class TestCommaJoinResolution:
                 "FROM plain_kw SELECT a, tt_kw"):
             assert rewrite_as_of(spark, sql) == sql, sql
 
+    def test_comma_reference_inside_literal_is_data(self, spark,
+                                                    tdir):
+        """A string literal containing `, <registered-name>` inside a
+        FROM region must stay data — the clause scan treats
+        quoted/comment spans as opaque."""
+        write_version(
+            spark.range(3).select("id", (F.col("id") * 2).alias("x")),
+            tdir, "overwrite")
+        register_versioned_table(spark, "tt_lit2", tdir)
+        sql = ("SELECT s FROM (SELECT 'from a, tt_lit2' AS s) q "
+               "-- trailing, tt_lit2 note")
+        assert rewrite_as_of(spark, sql) == sql
+        run = sql_run(spark, sql)
+        assert run.preview[0]["s"] == "from a, tt_lit2"
+
     def test_comma_join_mixed_with_as_of(self, spark, tdir):
         """`FROM a, name` where `a` itself is an AS OF reference:
         pass 1 rewrites the AS OF item, pass 2b the comma item."""
