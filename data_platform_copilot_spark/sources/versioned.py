@@ -26,11 +26,13 @@ nothing but parquet and POSIX filesystem atomics:
   losers re-read the new latest and retry (append/overwrite — their
   composition commutes) or raise ``CommitConflict`` (merge — its
   rewrite was computed against a now-stale snapshot);
-- ``_latest`` is a best-effort monotonic HINT (tmp + atomic
-  ``os.replace``), not the commit point; readers resolve
-  latest = max published manifest -> immutable manifest ->
-  immutable files, so they always see a complete, consistent
-  version (snapshot isolation for free);
+- ``_latest`` is a flock-serialized monotonic pointer (tmp + atomic
+  ``os.replace`` under ``._latest.lock``), not the commit point;
+  readers resolve latest in O(1) table age by VERIFYING the pointer
+  and walking forward over the contiguous manifest tail (glob
+  fallback when the pointer is missing/stale-beyond-verification) ->
+  immutable manifest -> immutable files, so they always see a
+  complete, consistent version (snapshot isolation for free);
 - time travel = read an older manifest; compaction = rewrite the
   live file set as one new overwrite version (small-file repair
   after many appends); vacuum = delete data (and tombstone) dirs no
@@ -58,6 +60,7 @@ table; a crash after publish IS a completed commit.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import math
 import os
@@ -99,14 +102,41 @@ def _manifest_path(table_dir: Path, version: int) -> Path:
     return table_dir / f"manifest-{version}.json"
 
 
-def latest_version(table_dir: str | Path) -> int | None:
-    """Highest PUBLISHED version: max over the manifest files (the
-    ``_latest`` pointer is only a hint — a committer can crash
-    between manifest publish and pointer advance)."""
-    root = Path(table_dir)
+def _latest_version_glob(root: Path) -> int | None:
+    """O(versions) authority: max over the manifest files. The slow
+    path — correct on any table state, including a missing/corrupt
+    ``_latest`` pointer."""
     versions = [int(p.stem.split("-", 1)[1])
                 for p in root.glob("manifest-*.json")]
     return max(versions) if versions else None
+
+
+def latest_version(table_dir: str | Path) -> int | None:
+    """Highest PUBLISHED version, O(1) in table age (the Delta
+    ``_last_checkpoint`` idea applied to the log tip): read the
+    ``_latest`` pointer, VERIFY its manifest exists, then walk
+    forward while ``manifest-(v+1)`` exists. Safe because versions
+    are contiguous upward from the pointer — every commit publishes
+    at ``prev + 1`` (create-if-absent claims the slot) and vacuum
+    only drops manifests BELOW the retained floor, so the tail
+    ``[pointer .. true latest]`` has no holes. The pointer advance is
+    flock-serialized at publish (see ``_publish_manifest``) but a
+    committer can still crash between manifest publish and pointer
+    advance — the forward walk absorbs exactly that lag (O(crashed
+    commits), not O(table age)). Any pointer the walk cannot verify
+    (missing file, corrupt content, manifest gone — e.g. hand-rolled
+    tables that never wrote one) falls back to the manifest glob."""
+    root = Path(table_dir)
+    p = _pointer(root)
+    try:
+        v = int(p.read_text().strip())
+    except (OSError, ValueError):
+        return _latest_version_glob(root)
+    if v < 0 or not _manifest_path(root, v).exists():
+        return _latest_version_glob(root)
+    while _manifest_path(root, v + 1).exists():
+        v += 1
+    return v
 
 
 def _read_manifest(table_dir: Path, version: int) -> dict:
@@ -215,23 +245,41 @@ def _publish_manifest(root: Path, manifest: dict) -> None:
         os.unlink(tmp)
     if version and version % _CHECKPOINT_INTERVAL == 0:
         _write_checkpoint(root, version)
-    # best-effort monotonic pointer advance (hint only). The advance
-    # itself is check-then-replace, so two racing committers can
-    # regress the pointer to the lower version — TOLERATED by design:
-    # readers resolve latest via the manifest glob (latest_version),
-    # never via this hint; do not "fix" reads to trust the pointer.
-    cur = None
-    p = _pointer(root)
-    if p.exists():
-        try:
-            cur = int(p.read_text().strip())
-        except ValueError:
-            cur = None
-    if cur is None or cur < version:
-        fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest.")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, p)
+    # transactional monotonic pointer advance: check-then-replace is
+    # serialized under an flock on a sidecar lock file, so two racing
+    # committers can no longer regress the pointer (r13 verdict #3 —
+    # readers now TRUST the pointer for O(1) latestOffset). The lock
+    # is advisory and held for two tiny file ops; where the FS does
+    # not honor flock the advance degrades to the old best-effort
+    # race, which readers absorb anyway via latest_version's
+    # verify-and-walk-forward. A committer crashing BEFORE this block
+    # leaves the pointer lagging by its one commit — also absorbed by
+    # the forward walk — so the pointer is never required, only fast.
+    _advance_pointer(root, version)
+
+
+def _advance_pointer(root: Path, version: int) -> None:
+    lock = root / "._latest.lock"
+    try:
+        with open(lock, "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                p = _pointer(root)
+                cur = None
+                try:
+                    cur = int(p.read_text().strip())
+                except (OSError, ValueError):
+                    cur = None
+                if cur is None or cur < version:
+                    fd, tmp = tempfile.mkstemp(dir=root,
+                                               prefix="._latest.")
+                    with os.fdopen(fd, "w") as f:
+                        f.write(str(version))
+                    os.replace(tmp, p)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+    except OSError:
+        pass  # pointer is an accelerator, never a correctness gate
 
 
 def _is_nan(v) -> bool:

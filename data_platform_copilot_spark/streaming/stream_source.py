@@ -79,11 +79,26 @@ def _read_manifest_dict(table_dir: str, version: int) -> dict:
 
 
 def _latest_version(table_dir: str) -> int | None:
-    """Max over published manifests — the `_latest` pointer is only a
-    hint (same contract as sources.versioned.latest_version; kept
-    dependency-free so the pickled DataSource stays lightweight)."""
+    """O(1)-in-table-age latest: trust the `_latest` pointer after
+    verifying its manifest exists, then walk forward over the
+    contiguous manifest tail; glob fallback when the pointer is
+    absent/unverifiable (same contract as
+    sources.versioned.latest_version — this runs on EVERY micro-batch
+    poll, so a 10^5-commit table must not pay an O(versions) listing
+    per trigger; kept dependency-free so the pickled DataSource stays
+    lightweight)."""
+    root = Path(table_dir)
+    try:
+        v = int((root / "_latest").read_text().strip())
+    except (OSError, ValueError):
+        v = None
+    if v is not None and v >= 0 \
+            and (root / f"manifest-{v}.json").exists():
+        while (root / f"manifest-{v + 1}.json").exists():
+            v += 1
+        return v
     versions = [int(p.stem.split("-", 1)[1])
-                for p in Path(table_dir).glob("manifest-*.json")]
+                for p in root.glob("manifest-*.json")]
     return max(versions) if versions else None
 
 class VersionedStreamReader(DataSourceStreamReader):

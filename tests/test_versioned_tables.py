@@ -2651,3 +2651,87 @@ class TestRowCountMetadata:
                       "id", strategy="mor",
                       auto_compact_masked_ratio=0.2)
         assert len(history(tdir)[-1]["delete_vectors"]) == 1
+
+
+class TestLatestPointerFastPath:
+    """O(1) latest resolution (r13 verdict #3): the `_latest` pointer
+    is trusted after verification, with forward-walk over the
+    contiguous manifest tail and a glob fallback. Both resolvers —
+    sources.versioned.latest_version and the stream source's
+    dependency-free twin — must agree on every degraded state."""
+
+    @staticmethod
+    def _both(tdir):
+        from data_platform_copilot_spark.streaming.stream_source import (
+            _latest_version)
+        return latest_version(tdir), _latest_version(str(tdir))
+
+    def test_pointer_tracks_latest_after_commits(self, spark, tdir):
+        for i in range(3):
+            write_version(_df(spark, i, i + 1), tdir, "append")
+        assert (tdir / "_latest").read_text().strip() == "2"
+        assert self._both(tdir) == (2, 2)
+
+    def test_stale_pointer_walks_forward(self, spark, tdir):
+        """A committer crashing between manifest publish and pointer
+        advance leaves the pointer lagging; the forward walk must
+        recover the true latest (and not miss newer manifests)."""
+        for i in range(4):
+            write_version(_df(spark, i, i + 1), tdir, "append")
+        (tdir / "_latest").write_text("0")  # worst-case lag
+        assert self._both(tdir) == (3, 3)
+
+    def test_missing_pointer_falls_back_to_glob(self, spark, tdir):
+        write_version(_df(spark, 0, 5), tdir)
+        write_version(_df(spark, 5, 9), tdir, "append")
+        (tdir / "_latest").unlink()
+        assert self._both(tdir) == (1, 1)
+
+    def test_corrupt_pointer_falls_back_to_glob(self, spark, tdir):
+        write_version(_df(spark, 0, 5), tdir)
+        (tdir / "_latest").write_text("not-a-version")
+        assert self._both(tdir) == (0, 0)
+
+    def test_pointer_past_existing_manifests_falls_back(self, spark,
+                                                        tdir):
+        """A pointer naming a manifest that does not exist (tampering,
+        or a table whose tail was hand-deleted) must not be trusted."""
+        write_version(_df(spark, 0, 5), tdir)
+        (tdir / "_latest").write_text("999")
+        assert self._both(tdir) == (0, 0)
+
+    def test_negative_pointer_falls_back(self, spark, tdir):
+        write_version(_df(spark, 0, 5), tdir)
+        (tdir / "_latest").write_text("-3")
+        assert self._both(tdir) == (0, 0)
+
+    def test_fabricated_log_o1_vs_glob(self, tmp_path):
+        """Resolution on a deep (1,000-version) log: the pointer path
+        must touch O(1) files, not O(versions). Counted via a stat
+        audit rather than wall-clock so the assertion is load-proof."""
+        import json as _json
+
+        root = tmp_path / "deep"
+        root.mkdir()
+        n = 1000
+        for i in range(n):
+            (root / f"manifest-{i}.json").write_text(
+                _json.dumps({"version": i, "mode": "append",
+                             "data_dirs": []}))
+        (root / "_latest").write_text(str(n - 1))
+        assert latest_version(root) == n - 1
+
+        from unittest.mock import patch
+        calls = {"n": 0}
+        orig = type(root).glob
+
+        def counting_glob(self, pattern):
+            calls["n"] += 1
+            return orig(self, pattern)
+
+        with patch.object(type(root), "glob", counting_glob):
+            assert latest_version(root) == n - 1
+            from data_platform_copilot_spark.streaming import (
+                stream_source as ss)
+            assert ss._latest_version(str(root)) == n - 1
+        assert calls["n"] == 0  # pointer path: zero directory listings
