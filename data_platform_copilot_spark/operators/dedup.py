@@ -428,7 +428,8 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               blocks: int = 8,
                               n_planes: int = 8, tables: int = 8,
                               dim: int = 64, seed: int = 42,
-                              tag_partitions: int | None = None) -> DataFrame:
+                              tag_partitions: int | None = None,
+                              max_bucket_gemm: int = 4096) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cosine >= threshold).
 
     ``blocked`` (default): EXACT all-pairs via a distributed block
@@ -460,6 +461,13 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     None inherits the scan partitioning — right on a real cluster
     where parquet splits are already block-sized.
 
+    ``max_bucket_gemm``: tile width for the LSH scoring gemm — any
+    (table, bucket) segment larger than this runs as upper-triangle
+    sub-block gemms inside the same numpy pass, so one degenerate hot
+    bucket cannot allocate O(bucket^2) floats in a single task (peak
+    per-tile memory = cap^2 * 8 bytes; results identical to the
+    untiled pass, pinned by pytest).
+
     ``pairs``: pure-DataFrame crossJoin with expression-level cosine;
     the reference formulation used by the oracle and property tests.
     """
@@ -488,9 +496,10 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         # grouping INSIDE one mapInPandas batch amortizes it to one
         # pandas pass per partition. Partition memory is bounded by the
         # shuffle partition count; a pathological hot bucket (thousands
-        # of mutually-near-identical vectors) concentrates in one task
-        # — the same skew AQE splitting or a bucket-size cap handles in
-        # the jaccard path.
+        # of mutually-near-identical vectors) still concentrates in one
+        # task, but its gemm is TILED at max_bucket_gemm rows so peak
+        # memory and each matmul stay bounded (see the cap comment in
+        # part_gemm).
         #
         # Vectors cross every Python<->JVM boundary as BINARY (raw
         # float64 bytes), not array<double>: Arrow's nested-list
@@ -536,18 +545,43 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                 if e - s < 2:
                     continue
                 t = tbls_s[s]
-                sims = mat_s[s:e] @ mat_s[s:e].T
-                ia, ib = np.where(sims >= threshold)
-                keep = ids_s[s:e][ia] < ids_s[s:e][ib]
-                ia, ib = ia[keep], ib[keep]
-                if t > 0 and len(ia):
-                    seg = codes_s[s:e, :t]
-                    fresh = ~(seg[ia] == seg[ib]).any(axis=1)
-                    ia, ib = ia[fresh], ib[fresh]
-                if len(ia):
-                    out.append(pd.DataFrame({
-                        "id_a": ids_s[s:e][ia], "id_b": ids_s[s:e][ib],
-                        "cosine": sims[ia, ib]}))
+                # Hot-bucket cap (r13 verdict #2): a degenerate corpus
+                # (thousands of mutually-near-identical vectors) lands
+                # one giant segment here; an uncapped (b, b) gemm
+                # would allocate O(b^2) floats in one task. Tile the
+                # segment into <= max_bucket_gemm row blocks and run
+                # the upper-triangle block pairs, bounding per-task
+                # peak memory at cap^2 * 8 bytes regardless of bucket
+                # shape. A within-cap segment takes exactly one
+                # (diagonal) tile — the common path is the same single
+                # gemm as before. Diagonal tiles dedup the symmetric
+                # matrix via id_a < id_b as before; an off-diagonal
+                # tile sees each unordered pair exactly once, so it
+                # keeps every hit and orients by min/max id. The
+                # first-colliding-table `fresh` filter and the cosine
+                # value are orientation-symmetric, unchanged.
+                starts = range(s, e, max_bucket_gemm)
+                blocks = [(b0, min(b0 + max_bucket_gemm, e))
+                          for b0 in starts]
+                for bi, (a0, a1) in enumerate(blocks):
+                    for b0, b1 in blocks[bi:]:
+                        sims = mat_s[a0:a1] @ mat_s[b0:b1].T
+                        ia, ib = np.where(sims >= threshold)
+                        ga, gb = a0 + ia, b0 + ib
+                        keep = (ids_s[ga] < ids_s[gb]) if a0 == b0 \
+                            else (ids_s[ga] != ids_s[gb])
+                        ia, ib = ia[keep], ib[keep]
+                        ga, gb = ga[keep], gb[keep]
+                        if t > 0 and len(ga):
+                            seg = codes_s[:, :t]
+                            fresh = ~(seg[ga] == seg[gb]).any(axis=1)
+                            ia, ib = ia[fresh], ib[fresh]
+                            ga, gb = ga[fresh], gb[fresh]
+                        if len(ga):
+                            out.append(pd.DataFrame({
+                                "id_a": np.minimum(ids_s[ga], ids_s[gb]),
+                                "id_b": np.maximum(ids_s[ga], ids_s[gb]),
+                                "cosine": sims[ia, ib]}))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
