@@ -37,79 +37,85 @@ from . import quality  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_GATE_PRIORITY: list[str] = [
-    # r13 gate (verdict item 3). Position 1: batch_source_read, the
-    # r13-registered entry (never driver-gated — the pinned
-    # immediate-slot policy: it end-to-ends the new Catalyst
-    # pushFilters DataSource, sources/batch_source.py). Positions
-    # 2-50: the ENTIRE last-green-r8 cohort — the 49 entries whose
-    # newest driver hash is CORRECTNESS_r08.json in the union of
-    # r01..r12 artifacts — alphabetical for determinism;
-    # ann_recall_report (displaced from the r12 window by
-    # schema_evolution_read) is naturally among them. 1 + 49 = 50
-    # exactly: no residue queue this round.
-    # compression_ratio_quality stays parked BELOW position 50
-    # permanently: its oracle needs a zlib UDF the driver's vanilla-SQL
-    # DuckDB cannot register (r8 artifact burned a slot on
-    # `err: no_oracle`); it stays value-gated by queries/core.EXTRA_ORACLE
-    # in the local harnesses + a byte-exact pytest (decision record:
-    # ARCHITECTURE.md). Every name below passes the local
-    # full-registry oracle at sf0.001/0.01 and stays value-verified
-    # every run by tests/test_queries_oracle.py.
-    # ---- registered r13 (never driver-gated): batch DataSource ----
-    "batch_source_read",
-    # ---- backfill 2-50: the last-green-r8 cohort, alphabetical ----
-    "ann_recall_report",
-    "audio_silence_ratio",
-    "bloom_runtime_filter_join",
-    "ccnet_perplexity_buckets",
-    "cms_token_estimates",
-    "cohort_retention_matrix",
-    "corpus_data_card_stats",
-    "decontamination_bloom_prefilter",
-    "dedup_cross_source_matrix",
-    "dedup_prefix_filter_pairs",
-    "doc_length_percentiles_by_source",
-    "domain_unigram_js",
-    "dp_laplace_counts",
-    "dq_value_histogram",
-    "dq_winsorized_value_stats",
-    "embedding_domain_drift",
-    "embedding_stats_by_dim",
-    "full_outer_join_reconciliation",
-    "funnel_view_click_purchase",
-    "hll_user_cardinality",
-    "html_text_extract",
-    "incremental_agg_maintenance",
-    "incremental_join_maintenance",
-    "knn_graph_triangles",
-    "knn_label_propagation",
-    "lang_id_prf_report",
-    "media_phash_neardup",
-    "multimodal_avi_decode",
-    "multimodal_png_decode",
-    "multimodal_wav_decode",
-    "ngram_diversity_by_source",
-    "ngram_novelty_deciles",
-    "output_shard_plan",
-    "padding_waste_batching",
-    "pipeline_media_curation",
-    "privacy_delete_cascade_report",
-    "quality_band_filter_counts",
-    "quality_calibration_bins",
-    "quality_score_auc",
-    "quantile_histogram_sketch",
-    "range_partition_plan",
-    "seasonal_decompose_daily",
-    "streaming_incremental_rollup",
-    "streaming_view_purchase_join",
-    "text_distinctiveness",
-    "token_budget_epochs_plan",
-    "training_order_interleave",
-    "unicode_nfc_normalization",
-    "video_scene_changes",
-    # ---- gate window ends here (50) ----
-    # un-hashable by the driver (UDF oracle lives in EXTRA_ORACLE):
+    # r14 gate (r13 verdict items 5 + 6). Positions 1-2: the two
+    # entries that became rotation-eligible THIS round, per the pinned
+    # immediate-slot policy — sessionization_two_phase (registered
+    # r14: the whale-proof gap-merge plan, operators/sessionize.py)
+    # and compression_ratio_quality (parked oracle-less since r8; r14
+    # gave it a vanilla-SQL STRUCTURAL oracle — see queries/text.py —
+    # so it finally re-enters rotation and can record err: null).
+    # Positions 3-50: the last-green-r9 cohort — the 50 entries whose
+    # newest driver hash is CORRECTNESS_r09.json in the union of
+    # r01..r13 artifacts — alphabetical for determinism, truncated at
+    # 48 by the two immediate slots.
+    # ---- registered/re-oracled r14 (never driver-green) ----
+    "sessionization_two_phase",
     "compression_ratio_quality",
+    # ---- backfill 3-50: the last-green-r9 cohort, alphabetical ----
+    "ab_test_cuped_adjusted",
+    "anti_join_customers_without_orders",
+    "array_functions",
+    "case_when_bucketing",
+    "cohort_retention_weekly",
+    "conformal_quality_coverage",
+    "contrastive_hard_negatives",
+    "cube_status_priority",
+    "date_functions",
+    "distinct_agg_per_group",
+    "dq_profile_events_value",
+    "exact_percentiles",
+    "exists_correlated_subquery",
+    "fd_discovery_report",
+    "filter_conjunctive",
+    "flagship_revenue_by_nation",
+    "groupby_ordinal",
+    "grouping_sets_explicit",
+    "halfopen_ts_range",
+    "having_filter",
+    "hll_set_operations",
+    "join_size_estimate_cms",
+    "join_using",
+    "knn_kcore_peel_profile",
+    "limit_injection",
+    "math_functions",
+    "multi_join_topk",
+    "null_handling_coalesce",
+    "null_ordering",
+    "pivot_status_by_priority",
+    "projection_alias",
+    "rollup_revenue_region_nation",
+    "scalar_subquery_cte",
+    "seasonal_adjusted_anomalies",
+    "semi_join_customers_with_orders",
+    "set_ops_all_variants",
+    "set_ops_union_intersect_except",
+    "streaming_left_outer_attribution",
+    "string_functions",
+    "text_fingerprint",
+    "text_ngram_frequency",
+    "topk_orderby_alias",
+    "tpch_q1_pricing_summary",
+    "unpivot_stack",
+    "using_join_syntax",
+    "window_lag_delta",
+    "window_range_frame",
+    "window_rank_topk_per_group",
+    # ---- gate window ends here (50) ----
+    # Residue (leads the r15 gate): the two r9-cohort entries the
+    # immediate slots displaced ...
+    "window_running_sum",
+    "zone_map_pruning_audit",
+    # ... and the one entry that can NEVER be driver-hashed:
+    # compression_ratio_zlib_profile's oracle needs a zlib UDF the
+    # driver's vanilla-SQL DuckDB cannot register (the r8 artifact
+    # burned a slot on exactly this as err: no_oracle, back when the
+    # query was named compression_ratio_quality). It stays parked
+    # below 50 permanently, value-gated every local run by
+    # queries/core.EXTRA_ORACLE + a byte-exact zlib pytest; the
+    # driver-facing invariants of the same pipeline are what the
+    # structural compression_ratio_quality entry (position 2) hashes
+    # (decision record: ARCHITECTURE.md).
+    "compression_ratio_zlib_profile",
 ]
 
 

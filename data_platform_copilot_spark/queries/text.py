@@ -948,7 +948,91 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("p") * F.sum("neg")), 6).alias("auc"))
 
 
-@query("compression_ratio_quality", extra_oracle="""
+@query("compression_ratio_quality", oracle="""
+WITH base AS (
+    SELECT lang, octet_length(encode(text)) AS blen FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN blen > 0 THEN 1 END), 0) AS BIGINT)
+           AS n_ratio_valid,
+       CAST(0 AS BIGINT) AS n_outside_envelope,
+       CAST(least(4, coalesce(sum(CASE WHEN blen > 0 THEN 1 END), 0))
+           AS BIGINT) AS n_bands,
+       CAST(0 AS BIGINT) AS n_band_inversions
+FROM base GROUP BY lang ORDER BY lang
+""")
+def compression_ratio_quality(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """STRUCTURAL oracle over the zlib compressibility pipeline
+    (r13 verdict #6 — this re-enters the entry into driver rotation;
+    it spent r8..r13 parked as the one oracle-less query). DEFLATE
+    output lengths have no SQL expression, but hard INVARIANTS of a
+    correct run are exactly predictable in vanilla SQL, per language:
+
+    - ``n_docs``: join fan-out guard — the operator emits exactly one
+      row per doc, so the post-join count equals ``count(*)``;
+    - ``n_ratio_valid``: the ratio is NULL iff the doc is empty, so
+      valid ratios == docs with ``octet_length(encode(text)) > 0``;
+    - ``n_outside_envelope``: zlib's worst case is stored blocks —
+      ``n_compressed <= n_bytes + 5*ceil(n_bytes/16384) + 6`` (RFC
+      1951 §3.2.4 stored-block overhead + RFC 1950 header/adler), and
+      compressed output is never empty; a correct run has ZERO docs
+      outside that envelope (exact integer math on the operator's
+      (n_bytes, n_compressed), no FP reconstruction);
+    - ``n_bands`` / ``n_band_inversions``: the quality-band machinery
+      replayed — ntile(4) quartile bands over the ratio, per-band
+      means joined back in band order; ntile yields
+      ``least(4, n_valid)`` bands whose means are monotonically
+      non-decreasing BY CONSTRUCTION, so inversions == 0 unless the
+      ratio column carries NaNs/garbage that breaks ordering.
+
+    The byte-exact per-doc VALUE gate stays the pytest zlib replay
+    (tests/test_operators.py); the full value-rich profile remains
+    hash-compared against a DuckDB zlib UDF by the local harnesses
+    via ``compression_ratio_zlib_profile`` below."""
+    from pyspark.sql import Window as W
+
+    from ..operators.quality import compression_ratio
+    docs = spread(_t(spark, sf_dir, "documents"))
+    cr = compression_ratio(docs, "doc_id", "text")
+    joined = docs.select(F.col("doc_id").alias("id"), "lang").join(cr, "id")
+    outside = (
+        F.col("n_compressed").isNotNull()
+        & ((F.col("n_compressed")
+            > F.col("n_bytes")
+            + 5 * F.ceil(F.col("n_bytes") / F.lit(16384)) + 6)
+           | (F.col("n_compressed") <= 0)))
+    stats = joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.col("compression_ratio").isNotNull().cast("int")),
+            F.lit(0)).cast("long").alias("n_ratio_valid"),
+        F.coalesce(F.sum(outside.cast("int")), F.lit(0))
+        .cast("long").alias("n_outside_envelope"))
+    valid = joined.where(F.col("compression_ratio").isNotNull())
+    wb = W.partitionBy("lang").orderBy("compression_ratio", "id")
+    band_means = (valid.withColumn("band", F.ntile(4).over(wb))
+                  .groupBy("lang", "band")
+                  .agg(F.avg("compression_ratio").alias("m")))
+    wlag = W.partitionBy("lang").orderBy("band")
+    bands = (band_means
+             .withColumn("prev_m", F.lag("m").over(wlag))
+             .groupBy("lang")
+             .agg(F.count("*").cast("long").alias("n_bands"),
+                  F.sum(F.when(F.col("m") < F.col("prev_m"), 1)
+                        .otherwise(0))
+                  .cast("long").alias("n_band_inversions")))
+    return (stats.join(bands, "lang", "left")
+            .select("lang", "n_docs", "n_ratio_valid",
+                    "n_outside_envelope",
+                    F.coalesce("n_bands", F.lit(0)).alias("n_bands"),
+                    F.coalesce("n_band_inversions", F.lit(0))
+                    .alias("n_band_inversions"))
+            .orderBy("lang"))
+
+
+@query("compression_ratio_zlib_profile", extra_oracle="""
 WITH cr AS (
     SELECT lang,
            CAST(zlib_len(text) AS DOUBLE)
@@ -962,8 +1046,8 @@ SELECT lang,
             AS BIGINT) AS n_templated
 FROM cr GROUP BY lang ORDER BY lang
 """)
-def compression_ratio_quality(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
+def compression_ratio_zlib_profile(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
     """Corpus compressibility profile: per-language doc counts and
     mean zlib compression ratio, plus the count of suspiciously
     compressible docs (< 0.35 — templated/repetitive boilerplate in
@@ -974,9 +1058,10 @@ def compression_ratio_quality(spark: SparkSession,
     (input, level) but has no SQL expression, so the local harnesses
     register a ``zlib_len`` Python UDF on DuckDB
     (queries/core.register_oracle_udfs) and hash-compare the full
-    result at every SF; the driver's vanilla-SQL harness keeps the
-    documented rows-only check. The byte-exact per-doc gate remains
-    the pytest zlib replay (tests/test_operators.py)."""
+    result at every SF; the driver's vanilla-SQL gate instead
+    value-verifies the STRUCTURAL twin above
+    (``compression_ratio_quality``). The byte-exact per-doc gate
+    remains the pytest zlib replay (tests/test_operators.py)."""
     from ..operators.quality import compression_ratio
     docs = spread(_t(spark, sf_dir, "documents"))
     cr = compression_ratio(docs, "doc_id", "text")

@@ -19,7 +19,9 @@ from .core import _t, epoch_s, query, rnd
 SESSION_GAP_MIN = 30
 
 
-@query("sessionization_gaps", oracle=f"""
+# shared by sessionization_gaps and its whale-proof two-phase twin —
+# identical semantics, different physical plan
+_SESSIONIZATION_ORACLE = f"""
 WITH ordered AS (
     SELECT user_id, ts,
            -- date_diff('second', a, b) counts second-boundary
@@ -53,7 +55,10 @@ SELECT user_id,
        round(avg(CAST(dur_s AS DOUBLE)), 2) AS avg_session_dur_s
 FROM per_session
 GROUP BY user_id
-""")
+"""
+
+
+@query("sessionization_gaps", oracle=_SESSIONIZATION_ORACLE)
 def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag -> new-session
     flag -> running sum = session id. One shuffle on user_id; both
@@ -71,6 +76,37 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                         > SESSION_GAP_MIN * 60)).cast("int"))
         .withColumn("session_id", F.sum("new_session").over(wrun))
     )
+    per_session = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             (epoch_s(F.max("ts")) - epoch_s(F.min("ts")))
+             .alias("dur_s"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").cast("long").alias("max_session_events"),
+             rnd(F.avg(F.col("dur_s").cast("double")), 2)
+              .alias("avg_session_dur_s"))
+    )
+
+
+@query("sessionization_two_phase", oracle=_SESSIONIZATION_ORACLE)
+def sessionization_two_phase(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Same sessionization, whale-proof physical plan (r13 verdict
+    #1): session ids come from operators/sessionize.py's two-phase
+    gap-merge — per-(user, day-chunk) local windows plus a tiny
+    chunk-walk merge — so no window partition is wider than one
+    user-day, and a bot user with 10^8 events cannot serialize a
+    single task the way the one-window plan's partitionBy(user_id)
+    does. Same result (identical DuckDB oracle as
+    sessionization_gaps); skewed-vs-uniform timings recorded in
+    BASELINE.md via tools/skew_probe.py."""
+    from ..operators.sessionize import two_phase_session_ids
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    sessions = two_phase_session_ids(
+        ev, "user_id", "ts", gap_s=SESSION_GAP_MIN * 60)
     per_session = (
         sessions.groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"),

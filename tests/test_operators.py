@@ -2227,3 +2227,93 @@ class TestRangeBucketProperties:
                 assert all(0 <= b < n for _, b in got), (n, got)
                 bs = [b for _, b in got]
                 assert bs == sorted(bs), (n, got)  # monotone in key
+
+
+class TestTwoPhaseSessionization:
+    """operators/sessionize.py must reproduce the one-window gap
+    sessionization EXACTLY — same 1-based per-user session ids — for
+    any chunk width (r13 verdict #1: the whale-proof plan is only
+    shippable if it is bit-identical on uniform data)."""
+
+    GAP = 1800
+
+    @staticmethod
+    def _reference(rows, gap_s):
+        """Independent pure-Python fold: rows = [(user, epoch_float)];
+        returns {(user, floor_epoch): session_id} semantics as a list
+        aligned with sorted order."""
+        import math
+        out = {}
+        by_user = {}
+        for u, e in rows:
+            by_user.setdefault(u, []).append(e)
+        for u, es in by_user.items():
+            es.sort()
+            sid, prev = 0, None
+            for e in es:
+                if prev is None or math.floor(e) - math.floor(prev) \
+                        > gap_s:
+                    sid += 1
+                prev = e
+                out.setdefault(u, []).append((e, sid))
+        return out
+
+    def _run(self, spark, rows, chunk_s):
+        import datetime as dt
+        from data_platform_copilot_spark.operators.sessionize import (
+            two_phase_session_ids)
+        data = [(u, dt.datetime(2024, 1, 1)
+                 + dt.timedelta(seconds=e)) for u, e in rows]
+        df = spark.createDataFrame(data, "user_id long, ts timestamp")
+        got = two_phase_session_ids(
+            df, gap_s=self.GAP, chunk_s=chunk_s).collect()
+        base = dt.datetime(2024, 1, 1)
+        return sorted((r["user_id"],
+                       (r["ts"] - base).total_seconds(),
+                       r["session_id"]) for r in got)
+
+    def _check(self, spark, rows, chunk_s):
+        got = self._run(spark, rows, chunk_s)
+        ref = self._reference(rows, self.GAP)
+        want = sorted((u, e, sid) for u, pairs in ref.items()
+                      for e, sid in pairs)
+        assert got == want, f"chunk_s={chunk_s}: {got} != {want}"
+
+    def test_edge_cases_all_chunk_widths(self, spark):
+        g = self.GAP
+        rows = [
+            # user 1: gap exactly == gap_s (same session), gap_s + 1
+            # (new session), then a tie pair
+            (1, 0.0), (1, float(g)), (1, 2.0 * g + 1),
+            (1, 2.0 * g + 1), (1, 2.0 * g + 1),
+            # user 2: session spanning many chunks (steps just under
+            # the gap), then a far jump
+            (2, 0.0), (2, g - 1.0), (2, 2.0 * (g - 1)),
+            (2, 3.0 * (g - 1)), (2, 100000.0),
+            # user 3: single event; user 4: sub-second precision
+            # around the floor-second gap semantics — 1800.999 vs
+            # 0.001 floors to a 1800 s gap (same session), while
+            # 1801.0 vs 0.9 floors to 1801 (new session)
+            (3, 42.5),
+            (4, 0.001), (4, g + 0.999),
+            (4, 10 * g + 0.9), (4, 11 * g + 1.0),
+        ]
+        for chunk_s in (1, 7, 1799, 1800, 86400, 10**9):
+            self._check(spark, rows, chunk_s)
+
+    def test_seeded_fuzz_matches_reference_and_classic(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(17)
+        rows = [(int(rng.integers(0, 6)),
+                 float(np.round(rng.uniform(0, 4 * 86400), 3)))
+                for _ in range(400)]
+        for chunk_s in (977, 3600, 86400):
+            self._check(spark, rows, chunk_s)
+
+    def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        a = sorted(map(tuple, QUERIES["sessionization_gaps"](
+            spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["sessionization_two_phase"](
+            spark, sf_dir).collect()))
+        assert a == b and a
