@@ -34,12 +34,16 @@ it must also resolve AS OF literals and latest-at-query-time names,
 and its ``read_version`` views scan native parquet with column
 pruning + codegen.
 
-Scale: planning is O(manifest JSON) on the driver; reads are one
-immutable file per task via pyarrow (``sources/arrow_io.py``), Arrow
-batches straight into the plan — the same executor path the
-streaming source uses. Reference: no counterpart (the reference has
-no versioned storage); parity target is Delta's DSv2 scan +
-``SupportsPushDownFilters`` contract.
+Scale: planning is O(manifest JSON) on the driver; surviving files
+are PACKED into byte-budgeted tasks (r14 — ``PackedPartition``; one
+task per file priced every small file at a full Python-worker
+spin-up, 15.8x the native marginal per-GB cost on a
+32-files-per-commit log, tools/ds_throughput_probe.py) and each task
+streams its files row-group-wise via pyarrow
+(``sources/arrow_io.py``), Arrow batches straight into the plan — the
+same executor path the streaming source uses. Reference: no
+counterpart (the reference has no versioned storage); parity target
+is Delta's DSv2 scan + ``SupportsPushDownFilters`` contract.
 """
 
 from __future__ import annotations
@@ -49,7 +53,8 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     EqualTo, Filter, GreaterThan,
-                                    GreaterThanOrEqual, In, LessThan,
+                                    GreaterThanOrEqual, In,
+                                    InputPartition, LessThan,
                                     LessThanOrEqual)
 from pyspark.sql.types import StructType
 
@@ -97,11 +102,31 @@ def _resolve_version(table_dir: str, options) -> int:
     return v
 
 
+class PackedPartition(InputPartition):
+    """One task's worth of immutable parquet files. Planning one task
+    PER FILE (the r13 shape) priced every small file at a full Python
+    task — worker spin-up + imports dwarf reading a sub-MB file, and a
+    32-files-per-commit ingest log scanned 15x slower than native
+    (tools/ds_throughput_probe.py, r13 verdict #4). Files are packed
+    to a byte budget exactly like Spark's native FileScan packs
+    splits, so the per-task constant is amortized over ~budget bytes
+    and the marginal per-GB cost is what survives scale-up."""
+
+    def __init__(self, files: list[FilePartition]):
+        self.files = list(files)
+
+
 class VersionedBatchReader(DataSourceReader):
     """One query's scan state: the version is pinned at plan time
     (immutable manifest — concurrent commits can never tear the
     read), ``pushFilters`` accumulates skip predicates, and
-    ``partitions`` plans the pruned file set."""
+    ``partitions`` plans the pruned file set, packed to a byte
+    budget (``maxBytesPerPartition``, default 128 MiB, floored by
+    ``minPartitions`` — default cpu_count — the way Spark's
+    ``maxPartitionBytes``/``leafNodeDefaultParallelism`` pair sizes
+    native splits)."""
+
+    _OPEN_FLOOR = 1  # never a zero-byte budget
 
     def __init__(self, schema: StructType, options):
         self.table_dir = options.get("path")
@@ -111,6 +136,11 @@ class VersionedBatchReader(DataSourceReader):
         self.version = _resolve_version(self.table_dir, options)
         self.schema = schema
         self.skip: list[tuple] = []
+        self.max_part_bytes = int(
+            options.get("maxbytesperpartition", 128 * 1024 * 1024))
+        import os
+        self.min_partitions = int(
+            options.get("minpartitions", os.cpu_count() or 8))
 
     # -- Catalyst hands us the pushable conjuncts --------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -130,7 +160,36 @@ class VersionedBatchReader(DataSourceReader):
         return iter(filters)
 
     # -- planning (driver-side Python worker) ------------------------
-    def partitions(self) -> list[FilePartition]:
+    def partitions(self) -> list[PackedPartition]:
+        """Pack the pruned per-file specs into byte-budgeted tasks.
+        Budget = min(maxBytesPerPartition, ceil(total / minPartitions))
+        — small tables still fan out to ``minPartitions`` tasks, huge
+        tables cap each task at the 128 MiB convention. A single file
+        larger than the budget rides alone (a parquet file is this
+        planner's atomic unit; row-group splitting would be the next
+        refinement). Pruning proofs live on ``plan_files`` — packing
+        never changes WHICH files are read, only their grouping."""
+        specs = self.plan_files()
+        if not specs:
+            # a scan needs >= 1 partition; the marker reads nothing
+            return [PackedPartition([])]
+        sizes = [Path(s.path).stat().st_size for s in specs]
+        budget = max(self._OPEN_FLOOR,
+                     min(self.max_part_bytes,
+                         -(-sum(sizes) // max(1, self.min_partitions))))
+        out: list[PackedPartition] = []
+        cur: list[FilePartition] = []
+        cur_bytes = 0
+        for spec, sz in zip(specs, sizes):
+            if cur and cur_bytes + sz > budget:
+                out.append(PackedPartition(cur))
+                cur, cur_bytes = [], 0
+            cur.append(spec)
+            cur_bytes += sz
+        out.append(PackedPartition(cur))
+        return out
+
+    def plan_files(self) -> list[FilePartition]:
         from .versioned import (_dir_may_match, _read_manifest,
                                 _skip_for_dir)
         root = Path(self.table_dir)
@@ -164,19 +223,17 @@ class VersionedBatchReader(DataSourceReader):
                 out.append(FilePartition(
                     f, ren, hive_constants(self.table_dir, d, f),
                     tombs))
-        if not out:
-            # a scan needs >= 1 partition; the marker reads nothing
-            out.append(FilePartition("", {}))
         return out
 
     # -- executor-side read ------------------------------------------
-    def read(self, partition: FilePartition) -> Iterator:
-        if not partition.path:
-            return  # empty marker
+    def read(self, partition: PackedPartition) -> Iterator:
+        for spec in partition.files:
+            yield from self._read_file(spec)
+
+    def _read_file(self, spec: FilePartition) -> Iterator:
         batches = read_parquet_aligned(
-            partition.path, partition.renames, partition.constants,
-            self.schema)
-        if not partition.tombstones:
+            spec.path, spec.renames, spec.constants, self.schema)
+        if not spec.tombstones:
             yield from batches
             return
         # apply this dir's deletion vectors: drop rows whose key is
@@ -192,7 +249,7 @@ class VersionedBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         keysets: dict[str, list] = {}
-        for key_col, tdir in partition.tombstones:
+        for key_col, tdir in spec.tombstones:
             for f in sorted(Path(tdir).rglob("*.parquet")):
                 t = pq.read_table(f, columns=[key_col])
                 keysets.setdefault(key_col, []).append(

@@ -101,8 +101,7 @@ def main() -> None:
     assert sorted(r["id"] for r in dsrc().collect()) == rows["unpruned"]
     rdr = VersionedBatchReader(None, {"path": str(tdir)})
     list(rdr.pushFilters([GreaterThanOrEqual(("id",), lo)]))
-    planned = {Path(p.path).parent.name
-               for p in rdr.partitions() if p.path}
+    planned = {Path(s.path).parent.name for s in rdr.plan_files()}
     print(f"datasource  dirs={len(planned):2d} "
           f"warm={warm_time(dsrc):.3f}s (reader-planned dirs)")
     assert len(planned) == dirs_of(manual())
