@@ -147,7 +147,16 @@ class VersionedStreamReader(DataSourceStreamReader):
         stays per-slice (r12 verdict item 2). Spark calls this before
         ``initialOffset`` on fresh streams, so the fresh-stream base
         is ``starting - 1`` (see ``_pos`` in ``__init__`` for why
-        that is restart-safe)."""
+        that is restart-safe).
+
+        Trigger.AvailableNow caveat: Spark's available-now wrapper
+        captures this method's result ONCE as the run's end offset,
+        so with a cap a single availableNow run drains at most one
+        capped window, not the whole backlog (the Python DataSource
+        API has no per-batch ReadLimit channel). Capped catch-up
+        wants a processingTime trigger or repeated availableNow runs
+        — semantics pinned in test_stream_source.py
+        ``test_available_now_with_cap_drains_one_window``."""
         v = _latest_version(self.table_dir)
         if v is None:
             raise RuntimeError(

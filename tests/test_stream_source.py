@@ -467,3 +467,113 @@ class TestVersionedStreamSource:
         rows = {r["id"]: r["p"] for r in got.collect()}
         assert sorted(rows) == list(range(14))
         assert all(rows[i] == i % 2 for i in range(14))
+
+
+class TestFullPipelineChaos:
+    def test_source_stateful_sink_survives_kill(self, spark, tdir,
+                                                tmp_path):
+        """r13 verdict #8 (stretch): the FULL format integration —
+        format('versioned_stream') source -> applyInPandasWithState
+        accumulator -> the Arrow versioned sink — killed mid-backlog
+        and resumed on the same checkpoint. The destination log is an
+        append-only feed of state snapshots; each user's newest
+        snapshot must equal the batch twin exactly (state store +
+        source offsets + sink txn dedupe all resumed coherently)."""
+        import time
+
+        from data_platform_copilot_spark.sources.versioned import (
+            latest_version, read_version)
+        from data_platform_copilot_spark.streaming.stateful import (
+            OUTPUT_SCHEMA, STATE_SCHEMA, _update_user_state)
+
+        # 10-version backlog of (user_id, ts, value); 0.25 steps keep
+        # incremental and batch double sums bit-identical pre-round
+        for i in range(10):
+            df = (spark.range(i * 5, (i + 1) * 5).select(
+                (F.col("id") % 7).alias("user_id"),
+                F.timestamp_seconds(1700000000 + F.col("id") * 60)
+                .alias("ts"),
+                ((F.col("id") % 100) * 0.25).alias("value")))
+            write_version(df, tdir, "append" if i else "overwrite")
+        dest, ck = tmp_path / "dest", tmp_path / "ck"
+
+        def _start(trigger_kwargs):
+            return (_reader(spark, tdir, maxVersionsPerBatch=2)
+                    .groupBy("user_id")
+                    .applyInPandasWithState(
+                        _update_user_state,
+                        outputStructType=OUTPUT_SCHEMA,
+                        stateStructType=STATE_SCHEMA,
+                        outputMode="append",
+                        timeoutConf="NoTimeout")
+                    .writeStream.outputMode("append")
+                    .format("versioned_stream")
+                    .option("path", str(dest))
+                    .option("appId", "pipeline-chaos")
+                    .option("checkpointLocation", str(ck))
+                    .trigger(**trigger_kwargs).start())
+
+        q = _start({"processingTime": "50 milliseconds"})
+        deadline = time.time() + 150
+        while time.time() < deadline and latest_version(dest) is None:
+            time.sleep(0.2)
+        q.stop()                              # mid-backlog kill
+        q.awaitTermination(60)
+        assert latest_version(dest) is not None
+        mid_rows = read_version(spark, dest).count()
+
+        from pyspark.sql import Window as W
+        w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+
+        def _final():
+            return {r["user_id"]: (r["n_events"],
+                                   r["total_value"], r["last_ts"])
+                    for r in read_version(spark, dest)
+                    .withColumn("rn", F.row_number().over(w))
+                    .where("rn = 1").collect()}
+
+        twin = {r["user_id"]: (r["n"], r["t"], r["m"])
+                for r in read_version(spark, tdir)
+                .groupBy("user_id")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 2).alias("t"),
+                     F.max("ts").alias("m")).collect()}
+
+        # resume on the same checkpoint; processingTime (NOT
+        # availableNow: under admission caps that trigger drains a
+        # single capped window by design — pinned in the test below)
+        q = _start({"processingTime": "50 milliseconds"})
+        deadline = time.time() + 150
+        while time.time() < deadline and _final() != twin:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        assert read_version(spark, dest).count() > mid_rows
+        assert _final() == twin and len(twin) == 7
+
+    def test_available_now_with_cap_drains_one_window(
+            self, spark, tdir, tmp_path):
+        """Documented semantics pin: Trigger.AvailableNow captures
+        latestOffset ONCE (Spark's wrapper for Python data sources),
+        so with maxVersionsPerBatch=N a single availableNow run
+        drains at most N versions past the checkpoint, not the whole
+        backlog — capped catch-up needs a processingTime trigger (or
+        repeated availableNow runs). If this ever starts draining
+        everything, Spark grew per-batch read-limit support for
+        Python sources and the guidance in stream_source.py should
+        flip."""
+        for i in range(6):
+            write_version(_df(spark, i * 5, (i + 1) * 5), tdir,
+                          "append" if i else "overwrite")
+        out, ck = tmp_path / "out", tmp_path / "ck"
+        got = _drain_files(spark, tdir, out, ck,
+                           maxVersionsPerBatch=2)
+        assert got.count() == 10      # versions 0..1 only (one window)
+        got = _drain_files(spark, tdir, out, ck,
+                           maxVersionsPerBatch=2)
+        assert got.count() == 20      # each run advances one window
+        for _ in range(2):
+            got = _drain_files(spark, tdir, out, ck,
+                               maxVersionsPerBatch=2)
+        assert sorted(r["id"] for r in got.collect()) \
+            == list(range(30))        # repeated runs complete exactly
