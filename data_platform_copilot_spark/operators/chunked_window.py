@@ -1,0 +1,97 @@
+"""Whale-proof bounded TRAILING frames: chunked window + bounded carry.
+
+``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` over
+``partitionBy(user)`` serializes a whale user into one task exactly
+like gap sessionization does (tools/skew_probe.py measured the EWMA
+entry at 28x under a 10%-of-corpus bot user — the worst of the
+user-window registry entries). Unlike sessionization, a bounded frame
+needs no global pass at all — the fix is local:
+
+1. chunk rows by time (``floor(epoch(ts)/chunk_s)``) and collect each
+   row's LOCAL trailing window inside the bounded ``(user, chunk)``
+   partition;
+2. per chunk, keep its TAIL — the last ``k-1`` values (what any later
+   row could still need);
+3. the carry for chunk c is the last ``k-1`` values before it, and
+   those live within the previous ``k-1`` NON-EMPTY chunks (each
+   non-empty chunk contributes at least one value), so a window over
+   the tiny per-(user, chunk) summary table with a BOUNDED
+   ``rowsBetween(-(k-1), -1)`` frame — flatten + keep-last — computes
+   it; nothing unbounded anywhere;
+4. join the carry back and take the last ``k`` of
+   ``carry ++ local_window`` per row.
+
+Every step is a JVM expression (no Python stage); the widest window
+partition is one ``(user, chunk_s)`` slice. Results are identical to
+the one-window ``collect_list().over(rowsBetween(-(k-1), 0))`` —
+pinned by fuzz equivalence tests (tests/test_operators.py).
+
+Cost: one full-data shuffle on (user, chunk) + the summary-table
+window + a join, versus the one-window plan's single exchange — the
+same insurance trade as operators/sessionize.py; prefer the plain
+window until one key can dwarf a task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _last(arr: Column, n: int) -> Column:
+    """Last ``n`` elements (whole array when shorter). n >= 1."""
+    return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
+
+
+def trailing_values_chunked(df: DataFrame, key_col: str, ts_col: str,
+                            order_cols: list[str], value_col: str,
+                            k: int, chunk_s: int = 86400,
+                            out_col: str = "win") -> DataFrame:
+    """All input columns + ``out_col`` = array of the last ``<= k``
+    ``value_col`` values per ``key_col`` in ``order_cols`` order
+    (current row inclusive) — exactly
+    ``collect_list(value).over(partitionBy(key).orderBy(*order)
+    .rowsBetween(-(k-1), 0))`` with no window partition wider than one
+    ``(key, chunk_s)`` slice. ``order_cols`` must totally order rows
+    within a key (ties would make BOTH formulations nondeterministic);
+    ``ts_col`` (the chunking clock) must be its leading column."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k == 1 is just the value)")
+    if order_cols[0] != ts_col:
+        raise ValueError("ts_col must lead order_cols (chunking and "
+                         "ordering must agree)")
+    chunk = F.floor(
+        F.col(ts_col).cast("timestamp_ltz").cast("long") / F.lit(chunk_s))
+    rows = df.withColumn("__chunk", chunk)
+
+    w_local = (W.partitionBy(key_col, "__chunk").orderBy(*order_cols)
+               .rowsBetween(-(k - 1), 0))
+    rows = rows.withColumn("__local", F.collect_list(value_col)
+                           .over(w_local))
+
+    # per-chunk tail: sort the chunk's (order..., value) structs and
+    # keep the last k-1 values (groupBy reuses the local window's
+    # (key, chunk) partitioning)
+    order_struct = F.struct(*order_cols, F.col(value_col).alias("__v"))
+    ch = (rows.groupBy(key_col, "__chunk")
+          .agg(F.sort_array(F.collect_list(order_struct)).alias("__s"))
+          .select(key_col, "__chunk",
+                  _last(F.transform("__s", lambda s: s["__v"]), k - 1)
+                  .alias("__tail")))
+    # carry = last k-1 values before this chunk; bounded frame over
+    # the previous k-1 non-empty chunk summaries is provably enough
+    w_carry = (W.partitionBy(key_col).orderBy("__chunk")
+               .rowsBetween(-(k - 1), -1))
+    ch = ch.select(
+        key_col, "__chunk",
+        _last(F.coalesce(
+            F.flatten(F.collect_list("__tail").over(w_carry)),
+            F.array().cast(f"array<{df.schema[value_col].dataType.simpleString()}>")),
+            k - 1).alias("__carry"))
+
+    out = (rows.join(ch, [key_col, "__chunk"])
+           .withColumn(out_col,
+                       _last(F.concat("__carry", "__local"), k))
+           .drop("__chunk", "__local", "__carry"))
+    return out

@@ -47,10 +47,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # Positions 3-50: the last-green-r9 cohort — the 50 entries whose
     # newest driver hash is CORRECTNESS_r09.json in the union of
     # r01..r13 artifacts — alphabetical for determinism, truncated at
-    # 48 by the two immediate slots.
+    # 47 by the three immediate slots.
     # ---- registered/re-oracled r14 (never driver-green) ----
     "sessionization_two_phase",
     "compression_ratio_quality",
+    "ewma_value_two_phase",
     # ---- backfill 3-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
@@ -99,10 +100,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "using_join_syntax",
     "window_lag_delta",
     "window_range_frame",
-    "window_rank_topk_per_group",
     # ---- gate window ends here (50) ----
-    # Residue (leads the r15 gate): the two r9-cohort entries the
+    # Residue (leads the r15 gate): the three r9-cohort entries the
     # immediate slots displaced ...
+    "window_rank_topk_per_group",
     "window_running_sum",
     "zone_map_pruning_audit",
     # ... and the one entry that can NEVER be driver-hashed:

@@ -535,7 +535,8 @@ def trend_slope_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             4).alias("intercept"))
 
 
-@query("ewma_value_per_user", oracle="""
+# shared by ewma_value_per_user and its whale-proof chunked twin
+_EWMA_ORACLE = """
 WITH arr AS (
     SELECT user_id, event_id, value,
            list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -551,7 +552,26 @@ SELECT user_id, event_id,
            / list_sum(list_transform(range(len(win)),
                j -> power(0.7, len(win) - 1 - j))), 4) AS ewma
 FROM arr
-""")
+"""
+
+
+def _ewma_from_win(arr: DataFrame) -> DataFrame:
+    """(user_id, event_id, ewma) from a trailing-window array column
+    ``win`` — shared by both EWMA formulations."""
+    decay = F.lit(0.7)
+    n = F.size("win").cast("double")
+    weighted = F.zip_with(
+        F.col("win"), F.sequence(F.lit(1), F.size("win")),
+        lambda x, j: x * F.pow(decay, n - j.cast("double")))
+    weights = F.transform(
+        F.sequence(F.lit(1), F.size("win")),
+        lambda j: F.pow(decay, n - j.cast("double")))
+    ewma = (F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+            / F.aggregate(weights, F.lit(0.0), lambda a, x: a + x))
+    return arr.select("user_id", "event_id", rnd(ewma, 4).alias("ewma"))
+
+
+@query("ewma_value_per_user", oracle=_EWMA_ORACLE)
 def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of `value` per user
     (decay 0.7), truncated to the trailing 20 events — the smoothing
@@ -568,17 +588,25 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(-19, 0))
     arr = ev.select("user_id", "event_id",
                     F.collect_list("value").over(w).alias("win"))
-    decay = F.lit(0.7)
-    n = F.size("win").cast("double")
-    weighted = F.zip_with(
-        F.col("win"), F.sequence(F.lit(1), F.size("win")),
-        lambda x, j: x * F.pow(decay, n - j.cast("double")))
-    weights = F.transform(
-        F.sequence(F.lit(1), F.size("win")),
-        lambda j: F.pow(decay, n - j.cast("double")))
-    ewma = (F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
-            / F.aggregate(weights, F.lit(0.0), lambda a, x: a + x))
-    return arr.select("user_id", "event_id", rnd(ewma, 4).alias("ewma"))
+    return _ewma_from_win(arr)
+
+
+@query("ewma_value_two_phase", oracle=_EWMA_ORACLE)
+def ewma_value_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same EWMA, whale-proof physical plan: the trailing 20-value
+    frame comes from operators/chunked_window.py — per-(user,
+    day-chunk) local windows plus a BOUNDED carry over the previous
+    k-1 chunk summaries — so no window partition is wider than one
+    user-day. tools/skew_probe.py measured the one-window plan at 28x
+    under a 10%-of-corpus bot user (the worst of the user-window
+    entries); this plan holds flat. Identical DuckDB oracle as
+    ewma_value_per_user."""
+    from ..operators.chunked_window import trailing_values_chunked
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    arr = trailing_values_chunked(
+        ev.select("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", ["ts", "event_id"], "value", k=20)
+    return _ewma_from_win(arr)
 
 
 @query("attribution_last_touch", oracle="""

@@ -2317,3 +2317,77 @@ class TestTwoPhaseSessionization:
         b = sorted(map(tuple, QUERIES["sessionization_two_phase"](
             spark, sf_dir).collect()))
         assert a == b and a
+
+
+class TestChunkedTrailingWindow:
+    """operators/chunked_window.py: the whale-proof bounded trailing
+    frame must equal collect_list over rowsBetween(-(k-1), 0) for any
+    chunk width — including chunks far narrower than the frame (the
+    bounded-carry proof's hard case: the last k-1 values span many
+    chunks)."""
+
+    def _fuzz_df(self, spark, seed, n=300, users=5, span_s=4 * 86400):
+        import datetime as dt
+
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        base = dt.datetime(2024, 1, 1)
+        rows = [(int(rng.integers(0, users)), i,
+                 base + dt.timedelta(
+                     seconds=float(np.round(rng.uniform(0, span_s), 3))),
+                 float(rng.integers(-50, 50)) / 4)
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "value double")
+
+    def _check(self, spark, df, k, chunk_s):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.chunked_window import (
+            trailing_values_chunked)
+        got = {(r["user_id"], r["event_id"]): list(r["win"])
+               for r in trailing_values_chunked(
+                   df, "user_id", "ts", ["ts", "event_id"], "value",
+                   k=k, chunk_s=chunk_s).collect()}
+        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(-(k - 1), 0))
+        want = {(r["user_id"], r["event_id"]): list(r["win"])
+                for r in df.select(
+                    "user_id", "event_id",
+                    F.collect_list("value").over(w).alias("win"))
+                .collect()}
+        assert got == want and len(got) == df.count()
+
+    def test_equivalence_across_chunk_widths(self, spark):
+        df = self._fuzz_df(spark, 29)
+        # 601 s chunks: ~most frames straddle MANY chunks (carry does
+        # the work); 86400: the production default; 10^9: one chunk
+        # (pure local path)
+        for chunk_s in (601, 7200, 86400, 10**9):
+            self._check(spark, df, k=20, chunk_s=chunk_s)
+
+    def test_small_k_and_sparse_users(self, spark):
+        df = self._fuzz_df(spark, 31, n=60, users=20)  # ~3 rows/user
+        for k in (2, 3, 5):
+            self._check(spark, df, k=k, chunk_s=3600)
+
+    def test_duplicate_timestamps_total_order(self, spark):
+        """Tied ts values: event_id breaks the tie identically in
+        both formulations (struct sort vs window orderBy)."""
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        rows = [(1, i, base + dt.timedelta(seconds=(i // 3) * 50_000),
+                 float(i)) for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "value double")
+        self._check(spark, df, k=7, chunk_s=86400)
+
+    def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        a = sorted(map(tuple, QUERIES["ewma_value_per_user"](
+            spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["ewma_value_two_phase"](
+            spark, sf_dir).collect()))
+        assert a == b and a

@@ -32,6 +32,7 @@ ENTRIES = [
     "sessionization_two_phase",
     "event_transition_matrix",
     "ewma_value_per_user",
+    "ewma_value_two_phase",
     "attribution_last_touch",
     "session_depth_histogram",
 ]
