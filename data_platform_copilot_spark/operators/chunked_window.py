@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .sessionize import _epoch_s
+
 
 def _last(arr: Column, n: int) -> Column:
     """Last ``n`` elements (whole array when shorter). n >= 1."""
@@ -61,37 +63,50 @@ def trailing_values_chunked(df: DataFrame, key_col: str, ts_col: str,
     if order_cols[0] != ts_col:
         raise ValueError("ts_col must lead order_cols (chunking and "
                          "ordering must agree)")
-    chunk = F.floor(
-        F.col(ts_col).cast("timestamp_ltz").cast("long") / F.lit(chunk_s))
+    chunk = F.floor(_epoch_s(ts_col) / F.lit(chunk_s))
     rows = df.withColumn("__chunk", chunk)
 
+    # Every intermediate carries ONE STRUCT PER ROW (never a bare
+    # value): the reference formulation's frame counts ROWS while its
+    # collect_list drops NULL values, so row accounting and
+    # null-dropping must stay separate — wrap the value in a struct
+    # (structs are never null, so collect_list keeps every row),
+    # slice by rows, and only at the very end drop null VALUES
+    # (review r14: bare-value tails silently backfilled frames with
+    # older values whenever value_col held NULLs).
+    wrapped = F.struct(F.col(value_col).alias("__v"))
     w_local = (W.partitionBy(key_col, "__chunk").orderBy(*order_cols)
                .rowsBetween(-(k - 1), 0))
-    rows = rows.withColumn("__local", F.collect_list(value_col)
+    rows = rows.withColumn("__local", F.collect_list(wrapped)
                            .over(w_local))
 
     # per-chunk tail: sort the chunk's (order..., value) structs and
-    # keep the last k-1 values (groupBy reuses the local window's
+    # keep the last k-1 ROWS (groupBy reuses the local window's
     # (key, chunk) partitioning)
-    order_struct = F.struct(*order_cols, F.col(value_col).alias("__v"))
+    order_struct = F.struct(*order_cols, wrapped.alias("__w"))
     ch = (rows.groupBy(key_col, "__chunk")
           .agg(F.sort_array(F.collect_list(order_struct)).alias("__s"))
           .select(key_col, "__chunk",
-                  _last(F.transform("__s", lambda s: s["__v"]), k - 1)
+                  _last(F.transform("__s", lambda s: s["__w"]), k - 1)
                   .alias("__tail")))
-    # carry = last k-1 values before this chunk; bounded frame over
+    # carry = last k-1 rows before this chunk; bounded frame over
     # the previous k-1 non-empty chunk summaries is provably enough
+    vt = df.schema[value_col].dataType.simpleString()
     w_carry = (W.partitionBy(key_col).orderBy("__chunk")
                .rowsBetween(-(k - 1), -1))
     ch = ch.select(
         key_col, "__chunk",
         _last(F.coalesce(
             F.flatten(F.collect_list("__tail").over(w_carry)),
-            F.array().cast(f"array<{df.schema[value_col].dataType.simpleString()}>")),
+            F.array().cast(f"array<struct<__v:{vt}>>")),
             k - 1).alias("__carry"))
 
     out = (rows.join(ch, [key_col, "__chunk"])
            .withColumn(out_col,
-                       _last(F.concat("__carry", "__local"), k))
+                       F.transform(
+                           F.filter(
+                               _last(F.concat("__carry", "__local"), k),
+                               lambda s: s["__v"].isNotNull()),
+                           lambda s: s["__v"]))
            .drop("__chunk", "__local", "__carry"))
     return out

@@ -489,6 +489,11 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
 
         from .similarity import _hyperplanes
 
+        if max_bucket_gemm < 1:
+            # a non-positive cap would make the tile walk silently
+            # emit nothing (range step <= 0), not error
+            raise ValueError("max_bucket_gemm must be >= 1")
+
         # One gemm pass per PARTITION, not per bucket: with t tables x
         # 2^n_planes buckets the per-group Arrow/pandas overhead of an
         # applyInPandas dominates (measured 8s for 2048 near-empty
@@ -563,6 +568,7 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                 starts = range(s, e, max_bucket_gemm)
                 blocks = [(b0, min(b0 + max_bucket_gemm, e))
                           for b0 in starts]
+                seg = codes_s[:, :t] if t > 0 else None
                 for bi, (a0, a1) in enumerate(blocks):
                     for b0, b1 in blocks[bi:]:
                         sims = mat_s[a0:a1] @ mat_s[b0:b1].T
@@ -572,8 +578,7 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                             else (ids_s[ga] != ids_s[gb])
                         ia, ib = ia[keep], ib[keep]
                         ga, gb = ga[keep], gb[keep]
-                        if t > 0 and len(ga):
-                            seg = codes_s[:, :t]
+                        if seg is not None and len(ga):
                             fresh = ~(seg[ga] == seg[gb]).any(axis=1)
                             ia, ib = ia[fresh], ib[fresh]
                             ga, gb = ga[fresh], gb[fresh]

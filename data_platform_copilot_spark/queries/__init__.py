@@ -37,14 +37,18 @@ from . import quality  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_GATE_PRIORITY: list[str] = [
-    # r14 gate (r13 verdict items 5 + 6). Positions 1-2: the two
+    # r14 gate (r13 verdict items 5 + 6). Positions 1-3: the three
     # entries that became rotation-eligible THIS round, per the pinned
     # immediate-slot policy — sessionization_two_phase (registered
-    # r14: the whale-proof gap-merge plan, operators/sessionize.py)
-    # and compression_ratio_quality (parked oracle-less since r8; r14
+    # r14: the whale-proof gap-merge plan, operators/sessionize.py),
+    # compression_ratio_quality (parked oracle-less since r8; r14
     # gave it a vanilla-SQL STRUCTURAL oracle — see queries/text.py —
-    # so it finally re-enters rotation and can record err: null).
-    # Positions 3-50: the last-green-r9 cohort — the 50 entries whose
+    # so it finally re-enters rotation and can record err: null), and
+    # ewma_value_two_phase (registered r14: the whale-proof bounded
+    # trailing frame, operators/chunked_window.py, after
+    # tools/skew_probe.py measured the one-window EWMA at 23x under a
+    # 10%-of-corpus whale user).
+    # Positions 4-50: the last-green-r9 cohort — the 50 entries whose
     # newest driver hash is CORRECTNESS_r09.json in the union of
     # r01..r13 artifacts — alphabetical for determinism, truncated at
     # 47 by the three immediate slots.
@@ -52,7 +56,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "sessionization_two_phase",
     "compression_ratio_quality",
     "ewma_value_two_phase",
-    # ---- backfill 3-50: the last-green-r9 cohort, alphabetical ----
+    # ---- backfill 4-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
     "array_functions",

@@ -118,8 +118,9 @@ def latest_version(table_dir: str | Path) -> int | None:
     forward while ``manifest-(v+1)`` exists. Safe because versions
     are contiguous upward from the pointer — every commit publishes
     at ``prev + 1`` (create-if-absent claims the slot) and vacuum
-    only drops manifests BELOW the retained floor, so the tail
-    ``[pointer .. true latest]`` has no holes. The pointer advance is
+    only drops manifests BELOW the retained floor, lowest-first, so
+    the live set is suffix-shaped at every instant and the tail
+    ``[pointer .. true latest]`` has no holes even mid-vacuum. The pointer advance is
     flock-serialized at publish (see ``_publish_manifest``) but a
     committer can still crash between manifest publish and pointer
     advance — the forward walk absorbs exactly that lag (O(crashed
@@ -273,9 +274,14 @@ def _advance_pointer(root: Path, version: int) -> None:
                 if cur is None or cur < version:
                     fd, tmp = tempfile.mkstemp(dir=root,
                                                prefix="._latest.")
-                    with os.fdopen(fd, "w") as f:
-                        f.write(str(version))
-                    os.replace(tmp, p)
+                    try:
+                        with os.fdopen(fd, "w") as f:
+                            f.write(str(version))
+                        os.replace(tmp, p)
+                    finally:
+                        # a failed replace must not orphan the tmp
+                        # (the swallow below would hide the leak)
+                        Path(tmp).unlink(missing_ok=True)
             finally:
                 fcntl.flock(lf, fcntl.LOCK_UN)
     except OSError:
@@ -2459,9 +2465,18 @@ def vacuum(table_dir: str | Path, keep_last: int = 1,
             deleted.append(d.name)
     floor = keep_versions[0]
     if ckpt_ok:
-        for mp in root.glob("manifest-*.json"):
-            if int(mp.stem.split("-", 1)[1]) < floor:
-                mp.unlink()
+        # ASCENDING numeric order (review r14): latest_version's O(1)
+        # pointer path walks forward over a contiguous tail, so the
+        # live manifest set must stay suffix-shaped AT EVERY INSTANT
+        # of this loop. Deleting lowest-first guarantees it — a
+        # lagging-but-verified pointer can never walk into a fresh
+        # hole and report a stale sub-floor version as latest (glob
+        # readdir order would delete e.g. manifest-10 before
+        # manifest-9 and open exactly that window).
+        for mp in sorted((p for p in root.glob("manifest-*.json")
+                          if int(p.stem.split("-", 1)[1]) < floor),
+                         key=lambda p: int(p.stem.split("-", 1)[1])):
+            mp.unlink()
     # checkpoints are derived data: keep only the newest one at or
     # below the snapshot latest (it carries the merged txn high-water
     # map forward); never touch concurrently published newer ones

@@ -2372,6 +2372,26 @@ class TestChunkedTrailingWindow:
         for k in (2, 3, 5):
             self._check(spark, df, k=k, chunk_s=3600)
 
+    def test_null_values_match_reference_row_accounting(self, spark):
+        """Review r14: the reference collect_list frame counts ROWS
+        but drops NULL values — a null-heavy corpus must produce
+        short arrays, never backfill with older values."""
+        import datetime as dt
+
+        import numpy as np
+        rng = np.random.default_rng(41)
+        base = dt.datetime(2024, 1, 1)
+        rows = [(int(rng.integers(0, 3)), i,
+                 base + dt.timedelta(
+                     seconds=float(rng.uniform(0, 3 * 86400))),
+                 None if rng.random() < 0.4 else float(i))
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "value double")
+        for chunk_s in (601, 86400):
+            self._check(spark, df, k=6, chunk_s=chunk_s)
+
     def test_duplicate_timestamps_total_order(self, spark):
         """Tied ts values: event_id breaks the tie identically in
         both formulations (struct sort vs window orderBy)."""

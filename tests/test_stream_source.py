@@ -486,15 +486,17 @@ class TestFullPipelineChaos:
         from data_platform_copilot_spark.streaming.stateful import (
             OUTPUT_SCHEMA, STATE_SCHEMA, _update_user_state)
 
-        # 10-version backlog of (user_id, ts, value); 0.25 steps keep
-        # incremental and batch double sums bit-identical pre-round
-        for i in range(10):
-            df = (spark.range(i * 5, (i + 1) * 5).select(
+        # 0.25 value steps keep incremental and batch double sums
+        # bit-identical pre-round
+        def _events(i):
+            return (spark.range(i * 5, (i + 1) * 5).select(
                 (F.col("id") % 7).alias("user_id"),
                 F.timestamp_seconds(1700000000 + F.col("id") * 60)
                 .alias("ts"),
                 ((F.col("id") % 100) * 0.25).alias("value")))
-            write_version(df, tdir, "append" if i else "overwrite")
+
+        for i in range(10):   # 10-version backlog
+            write_version(_events(i), tdir, "append" if i else "overwrite")
         dest, ck = tmp_path / "dest", tmp_path / "ck"
 
         def _start(trigger_kwargs):
@@ -521,6 +523,11 @@ class TestFullPipelineChaos:
         q.awaitTermination(60)
         assert latest_version(dest) is not None
         mid_rows = read_version(spark, dest).count()
+        # two more source versions AFTER the kill: the resume always
+        # has work even if the first run drained the whole backlog
+        # before stop() landed (review r14: timing-robustness)
+        for i in (10, 11):
+            write_version(_events(i), tdir, "append")
 
         from pyspark.sql import Window as W
         w = W.partitionBy("user_id").orderBy(F.desc("n_events"))

@@ -109,6 +109,11 @@ def main() -> None:
                               "rows": k * WIDTH,
                               "data_mb": round(mb, 1),
                               "warm_scan_s": round(t, 3)}), flush=True)
+    if len(set(ks)) < 2:
+        print(json.dumps({"note": "need >= 2 distinct Ks for the "
+                                  "fixed/marginal fit; per-K lines "
+                                  "above are still valid"}))
+        return
     mb_per_k = (mbs[-1] - mbs[0]) / (ks[-1] - ks[0])
     summary = {"mb_per_k": round(mb_per_k, 1)}
     marg = {}
