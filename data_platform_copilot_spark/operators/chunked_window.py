@@ -1,4 +1,6 @@
-"""Whale-proof bounded TRAILING frames: chunked window + bounded carry.
+"""Whale-proof chunked windows: bounded trailing frames and the
+exclusive running last-non-null, each = chunk-local window + a carry
+computed over the tiny per-(key, chunk) summary table.
 
 ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` over
 ``partitionBy(user)`` serializes a whale user into one task exactly
@@ -44,6 +46,64 @@ from .sessionize import _epoch_s
 def _last(arr: Column, n: int) -> Column:
     """Last ``n`` elements (whole array when shorter). n >= 1."""
     return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
+
+
+def last_ignorenulls_chunked(df: DataFrame, key_col: str, ts_col: str,
+                             order_cols: list[str], value_col: str,
+                             out_col: str = "prev",
+                             chunk_s: int = 86400) -> DataFrame:
+    """All input columns + ``out_col`` = the last non-null
+    ``value_col`` STRICTLY BEFORE the current row per ``key_col`` in
+    ``order_cols`` order — exactly
+    ``last(value, ignorenulls=True).over(partitionBy(key)
+    .orderBy(*order).rowsBetween(unboundedPreceding, -1))`` with no
+    FULL-DATA window partition wider than one ``(key, chunk_s)``
+    slice.
+
+    The unbounded carry moves to the per-(key, chunk) SUMMARY table:
+    a chunk's carry is the newest non-null value in any earlier
+    chunk, and the summary has one row per occupied chunk — bounded
+    by time span / chunk_s, independent of row volume, so a whale
+    key bloats the bounded local windows (parallel) but never a
+    single task. ``order_cols`` must be non-null and totally order
+    rows within a key (both formulations are nondeterministic
+    otherwise); ``ts_col`` (the chunking clock) must lead them.
+
+    ``value_col`` may be a struct — the carried value is whatever
+    the caller packs, so one pass can carry several attributes of
+    the same qualifying row (see attribution_two_phase in
+    queries/timeseries.py)."""
+    if order_cols[0] != ts_col:
+        raise ValueError("ts_col must lead order_cols (chunking and "
+                         "ordering must agree)")
+    chunk = F.floor(_epoch_s(ts_col) / F.lit(chunk_s))
+    rows = df.withColumn("__chunk", chunk)
+
+    # local pass: exclusive running last within the bounded
+    # (key, chunk) partition
+    w_local = (W.partitionBy(key_col, "__chunk").orderBy(*order_cols)
+               .rowsBetween(W.unboundedPreceding, -1))
+    rows = rows.withColumn(
+        "__local", F.last(value_col, ignorenulls=True).over(w_local))
+
+    # per-chunk summary: the chunk's newest non-null value = max of
+    # (order..., value) structs over non-null-value rows (order_cols
+    # are non-null and total, so the struct max is the last row)
+    tagged = F.when(F.col(value_col).isNotNull(),
+                    F.struct(*order_cols, F.col(value_col).alias("__v")))
+    ch = (rows.groupBy(key_col, "__chunk")
+          .agg(F.max(tagged)["__v"].alias("__chunk_last")))
+    # carry: newest non-null chunk_last over all EARLIER chunks —
+    # unbounded, but over the tiny summary table
+    w_carry = (W.partitionBy(key_col).orderBy("__chunk")
+               .rowsBetween(W.unboundedPreceding, -1))
+    ch = ch.select(key_col, "__chunk",
+                   F.last("__chunk_last", ignorenulls=True)
+                   .over(w_carry).alias("__carry"))
+
+    return (rows.join(ch, [key_col, "__chunk"])
+            .withColumn(out_col, F.coalesce("__local", "__carry"))
+            .drop("__chunk", "__local", "__carry"))
 
 
 def trailing_values_chunked(df: DataFrame, key_col: str, ts_col: str,

@@ -609,7 +609,7 @@ def ewma_value_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ewma_from_win(arr)
 
 
-@query("attribution_last_touch", oracle="""
+_ATTRIBUTION_ORACLE = """
 WITH ordered AS (
     SELECT user_id, ts, event_id, event_type, value,
            last_value(CASE WHEN event_type <> 'purchase'
@@ -634,7 +634,10 @@ SELECT attributed_type,
        CAST(count(*) AS BIGINT) AS n_purchases,
        round(sum(value), 2) AS total_value
 FROM attributed GROUP BY attributed_type
-""")
+"""
+
+
+@query("attribution_last_touch", oracle=_ATTRIBUTION_ORACLE)
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch purchase attribution: each purchase credits the
     user's most recent non-purchase event within 24 h (else
@@ -651,10 +654,18 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ignorenulls=True).over(w)
     prev_ts = F.last(F.when(not_purchase, F.col("ts")),
                      ignorenulls=True).over(w)
-    attributed = (ev
-                  .select("event_type", "value", "ts",
-                          prev_type.alias("prev_type"),
-                          prev_ts.alias("prev_ts"))
+    return _attribution_from_prev(
+        ev.select("event_type", "value", "ts",
+                  prev_type.alias("prev_type"),
+                  prev_ts.alias("prev_ts")))
+
+
+def _attribution_from_prev(df: DataFrame) -> DataFrame:
+    """Shared attribute-and-aggregate tail of both attribution
+    entries (one body so the formulations cannot drift): rows carry
+    (event_type, value, ts, prev_type, prev_ts); purchases credit
+    prev_type when it happened within 24 h, else 'direct'."""
+    attributed = (df
                   .where(F.col("event_type") == "purchase")
                   .select(
                       F.when(F.col("prev_ts").isNotNull()
@@ -667,6 +678,36 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (attributed.groupBy("attributed_type")
             .agg(F.count("*").alias("n_purchases"),
                  rnd(F.sum("value"), 2).alias("total_value")))
+
+
+@query("attribution_two_phase", oracle=_ATTRIBUTION_ORACLE)
+def attribution_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-proof twin of attribution_last_touch: the exclusive
+    running last-non-null moves to
+    operators/chunked_window.last_ignorenulls_chunked — chunk-local
+    exclusive last inside bounded (user, day-chunk) partitions, carry
+    over the per-chunk summary table (rows per user = occupied
+    chunks, time-bounded), so a bot user with 10^8 events can never
+    serialize one window task the way the one-window plan does
+    (tools/skew_probe.py). The last qualifying (type, ts) pair rides
+    ONE carried struct — both attributes come from the same
+    qualifying row, so a single pass replaces the one-window plan's
+    two IGNORE NULLS last_value calls. Identical DuckDB oracle and
+    shared combine (_attribution_from_prev) as the one-window
+    entry."""
+    from ..operators.chunked_window import last_ignorenulls_chunked
+    ev = _t(spark, sf_dir, "events")
+    qual = F.when(F.col("event_type") != "purchase",
+                  F.struct(F.col("event_type").alias("t"),
+                           F.col("ts").alias("s")))
+    prev = last_ignorenulls_chunked(
+        ev.select("event_id", "user_id", "ts", "event_type", "value",
+                  qual.alias("__q")),
+        "user_id", "ts", ["ts", "event_id"], "__q", out_col="__prev")
+    return _attribution_from_prev(
+        prev.select("event_type", "value", "ts",
+                    F.col("__prev.t").alias("prev_type"),
+                    F.col("__prev.s").alias("prev_ts")))
 
 
 @query("survival_km_user_lifetime", oracle="""

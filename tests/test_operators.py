@@ -2411,3 +2411,111 @@ class TestChunkedTrailingWindow:
         b = sorted(map(tuple, QUERIES["ewma_value_two_phase"](
             spark, sf_dir).collect()))
         assert a == b and a
+
+
+class TestChunkedLastIgnoreNulls:
+    """operators/chunked_window.last_ignorenulls_chunked must equal
+    last(value, ignorenulls=True) over the exclusive unbounded frame
+    for any chunk width — including widths so narrow the carry must
+    cross many empty and all-null chunks."""
+
+    def _fuzz_df(self, spark, seed, n=300, users=5, span_s=4 * 86400,
+                 p_null=0.5):
+        import datetime as dt
+
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        base = dt.datetime(2024, 1, 1)
+        rows = [(int(rng.integers(0, users)), i,
+                 base + dt.timedelta(
+                     seconds=float(np.round(rng.uniform(0, span_s), 3))),
+                 None if rng.random() < p_null else float(i))
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "value double")
+
+    def _check(self, spark, df, chunk_s):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.chunked_window import (
+            last_ignorenulls_chunked)
+        got = {(r["user_id"], r["event_id"]): r["prev"]
+               for r in last_ignorenulls_chunked(
+                   df, "user_id", "ts", ["ts", "event_id"], "value",
+                   chunk_s=chunk_s).collect()}
+        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+        want = {(r["user_id"], r["event_id"]): r["prev"]
+                for r in df.select(
+                    "user_id", "event_id",
+                    F.last("value", ignorenulls=True).over(w)
+                    .alias("prev")).collect()}
+        assert got == want and len(got) == df.count()
+
+    def test_equivalence_across_chunk_widths(self, spark):
+        df = self._fuzz_df(spark, 43)
+        # 601 s: carries cross many chunks; 86400: production
+        # default; 10^9: one chunk (pure local path)
+        for chunk_s in (601, 7200, 86400, 10**9):
+            self._check(spark, df, chunk_s)
+
+    def test_all_null_and_sparse_users(self, spark):
+        # 90% nulls: most chunks contribute NO summary value, so the
+        # carry must skip whole all-null chunks; 20 users over 60
+        # rows: many single-row keys (prev is null everywhere)
+        df = self._fuzz_df(spark, 47, n=60, users=20, p_null=0.9)
+        for chunk_s in (601, 86400):
+            self._check(spark, df, chunk_s)
+
+    def test_struct_values_carry_whole_rows(self, spark):
+        """A struct value carries several attributes of the same
+        qualifying row at once (the attribution_two_phase shape)."""
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        rows = [(1, i, base + dt.timedelta(seconds=i * 40_000),
+                 chr(97 + i % 5), float(i)) for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "tag string, value double")
+        qual = F.when(F.col("tag") != "a",
+                      F.struct(F.col("tag").alias("t"),
+                               F.col("value").alias("v")))
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.chunked_window import (
+            last_ignorenulls_chunked)
+        got = {r["event_id"]: (r["prev"]["t"], r["prev"]["v"])
+               for r in last_ignorenulls_chunked(
+                   df.select("user_id", "event_id", "ts",
+                             qual.alias("q")),
+                   "user_id", "ts", ["ts", "event_id"], "q",
+                   chunk_s=50_000).collect()
+               if r["prev"] is not None}
+        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+        want = {r["event_id"]: (r["prev"]["t"], r["prev"]["v"])
+                for r in df.select(
+                    "event_id",
+                    F.last(qual, ignorenulls=True).over(w)
+                    .alias("prev")).collect()
+                if r["prev"] is not None}
+        assert got == want and got
+
+    def test_ts_must_lead_order_cols(self, spark):
+        import pytest
+
+        from data_platform_copilot_spark.operators.chunked_window import (
+            last_ignorenulls_chunked)
+        df = self._fuzz_df(spark, 53, n=5)
+        with pytest.raises(ValueError, match="ts_col must lead"):
+            last_ignorenulls_chunked(
+                df, "user_id", "ts", ["event_id", "ts"], "value")
+
+    def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        a = sorted(map(tuple, QUERIES["attribution_last_touch"](
+            spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["attribution_two_phase"](
+            spark, sf_dir).collect()))
+        assert a == b and a

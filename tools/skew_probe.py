@@ -34,6 +34,7 @@ ENTRIES = [
     "ewma_value_per_user",
     "ewma_value_two_phase",
     "attribution_last_touch",
+    "attribution_two_phase",
     "session_depth_histogram",
 ]
 
