@@ -48,19 +48,22 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # trailing frame, operators/chunked_window.py, after
     # tools/skew_probe.py measured the one-window EWMA at 23x under a
     # 10%-of-corpus whale user).
-    # Position 4: attribution_two_phase, registered later in r14 —
-    # the whale-proof exclusive running last-non-null
-    # (operators/chunked_window.last_ignorenulls_chunked), same
+    # Positions 4-5: attribution_two_phase and
+    # session_depth_two_phase, registered later in r14 — the
+    # whale-proof exclusive running last-non-null
+    # (operators/chunked_window.last_ignorenulls_chunked) and the
+    # session-depth reuse of the two-phase sessionizer — same
     # immediate-slot policy.
-    # Positions 5-50: the last-green-r9 cohort — the 50 entries whose
+    # Positions 6-50: the last-green-r9 cohort — the 50 entries whose
     # newest driver hash is CORRECTNESS_r09.json in the union of
     # r01..r13 artifacts — alphabetical for determinism, truncated at
-    # 46 by the four immediate slots.
+    # 45 by the five immediate slots.
     # ---- registered/re-oracled r14 (never driver-green) ----
     "sessionization_two_phase",
     "compression_ratio_quality",
     "ewma_value_two_phase",
     "attribution_two_phase",
+    "session_depth_two_phase",
     # ---- backfill 4-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
@@ -107,10 +110,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "tpch_q1_pricing_summary",
     "unpivot_stack",
     "using_join_syntax",
-    "window_lag_delta",
     # ---- gate window ends here (50) ----
-    # Residue (leads the r15 gate): the four r9-cohort entries the
+    # Residue (leads the r15 gate): the five r9-cohort entries the
     # immediate slots displaced ...
+    "window_lag_delta",
     "window_range_frame",
     "window_rank_topk_per_group",
     "window_running_sum",

@@ -1201,7 +1201,7 @@ def streaming_trending_types_1h(spark: SparkSession,
     return run_streaming_trending_types(spark, sf_dir)
 
 
-@query("session_depth_histogram", oracle="""
+_SESSION_DEPTH_ORACLE = """
 WITH ordered AS (
     SELECT user_id, ts, event_id,
            CASE WHEN date_diff('second',
@@ -1227,7 +1227,10 @@ SELECT CAST(depth_bucket AS BIGINT) AS depth_bucket,
        round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM depth),
              4) AS frac
 FROM capped GROUP BY depth_bucket
-""")
+"""
+
+
+@query("session_depth_histogram", oracle=_SESSION_DEPTH_ORACLE)
 def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session depth distribution (30-min inactivity sessions, the
     sessionization entry's rule): events per session bucketed at
@@ -1247,6 +1250,12 @@ def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id", sess_no.alias("session_no"))
              .groupBy("user_id", "session_no")
              .agg(F.count("*").alias("depth")))
+    return _depth_histogram(depth)
+
+
+def _depth_histogram(depth: DataFrame) -> DataFrame:
+    """Shared histogram tail of both session-depth entries: bucket
+    per-session depths at 10+, emit count + share per bucket."""
     tot = depth.agg(F.count("*").cast("double").alias("nt"))
     return (depth.select(F.least(F.col("depth"), F.lit(10))
                          .cast("long").alias("depth_bucket"))
@@ -1256,6 +1265,26 @@ def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("depth_bucket", "n_sessions",
                     rnd(F.col("n_sessions") / F.col("nt"), 4)
                     .alias("frac")))
+
+
+@query("session_depth_two_phase", oracle=_SESSION_DEPTH_ORACLE)
+def session_depth_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-proof twin of session_depth_histogram: session numbering
+    comes from operators/sessionize.two_phase_session_ids (chunk-local
+    sessionize + per-user chunk-walk merge — the sessionization_two_
+    phase machinery, reused verbatim), so the widest window partition
+    is one (user, day-chunk) slice instead of a whole bot user. Depth
+    grouping is tie-insensitive (duplicate timestamps have gap 0 and
+    can never start a session), so the ts-only ordering inside the
+    operator groups events identically to the one-window plan's
+    (ts, event_id) ordering. Identical DuckDB oracle and shared
+    histogram combine (_depth_histogram)."""
+    from ..operators.sessionize import two_phase_session_ids
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    depth = (two_phase_session_ids(ev, gap_s=1800)
+             .groupBy("user_id", "session_id")
+             .agg(F.count("*").alias("depth")))
+    return _depth_histogram(depth)
 
 
 @query("traffic_heatmap_dow_hour", oracle="""

@@ -2519,3 +2519,55 @@ class TestChunkedLastIgnoreNulls:
         b = sorted(map(tuple, QUERIES["attribution_two_phase"](
             spark, sf_dir).collect()))
         assert a == b and a
+
+
+class TestSessionDepthTwoPhase:
+    """session_depth_two_phase reuses two_phase_session_ids; the
+    histogram must equal the one-window entry exactly (grouping is
+    tie-insensitive: ties have gap 0 and never start a session)."""
+
+    def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        a = sorted(map(tuple, QUERIES["session_depth_histogram"](
+            spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["session_depth_two_phase"](
+            spark, sf_dir).collect()))
+        assert a == b and a
+
+    def test_duplicate_ts_grouping_is_order_insensitive(self, spark):
+        """Many duplicate timestamps per user: both formulations must
+        bucket identically even though the operator orders by ts only
+        and the one-window plan by (ts, event_id)."""
+        import datetime as dt
+
+        import numpy as np
+        rng = np.random.default_rng(59)
+        base = dt.datetime(2024, 1, 1)
+        rows = [(int(rng.integers(0, 4)), i,
+                 base + dt.timedelta(
+                     seconds=int(rng.integers(0, 40)) * 3600))
+                for i in range(200)]  # heavy ts collisions
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp")
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.sessionize import (
+            two_phase_session_ids)
+        two = (two_phase_session_ids(df.select("user_id", "ts"),
+                                     gap_s=1800)
+               .groupBy("user_id", "session_id")
+               .agg(F.count("*").alias("depth")))
+        wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("ts").over(wo)
+        is_start = F.when(
+            prev.isNull()
+            | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+            1).otherwise(0)
+        sess = F.sum(is_start).over(
+            wo.rowsBetween(W.unboundedPreceding, 0))
+        one = (df.select("user_id", sess.alias("session_id"))
+               .groupBy("user_id", "session_id")
+               .agg(F.count("*").alias("depth")))
+        a = sorted(map(tuple, two.select("user_id", "depth").collect()))
+        b = sorted(map(tuple, one.select("user_id", "depth").collect()))
+        assert a == b and a

@@ -36,6 +36,7 @@ ENTRIES = [
     "attribution_last_touch",
     "attribution_two_phase",
     "session_depth_histogram",
+    "session_depth_two_phase",
 ]
 
 
