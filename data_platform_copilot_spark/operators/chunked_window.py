@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .sessionize import _epoch_s
+from .sessionize import _key_chunk_struct
 
 
 def _last(arr: Column, n: int) -> Column:
@@ -76,12 +76,12 @@ def last_ignorenulls_chunked(df: DataFrame, key_col: str, ts_col: str,
     if order_cols[0] != ts_col:
         raise ValueError("ts_col must lead order_cols (chunking and "
                          "ordering must agree)")
-    chunk = F.floor(_epoch_s(ts_col) / F.lit(chunk_s))
-    rows = df.withColumn("__chunk", chunk)
+    rows = df.withColumn(
+        "__kc", _key_chunk_struct(key_col, ts_col, chunk_s))
 
     # local pass: exclusive running last within the bounded
     # (key, chunk) partition
-    w_local = (W.partitionBy(key_col, "__chunk").orderBy(*order_cols)
+    w_local = (W.partitionBy("__kc").orderBy(*order_cols)
                .rowsBetween(W.unboundedPreceding, -1))
     rows = rows.withColumn(
         "__local", F.last(value_col, ignorenulls=True).over(w_local))
@@ -91,19 +91,19 @@ def last_ignorenulls_chunked(df: DataFrame, key_col: str, ts_col: str,
     # are non-null and total, so the struct max is the last row)
     tagged = F.when(F.col(value_col).isNotNull(),
                     F.struct(*order_cols, F.col(value_col).alias("__v")))
-    ch = (rows.groupBy(key_col, "__chunk")
+    ch = (rows.groupBy("__kc")
           .agg(F.max(tagged)["__v"].alias("__chunk_last")))
     # carry: newest non-null chunk_last over all EARLIER chunks —
     # unbounded, but over the tiny summary table
-    w_carry = (W.partitionBy(key_col).orderBy("__chunk")
+    w_carry = (W.partitionBy("__kc.k").orderBy("__kc.c")
                .rowsBetween(W.unboundedPreceding, -1))
-    ch = ch.select(key_col, "__chunk",
+    ch = ch.select("__kc",
                    F.last("__chunk_last", ignorenulls=True)
                    .over(w_carry).alias("__carry"))
 
-    return (rows.join(ch, [key_col, "__chunk"])
+    return (rows.join(ch, ["__kc"])
             .withColumn(out_col, F.coalesce("__local", "__carry"))
-            .drop("__chunk", "__local", "__carry"))
+            .drop("__kc", "__local", "__carry"))
 
 
 def trailing_values_chunked(df: DataFrame, key_col: str, ts_col: str,
@@ -123,8 +123,8 @@ def trailing_values_chunked(df: DataFrame, key_col: str, ts_col: str,
     if order_cols[0] != ts_col:
         raise ValueError("ts_col must lead order_cols (chunking and "
                          "ordering must agree)")
-    chunk = F.floor(_epoch_s(ts_col) / F.lit(chunk_s))
-    rows = df.withColumn("__chunk", chunk)
+    rows = df.withColumn(
+        "__kc", _key_chunk_struct(key_col, ts_col, chunk_s))
 
     # Every intermediate carries ONE STRUCT PER ROW (never a bare
     # value): the reference formulation's frame counts ROWS while its
@@ -135,7 +135,7 @@ def trailing_values_chunked(df: DataFrame, key_col: str, ts_col: str,
     # (review r14: bare-value tails silently backfilled frames with
     # older values whenever value_col held NULLs).
     wrapped = F.struct(F.col(value_col).alias("__v"))
-    w_local = (W.partitionBy(key_col, "__chunk").orderBy(*order_cols)
+    w_local = (W.partitionBy("__kc").orderBy(*order_cols)
                .rowsBetween(-(k - 1), 0))
     rows = rows.withColumn("__local", F.collect_list(wrapped)
                            .over(w_local))
@@ -144,29 +144,29 @@ def trailing_values_chunked(df: DataFrame, key_col: str, ts_col: str,
     # keep the last k-1 ROWS (groupBy reuses the local window's
     # (key, chunk) partitioning)
     order_struct = F.struct(*order_cols, wrapped.alias("__w"))
-    ch = (rows.groupBy(key_col, "__chunk")
+    ch = (rows.groupBy("__kc")
           .agg(F.sort_array(F.collect_list(order_struct)).alias("__s"))
-          .select(key_col, "__chunk",
+          .select("__kc",
                   _last(F.transform("__s", lambda s: s["__w"]), k - 1)
                   .alias("__tail")))
     # carry = last k-1 rows before this chunk; bounded frame over
     # the previous k-1 non-empty chunk summaries is provably enough
     vt = df.schema[value_col].dataType.simpleString()
-    w_carry = (W.partitionBy(key_col).orderBy("__chunk")
+    w_carry = (W.partitionBy("__kc.k").orderBy("__kc.c")
                .rowsBetween(-(k - 1), -1))
     ch = ch.select(
-        key_col, "__chunk",
+        "__kc",
         _last(F.coalesce(
             F.flatten(F.collect_list("__tail").over(w_carry)),
             F.array().cast(f"array<struct<__v:{vt}>>")),
             k - 1).alias("__carry"))
 
-    out = (rows.join(ch, [key_col, "__chunk"])
+    out = (rows.join(ch, ["__kc"])
            .withColumn(out_col,
                        F.transform(
                            F.filter(
                                _last(F.concat("__carry", "__local"), k),
                                lambda s: s["__v"].isNotNull()),
                            lambda s: s["__v"]))
-           .drop("__chunk", "__local", "__carry"))
+           .drop("__kc", "__local", "__carry"))
     return out

@@ -52,6 +52,24 @@ def _epoch_s(c) -> F.Column:
     return col.cast("timestamp_ltz").cast("long")
 
 
+def _key_chunk_struct(key_col: str, ts_col: str, chunk_s: int):
+    """The ONE partition/group/join key for the two-phase window
+    operators: ``struct(key, time-chunk)``. Complex-type equality in
+    Spark treats NULL fields as EQUAL (``named_struct('k', NULL) =
+    named_struct('k', NULL)`` is true), unlike scalar EqualTo, so
+    windows, groupBy AND the carry join all see a NULL key (or a
+    NULL timestamp) as an ordinary partition value — matching the
+    one-window formulations, where partitionBy groups NULLs together
+    instead of dropping them. Using the SAME struct expression for
+    the phase-1 window and the summary join keeps the join a plain
+    equi-join on the exchange Catalyst already planned for the
+    window (an eqNullSafe join condition would rewrite the keys to
+    coalesce/isnull pairs and force an extra full-data shuffle)."""
+    return F.struct(F.col(key_col).alias("k"),
+                    F.floor(_epoch_s(ts_col) / F.lit(chunk_s))
+                    .alias("c"))
+
+
 def two_phase_session_ids(df: DataFrame, user_col: str = "user_id",
                           ts_col: str = "ts", gap_s: int = 1800,
                           chunk_s: int = 86400) -> DataFrame:
@@ -60,10 +78,10 @@ def two_phase_session_ids(df: DataFrame, user_col: str = "user_id",
     ``(user, chunk_s)`` slice. ``chunk_s`` trades phase-1 partition
     width against phase-2 table size; the default (1 day) bounds a
     uniform-rate bot at rate*86400 rows per task."""
-    chunk = F.floor(_epoch_s(ts_col) / F.lit(chunk_s)).alias("__chunk")
-    rows = df.withColumn("__chunk", chunk)
+    rows = df.withColumn(
+        "__kc", _key_chunk_struct(user_col, ts_col, chunk_s))
 
-    w1 = W.partitionBy(user_col, "__chunk").orderBy(ts_col)
+    w1 = W.partitionBy("__kc").orderBy(ts_col)
     w1run = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
     rows = (
         rows
@@ -79,11 +97,11 @@ def two_phase_session_ids(df: DataFrame, user_col: str = "user_id",
     # phase 2: per-chunk summaries (groupBy reuses the phase-1
     # partitioning — Catalyst plans no extra exchange), then the tiny
     # per-user chunk walk
-    ch = rows.groupBy(user_col, "__chunk").agg(
+    ch = rows.groupBy("__kc").agg(
         F.min(ts_col).alias("__first"),
         F.max(ts_col).alias("__last"),
         F.max("__lsid").alias("__nloc"))
-    w2 = W.partitionBy(user_col).orderBy("__chunk")
+    w2 = W.partitionBy("__kc.k").orderBy("__kc.c")
     ch = (
         ch
         .withColumn("__prev_last", F.lag("__last").over(w2))
@@ -98,11 +116,11 @@ def two_phase_session_ids(df: DataFrame, user_col: str = "user_id",
                 F.sum(F.col("__nloc") - F.col("__merge"))
                 .over(w2.rowsBetween(W.unboundedPreceding, -1)),
                 F.lit(0)))
-        .select(user_col, "__chunk", "__merge", "__offset"))
+        .select("__kc", "__merge", "__offset"))
 
-    out = (rows.join(ch, [user_col, "__chunk"])
+    out = (rows.join(ch, ["__kc"])
            .withColumn("session_id",
                        F.col("__offset") + F.col("__lsid")
                        - F.col("__merge"))
-           .drop("__chunk", "__lsid", "__merge", "__offset"))
+           .drop("__kc", "__lsid", "__merge", "__offset"))
     return out

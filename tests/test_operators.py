@@ -2571,3 +2571,87 @@ class TestSessionDepthTwoPhase:
         a = sorted(map(tuple, two.select("user_id", "depth").collect()))
         b = sorted(map(tuple, one.select("user_id", "depth").collect()))
         assert a == b and a
+
+
+class TestNullKeyPartitions:
+    """A NULL key is an ordinary partition value to a window
+    (partitionBy groups all NULLs together); the two-phase twins'
+    summary joins must be null-safe or those rows silently vanish.
+    One fixture, all three chunked operators vs their one-window
+    formulations."""
+
+    def _df(self, spark, seed=61, n=120):
+        import datetime as dt
+
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        base = dt.datetime(2024, 1, 1)
+        rows = [(None if rng.random() < 0.3 else int(rng.integers(0, 3)),
+                 i,
+                 base + dt.timedelta(
+                     seconds=float(np.round(rng.uniform(0, 3 * 86400), 3))),
+                 None if rng.random() < 0.3 else float(i))
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "value double")
+
+    def test_two_phase_session_ids_keeps_null_users(self, spark):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.sessionize import (
+            two_phase_session_ids)
+        df = self._df(spark).select("user_id", "event_id", "ts")
+        got = {r["event_id"]: (r["user_id"], r["session_id"])
+               for r in two_phase_session_ids(
+                   df, chunk_s=3600).collect()}
+        w = W.partitionBy("user_id").orderBy("ts")
+        prev = F.lag("ts").over(w)
+        new = (prev.isNull()
+               | (F.col("ts").cast("long") - prev.cast("long") > 1800)
+               ).cast("int")
+        want = {r["event_id"]: (r["user_id"], r["session_id"])
+                for r in df.withColumn(
+                    "session_id",
+                    F.sum(new).over(
+                        w.rowsBetween(W.unboundedPreceding, 0)))
+                .collect()}
+        assert got == want and len(got) == df.count()
+
+    def test_trailing_values_keeps_null_users(self, spark):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.chunked_window import (
+            trailing_values_chunked)
+        df = self._df(spark, seed=67)
+        got = {(r["user_id"], r["event_id"]): list(r["win"])
+               for r in trailing_values_chunked(
+                   df, "user_id", "ts", ["ts", "event_id"], "value",
+                   k=4, chunk_s=3600).collect()}
+        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(-3, 0))
+        want = {(r["user_id"], r["event_id"]): list(r["win"])
+                for r in df.select(
+                    "user_id", "event_id",
+                    F.collect_list("value").over(w).alias("win"))
+                .collect()}
+        assert got == want and len(got) == df.count()
+
+    def test_last_ignorenulls_keeps_null_users(self, spark):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.chunked_window import (
+            last_ignorenulls_chunked)
+        df = self._df(spark, seed=71)
+        got = {(r["user_id"], r["event_id"]): r["prev"]
+               for r in last_ignorenulls_chunked(
+                   df, "user_id", "ts", ["ts", "event_id"], "value",
+                   chunk_s=3600).collect()}
+        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+        want = {(r["user_id"], r["event_id"]): r["prev"]
+                for r in df.select(
+                    "user_id", "event_id",
+                    F.last("value", ignorenulls=True).over(w)
+                    .alias("prev")).collect()}
+        assert got == want and len(got) == df.count()
