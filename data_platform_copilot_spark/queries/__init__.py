@@ -64,7 +64,7 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "ewma_value_two_phase",
     "attribution_two_phase",
     "session_depth_two_phase",
-    # ---- backfill 4-50: the last-green-r9 cohort, alphabetical ----
+    # ---- backfill 6-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
     "array_functions",

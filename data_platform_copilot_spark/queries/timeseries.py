@@ -1246,8 +1246,7 @@ def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess_no = F.sum(is_start).over(
         W.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, 0))
-    depth = (ev.select("user_id", is_start.alias("s"), "ts", "event_id")
-             .select("user_id", sess_no.alias("session_no"))
+    depth = (ev.select("user_id", sess_no.alias("session_no"))
              .groupBy("user_id", "session_no")
              .agg(F.count("*").alias("depth")))
     return _depth_histogram(depth)

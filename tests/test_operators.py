@@ -2513,12 +2513,18 @@ class TestChunkedLastIgnoreNulls:
                 df, "user_id", "ts", ["event_id", "ts"], "value")
 
     def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        # total_value is round(sum(double), 2) from two different
+        # physical plans: tolerate a one-cent rounding-boundary
+        # divergence (exactness vs DuckDB is the shared oracle's job)
         from data_platform_copilot_spark.queries import QUERIES
-        a = sorted(map(tuple, QUERIES["attribution_last_touch"](
-            spark, sf_dir).collect()))
-        b = sorted(map(tuple, QUERIES["attribution_two_phase"](
-            spark, sf_dir).collect()))
-        assert a == b and a
+        a = {r["attributed_type"]: r for r in
+             QUERIES["attribution_last_touch"](spark, sf_dir).collect()}
+        b = {r["attributed_type"]: r for r in
+             QUERIES["attribution_two_phase"](spark, sf_dir).collect()}
+        assert a.keys() == b.keys() and a
+        for k in a:
+            assert a[k]["n_purchases"] == b[k]["n_purchases"]
+            assert abs(a[k]["total_value"] - b[k]["total_value"]) <= 0.011
 
 
 class TestSessionDepthTwoPhase:
@@ -2527,12 +2533,18 @@ class TestSessionDepthTwoPhase:
     tie-insensitive: ties have gap 0 and never start a session)."""
 
     def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        # frac is round(count/total, 4) from two different physical
+        # plans: tolerate a one-ULP-of-the-4th-decimal divergence
+        # (exactness vs DuckDB is the shared oracle's job)
         from data_platform_copilot_spark.queries import QUERIES
-        a = sorted(map(tuple, QUERIES["session_depth_histogram"](
-            spark, sf_dir).collect()))
-        b = sorted(map(tuple, QUERIES["session_depth_two_phase"](
-            spark, sf_dir).collect()))
-        assert a == b and a
+        a = {r["depth_bucket"]: r for r in
+             QUERIES["session_depth_histogram"](spark, sf_dir).collect()}
+        b = {r["depth_bucket"]: r for r in
+             QUERIES["session_depth_two_phase"](spark, sf_dir).collect()}
+        assert a.keys() == b.keys() and a
+        for k in a:
+            assert a[k]["n_sessions"] == b[k]["n_sessions"]
+            assert abs(a[k]["frac"] - b[k]["frac"]) <= 1.1e-4
 
     def test_duplicate_ts_grouping_is_order_insensitive(self, spark):
         """Many duplicate timestamps per user: both formulations must
