@@ -2460,6 +2460,12 @@ class TestChunkedLastIgnoreNulls:
         for chunk_s in (601, 7200, 86400, 10**9):
             self._check(spark, df, chunk_s)
 
+    def test_one_second_chunks_max_fragmentation(self, spark):
+        # chunk_s=1: nearly every row is alone in its chunk, so the
+        # carry does ALL the work across a maximal summary table
+        df = self._fuzz_df(spark, 83, n=80, span_s=300)
+        self._check(spark, df, 1)
+
     def test_all_null_and_sparse_users(self, spark):
         # 90% nulls: most chunks contribute NO summary value, so the
         # carry must skip whole all-null chunks; 20 users over 60
