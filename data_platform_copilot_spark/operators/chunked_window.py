@@ -106,6 +106,56 @@ def last_ignorenulls_chunked(df: DataFrame, key_col: str, ts_col: str,
             .drop("__kc", "__local", "__carry"))
 
 
+def lead_chunked(df: DataFrame, key_col: str, ts_col: str,
+                 order_cols: list[str], value_col: str,
+                 out_col: str = "next", chunk_s: int = 86400) -> DataFrame:
+    """All input columns + ``out_col`` = the NEXT row's ``value_col``
+    per ``key_col`` in ``order_cols`` order — exactly
+    ``lead(value).over(partitionBy(key).orderBy(*order))`` with no
+    full-data window partition wider than one ``(key, chunk_s)``
+    slice.
+
+    The offset function needs exactly ONE row of cross-chunk state:
+    a chunk's last row leads into the FIRST row of the key's next
+    occupied chunk. So the carry table is one row per occupied
+    chunk — ``min`` of the ``(order..., value)`` structs — and the
+    chunk walk is a plain ``lead`` over that tiny summary, bounded
+    by time span / chunk_s regardless of row volume.
+
+    Row presence and value NULLs stay separate (the one-window
+    ``lead`` returns NULL only past the partition's end, not when
+    the next VALUE is NULL): every intermediate carries a struct —
+    never a bare value — and ``__v`` is extracted only after the
+    struct-level coalesce. ``order_cols`` must be non-null and
+    totally order rows within a key (both formulations are
+    nondeterministic otherwise); ``ts_col`` (the chunking clock)
+    must lead them."""
+    if order_cols[0] != ts_col:
+        raise ValueError("ts_col must lead order_cols (chunking and "
+                         "ordering must agree)")
+    rows = df.withColumn(
+        "__kc", _key_chunk_struct(key_col, ts_col, chunk_s))
+
+    wrapped = F.struct(F.col(value_col).alias("__v"))
+    w_local = W.partitionBy("__kc").orderBy(*order_cols)
+    rows = rows.withColumn("__local", F.lead(wrapped).over(w_local))
+
+    # per-chunk summary: the chunk's FIRST row's value = min of the
+    # (order..., wrapped) structs (order_cols non-null and total, so
+    # the struct min is the first row); the carry for chunk c is the
+    # next occupied chunk's first value — lead over the summary
+    ch = (rows.groupBy("__kc")
+          .agg(F.min(F.struct(*order_cols, wrapped.alias("__w")))["__w"]
+               .alias("__chunk_first")))
+    w_walk = W.partitionBy("__kc.k").orderBy("__kc.c")
+    ch = ch.select("__kc",
+                   F.lead("__chunk_first").over(w_walk).alias("__carry"))
+
+    return (rows.join(ch, ["__kc"])
+            .withColumn(out_col, F.coalesce("__local", "__carry")["__v"])
+            .drop("__kc", "__local", "__carry"))
+
+
 def trailing_values_chunked(df: DataFrame, key_col: str, ts_col: str,
                             order_cols: list[str], value_col: str,
                             k: int, chunk_s: int = 86400,

@@ -499,3 +499,48 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def margin_topk(left: DataFrame, right: DataFrame, id_col: str,
+                vec_col: str, k: int = 4, m: int = 20) -> DataFrame:
+    """Ratio-margin candidate pair mining between two embedding
+    corpora (Artetxe & Schwenk, "Margin-based Parallel Corpus
+    Mining with Multilingual Sentence Embeddings", ACL 2019) — the
+    standard bitext/near-pair miner: raw cosine over-selects pairs
+    in dense neighborhoods, so each candidate's cosine is normalized
+    by the average cosine of both endpoints' k-NN neighborhoods:
+
+        margin(x, y) = cos(x, y)
+                       / ((avgNN_k(x -> right) + avgNN_k(y -> left)) / 2)
+
+    Returns the global top-``m`` pairs
+    (src_id, tgt_id, cosine, margin, rank), margin-descending with
+    (src_id, tgt_id) tie-break. Candidates are the left->right k-NN
+    pairs, so every pair's margin uses both directions' neighborhood
+    statistics but only |left| * k candidates are ever scored.
+
+    Scale shape: two brute-force k-NN passes (each broadcasts the
+    query side over one scan of the other — swap in srp_lsh_topk /
+    ivf_topk when neither side fits a broadcast), two k-row-per-query
+    aggregates, two broadcast joins, and a distributed top-m
+    (sort+limit plans as TakeOrderedAndProject: per-partition heaps,
+    no global sort); the final rank window runs over the m collected
+    survivors only."""
+    ab = brute_force_topk(right, left, id_col, vec_col, k=k)
+    ba = brute_force_topk(left, right, id_col, vec_col, k=k)
+    a_avg = ab.groupBy("query_id").agg(F.avg("cosine").alias("__a_avg"))
+    b_avg = ba.groupBy("query_id").agg(F.avg("cosine").alias("__b_avg"))
+    cand = (ab.select(F.col("query_id").alias("src_id"),
+                      F.col("neighbor_id").alias("tgt_id"), "cosine")
+            .join(F.broadcast(a_avg.withColumnRenamed("query_id", "src_id")),
+                  "src_id")
+            .join(F.broadcast(b_avg.withColumnRenamed("query_id", "tgt_id")),
+                  "tgt_id")
+            .withColumn("margin",
+                        F.col("cosine")
+                        / ((F.col("__a_avg") + F.col("__b_avg")) / 2)))
+    top = (cand.orderBy(F.desc("margin"), "src_id", "tgt_id").limit(m)
+           .drop("__a_avg", "__b_avg"))
+    w = W.orderBy(F.desc("margin"), "src_id", "tgt_id")
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("src_id", "tgt_id", "cosine", "margin", "rank"))

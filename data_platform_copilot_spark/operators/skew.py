@@ -27,7 +27,8 @@ unmatched build row ``salts`` times.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -96,3 +97,51 @@ def salted_join(large: DataFrame, small: DataFrame, key: str,
     hot_out = l_salted.join(s_rep, [key, "__salt"], how).drop("__salt")
     cold_out = l_cold.join(small, key, how)
     return hot_out.unionByName(cold_out)
+
+
+def salted_topk(df: DataFrame, group_cols: list[str],
+                order_cols: list[Column], k: int,
+                salts: int = 32, rank_col: str = "rnk") -> DataFrame:
+    """Top-k per group via a SALTED two-phase ranking window — the
+    whale-proof twin of ``row_number().over(partitionBy(*group)
+    .orderBy(*order)) <= k``.
+
+    The one-window plan sorts EVERY row of a group in one task, and
+    AQE cannot split a window partition — with few, huge groups
+    (e.g. 5 market segments over 1.5 B customers) each window
+    partition is N/5 rows in a single task. Phase 1 here ranks
+    inside ``(group, salt)`` sub-partitions (salt = hash of the full
+    order tuple, deterministic) and keeps each sub-partition's
+    top-k; any global top-k row is top-k within its own salt bucket,
+    so no survivor is lost. Phase 2 re-ranks the <= k*salts
+    survivors per group — a window whose partitions are bounded by
+    k*salts regardless of data volume, and whose ranks equal the
+    global ranks because every better-ordered row also survived
+    phase 1.
+
+    ``order_cols`` must totally order rows within a group (ties make
+    both formulations nondeterministic). Cost: the phase-1 shuffle
+    carries the salt (so one group spreads over ``salts`` tasks) and
+    the survivors take a second, k*salts-sized shuffle — the usual
+    two-phase insurance premium over the plain window."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    salted = df.withColumn(
+        "__salt",
+        # hash the whole row, not order_cols: those may be sort
+        # orderings (F.desc(...)), which cannot feed a hash; a
+        # full-row hash is deterministic and spreads any group whose
+        # rows are distinct (the total-order contract)
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+               F.lit(salts)))
+    w1 = (W.partitionBy(*group_cols, "__salt").orderBy(*order_cols))
+    survivors = (salted
+                 .withColumn("__r1", F.row_number().over(w1))
+                 .where(F.col("__r1") <= k)
+                 .drop("__salt", "__r1"))
+    w2 = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return (survivors
+            .withColumn(rank_col, F.row_number().over(w2).cast("long"))
+            .where(F.col(rank_col) <= k))

@@ -64,7 +64,18 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "ewma_value_two_phase",
     "attribution_two_phase",
     "session_depth_two_phase",
-    # ---- backfill 6-50: the last-green-r9 cohort, alphabetical ----
+    # Positions 6-9: registered later in r14, same immediate-slot
+    # policy — the remaining whale-proof window twins
+    # (transition_matrix = the offset-window member via
+    # chunked_window.lead_chunked; topk_per_group = salted two-phase
+    # ranking via skew.salted_topk; distribution_funcs =
+    # range-bucketed two-phase global ranks) and the margin-based
+    # pair miner (operators/similarity.margin_topk).
+    "transition_matrix_two_phase",
+    "topk_per_group_two_phase",
+    "distribution_funcs_two_phase",
+    "ann_margin_scores",
+    # ---- backfill 10-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
     "array_functions",
@@ -106,13 +117,14 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "string_functions",
     "text_fingerprint",
     "text_ngram_frequency",
+    # ---- gate window ends here (50) ----
+    # Residue (leads the r15 gate): the nine r9-cohort entries the
+    # immediate slots displaced (five by the first r14 batch, four
+    # more by positions 6-9) ...
     "topk_orderby_alias",
     "tpch_q1_pricing_summary",
     "unpivot_stack",
     "using_join_syntax",
-    # ---- gate window ends here (50) ----
-    # Residue (leads the r15 gate): the five r9-cohort entries the
-    # immediate slots displaced ...
     "window_lag_delta",
     "window_range_frame",
     "window_rank_topk_per_group",

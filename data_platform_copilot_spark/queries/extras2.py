@@ -173,7 +173,7 @@ def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("window_distribution_funcs", oracle="""
+_DISTRIBUTION_ORACLE = """
 SELECT c_custkey,
        c_mktsegment AS segment,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -182,11 +182,16 @@ SELECT c_custkey,
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment
              ORDER BY c_acctbal, c_custkey)
-""")
+"""
+
+
+@query("window_distribution_funcs", oracle=_DISTRIBUTION_ORACLE)
 def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank /
     cume_dist) per market segment — deterministic tie-break on the
-    key so both engines rank identically."""
+    key so both engines rank identically. NOTE: AQE cannot split a
+    window partition, so each segment sorts in one task;
+    distribution_funcs_two_phase below is the whale-proof twin."""
     w = (W.partitionBy("c_mktsegment")
          .orderBy("c_acctbal", "c_custkey"))
     return (
@@ -197,6 +202,72 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
                 rnd(F.cume_dist().over(w), 6).alias("cum_dist"))
     )
+
+
+@query("distribution_funcs_two_phase", oracle=_DISTRIBUTION_ORACLE)
+def distribution_funcs_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_distribution_funcs' whale-proof twin: distribution
+    functions from a RANGE-BUCKETED two-phase global rank instead of
+    one per-segment sort task.
+
+    Because the (c_acctbal, c_custkey) order is unique, every row is
+    its own peer group, so all three functions are closed forms of
+    the global rank rn and the segment size N:
+    cume_dist = rn/N, percent_rank = (rn-1)/(N-1), and ntile(4)'s
+    first N%4 tiles take N div 4 + 1 rows (integer-exact ceil-div
+    forms below — no float in the tile arithmetic).
+
+    rn itself is the classic two-phase prefix: bucket rows by a
+    monotone integer image of the LEADING order column
+    (floor(acctbal) — ties in acctbal can never straddle a bucket
+    boundary, so bucket-prefix + local rank = global rank), count per
+    (segment, bucket), exclusive-prefix the tiny segments x 64
+    summary, broadcast it back, and rank locally inside bounded
+    (segment, bucket) windows. Partition width is bounded whenever
+    the leading order column spreads across its range — the same
+    assumption every repartitionByRange global sort makes; a
+    degenerate single-value column collapses to one bucket, i.e. to
+    the one-window plan, never worse."""
+    from ..operators.layout import add_range_bucket
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"), "c_acctbal")
+    b = add_range_bucket(
+        cust.withColumn("__ok", F.floor("c_acctbal").cast("long")),
+        "__ok", 64).drop("__ok")
+
+    # phase 1: per-(segment, bucket) counts -> per-segment exclusive
+    # prefix offsets + segment totals (windows over segments x 64 rows)
+    cnt = b.groupBy("segment", "__rb").agg(F.count("*").alias("__c"))
+    woff = (W.partitionBy("segment").orderBy("__rb")
+            .rowsBetween(W.unboundedPreceding, -1))
+    offs = cnt.select(
+        "segment", "__rb",
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__c").over(W.partitionBy("segment")).alias("__n"))
+
+    # phase 2: bounded local rank + broadcast offset = global rank
+    wloc = (W.partitionBy("segment", "__rb")
+            .orderBy("c_acctbal", "c_custkey"))
+    r = (b.withColumn("__lr", F.row_number().over(wloc))
+         .join(F.broadcast(offs), ["segment", "__rb"])
+         .withColumn("__rn", F.col("__off") + F.col("__lr")))
+
+    # ntile(4): q = N div 4 rows per small tile, first r_m = N % 4
+    # tiles take q+1; ceil-div in exact integer arithmetic
+    tile = F.expr("""
+        CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+             THEN (__rn + __n div 4) div (__n div 4 + 1)
+             ELSE __n % 4
+                  + (__rn - (__n % 4) * (__n div 4 + 1)
+                     + __n div 4 - 1) div (__n div 4)
+        END""")
+    return r.select(
+        "c_custkey", "segment",
+        tile.cast("long").alias("quartile"),
+        rnd(F.when(F.col("__n") > 1,
+                   (F.col("__rn") - 1) / (F.col("__n") - 1))
+            .otherwise(F.lit(0.0)), 6).alias("pct_rank"),
+        rnd(F.col("__rn") / F.col("__n"), 6).alias("cum_dist"))
 
 
 @query("group_by_all_syntax", oracle="""

@@ -54,7 +54,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("window_rank_topk_per_group", oracle="""
+_RANK_TOPK_ORACLE = """
 SELECT segment, customer_id, balance, rnk
 FROM (
     SELECT c_mktsegment AS segment,
@@ -66,11 +66,16 @@ FROM (
     FROM customer
 )
 WHERE rnk <= 3
-""")
+"""
+
+
+@query("window_rank_topk_per_group", oracle=_RANK_TOPK_ORACLE)
 def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via ranking window — the canonical replacement
-    for a driver-side loop. One shuffle on the partition key; with AQE
-    skewed segments split automatically."""
+    for a driver-side loop. One shuffle on the partition key. NOTE:
+    AQE cannot split a WINDOW partition — with few, huge groups each
+    segment sorts in one task; topk_per_group_two_phase below is the
+    whale-proof twin."""
     w = W.partitionBy("c_mktsegment").orderBy(
         F.desc("c_acctbal"), F.col("c_custkey"))
     return (
@@ -81,6 +86,29 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.row_number().over(w).cast("long").alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query("topk_per_group_two_phase", oracle=_RANK_TOPK_ORACLE)
+def topk_per_group_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_rank_topk_per_group's whale-proof twin — salted
+    two-phase top-k (operators.skew.salted_topk). The one-window plan
+    sorts each of the 5 market segments in ONE task (N/5 rows; AQE
+    cannot split a window partition); phase 1 here ranks inside
+    (segment, salt-of-row) sub-partitions and keeps each bucket's
+    top-3, phase 2 re-ranks the <= 3*32 survivors per segment — the
+    final window is bounded by k*salts regardless of table size, and
+    the ranks equal the global ranks because every better row also
+    survived phase 1. Same oracle."""
+    from ..operators.skew import salted_topk
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_acctbal"))
+    top = salted_topk(cust, ["segment"],
+                      [F.desc("c_acctbal"), F.col("customer_id")],
+                      k=3, salts=32, rank_col="rnk")
+    return top.select("segment", "customer_id",
+                      rnd("c_acctbal", 2).alias("balance"), "rnk")
 
 
 @query("window_running_sum", oracle="""

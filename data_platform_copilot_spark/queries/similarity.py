@@ -1186,3 +1186,72 @@ def knn_distance_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 dim=64, seed=42, exact=True, round_dp=4)
     return out.select(F.col("id").cast("long").alias("vec_id"),
                       "knn_distance", "is_outlier")
+
+
+@query("ann_margin_scores", oracle=f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+    FROM embeddings
+), a AS (SELECT vec_id, v FROM e WHERE label < 5),
+b AS (SELECT vec_id, v FROM e WHERE label >= 5),
+ab_scored AS (
+    SELECT q.vec_id AS src_id, c.vec_id AS tgt_id,
+           q.v AS qv, c.v AS cv
+    FROM a q CROSS JOIN b c
+), ab_ranked AS (
+    SELECT src_id, tgt_id, {_COS_QC} AS cos_raw,
+           row_number() OVER (
+               PARTITION BY src_id
+               ORDER BY {_COS_QC} DESC, tgt_id) AS rk
+    FROM ab_scored
+), ab_knn AS (SELECT * FROM ab_ranked WHERE rk <= 4),
+a_avg AS (
+    SELECT src_id, avg(cos_raw) AS a_avg FROM ab_knn GROUP BY src_id
+), ba_scored AS (
+    SELECT q.vec_id AS tgt_id, c.vec_id AS src_nb,
+           q.v AS qv, c.v AS cv
+    FROM b q CROSS JOIN a c
+), ba_ranked AS (
+    SELECT tgt_id, src_nb, {_COS_QC} AS cos_raw,
+           row_number() OVER (
+               PARTITION BY tgt_id
+               ORDER BY {_COS_QC} DESC, src_nb) AS rk
+    FROM ba_scored
+), b_avg AS (
+    SELECT tgt_id, avg(cos_raw) AS b_avg
+    FROM ba_ranked WHERE rk <= 4 GROUP BY tgt_id
+), margins AS (
+    SELECT k.src_id, k.tgt_id, k.cos_raw,
+           k.cos_raw / ((av.a_avg + bv.b_avg) / 2) AS margin_raw
+    FROM ab_knn k
+    JOIN a_avg av USING (src_id)
+    JOIN b_avg bv USING (tgt_id)
+)
+SELECT src_id, tgt_id,
+       round(cos_raw, 4) AS cosine,
+       round(margin_raw, 4) AS margin,
+       CAST(row_number() OVER (
+           ORDER BY margin_raw DESC, src_id, tgt_id) AS BIGINT) AS rank
+FROM margins
+ORDER BY rank
+LIMIT 20
+""")
+def ann_margin_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based candidate pair mining between two corpus
+    partitions (labels 0-4 vs 5-9) — the ratio-margin miner of
+    Artetxe & Schwenk (ACL 2019) used for bitext / cross-source
+    near-pair harvesting: each left->right 4-NN candidate's cosine is
+    normalized by the mean cosine of BOTH endpoints' 4-NN
+    neighborhoods, which suppresses hub vectors that are close to
+    everything. Top-20 pairs by margin (operators/similarity.py:
+    margin_topk). Scale: two broadcast-query k-NN scans (LSH/IVF
+    variants swap in when neither side broadcasts), k-row aggregates,
+    and a TakeOrderedAndProject top-m — no global sort."""
+    from ..operators.similarity import margin_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("label") < 5)
+    right = emb.where(F.col("label") >= 5)
+    out = margin_topk(left, right, "vec_id", "embedding", k=4, m=20)
+    return out.select("src_id", "tgt_id",
+                      rnd("cosine", 4).alias("cosine"),
+                      rnd("margin", 4).alias("margin"), "rank")

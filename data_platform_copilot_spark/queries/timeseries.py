@@ -446,7 +446,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ["view", "click", "purchase"])
 
 
-@query("event_transition_matrix", oracle="""
+_TRANSITION_ORACLE = """
 WITH ordered AS (
     SELECT user_id, event_type, ts, event_id,
            lead(event_type) OVER (PARTITION BY user_id
@@ -461,7 +461,22 @@ SELECT from_type, to_type,
        round(CAST(count(*) AS DOUBLE)
              / sum(count(*)) OVER (PARTITION BY from_type), 4) AS p
 FROM pairs GROUP BY from_type, to_type
-""")
+"""
+
+
+def _transition_combine(pairs: DataFrame) -> DataFrame:
+    """(from_type, to_type) pairs -> counts + row-normalized
+    P(next | current). Runs over |event_types|^2 rows."""
+    from pyspark.sql import Window as W
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n"))
+    wrow = W.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        rnd(F.col("n") / F.sum("n").over(wrow), 4).alias("p"))
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_ORACLE)
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavioral transition matrix: for each ordered
     pair of consecutive events within a user's stream (ts order,
@@ -479,12 +494,28 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("next_type").isNotNull())
              .select(F.col("event_type").alias("from_type"),
                      F.col("next_type").alias("to_type")))
-    counts = pairs.groupBy("from_type", "to_type").agg(
-        F.count("*").alias("n"))
-    wrow = W.partitionBy("from_type")
-    return counts.select(
-        "from_type", "to_type", "n",
-        rnd(F.col("n") / F.sum("n").over(wrow), 4).alias("p"))
+    return _transition_combine(pairs)
+
+
+@query("transition_matrix_two_phase", oracle=_TRANSITION_ORACLE)
+def transition_matrix_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_transition_matrix's whale-proof twin — the offset-window
+    member of the two-phase family (sessionization / trailing-frame /
+    running-last / this). The one-window plan's
+    ``lead().over(partitionBy(user_id))`` serializes a whale user into
+    one task; ``operators.chunked_window.lead_chunked`` computes the
+    identical next-event column with no window partition wider than
+    one (user, day) slice — the cross-chunk state is ONE row per
+    occupied chunk (the chunk's first event), walked with a lead over
+    the tiny per-user summary table. Same oracle, same combine."""
+    from ..operators.chunked_window import lead_chunked
+    ev = _t(spark, sf_dir, "events")
+    nexted = lead_chunked(ev, "user_id", "ts", ["ts", "event_id"],
+                          "event_type", out_col="next_type")
+    pairs = (nexted.where(F.col("next_type").isNotNull())
+             .select(F.col("event_type").alias("from_type"),
+                     F.col("next_type").alias("to_type")))
+    return _transition_combine(pairs)
 
 
 @query("trend_slope_by_event_type", oracle="""

@@ -2673,3 +2673,302 @@ class TestNullKeyPartitions:
                     F.last("value", ignorenulls=True).over(w)
                     .alias("prev")).collect()}
         assert got == want and len(got) == df.count()
+
+
+class TestChunkedLead:
+    """operators/chunked_window.lead_chunked must equal
+    lead().over(partitionBy(key).orderBy(order)) for any chunk
+    width — the offset-window member of the two-phase family. The
+    carry is one row per occupied chunk (the chunk's first value),
+    so the hard cases are chunks of one row (max fragmentation) and
+    NULL values (a next row whose VALUE is null must yield null, not
+    fall through to the next chunk's value)."""
+
+    def _fuzz_df(self, spark, seed, n=300, users=5, null_p=0.3):
+        import datetime as dt
+
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        base = dt.datetime(2024, 1, 1)
+        rows = [(int(rng.integers(0, users)), i,
+                 base + dt.timedelta(
+                     seconds=float(np.round(rng.uniform(0, 4 * 86400), 3))),
+                 None if rng.random() < null_p
+                 else str(int(rng.integers(0, 5))))
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "event_type string")
+
+    def _check(self, spark, df, chunk_s):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.chunked_window import (
+            lead_chunked)
+        got = {(r["user_id"], r["event_id"]): r["nt"]
+               for r in lead_chunked(
+                   df, "user_id", "ts", ["ts", "event_id"],
+                   "event_type", out_col="nt",
+                   chunk_s=chunk_s).collect()}
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        want = {(r["user_id"], r["event_id"]): r["nt"]
+                for r in df.select(
+                    "user_id", "event_id",
+                    F.lead("event_type").over(w).alias("nt")).collect()}
+        assert got == want and len(got) == df.count()
+
+    def test_equivalence_across_chunk_widths(self, spark):
+        df = self._fuzz_df(spark, 83)
+        # 1 s: ~every chunk is one row (every lead crosses the
+        # carry); 86400: production default; 10^9: one chunk
+        for chunk_s in (1, 3600, 86400, 10**9):
+            self._check(spark, df, chunk_s)
+
+    def test_null_values_and_null_keys(self, spark):
+        import datetime as dt
+
+        import numpy as np
+        rng = np.random.default_rng(89)
+        base = dt.datetime(2024, 1, 1)
+        rows = [(None if rng.random() < 0.3 else int(rng.integers(0, 3)),
+                 i,
+                 base + dt.timedelta(
+                     seconds=float(np.round(rng.uniform(0, 2 * 86400), 3))),
+                 None if rng.random() < 0.5
+                 else str(int(rng.integers(0, 3))))
+                for i in range(150)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "event_type string")
+        for chunk_s in (1, 3600):
+            self._check(spark, df, chunk_s)
+
+    def test_duplicate_timestamps_total_order(self, spark):
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        rows = [(1, i, base + dt.timedelta(seconds=(i // 4) * 40_000),
+                 str(i)) for i in range(32)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+                  "event_type string")
+        self._check(spark, df, chunk_s=3600)
+
+    def test_ts_must_lead_order_cols(self, spark):
+        import pytest
+
+        from data_platform_copilot_spark.operators.chunked_window import (
+            lead_chunked)
+        df = self._fuzz_df(spark, 1, n=5)
+        with pytest.raises(ValueError):
+            lead_chunked(df, "user_id", "ts", ["event_id", "ts"],
+                         "event_type")
+
+    def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        a = sorted(map(tuple, QUERIES["event_transition_matrix"](
+            spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["transition_matrix_two_phase"](
+            spark, sf_dir).collect()))
+        assert a == b and a
+
+
+class TestSaltedTopk:
+    """operators/skew.salted_topk must equal the one-window
+    row_number-and-filter formulation: any global top-k row is top-k
+    within its own salt bucket, so phase 1 never loses a survivor and
+    phase 2's ranks over the survivors equal the global ranks."""
+
+    def _df(self, spark, seed, n=400, groups=4):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        rows = [(f"g{int(rng.integers(0, groups))}", i,
+                 float(np.round(rng.uniform(-100, 100), 2)))
+                for i in range(n)]
+        return spark.createDataFrame(rows, "seg string, id long, val double")
+
+    def _check(self, spark, df, k, salts):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.skew import salted_topk
+        got = sorted(map(tuple, salted_topk(
+            df, ["seg"], [F.desc("val"), F.col("id")], k=k,
+            salts=salts).select("seg", "id", "val", "rnk").collect()))
+        w = W.partitionBy("seg").orderBy(F.desc("val"), F.col("id"))
+        want = sorted(map(tuple, df.withColumn(
+            "rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select("seg", "id", "val", "rnk").collect()))
+        assert got == want and got
+
+    def test_equivalence_across_salts_and_k(self, spark):
+        df = self._df(spark, 97)
+        for salts in (1, 2, 32, 101):
+            self._check(spark, df, k=3, salts=salts)
+        self._check(spark, df, k=25, salts=8)
+
+    def test_k_larger_than_group(self, spark):
+        # groups of ~5 rows, k=50: every row survives with its rank
+        df = self._df(spark, 101, n=20, groups=4)
+        self._check(spark, df, k=50, salts=16)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from data_platform_copilot_spark.operators.skew import salted_topk
+        df = self._df(spark, 1, n=5)
+        with pytest.raises(ValueError):
+            salted_topk(df, ["seg"], [F.col("id")], k=0)
+        with pytest.raises(ValueError):
+            salted_topk(df, ["seg"], [F.col("id")], k=1, salts=0)
+
+    def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        a = sorted(map(tuple, QUERIES["window_rank_topk_per_group"](
+            spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["topk_per_group_two_phase"](
+            spark, sf_dir).collect()))
+        assert a == b and a
+
+
+class TestDistributionTwoPhase:
+    """distribution_funcs_two_phase: range-bucketed global ranks must
+    reproduce ntile/percent_rank/cume_dist exactly — including the
+    integer ntile arithmetic at small N and the degenerate
+    single-bucket corpus (all rows one acctbal value)."""
+
+    def _cmp(self, spark, df):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.layout import (
+            add_range_bucket)
+        w = W.partitionBy("segment").orderBy("c_acctbal", "c_custkey")
+        want = sorted(map(tuple, df.select(
+            "c_custkey", "segment",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"))
+            .collect()))
+
+        b = add_range_bucket(
+            df.withColumn("__ok", F.floor("c_acctbal").cast("long")),
+            "__ok", 64).drop("__ok")
+        cnt = b.groupBy("segment", "__rb").agg(F.count("*").alias("__c"))
+        woff = (W.partitionBy("segment").orderBy("__rb")
+                .rowsBetween(W.unboundedPreceding, -1))
+        offs = cnt.select(
+            "segment", "__rb",
+            F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+            F.sum("__c").over(W.partitionBy("segment")).alias("__n"))
+        wloc = (W.partitionBy("segment", "__rb")
+                .orderBy("c_acctbal", "c_custkey"))
+        r = (b.withColumn("__lr", F.row_number().over(wloc))
+             .join(F.broadcast(offs), ["segment", "__rb"])
+             .withColumn("__rn", F.col("__off") + F.col("__lr")))
+        tile = F.expr("""
+            CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+                 THEN (__rn + __n div 4) div (__n div 4 + 1)
+                 ELSE __n % 4
+                      + (__rn - (__n % 4) * (__n div 4 + 1)
+                         + __n div 4 - 1) div (__n div 4)
+            END""")
+        got = sorted(map(tuple, r.select(
+            "c_custkey", "segment",
+            tile.cast("long").alias("quartile"),
+            F.round(F.when(F.col("__n") > 1,
+                           (F.col("__rn") - 1) / (F.col("__n") - 1))
+                    .otherwise(F.lit(0.0)), 6).alias("pct_rank"),
+            F.round(F.col("__rn") / F.col("__n"), 6).alias("cum_dist"))
+            .collect()))
+        assert got == want and got
+
+    def test_small_and_odd_segment_sizes(self, spark):
+        # N = 1, 2, 3, 5, 11: every ntile branch (N < 4, N % 4 != 0)
+        rows, ck = [], 0
+        for seg, n in [("a", 1), ("b", 2), ("c", 3), ("d", 5), ("e", 11)]:
+            for i in range(n):
+                ck += 1
+                rows.append((ck, seg, float(i * 7 % 13)))
+        df = spark.createDataFrame(
+            rows, "c_custkey long, segment string, c_acctbal double")
+        self._cmp(spark, df)
+
+    def test_degenerate_single_value_column(self, spark):
+        # all acctbal equal: one bucket holds everything — collapses
+        # to the one-window plan but must stay exact
+        df = spark.createDataFrame(
+            [(i, "s", 42.0) for i in range(37)],
+            "c_custkey long, segment string, c_acctbal double")
+        self._cmp(spark, df)
+
+    def test_fuzz(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(103)
+        rows = [(i, f"s{int(rng.integers(0, 3))}",
+                 float(np.round(rng.uniform(-999, 9999), 2)))
+                for i in range(500)]
+        df = spark.createDataFrame(
+            rows, "c_custkey long, segment string, c_acctbal double")
+        self._cmp(spark, df)
+
+    def test_query_entry_equals_one_window_entry(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        a = sorted(map(tuple, QUERIES["window_distribution_funcs"](
+            spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["distribution_funcs_two_phase"](
+            spark, sf_dir).collect()))
+        assert a == b and a
+
+
+class TestMarginTopk:
+    """operators/similarity.margin_topk vs an independent numpy
+    reference of the Artetxe & Schwenk ratio margin."""
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(107)
+        dim, na, nb, k, m = 8, 30, 25, 4, 10
+        A = rng.normal(size=(na, dim))
+        B = rng.normal(size=(nb, dim))
+        left = spark.createDataFrame(
+            [(i, [float(x) for x in A[i]]) for i in range(na)],
+            "vec_id long, embedding array<double>")
+        right = spark.createDataFrame(
+            [(100 + j, [float(x) for x in B[j]]) for j in range(nb)],
+            "vec_id long, embedding array<double>")
+
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        cos = An @ Bn.T                       # na x nb
+        # k-NN avg per side (ties impossible at float resolution)
+        a_avg = np.sort(cos, axis=1)[:, -k:].mean(axis=1)
+        b_avg = np.sort(cos.T, axis=1)[:, -k:].mean(axis=1)
+        cand = []
+        for i in range(na):
+            for j in np.argsort(-cos[i])[:k]:
+                margin = cos[i, j] / ((a_avg[i] + b_avg[j]) / 2)
+                cand.append((i, 100 + int(j), cos[i, j], margin))
+        cand.sort(key=lambda t: (-t[3], t[0], t[1]))
+        want = [(s, t, round(c, 6), round(mg, 6), rk + 1)
+                for rk, (s, t, c, mg) in enumerate(cand[:m])]
+
+        from data_platform_copilot_spark.operators.similarity import (
+            margin_topk)
+        got = [(r["src_id"], r["tgt_id"], round(r["cosine"], 6),
+                round(r["margin"], 6), r["rank"])
+               for r in margin_topk(left, right, "vec_id", "embedding",
+                                    k=k, m=m)
+               .orderBy("rank").collect()]
+        assert got == want
+
+    def test_entry_shape(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        rows = QUERIES["ann_margin_scores"](spark, sf_dir).collect()
+        assert [r["rank"] for r in
+                sorted(rows, key=lambda r: r["rank"])] == list(
+                    range(1, len(rows) + 1))
+        margins = [r["margin"] for r in
+                   sorted(rows, key=lambda r: r["rank"])]
+        assert margins == sorted(margins, reverse=True)
+        # src side is labels 0-4, tgt side labels 5-9: disjoint ids
+        assert not ({r["src_id"] for r in rows}
+                    & {r["tgt_id"] for r in rows})
