@@ -157,3 +157,80 @@ def zorder_stats(df: DataFrame, xcol: str, ycol: str,
             .agg(F.count("*").alias("n_rows"),
                  F.min("x").alias("min_x"), F.max("x").alias("max_x"),
                  F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+
+
+def bucketed_global_rank(df: DataFrame, part_cols: list[str],
+                         key_col: str, order_cols: list[Column],
+                         n_buckets: int = 64,
+                         rank_col: str = "rn",
+                         size_col: str = "n_part") -> DataFrame:
+    """Whale-proof global ``row_number`` per partition: all input
+    columns + ``rank_col`` (1-based rank within ``part_cols`` in
+    ``order_cols`` order) + ``size_col`` (partition row count) with
+    no window partition wider than one (partition, range-bucket)
+    slice — the two-phase replacement for
+    ``row_number().over(partitionBy(*part).orderBy(*order))`` when a
+    partition can dwarf a task (AQE cannot split a window
+    partition).
+
+    ``key_col`` must be an integer column that is a MONOTONE
+    NON-DECREASING image of the ``order_cols`` order within every
+    partition (e.g. ``floor(value)`` for an ascending value order,
+    ``floor(-value * 10^dp)`` for a descending one): ties in the
+    image stay inside one bucket, so bucket-prefix + local rank =
+    global rank. Phase 1 range-buckets on ``key_col``
+    (``add_range_bucket`` — deterministic boundaries from one
+    broadcast min/max row), counts per (partition, bucket), and
+    exclusive-prefixes the tiny partitions x n_buckets summary;
+    phase 2 broadcasts the offsets back and ranks locally inside
+    bounded (partition, bucket) windows. Partition width is bounded
+    whenever the image spreads over its range — the assumption every
+    repartitionByRange global sort makes; a single-value column
+    degenerates to one bucket, i.e. to the one-window plan, never
+    worse.
+
+    Null-safety: the summary group/join key is ONE struct of
+    (part_cols..., bucket) — complex-type equality treats NULL
+    fields as equal (the operators/sessionize.py trick), so NULL
+    partition values rank like any other partition instead of
+    vanishing at the join, and the join reuses phase 1's exchange."""
+    from pyspark.sql import Window as W
+    b = add_range_bucket(df, key_col, n_buckets)
+    pb = F.struct(
+        *[F.col(c).alias(f"p{i}") for i, c in enumerate(part_cols)],
+        F.col("__rb").alias("rb"))
+    b = b.withColumn("__pb", pb).drop("__rb")
+    part_fields = [f"__pb.p{i}" for i in range(len(part_cols))]
+
+    cnt = b.groupBy("__pb").agg(F.count("*").alias("__c"))
+    woff = (W.partitionBy(*part_fields).orderBy("__pb.rb")
+            .rowsBetween(W.unboundedPreceding, -1))
+    offs = cnt.select(
+        "__pb",
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__c").over(W.partitionBy(*part_fields)).alias(size_col))
+
+    wloc = W.partitionBy("__pb").orderBy(*order_cols)
+    return (b.withColumn("__lr", F.row_number().over(wloc))
+            .join(F.broadcast(offs), ["__pb"])
+            .withColumn(rank_col,
+                        (F.col("__off") + F.col("__lr")).cast("long"))
+            .drop("__pb", "__lr", "__off"))
+
+
+def ntile_expr(rank_col: str, size_col: str, tiles: int) -> Column:
+    """``ntile(tiles)`` as a closed form of the global rank and the
+    partition size (exact integer ceil-div arithmetic — no float):
+    the first ``N % tiles`` tiles take ``N div tiles + 1`` rows, the
+    rest ``N div tiles`` — SQL-standard ntile, byte-identical to the
+    window function given a total order."""
+    if tiles < 1:
+        raise ValueError("tiles must be >= 1")
+    rn, n, t = rank_col, size_col, tiles
+    return F.expr(f"""
+        CASE WHEN {rn} <= ({n} % {t}) * ({n} div {t} + 1)
+             THEN ({rn} + {n} div {t}) div ({n} div {t} + 1)
+             ELSE {n} % {t}
+                  + ({rn} - ({n} % {t}) * ({n} div {t} + 1)
+                     + {n} div {t} - 1) div ({n} div {t})
+        END""").cast("long")

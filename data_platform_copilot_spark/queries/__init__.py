@@ -75,7 +75,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "topk_per_group_two_phase",
     "distribution_funcs_two_phase",
     "ann_margin_scores",
-    # ---- backfill 10-50: the last-green-r9 cohort, alphabetical ----
+    # Position 10: the per-language CCNet tercile twin (language is
+    # the canonical whale key; layout.bucketed_global_rank +
+    # ntile_expr), registered with the others.
+    "ccnet_buckets_two_phase",
+    # ---- backfill 11-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
     "array_functions",
@@ -116,11 +120,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "streaming_left_outer_attribution",
     "string_functions",
     "text_fingerprint",
-    "text_ngram_frequency",
     # ---- gate window ends here (50) ----
-    # Residue (leads the r15 gate): the nine r9-cohort entries the
-    # immediate slots displaced (five by the first r14 batch, four
-    # more by positions 6-9) ...
+    # Residue (leads the r15 gate): the ten r9-cohort entries the
+    # immediate slots displaced (five by the first r14 batch, five
+    # more by positions 6-10) ...
+    "text_ngram_frequency",
     "topk_orderby_alias",
     "tpch_q1_pricing_summary",
     "unpivot_stack",

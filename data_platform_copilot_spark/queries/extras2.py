@@ -227,43 +227,18 @@ def distribution_funcs_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the leading order column spreads across its range — the same
     assumption every repartitionByRange global sort makes; a
     degenerate single-value column collapses to one bucket, i.e. to
-    the one-window plan, never worse."""
-    from ..operators.layout import add_range_bucket
+    the one-window plan, never worse (operators/layout.py:
+    bucketed_global_rank / ntile_expr)."""
+    from ..operators.layout import bucketed_global_rank, ntile_expr
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment"), "c_acctbal")
-    b = add_range_bucket(
+    r = bucketed_global_rank(
         cust.withColumn("__ok", F.floor("c_acctbal").cast("long")),
-        "__ok", 64).drop("__ok")
-
-    # phase 1: per-(segment, bucket) counts -> per-segment exclusive
-    # prefix offsets + segment totals (windows over segments x 64 rows)
-    cnt = b.groupBy("segment", "__rb").agg(F.count("*").alias("__c"))
-    woff = (W.partitionBy("segment").orderBy("__rb")
-            .rowsBetween(W.unboundedPreceding, -1))
-    offs = cnt.select(
-        "segment", "__rb",
-        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
-        F.sum("__c").over(W.partitionBy("segment")).alias("__n"))
-
-    # phase 2: bounded local rank + broadcast offset = global rank
-    wloc = (W.partitionBy("segment", "__rb")
-            .orderBy("c_acctbal", "c_custkey"))
-    r = (b.withColumn("__lr", F.row_number().over(wloc))
-         .join(F.broadcast(offs), ["segment", "__rb"])
-         .withColumn("__rn", F.col("__off") + F.col("__lr")))
-
-    # ntile(4): q = N div 4 rows per small tile, first r_m = N % 4
-    # tiles take q+1; ceil-div in exact integer arithmetic
-    tile = F.expr("""
-        CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
-             THEN (__rn + __n div 4) div (__n div 4 + 1)
-             ELSE __n % 4
-                  + (__rn - (__n % 4) * (__n div 4 + 1)
-                     + __n div 4 - 1) div (__n div 4)
-        END""")
+        ["segment"], "__ok", [F.col("c_acctbal"), F.col("c_custkey")],
+        rank_col="__rn", size_col="__n")
     return r.select(
         "c_custkey", "segment",
-        tile.cast("long").alias("quartile"),
+        ntile_expr("__rn", "__n", 4).alias("quartile"),
         rnd(F.when(F.col("__n") > 1,
                    (F.col("__rn") - 1) / (F.col("__n") - 1))
             .otherwise(F.lit(0.0)), 6).alias("pct_rank"),

@@ -1271,7 +1271,7 @@ def corpus_data_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(_t(spark, sf_dir, "documents"))
 
 
-@query("ccnet_perplexity_buckets", oracle=f"""
+_CCNET_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
     FROM documents
@@ -1305,7 +1305,10 @@ SELECT lang,
        round(max(lp), 4) AS max_logprob
 FROM bucketed
 GROUP BY 1, 2
-""")
+"""
+
+
+@query("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE)
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail corpus split (Wenzek 2020): per-language
     perplexity terciles under the corpus's own unigram LM, the
@@ -1333,6 +1336,45 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang",
                 F.when(F.col("b") == 1, "head")
                  .when(F.col("b") == 2, "middle")
+                 .otherwise("tail").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 rnd(F.min("lp"), 4).alias("min_logprob"),
+                 rnd(F.max("lp"), 4).alias("max_logprob")))
+
+
+@query("ccnet_buckets_two_phase", oracle=_CCNET_ORACLE)
+def ccnet_buckets_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ccnet_perplexity_buckets' whale-proof twin. The one-window
+    plan's per-language ntile sorts EVERY document of a language in
+    one task — and language is the canonical whale key (English is
+    most of CommonCrawl; AQE cannot split a window partition). Here
+    the tercile comes from operators/layout.bucketed_global_rank — a
+    range-bucketed two-phase global rank on (lp DESC, doc_id) — plus
+    the closed-form ntile_expr. The bucket image is
+    floor(-lp * 10^4): lp is already 4dp-rounded, so the negated
+    scaled value is a monotone non-decreasing integer image of the
+    DESC order and lp-ties can never straddle a bucket boundary.
+    Same oracle, same scorer, same combine."""
+    from pyspark.sql import functions as F
+
+    from ..operators.layout import bucketed_global_rank, ntile_expr
+    from ..operators.selection import unigram_logprob_scores
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob_scores(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens",
+        rnd("avg_logprob", 4).alias("lp"))
+    b = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    r = bucketed_global_rank(
+        b.withColumn("__ok",
+                     F.floor(-F.col("lp") * 10000).cast("long")),
+        ["lang"], "__ok", [F.col("lp").desc(), F.col("doc_id")],
+        rank_col="__rn", size_col="__n")
+    t = ntile_expr("__rn", "__n", 3)
+    return (r.groupBy(
+                "lang",
+                F.when(t == 1, "head")
+                 .when(t == 2, "middle")
                  .otherwise("tail").alias("bucket"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("n_tokens"),

@@ -2840,7 +2840,7 @@ class TestDistributionTwoPhase:
         from pyspark.sql import Window as W
 
         from data_platform_copilot_spark.operators.layout import (
-            add_range_bucket)
+            bucketed_global_rank, ntile_expr)
         w = W.partitionBy("segment").orderBy("c_acctbal", "c_custkey")
         want = sorted(map(tuple, df.select(
             "c_custkey", "segment",
@@ -2849,31 +2849,14 @@ class TestDistributionTwoPhase:
             F.round(F.cume_dist().over(w), 6).alias("cum_dist"))
             .collect()))
 
-        b = add_range_bucket(
+        r = bucketed_global_rank(
             df.withColumn("__ok", F.floor("c_acctbal").cast("long")),
-            "__ok", 64).drop("__ok")
-        cnt = b.groupBy("segment", "__rb").agg(F.count("*").alias("__c"))
-        woff = (W.partitionBy("segment").orderBy("__rb")
-                .rowsBetween(W.unboundedPreceding, -1))
-        offs = cnt.select(
-            "segment", "__rb",
-            F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
-            F.sum("__c").over(W.partitionBy("segment")).alias("__n"))
-        wloc = (W.partitionBy("segment", "__rb")
-                .orderBy("c_acctbal", "c_custkey"))
-        r = (b.withColumn("__lr", F.row_number().over(wloc))
-             .join(F.broadcast(offs), ["segment", "__rb"])
-             .withColumn("__rn", F.col("__off") + F.col("__lr")))
-        tile = F.expr("""
-            CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
-                 THEN (__rn + __n div 4) div (__n div 4 + 1)
-                 ELSE __n % 4
-                      + (__rn - (__n % 4) * (__n div 4 + 1)
-                         + __n div 4 - 1) div (__n div 4)
-            END""")
+            ["segment"], "__ok",
+            [F.col("c_acctbal"), F.col("c_custkey")],
+            rank_col="__rn", size_col="__n")
         got = sorted(map(tuple, r.select(
             "c_custkey", "segment",
-            tile.cast("long").alias("quartile"),
+            ntile_expr("__rn", "__n", 4).alias("quartile"),
             F.round(F.when(F.col("__n") > 1,
                            (F.col("__rn") - 1) / (F.col("__n") - 1))
                     .otherwise(F.lit(0.0)), 6).alias("pct_rank"),
@@ -2972,3 +2955,73 @@ class TestMarginTopk:
         # src side is labels 0-4, tgt side labels 5-9: disjoint ids
         assert not ({r["src_id"] for r in rows}
                     & {r["tgt_id"] for r in rows})
+
+
+class TestBucketedGlobalRank:
+    """operators/layout.bucketed_global_rank + ntile_expr: the
+    generic two-phase rank behind distribution_funcs_two_phase and
+    ccnet_buckets_two_phase."""
+
+    def test_null_partition_values_rank_like_any_other(self, spark):
+        import numpy as np
+
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.layout import (
+            bucketed_global_rank)
+        rng = np.random.default_rng(113)
+        rows = [(None if rng.random() < 0.3 else f"p{int(rng.integers(0, 3))}",
+                 i, int(rng.integers(-500, 500)))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "part string, id long, v long")
+        got = sorted(map(tuple, bucketed_global_rank(
+            df, ["part"], "v", [F.col("v"), F.col("id")])
+            .select("part", "id", "rn", "n_part").collect()),
+            key=lambda t: (t[0] is None, t))
+        w = W.partitionBy("part").orderBy("v", "id")
+        want = sorted(map(tuple, df.select(
+            "part", "id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*").over(W.partitionBy("part")).alias("n_part"))
+            .collect()), key=lambda t: (t[0] is None, t))
+        assert got == want and len(got) == 300
+
+    def test_ntile_expr_matches_window_ntile(self, spark):
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.layout import (
+            bucketed_global_rank, ntile_expr)
+        # N = 1..23 across parts, tiles in {1, 2, 3, 4, 7}: every
+        # small-N branch of the integer arithmetic
+        rows = []
+        for p in range(1, 24):
+            for i in range(p):
+                rows.append((f"p{p:02d}", i, (i * 11) % 17))
+        df = spark.createDataFrame(rows, "part string, id long, v long")
+        ranked = bucketed_global_rank(df, ["part"], "v",
+                                      [F.col("v"), F.col("id")])
+        for tiles in (1, 2, 3, 4, 7):
+            got = sorted(map(tuple, ranked.select(
+                "part", "id",
+                ntile_expr("rn", "n_part", tiles).alias("t")).collect()))
+            w = W.partitionBy("part").orderBy("v", "id")
+            want = sorted(map(tuple, df.select(
+                "part", "id",
+                F.ntile(tiles).over(w).cast("long").alias("t"))
+                .collect()))
+            assert got == want, tiles
+
+    def test_ntile_expr_validation(self):
+        import pytest
+
+        from data_platform_copilot_spark.operators.layout import ntile_expr
+        with pytest.raises(ValueError):
+            ntile_expr("rn", "n", 0)
+
+    def test_ccnet_entry_equals_one_window_entry(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        a = sorted(map(tuple, QUERIES["ccnet_perplexity_buckets"](
+            spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["ccnet_buckets_two_phase"](
+            spark, sf_dir).collect()))
+        assert a == b and a
