@@ -75,11 +75,12 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "topk_per_group_two_phase",
     "distribution_funcs_two_phase",
     "ann_margin_scores",
-    # Position 10: the per-language CCNet tercile twin (language is
-    # the canonical whale key; layout.bucketed_global_rank +
-    # ntile_expr), registered with the others.
+    # Positions 10-11: the per-language twins (language is the
+    # canonical whale key; layout.bucketed_global_rank + ntile_expr)
+    # — CCNet terciles and the zlib quality bands.
     "ccnet_buckets_two_phase",
-    # ---- backfill 11-50: the last-green-r9 cohort, alphabetical ----
+    "compression_bands_two_phase",
+    # ---- backfill 12-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
     "array_functions",
@@ -119,11 +120,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "set_ops_union_intersect_except",
     "streaming_left_outer_attribution",
     "string_functions",
-    "text_fingerprint",
     # ---- gate window ends here (50) ----
-    # Residue (leads the r15 gate): the ten r9-cohort entries the
-    # immediate slots displaced (five by the first r14 batch, five
-    # more by positions 6-10) ...
+    # Residue (leads the r15 gate): the eleven r9-cohort entries the
+    # immediate slots displaced (five by the first r14 batch, six
+    # more by positions 6-11) ...
+    "text_fingerprint",
     "text_ngram_frequency",
     "topk_orderby_alias",
     "tpch_q1_pricing_summary",

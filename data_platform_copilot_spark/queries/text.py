@@ -948,7 +948,7 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("p") * F.sum("neg")), 6).alias("auc"))
 
 
-@query("compression_ratio_quality", oracle="""
+_COMPRESSION_BANDS_ORACLE = """
 WITH base AS (
     SELECT lang, octet_length(encode(text)) AS blen FROM documents
 )
@@ -961,7 +961,58 @@ SELECT lang,
            AS BIGINT) AS n_bands,
        CAST(0 AS BIGINT) AS n_band_inversions
 FROM base GROUP BY lang ORDER BY lang
-""")
+"""
+
+
+def _compression_parts(spark: SparkSession, sf_dir: str):
+    """Shared prefix of the zlib quality entries: per-lang structural
+    stats + the valid-ratio frame awaiting band assignment."""
+    from ..operators.quality import compression_ratio
+    docs = spread(_t(spark, sf_dir, "documents"))
+    cr = compression_ratio(docs, "doc_id", "text")
+    joined = docs.select(F.col("doc_id").alias("id"), "lang").join(cr, "id")
+    outside = (
+        F.col("n_compressed").isNotNull()
+        & ((F.col("n_compressed")
+            > F.col("n_bytes")
+            + 5 * F.ceil(F.col("n_bytes") / F.lit(16384)) + 6)
+           | (F.col("n_compressed") <= 0)))
+    stats = joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.col("compression_ratio").isNotNull().cast("int")),
+            F.lit(0)).cast("long").alias("n_ratio_valid"),
+        F.coalesce(F.sum(outside.cast("int")), F.lit(0))
+        .cast("long").alias("n_outside_envelope"))
+    valid = joined.where(F.col("compression_ratio").isNotNull())
+    return stats, valid
+
+
+def _bands_report(stats: DataFrame, banded: DataFrame) -> DataFrame:
+    """Shared suffix: per-(lang, band) means -> band count + mean
+    inversions, joined onto the structural stats. Runs over
+    #langs x 4 rows."""
+    from pyspark.sql import Window as W
+    band_means = (banded.groupBy("lang", "band")
+                  .agg(F.avg("compression_ratio").alias("m")))
+    wlag = W.partitionBy("lang").orderBy("band")
+    bands = (band_means
+             .withColumn("prev_m", F.lag("m").over(wlag))
+             .groupBy("lang")
+             .agg(F.count("*").cast("long").alias("n_bands"),
+                  F.sum(F.when(F.col("m") < F.col("prev_m"), 1)
+                        .otherwise(0))
+                  .cast("long").alias("n_band_inversions")))
+    return (stats.join(bands, "lang", "left")
+            .select("lang", "n_docs", "n_ratio_valid",
+                    "n_outside_envelope",
+                    F.coalesce("n_bands", F.lit(0)).alias("n_bands"),
+                    F.coalesce("n_band_inversions", F.lit(0))
+                    .alias("n_band_inversions"))
+            .orderBy("lang"))
+
+
+@query("compression_ratio_quality", oracle=_COMPRESSION_BANDS_ORACLE)
 def compression_ratio_quality(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """STRUCTURAL oracle over the zlib compressibility pipeline
@@ -992,44 +1043,38 @@ def compression_ratio_quality(spark: SparkSession,
     hash-compared against a DuckDB zlib UDF by the local harnesses
     via ``compression_ratio_zlib_profile`` below."""
     from pyspark.sql import Window as W
-
-    from ..operators.quality import compression_ratio
-    docs = spread(_t(spark, sf_dir, "documents"))
-    cr = compression_ratio(docs, "doc_id", "text")
-    joined = docs.select(F.col("doc_id").alias("id"), "lang").join(cr, "id")
-    outside = (
-        F.col("n_compressed").isNotNull()
-        & ((F.col("n_compressed")
-            > F.col("n_bytes")
-            + 5 * F.ceil(F.col("n_bytes") / F.lit(16384)) + 6)
-           | (F.col("n_compressed") <= 0)))
-    stats = joined.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.coalesce(
-            F.sum(F.col("compression_ratio").isNotNull().cast("int")),
-            F.lit(0)).cast("long").alias("n_ratio_valid"),
-        F.coalesce(F.sum(outside.cast("int")), F.lit(0))
-        .cast("long").alias("n_outside_envelope"))
-    valid = joined.where(F.col("compression_ratio").isNotNull())
+    stats, valid = _compression_parts(spark, sf_dir)
     wb = W.partitionBy("lang").orderBy("compression_ratio", "id")
-    band_means = (valid.withColumn("band", F.ntile(4).over(wb))
-                  .groupBy("lang", "band")
-                  .agg(F.avg("compression_ratio").alias("m")))
-    wlag = W.partitionBy("lang").orderBy("band")
-    bands = (band_means
-             .withColumn("prev_m", F.lag("m").over(wlag))
-             .groupBy("lang")
-             .agg(F.count("*").cast("long").alias("n_bands"),
-                  F.sum(F.when(F.col("m") < F.col("prev_m"), 1)
-                        .otherwise(0))
-                  .cast("long").alias("n_band_inversions")))
-    return (stats.join(bands, "lang", "left")
-            .select("lang", "n_docs", "n_ratio_valid",
-                    "n_outside_envelope",
-                    F.coalesce("n_bands", F.lit(0)).alias("n_bands"),
-                    F.coalesce("n_band_inversions", F.lit(0))
-                    .alias("n_band_inversions"))
-            .orderBy("lang"))
+    return _bands_report(stats,
+                         valid.withColumn("band", F.ntile(4).over(wb)))
+
+
+@query("compression_bands_two_phase", oracle=_COMPRESSION_BANDS_ORACLE)
+def compression_bands_two_phase(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """compression_ratio_quality's whale-proof twin — the last
+    per-language full-data window re-expressed two-phase. The
+    one-window plan's ntile(4) over partitionBy(lang) sorts every
+    valid document of a language in one task (the dominant-language
+    whale AQE cannot split); here the quartile band comes from
+    operators/layout.bucketed_global_rank on the monotone integer
+    image floor(compression_ratio * 10^6) (ratio ties can never
+    straddle a bucket boundary) + the closed-form ntile_expr. Same
+    structural oracle, same shared scorer and combine
+    (_compression_parts / _bands_report); the zlib VALUE gate stays
+    the pytest byte-exact replay."""
+    from ..operators.layout import bucketed_global_rank, ntile_expr
+    stats, valid = _compression_parts(spark, sf_dir)
+    ranked = bucketed_global_rank(
+        valid.withColumn(
+            "__ok",
+            F.floor(F.col("compression_ratio") * 1_000_000)
+            .cast("long")),
+        ["lang"], "__ok",
+        [F.col("compression_ratio"), F.col("id")],
+        rank_col="__rn", size_col="__n")
+    banded = ranked.withColumn("band", ntile_expr("__rn", "__n", 4))
+    return _bands_report(stats, banded)
 
 
 @query("compression_ratio_zlib_profile", extra_oracle="""

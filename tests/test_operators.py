@@ -3025,3 +3025,33 @@ class TestBucketedGlobalRank:
         b = sorted(map(tuple, QUERIES["ccnet_buckets_two_phase"](
             spark, sf_dir).collect()))
         assert a == b and a
+
+    def test_compression_band_assignment_matches_ntile(self, spark, sf_dir):
+        """The structural oracle of compression_bands_two_phase pins
+        band count/monotonicity only — this pins the per-document
+        BAND ASSIGNMENT against the one-window ntile."""
+        from pyspark.sql import Window as W
+
+        from data_platform_copilot_spark.operators.layout import (
+            bucketed_global_rank, ntile_expr)
+        from data_platform_copilot_spark.queries.text import (
+            _compression_parts)
+        _, valid = _compression_parts(spark, sf_dir)
+        valid = valid.cache()
+        try:
+            wb = W.partitionBy("lang").orderBy("compression_ratio", "id")
+            want = {r["id"]: r["band"] for r in valid.withColumn(
+                "band", F.ntile(4).over(wb)).collect()}
+            ranked = bucketed_global_rank(
+                valid.withColumn(
+                    "__ok",
+                    F.floor(F.col("compression_ratio") * 1_000_000)
+                    .cast("long")),
+                ["lang"], "__ok",
+                [F.col("compression_ratio"), F.col("id")],
+                rank_col="__rn", size_col="__n")
+            got = {r["id"]: r["band"] for r in ranked.withColumn(
+                "band", ntile_expr("__rn", "__n", 4)).collect()}
+            assert got == want and got
+        finally:
+            valid.unpersist()

@@ -1,17 +1,21 @@
-"""Whale-key probe for user-partitioned windows (r13 verdict #1).
+"""Whale-key probe for skew-prone window entries (r13 verdict #1).
 
-Builds two K x sf0.1 events fixtures with IDENTICAL row counts:
+Builds uniform/whale fixture pairs with IDENTICAL row counts, K x
+sf0.1 (K id-shifted copies — the scaling_probe recipe):
 
-- ``uniform``: K id-shifted copies of sf0.1 events (the scaling_probe
-  recipe) — ~K*1500 users, ~67 rows each;
-- ``whale``: the same rows with ~10% of them remapped to user 0 —
-  one bot user owning a tenth of the corpus, the shape AQE cannot
-  split for a window partition.
+- ``events``: whale = ~10% of rows remapped to user 0 (the bot-user
+  shape for partitionBy(user_id) windows);
+- ``customer``: whale = every even c_custkey remapped to the
+  BUILDING market segment (~60% of rows in one segment — the
+  few-huge-groups shape for partitionBy(c_mktsegment) windows);
+- ``documents``: whale = ~90% of rows remapped to lang 'en' (the
+  dominant-language shape for partitionBy(lang) windows).
 
-Then times every user-window registry entry warm on both fixtures and
+Then times the listed registry entries warm on both fixtures and
 prints per-entry JSON with the whale/uniform ratio. The one-window
-sessionization serializes the whale into a single task (ratio >> 1);
-the two-phase plan (operators/sessionize.py) should hold ~flat.
+plans serialize the whale into a single task (ratio grows with K);
+the two-phase twins should hold ~flat — AQE cannot split a window
+partition, so the twins are the only structural fix.
 
 Usage: python tools/skew_probe.py [K] [entries...]
 """
@@ -31,40 +35,77 @@ ENTRIES = [
     "sessionization_gaps",
     "sessionization_two_phase",
     "event_transition_matrix",
+    "transition_matrix_two_phase",
     "ewma_value_per_user",
     "ewma_value_two_phase",
     "attribution_last_touch",
     "attribution_two_phase",
     "session_depth_histogram",
     "session_depth_two_phase",
+    "window_rank_topk_per_group",
+    "topk_per_group_two_phase",
+    "window_distribution_funcs",
+    "distribution_funcs_two_phase",
+    "ccnet_perplexity_buckets",
+    "ccnet_buckets_two_phase",
 ]
+
+
+def _kcopies(spark, table: str, k: int, id_cols: list[str]):
+    """K id-shifted copies of a sf0.1 table (disjoint id ranges)."""
+    from pyspark.sql import functions as F
+    src = spark.read.parquet(f"{BASE}/{table}.parquet")
+    spans = {c: src.agg(F.max(c)).collect()[0][0] + 1 for c in id_cols}
+    copies = []
+    for c in range(k):
+        cp = src
+        for col, span in spans.items():
+            cp = cp.withColumn(col, F.col(col) + c * span)
+        copies.append(cp)
+    full = copies[0]
+    for cp in copies[1:]:
+        full = full.unionByName(cp)
+    return full
 
 
 def build(spark, k: int, out: Path) -> None:
     from pyspark.sql import functions as F
-    src = spark.read.parquet(f"{BASE}/events.parquet")
-    n_users = src.agg(F.max("user_id")).collect()[0][0] + 1
-    n_events = src.agg(F.max("event_id")).collect()[0][0] + 1
-    copies = []
-    for c in range(k):
-        copies.append(src.withColumn("user_id",
-                                     F.col("user_id") + c * n_users)
-                      .withColumn("event_id",
-                                  F.col("event_id") + c * n_events))
-    full = copies[0]
-    for cp in copies[1:]:
-        full = full.unionByName(cp)
-    full = full.cache()
+
+    # events: ~10% of rows -> user 0, deterministically by event_id
+    full = _kcopies(spark, "events", k, ["user_id", "event_id"]).cache()
     full.write.mode("overwrite").parquet(
         str(out / "uniform" / "events.parquet"))
-    # ~10% of rows -> user 0, deterministically by event_id
-    whale = full.withColumn(
+    (full.withColumn(
         "user_id",
         F.when(F.pmod(F.col("event_id"), 10) == 0, F.lit(0))
         .otherwise(F.col("user_id")))
-    whale.write.mode("overwrite").parquet(
-        str(out / "whale" / "events.parquet"))
+     .write.mode("overwrite").parquet(
+        str(out / "whale" / "events.parquet")))
     full.unpersist()
+
+    # customer: every even custkey -> BUILDING (~60% one segment)
+    cust = _kcopies(spark, "customer", k, ["c_custkey"]).cache()
+    cust.write.mode("overwrite").parquet(
+        str(out / "uniform" / "customer.parquet"))
+    (cust.withColumn(
+        "c_mktsegment",
+        F.when(F.pmod(F.col("c_custkey"), 2) == 0, F.lit("BUILDING"))
+        .otherwise(F.col("c_mktsegment")))
+     .write.mode("overwrite").parquet(
+        str(out / "whale" / "customer.parquet")))
+    cust.unpersist()
+
+    # documents: ~90% of rows -> lang 'en'
+    docs = _kcopies(spark, "documents", k, ["doc_id"]).cache()
+    docs.write.mode("overwrite").parquet(
+        str(out / "uniform" / "documents.parquet"))
+    (docs.withColumn(
+        "lang",
+        F.when(F.pmod(F.col("doc_id"), 10) < 9, F.lit("en"))
+        .otherwise(F.col("lang")))
+     .write.mode("overwrite").parquet(
+        str(out / "whale" / "documents.parquet")))
+    docs.unpersist()
 
 
 def main() -> None:
@@ -74,7 +115,9 @@ def main() -> None:
     from data_platform_copilot_spark.queries import QUERIES
     from data_platform_copilot_spark.session import get_spark
     spark = get_spark("skew-probe")
-    if not (out / "whale" / "events.parquet").exists():
+    if not all((out / "whale" / t).exists()
+               for t in ("events.parquet", "customer.parquet",
+                         "documents.parquet")):
         build(spark, k, out)
     rows = spark.read.parquet(
         str(out / "whale" / "events.parquet"))
