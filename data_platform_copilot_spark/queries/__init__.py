@@ -80,7 +80,12 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # — CCNet terciles and the zlib quality bands.
     "ccnet_buckets_two_phase",
     "compression_bands_two_phase",
-    # ---- backfill 12-50: the last-green-r9 cohort, alphabetical ----
+    # Positions 12-13: the retrieval-eval pair over the two verified
+    # ANN arms — reciprocal rank fusion (Cormack 2009) and MAP@10
+    # (rank-aware companion to ann_recall_report).
+    "ann_rrf_fusion",
+    "ann_map_report",
+    # ---- backfill 14-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
     "array_functions",
@@ -118,12 +123,12 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "semi_join_customers_with_orders",
     "set_ops_all_variants",
     "set_ops_union_intersect_except",
+    # ---- gate window ends here (50) ----
+    # Residue (leads the r15 gate): the thirteen r9-cohort entries
+    # the immediate slots displaced (five by the first r14 batch,
+    # eight more by positions 6-13) ...
     "streaming_left_outer_attribution",
     "string_functions",
-    # ---- gate window ends here (50) ----
-    # Residue (leads the r15 gate): the eleven r9-cohort entries the
-    # immediate slots displaced (five by the first r14 batch, six
-    # more by positions 6-11) ...
     "text_fingerprint",
     "text_ngram_frequency",
     "topk_orderby_alias",

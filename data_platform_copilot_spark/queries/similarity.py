@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.similarity import _hyperplanes, brute_force_topk, srp_lsh_topk
@@ -1255,3 +1256,152 @@ def ann_margin_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src_id", "tgt_id",
                       rnd("cosine", 4).alias("cosine"),
                       rnd("margin", 4).alias("margin"), "rank")
+
+
+def _two_arm_sql(k: int, n_planes: int, tables: int,
+                 dim: int, seed: int) -> str:
+    """Shared CTE prefix for the two-arm (SRP-LSH vs exact) eval
+    oracles: ``s`` = the LSH chain with ranks, ``b`` = the exact
+    brute-force chain with ranks, both over the 5-query panel."""
+    srp = _srp_oracle(k, n_planes, tables, dim, seed)
+    return f"""
+WITH s AS (
+    SELECT query_id, neighbor_id, rank FROM ({srp})
+), b AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS} AS cos_raw
+            FROM embeddings q
+            JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    )
+)"""
+
+
+@query("ann_rrf_fusion", oracle=f"""
+{_two_arm_sql(k=10, n_planes=8, tables=4, dim=64, seed=42)},
+fused AS (
+    SELECT coalesce(s.query_id, b.query_id) AS query_id,
+           coalesce(s.neighbor_id, b.neighbor_id) AS neighbor_id,
+           coalesce(1.0 / (60 + s.rank), 0)
+           + coalesce(1.0 / (60 + b.rank), 0) AS score_raw
+    FROM s FULL OUTER JOIN b
+      ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       round(score_raw, 6) AS rrf_score,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+    SELECT query_id, neighbor_id, score_raw,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_raw DESC, neighbor_id) AS fused_rank
+    FROM fused
+)
+WHERE fused_rank <= 10
+""")
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of the SRP-LSH index's top-10 with the exact brute-force
+    top-10 for the 5-query panel: rrf(d) = sum over rankings of
+    1/(60 + rank_r(d)) — the standard zero-tuning way to combine
+    heterogeneous retrieval arms (sparse+dense, ANN+exact) that
+    outperforms either arm on hybrid benchmarks. Both arms are the
+    verified operators; the fusion is a FULL OUTER join on
+    (query, neighbor) so docs found by only one arm still score.
+
+    Scale: each arm's candidate set is <= k rows per query, so the
+    fusion join and the fused re-rank window run over <= 2k rows per
+    query — bounded partitions at any corpus size; the arms
+    themselves carry the documented retrieval-path costs."""
+    from ..operators.similarity import brute_force_topk, srp_lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    lsh = srp_lsh_topk(emb, queries, "vec_id", "embedding", k=10,
+                       n_planes=8, tables=4, dim=64, seed=42)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    fused = (lsh.select("query_id", "neighbor_id",
+                        F.col("rank").alias("s_rank"))
+             .join(exact.select("query_id", "neighbor_id",
+                                F.col("rank").alias("b_rank")),
+                   ["query_id", "neighbor_id"], "full_outer")
+             .withColumn(
+                 "score_raw",
+                 F.coalesce(F.lit(1.0) / (60 + F.col("s_rank")),
+                            F.lit(0.0))
+                 + F.coalesce(F.lit(1.0) / (60 + F.col("b_rank")),
+                              F.lit(0.0))))
+    w = W.partitionBy("query_id").orderBy(F.desc("score_raw"),
+                                          "neighbor_id")
+    return (fused
+            .withColumn("fused_rank",
+                        F.row_number().over(w).cast("long"))
+            .where(F.col("fused_rank") <= 10)
+            .select("query_id", "neighbor_id",
+                    rnd("score_raw", 6).alias("rrf_score"),
+                    "fused_rank"))
+
+
+@query("ann_map_report", oracle=f"""
+{_two_arm_sql(k=10, n_planes=8, tables=4, dim=64, seed=42)},
+judged AS (
+    SELECT s.query_id, s.rank,
+           CASE WHEN b.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+    FROM s LEFT JOIN b
+      ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+), cum AS (
+    SELECT query_id, rank, rel,
+           sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_hits
+    FROM judged
+)
+SELECT query_id,
+       CAST(sum(rel) AS BIGINT) AS n_hits,
+       CAST(10 AS BIGINT) AS k,
+       round(sum(CASE WHEN rel = 1
+                      THEN CAST(cum_hits AS DOUBLE) / rank
+                      ELSE 0 END) / 10, 4) AS ap_at_k
+FROM cum GROUP BY query_id
+""")
+def ann_map_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision @ 10 of the SRP-LSH index against the exact
+    top-10 as the relevance set, per panel query — the rank-aware
+    companion to ann_recall_report (recall ignores WHERE in the list
+    the hits land; AP = mean of precision@i over hit positions
+    rewards putting true neighbors early). Deliberately AP rather
+    than nDCG: every term is rational (cum_hits/rank), so both
+    engines compute identical values with no transcendental-function
+    ULP risk in the hash compare.
+
+    Scale: the per-query window runs over <= k rows; the exact arm is
+    the sampled-panel audit cost, identical to ann_recall_report."""
+    from ..operators.similarity import brute_force_topk, srp_lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    lsh = srp_lsh_topk(emb, queries, "vec_id", "embedding", k=10,
+                       n_planes=8, tables=4, dim=64, seed=42)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    judged = (lsh.select("query_id", "neighbor_id", "rank")
+              .join(exact.select("query_id", "neighbor_id",
+                                 F.lit(1).alias("rel")),
+                    ["query_id", "neighbor_id"], "left")
+              .withColumn("rel", F.coalesce("rel", F.lit(0))))
+    w = (W.partitionBy("query_id").orderBy("rank")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = judged.withColumn("cum_hits", F.sum("rel").over(w))
+    return (cum.groupBy("query_id")
+            .agg(F.sum("rel").cast("long").alias("n_hits"),
+                 F.lit(10).cast("long").alias("k"),
+                 rnd(F.sum(F.when(
+                     F.col("rel") == 1,
+                     F.col("cum_hits").cast("double") / F.col("rank"))
+                     .otherwise(F.lit(0.0))) / 10, 4).alias("ap_at_k")))

@@ -3055,3 +3055,43 @@ class TestBucketedGlobalRank:
             assert got == want and got
         finally:
             valid.unpersist()
+
+
+class TestRetrievalEval:
+    """ann_rrf_fusion / ann_map_report: cross-entry consistency with
+    ann_recall_report (same two arms, same panel) plus shape
+    invariants the SQL oracle implies but a regression could break
+    silently."""
+
+    def test_map_hits_equal_recall_hits(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        recall = {r["query_id"]: r["n_recalled"] for r in
+                  QUERIES["ann_recall_report"](spark, sf_dir).collect()}
+        ap = {r["query_id"]: r["n_hits"] for r in
+              QUERIES["ann_map_report"](spark, sf_dir).collect()}
+        assert ap == recall and ap
+
+    def test_map_bounds_and_perfect_prefix(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        for r in QUERIES["ann_map_report"](spark, sf_dir).collect():
+            assert 0.0 <= r["ap_at_k"] <= 1.0
+            # all-10 hits in LSH order identical to exact order
+            # would give AP exactly 1.0; any miss strictly less
+            if r["n_hits"] < r["k"]:
+                assert r["ap_at_k"] < 1.0
+
+    def test_rrf_ranks_and_both_arm_dominance(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        rows = QUERIES["ann_rrf_fusion"](spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs = sorted(rs, key=lambda r: r["fused_rank"])
+            assert [r["fused_rank"] for r in rs] == list(
+                range(1, len(rs) + 1))
+            scores = [r["rrf_score"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            # a doc in BOTH arms at rank 1 scores 2/61 — the max;
+            # nothing can beat it
+            assert scores[0] <= round(2 / 61, 6) + 1e-9
