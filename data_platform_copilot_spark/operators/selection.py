@@ -534,3 +534,57 @@ def hll_cardinality(df: DataFrame, col: str, b: int = 8) -> DataFrame:
         # scale-before-round = queries.core.rnd semantics (DuckDB parity)
         (F.round(e * 100.0, 0) / 100.0).alias("estimate"),
         within.alias("within_3sigma")))
+
+
+def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str,
+                       n_buckets: int = 64) -> DataFrame:
+    """2-D Pareto frontier (skyline) under strict dominance: keeps
+    every row no other row dominates, where b dominates a iff
+    ``b.x >= a.x AND b.y >= a.y`` with at least one strict — the
+    multi-criteria selection step of curation pipelines (e.g. keep
+    documents pareto-optimal on quality vs cost, users on activity
+    vs breadth). Duplicate (x, y) points are mutually non-dominating
+    and all kept; rows with a NULL metric are excluded (dominance is
+    undefined on NULLs — standard skyline semantics). ``x_col`` must
+    be integer-typed (it feeds ``add_range_bucket``).
+
+    Scale shape — the textbook sort-sweep ("a row survives iff its y
+    beats the running max-y over all strictly-greater x") needs a
+    GLOBAL-ORDER window; here the sweep runs over the
+    one-row-per-distinct-x reduction via the bucketed prefix
+    pattern: per-bucket max-y, exclusive prefix-max over the
+    n_buckets-row DESC summary (the only unpartitioned window),
+    local exclusive running max inside bounded (bucket) windows, and
+    an equi-join back. Every groupBy is partial-agg splittable; no
+    window partition exceeds one bucket's distinct-x count."""
+    from pyspark.sql import Window as W
+
+    from .layout import add_range_bucket
+    rows = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    xg = rows.groupBy(x_col).agg(F.max(y_col).alias("__ymax"))
+    b = add_range_bucket(xg, x_col, n_buckets)
+
+    # max y over all LATER (greater-x) buckets — exclusive prefix
+    # over the tiny bucket summary in DESC bucket order
+    bs = b.groupBy("__rb").agg(F.max("__ymax").alias("__bmax"))
+    wb = (W.orderBy(F.desc("__rb"))
+          .rowsBetween(W.unboundedPreceding, -1))
+    bs = bs.select("__rb", F.max("__bmax").over(wb).alias("__mhigher"))
+
+    # max y over greater x WITHIN the bucket (one row per distinct x,
+    # so exclusive prefix in x-DESC order is exactly that)
+    wloc = (W.partitionBy("__rb").orderBy(F.desc(x_col))
+            .rowsBetween(W.unboundedPreceding, -1))
+    m = (b.join(F.broadcast(bs), "__rb")
+         .withColumn("__mgt",
+                     # greatest() skips NULLs, so either side absent
+                     # (first bucket / first row) degrades cleanly
+                     F.greatest(F.max("__ymax").over(wloc),
+                                F.col("__mhigher"))))
+
+    keep = (m.where(F.col("__mgt").isNull()
+                    | (F.col("__ymax") > F.col("__mgt")))
+            .select(x_col, "__ymax"))
+    return (rows.join(keep, [x_col])
+            .where(F.col(y_col) == F.col("__ymax"))
+            .drop("__ymax"))

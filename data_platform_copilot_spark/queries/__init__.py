@@ -85,7 +85,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # (rank-aware companion to ann_recall_report).
     "ann_rrf_fusion",
     "ann_map_report",
-    # ---- backfill 14-50: the last-green-r9 cohort, alphabetical ----
+    # Position 14: the 2-D Pareto frontier (skyline) selection
+    # (operators/selection.pareto_frontier_2d, bucketed sort-sweep).
+    "pareto_frontier_users",
+    # ---- backfill 15-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
     "array_functions",
@@ -122,11 +125,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "seasonal_adjusted_anomalies",
     "semi_join_customers_with_orders",
     "set_ops_all_variants",
-    "set_ops_union_intersect_except",
     # ---- gate window ends here (50) ----
-    # Residue (leads the r15 gate): the thirteen r9-cohort entries
+    # Residue (leads the r15 gate): the fourteen r9-cohort entries
     # the immediate slots displaced (five by the first r14 batch,
-    # eight more by positions 6-13) ...
+    # nine more by positions 6-14) ...
+    "set_ops_union_intersect_except",
     "streaming_left_outer_attribution",
     "string_functions",
     "text_fingerprint",

@@ -541,3 +541,42 @@ def training_order_interleave(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.min("gpos").cast("long").alias("first_pos"),
                  F.max("gpos").cast("long").alias("last_pos")))
+
+
+@query("pareto_frontier_users", oracle="""
+WITH g AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS peak_value
+    FROM events GROUP BY 1
+    HAVING max(value) IS NOT NULL
+)
+SELECT user_id, n_events, round(peak_value, 2) AS peak_value
+FROM g a
+WHERE NOT EXISTS (
+    SELECT 1 FROM g b
+    WHERE (b.n_events > a.n_events AND b.peak_value >= a.peak_value)
+       OR (b.n_events >= a.n_events AND b.peak_value > a.peak_value)
+)
+""")
+def pareto_frontier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal user set on (activity, peak value): users no
+    other user beats on BOTH event count and largest single event —
+    the multi-criteria selection shape curation pipelines use to
+    pick candidates without collapsing metrics into one weighted
+    score (operators/selection.pareto_frontier_2d). Count is
+    integer and max() is arithmetic-free (it selects a stored
+    parquet double), so cross-engine dominance comparisons are
+    exact; the 2dp rounding touches only the OUTPUT column, never
+    the dominance test. The oracle states the skyline DECLARATIVELY
+    (NOT EXISTS a dominator — O(n^2), fine at oracle scale); the
+    engine runs the bucketed sort-sweep, whose only global window is
+    the n_buckets-row bucket summary."""
+    from ..operators.selection import pareto_frontier_2d
+    g = (_t(spark, sf_dir, "events")
+         .groupBy("user_id")
+         .agg(F.count("*").cast("long").alias("n_events"),
+              F.max("value").alias("peak_value")))
+    front = pareto_frontier_2d(g, "n_events", "peak_value")
+    return front.select("user_id", "n_events",
+                        rnd("peak_value", 2).alias("peak_value"))

@@ -3095,3 +3095,53 @@ class TestRetrievalEval:
             # a doc in BOTH arms at rank 1 scores 2/61 — the max;
             # nothing can beat it
             assert scores[0] <= round(2 / 61, 6) + 1e-9
+
+
+class TestParetoFrontier:
+    """operators/selection.pareto_frontier_2d vs a naive all-pairs
+    reference — duplicates mutually non-dominating, NULL metrics
+    excluded, anti-correlated chains fully kept."""
+
+    @staticmethod
+    def _naive(points):
+        pts = [(x, y, i) for i, (x, y) in enumerate(points)
+               if x is not None and y is not None]
+        out = []
+        for x, y, i in pts:
+            dominated = any(
+                (bx > x and by >= y) or (bx >= x and by > y)
+                for bx, by, _ in pts)
+            if not dominated:
+                out.append(i)
+        return sorted(out)
+
+    def _check(self, spark, points, n_buckets=8):
+        from data_platform_copilot_spark.operators.selection import (
+            pareto_frontier_2d)
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(points)],
+            "id long, x long, y long")
+        got = sorted(r["id"] for r in pareto_frontier_2d(
+            df, "x", "y", n_buckets=n_buckets).collect())
+        assert got == self._naive(points), points[:5]
+
+    def test_fuzz(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(127)
+        for trial in range(3):
+            pts = [(int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+                   for _ in range(200)]
+            self._check(spark, pts, n_buckets=5 + trial * 7)
+
+    def test_duplicates_all_kept(self, spark):
+        # three copies of the single best point: all survive
+        self._check(spark, [(10, 10), (10, 10), (10, 10), (1, 1)])
+
+    def test_anticorrelated_chain_fully_kept(self, spark):
+        self._check(spark, [(i, 100 - i) for i in range(50)])
+
+    def test_null_metrics_excluded(self, spark):
+        self._check(spark, [(5, 5), (None, 99), (99, None), (4, 6)])
+
+    def test_equal_x_keeps_only_max_y_ties(self, spark):
+        self._check(spark, [(7, 3), (7, 9), (7, 9), (2, 50)])
