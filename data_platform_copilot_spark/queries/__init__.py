@@ -88,7 +88,10 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # Position 14: the 2-D Pareto frontier (skyline) selection
     # (operators/selection.pareto_frontier_2d, bucketed sort-sweep).
     "pareto_frontier_users",
-    # ---- backfill 15-50: the last-green-r9 cohort, alphabetical ----
+    # Position 15: cross-source quantile normalization (both rank
+    # passes via bucketed_global_rank; exact integer position map).
+    "quantile_normalize_doclen",
+    # ---- backfill 16-50: the last-green-r9 cohort, alphabetical ----
     "ab_test_cuped_adjusted",
     "anti_join_customers_without_orders",
     "array_functions",
@@ -124,11 +127,11 @@ DRIVER_GATE_PRIORITY: list[str] = [
     "scalar_subquery_cte",
     "seasonal_adjusted_anomalies",
     "semi_join_customers_with_orders",
-    "set_ops_all_variants",
     # ---- gate window ends here (50) ----
-    # Residue (leads the r15 gate): the fourteen r9-cohort entries
+    # Residue (leads the r15 gate): the fifteen r9-cohort entries
     # the immediate slots displaced (five by the first r14 batch,
-    # nine more by positions 6-14) ...
+    # ten more by positions 6-15) ...
+    "set_ops_all_variants",
     "set_ops_union_intersect_except",
     "streaming_left_outer_attribution",
     "string_functions",

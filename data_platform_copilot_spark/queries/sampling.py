@@ -580,3 +580,68 @@ def pareto_frontier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     front = pareto_frontier_2d(g, "n_events", "peak_value")
     return front.select("user_id", "n_events",
                         rnd("peak_value", 2).alias("peak_value"))
+
+
+@query("quantile_normalize_doclen", oracle="""
+WITH d AS (
+    SELECT doc_id, source, n_chars FROM documents
+), ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rs,
+           count(*) OVER (PARTITION BY source) AS ns
+    FROM d
+), pooled AS (
+    SELECT n_chars AS pooled_value,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rp
+    FROM d
+), total AS (SELECT count(*) AS n FROM d)
+SELECT r.doc_id, r.source,
+       CAST(r.n_chars AS BIGINT) AS n_chars,
+       CAST(p.pooled_value AS BIGINT) AS normalized
+FROM ranked r CROSS JOIN total t
+JOIN pooled p
+  ON p.rp = (r.rs * t.n + r.ns - 1) // r.ns
+""")
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources —
+    the feature-alignment step that maps every source's value
+    distribution onto the POOLED distribution so per-source length
+    filters compare like-for-like (the microarray/quantile-matching
+    recipe applied to corpus features): a doc at within-source rank
+    rs of ns maps to the pooled value at position
+    ceil(rs * N / ns) — exact integer arithmetic, identical in both
+    engines, no percentile interpolation to drift.
+
+    Scale: BOTH rank passes are operators/layout.bucketed_global_rank
+    (the pooled pass is the textbook global-sort whale — one
+    ORDER BY over the entire corpus — and the per-source pass has
+    the dominant-source whale), so no window partition exceeds one
+    (partition, bucket) slice; the position lookup is an equi-join
+    on the pooled rank. The oracle states the same map with plain
+    windows (oracle scale is small)."""
+    from ..operators.layout import bucketed_global_rank
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    ranked = bucketed_global_rank(
+        d.withColumn("__ok", F.col("n_chars")),
+        ["source"], "__ok", [F.col("n_chars"), F.col("doc_id")],
+        rank_col="rs", size_col="ns").drop("__ok")
+    pooled = bucketed_global_rank(
+        d.withColumn("__ok", F.col("n_chars")),
+        [], "__ok", [F.col("n_chars"), F.col("doc_id")],
+        rank_col="rp", size_col="n_total")
+    lookup = pooled.select(F.col("n_chars").alias("pooled_value"),
+                           "rp", "n_total")
+    pos = (ranked
+           .join(F.broadcast(lookup.select("n_total").limit(1)))
+           .withColumn(
+               "__pos",
+               # ceil(rs * N / ns) as exact LONG arithmetic (div, not
+               # float division — rs * N exceeds double's 2^53 exact
+               # range long before 100 TB row counts do a long's)
+               F.expr("(rs * n_total + ns - 1) div ns")))
+    return (pos.join(lookup.withColumnRenamed("rp", "__pos")
+                     .drop("n_total"), ["__pos"])
+            .select("doc_id", "source", "n_chars",
+                    F.col("pooled_value").alias("normalized")))

@@ -3145,3 +3145,36 @@ class TestParetoFrontier:
 
     def test_equal_x_keeps_only_max_y_ties(self, spark):
         self._check(spark, [(7, 3), (7, 9), (7, 9), (2, 50)])
+
+
+class TestQuantileNormalize:
+    """quantile_normalize_doclen invariants beyond the oracle hash:
+    single-source identity and within-source monotonicity."""
+
+    def test_single_source_is_identity(self, spark):
+        from data_platform_copilot_spark.queries import QUERIES
+        import data_platform_copilot_spark.queries.sampling as S
+        df = spark.createDataFrame(
+            [(i, "only", (i * 37) % 101 + 1) for i in range(80)],
+            "doc_id long, source string, n_chars long")
+        import tempfile
+        import os
+        with tempfile.TemporaryDirectory() as td:
+            df.write.mode("overwrite").parquet(
+                os.path.join(td, "documents.parquet"))
+            out = QUERIES["quantile_normalize_doclen"](spark, td).collect()
+        # one source: rs == rp positions, so normalized == own value
+        assert out and all(r["normalized"] == r["n_chars"] for r in out)
+
+    def test_monotone_within_source(self, spark, sf_dir):
+        from data_platform_copilot_spark.queries import QUERIES
+        rows = QUERIES["quantile_normalize_doclen"](spark, sf_dir).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(
+                (r["n_chars"], r["doc_id"], r["normalized"]))
+        assert by_src
+        for src, vals in by_src.items():
+            vals.sort()
+            norms = [n for _, _, n in vals]
+            assert norms == sorted(norms), src
