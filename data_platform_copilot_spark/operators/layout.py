@@ -193,8 +193,20 @@ def bucketed_global_rank(df: DataFrame, part_cols: list[str],
     (part_cols..., bucket) — complex-type equality treats NULL
     fields as equal (the operators/sessionize.py trick), so NULL
     partition values rank like any other partition instead of
-    vanishing at the join, and the join reuses phase 1's exchange."""
+    vanishing at the join, and the join reuses phase 1's exchange.
+    ``key_col`` itself must be NON-NULL on every row (enforced with a
+    per-row raise): add_range_bucket would put a NULL image in
+    bucket 0 (first) while NULL order values sort elsewhere — and
+    Spark/DuckDB even disagree on where — so a NULL image cannot
+    rank consistently; callers filter or coalesce first."""
     from pyspark.sql import Window as W
+    df = df.withColumn(
+        key_col,
+        F.when(F.col(key_col).isNotNull(), F.col(key_col)).otherwise(
+            F.raise_error(F.lit(
+                "bucketed_global_rank: key_col image must be non-null"
+                " (a NULL image lands in bucket 0 but sorts elsewhere"
+                " — filter or coalesce NULL rows first)")).cast("long")))
     b = add_range_bucket(df, key_col, n_buckets)
     pb = F.struct(
         *[F.col(c).alias(f"p{i}") for i, c in enumerate(part_cols)],

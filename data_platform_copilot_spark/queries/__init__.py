@@ -54,10 +54,13 @@ DRIVER_GATE_PRIORITY: list[str] = [
     # (operators/chunked_window.last_ignorenulls_chunked) and the
     # session-depth reuse of the two-phase sessionizer — same
     # immediate-slot policy.
-    # Positions 6-50: the last-green-r9 cohort — the 50 entries whose
-    # newest driver hash is CORRECTNESS_r09.json in the union of
-    # r01..r13 artifacts — alphabetical for determinism, truncated at
-    # 45 by the five immediate slots.
+    # Positions 6-15: ten more entries registered in the r14 second
+    # session (annotated inline below), same immediate-slot policy.
+    # Positions 16-50: the last-green-r9 cohort — the 50 entries
+    # whose newest driver hash is CORRECTNESS_r09.json in the union
+    # of r01..r13 artifacts — alphabetical for determinism, truncated
+    # at 35 by the fifteen immediate slots (displaced tail = the
+    # residue block below the window marker).
     # ---- registered/re-oracled r14 (never driver-green) ----
     "sessionization_two_phase",
     "compression_ratio_quality",

@@ -3178,3 +3178,14 @@ class TestQuantileNormalize:
             vals.sort()
             norms = [n for _, _, n in vals]
             assert norms == sorted(norms), src
+
+    def test_null_image_raises(self, spark):
+        import pytest
+
+        from data_platform_copilot_spark.operators.layout import (
+            bucketed_global_rank)
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, None)], "part string, id long, v long")
+        with pytest.raises(Exception, match="non-null"):
+            bucketed_global_rank(df, ["part"], "v",
+                                 [F.col("v"), F.col("id")]).collect()
