@@ -348,11 +348,18 @@ class TestGlobalWindowAudit:
 
     - operators/sampling.py (1): largest-remainder rank over
       |groups| rows — bounded.
-    - operators/selection.py (1): Misra-Gries heavy-hitter table,
-      O(1/phi) rows — bounded.
+    - operators/selection.py (2): Misra-Gries heavy-hitter table,
+      O(1/phi) rows — bounded; pareto_frontier_2d's exclusive
+      prefix-max over the n_buckets-row (64) DESC bucket summary
+      (r14, same bucketed-prefix pattern as layout.bucket_offsets)
+      — bounded by construction.
     - operators/layout.py (1, r12): bucket_offsets exclusive cumsum
       over the B-row per-bucket subtotal frame of the shared
       two-phase prefix pattern — bounded by construction.
+    - operators/similarity.py (1, r14): margin_topk's final rank
+      window runs over the m survivors of a TakeOrderedAndProject
+      (global top-m, default 20) — bounded by construction, same
+      pattern as null_ordering's kept-5 rank.
     - queries/dq.py (6): KS CDF over distinct rounded values
       (bounded histogram); Gini + Pareto + Mann-Whitney cumulatives
       over distinct-value histograms (r12 value-histogram rewrites —
@@ -383,8 +390,9 @@ class TestGlobalWindowAudit:
 
     EXPECTED = {
         "operators/sampling.py": 1,
-        "operators/selection.py": 1,
+        "operators/selection.py": 2,
         "operators/layout.py": 1,
+        "operators/similarity.py": 1,
         "queries/dq.py": 6,
         "queries/extras2.py": 2,
         "queries/quality.py": 1,
