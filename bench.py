@@ -70,12 +70,20 @@ def main() -> None:
     # throughput profile: AQE on, full shuffle parallelism).
     spark = get_spark("bench", master=os.environ.get("SPARK_GRAFT_MASTER"))
 
-    # Warmup: persist + materialize every table (the state a warm
-    # cluster is always in — per-query timings then measure the query,
-    # not parquet listing / JIT / codegen fixed costs), then run the
-    # flagship once for JVM warm-in.
+    # Warmup: PLAN-only table warming (memoized analyzed frames — no
+    # data caching), then run the flagship once for JVM warm-in.
+    # r14 methodology fix: rounds 10-13 passed persist=True here,
+    # which materialized every base table into the block-manager
+    # cache BEFORE the timed region — timed runs then read RAM, not
+    # the parquet inputs, and (via the CacheManager's plan matching)
+    # never paid the scan. Every timed run now computes from the
+    # parquet files, like the DuckDB proxy it is graded against
+    # (views over the same files). Same-commit A/B decomposition is
+    # recorded in BASELINE.md §"Bench methodology log (r14)";
+    # comparing an r14+ total to r10-r13 artifacts MUST bridge
+    # through that note.
     from data_platform_copilot_spark.sources import warm_tables
-    warm_tables(spark, sf_dir)
+    warm_tables(spark, sf_dir, persist=False)
     QUERIES["flagship_revenue_by_nation"](spark, sf_dir).collect()
     # Spawn the reusable Python worker pool once (Arrow stages pay
     # ~2.5s of process startup on first use; the pool persists via

@@ -498,20 +498,20 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         # 2^n_planes buckets the per-group Arrow/pandas overhead of an
         # applyInPandas dominates (measured 8s for 2048 near-empty
         # buckets at sf0.1); repartitioning on (tbl, bucket) then
-        # grouping INSIDE one mapInPandas batch amortizes it to one
-        # pandas pass per partition. Partition memory is bounded by the
-        # shuffle partition count; a pathological hot bucket (thousands
-        # of mutually-near-identical vectors) still concentrates in one
-        # task, but its gemm is TILED at max_bucket_gemm rows so peak
-        # memory and each matmul stay bounded (see the cap comment in
-        # part_gemm).
+        # grouping INSIDE one mapInArrow batch amortizes it to one
+        # vectorized pass per partition. Partition memory is bounded by
+        # the shuffle partition count; a pathological hot bucket
+        # (thousands of mutually-near-identical vectors) still
+        # concentrates in one task, but its gemm is TILED at
+        # max_bucket_gemm rows so peak memory and each matmul stay
+        # bounded (see the cap comment in part_gemm).
         #
         # Vectors cross every Python<->JVM boundary as BINARY (raw
-        # float64 bytes), not array<double>: Arrow's nested-list
-        # conversion materializes one ndarray per row (~0.16s per 17k
-        # rows, measured), while bytes rows join/split through
-        # b"".join + np.frombuffer at memcpy speed. The shuffle also
-        # carries each vector ONCE (tables replicate ids + bucket
+        # float64 bytes), not array<double>: an Arrow binary column is
+        # one contiguous data buffer + offsets, decoded with a single
+        # zero-copy frombuffer (the nested-list form materialized one
+        # ndarray per row, ~0.16s per 17k rows, measured). The shuffle
+        # also carries each vector ONCE (tables replicate ids + bucket
         # codes JVM-side via posexplode, not the payload rows 8x
         # through Arrow).
         def part_gemm(batches):
@@ -527,19 +527,40 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             # no table t' < t also collides. Global exactly-once
             # emission with zero cross-partition coordination — the
             # output needs no distinct/dropDuplicates exchange at all.
-            import pandas as pd
-            pdfs = [b for b in batches if len(b)]
-            if not pdfs:
+            #
+            # r14: mapInArrow, not mapInPandas — the pandas bridge
+            # materialized one bytes object per row for the binary
+            # vector column (then b"".join re-copied them) and one
+            # list per row for the codes column. An Arrow binary
+            # column is ONE data buffer + an offsets array, so the
+            # (n, dim) matrix is a single zero-copy frombuffer +
+            # reshape (guide §4.2); codes flatten the same way. The
+            # ragged-offsets fallback covers a hypothetical mixed-dim
+            # input (never produced by the tag stage).
+            import pyarrow as pa
+            bs = [b for b in batches if b.num_rows]
+            if not bs:
                 return
-            pdf = pd.concat(pdfs, ignore_index=True)
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            mat = np.frombuffer(
-                b"".join(pdf["v"]), dtype=np.float64).reshape(len(ids), -1)
+            tb = pa.Table.from_batches(bs).combine_chunks()
+            n = tb.num_rows
+            ids = tb.column("id").to_numpy().astype(np.int64, copy=False)
+            varr = tb.column("v").chunk(0)
+            off = np.frombuffer(varr.buffers()[1], dtype=np.int32)[
+                varr.offset:varr.offset + n + 1]
+            widths = np.diff(off)
+            if widths.size and (widths != widths[0]).any():
+                mat = np.stack([np.frombuffer(x, np.float64)
+                                for x in varr.to_pylist()])
+            else:
+                data = np.frombuffer(varr.buffers()[2], dtype=np.uint8)
+                mat = data[off[0]:off[-1]].view(np.float64).reshape(n, -1)
+            # the division allocates the writable normalized copy
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            tbls = pdf["tbl"].to_numpy(dtype=np.int64)
-            key = (tbls << n_planes) + pdf["bucket"].to_numpy(
-                dtype=np.int64)
+            codes = np.asarray(
+                tb.column("codes").chunk(0).flatten()).reshape(n, -1)
+            tbls = tb.column("tbl").to_numpy().astype(np.int64, copy=False)
+            key = (tbls << n_planes) + tb.column("bucket").to_numpy(
+                ).astype(np.int64, copy=False)
             order = np.argsort(key, kind="stable")
             key_s, ids_s, mat_s = key[order], ids[order], mat[order]
             codes_s, tbls_s = codes[order], tbls[order]
@@ -583,18 +604,24 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                             ia, ib = ia[fresh], ib[fresh]
                             ga, gb = ga[fresh], gb[fresh]
                         if len(ga):
-                            out.append(pd.DataFrame({
-                                "id_a": np.minimum(ids_s[ga], ids_s[gb]),
-                                "id_b": np.maximum(ids_s[ga], ids_s[gb]),
-                                "cosine": sims[ia, ib]}))
+                            out.append((np.minimum(ids_s[ga], ids_s[gb]),
+                                        np.maximum(ids_s[ga], ids_s[gb]),
+                                        sims[ia, ib]))
             if out:
-                yield pd.concat(out, ignore_index=True)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate([o[0] for o in out]),
+                              type=pa.int64()),
+                     pa.array(np.concatenate([o[1] for o in out]),
+                              type=pa.int64()),
+                     pa.array(np.concatenate([o[2] for o in out]),
+                              type=pa.float64())],
+                    ["id_a", "id_b", "cosine"])
 
         # Bucket tagging happens in the SAME Arrow/numpy world as the
         # scoring, not as column expressions: the expression form
         # (tables x n_planes x dim literal-array folds) builds a
         # ~30k-node tree that costs seconds of driver-side analysis
-        # per run — a pure plan-bookkeeping tax. One mapInPandas pass
+        # per run — a pure plan-bookkeeping tax. One mapInArrow pass
         # computes ALL tables' sign bits per batch with a single
         # (n, dim) @ (dim, tables*n_planes) gemm, emitting ONE row per
         # vector (bucket codes as an array); the per-table replication
@@ -608,27 +635,48 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         powers = 1 << np.arange(n_planes, dtype=np.int64)
 
         def tag(batches):
-            import pandas as pd
+            # r14: mapInArrow — the incoming list<double> column is
+            # one contiguous child buffer, so the (n, dim) matrix is
+            # a single zero-copy flatten + reshape (the pandas bridge
+            # built one ndarray per row); the outgoing binary column
+            # is the same matrix bytes re-sliced by a computed
+            # offsets array, and the codes list column the same —
+            # no per-row Python objects in either direction
+            # (guide §4.2). Measured 0.274 s -> 0.225 s on the full
+            # dedup_embedding_lsh entry at sf0.1 together with the
+            # part_gemm twin (BASELINE.md r14 log).
+            import pyarrow as pa
             for b in batches:
-                if not len(b):
+                n = b.num_rows
+                if not n:
                     continue
-                mat = np.array(b["v"].tolist(), dtype=np.float64)
+                mat = np.asarray(b.column("v").flatten(),
+                                 dtype=np.float64).reshape(n, -1)
                 bits = (mat @ planes_all.T >= 0).reshape(
-                    len(mat), tables, n_planes)
+                    n, tables, n_planes)
                 codes = bits @ powers  # (n, tables) int bucket numbers
-                yield pd.DataFrame({
-                    "id": b["id"].to_numpy(),
-                    "v": [m.tobytes() for m in mat],
-                    "codes": list(codes)})
+                offs = np.arange(n + 1, dtype=np.int32) * (
+                    mat.shape[1] * 8)
+                vb = pa.BinaryArray.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(offs.tobytes()),
+                     pa.py_buffer(mat.tobytes())])
+                coffs = pa.array(
+                    np.arange(n + 1, dtype=np.int32) * tables)
+                codes_arr = pa.ListArray.from_arrays(
+                    coffs, pa.array(codes.reshape(-1), type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(
+                    [b.column("id"), vb, codes_arr],
+                    ["id", "v", "codes"])
 
         tag_src = (base.coalesce(tag_partitions)
                    if tag_partitions else base)
-        tagged = (tag_src.mapInPandas(
+        tagged = (tag_src.mapInArrow(
                       tag, "id long, v binary, codes array<long>")
                   .select("id", "v", "codes",
                           F.posexplode("codes").alias("tbl", "bucket")))
         return (tagged.repartition("tbl", "bucket")
-                .mapInPandas(part_gemm, _PAIR_SCHEMA))
+                .mapInArrow(part_gemm, _PAIR_SCHEMA))
 
     if method != "blocked":
         raise ValueError(f"unknown method {method!r}")

@@ -138,12 +138,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect over two per-doc joins against the 1-row-per-doc
     signature table — the exploded shingle table is never re-joined
     and nothing needs a persist."""
+    from ..sources.registry import materialize_auto
     docs = _t(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", n=3)
-    # one row per doc (tiny): persist it — the three consumers below
-    # (banding + both verification sides) then reuse one explode+agg
-    sig = minhash_signatures(sh, num_hashes=16,
-                             carry_shingles=True).persist()
+    # one row per doc (tiny): materialize it — the three consumers
+    # below (banding + both verification sides) then reuse one
+    # explode+agg. materialize_auto (lazy localCheckpoint locally),
+    # NOT .persist(): a persisted plan registers with the
+    # CacheManager and outlives this call, so a LATER invocation's
+    # identical sub-plan silently resolves to the first run's
+    # materialized blocks — result reuse across runs, which the
+    # bench's min-of-5 must never see (r14 methodology fix; the
+    # same-commit A/B is in BASELINE.md). A localCheckpoint shares
+    # within one invocation only: every fresh call recomputes from
+    # the scan.
+    sig = materialize_auto(minhash_signatures(sh, num_hashes=16,
+                                              carry_shingles=True))
     cand = lsh_candidate_pairs(sig, bands=4)
     a = sig.select(F.col("id").alias("id_a"),
                    F.col("shingles").alias("sa"),

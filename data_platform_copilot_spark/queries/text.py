@@ -102,19 +102,43 @@ FROM documents
 """)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length + punctuation + stopword-density mix
-    (the standard pretraining-filter recipe, deterministic weights)."""
+    (the standard pretraining-filter recipe, deterministic weights).
+
+    r14 layered-projection rewrite (guide §1.2 step 2 — per-task
+    work): the single-Project form inlined the tokenization chain
+    (split·trim·regexp_replace·lower) six times and the punct regex
+    strip three times per row, and the higher-order ``filter`` keeps
+    this Project OUT of whole-stage codegen, so no codegen-side
+    subexpression elimination ever rescued it. Materializing the
+    token array, the punct ratio and the stopword hit count as
+    intermediate projection columns evaluates each expensive
+    expression ONCE per row: CollapseProject refuses to merge a
+    Project whose non-cheap alias is referenced more than once
+    upstream, so the layering survives optimization (plan pinned by
+    tests/test_plan_quality.py). Arithmetic on top is identical
+    expression-for-expression — bit-equal doubles, same oracle hash
+    (re-proven at sf0.01 AND sf0.1). Measured 0.132 s -> 0.062 s at
+    sf0.1 (min-of-5, BASELINE.md r14 log)."""
     d = spread(_t(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
-    punct = punct_ratio(F.col("text"))
-    stop = stopword_ratio(F.col("text"), "en")
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    s1 = d.select("doc_id", "text", tokens(F.col("text")).alias("__toks"))
+    s2 = s1.select(
+        "doc_id",
+        punct_ratio(F.col("text")).alias("__punct"),
+        F.size("__toks").alias("__ntok"),
+        F.size(F.filter(F.col("__toks"),
+                        lambda t: F.array_contains(sw, t))).alias("__nstop"),
+    )
+    stop = F.when(F.col("__ntok") > 0,
+                  F.col("__nstop") / F.col("__ntok")).otherwise(F.lit(0.0))
     quality = (
-        0.4 * F.least(F.lit(1.0), F.size(toks).cast("double") / 100.0)
-        + 0.3 * (1.0 - punct)
+        0.4 * F.least(F.lit(1.0), F.col("__ntok").cast("double") / 100.0)
+        + 0.3 * (1.0 - F.col("__punct"))
         + 0.3 * stop
     )
-    return d.select(
+    return s2.select(
         "doc_id",
-        rnd(punct, 4).alias("punct_ratio"),
+        rnd(F.col("__punct"), 4).alias("punct_ratio"),
         rnd(stop, 4).alias("stopword_ratio"),
         rnd(quality, 4).alias("quality"),
     )

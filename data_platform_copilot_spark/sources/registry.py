@@ -43,24 +43,37 @@ _WARM: dict[tuple[str, str, str], DataFrame] = {}
 def warm_tables(spark: SparkSession, sf_dir: str,
                 tables: tuple[str, ...] = TESTDATA_TABLES,
                 persist: bool = True) -> None:
-    """Pre-load every table once; optionally persist + materialize.
+    """Pre-load every table once. Two modes:
 
-    Benchmarks call this so per-query timings measure the QUERY, not
-    parquet listing/session fixed costs — the state a warm cluster is
-    always in. Idempotent per (app, sf_dir)."""
+    ``persist=False`` (the bench mode since r14): PLAN-only warming —
+    memoize each table's analyzed frame so repeated queries skip
+    re-listing parquet and re-probing schemas (driver bookkeeping),
+    while every execution still scans the parquet files. No data is
+    cached and no layout repartition is injected, so a warmed frame
+    plans exactly like the cold ``load_table`` path. This is the mode
+    benchmarks must use: timed runs compute from the inputs
+    (BENCH.md r14 change-log entry has the same-commit A/B).
+
+    ``persist=True``: additionally materialize the SPREAD layout into
+    the block-manager cache — the state of a cluster whose buffer
+    cache holds the working set with properly-sized splits. Probes
+    that isolate NON-scan costs (straggler sweep, fair-pool overlap)
+    use it; the graded bench does not. Idempotent per (app, sf_dir).
+    """
     app = spark.sparkContext.applicationId
     for name in tables:
         key = (app, sf_dir, name)
         if key in _WARM:
             continue
-        # Persist the SPREAD layout: the testdata files are single
-        # row-group (1 partition); caching them pre-repartitioned
-        # means every downstream spread() is a no-op and parallel
-        # stages start parallel.
-        df = spread(load_table(spark, sf_dir, name))
         if persist:
-            df = df.persist()
+            # Persist the SPREAD layout: the testdata files are single
+            # row-group (1 partition); caching them pre-repartitioned
+            # means every downstream spread() is a no-op and parallel
+            # stages start parallel.
+            df = spread(load_table(spark, sf_dir, name)).persist()
             df.count()
+        else:
+            df = load_table(spark, sf_dir, name)
         _WARM[key] = df
 
 
@@ -147,7 +160,22 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if not sc.master.startswith("local"):
         return df
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    # The .rdd partition probe builds a fresh JVM RDD lineage per
+    # call — measured 4-13 ms of driver bookkeeping (13 ms on the
+    # events table, whose NTZ/nanos rebuild makes the conversion
+    # plan bigger). DataFrames are immutable, so memoize the probe
+    # result on the object: the long-lived warm frames every query
+    # reads (warm_tables) then pay it once per process instead of
+    # once per invocation. Derived frames get a fresh probe, as
+    # before.
+    n = getattr(df, "_graft_npart", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            df._graft_npart = n
+        except AttributeError:  # pragma: no cover — slotted impl
+            pass
+    if n * 2 <= target:
         return df.repartition(target)
     return df
 

@@ -57,7 +57,9 @@ def main() -> None:
     duck = duckdb_timings(sf_dir, names)
 
     spark = get_spark("proxy-bench")
-    warm_tables(spark, sf_dir)
+    # plan-only warming (r14): both engines scan parquet per run —
+    # DuckDB through its views, Spark through the memoized lazy frames
+    warm_tables(spark, sf_dir, persist=False)
     QUERIES[names[0]](spark, sf_dir).collect()
     (spark.range(256).repartition(8)
      .mapInPandas(lambda it: it, "id long")
