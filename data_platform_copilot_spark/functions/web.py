@@ -138,6 +138,48 @@ def _in_set(col: Column, values: frozenset[str]) -> Column:
     return col.isin(*sorted(values))
 
 
+def host_label_candidates(host: Column) -> Column:
+    """The n dot-joined suffix candidates of an n-label host,
+    shortest first (``a.b.c`` -> ``[c, b.c, a.b.c]``) — the probe
+    array of the PSL algorithm. Layer this as its own projection
+    column when the host is a projected attribute: the rule probes
+    reference the candidate array from INSIDE lambda bodies, and an
+    interpreted higher-order function re-evaluates non-lambda body
+    subexpressions per element — an inline candidate array (and the
+    host parse below it) would be rebuilt/re-parsed for every probe
+    (r14 measured on url_canonicalization)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    ks = F.sequence(F.lit(1), n)
+    return F.transform(
+        ks, lambda k: F.array_join(F.slice(parts, n - k + 1, k), "."))
+
+
+def psl_domain_from_candidates(host: Column, cands: Column,
+                               rules: tuple) -> Column:
+    """PSL resolution over a prebuilt ``host_label_candidates`` array
+    (pass both as attributes; see there). Same contract as
+    ``_psl_registered_domain``."""
+    exact, wild, exc = rules
+    n = F.size(cands)
+    ks = F.sequence(F.lit(1), n)
+    exc_k = F.array_max(F.transform(
+        ks, lambda k: F.when(_in_set(F.element_at(cands, k), exc), k)
+        .otherwise(F.lit(0))))
+    exact_k = F.array_max(F.transform(
+        ks, lambda k: F.when(_in_set(F.element_at(cands, k), exact), k)
+        .otherwise(F.lit(0))))
+    wild_k = F.array_max(F.transform(
+        ks, lambda k: F.when(
+            (k > 1) & _in_set(F.element_at(cands, k - 1), wild), k)
+        .otherwise(F.lit(0))))
+    ps_len = F.when(exc_k > 0, exc_k - 1).otherwise(
+        F.greatest(exact_k, wild_k, F.lit(1)))
+    return F.when(host.isNull() | (host == ""), F.lit(None)).otherwise(
+        F.when(n > ps_len, F.try_element_at(cands, ps_len + 1))
+        .otherwise(F.lit(None)))
+
+
 def _psl_registered_domain(host: Column, rules: tuple) -> Column:
     """Public Suffix List algorithm (publicsuffix.org/list/) as a pure
     Column expression. For a host of n labels, build the n dot-joined
@@ -156,28 +198,13 @@ def _psl_registered_domain(host: Column, rules: tuple) -> Column:
       single-label hosts unchanged).
 
     Everything is array/InSet codegen — ~n^2 tiny string joins per row
-    for n = label count (<=5 in practice), zero shuffle."""
-    exact, wild, exc = rules
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    ks = F.sequence(F.lit(1), n)
-    cands = F.transform(
-        ks, lambda k: F.array_join(F.slice(parts, n - k + 1, k), "."))
-    exc_k = F.array_max(F.transform(
-        ks, lambda k: F.when(_in_set(F.element_at(cands, k), exc), k)
-        .otherwise(F.lit(0))))
-    exact_k = F.array_max(F.transform(
-        ks, lambda k: F.when(_in_set(F.element_at(cands, k), exact), k)
-        .otherwise(F.lit(0))))
-    wild_k = F.array_max(F.transform(
-        ks, lambda k: F.when(
-            (k > 1) & _in_set(F.element_at(cands, k - 1), wild), k)
-        .otherwise(F.lit(0))))
-    ps_len = F.when(exc_k > 0, exc_k - 1).otherwise(
-        F.greatest(exact_k, wild_k, F.lit(1)))
-    return F.when(host.isNull() | (host == ""), F.lit(None)).otherwise(
-        F.when(n > ps_len, F.try_element_at(cands, ps_len + 1))
-        .otherwise(F.lit(None)))
+    for n = label count (<=5 in practice), zero shuffle. When the
+    caller controls the DataFrame, layer the host and the candidate
+    array as projection columns and call
+    ``psl_domain_from_candidates`` directly (see
+    ``host_label_candidates`` for why)."""
+    return psl_domain_from_candidates(
+        host, host_label_candidates(host), rules)
 
 
 def registered_domain(c: Column | str, *, use_psl: bool = True) -> Column:
@@ -212,13 +239,67 @@ def registered_domain(c: Column | str, *, use_psl: bool = True) -> Column:
 def _clean_query(c: Column) -> Column:
     """Sorted query string with tracking params and empties dropped;
     NULL when nothing survives."""
-    q = F.try_parse_url(F.trim(c), F.lit("QUERY"))
+    return _clean_query_from_raw(
+        F.try_parse_url(F.trim(c), F.lit("QUERY")))
+
+
+def _clean_query_from_raw(q: Column) -> Column:
+    """``_clean_query`` over an already-extracted raw QUERY column."""
     kept = F.array_sort(F.filter(
         F.split(q, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX)))
     joined = F.array_join(kept, "&")
     return F.when(q.isNull() | (F.size(kept) == 0), F.lit(None)
                   ).otherwise(joined)
+
+
+def url_normalize_fields(c: Column | str) -> dict[str, Column]:
+    """The five ``try_parse_url`` extractions ``url_normalize``
+    assembles from, as independent expressions — project these as
+    intermediate columns and feed the attributes to
+    ``url_normalize_from_fields`` when the caller controls the
+    DataFrame. Inline, the assembled tree references each extraction
+    several times and contains a lambda (the tracking-param filter),
+    which exempts the WHOLE tree from codegen subexpression
+    elimination — every reference re-parses the URL (r14 measured:
+    url_canonicalization, the heaviest registry entry, was
+    re-parse-bound)."""
+    col = F.col(c) if isinstance(c, str) else c
+    col = F.trim(col)
+    return {
+        "scheme": F.lower(F.try_parse_url(col, F.lit("PROTOCOL"))),
+        "host": url_host(col),
+        # try_parse_url's HOST excludes the port; recover it from
+        # AUTHORITY
+        "auth": F.lower(F.try_parse_url(col, F.lit("AUTHORITY"))),
+        "raw_path": F.try_parse_url(col, F.lit("PATH")),
+        "raw_query": F.try_parse_url(col, F.lit("QUERY")),
+    }
+
+
+def url_normalize_from_fields(scheme: Column, host: Column,
+                              auth: Column, raw_path: Column,
+                              raw_query: Column) -> Column:
+    """Assemble the canonical URL from pre-extracted fields (see
+    ``url_normalize_fields``); expression-identical to
+    ``url_normalize``'s output for the same URL."""
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = ((port != "")
+                 & ~((scheme == "http") & (port == "80"))
+                 & ~((scheme == "https") & (port == "443")))
+    path = F.when(raw_path.isNull() | (raw_path == ""),
+                  F.lit("/")).otherwise(raw_path)
+    path = F.when(path != "/",
+                  F.regexp_replace(path, r"/+$", "")).otherwise(path)
+    query = _clean_query_from_raw(raw_query)
+    out = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query.isNotNull(),
+               F.concat(F.lit("?"), query)).otherwise(F.lit("")))
+    return F.when(scheme.isNull() | host.isNull() | (host == ""),
+                  F.lit(None)).otherwise(out)
 
 
 def url_normalize(c: Column | str) -> Column:
@@ -228,26 +309,6 @@ def url_normalize(c: Column | str) -> Column:
     params sorted, trailing slash removed from non-root paths, empty
     path -> ``/``. NULL for rows ``try_parse_url`` cannot parse a host
     out of. Recrawl variants of one page collapse to one key."""
-    col = F.col(c) if isinstance(c, str) else c
-    col = F.trim(col)
-    scheme = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
-    host = url_host(col)
-    # try_parse_url's HOST excludes the port; recover it from AUTHORITY
-    auth = F.lower(F.try_parse_url(col, F.lit("AUTHORITY")))
-    port = F.regexp_extract(auth, r":(\d+)$", 1)
-    keep_port = ((port != "")
-                 & ~((scheme == "http") & (port == "80"))
-                 & ~((scheme == "https") & (port == "443")))
-    path = F.try_parse_url(col, F.lit("PATH"))
-    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
-    path = F.when(path != "/",
-                  F.regexp_replace(path, r"/+$", "")).otherwise(path)
-    query = _clean_query(col)
-    out = F.concat(
-        scheme, F.lit("://"), host,
-        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        path,
-        F.when(query.isNotNull(),
-               F.concat(F.lit("?"), query)).otherwise(F.lit("")))
-    return F.when(scheme.isNull() | host.isNull() | (host == ""),
-                  F.lit(None)).otherwise(out)
+    f = url_normalize_fields(c)
+    return url_normalize_from_fields(
+        f["scheme"], f["host"], f["auth"], f["raw_path"], f["raw_query"])

@@ -74,13 +74,20 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     boilerplate, which is exactly what AQE skew handling is for.
     """
     from pyspark.sql import Window as W
-    toks = tokens(F.col(text_col))
+    # r14: tokenize ONCE into a projected column. The transform
+    # lambda's body closes over the token array, and an interpreted
+    # higher-order function re-evaluates non-lambda subexpressions of
+    # its body PER ELEMENT — inlined, every span re-tokenized the
+    # whole document (O(tokens x spans) per row).
+    toked = spread(df).select(F.col(id_col).alias("id"),
+                              tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
                         F.lit(span_words))
     spans = F.transform(
         starts, lambda s: F.array_join(F.slice(toks, s, span_words), " "))
-    seg = (spread(df)
-           .select(F.col(id_col).alias("id"),
+    seg = (toked
+           .select("id",
                    F.posexplode(spans).alias("span_idx", "span"))
            .withColumn("fp", F.md5("span")))
     first = F.min(F.struct("id", "span_idx")).over(W.partitionBy("fp"))
@@ -97,13 +104,14 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
             " ")).alias("clean_fp")))
 
 
-def shingle_array(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingle ARRAY of a text column — the
-    in-row (pre-explode) form, also usable for map-only shingle-set
-    sizes via ``F.size`` (no explode, no shuffle). Empty for docs
-    shorter than n tokens (the oracle's empty position range).
-    """
-    toks = F.split(normalize_text(text_col), " ")
+def shingle_array_from_tokens(toks: Column, n: int = 3) -> Column:
+    """``shingle_array`` over an ALREADY-TOKENIZED array column.
+
+    Pass an attribute (a projected token column), not an inline
+    tokenization chain: this tree references ``toks`` n+2 times and
+    contains lambda functions, which exempts it from codegen
+    subexpression elimination — with an inline chain every reference
+    re-tokenizes the row (r14 measured; see ``shingles``)."""
     # Build shingles by zipping n shifted views of the token array
     # (n fixed-cost slices per row) instead of one slice per shingle
     # position — ~2x faster, and dedupe inside the row
@@ -120,6 +128,23 @@ def shingle_array(text_col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_array(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle ARRAY of a text column — the
+    in-row (pre-explode) form, also usable for map-only shingle-set
+    sizes via ``F.size`` (no explode, no shuffle). Empty for docs
+    shorter than n tokens (the oracle's empty position range).
+
+    NB: inlines the tokenization chain n+2 times (width, n shifted
+    slices, the length gate) and the tree's lambdas keep it out of
+    codegen subexpression elimination — when the caller controls the
+    DataFrame, prefer projecting ``tokens(...)`` first and calling
+    ``shingle_array_from_tokens`` on the attribute (what
+    ``shingles`` does).
+    """
+    return shingle_array_from_tokens(
+        F.split(normalize_text(text_col), " "), n)
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str,
              n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
@@ -130,12 +155,24 @@ def shingles(df: DataFrame, id_col: str, text_col: str,
     is empty for them) — without that gate arrays_zip pads the short
     slice with nulls and concat_ws silently drops them, emitting a
     truncated pseudo-shingle.
+
+    r14 layered projection (guide §4 per-row work): the token array
+    materializes as its own projection column below the shingle
+    build. Inlined, the tokenization chain (split·trim·
+    regexp_replace·lower) is referenced n+2 times per row and the
+    shingle tree's lambda functions exempt it from codegen
+    subexpression elimination — at n=13 (decontamination) that was
+    15 tokenizations per row. CollapseProject keeps the layering
+    (non-cheap alias referenced more than once).
     """
     df = spread(df)
+    toked = df.select(F.col(id_col).alias("id"),
+                      F.split(normalize_text(F.col(text_col)), " ")
+                      .alias("__toks"))
     return (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(shingle_array(F.col(text_col), n))
-                  .alias("shingle"))
+        toked.select("id",
+                     F.explode(shingle_array_from_tokens(F.col("__toks"), n))
+                     .alias("shingle"))
     )
 
 

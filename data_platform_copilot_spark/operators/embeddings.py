@@ -33,12 +33,19 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ``scale`` is the dequant multiplier's inverse (x ~ q / scale);
     all-zero vectors yield NULL scale and qvec (nothing to quantize).
     """
+    # r14: the scale is an O(dim) fold and the quantize lambda's body
+    # closes over it — an interpreted higher-order function
+    # re-evaluates non-lambda body subexpressions PER ELEMENT, so the
+    # inlined form cost O(dim^2) per row. Layering the scale as a
+    # projection column makes the body reference an attribute: O(dim).
     v = F.col(vec_col)
-    scale = _scale(v)
+    s1 = df.select(F.col(id_col).alias("id"), v.alias("__v"),
+                   _scale(v).alias("__scale"))
+    scale = F.col("__scale")
     qvec = F.transform(
-        v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
-    return df.select(
-        F.col(id_col).alias("id"),
+        "__v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return s1.select(
+        "id",
         scale.alias("scale"),
         # NULL array (not an array of NULLs) when there is no scale
         F.when(scale.isNotNull(), qvec).alias("qvec"),
@@ -52,16 +59,25 @@ def dequant_error(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     mean absolute dequantization error folds left-to-right in both
     engines, so the double result is bit-identical.
     """
-    v = F.col(vec_col)
-    scale = _scale(v)
-    qvec = F.transform(
-        v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    # r14: same layering as quantize_int8 — the inlined scale inside
+    # the lambda bodies cost O(dim^2) per row — plus the quantized
+    # array itself layered once (it feeds BOTH the l1 fold and the
+    # error fold; inlined it was re-derived per fold).
+    v0 = F.col(vec_col)
+    s1 = df.select(F.col(id_col).alias("id"), v0.alias("__v"),
+                   _scale(v0).alias("__scale"))
+    v = F.col("__v")
+    scale = F.col("__scale")
+    s2 = s1.select(
+        "id", "__v", "__scale",
+        F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5))
+                    .cast("long")).alias("__q"))
     abs_err = F.zip_with(
-        qvec, v, lambda q, x: F.abs(q / scale - x))
-    return df.select(
-        F.col(id_col).alias("id"),
+        F.col("__q"), v, lambda q, x: F.abs(q / scale - x))
+    return s2.select(
+        "id",
         scale.alias("scale"),
-        F.aggregate(qvec, F.lit(0).cast("long"),
+        F.aggregate("__q", F.lit(0).cast("long"),
                     lambda acc, q: acc + F.abs(q)).alias("q_l1"),
         (F.aggregate(abs_err, F.lit(0.0), lambda acc, e: acc + e)
          / F.size(v)).alias("mean_abs_err"),
@@ -98,9 +114,15 @@ def mean_pool(df: DataFrame, group_col: str, vec_col: str,
                       F.transform("dm", lambda s: s["m"]).alias("mean_vec")))
     if not renormalize:
         return pooled
-    norm = F.sqrt(F.aggregate("mean_vec", F.lit(0.0),
-                              lambda acc, x: acc + x * x))
-    return pooled.select(
+    # r14: norm layered as a projection column — inlined it sat in the
+    # renormalize lambda's body, re-evaluating the O(dim) fold per
+    # element (O(dim^2) per group).
+    normed = pooled.select(
+        "group", "n_vectors", "mean_vec",
+        F.sqrt(F.aggregate("mean_vec", F.lit(0.0),
+                           lambda acc, x: acc + x * x)).alias("__norm"))
+    norm = F.col("__norm")
+    return normed.select(
         "group", "n_vectors",
         F.when(norm > 0,
                F.transform("mean_vec", lambda x: x / norm))

@@ -151,11 +151,17 @@ def repetition_signals(df: DataFrame, id_col: str,
     gram kind they cannot form (matching the SQL oracle's empty
     position ranges).
     """
-    df = spread(df)
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # r14: tokenize once into a projected column — the three _grams
+    # builders reference the token array ~10 times between them and
+    # their lambdas exempt the tree from codegen subexpression
+    # elimination, so the inlined form re-tokenized per reference.
+    toked = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"))
+    toks = F.col("__toks")
     exploded = (
-        df.where(F.size(toks) >= 1)
-        .select(F.col(id_col).alias("id"),
+        toked.where(F.size(toks) >= 1)
+        .select("id",
                 F.explode(F.concat(_grams(toks, 1, 1),
                                    _grams(toks, 2, 2),
                                    _grams(toks, 3, 3))).alias("s"))
@@ -205,29 +211,47 @@ def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str,
     - ``ok_alpha_words``:   frac of tokens containing a letter >= min
     - ``ok_stopwords``:     distinct stopword hits >= min_stopwords
     """
-    toks = tokens(F.col(text_col))
+    # r14 layered projections (guide §4 per-row work): normalize ONCE,
+    # tokenize ONCE, then fold each signal ONCE. Inlined, the token
+    # chain was referenced by two higher-order functions plus five
+    # plain expressions and the mean re-derived for both its output
+    # column and its rule — the lambdas exempt those trees from
+    # codegen subexpression elimination, so every reference
+    # re-tokenized the row. Arithmetic is expression-identical —
+    # bit-equal doubles, same oracle hashes.
+    base = df.select(F.col(id_col),
+                     normalize_text(F.col(text_col)).alias("__norm"))
+    toked = base.select(F.col(id_col), "__norm",
+                        F.split(F.col("__norm"), " ").alias("__toks"))
+    toks = F.col("__toks")
+    norm = F.col("__norm")
     n = F.size(toks)
-    mean_len = (F.aggregate(toks, F.lit(0),
-                            lambda acc, x: acc + F.length(x))
-                .cast("double") / n)
-    norm = normalize_text(F.col(text_col))
-    symbols = (F.length(norm) - F.length(F.replace(norm, F.lit("#")))
-               + F.regexp_count(norm, F.lit(r"\.\.\.")))
-    alpha_frac = (F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
-                  .cast("double") / n)
-    stop_hits = F.size(F.array_intersect(
-        toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
-    out = df.select(
+    sig = toked.select(
         F.col(id_col),
-        n.cast("long").alias("n_words"),
+        n.alias("__n"),
+        (F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+         .cast("double") / n).alias("__mean_len"),
+        (F.length(norm) - F.length(F.replace(norm, F.lit("#")))
+         + F.regexp_count(norm, F.lit(r"\.\.\."))).alias("__symbols"),
+        (F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+         .cast("double") / n).alias("__alpha_frac"),
+        F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+        .alias("__stop_hits"))
+    nn = F.col("__n")
+    mean_len = F.col("__mean_len")
+    out = sig.select(
+        F.col(id_col),
+        nn.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
-        ((n >= min_words) & (n <= max_words)).alias("ok_word_count"),
+        ((nn >= min_words) & (nn <= max_words)).alias("ok_word_count"),
         ((mean_len >= min_mean_word_len)
          & (mean_len <= max_mean_word_len)).alias("ok_mean_word_len"),
-        ((symbols.cast("double") / n) <= max_symbol_ratio)
+        ((F.col("__symbols").cast("double") / nn) <= max_symbol_ratio)
             .alias("ok_symbol_ratio"),
-        (alpha_frac >= min_alpha_word_frac).alias("ok_alpha_words"),
-        (stop_hits >= min_stopwords).alias("ok_stopwords"),
+        (F.col("__alpha_frac") >= min_alpha_word_frac)
+            .alias("ok_alpha_words"),
+        (F.col("__stop_hits") >= min_stopwords).alias("ok_stopwords"),
     )
     return out.withColumn(
         "keep",
@@ -339,7 +363,13 @@ def positional_kgrams(df: DataFrame, id_col: str, text_col: str,
     dedupes in-row and drops offsets). Built by zipping k shifted
     slices of the token array (k fixed-cost slices per row), then one
     posexplode; docs shorter than k tokens emit nothing."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # r14: token array layered as a projection column — inlined, the
+    # k+2 references below re-tokenized the row k+2 times (the lambda
+    # exempts this tree from codegen subexpression elimination).
+    toked = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"))
+    toks = F.col("__toks")
     width = F.greatest(F.size(toks) - (k - 1), F.lit(1))
     shifted = [F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(k)]
     sh = F.transform(
@@ -347,8 +377,8 @@ def positional_kgrams(df: DataFrame, id_col: str, text_col: str,
         lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)]))
     grams = F.when(F.size(toks) >= k, sh).otherwise(
         F.array().cast("array<string>"))
-    return (spread(df)
-            .select(F.col(id_col).alias("id"),
+    return (toked
+            .select("id",
                     F.posexplode(grams).alias("pos", "gram"))
             .select("id", "pos", F.md5("gram").alias("fp")))
 

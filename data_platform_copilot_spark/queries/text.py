@@ -67,9 +67,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish pre-token count
     (alnum runs | single symbols), mean token length.
     Zero shuffles — pure per-row expressions at any scale."""
-    d = spread(_t(spark, sf_dir, "documents"))
-    norm = normalize_text(F.col("text"))
-    toks = tokens(F.col("text"))
+    # r14 layered projections: normalize once, tokenize once — the
+    # aggregate/transform lambdas exempt the inlined chains from
+    # codegen subexpression elimination (norm was evaluated 3x and
+    # the token split 3x per row).
+    d = (spread(_t(spark, sf_dir, "documents"))
+         .select("doc_id", normalize_text(F.col("text")).alias("__norm"))
+         .select("doc_id", "__norm",
+                 F.split(F.col("__norm"), " ").alias("__toks")))
+    norm = F.col("__norm")
+    toks = F.col("__toks")
     tok_len_sum = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
     return d.select(
@@ -1322,8 +1329,13 @@ def ngram_diversity_by_source(spark: SparkSession,
     two-level agg — (source, kind, gram) combine first, then a
     count/sum over the gram groups — so there is no countDistinct
     Expand doubling the exploded stream."""
-    docs = spread(_t(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
+    # r14: token array layered as a projection column — the three
+    # gram widths reference it ~10 times between them and the
+    # lambda-bearing trees are exempt from codegen subexpression
+    # elimination, so the inlined form re-tokenized per reference.
+    docs = (spread(_t(spark, sf_dir, "documents"))
+            .select("source", tokens(F.col("text")).alias("__toks")))
+    toks = F.col("__toks")
 
     def grams(n: int):
         if n == 1:
@@ -1751,7 +1763,11 @@ def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fields, so the parse->normalize pipeline is value-gated
     end-to-end. Scale: a projection inside whole-stage codegen —
     URL-keyed crawl dedup pays zero shuffle until its final groupBy."""
-    from ..functions.web import registered_domain, url_host, url_normalize
+    from ..functions.web import (_psl_rules, _raw_host,
+                                 host_label_candidates,
+                                 psl_domain_from_candidates,
+                                 registered_domain, url_normalize_fields,
+                                 url_normalize_from_fields)
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang",
@@ -1776,11 +1792,44 @@ def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ds"), F.lit("?ref=v"), F.col("ds"),
             F.lit("&ref_src=tw")))
         .otherwise(F.concat(F.lit("not a url "), F.col("ds"))))
-    return d.select(
+    # r14 layered projections (guide §4 per-row work): the URL string,
+    # the five try_parse_url extractions, the raw host and its PSL
+    # candidate array each materialize ONCE as projection columns.
+    # The inline form re-built the when-chain URL and RE-PARSED it at
+    # every reference — the assembled tree holds lambdas (tracking-
+    # param filter, PSL probes), which exempts it from codegen
+    # subexpression elimination, and the PSL probe lambdas re-parsed
+    # the URL per candidate element. Was the heaviest registry entry
+    # (1.08 s at sf0.1); expression-per-field identical, same oracle
+    # hash at both SFs.
+    rules = _psl_rules()
+    if rules is None:  # no PSL readable: keep the reference tree
+        from ..functions.web import url_host, url_normalize
+        return d.select(
+            "doc_id",
+            url_normalize(raw).alias("url_norm"),
+            url_host(raw).alias("host"),
+            registered_domain(raw).alias("domain"))
+    s1 = d.select("doc_id", raw.alias("__url"))
+    f = url_normalize_fields(F.col("__url"))
+    s2 = s1.select(
         "doc_id",
-        url_normalize(raw).alias("url_norm"),
-        url_host(raw).alias("host"),
-        registered_domain(raw).alias("domain"))
+        f["scheme"].alias("__scheme"), f["host"].alias("__host"),
+        f["auth"].alias("__auth"), f["raw_path"].alias("__path"),
+        f["raw_query"].alias("__q"),
+        _raw_host(F.col("__url")).alias("__rawhost"))
+    s3 = s2.select(
+        "doc_id", "__scheme", "__host", "__auth", "__path", "__q",
+        "__rawhost",
+        host_label_candidates(F.col("__rawhost")).alias("__cands"))
+    return s3.select(
+        "doc_id",
+        url_normalize_from_fields(
+            F.col("__scheme"), F.col("__host"), F.col("__auth"),
+            F.col("__path"), F.col("__q")).alias("url_norm"),
+        F.col("__host").alias("host"),
+        psl_domain_from_candidates(
+            F.col("__rawhost"), F.col("__cands"), rules).alias("domain"))
 
 
 @query("registered_domain_rollup", oracle="""
@@ -1823,7 +1872,10 @@ def registered_domain_rollup(spark: SparkSession,
     implicit *) is value-gated end-to-end. Scale: per-domain crawl
     budgeting/dedup keying is one codegen projection + one groupBy —
     the only shuffle is the final rollup."""
-    from ..functions.web import registered_domain
+    from ..functions.web import (_psl_rules, _raw_host,
+                                 host_label_candidates,
+                                 psl_domain_from_candidates,
+                                 registered_domain)
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1845,7 +1897,23 @@ def registered_domain_rollup(spark: SparkSession,
         .when(F.col("i") == 6, F.concat(
             F.lit("https://deep.foo"), F.col("hn"), F.lit(".bar.bd/")))
         .otherwise(F.concat(F.lit("nota url "), F.col("doc_id"))))
-    return (d.select("doc_id", registered_domain(url).alias("domain"))
+    # r14: URL / host / PSL-candidate array layered as projection
+    # columns (same re-parse-per-probe mechanism as
+    # url_canonicalization — see there).
+    rules = _psl_rules()
+    if rules is None:  # no PSL readable: keep the reference tree
+        dom = d.select("doc_id", registered_domain(url).alias("domain"))
+    else:
+        s1 = d.select("doc_id", _raw_host(url).alias("__rawhost"))
+        s2 = s1.select(
+            "doc_id", "__rawhost",
+            host_label_candidates(F.col("__rawhost")).alias("__cands"))
+        dom = s2.select(
+            "doc_id",
+            psl_domain_from_candidates(
+                F.col("__rawhost"), F.col("__cands"), rules)
+            .alias("domain"))
+    return (dom
             .groupBy("domain")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.min("doc_id").alias("first_doc")))
