@@ -930,33 +930,71 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     store when the fingerprints themselves are the index, e.g. a
     corpus-wide near-dup candidate table).
 
-    Shape: gram hash + explode are per-row expressions; selection is
-    ONE window pass over (id, pos) — a single keyed shuffle — plus a
-    same-key distinct that reuses the partitioning. The rightmost-min
-    tie-break is encoded arithmetically (ord = h * 2^20 + (2^20 - 1 -
-    pos), minimized over the forward w-frame) so any engine replays
-    the exact selection; docs are capped at 2^20 grams per id for the
-    encoding (raise the shift for longer docs).
+    Shape (r14, guide §2.4 — remove shuffles outright): winnowing is
+    a PER-DOCUMENT computation, so the whole selection runs in-row —
+    gram hashes, the encoded order key, the w-wide sliding minimum
+    (``array_min`` over w-slices of the encoded array, O(n*w) tiny
+    long comparisons per doc) and the distinct all happen inside one
+    projection, and only the SELECTED fingerprints (density 2/(w+1))
+    ever explode. ZERO exchanges — the pre-r14 plan exploded every
+    gram position (~n_tokens rows/doc) through an (id)-keyed window
+    shuffle plus a distinct shuffle. The rightmost-min tie-break is
+    encoded arithmetically (ord = h * 2^20 + (2^20 - 1 - pos),
+    minimized over the forward w-frame) so any engine replays the
+    exact selection; docs are capped at 2^20 grams per id for the
+    encoding (raise the shift for longer docs). Each stage is its own
+    layered projection — interpreted higher-order functions re-
+    evaluate non-lambda body subexpressions per element, so the
+    hash/encode/slide stages must reference attributes, not inlined
+    chains.
     """
-    from pyspark.sql import Window as W
+    from ..sources.registry import spread
+    from .quality import normalize_text
     if w < 1:
         raise ValueError("w must be >= 1")
-    g = positional_word_kgram_hashes(df, id_col, text_col, k)
-    # one row per gram position; windows start at pos <= n_grams - w
-    wspec = (W.partitionBy("id").orderBy("pos")
-             .rowsBetween(W.currentRow, w - 1))
-    enc = F.col("h") * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
-    n_grams = F.count("*").over(W.partitionBy("id"))
-    sel = (g
-           .withColumn("__n", n_grams)
-           .withColumn("__m", F.min(enc).over(wspec))
-           .where(F.col("pos") <= F.col("__n") - w)
-           .select("id",
-                   (F.lit((1 << 20) - 1) - F.col("__m") % F.lit(1 << 20))
-                   .alias("pos"),
-                   (F.col("__m") / F.lit(1 << 20)).cast("long").alias("h"))
-           .distinct())
-    return sel
+    toked = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"))
+    toks = F.col("__toks")
+    width = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    shifted = [F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(k)]
+    sh = F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)]))
+    g1 = toked.select("id", F.when(F.size(toks) >= k, sh).otherwise(
+        F.array().cast("array<string>")).alias("__grams"))
+    # 32-bit md5-derived hash per gram, then the encoded order key
+    g2 = g1.select("id", F.transform(
+        "__grams",
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
+        .cast("long")).alias("__h"))
+    g3 = g2.select("id", F.transform(
+        "__h",
+        lambda x, i: x * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - i))
+        .alias("__enc"))
+    n = F.size("__enc")
+    wins = F.when(n >= w, F.transform(
+        F.sequence(F.lit(0), n - w),
+        lambda s: F.array_min(F.slice("__enc", s + 1, w)))).otherwise(
+        F.array().cast("array<long>"))
+    g4 = g3.select("id", F.array_distinct(wins).alias("__sel"))
+    # explode_OUTER + post-Generate null filter, NOT explode: from a
+    # plain explode the optimizer infers `size(__sel) > 0 AND
+    # isnotnull(__sel)` (InferFiltersFromGenerate) and predicate
+    # pushdown then substitutes that filter through every layered
+    # projection — inlining the whole gram/hash/encode/slide pipeline
+    # into one Filter tree where the slide lambda re-derives the
+    # chain PER WINDOW ELEMENT, below the spread() exchange, on one
+    # task (measured: 13 s vs 0.3 s at sf0.01). The outer explode
+    # infers nothing; empty docs emit one NULL row each, dropped by a
+    # filter on the generator OUTPUT attribute, which cannot be
+    # pushed below the Generate.
+    return (g4.select("id", F.explode_outer("__sel").alias("__m"))
+            .where(F.col("__m").isNotNull())
+            .select("id",
+                    (F.lit((1 << 20) - 1) - F.col("__m") % F.lit(1 << 20))
+                    .alias("pos"),
+                    (F.col("__m") / F.lit(1 << 20)).cast("long").alias("h")))
 
 
 def positional_word_kgram_hashes(df: DataFrame, id_col: str, text_col: str,

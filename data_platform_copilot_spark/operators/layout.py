@@ -246,3 +246,116 @@ def ntile_expr(rank_col: str, size_col: str, tiles: int) -> Column:
                   + ({rn} - ({n} % {t}) * ({n} div {t} + 1)
                      + {n} div {t} - 1) div ({n} div {t})
         END""").cast("long")
+
+
+def bucketed_exact_percentiles(df: DataFrame, part_cols: list[str],
+                               value_col: str,
+                               percentages: list[float],
+                               n_buckets: int = 512,
+                               out_prefix: str = "pv") -> DataFrame:
+    """EXACT interpolated percentiles per group, two-phase — the
+    scale-safe replacement for ``percentile(value, p)`` when groups
+    are corpus-sized (r14 optimization, guide §2.3/§2.5): Spark's
+    exact ``percentile`` aggregate ships EVERY value into a per-group
+    OpenHashMap buffer, so a 100 TB column funnels through as many
+    tasks as there are groups and the buffer is O(distinct values).
+    Here nothing bigger than a (group x bucket) count ever shuffles:
+
+    - phase 1 range-buckets on ``floor(value)`` (``add_range_bucket``
+      — deterministic boundaries from one broadcast min/max row, and
+      a monotone non-decreasing image of the value order, so bucket
+      prefix counts + local ranks = exact global ranks), counts per
+      (group, bucket), and prefix-sums the tiny summary;
+    - phase 2 computes, per group and percentage, Spark's own target
+      position ``pos = p * (n - 1)`` and the two neighbor ranks
+      ``floor(pos)+1`` / ``ceil(pos)+1``, locates the ONE bucket
+      holding each rank on the summary frame, broadcast-semi-joins
+      the base data down to just those buckets (<= 2 per percentage
+      per group, ~n/n_buckets rows each), ranks them in bounded
+      (group, bucket) windows, and picks the two neighbor values;
+    - interpolation replicates ``Percentile.getPercentile``
+      bit-for-bit: ``v_lo`` when ``floor(pos) == ceil(pos)`` OR the
+      neighbor values are equal (Spark early-returns BEFORE the
+      arithmetic — ``a*v + b*v`` with ``a+b == 1`` need not round
+      back to ``v``), else
+      ``(ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi``.
+
+    Output: one row per group that has >= 1 non-NULL value, columns
+    ``part_cols`` + ``{out_prefix}{i}`` per percentage (doubles,
+    bit-identical to ``percentile(value, p_i)``). Contract deltas vs
+    the aggregate, by design: all-NULL groups are OMITTED (the
+    aggregate emits a NULL row) and values must not contain NaN (a
+    NaN floor image cannot be bucketed consistently); callers with
+    NaN/all-NULL groups keep the aggregate. Group columns may be
+    NULL: grouping, joins, and equality all run on ONE struct of the
+    group fields (complex-type equality treats NULL fields as equal
+    — the operators/sessionize.py trick).
+    """
+    from pyspark.sql import Window as W
+    if not part_cols:
+        raise ValueError("part_cols must name at least one column")
+    v = F.col(value_col)
+    d = (df.where(v.isNotNull())
+         .select(F.struct(*[F.col(c).alias(f"p{i}")
+                            for i, c in enumerate(part_cols)]).alias("__pp"),
+                 v.cast("double").alias("__v"))
+         .withColumn("__k", F.floor("__v").cast("long")))
+    b = add_range_bucket(d, "__k", n_buckets)
+    cnt = b.groupBy("__pp", "__rb").agg(F.count("*").alias("__c"))
+    wexc = (W.partitionBy("__pp").orderBy("__rb")
+            .rowsBetween(W.unboundedPreceding, -1))
+    offs = cnt.select(
+        "__pp", "__rb", "__c",
+        F.coalesce(F.sum("__c").over(wexc), F.lit(0)).alias("__off"),
+        F.sum("__c").over(W.partitionBy("__pp")).alias("__n"))
+    pcts = F.array(*[F.struct(F.lit(i).alias("pi"),
+                              F.lit(float(p)).alias("pct"))
+                     for i, p in enumerate(percentages)])
+    tgt = (offs.select("__pp", "__n").distinct()
+           .select("__pp", F.explode(pcts).alias("__t"),
+                   F.col("__n"))
+           # Spark's Percentile: position = percentage * (count - 1)
+           .select("__pp", F.col("__t.pi").alias("__pi"),
+                   (F.col("__t.pct") * (F.col("__n") - 1).cast("double"))
+                   .alias("__pos"))
+           .select("__pp", "__pi", "__pos",
+                   F.floor("__pos").alias("__lo"),
+                   F.ceil("__pos").alias("__hi")))
+    ranks = tgt.select(
+        "__pp", "__pi", "__pos", "__lo", "__hi",
+        F.explode(F.array_distinct(
+            F.array(F.col("__lo") + 1, F.col("__hi") + 1))).alias("__rank"))
+    located = (ranks.join(offs, "__pp")
+               .where((F.col("__off") < F.col("__rank"))
+                      & (F.col("__rank") <= F.col("__off") + F.col("__c"))))
+    need = located.select("__pp", "__rb", "__off").distinct()
+    picked = (b.join(F.broadcast(need), ["__pp", "__rb"])
+              .withColumn("__gr", F.col("__off") + F.row_number().over(
+                  W.partitionBy("__pp", "__rb").orderBy("__v"))))
+    sel = located.select(F.col("__pp").alias("__tp"), "__pi", "__pos",
+                         "__lo", "__hi", "__rank")
+    hits = picked.join(
+        F.broadcast(sel),
+        (F.col("__pp") == F.col("__tp")) & (F.col("__gr") == F.col("__rank")))
+    res = (hits.groupBy("__tp", "__pi", "__pos", "__lo", "__hi")
+           .agg(F.min(F.when(F.col("__rank") == F.col("__lo") + 1,
+                             F.col("__v"))).alias("__vlo"),
+                F.min(F.when(F.col("__rank") == F.col("__hi") + 1,
+                             F.col("__v"))).alias("__vhi"))
+           .select("__tp", "__pi",
+                   F.when((F.col("__lo") == F.col("__hi"))
+                          | (F.col("__vlo") == F.col("__vhi")),
+                          F.col("__vlo"))
+                   .otherwise(
+                       (F.col("__hi").cast("double") - F.col("__pos"))
+                       * F.col("__vlo")
+                       + (F.col("__pos") - F.col("__lo").cast("double"))
+                       * F.col("__vhi")).alias("__pv")))
+    return (res.groupBy("__tp")
+            .agg(*[F.min(F.when(F.col("__pi") == i, F.col("__pv")))
+                   .alias(f"{out_prefix}{i}")
+                   for i in range(len(percentages))])
+            .select(*[F.col("__tp").getField(f"p{i}").alias(c)
+                      for i, c in enumerate(part_cols)],
+                    *[f"{out_prefix}{i}"
+                      for i in range(len(percentages))]))

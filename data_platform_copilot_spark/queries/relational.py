@@ -568,17 +568,23 @@ FROM lineitem
 GROUP BY l_returnflag
 """)
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``). At 100 TB swap to percentile_approx
-    (t-digest-style sketch, bounded memory) — see
-    ``approx_percentiles``."""
-    from ..sources.registry import spread
-    return (
-        spread(_t(spark, sf_dir, "lineitem"))
-        .groupBy("l_returnflag")
-        .agg(rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-             rnd(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"))
-    )
+    """Exact interpolated percentiles, bit-identical to Spark
+    ``percentile`` == DuckDB ``quantile_cont`` — computed two-phase
+    (operators/layout.bucketed_exact_percentiles, r14 guide §2.3):
+    the ``percentile`` aggregate shipped EVERY price into 3 per-group
+    OpenHashMap buffers behind a full round-robin exchange (the
+    registry's slowest plan, 0.71 s at sf0.1); the bucketed selection
+    shuffles only (flag, bucket) counts, retrieves the <= 4 neighbor
+    buckets per flag, and interpolates with Spark's own formula —
+    same hash, and exact percentiles stop being memory-unbounded at
+    100 TB (no swap-to-approx caveat needed)."""
+    from ..operators.layout import bucketed_exact_percentiles
+    pv = bucketed_exact_percentiles(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_extendedprice", [0.5, 0.95], out_prefix="__pv")
+    return pv.select("l_returnflag",
+                     rnd(F.col("__pv0"), 4).alias("p50"),
+                     rnd(F.col("__pv1"), 4).alias("p95"))
 
 
 @query("approx_percentiles", oracle="""
@@ -597,20 +603,26 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 1% relative of the exact interpolated median (generous
     vs the <=60-row rank error at accuracy 10000 on a smooth price
     distribution); DuckDB pins it to TRUE. The exact median itself
-    still hash-matches quantile_cont."""
+    still hash-matches quantile_cont — computed two-phase (r14, see
+    ``exact_percentiles``) so the only value-shipping aggregate left
+    in this plan is the bounded-memory sketch itself; the 3-row
+    exact frame broadcast-joins back onto the sketch output."""
+    from ..operators.layout import bucketed_exact_percentiles
     from ..sources.registry import spread
     eps = 0.01
-    return (
+    appx = (
         spread(_t(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
-             .alias("p50_approx"),
-             F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"))
-        .select("l_returnflag",
-                rnd(F.col("p50_exact"), 4).alias("p50_exact"),
-                (F.abs(F.col("p50_approx") - F.col("p50_exact"))
-                 / F.col("p50_exact") <= eps).alias("within_eps"))
-    )
+             .alias("p50_approx")))
+    exact = bucketed_exact_percentiles(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_extendedprice", [0.5], out_prefix="__pv")
+    return (appx.join(F.broadcast(exact), "l_returnflag")
+            .select("l_returnflag",
+                    rnd(F.col("__pv0"), 4).alias("p50_exact"),
+                    (F.abs(F.col("p50_approx") - F.col("__pv0"))
+                     / F.col("__pv0") <= eps).alias("within_eps")))
 
 
 @query("full_outer_join_reconciliation", oracle="""

@@ -3189,3 +3189,85 @@ class TestQuantileNormalize:
         with pytest.raises(Exception, match="non-null"):
             bucketed_global_rank(df, ["part"], "v",
                                  [F.col("v"), F.col("id")]).collect()
+
+
+class TestBucketedExactPercentiles:
+    """operators/layout.bucketed_exact_percentiles: the two-phase
+    exact-percentile selection behind exact_percentiles /
+    approx_percentiles must be BIT-identical to Spark's
+    ``percentile`` aggregate (it replicates Percentile.getPercentile
+    — position arithmetic, early returns, interpolation order)."""
+
+    def _cmp(self, df, parts, col, ps):
+        from data_platform_copilot_spark.operators.layout import (
+            bucketed_exact_percentiles)
+        old = (df.groupBy(*parts)
+               .agg(*[F.expr(f"percentile({col}, {p})").alias(f"o{i}")
+                      for i in range(len(ps))
+                      for p in [ps[i]]]))
+        o = {tuple(r[p] for p in parts): [r[f"o{i}"]
+                                          for i in range(len(ps))]
+             for r in old.collect()}
+        # documented contract delta: all-NULL groups are omitted
+        o = {k: v for k, v in o.items()
+             if not all(x is None for x in v)}
+        new = bucketed_exact_percentiles(df, parts, col, ps,
+                                         out_prefix="n")
+        n = {tuple(r[p] for p in parts): [r[f"n{i}"]
+                                          for i in range(len(ps))]
+             for r in new.collect()}
+        assert n == o and o
+
+    def test_fuzz_ties_and_wide_range(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(127)
+        rows = []
+        for i in range(2000):
+            g = f"g{int(rng.integers(0, 4))}"
+            v = (float(rng.choice([1.0, 2.0, 2.0, 3.5]))
+                 if rng.random() < 0.4
+                 else float(np.round(rng.uniform(-1e6, 1e6), 3)))
+            rows.append((g, v))
+        df = spark.createDataFrame(rows, "g string, v double")
+        self._cmp(df, ["g"], "v", [0.0, 0.25, 0.5, 0.95, 1.0])
+
+    def test_integral_positions_and_tiny_groups(self, spark):
+        # n=21 makes p=0.5 land on an integral position (the
+        # floor==ceil early return); n=1 and n=2 hit the degenerate
+        # window shapes
+        rows = ([("e", float(i * i)) for i in range(21)]
+                + [("b", 42.0), ("c", 1.0), ("c", 2.0)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        self._cmp(df, ["g"], "v", [0.5, 0.9])
+
+    def test_null_values_and_null_group_key(self, spark):
+        rows = ([(None, float(i)) for i in range(50)]
+                + [("x", float(i)) for i in range(30)]
+                + [("x", None), (None, None)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        self._cmp(df, ["g"], "v", [0.5, 0.95])
+
+    def test_all_null_group_omitted(self, spark):
+        from data_platform_copilot_spark.operators.layout import (
+            bucketed_exact_percentiles)
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("z", None)],
+            "g string, v double")
+        got = bucketed_exact_percentiles(df, ["g"], "v", [0.5],
+                                         out_prefix="n").collect()
+        assert [(r["g"], r["n0"]) for r in got] == [("a", 2.0)]
+
+    def test_requires_part_cols(self, spark):
+        import pytest
+
+        from data_platform_copilot_spark.operators.layout import (
+            bucketed_exact_percentiles)
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with pytest.raises(ValueError):
+            bucketed_exact_percentiles(df, [], "v", [0.5])
+
+    def test_query_entries_match_aggregate_on_lineitem(
+            self, spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        self._cmp(li, ["l_returnflag"], "l_extendedprice",
+                  [0.5, 0.95])
