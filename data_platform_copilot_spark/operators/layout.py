@@ -280,34 +280,51 @@ def bucketed_exact_percentiles(df: DataFrame, part_cols: list[str],
       back to ``v``), else
       ``(ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi``.
 
-    Output: one row per group that has >= 1 non-NULL value, columns
-    ``part_cols`` + ``{out_prefix}{i}`` per percentage (doubles,
-    bit-identical to ``percentile(value, p_i)``). Contract deltas vs
-    the aggregate, by design: all-NULL groups are OMITTED (the
-    aggregate emits a NULL row) and values must not contain NaN (a
-    NaN floor image cannot be bucketed consistently); callers with
-    NaN/all-NULL groups keep the aggregate. Group columns may be
-    NULL: grouping, joins, and equality all run on ONE struct of the
-    group fields (complex-type equality treats NULL fields as equal
-    — the operators/sessionize.py trick).
+    Output: one row per group, columns ``part_cols`` +
+    ``{out_prefix}{i}`` per percentage (doubles, bit-identical to
+    ``percentile(value, p_i)``) — including, since r15, the NULL row
+    the aggregate emits for an all-NULL group (NULL-value rows ride
+    phase 1 in a sentinel bucket with zero rank weight, so matching
+    the aggregate's contract costs no extra pass). NaN values are
+    OUT OF CONTRACT (a NaN floor image cannot be bucketed
+    consistently — ``floor(NaN)`` is silently 0 in non-ANSI mode)
+    and now FAIL LOUDLY with a per-row raise instead of silently
+    mis-bucketing (r14 verdict #5 / ADVICE); callers with NaN keep
+    the aggregate. Group columns may be NULL: grouping, joins, and
+    equality all run on ONE struct of the group fields (complex-type
+    equality treats NULL fields as equal — the
+    operators/sessionize.py trick).
     """
     from pyspark.sql import Window as W
     if not part_cols:
         raise ValueError("part_cols must name at least one column")
     v = F.col(value_col)
-    d = (df.where(v.isNotNull())
-         .select(F.struct(*[F.col(c).alias(f"p{i}")
-                            for i, c in enumerate(part_cols)]).alias("__pp"),
-                 v.cast("double").alias("__v"))
+    d = (df.select(F.struct(*[F.col(c).alias(f"p{i}")
+                              for i, c in enumerate(part_cols)]).alias("__pp"),
+                   v.cast("double").alias("__v"))
+         .withColumn(
+             "__v",
+             F.when(F.isnan("__v"), F.raise_error(F.lit(
+                 "bucketed_exact_percentiles: NaN values are out of"
+                 " contract (floor(NaN) mis-buckets silently in"
+                 " non-ANSI mode) — filter NaN or use the percentile"
+                 " aggregate")).cast("double"))
+             .otherwise(F.col("__v")))
          .withColumn("__k", F.floor("__v").cast("long")))
-    b = add_range_bucket(d, "__k", n_buckets)
+    # NULL values keep flowing (sentinel bucket -1, zero rank weight)
+    # so a group whose values are ALL NULL still surfaces in the
+    # summary and gets the aggregate's NULL output row.
+    b = (add_range_bucket(d, "__k", n_buckets)
+         .withColumn("__rb", F.when(F.col("__v").isNull(), F.lit(-1))
+                     .otherwise(F.col("__rb"))))
     cnt = b.groupBy("__pp", "__rb").agg(F.count("*").alias("__c"))
     wexc = (W.partitionBy("__pp").orderBy("__rb")
             .rowsBetween(W.unboundedPreceding, -1))
+    ranked_c = F.when(F.col("__rb") >= 0, F.col("__c")).otherwise(F.lit(0))
     offs = cnt.select(
         "__pp", "__rb", "__c",
-        F.coalesce(F.sum("__c").over(wexc), F.lit(0)).alias("__off"),
-        F.sum("__c").over(W.partitionBy("__pp")).alias("__n"))
+        F.coalesce(F.sum(ranked_c).over(wexc), F.lit(0)).alias("__off"),
+        F.sum(ranked_c).over(W.partitionBy("__pp")).alias("__n"))
     pcts = F.array(*[F.struct(F.lit(i).alias("pi"),
                               F.lit(float(p)).alias("pct"))
                      for i, p in enumerate(percentages)])

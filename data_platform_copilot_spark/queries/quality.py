@@ -1321,30 +1321,17 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus doc_id — a deterministic total order both engines reproduce
     exactly (raw doubles could differ by 1 ULP across partial-sum
     orders and flip a boundary row). Scale: the scorer is a
-    token-keyed shuffle join (vocab deliberately not broadcast), the
-    ntile is per-language (bounded partitions), and the output is
-    #langs x 3 rows."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    token-keyed shuffle join (vocab deliberately not broadcast) and
+    the output is #langs x 3 rows.
 
-    from ..operators.selection import unigram_logprob_scores
-    docs = _t(spark, sf_dir, "documents")
-    scored = unigram_logprob_scores(docs, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), "n_tokens",
-        rnd("avg_logprob", 4).alias("lp"))
-    b = scored.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
-        "b", F.ntile(3).over(
-            Window.partitionBy("lang")
-                  .orderBy(F.col("lp").desc(), F.col("doc_id"))))
-    return (b.groupBy(
-                "lang",
-                F.when(F.col("b") == 1, "head")
-                 .when(F.col("b") == 2, "middle")
-                 .otherwise("tail").alias("bucket"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.sum("n_tokens").cast("long").alias("n_tokens"),
-                 rnd(F.min("lp"), 4).alias("min_logprob"),
-                 rnd(F.max("lp"), 4).alias("max_logprob")))
+    Since r15 the DECLARED entry runs the whale-proof range-bucketed
+    two-phase tercile (r14 verdict #1): language is the canonical
+    whale key — English is most of CommonCrawl, and a per-language
+    ntile sorts every document of a language in one task (AQE cannot
+    split a window partition; 1.14x at K=100 with a 90%-'en' corpus,
+    structural bound grows with the skew). Delegates to
+    ccnet_buckets_two_phase — identical result, same oracle."""
+    return ccnet_buckets_two_phase(spark, sf_dir)
 
 
 @query("ccnet_buckets_two_phase", oracle=_CCNET_ORACLE)

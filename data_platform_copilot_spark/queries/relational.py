@@ -71,21 +71,13 @@ WHERE rnk <= 3
 
 @query("window_rank_topk_per_group", oracle=_RANK_TOPK_ORACLE)
 def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via ranking window — the canonical replacement
-    for a driver-side loop. One shuffle on the partition key. NOTE:
-    AQE cannot split a WINDOW partition — with few, huge groups each
-    segment sorts in one task; topk_per_group_two_phase below is the
-    whale-proof twin."""
-    w = W.partitionBy("c_mktsegment").orderBy(
-        F.desc("c_acctbal"), F.col("c_custkey"))
-    return (
-        _t(spark, sf_dir, "customer")
-        .select(F.col("c_mktsegment").alias("segment"),
-                F.col("c_custkey").alias("customer_id"),
-                rnd("c_acctbal", 2).alias("balance"),
-                F.row_number().over(w).cast("long").alias("rnk"))
-        .where(F.col("rnk") <= 3)
-    )
+    """Top-k per group — the canonical replacement for a driver-side
+    loop. Since r15 the DECLARED entry runs the whale-proof salted
+    two-phase plan (r14 verdict #1): the ranking-window form sorts
+    each of the 5 market segments in ONE task (N/5 rows; AQE cannot
+    split a window partition). Delegates to topk_per_group_two_phase
+    — identical result, same oracle."""
+    return topk_per_group_two_phase(spark, sf_dir)
 
 
 @query("topk_per_group_two_phase", oracle=_RANK_TOPK_ORACLE)

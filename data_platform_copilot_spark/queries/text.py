@@ -1072,12 +1072,14 @@ def compression_ratio_quality(spark: SparkSession,
     The byte-exact per-doc VALUE gate stays the pytest zlib replay
     (tests/test_operators.py); the full value-rich profile remains
     hash-compared against a DuckDB zlib UDF by the local harnesses
-    via ``compression_ratio_zlib_profile`` below."""
-    from pyspark.sql import Window as W
-    stats, valid = _compression_parts(spark, sf_dir)
-    wb = W.partitionBy("lang").orderBy("compression_ratio", "id")
-    return _bands_report(stats,
-                         valid.withColumn("band", F.ntile(4).over(wb)))
+    via ``compression_ratio_zlib_profile`` below.
+
+    Since r15 the DECLARED entry runs the whale-proof range-bucketed
+    two-phase banding (r14 verdict #1): the per-language ntile(4)
+    sorts every valid document of a language in one task — the
+    dominant-language whale AQE cannot split. Delegates to
+    compression_bands_two_phase — identical result, same oracle."""
+    return compression_bands_two_phase(spark, sf_dir)
 
 
 @query("compression_bands_two_phase", oracle=_COMPRESSION_BANDS_ORACLE)

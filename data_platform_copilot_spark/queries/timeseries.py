@@ -60,35 +60,16 @@ GROUP BY user_id
 
 @query("sessionization_gaps", oracle=_SESSIONIZATION_ORACLE)
 def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag -> new-session
-    flag -> running sum = session id. One shuffle on user_id; both
-    windows share the same partitioning so Catalyst plans a single
-    exchange."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    w = W.partitionBy("user_id").orderBy("ts")
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sessions = (
-        ev
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn("new_session",
-                    (F.col("prev_ts").isNull()
-                     | (epoch_s("ts") - epoch_s("prev_ts")
-                        > SESSION_GAP_MIN * 60)).cast("int"))
-        .withColumn("session_id", F.sum("new_session").over(wrun))
-    )
-    per_session = (
-        sessions.groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"),
-             (epoch_s(F.max("ts")) - epoch_s(F.min("ts")))
-             .alias("dur_s"))
-    )
-    return (
-        per_session.groupBy("user_id")
-        .agg(F.count("*").alias("n_sessions"),
-             F.max("n_events").cast("long").alias("max_session_events"),
-             rnd(F.avg(F.col("dur_s").cast("double")), 2)
-              .alias("avg_session_dur_s"))
-    )
+    """Gap-based sessionization (30-min inactivity). Since r15 the
+    DECLARED entry runs the whale-proof two-phase plan (r14 verdict
+    #1): the one-window formulation (lag -> new-session flag ->
+    running sum over partitionBy(user_id)) serializes a bot user's
+    whole history into one task — AQE cannot split a window
+    partition — measured 1.50x under a 10%-whale user at K=100
+    (tools/skew_probe.py). Delegates to sessionization_two_phase,
+    which keeps the identical result (same DuckDB oracle; the twin
+    has been oracle-green since r14)."""
+    return sessionization_two_phase(spark, sf_dir)
 
 
 @query("sessionization_two_phase", oracle=_SESSIONIZATION_ORACLE)
@@ -484,17 +465,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(next | current) — the Markov view of user journeys that powers
     next-action features and anomaly flags on behavioral logs.
 
-    One user-keyed window pass builds the pairs; the matrix combine
-    and its row normalization both run over |event_types|^2 rows."""
-    from pyspark.sql import Window as W
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (ev
-             .withColumn("next_type", F.lead("event_type").over(w))
-             .where(F.col("next_type").isNotNull())
-             .select(F.col("event_type").alias("from_type"),
-                     F.col("next_type").alias("to_type")))
-    return _transition_combine(pairs)
+    Since r15 the DECLARED entry runs the whale-proof chunked plan
+    (r14 verdict #1): the one-window ``lead().over(partitionBy(
+    user_id))`` serializes a bot user into one task (1.57x under a
+    10%-whale at K=100, tools/skew_probe.py). Delegates to
+    transition_matrix_two_phase — identical result, same oracle."""
+    return transition_matrix_two_phase(spark, sf_dir)
 
 
 @query("transition_matrix_two_phase", oracle=_TRANSITION_ORACLE)
@@ -609,17 +585,19 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive for behavioral scoring. The truncation is the scale
     design: exact EWMA is a sequential recurrence (unbounded
     lineage), while the windowed form caps per-row state at 20
-    values with relative error (1-a)^20 < 1e-3 of the true tail, and
-    runs as ONE user-keyed window pass. Weights are normalized over
+    values with relative error (1-a)^20 < 1e-3 of the true
+    tail. Weights are normalized over
     the frame so short prefixes (< 20 rows) are exact, and the frame
     list order (ts, event_id) is total, so both engines fold the
-    identical sequence."""
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(-19, 0))
-    arr = ev.select("user_id", "event_id",
-                    F.collect_list("value").over(w).alias("win"))
-    return _ewma_from_win(arr)
+    identical sequence.
+
+    Since r15 the DECLARED entry runs the whale-proof chunked-frame
+    plan (r14 verdict #1 — the worst one-window offender: 74.5x
+    under a 10%-whale user at K=100 per tools/skew_probe.py, and the
+    chunked plan is FASTER in absolute terms even on uniform data at
+    probe scale, 7.8 -> 4.1 s). Delegates to ewma_value_two_phase —
+    identical result, same oracle."""
+    return ewma_value_two_phase(spark, sf_dir)
 
 
 @query("ewma_value_two_phase", oracle=_EWMA_ORACLE)
@@ -673,22 +651,14 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch purchase attribution: each purchase credits the
     user's most recent non-purchase event within 24 h (else
     'direct') — the marketing-analytics sibling of the funnel/as-of
-    entries. ONE user-keyed window pass carries the last qualifying
-    (type, ts) forward with an IGNORE NULLS last_value over the
-    frame ending at the previous row; the attribution combine is
-    |event_types| rows. Same single-exchange shape at any scale."""
-    ev = _t(spark, sf_dir, "events")
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(W.unboundedPreceding, -1))
-    not_purchase = F.col("event_type") != "purchase"
-    prev_type = F.last(F.when(not_purchase, F.col("event_type")),
-                       ignorenulls=True).over(w)
-    prev_ts = F.last(F.when(not_purchase, F.col("ts")),
-                     ignorenulls=True).over(w)
-    return _attribution_from_prev(
-        ev.select("event_type", "value", "ts",
-                  prev_type.alias("prev_type"),
-                  prev_ts.alias("prev_ts")))
+    entries.
+
+    Since r15 the DECLARED entry runs the whale-proof chunked plan
+    (r14 verdict #1): the one-window IGNORE NULLS last_value over
+    partitionBy(user_id) serializes a bot user into one task (1.55x
+    under a 10%-whale at K=100, tools/skew_probe.py). Delegates to
+    attribution_two_phase — identical result, same oracle."""
+    return attribution_two_phase(spark, sf_dir)
 
 
 def _attribution_from_prev(df: DataFrame) -> DataFrame:
@@ -1266,21 +1236,14 @@ def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session depth distribution (30-min inactivity sessions, the
     sessionization entry's rule): events per session bucketed at
     10+, with the share of sessions per depth — depth-1 share IS the
-    bounce rate. Same single user-keyed exchange as sessionization
-    (both windows share it), one |sessions| combine, 10-row output."""
-    ev = _t(spark, sf_dir, "events")
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(wo)
-    is_start = F.when(prev.isNull()
-                      | ((epoch_s("ts") - epoch_s(prev)) > 1800), 1) \
-        .otherwise(0)
-    sess_no = F.sum(is_start).over(
-        W.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, 0))
-    depth = (ev.select("user_id", sess_no.alias("session_no"))
-             .groupBy("user_id", "session_no")
-             .agg(F.count("*").alias("depth")))
-    return _depth_histogram(depth)
+    bounce rate.
+
+    Since r15 the DECLARED entry runs the whale-proof two-phase plan
+    (r14 verdict #1): the one-window session numbering over
+    partitionBy(user_id) serializes a bot user into one task (1.52x
+    under a 10%-whale at K=100, tools/skew_probe.py). Delegates to
+    session_depth_two_phase — identical result, same oracle."""
+    return session_depth_two_phase(spark, sf_dir)
 
 
 def _depth_histogram(depth: DataFrame) -> DataFrame:

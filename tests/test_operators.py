@@ -3208,9 +3208,8 @@ class TestBucketedExactPercentiles:
         o = {tuple(r[p] for p in parts): [r[f"o{i}"]
                                           for i in range(len(ps))]
              for r in old.collect()}
-        # documented contract delta: all-NULL groups are omitted
-        o = {k: v for k, v in o.items()
-             if not all(x is None for x in v)}
+        # r15: all-NULL groups now match the aggregate (NULL row
+        # emitted) — no filtering, full contract equality
         new = bucketed_exact_percentiles(df, parts, col, ps,
                                          out_prefix="n")
         n = {tuple(r[p] for p in parts): [r[f"n{i}"]
@@ -3247,7 +3246,10 @@ class TestBucketedExactPercentiles:
         df = spark.createDataFrame(rows, "g string, v double")
         self._cmp(df, ["g"], "v", [0.5, 0.95])
 
-    def test_all_null_group_omitted(self, spark):
+    def test_all_null_group_emits_null_row(self, spark):
+        # r15 (r14 verdict #5): an all-NULL group now gets the same
+        # NULL output row the percentile aggregate emits, instead of
+        # being silently omitted — the contract delta is closed
         from data_platform_copilot_spark.operators.layout import (
             bucketed_exact_percentiles)
         df = spark.createDataFrame(
@@ -3255,7 +3257,22 @@ class TestBucketedExactPercentiles:
             "g string, v double")
         got = bucketed_exact_percentiles(df, ["g"], "v", [0.5],
                                          out_prefix="n").collect()
-        assert [(r["g"], r["n0"]) for r in got] == [("a", 2.0)]
+        assert sorted((r["g"], r["n0"]) for r in got) \
+            == [("a", 2.0), ("z", None)]
+
+    def test_nan_values_raise(self, spark):
+        # r15 (ADVICE): floor(NaN) silently buckets to 0 in non-ANSI
+        # mode — NaN input must fail loudly, not corrupt percentiles
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from data_platform_copilot_spark.operators.layout import (
+            bucketed_exact_percentiles)
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", float("nan"))], "g string, v double")
+        with pytest.raises(Py4JJavaError, match="NaN"):
+            bucketed_exact_percentiles(df, ["g"], "v", [0.5],
+                                       out_prefix="n").collect()
 
     def test_requires_part_cols(self, spark):
         import pytest

@@ -297,11 +297,37 @@ class TestLateR6PlanShapes:
         plan = plan_of(spark, sf_dir, "tfidf_keywords_per_doc")
         assert "WindowGroupLimit" in plan
 
-    def test_ewma_single_window_pass(self, spark, sf_dir):
+    @pytest.mark.parametrize("name,marker", [
+        ("sessionization_gaps", "__kc"),
+        ("event_transition_matrix", "__kc"),
+        ("attribution_last_touch", "__kc"),
+        ("session_depth_histogram", "__kc"),
+        ("window_rank_topk_per_group", "__salt"),
+        ("window_distribution_funcs", "__pb"),
+        ("ccnet_perplexity_buckets", "__pb"),
+        ("compression_ratio_quality", "__pb"),
+    ])
+    def test_declared_window_entries_are_two_phase(self, spark, sf_dir,
+                                                   name, marker):
+        # r15 (r14 verdict #1): every DECLARED window-family entry now
+        # runs its whale-proof two-phase plan — chunked windows
+        # (__kc), salted top-k (__salt), or range-bucketed global
+        # ranks (__pb) — instead of a one-window plan whose whale key
+        # serializes a single task (AQE cannot split a window
+        # partition). The twins pin result equivalence; this pins the
+        # declared entries' plan shape.
+        plan = plan_of(spark, sf_dir, name)
+        assert marker in plan, f"{name}: expected {marker} in plan"
+
+    def test_ewma_declared_entry_is_chunked(self, spark, sf_dir):
+        # r15: the declared entry runs the whale-proof chunked-frame
+        # plan (r14 verdict #1) — every full-data window partitions by
+        # the (user, day-chunk) struct, never by user_id alone, so a
+        # bot user can no longer serialize one task; the weighted fold
+        # stays expression-only
         plan = plan_of(spark, sf_dir, "ewma_value_per_user")
-        # one user-keyed exchange feeds the window; the weighted fold
-        # is expression-only
-        assert plan.count("hashpartitioning") == 1
+        assert "hashpartitioning(__kc" in plan
+        assert "hashpartitioning(user_id" not in plan
         assert "BatchEvalPython" not in plan
 
     def test_ngram_diversity_one_explode_no_expand(self, spark, sf_dir):
