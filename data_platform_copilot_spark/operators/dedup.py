@@ -571,9 +571,12 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             # list per row for the codes column. An Arrow binary
             # column is ONE data buffer + an offsets array, so the
             # (n, dim) matrix is a single zero-copy frombuffer +
-            # reshape (guide §4.2); codes flatten the same way. The
-            # ragged-offsets fallback covers a hypothetical mixed-dim
-            # input (never produced by the tag stage).
+            # reshape (guide §4.2); codes flatten the same way.
+            # Contract violations fail LOUDLY (r14 ADVICE): NULL
+            # vectors would silently vanish from flatten()'s child
+            # buffer and misalign every later row, and mixed dims
+            # cannot feed a fixed-dim gemm — the tag stage never
+            # produces either, so both are raises, not fallbacks.
             import pyarrow as pa
             bs = [b for b in batches if b.num_rows]
             if not bs:
@@ -582,19 +585,24 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             n = tb.num_rows
             ids = tb.column("id").to_numpy().astype(np.int64, copy=False)
             varr = tb.column("v").chunk(0)
+            carr = tb.column("codes").chunk(0)
+            if varr.null_count or carr.null_count:
+                raise ValueError(
+                    "part_gemm: NULL vector/codes rows are out of "
+                    "contract (flatten() would silently drop them and "
+                    "misalign the matrix)")
             off = np.frombuffer(varr.buffers()[1], dtype=np.int32)[
                 varr.offset:varr.offset + n + 1]
             widths = np.diff(off)
             if widths.size and (widths != widths[0]).any():
-                mat = np.stack([np.frombuffer(x, np.float64)
-                                for x in varr.to_pylist()])
-            else:
-                data = np.frombuffer(varr.buffers()[2], dtype=np.uint8)
-                mat = data[off[0]:off[-1]].view(np.float64).reshape(n, -1)
+                raise ValueError(
+                    "part_gemm: mixed vector dims in one bucket — the "
+                    "tag stage emits fixed-width vectors")
+            data = np.frombuffer(varr.buffers()[2], dtype=np.uint8)
+            mat = data[off[0]:off[-1]].view(np.float64).reshape(n, -1)
             # the division allocates the writable normalized copy
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            codes = np.asarray(
-                tb.column("codes").chunk(0).flatten()).reshape(n, -1)
+            codes = np.asarray(carr.flatten()).reshape(n, -1)
             tbls = tb.column("tbl").to_numpy().astype(np.int64, copy=False)
             key = (tbls << n_planes) + tb.column("bucket").to_numpy(
                 ).astype(np.int64, copy=False)
@@ -687,6 +695,11 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                 n = b.num_rows
                 if not n:
                     continue
+                if b.column("v").null_count:
+                    raise ValueError(
+                        "tag: NULL vectors are out of contract "
+                        "(flatten() would silently drop them and "
+                        "misalign every later row)")
                 mat = np.asarray(b.column("v").flatten(),
                                  dtype=np.float64).reshape(n, -1)
                 bits = (mat @ planes_all.T >= 0).reshape(

@@ -63,8 +63,21 @@ def warm_tables(spark: SparkSession, sf_dir: str,
     app = spark.sparkContext.applicationId
     for name in tables:
         key = (app, sf_dir, name)
-        if key in _WARM:
-            continue
+        got = _WARM.get(key)
+        if got is not None:
+            # r14 ADVICE: the memo used to ignore the persist flag, so
+            # a persist=True call after a plan-only warm silently
+            # no-opped and probes expecting cached tables measured
+            # unpersisted scans. A plan-only entry is now UPGRADED to
+            # the persisted layout when persist=True asks for it; the
+            # reverse (plan-only after persisted) keeps the persisted
+            # frame — persist=True probes opted into cache semantics
+            # for the whole session.
+            already = (got.storageLevel.useMemory
+                       or got.storageLevel.useDisk)
+            if not persist or already:
+                continue
+            _WARM.pop(key)
         if persist:
             # Persist the SPREAD layout: the testdata files are single
             # row-group (1 partition); caching them pre-repartitioned
@@ -186,7 +199,19 @@ def materialize_auto(df: DataFrame) -> DataFrame:
     as ``operators.dedup.jaccard_pairs``): lazy localCheckpoint on
     local masters (cheapest; executor-local blocks), recomputable
     MEMORY_AND_DISK persist on clusters (an executor loss under
-    dynamic allocation must not fail the job)."""
+    dynamic allocation must not fail the job — a localCheckpoint has
+    no recompute path, so losing its blocks kills the query).
+
+    KNOWN CLUSTER-MODE LEAK (r14 ADVICE, accepted trade-off): the
+    cluster path never unpersists, so each invocation of a query
+    built on this gate leaves one CacheManager entry behind (LRU
+    eviction reclaims the blocks under pressure; the entry itself
+    lives until the session ends). Callers returning lazy frames
+    have no post-action hook to unpersist from; a long-lived cluster
+    service that re-invokes such queries should periodically call
+    ``spark.catalog.clearCache()`` between requests. Local masters
+    (every bench/probe path) take the localCheckpoint branch and do
+    not leak — the r14 bench de-gaming covered exactly that path."""
     if df.sparkSession.sparkContext.master.startswith("local"):
         return df.localCheckpoint(eager=False)
     from pyspark import StorageLevel

@@ -34,3 +34,25 @@ def test_streaming_source_dtype_matches_batch(spark, sf_dir):
         streaming_events_source)
     stream = streaming_events_source(spark, sf_dir)
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_warm_tables_persist_upgrades_plan_only_entry(spark, sf_dir):
+    # r14 ADVICE: the warm memo used to ignore the persist flag — a
+    # persist=True warm after a plan-only warm silently no-opped, so
+    # probes expecting cached tables measured unpersisted scans. A
+    # plan-only entry must now upgrade to the persisted layout.
+    from data_platform_copilot_spark.sources.registry import (
+        _WARM, warm_tables)
+    try:
+        warm_tables(spark, sf_dir, tables=("region",), persist=False)
+        df = load_table(spark, sf_dir, "region")
+        assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+        warm_tables(spark, sf_dir, tables=("region",), persist=True)
+        df2 = load_table(spark, sf_dir, "region")
+        assert df2.storageLevel.useMemory or df2.storageLevel.useDisk
+    finally:
+        # leave no cached state behind for other tests
+        app = spark.sparkContext.applicationId
+        got = _WARM.pop((app, sf_dir, "region"), None)
+        if got is not None:
+            got.unpersist()
