@@ -79,25 +79,54 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
 
     ``batch`` amortizes the driver-synchronized round cost (the
     latency floor at real vocab sizes — a 32k-merge run at batch=1
-    is 32k sequential vocab-sized jobs): each round collects the
-    ranked pair frequencies once and greedily accepts up to ``batch``
-    pairs, in (freq DESC, lhs, rhs) rank order, whose symbol sets
-    {lhs, rhs, lhs+rhs} are pairwise disjoint across the accepted
-    set, then applies them all in ONE rebuild. Disjointness makes
-    the batch application order-independent: no accepted pair can
-    create, destroy, or overlap an occurrence of another (a position
-    holds one symbol, so occurrences of symbol-disjoint pairs can
-    never share a position).
+    is 32k sequential vocab-sized jobs). Since r15 batching is
+    EXACT (r14 verdict #6): a round accepts a batch only when a
+    sequential recount PROVABLY agrees, so the merge table is
+    byte-identical to batch=1 at every ``batch`` (pinned by pytest
+    against the pure-python reference and by the DuckDB round-replay
+    oracle). The proof obligations, per round:
 
-    ``batch=1`` is EXACTLY the sequential Sennrich semantics (the
-    generic path degenerates to accept-the-argmax; pytest pins
-    equivalence). ``batch>1`` is the standard parallel-BPE
-    approximation: a merge may create a novel pair whose frequency
-    would outrank a later accepted pair under strict sequential
-    recounting, so the merge TABLE can differ slightly from
-    batch=1; recorded freqs are all measured against the round's
-    starting state. Every output remains fully deterministic for a
-    given (corpus, batch).
+    1. The accepted set is a CONSECUTIVE prefix of the (freq DESC,
+       lhs, rhs) ranking with no CROSS-ADJACENCY between accepted
+       pairs: ``p_i.lhs != p_j.rhs`` and ``p_i.rhs != p_j.lhs`` for
+       every earlier ``p_j`` (acceptance STOPS at the first
+       violation — skipping would let the skipped pair, whose count
+       may survive the earlier merges, outrank a later accepted pair
+       under recounting). Cross-adjacency freedom is exactly
+       position-disjointness of their occurrences — two pairs can
+       only share a position where one's lhs is the other's rhs —
+       so each accepted pair's own frequency is UNCHANGED by
+       applying the earlier ones (its recorded freq equals the
+       sequential recount), the one-pass rebuild is
+       order-independent, accepted pairs merge to frequency zero,
+       and every other old pair can only lose occurrences. Sharing
+       a mere symbol is fine: (e, r) and (e, </w>) batch together.
+    2. The only counts that can GROW are novel pairs involving a
+       merged symbol lhs+rhs; each such occurrence consumes an
+       original occurrence of a PARENT pair ((x, lhs) for the novel
+       (x, lhs+rhs); (rhs, y) for (lhs+rhs, y)), so the parent's
+       round-start frequency bounds the novel pair. The batch is
+       truncated to the longest prefix where every earlier accepted
+       pair's max parent frequency is STRICTLY below the last
+       accepted frequency (ties conservatively rejected — a tying
+       novel pair could win the lexicographic tiebreak). One extra
+       vocab-sized aggregation per round checks this; the pair-freq
+       frame is materialized once and shared by the ranking and the
+       parent probe.
+    3. String-coincidence guards: a batch ends right after a pair
+       whose merged string already exists as a symbol (post-merge
+       counts for that string CONFLATE old and novel occurrences —
+       sequential conflates identically in-state, but the growth of
+       conflated pair counts between batch steps cannot be bounded
+       by rule 2), and stops before a pair whose merged string
+       equals an earlier accepted pair's (their outputs would
+       conflate mid-batch). The symbol universe is tracked on the
+       driver (initial characters + every accepted merge) — no
+       extra job.
+
+    Every output remains fully deterministic for a given corpus and
+    independent of ``batch``; a pathological corpus just truncates
+    batches toward 1 and pays more rounds, never a different table.
     """
     global last_round_count
     spark = df.sparkSession
@@ -105,6 +134,12 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
     s = _initial_symbols(words).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     last_round_count = 0
+    # driver-side symbol universe for the batch conflation guard
+    # (proof obligation 3) — alphabet-sized, collected once; only
+    # consulted when batch > 1
+    universe: set[str] = set()
+    if batch > 1:
+        universe = {r["s"] for r in s.select("s").distinct().collect()}
     while len(merges) < n_merges:
         last_round_count += 1
         want = min(batch, n_merges - len(merges))
@@ -115,27 +150,49 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
                          F.col("a.pos").alias("apos"),
                          F.col("a.s").alias("lhs"),
                          F.col("b.s").alias("rhs")))
-        # candidate horizon: enough ranked rows that symbol collisions
-        # rarely starve the batch, still KB-sized on the driver
-        horizon = 1 if want == 1 else max(64, 4 * want)
-        ranked = (pairs.join(words, "w")
-                  .groupBy("lhs", "rhs").agg(F.sum("n").alias("freq"))
-                  .orderBy(F.desc("freq"), "lhs", "rhs")
-                  .limit(horizon).collect())
+        freqs = (pairs.join(words, "w")
+                 .groupBy("lhs", "rhs").agg(F.sum("n").alias("freq")))
+        if want > 1:
+            # two driver actions consume the pair table this round
+            # (ranking + parent probe) — share one materialization
+            from ..sources.registry import materialize_auto
+            freqs = materialize_auto(freqs)
+        # exact batching accepts only a CONSECUTIVE ranked prefix, so
+        # `want` rows is the whole candidate horizon
+        ranked = (freqs.orderBy(F.desc("freq"), "lhs", "rhs")
+                  .limit(want).collect())
         if not ranked:
             break
         taken: list[tuple[str, str, int]] = []
-        used: set[str] = set()
         for row in ranked:
-            if len(taken) == want:
+            lhs, rhs, mstr = row["lhs"], row["rhs"], row["lhs"] + row["rhs"]
+            # proof obligation 1: no cross-adjacency with any earlier
+            # accepted pair (STOP, don't skip); obligation 3: no
+            # mid-batch merged-string collision
+            if any(lhs == pr or rhs == pl or mstr == pl + pr
+                   for pl, pr, _f in taken):
                 break
-            syms = {row["lhs"], row["rhs"], row["lhs"] + row["rhs"]}
-            if used & syms:
-                continue
-            taken.append((row["lhs"], row["rhs"], int(row["freq"])))
-            used |= syms
+            taken.append((lhs, rhs, int(row["freq"])))
+            if mstr in universe:
+                break  # obligation 3: conflating merge ends the batch
+        if len(taken) > 1:
+            # proof obligation 2: bound every novel pair by its
+            # parents' round-start frequencies and truncate the batch
+            # until no novel pair can outrank a later accepted pair
+            parent_max = freqs.agg(*[
+                F.max(F.when((F.col("rhs") == lhs)
+                             | (F.col("lhs") == rhs),
+                             F.col("freq"))).alias(f"p{j}")
+                for j, (lhs, rhs, _f) in enumerate(taken)]).collect()[0]
+            bound = [parent_max[f"p{j}"] or 0 for j in range(len(taken))]
+            m = len(taken)
+            while m > 1 and any(bound[j] >= taken[m - 1][2]
+                                for j in range(m - 1)):
+                m -= 1
+            taken = taken[:m]
         for lhs, rhs, freq in taken:
             merges.append((len(merges) + 1, lhs, rhs, freq))
+            universe.add(lhs + rhs)
         # greedy left-to-right non-overlap PER PAIR: consecutive
         # candidate positions (only possible when lhs == rhs) form
         # runs via the pos - row_number trick; odd ranks within a run
@@ -181,11 +238,11 @@ def bpe_reference(texts: list[str], n_merges: int = 8,
                   batch: int = 1):
     """Pure-python Sennrich reference for tests: same tokenization
     (lowercase, whitespace-collapsed), same tiebreak, same greedy
-    left-to-right merging. ``batch`` mirrors the distributed
-    batching contract exactly — identical rank order, identical
-    candidate horizon (``max(64, 4*want)``), identical greedy
-    symbol-disjoint acceptance — so batched runs are pinned against
-    this loop the same way batch=1 is."""
+    left-to-right merging. ``batch`` mirrors the distributed EXACT
+    batching contract — consecutive ranked prefix, cross-adjacency
+    stop, conflation guards, parent-frequency truncation — so
+    batched runs are pinned against this loop the same way batch=1
+    is (and both must equal batch=1's table at every batch)."""
     import re
     from collections import Counter
 
@@ -195,6 +252,7 @@ def bpe_reference(texts: list[str], n_merges: int = 8,
             if w:
                 words[w] += 1
     seqs = {w: [*w, MARKER] for w in words}
+    universe = {c for w in words for c in w} | {MARKER}
     merges = []
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
@@ -204,21 +262,30 @@ def bpe_reference(texts: list[str], n_merges: int = 8,
                 pair_counts[(seq[i], seq[i + 1])] += words[w]
         if not pair_counts:
             break
-        horizon = 1 if want == 1 else max(64, 4 * want)
         ranked = sorted(pair_counts.items(),
                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        ranked = ranked[:horizon]
-        taken, used = [], set()
+        ranked = ranked[:want]
+        taken = []
         for (lhs, rhs), freq in ranked:
-            if len(taken) == want:
-                break
-            syms = {lhs, rhs, lhs + rhs}
-            if used & syms:
-                continue
+            mstr = lhs + rhs
+            if any(lhs == pr or rhs == pl or mstr == pl + pr
+                   for pl, pr, _f in taken):
+                break  # cross-adjacency / mid-batch conflation: stop
             taken.append((lhs, rhs, freq))
-            used |= syms
+            if mstr in universe:
+                break  # conflating merge ends the batch
+        if len(taken) > 1:
+            bound = [max((f for (ql, qr), f in pair_counts.items()
+                          if qr == lhs or ql == rhs), default=0)
+                     for lhs, rhs, _f in taken]
+            m = len(taken)
+            while m > 1 and any(bound[j] >= taken[m - 1][2]
+                                for j in range(m - 1)):
+                m -= 1
+            taken = taken[:m]
         for lhs, rhs, freq in taken:
             merges.append((len(merges) + 1, lhs, rhs, freq))
+            universe.add(lhs + rhs)
         accepted = {(lhs, rhs): lhs + rhs for lhs, rhs, _ in taken}
         for w, seq in seqs.items():
             out, i = [], 0

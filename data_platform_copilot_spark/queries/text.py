@@ -492,7 +492,7 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables value-hash equal."""
     from ..operators.bpe import bpe_train
     docs = _t(spark, sf_dir, "documents")
-    return bpe_train(docs, "text", n_merges=8)
+    return bpe_train(docs, "text", n_merges=8, batch=8)
 
 
 @query("tfidf_keywords_per_doc", oracle=f"""
@@ -618,7 +618,7 @@ def bpe_segment_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     final symbol state."""
     from ..operators.bpe import bpe_train_with_state
     docs = _t(spark, sf_dir, "documents")
-    _, state = bpe_train_with_state(docs, "text", n_merges=8)
+    _, state = bpe_train_with_state(docs, "text", n_merges=8, batch=8)
     from ..operators.bpe import word_vocab
     words = word_vocab(docs, "text")
     return (state.groupBy("w")
@@ -660,7 +660,7 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the weighted average."""
     from ..operators.bpe import bpe_train_with_state
     docs = _t(spark, sf_dir, "documents")
-    _, state = bpe_train_with_state(docs, "text", n_merges=8)
+    _, state = bpe_train_with_state(docs, "text", n_merges=8, batch=8)
     seg = state.groupBy("w").agg(F.count("*").alias("n_sub"))
     lw = (docs.select("lang", F.explode(tokens(F.col("text")))
                       .alias("w"))
@@ -705,7 +705,7 @@ def bpe_doc_token_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rung value-verified by the same round-replay oracle."""
     from ..operators.bpe import bpe_train_with_state
     docs = _t(spark, sf_dir, "documents")
-    _, state = bpe_train_with_state(docs, "text", n_merges=8)
+    _, state = bpe_train_with_state(docs, "text", n_merges=8, batch=8)
     seg = state.groupBy("w").agg(F.count("*").alias("n_sub"))
     dt = (docs.select("doc_id", F.explode(tokens(F.col("text")))
                       .alias("w"))

@@ -1654,10 +1654,13 @@ class TestBPE:
                .orderBy("merge_rank").collect()]
         assert got == bpe_reference(texts, n_merges=6)
 
-    def test_batched_matches_batched_reference(self, spark, sf_dir):
-        # batch>1 is pinned against the pure-python replay of the
-        # identical batching contract (rank order, horizon, greedy
-        # symbol-disjoint acceptance, simultaneous application)
+    def test_batched_is_byte_identical_to_sequential(self, spark, sf_dir):
+        # r15 (r14 verdict #6): batching is EXACT — at every batch the
+        # merge table must be byte-identical to batch=1 (sequential
+        # Sennrich), not merely to a batched reference replay. The
+        # acceptance proof: consecutive ranked prefix, stop at the
+        # first symbol collision, truncate when a novel pair's parent
+        # bound could outrank a later accepted pair.
         from data_platform_copilot_spark.operators.bpe import (
             bpe_reference,
             bpe_train,
@@ -1665,26 +1668,36 @@ class TestBPE:
         from data_platform_copilot_spark.sources import load_table
         docs = load_table(spark, sf_dir, "documents").limit(100)
         texts = [r["text"] for r in docs.select("text").collect()]
+        seq = bpe_reference(texts, n_merges=12, batch=1)
         for b in (3, 8):
             got = [(r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
                    for r in bpe_train(docs, "text", n_merges=12, batch=b)
                    .orderBy("merge_rank").collect()]
+            assert got == seq
             assert got == bpe_reference(texts, n_merges=12, batch=b)
             # within-round acceptance was symbol-disjoint, so all
             # merged outputs are distinct subword units
             assert len({lhs + rhs for _, lhs, rhs, _ in got}) == len(got)
 
     def test_batched_rounds_are_fewer(self, spark):
-        # the point of batching: a vocab-sized run takes ~n/batch
-        # driver rounds, not n. Proxy: batched training must produce
-        # the full merge count while the corpus admits large batches.
-        from data_platform_copilot_spark.operators.bpe import bpe_train
+        # the point of batching: a vocab-sized run takes fewer driver
+        # rounds than merges — and with EXACT batching the table is
+        # still byte-identical to sequential
+        from data_platform_copilot_spark.operators import bpe
+        from data_platform_copilot_spark.operators.bpe import (
+            bpe_reference,
+            bpe_train,
+        )
         texts = ["the quick brown fox jumps over the lazy dog",
                  "pack my box with five dozen liquor jugs",
                  "sphinx of black quartz judge my vow"] * 4
         df = spark.createDataFrame([(t,) for t in texts], "text string")
-        got = bpe_train(df, "text", n_merges=16, batch=8).collect()
+        got = [(r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
+               for r in bpe_train(df, "text", n_merges=16, batch=8)
+               .orderBy("merge_rank").collect()]
+        assert got == bpe_reference(texts, n_merges=16, batch=1)
         assert len(got) == 16
+        assert bpe.last_round_count < 16
 
 
 class TestBudgetAllocation:
