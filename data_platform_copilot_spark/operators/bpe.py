@@ -154,9 +154,11 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
                  .groupBy("lhs", "rhs").agg(F.sum("n").alias("freq")))
         if want > 1:
             # two driver actions consume the pair table this round
-            # (ranking + parent probe) — share one materialization
-            from ..sources.registry import materialize_auto
-            freqs = materialize_auto(freqs)
+            # (ranking + parent probe) — share one materialization.
+            # Plain lazy localCheckpoint, like the round state above:
+            # materialize_auto's cluster path would persist once per
+            # ROUND with no unpersist hook (its documented leak).
+            freqs = freqs.localCheckpoint(eager=False)
         # exact batching accepts only a CONSECUTIVE ranked prefix, so
         # `want` rows is the whole candidate horizon
         ranked = (freqs.orderBy(F.desc("freq"), "lhs", "rhs")
@@ -196,8 +198,9 @@ def bpe_train_with_state(df: DataFrame, text_col: str,
         # greedy left-to-right non-overlap PER PAIR: consecutive
         # candidate positions (only possible when lhs == rhs) form
         # runs via the pos - row_number trick; odd ranks within a run
-        # merge. Accepted pairs are symbol-disjoint, so their
-        # occurrences are position-disjoint and one pass applies all.
+        # merge. Accepted pairs are cross-adjacency-free, so their
+        # occurrences are position-disjoint and one pass applies all
+        # (no position is a start of one pair and a tail of another).
         is_taken = None
         for lhs, rhs, _ in taken:
             hit = (F.col("lhs") == lhs) & (F.col("rhs") == rhs)

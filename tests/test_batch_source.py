@@ -61,6 +61,7 @@ def _plan_files(tdir, filters, version=None):
 
 
 class TestBatchSourcePushdown:
+    @pytest.mark.slow
     def test_pushed_filter_prunes_dirs_24_to_1(self, spark, tdir):
         """The r12 judge probe shape on the DataSource path: 6
         commits x 4 files = 24 files; a range predicate on the band
@@ -74,6 +75,7 @@ class TestBatchSourcePushdown:
         kept = _plan_files(tdir, [In(("id",), (50, 550))])
         assert len(kept) == 8                    # 2 dirs survive
 
+    @pytest.mark.slow
     def test_end_to_end_filter_equals_read_version(self, spark, tdir):
         _commits(spark, tdir)
         got = (_load(spark, tdir).where("id >= 350 AND x < 760")

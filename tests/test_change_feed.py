@@ -129,6 +129,7 @@ class TestChangeFeedSource:
                 read_version(spark, tdir).collect()}
         assert got == want
 
+    @pytest.mark.slow
     def test_duplicate_commit_race_dedupes_in_sink(self, spark, tdir,
                                                    tmp_path):
         """Two feed instances sharing a checkpoint race the same

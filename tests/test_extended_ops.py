@@ -200,6 +200,7 @@ class TestKnnDistanceOutliers:
             rows.append((j, unit([rng.gauss(0, 1) for _ in range(dim)])))
         return spark.createDataFrame(rows, "vec_id long, v array<double>")
 
+    @pytest.mark.slow
     def test_planted_isolates_flagged(self, spark):
         from data_platform_copilot_spark.operators.similarity import (
             knn_distance_outliers)

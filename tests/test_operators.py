@@ -76,6 +76,7 @@ class TestAnn:
         assert [r["rank"] for r in got] == [1, 2, 3]
         assert got[0]["cosine"] >= got[1]["cosine"] >= got[2]["cosine"]
 
+    @pytest.mark.slow
     def test_srp_lsh_recall(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         queries = emb.where(F.col("vec_id") < 5)
@@ -91,6 +92,7 @@ class TestAnn:
         recall = len(t & a) / len(t)
         assert recall >= 0.55, f"SRP-LSH recall too low: {recall:.2f}"
 
+    @pytest.mark.slow
     def test_ivf_recall_and_probe_scaling(self, spark, sf_dir):
         """IVF with 8/16 cells probed must beat a recall floor on the
         near-orthogonal corpus (hard case); probing ALL cells must be
@@ -114,6 +116,7 @@ class TestAnn:
         assert full == truth
 
 
+@pytest.mark.slow
 class TestPq:
     def test_pq_recall_and_shortlist_exactness(self, spark, sf_dir):
         """PQ+refine recall floor on the near-orthogonal corpus; a
@@ -227,6 +230,7 @@ class TestEmbeddingDedup:
         assert run(7) == untiled    # odd cap: ragged tail tiles
         assert run(2) == untiled    # pathological cap: many off-diag
 
+    @pytest.mark.slow
     def test_lsh_hot_bucket_capped_completes_exactly(self, spark):
         """A degenerate corpus — 5,000 identical vectors, every one in
         the SAME bucket of every table — must complete under a small
@@ -647,6 +651,7 @@ class TestConnectedComponents:
                for r in connected_components(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
+    @pytest.mark.slow
     def test_long_chain_bounded_lineage(self, spark):
         """50-round chain: convergence past many localCheckpoint cycles
         (r2 verdict task 3 — lineage must not nest 50 plans deep)."""
@@ -669,6 +674,7 @@ class TestConnectedComponents:
         with pytest.raises(ConvergenceError):
             connected_components(pairs, max_iters=3)
 
+    @pytest.mark.slow
     def test_star_matches_propagation(self, spark):
         """large-star/small-star contraction == min-label propagation on
         a seeded random graph + a long chain (star needs only O(log n)
@@ -1610,6 +1616,7 @@ class TestBPE:
         want = bpe_reference(texts, n_merges=6)
         assert got == want
 
+    @pytest.mark.slow
     def test_matches_python_reference_real_corpus(self, spark, sf_dir):
         from data_platform_copilot_spark.operators.bpe import (
             bpe_reference,
@@ -1654,6 +1661,7 @@ class TestBPE:
                .orderBy("merge_rank").collect()]
         assert got == bpe_reference(texts, n_merges=6)
 
+    @pytest.mark.slow
     def test_batched_is_byte_identical_to_sequential(self, spark, sf_dir):
         # r15 (r14 verdict #6): batching is EXACT — at every batch the
         # merge table must be byte-identical to batch=1 (sequential
@@ -2049,6 +2057,7 @@ class TestLineageTruncation:
         assert bits < 128, f"stats estimate compounding: {bits} bits"
         assert s.count() == 500
 
+    @pytest.mark.slow
     def test_bpe_deep_run_stays_fast(self, spark):
         # end-to-end guard: 48 merges (7+ batched rounds) must stay
         # in linear per-round time — pre-fix this crossed the
@@ -2215,6 +2224,7 @@ class TestCountMinSketch:
 
 
 class TestRangeBucketProperties:
+    @pytest.mark.slow
     def test_bucket_monotone_and_in_range(self, spark):
         """Property battery for the two-phase prefix foundation:
         over adversarial key sets (extremes, negatives, ties, tiny
@@ -2999,6 +3009,7 @@ class TestBucketedGlobalRank:
             .collect()), key=lambda t: (t[0] is None, t))
         assert got == want and len(got) == 300
 
+    @pytest.mark.slow
     def test_ntile_expr_matches_window_ntile(self, spark):
         from pyspark.sql import Window as W
 
@@ -3070,6 +3081,7 @@ class TestBucketedGlobalRank:
             valid.unpersist()
 
 
+@pytest.mark.slow
 class TestRetrievalEval:
     """ann_rrf_fusion / ann_map_report: cross-entry consistency with
     ann_recall_report (same two arms, same panel) plus shape

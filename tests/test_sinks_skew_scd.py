@@ -140,6 +140,7 @@ class TestScd2:
         assert once.count() == 2
         assert once.where("is_current").count() == 1
 
+    @pytest.mark.slow
     def test_merge_is_idempotent(self, spark):
         """Retrying the same batch must be a no-op: no zero-length
         versions, no duplicate open rows."""

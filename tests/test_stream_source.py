@@ -64,6 +64,7 @@ class TestVersionedStreamSource:
         rows = sorted((r["id"], r["x"]) for r in got.collect())
         assert rows == [(i, 2 * i) for i in range(30)]
 
+    @pytest.mark.slow
     def test_checkpoint_resume_is_exactly_once(self, spark, tdir,
                                                tmp_path):
         out, ck = tmp_path / "out", tmp_path / "ck"
@@ -80,6 +81,7 @@ class TestVersionedStreamSource:
         got = _drain_files(spark, tdir, out, ck)
         assert got.count() == 15
 
+    @pytest.mark.slow
     def test_change_commit_fails_loudly(self, spark, tdir, tmp_path):
         out, ck = tmp_path / "out", tmp_path / "ck"
         write_version(_df(spark, 0, 10), tdir)
@@ -93,6 +95,7 @@ class TestVersionedStreamSource:
                            match="append-only|change"):
             _drain_files(spark, tdir, out, ck)
 
+    @pytest.mark.slow
     def test_skip_change_commits_passes_over(self, spark, tdir,
                                              tmp_path):
         out, ck = tmp_path / "out", tmp_path / "ck"
@@ -143,6 +146,7 @@ class TestVersionedStreamSource:
         assert rows[2] == (4, None) and rows[6] == (12, "new")
         assert len(rows) == 8
 
+    @pytest.mark.slow
     def test_sink_format_end_to_end_exactly_once(self, spark, tdir,
                                                  tmp_path):
         """readStream(A) -> writeStream(B), both through the
@@ -238,6 +242,7 @@ class TestVersionedStreamSource:
         assert "list(iterator)" not in src
         assert "ParquetWriter" in src
 
+    @pytest.mark.slow
     def test_max_versions_per_batch_bounds_catchup(
             self, spark, tdir, tmp_path):
         """r12 verdict item 2: a 10-version backlog with
@@ -269,6 +274,7 @@ class TestVersionedStreamSource:
         batches = len(list((ck / "offsets").glob("[0-9]*")))
         assert batches >= 3          # ceil(10 / 4) bounded slices
 
+    @pytest.mark.slow
     def test_clean_restart_catchup_stays_capped(self, spark, tdir,
                                                  tmp_path):
         """The restart half of admission control: after a CLEAN stop,
@@ -311,6 +317,7 @@ class TestVersionedStreamSource:
         #                              uncapped first batch after a
         #                              clean restart
 
+    @pytest.mark.slow
     def test_max_rows_per_batch_bounds_slices(self, spark, tdir,
                                               tmp_path):
         """Row-budget admission (manifest dir_rows): an 8-version,
@@ -342,6 +349,7 @@ class TestVersionedStreamSource:
         batches = len(list((ck / "offsets").glob("[0-9]*")))
         assert batches >= 4          # ceil(40 rows / 10-row budget)
 
+    @pytest.mark.slow
     def test_restart_mid_backlog_resumes_exactly_once(
             self, spark, tdir, tmp_path):
         """Kill a capped catch-up after its first slice; the restart
@@ -446,6 +454,7 @@ class TestVersionedStreamSource:
         assert rows[1] == (999, 1)
         assert all(rows[i][1] == i % 2 for i in rows)
 
+    @pytest.mark.slow
     def test_evolve_partitions_noop_and_hive_value_injection(
             self, spark, tdir, tmp_path):
         """evolve-partitions is metadata-only (no rows) — silently
@@ -469,6 +478,7 @@ class TestVersionedStreamSource:
         assert all(rows[i] == i % 2 for i in range(14))
 
 
+@pytest.mark.slow
 class TestFullPipelineChaos:
     def test_source_stateful_sink_survives_kill(self, spark, tdir,
                                                 tmp_path):

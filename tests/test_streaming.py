@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import normalize_rows
 
 
@@ -127,6 +129,7 @@ def test_streaming_scd2_upsert_current_state(spark, sf_dir):
     assert hist.where("valid_from = valid_to").count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_dedup_state_eviction(spark, tmp_path):
     """dropDuplicatesWithinWatermark must (a) drop duplicates inside the
     watermark horizon, (b) EVICT key state once the watermark passes it,
@@ -310,6 +313,7 @@ class TestCheckpointRecovery:
     must equal the batch answer with every source file processed
     exactly once across both runs."""
 
+    @pytest.mark.slow
     def test_restart_resumes_offsets_exactly_once(self, spark, sf_dir,
                                                   tmp_path):
         from tests.conftest import normalize_rows
@@ -368,6 +372,7 @@ class TestMorUpsertStreamSink:
     same manifest txn ledger; compact folds the vector stack without
     changing the answer."""
 
+    @pytest.mark.slow
     def test_mor_upsert_stream_equals_batch_and_replays_noop(
             self, spark, sf_dir, tmp_path):
         from data_platform_copilot_spark.streaming.events import (
@@ -393,6 +398,7 @@ class TestMorUpsertStreamSink:
 
 
 class TestMorStreamAutoCompact:
+    @pytest.mark.slow
     def test_mid_stream_auto_compaction_keeps_equality(
             self, spark, sf_dir, tmp_path):
         """The sink with a small auto_compact_vectors threshold lets

@@ -624,6 +624,7 @@ class TestStreamPipes:
         svc.bootstrap()
         return svc
 
+    @pytest.mark.slow
     def test_pipe_lifecycle_end_to_end(self, spark, service, tdir):
         import time
 

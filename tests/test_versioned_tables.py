@@ -430,6 +430,7 @@ def test_daily_sales_versioned_flow(spark, sf_dir, tmp_path):
     assert read_version(spark, t, version=0).count() == v0.count()
 
 
+@pytest.mark.slow
 class TestModelBasedRandomOps:
     """Model-based property test: a random sequence of append /
     overwrite / merge / merge-on-read / compact / idempotent-txn-
@@ -936,6 +937,7 @@ class TestCheckpoints:
         assert v2 == 201
         assert counts["manifest"] <= bound, counts
 
+    @pytest.mark.slow
     def test_txn_replay_stays_deduplicated_past_vacuum(
             self, spark, tmp_path):
         t = tmp_path / "tbl"
@@ -1589,6 +1591,7 @@ def _process_mor_merger(args):
     return won
 
 
+@pytest.mark.slow
 class TestCrossProcessMorRace:
     def test_racing_mor_merges_across_processes(self, spark, tmp_path):
         """2 separate PROCESSES x 3 MoR merges racing on one table:
@@ -1659,6 +1662,7 @@ class TestAutoSkipPushdown:
         return {f.split("/data-")[1].split("/")[0]
                 for f in df.inputFiles()}
 
+    @pytest.mark.slow
     def test_plain_where_scans_one_dir_of_24(self, spark, tdir):
         self._appends(spark, tdir, n=24)
         base = read_version(spark, tdir)
@@ -2004,6 +2008,7 @@ class TestProjectionChainedPushdown:
             == list(range(150, 160))
         assert self._fallbacks() == before  # no silent fallback
 
+    @pytest.mark.slow
     def test_alias_rename_drop_chain_prunes(self, spark, tdir):
         self._appends(spark, tdir)
         before = self._fallbacks()
@@ -2116,6 +2121,7 @@ class TestMorAutoCompact:
         want.update({i: 1000 + i for i in range(3)})
         assert got == want
 
+    @pytest.mark.slow
     def test_none_disables_policy(self, spark, tdir):
         write_version(_df(spark, 0, 20), tdir)
         for i in range(11):
@@ -2459,6 +2465,7 @@ class TestMorCasLossRename:
         assert got == want
 
 
+@pytest.mark.slow
 class TestOperatingRecipeEndToEnd:
     def test_full_table_lifecycle_story(self, spark, tdir):
         """The whole r11 table-format feature set in ONE realistic
